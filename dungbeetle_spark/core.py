@@ -1,0 +1,399 @@
+"""Core engine: task registry + named queues + async Spark execution.
+
+The Spark-idiomatic rebuild of the reference's job pipeline
+(reference: internal/core/core.go). One ``Core`` owns:
+
+- a task catalog (``tasks.load_tasks`` or programmatic registration),
+- named sources (each its own child ``SparkSession`` — isolated temp-
+  view namespace over one shared SparkContext, the analog of the
+  reference's named DB pools, dbpool.go:13-14),
+- named parquet result backends,
+- named queues, each a bounded worker pool — the reference's per-queue
+  worker concurrency is the whole point of the system (traffic
+  control; README "Usecase", cmd/init.go:44). Each queue maps onto a
+  Spark FAIR scheduler pool so concurrent jobs share the cluster.
+
+Execution of one job (the analog of execJob + writeResults,
+core.go:449-572): the worker thread pins the Spark job group to the
+job ID with ``interruptOnCancel=True`` — making DELETE /jobs/{id}
+actually interrupt running stages (strictly stronger than the
+reference, whose MySQL path cannot cancel server-side) — runs the
+task's parameterized SQL on the routed source session, canonical-casts
+and writes ``results_<job_id>``, then records the row count as the
+job's result (core.go:436).
+"""
+
+from __future__ import annotations
+
+import queue as _queue
+import threading
+import time
+import uuid
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+from dungbeetle_spark import jobstore
+from dungbeetle_spark.jobstore import JobRecord, JobStore
+from dungbeetle_spark.results import ParquetResultBackend, ResultBackends
+from dungbeetle_spark.sources.catalog import ParquetSource, SourcePool
+from dungbeetle_spark.tasks import Task, bind_args, load_tasks
+
+DEFAULT_ETA_FMT = "%Y-%m-%d %H:%M:%S"  # core.go:359-367
+
+
+@dataclass
+class JobReq:
+    """POST /tasks/{task}/jobs request body (models/models.go:8-20)."""
+
+    job_id: str = ""
+    args: list = field(default_factory=list)
+    db: str = ""
+    ttl: int = 0
+    eta: str = ""
+    retries: int = 0
+    queue: str = ""
+
+
+@dataclass
+class JobResp:
+    """Immediate enqueue response (models/models.go:22-28)."""
+
+    job_id: str
+    task: str
+    queue: str
+    eta: str = ""
+    retries: int = 0
+
+
+class Core:
+    def __init__(
+        self,
+        spark: SparkSession,
+        *,
+        default_queue: str = "default",
+        worker_concurrency: int = 10,  # reference default, cmd/init.go:44
+        default_job_ttl: int = 60,
+    ) -> None:
+        self.spark = spark
+        self.store = JobStore()
+        self.sources = SourcePool()
+        self.result_backends = ResultBackends()
+        self.tasks: dict[str, Task] = {}
+        self.callables: dict[str, Callable[[SparkSession, list], DataFrame]] = {}
+        self.default_queue = default_queue
+        self.worker_concurrency = worker_concurrency
+        self.default_job_ttl = default_job_ttl
+        self._queues: dict[str, _WorkQueue] = {}
+        self._sessions: dict[str, SparkSession] = {}
+        self._timers: dict[str, threading.Timer] = {}
+        self._lock = threading.RLock()
+        self._started = False
+
+    # -- wiring -------------------------------------------------------
+    def add_source(self, name: str, path: str) -> None:
+        src = ParquetSource(name, path)
+        self.sources.add(src)
+        # Child session per source: shared SparkContext (one cluster),
+        # isolated temp-view catalog per "database".
+        sess = self.spark.newSession()
+        src.register(sess)
+        self._sessions[name] = sess
+
+    def add_result_backend(self, name: str, path: str) -> None:
+        self.result_backends.add(ParquetResultBackend(name, path))
+
+    def load_task_dirs(self, dirs: list[str]) -> None:
+        self.tasks.update(
+            load_tasks(
+                dirs,
+                default_queue=self.default_queue,
+                source_names=self.sources.names() or None,
+                result_backend_names=self.result_backends.names() or None,
+                spark=self.spark,
+            )
+        )
+
+    def register_task(self, task: Task) -> None:
+        if task.name in self.tasks:
+            raise ValueError(f"duplicate task name: {task.name}")
+        self.tasks[task.name] = task
+
+    def register_callable_task(
+        self,
+        name: str,
+        fn: Callable[[SparkSession, list], DataFrame],
+        *,
+        queue: str = "",
+        conc: int = 0,
+    ) -> None:
+        """A DataFrame-building task (for non-SQL operators — dedup,
+        similarity, streaming — registered like any SQL task)."""
+        task = Task(name=name, stmt="", raw_stmt="", queue=queue or self.default_queue, conc=conc)
+        self.register_task(task)
+        self.callables[name] = fn
+
+    # -- lifecycle ----------------------------------------------------
+    def start(self) -> None:
+        """Spin up one worker pool per queue referenced by any task
+        (initQueue analog, core.go:403-447)."""
+        with self._lock:
+            if self._started:
+                return
+            for task in self.tasks.values():
+                self._ensure_queue(task.queue, task.conc or self.worker_concurrency)
+            self._ensure_queue(self.default_queue, self.worker_concurrency)
+            self._started = True
+
+    def stop(self) -> None:
+        with self._lock:
+            for t in self._timers.values():
+                t.cancel()
+            self._timers.clear()
+            for q in self._queues.values():
+                q.stop()
+            self._queues.clear()
+            self._started = False
+
+    def _ensure_queue(self, name: str, concurrency: int) -> "_WorkQueue":
+        with self._lock:
+            q = self._queues.get(name)
+            if q is None:
+                q = _WorkQueue(name, max(concurrency, 1), self._run_job)
+                self._queues[name] = q
+            return q
+
+    # -- enqueue (NewJob analog, core.go:85-105 + makeJob 324-395) ----
+    def new_job(self, task_name: str, req: JobReq) -> JobResp:
+        task = self.tasks.get(task_name)
+        if task is None:
+            raise KeyError(f"unrecognized task: {task_name}")
+        if req.db and req.db not in self.sources and task_name not in self.callables:
+            raise KeyError(f"unknown db: {req.db}")
+        job_id = req.job_id or f"job_{uuid.uuid4()}"  # core.go:341-352
+        queue_name = req.queue or task.queue or self.default_queue
+        eta_ts: float | None = None
+        if req.eta:
+            eta_ts = time.mktime(time.strptime(req.eta, DEFAULT_ETA_FMT))
+        rec = JobRecord(
+            job_id=job_id,
+            task=task_name,
+            queue=queue_name,
+            args=list(req.args),
+            db=req.db,
+            ttl=req.ttl or self.default_job_ttl,
+            eta=eta_ts,
+            max_retries=req.retries,
+        )
+        self.store.create(rec)  # atomic single-flight check (jobstore)
+        q = self._ensure_queue(queue_name, task.conc or self.worker_concurrency)
+        if eta_ts is not None and eta_ts > time.time():
+            delay = eta_ts - time.time()
+            timer = threading.Timer(delay, lambda: self._submit(q, job_id))
+            timer.daemon = True
+            with self._lock:
+                self._timers[job_id] = timer
+            timer.start()
+        else:
+            self._submit(q, job_id)
+        return JobResp(
+            job_id=job_id,
+            task=task_name,
+            queue=queue_name,
+            eta=req.eta,
+            retries=req.retries,
+        )
+
+    def new_job_group(
+        self, group_id: str, task_jobs: list[tuple[str, JobReq]]
+    ) -> tuple[str, list[JobResp]]:
+        """Enqueue N jobs as a group (NewJobGroup, core.go:107-147)."""
+        group_id = group_id or f"group_{uuid.uuid4()}"
+        resps: list[JobResp] = []
+        for task_name, req in task_jobs:
+            resp = self.new_job(task_name, req)
+            self.store.get(resp.job_id).group_id = group_id
+            resps.append(resp)
+        self.store.create_group(group_id, [r.job_id for r in resps])
+        return group_id, resps
+
+    def _submit(self, q: "_WorkQueue", job_id: str) -> None:
+        with self._lock:
+            self._timers.pop(job_id, None)
+        q.submit(job_id)
+
+    # -- status -------------------------------------------------------
+    def job_status(self, job_id: str) -> dict:
+        rec = self.store.get(job_id)
+        return {
+            "job_id": rec.job_id,
+            "state": rec.state,
+            "count": rec.count,
+            "error": rec.error,
+        }
+
+    def group_status(self, group_id: str) -> dict:
+        jobs = [self.job_status(j) for j in self.store.group_jobs(group_id)]
+        return {
+            "group_id": group_id,
+            "state": self.store.group_state(group_id),
+            "jobs": jobs,
+        }
+
+    def pending_jobs(self, queue_name: str) -> list[dict]:
+        return [
+            {"job_id": r.job_id, "task": r.task, "queue": r.queue, "state": r.state}
+            for r in self.store.pending(queue_name)
+        ]
+
+    # -- cancellation (CancelJob, core.go:243-271) --------------------
+    def cancel_job(self, job_id: str, purge: bool = False) -> None:
+        rec = self.store.get(job_id)
+        if rec.state in (jobstore.SUCCESS, jobstore.FAILURE) and not purge:
+            raise ValueError(f"job {job_id} is already complete ({rec.state})")
+        self.store.mark_cancelled(job_id)
+        with self._lock:
+            timer = self._timers.pop(job_id, None)
+        if timer:
+            timer.cancel()
+        # Interrupt any running stages of this job's group.
+        self.spark.sparkContext.cancelJobGroup(job_id)
+        self.store.delete(job_id)
+
+    def cancel_group(self, group_id: str, purge: bool = False) -> None:
+        for job_id in self.store.group_jobs(group_id):
+            rec = self.store.get(job_id)
+            if rec.state in (jobstore.SUCCESS, jobstore.FAILURE) and not purge:
+                raise ValueError(f"job {job_id} is already complete ({rec.state})")
+        for job_id in self.store.group_jobs(group_id):
+            try:
+                self.cancel_job(job_id, purge=True)
+            except KeyError:
+                pass
+        self.store.delete_group(group_id)
+
+    # -- execution (execJob + writeResults, core.go:449-572) ----------
+    def _run_job(self, queue_name: str, job_id: str) -> None:
+        try:
+            rec = self.store.get(job_id)
+        except KeyError:
+            return  # cancelled while pending (core.go:451-454)
+        if rec.cancelled:
+            return
+        task = self.tasks[rec.task]
+        self.store.set_state(job_id, jobstore.STARTED)
+        try:
+            count, path, backend = self._execute(rec, task, queue_name)
+            rec.result_path = path
+            rec.result_backend = backend
+            self.store.set_state(job_id, jobstore.SUCCESS, count=count, error="")
+        except Exception as exc:  # noqa: BLE001
+            if not self.store.exists(job_id):
+                return  # cancelled mid-flight; job purged
+            rec.attempts += 1
+            if rec.attempts <= rec.max_retries and not rec.cancelled:
+                self.store.set_state(job_id, jobstore.RETRY, error=str(exc)[:1000])
+                q = self._ensure_queue(queue_name, task.conc or self.worker_concurrency)
+                q.submit(job_id)
+            else:
+                self.store.set_state(job_id, jobstore.FAILURE, error=str(exc)[:1000])
+
+    def _execute(
+        self, rec: JobRecord, task: Task, queue_name: str
+    ) -> tuple[int, str, str]:
+        sess, df = self.build_dataframe(rec.task, rec.args, db=rec.db)
+        sc = sess.sparkContext
+        # Queue → FAIR scheduler pool; job → cancellable job group.
+        sc.setLocalProperty("spark.scheduler.pool", queue_name)
+        sc.setJobGroup(rec.job_id, f"task={rec.task}", interruptOnCancel=True)
+        try:
+            backend = self.result_backends.get_random(
+                task.result_backends or None
+            )  # random tagged backend (core.go:514-515)
+            count = backend.write(rec.job_id, rec.task, df)
+            return count, backend.table_path(rec.job_id), backend.name
+        finally:
+            sc.setJobGroup("", "")
+            sc.setLocalProperty("spark.scheduler.pool", None)
+
+    def build_dataframe(
+        self, task_name: str, args: list, db: str = ""
+    ) -> tuple[SparkSession, DataFrame]:
+        """Resolve task → (routed session, lazy result DataFrame).
+
+        Source routing mirrors core.go:482-494: an explicit request db
+        wins; else a random pick among the task's tagged dbs; else a
+        random pick among all attached sources.
+        """
+        task = self.tasks[task_name]
+        if task_name in self.callables:
+            sess = self._route_session(db, task)
+            return sess, self.callables[task_name](sess, args)
+        sess = self._route_session(db, task)
+        if task.nargs and len(args) < task.nargs:
+            raise ValueError(
+                f"task {task_name} needs {task.nargs} args, got {len(args)}"
+            )
+        df = sess.sql(task.stmt, args=bind_args(args)) if task.nargs else sess.sql(task.stmt)
+        return sess, df
+
+    def _route_session(self, db: str, task: Task) -> SparkSession:
+        if not self._sessions:
+            return self.spark
+        if db:
+            if db not in self._sessions:
+                raise KeyError(f"unknown db: {db}")
+            return self._sessions[db]
+        names = self.sources.filter_by_tags(task.dbs)
+        return self._sessions[self.sources.get_random(names).name]
+
+    # -- results access ----------------------------------------------
+    def read_result(self, job_id: str) -> DataFrame:
+        rec = self.store.get(job_id)
+        if not rec.result_path:
+            raise ValueError(f"job {job_id} has no results (state={rec.state})")
+        return self.spark.read.parquet(rec.result_path)
+
+
+class _WorkQueue:
+    """A named queue with a bounded worker-thread pool.
+
+    The analog of a tasqueue queue + its worker goroutines: jobs are
+    FIFO per queue, at most ``concurrency`` execute at once
+    (core.go:437-440 TaskOpts{Concurrency, Queue}).
+    """
+
+    def __init__(
+        self, name: str, concurrency: int, run: Callable[[str, str], None]
+    ) -> None:
+        self.name = name
+        self.concurrency = concurrency
+        self._run = run
+        self._q: _queue.Queue[str | None] = _queue.Queue()
+        self._threads: list[threading.Thread] = []
+        self._stopping = False
+        for i in range(concurrency):
+            t = threading.Thread(
+                target=self._worker, name=f"dbq-{name}-{i}", daemon=True
+            )
+            t.start()
+            self._threads.append(t)
+
+    def submit(self, job_id: str) -> None:
+        self._q.put(job_id)
+
+    def _worker(self) -> None:
+        while True:
+            job_id = self._q.get()
+            if job_id is None:
+                return
+            try:
+                self._run(self.name, job_id)
+            finally:
+                self._q.task_done()
+
+    def stop(self) -> None:
+        self._stopping = True
+        for _ in self._threads:
+            self._q.put(None)

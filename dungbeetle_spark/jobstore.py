@@ -1,0 +1,151 @@
+"""In-process job state store.
+
+The reference tracks job state in Redis via tasqueue (states PENDING /
+STARTED / FAILURE / SUCCESS / RETRY, reference: internal/core/
+core.go:574-599) and stores a single integer result — the written row
+count — per job (core.go:436). This store keeps the same state machine
+and payloads in-process with atomic check-and-set, fixing the
+reference's read-then-enqueue race on single-flight IDs
+(core.go:331-339).
+"""
+
+from __future__ import annotations
+
+import threading
+import time
+from dataclasses import dataclass, field
+
+# Job states (core.go:574-580).
+PENDING = "PENDING"
+STARTED = "STARTED"
+FAILURE = "FAILURE"
+SUCCESS = "SUCCESS"
+RETRY = "RETRY"
+
+_ACTIVE = (PENDING, STARTED, RETRY)
+_TERMINAL = (SUCCESS, FAILURE)
+
+
+@dataclass
+class JobRecord:
+    job_id: str
+    task: str
+    queue: str
+    state: str = PENDING
+    count: int = 0
+    error: str = ""
+    args: list = field(default_factory=list)
+    db: str = ""
+    ttl: int = 0
+    eta: float | None = None  # unix seconds; run no earlier
+    max_retries: int = 0
+    attempts: int = 0
+    group_id: str = ""
+    result_backend: str = ""
+    result_path: str = ""
+    created_at: float = field(default_factory=time.time)
+    cancelled: bool = False
+
+
+class SingleFlightError(Exception):
+    """Same job_id already Processing/Retrying (core.go:331-339)."""
+
+
+class JobStore:
+    """Thread-safe job/group registry.
+
+    Job IDs are caller-suppliable and *non-unique* across completed
+    runs (a re-post of a finished ID overwrites it, like the reference
+    re-enqueueing the same ID); only one instance of an ID may be
+    active at a time — enforced atomically here.
+    """
+
+    def __init__(self) -> None:
+        self._jobs: dict[str, JobRecord] = {}
+        self._groups: dict[str, list[str]] = {}
+        self._lock = threading.RLock()
+
+    # -- jobs ---------------------------------------------------------
+    def create(self, rec: JobRecord) -> JobRecord:
+        with self._lock:
+            existing = self._jobs.get(rec.job_id)
+            if existing is not None and existing.state in (STARTED, RETRY, PENDING):
+                raise SingleFlightError(
+                    f"job {rec.job_id} is already running: {existing.state}"
+                )
+            self._jobs[rec.job_id] = rec
+            return rec
+
+    def get(self, job_id: str) -> JobRecord:
+        with self._lock:
+            try:
+                return self._jobs[job_id]
+            except KeyError:
+                raise KeyError(f"unknown job: {job_id}") from None
+
+    def exists(self, job_id: str) -> bool:
+        with self._lock:
+            return job_id in self._jobs
+
+    def set_state(
+        self,
+        job_id: str,
+        state: str,
+        *,
+        count: int | None = None,
+        error: str | None = None,
+    ) -> None:
+        with self._lock:
+            rec = self._jobs[job_id]
+            rec.state = state
+            if count is not None:
+                rec.count = count
+            if error is not None:
+                rec.error = error
+
+    def mark_cancelled(self, job_id: str) -> JobRecord:
+        with self._lock:
+            rec = self.get(job_id)
+            rec.cancelled = True
+            return rec
+
+    def delete(self, job_id: str) -> None:
+        with self._lock:
+            self._jobs.pop(job_id, None)
+
+    def pending(self, queue: str) -> list[JobRecord]:
+        """Pending jobs on a queue, oldest first (core.go:149-162 —
+        the reference fetches newest-first then reverses)."""
+        with self._lock:
+            recs = [
+                r
+                for r in self._jobs.values()
+                if r.queue == queue and r.state == PENDING
+            ]
+        return sorted(recs, key=lambda r: r.created_at)
+
+    # -- groups -------------------------------------------------------
+    def create_group(self, group_id: str, job_ids: list[str]) -> None:
+        with self._lock:
+            self._groups[group_id] = list(job_ids)
+
+    def group_jobs(self, group_id: str) -> list[str]:
+        with self._lock:
+            try:
+                return list(self._groups[group_id])
+            except KeyError:
+                raise KeyError(f"unknown group: {group_id}") from None
+
+    def group_state(self, group_id: str) -> str:
+        """Aggregate member states (core.go:206-241): all SUCCESS →
+        SUCCESS; any FAILURE → FAILURE; else PENDING."""
+        states = [self.get(j).state for j in self.group_jobs(group_id)]
+        if states and all(s == SUCCESS for s in states):
+            return SUCCESS
+        if any(s == FAILURE for s in states):
+            return FAILURE
+        return PENDING
+
+    def delete_group(self, group_id: str) -> None:
+        with self._lock:
+            self._groups.pop(group_id, None)

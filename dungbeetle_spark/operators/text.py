@@ -1,0 +1,234 @@
+"""Text-analysis operators over the ``documents`` table.
+
+Everything here is expressed with JVM-side column functions (no Python
+UDFs): at 100 TB these run inside whole-stage codegen as a pure
+scan→project pipeline — embarrassingly parallel, no shuffle except the
+final aggregates where noted.
+
+Cross-engine determinism: counting is done with replace/regexp tricks
+that have identical semantics in Spark and DuckDB; ratios are single
+IEEE double divisions; no transcendental functions (libm results are
+not bit-portable across engines).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dungbeetle_spark.functions.texts import content_md5, norm_text, word_count
+from dungbeetle_spark.queries import _t, query
+
+# Marker-word heuristics for language ID. The guess is a deterministic
+# function of the text, mirrored exactly in the oracle SQL — the
+# operator contract is "same label both engines", not linguistic truth.
+_LANG_MARKERS: dict[str, list[str]] = {
+    "de": [" der ", " und ", " die ", " ist ", " nicht "],
+    "fr": [" le ", " et ", " les ", " est ", " pas "],
+    "es": [" el ", " y ", " los ", " es ", " no "],
+    "en": [" the ", " and ", " is ", " of ", " to "],
+}
+
+
+def _occurrences(col, needle: str):
+    """Occurrence count via length delta (identical in both engines)."""
+    return (
+        F.length(col) - F.length(F.replace(col, F.lit(needle), F.lit("")))
+    ) / F.lit(len(needle))
+
+
+def _occurrences_sql(expr: str, needle: str) -> str:
+    n = needle.replace("'", "''")
+    return f"(length({expr}) - length(replace({expr}, '{n}', ''))) / {len(needle)}"
+
+
+@query(
+    "text_stats",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, lang, source,
+             trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS nt,
+             text
+      FROM documents)
+    SELECT doc_id, lang, source,
+           length(text) AS n_chars,
+           CASE WHEN nt = '' THEN 0 ELSE length(nt) - length(replace(nt, ' ', '')) + 1 END AS n_words,
+           length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS n_punct,
+           length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS n_digits,
+           CAST(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE)
+               / greatest(length(text), 1) AS punct_ratio
+    FROM t
+    """,
+    doc="Per-document surface statistics: chars, words, punctuation, "
+    "digits, punct ratio. Pure narrow projection — scan-parallel at "
+    "any scale.",
+)
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")["documents"]
+    text = F.col("text")
+    nt = norm_text(text)
+    n_words = F.when(nt == "", F.lit(0)).otherwise(
+        F.length(nt) - F.length(F.replace(nt, F.lit(" "), F.lit(""))) + 1
+    )
+    n_punct = F.length(text) - F.length(F.regexp_replace(text, r"\p{Punct}", ""))
+    n_digits = F.length(text) - F.length(F.regexp_replace(text, r"[0-9]", ""))
+    return d.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.length(text).alias("n_chars"),
+        n_words.cast("long").alias("n_words"),
+        n_punct.cast("long").alias("n_punct"),
+        n_digits.cast("long").alias("n_digits"),
+        (n_punct.cast("double") / F.greatest(F.length(text), F.lit(1))).alias(
+            "punct_ratio"
+        ),
+    )
+
+
+@query(
+    "token_count",
+    oracle="""
+    SELECT doc_id,
+           CASE WHEN trim(text) = '' THEN 0
+                ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS ws_tokens,
+           len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]')) AS bpe_ish_tokens
+    FROM documents
+    """,
+    doc="Token counting two ways: whitespace tokens and a BPE-ish "
+    "regex (letter runs, single digits, single punctuation) — the "
+    "standard pre-tokenizer shape for LLM data work.",
+)
+def token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")["documents"]
+    bpe = F.size(F.regexp_extract_all("text", F.lit(r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"), 0))
+    return d.select(
+        "doc_id",
+        word_count("text").cast("long").alias("ws_tokens"),
+        bpe.cast("long").alias("bpe_ish_tokens"),
+    )
+
+
+@query(
+    "doc_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint,
+           substr(md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))), 1, 8) AS bucket
+    FROM documents
+    """,
+    doc="Content fingerprinting: md5 over normalized text (identical "
+    "hex in Spark and DuckDB) + an 8-hex-char shard bucket — the "
+    "partition key a 100 TB dedup would shuffle on.",
+)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")["documents"]
+    fp = content_md5("text")
+    return d.select(
+        "doc_id", fp.alias("fingerprint"), fp.substr(1, 8).alias("bucket")
+    )
+
+
+def _lang_guess_spark():
+    nt = F.concat(F.lit(" "), norm_text(F.col("text")), F.lit(" "))
+    scores = {
+        lang: sum(
+            (_occurrences(nt, m) for m in markers), start=F.lit(0.0)
+        )
+        for lang, markers in _LANG_MARKERS.items()
+    }
+    has_cjk = F.length(F.regexp_replace(F.col("text"), r"[^一-鿿]", "")) > 0
+    best = F.lit("unknown")
+    best_score = F.lit(0.0)
+    # Deterministic precedence: iterate langs in fixed order, strict >
+    for lang in ("de", "fr", "es", "en"):
+        s = scores[lang]
+        cond = s > best_score
+        best = F.when(cond, F.lit(lang)).otherwise(best)
+        best_score = F.when(cond, s).otherwise(best_score)
+    return F.when(has_cjk, F.lit("zh")).otherwise(best)
+
+
+def _lang_guess_sql() -> str:
+    nt = "(' ' || trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) || ' ')"
+    score = {
+        lang: " + ".join(_occurrences_sql(nt, m) for m in markers)
+        for lang, markers in _LANG_MARKERS.items()
+    }
+    # Same fixed-precedence argmax as the Spark side.
+    return f"""
+      CASE WHEN length(regexp_replace(text, '[^\\x{{4e00}}-\\x{{9fff}}]', '', 'g')) > 0
+           THEN 'zh'
+           ELSE (
+             CASE
+               WHEN ({score['de']}) >= greatest({score['fr']}, {score['es']}, {score['en']})
+                    AND ({score['de']}) > 0 THEN 'de'
+               WHEN ({score['fr']}) >= greatest({score['es']}, {score['en']})
+                    AND ({score['fr']}) > 0 THEN 'fr'
+               WHEN ({score['es']}) >= greatest({score['en']})
+                    AND ({score['es']}) > 0 THEN 'es'
+               WHEN ({score['en']}) > 0 THEN 'en'
+               ELSE 'unknown'
+             END)
+      END
+    """
+
+
+@query(
+    "lang_id",
+    oracle=f"""
+    SELECT doc_id, lang AS labeled_lang,
+           {_lang_guess_sql()} AS guessed_lang
+    FROM documents
+    """,
+    doc="Heuristic n-gram/marker-word language ID with a fixed-"
+    "precedence argmax (de>fr>es>en, CJK→zh). Deterministic, "
+    "scan-parallel; the guess is compared against the labeled lang.",
+)
+def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")["documents"]
+    return d.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        _lang_guess_spark().alias("guessed_lang"),
+    )
+
+
+@query(
+    "quality_score",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             length(text) AS nc,
+             CASE WHEN trim(text) = '' THEN 0
+                  ELSE len(regexp_split_to_array(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ')) END AS nw,
+             length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS np
+      FROM documents)
+    SELECT doc_id,
+           (least(CAST(nw AS DOUBLE) / 100.0, 1.0) * 0.5
+            + CASE WHEN nw > 0 AND CAST(nc AS DOUBLE) / nw BETWEEN 3.0 AND 12.0
+                   THEN 0.3 ELSE 0.0 END
+            + CASE WHEN CAST(np AS DOUBLE) / greatest(nc, 1) < 0.1
+                   THEN 0.2 ELSE 0.0 END) AS quality
+    FROM t
+    """,
+    doc="Rule-based document quality score (length / mean-word-length "
+    "band / punctuation-density), rational arithmetic only so the "
+    "score is bit-identical across engines.",
+)
+def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")["documents"]
+    text = F.col("text")
+    nc = F.length(text)
+    squashed = F.regexp_replace(text, r"\s+", " ")
+    nw = F.when(F.trim(text) == "", F.lit(0)).otherwise(
+        F.size(F.split(F.trim(squashed), " "))
+    )
+    np_ = F.length(text) - F.length(F.regexp_replace(text, r"\p{Punct}", ""))
+    mean_wl = nc.cast("double") / nw
+    quality = (
+        F.least(nw.cast("double") / F.lit(100.0), F.lit(1.0)) * F.lit(0.5)
+        + F.when((nw > 0) & (mean_wl >= 3.0) & (mean_wl <= 12.0), F.lit(0.3)).otherwise(F.lit(0.0))
+        + F.when(np_.cast("double") / F.greatest(nc, F.lit(1)) < 0.1, F.lit(0.2)).otherwise(F.lit(0.0))
+    )
+    return d.select("doc_id", quality.alias("quality"))

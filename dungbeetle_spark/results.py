@@ -1,0 +1,180 @@
+"""Result materialization: per-job result tables with canonical types.
+
+The reference streams each job's rows into a freshly created table
+``results_<job_id>`` in a results database, collapsing source column
+types into a small canonical set — BIGINT / DECIMAL / TIMESTAMP / DATE /
+BOOLEAN / JSON / TEXT (reference: internal/resultbackends/sqldb/
+sqldb.go:230-305; README "Results"). Schema generation is cached per
+task name (sqldb.go:38-41, 147-153) and every job DROPs + re-CREATEs
+its own table (sqldb.go:179-186) — i.e. overwrite semantics.
+
+Spark-first mapping: the whole row-at-a-time INSERT pipeline
+(core.go:556-565, sqldb.go:195-207 — one INSERT per row in one tx)
+collapses to a single columnar write::
+
+    df.select(*canonical_casts).write.mode("overwrite").parquet(path)
+
+which is parallel, compressed, and scales to any cluster size; the
+"one transaction per result set" property maps to parquet's
+atomic-enough directory swap (same guarantee level as the reference's
+DROP+CREATE window).
+"""
+
+from __future__ import annotations
+
+import random
+import re
+import shutil
+import threading
+from collections.abc import Iterable, Mapping
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# Canonical collapse of Spark types, mirroring sqldb.go:254-281.
+# DECIMAL(38,18) covers postgres NUMERIC semantics for aggregates.
+_DECIMAL = T.DecimalType(38, 18)
+
+
+def canonical_type(dt: T.DataType) -> T.DataType:
+    """Map an arbitrary Spark type onto the reference's canonical set."""
+    if isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
+        return T.LongType()  # INT* → BIGINT (sqldb.go:257-258)
+    if isinstance(dt, (T.FloatType, T.DoubleType, T.DecimalType)):
+        # FLOAT/DOUBLE/NUMERIC → DECIMAL (sqldb.go:259-260). Keep an
+        # explicit decimal so the golden schema check (`total` →
+        # numeric, server_test.go.bak:282-285) holds.
+        return dt if isinstance(dt, T.DecimalType) else _DECIMAL
+    if isinstance(dt, T.TimestampNTZType):
+        return T.TimestampNTZType()
+    if isinstance(dt, T.TimestampType):
+        return T.TimestampType()  # TIMESTAMP/DATETIME (sqldb.go:261-262)
+    if isinstance(dt, T.DateType):
+        return T.DateType()  # DATE (sqldb.go:263-264)
+    if isinstance(dt, T.BooleanType):
+        return T.BooleanType()  # BOOLEAN (sqldb.go:265-266)
+    if isinstance(dt, T.ArrayType):
+        # pg array passthrough (_INT4/_INT8/_TEXT, sqldb.go:273-276):
+        # collapse the element type, keep the array.
+        return T.ArrayType(canonical_type(dt.elementType), dt.containsNull)
+    # JSON/VARCHAR/everything else → TEXT (sqldb.go:267-280). Structs
+    # and maps don't exist in the reference's model; serialize to JSON
+    # text to honor the collapse contract.
+    return T.StringType()
+
+
+def canonical_cast(df: DataFrame) -> DataFrame:
+    """Project ``df`` onto canonical result types (§1.3 of SURVEY.md)."""
+    cols = []
+    for f_ in df.schema.fields:
+        target = canonical_type(f_.dataType)
+        if isinstance(f_.dataType, (T.StructType, T.MapType)):
+            cols.append(F.to_json(F.col(f_.name)).alias(f_.name))
+        elif target == f_.dataType:
+            cols.append(F.col(f_.name))
+        else:
+            cols.append(F.col(f_.name).cast(target).alias(f_.name))
+    return df.select(*cols)
+
+
+_TABLE_RE = re.compile(r"%s")
+
+
+class ParquetResultBackend:
+    """One named results warehouse (a directory of per-job tables).
+
+    Mirrors ``sqldb.SQLDBResultBackend``: configurable table-name
+    template defaulting to ``results_%s`` (sqldb.go:77-81, 99), a
+    per-task schema cache standing in for the reference's cached
+    CREATE/INSERT DDL (sqldb.go:38-41), and overwrite-per-job
+    semantics.
+    """
+
+    def __init__(self, name: str, path: str, table_template: str = "results_%s"):
+        if "%s" not in table_template:
+            table_template += "_%s"
+        self.name = name
+        self.path = path.rstrip("/")
+        self.table_template = table_template
+        # task name → StructType, the IsColTypesRegistered analog
+        # (sqldb.go:147-153). Purely observational in Spark (inference
+        # is free) but kept for the schema-stability contract: a task's
+        # result schema must not drift between jobs.
+        self._schemas: dict[str, T.StructType] = {}
+        self._lock = threading.Lock()
+
+    # -- naming -------------------------------------------------------
+    def table_name(self, job_id: str) -> str:
+        return self.table_template % job_id
+
+    def table_path(self, job_id: str) -> str:
+        return f"{self.path}/{self.table_name(job_id)}"
+
+    # -- schema cache (RegisterColTypes / IsColTypesRegistered) -------
+    def is_registered(self, task_name: str) -> bool:
+        with self._lock:
+            return task_name in self._schemas
+
+    def registered_schema(self, task_name: str) -> T.StructType | None:
+        with self._lock:
+            return self._schemas.get(task_name)
+
+    # -- materialization ----------------------------------------------
+    def write(self, job_id: str, task_name: str, df: DataFrame) -> int:
+        """Canonical-cast + overwrite ``results_<job_id>``; return rowcount.
+
+        The row count is the job's only "result" payload, surfaced by
+        status polls (core.go:436, 183-190). Spark's write gives it to
+        us without a second scan via ``df.count()`` on the cast plan —
+        at 100 TB prefer reading the write metric, but in local mode a
+        cached count on the already-computed result is equivalent.
+        """
+        out = canonical_cast(df)
+        with self._lock:
+            self._schemas.setdefault(task_name, out.schema)
+        path = self.table_path(job_id)
+        out.write.mode("overwrite").parquet(path)
+        spark = df.sparkSession
+        return spark.read.parquet(path).count()
+
+    def read(self, spark: SparkSession, job_id: str) -> DataFrame:
+        return spark.read.parquet(self.table_path(job_id))
+
+    def delete(self, job_id: str) -> None:
+        shutil.rmtree(self.table_path(job_id), ignore_errors=True)
+
+
+class ResultBackends:
+    """Named backend registry with random routing (results.go:30-63)."""
+
+    def __init__(self, backends: Mapping[str, ParquetResultBackend] | None = None):
+        self._backends: dict[str, ParquetResultBackend] = dict(backends or {})
+
+    def add(self, backend: ParquetResultBackend) -> None:
+        self._backends[backend.name] = backend
+
+    def names(self) -> list[str]:
+        return list(self._backends)
+
+    def get(self, name: str) -> ParquetResultBackend:
+        try:
+            return self._backends[name]
+        except KeyError:
+            raise KeyError(f"unknown result backend: {name}") from None
+
+    def get_random(self, names: Iterable[str] | None = None) -> ParquetResultBackend:
+        pool = list(names) if names else list(self._backends)
+        if not pool:
+            raise ValueError("no result backends configured")
+        return self.get(random.choice(pool))
+
+    def filter_by_tags(self, tags: Iterable[str]) -> list[str]:
+        tags = [t for t in tags if t]
+        for t in tags:
+            if t not in self._backends:
+                raise KeyError(f"unknown result backend {t} in task tag")
+        return tags or list(self._backends)
+
+    def __len__(self) -> int:
+        return len(self._backends)

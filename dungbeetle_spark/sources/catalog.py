@@ -1,0 +1,143 @@
+"""Named data sources — the Spark analog of the reference's DB pool.
+
+The reference keeps a map of named source databases and routes each
+task to one of them, picking randomly when several are tagged
+(reference: internal/dbpool/dbpool.go:13-14, 72-103;
+internal/core/core.go:482-494). Here a "source" is a named collection
+of Spark-readable tables (a directory of parquet files, or any
+path→DataFrame mapping); routing picks the source whose tables get
+registered as temp views before the task's SQL runs.
+
+Scale note: sources hand back *lazy* DataFrames — nothing is read until
+an action. Filters/projections in task SQL reach the parquet scan via
+Catalyst pushdown, so a source backed by 100 TB of parquet only reads
+the row groups and columns a query needs.
+"""
+
+from __future__ import annotations
+
+import random
+from collections.abc import Iterable, Mapping
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# The driver's synthetic star schema (TESTDATA.md).
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def _fix_nanos(df: DataFrame) -> DataFrame:
+    """Convert nanos-as-long timestamp columns to TIMESTAMP_NTZ (µs).
+
+    Spark 4 cannot read parquet TIMESTAMP(NANOS) natively; with
+    ``spark.sql.legacy.parquet.nanosAsLong`` the column arrives as an
+    int64 of epoch-nanos. Truncate (integer div — never float-round)
+    to microseconds, matching how DuckDB 1.x reads the same file, so
+    oracle comparisons are exact.
+    """
+    ts_cols = [
+        f_.name
+        for f_ in df.schema.fields
+        if isinstance(f_.dataType, T.LongType) and f_.name in ("ts",)
+    ]
+    for c in ts_cols:
+        df = df.withColumn(
+            c,
+            F.timestamp_micros(F.expr(f"`{c}` div 1000")).cast("timestamp_ntz"),
+        )
+    return df
+
+
+def load_tables(
+    spark: SparkSession, sf_dir: str, names: Iterable[str] = TABLES
+) -> dict[str, DataFrame]:
+    """Lazily open ``{sf_dir}/{name}.parquet`` for each table."""
+    # Runtime-set (not only session-default) because the driver's
+    # verify harness builds its own SparkSession.
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:  # noqa: BLE001 — conf locked: rely on session defaults
+        pass
+    return {n: _fix_nanos(spark.read.parquet(f"{sf_dir}/{n}.parquet")) for n in names}
+
+
+def register_views(
+    spark: SparkSession, sf_dir: str, names: Iterable[str] = TABLES
+) -> dict[str, DataFrame]:
+    """Register each table as a temp view (for ``spark.sql`` tasks)."""
+    dfs = load_tables(spark, sf_dir, names)
+    for n, df in dfs.items():
+        df.createOrReplaceTempView(n)
+    return dfs
+
+
+class ParquetSource:
+    """One named source: a directory of ``<table>.parquet`` files."""
+
+    def __init__(self, name: str, path: str, tables: Iterable[str] = TABLES):
+        self.name = name
+        self.path = path
+        self.tables = tuple(tables)
+
+    def register(self, spark: SparkSession) -> None:
+        register_views(spark, self.path, self.tables)
+
+    def __repr__(self) -> str:  # pragma: no cover
+        return f"ParquetSource({self.name!r}, {self.path!r})"
+
+
+class SourcePool:
+    """Named source registry with tag filtering and random routing.
+
+    Mirrors ``dbpool.Pool`` semantics: ``get`` by name, ``get_random``
+    across all (load-balancing across replicas, dbpool.go:72-103), and
+    ``filter_by_tags`` which errors on unknown names exactly like
+    ``Pool.FilterByTags`` (dbpool.go:115-130).
+    """
+
+    def __init__(self, sources: Mapping[str, ParquetSource] | None = None):
+        self._sources: dict[str, ParquetSource] = dict(sources or {})
+
+    def add(self, source: ParquetSource) -> None:
+        self._sources[source.name] = source
+
+    def names(self) -> list[str]:
+        return list(self._sources)
+
+    def get(self, name: str) -> ParquetSource:
+        try:
+            return self._sources[name]
+        except KeyError:
+            raise KeyError(f"unknown source database: {name}") from None
+
+    def get_random(self, names: Iterable[str] | None = None) -> ParquetSource:
+        pool = list(names) if names else list(self._sources)
+        if not pool:
+            raise ValueError("no source databases configured")
+        return self.get(random.choice(pool))
+
+    def filter_by_tags(self, tags: Iterable[str]) -> list[str]:
+        """Validate ``-- db:`` tag names; [] means 'all attached'."""
+        tags = [t for t in tags if t]
+        for t in tags:
+            if t not in self._sources:
+                raise KeyError(f"unknown db {t} in task tag")
+        return tags or list(self._sources)
+
+    def __contains__(self, name: str) -> bool:
+        return name in self._sources
+
+    def __len__(self) -> int:
+        return len(self._sources)

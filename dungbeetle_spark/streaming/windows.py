@@ -1,0 +1,93 @@
+"""Structured Streaming over the ``events`` table.
+
+The reference has no streaming surface (SURVEY.md §7 risk 6) — this is
+a north-star extension. The shape: ``readStream`` over the same
+parquet, event-time tumbling windows with a watermark for late data,
+``availableNow`` trigger so a batch-bounded run drains the source and
+terminates — which also makes the result *deterministically equal to
+the batch aggregation*, giving the streaming path a real SQL oracle.
+
+At scale: the same code runs continuously against a file/Kafka source;
+state store size is bounded by (watermark horizon × key cardinality),
+and the windowed aggregate shuffles once on (window, key).
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dungbeetle_spark.functions.numeric import dsum
+from dungbeetle_spark.queries import query
+
+
+def windowed_event_counts(
+    spark: SparkSession, sf_dir: str, window: str = "1 day", watermark: str = "1 hour"
+) -> DataFrame:
+    """Run the stream to completion (availableNow) and return the
+    materialized windowed aggregate as a normal DataFrame."""
+    import os
+
+    from dungbeetle_spark.sources.catalog import load_tables
+
+    # FileStreamSource wants a directory; expose the single parquet
+    # file through a symlinked temp dir (zero-copy).
+    src_dir = tempfile.mkdtemp(prefix="dungbeetle_stream_src_")
+    os.symlink(f"{sf_dir}/events.parquet", f"{src_dir}/events.parquet")
+    batch = load_tables(spark, sf_dir, ["events"])["events"]
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = spark.readStream.schema(raw_schema).parquet(src_dir)
+    # same nanos→µs conversion as the batch loader (catalog._fix_nanos)
+    if dict(batch.dtypes)["ts"] != dict(stream.dtypes)["ts"]:
+        stream = stream.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000"))
+        )
+    else:
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    agg = (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value").alias("total_value"),
+        )
+        .select(
+            F.col("w.start").cast("timestamp_ntz").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+    name = f"stream_windows_{abs(hash(sf_dir)) % 10**8}"
+    with tempfile.TemporaryDirectory() as ckpt:
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.table(name)
+
+
+@query(
+    "streaming_windowed_counts",
+    oracle="""
+    SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS window_start,
+           event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    doc="Structured Streaming: tumbling 1-day event-time windows with "
+    "a 1-hour watermark, availableNow trigger (drain-and-stop). The "
+    "drained stream equals the batch aggregate — checked against the "
+    "batch SQL oracle.",
+)
+def streaming_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return windowed_event_counts(spark, sf_dir)
