@@ -1,0 +1,82 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is forced to full materialization with the `noop` sink (no
+result discarded early by count()-style column pruning), timed after a
+shared-session warmup so JVM startup isn't attributed to query 1.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+# Headline set: the queries whose plans exercise every engine path —
+# wide agg scan, fact-fact shuffle join, snowflake broadcast join,
+# semi/anti join, window top-k, text scan ops, similarity join, dedup.
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "q10_returned_items",
+    "order_priority_count",
+    "top_events_per_user",
+    "user_activity_stats",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "text_stats",
+    "token_count",
+    "lang_id",
+    "ann_cosine_topk",
+    "dedup_embedding_cosine",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else 0.0
+
+    from dungbeetle_spark.queries import registry
+    from dungbeetle_spark.session import get_spark
+
+    spark = get_spark("dungbeetle-bench")
+    specs = registry()
+
+    # Warmup: touch every table once so OS page cache / parquet footer
+    # parsing doesn't land on the first timed query.
+    from dungbeetle_spark.sources.catalog import TABLES, load_tables
+
+    for df in load_tables(spark, sf_dir, TABLES).values():
+        df.write.mode("overwrite").format("noop").save()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        spec = specs[name]
+        t0 = time.perf_counter()
+        spec.build(spark, sf_dir).write.mode("overwrite").format("noop").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

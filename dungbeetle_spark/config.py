@@ -1,0 +1,154 @@
+"""Config: TOML file + ``DUNGBEETLE_`` env overrides + CLI flags.
+
+Mirrors the reference's config layering (reference: cmd/main.go:42-50
+— TOML base, env vars prefixed ``DUNGBEETLE_`` with ``__`` standing
+for ``.``, CLI flags on top; cmd/init.go:29-51 flag set). Spark-first
+differences in the schema itself:
+
+- ``[db.*]`` sources are parquet/table directories (a "database" is a
+  namespace of Spark-registered tables), with optional ``type =
+  "jdbc"`` passthrough for real external DBs.
+- ``[results.*]`` backends are parquet warehouse directories (
+  ``results_table`` template kept, sqldb.go:77-81).
+- ``[job_queue]`` (Redis broker/state in the reference) disappears:
+  queueing is in-process around one SparkSession — the distribution
+  story is Spark's own cluster, not N job-server workers.
+
+Durations like ``"60s"`` are accepted wherever the reference uses
+them (app.default_job_ttl, config.toml.sample:3).
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import tomllib
+from dataclasses import dataclass, field
+
+_DUR_RE = re.compile(r"^(\d+(?:\.\d+)?)\s*(ms|s|m|h)?$")
+_DUR_UNIT = {"ms": 0.001, "s": 1.0, "m": 60.0, "h": 3600.0, None: 1.0}
+
+
+def parse_duration(v: object, default: float = 0.0) -> float:
+    """'60s' / '1m' / 90 → seconds."""
+    if v is None:
+        return default
+    if isinstance(v, (int, float)):
+        return float(v)
+    m = _DUR_RE.match(str(v).strip())
+    if not m:
+        raise ValueError(f"bad duration: {v!r}")
+    return float(m.group(1)) * _DUR_UNIT[m.group(2)]
+
+
+@dataclass
+class SourceConf:
+    name: str
+    path: str
+    type: str = "parquet"
+
+
+@dataclass
+class ResultsConf:
+    name: str
+    path: str
+    results_table: str = "results_%s"
+
+
+@dataclass
+class Config:
+    server: str = "127.0.0.1:6060"
+    sql_directories: list[str] = field(default_factory=list)
+    default_queue: str = "default"
+    worker_concurrency: int = 10  # cmd/init.go:44
+    worker_only: bool = False
+    default_job_ttl: float = 60.0  # app.default_job_ttl
+    sources: list[SourceConf] = field(default_factory=list)
+    results: list[ResultsConf] = field(default_factory=list)
+
+
+def _apply_env(raw: dict, environ: dict[str, str]) -> None:
+    """DUNGBEETLE_app__default_job_ttl=90s → raw['app']['default_job_ttl'].
+
+    ``__`` maps to ``.`` nesting (cmd/main.go:42-50).
+    """
+    for key, val in environ.items():
+        if not key.startswith("DUNGBEETLE_"):
+            continue
+        path = key[len("DUNGBEETLE_"):].split("__")
+        node = raw
+        for part in path[:-1]:
+            node = node.setdefault(part, {})
+            if not isinstance(node, dict):
+                break
+        else:
+            node[path[-1]] = val
+
+
+def load_config(
+    path: str | None = None,
+    environ: dict[str, str] | None = None,
+    overrides: dict | None = None,
+) -> Config:
+    raw: dict = {}
+    if path and os.path.exists(path):
+        with open(path, "rb") as f:
+            raw = tomllib.load(f)
+    _apply_env(raw, environ if environ is not None else dict(os.environ))
+    for k, v in (overrides or {}).items():
+        raw[k] = v
+
+    app = raw.get("app", {})
+    cfg = Config(
+        server=str(raw.get("server", app.get("server", "127.0.0.1:6060"))),
+        sql_directories=list(raw.get("sql_directory", raw.get("sql_directories", []))),
+        default_queue=str(raw.get("queue", app.get("queue", "default"))),
+        worker_concurrency=int(
+            raw.get("worker_concurrency", app.get("worker_concurrency", 10))
+        ),
+        worker_only=str(raw.get("worker_only", "")).lower() in ("1", "true"),
+        default_job_ttl=parse_duration(app.get("default_job_ttl"), 60.0),
+    )
+    for name, sub in (raw.get("db") or {}).items():
+        cfg.sources.append(
+            SourceConf(
+                name=name,
+                path=str(sub.get("path", sub.get("dsn", ""))),
+                type=str(sub.get("type", "parquet")),
+            )
+        )
+    for name, sub in (raw.get("results") or {}).items():
+        cfg.results.append(
+            ResultsConf(
+                name=name,
+                path=str(sub.get("path", sub.get("dsn", ""))),
+                results_table=str(sub.get("results_table", "results_%s")),
+            )
+        )
+    return cfg
+
+
+def build_core(cfg: Config, spark=None):
+    """Config → wired Core (the initCore analog, cmd/init.go:144-243)."""
+    from dungbeetle_spark.core import Core
+    from dungbeetle_spark.session import get_spark
+
+    spark = spark or get_spark("dungbeetle-server")
+    core = Core(
+        spark,
+        default_queue=cfg.default_queue,
+        worker_concurrency=cfg.worker_concurrency,
+        default_job_ttl=int(cfg.default_job_ttl),
+    )
+    for src in cfg.sources:
+        if src.type != "parquet":
+            raise ValueError(
+                f"source {src.name}: type {src.type!r} not supported in this build "
+                "(parquet namespaces only; JDBC would go through spark.read.jdbc)"
+            )
+        core.add_source(src.name, src.path)
+    for res in cfg.results:
+        core.add_result_backend(res.name, res.path)
+    if cfg.sql_directories:
+        core.load_task_dirs(cfg.sql_directories)
+    return core

@@ -4,9 +4,9 @@ Embedding math (dot products, norms, cosine) stays inside whole-stage
 codegen via ``F.zip_with`` + ``F.aggregate`` over ``array<float>``
 columns. Elements are cast to double *before* reduction and folded
 left-to-right in array order, so the result is deterministic and
-matches any engine that folds the same way (DuckDB's
-``list_dot_product`` / ``list_cosine_similarity`` upcast to double and
-fold in order too).
+matches any engine that folds the same way. NB: DuckDB's
+``list_cosine_similarity`` computes in float32 when given ``FLOAT[]``
+inputs — oracles must ``CAST(... AS DOUBLE[])`` to match this module.
 """
 
 from __future__ import annotations

@@ -220,9 +220,11 @@ _COS_T = 0.95
     "dedup_embedding_cosine",
     oracle=f"""
     SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-           round(list_cosine_similarity(a.embedding, b.embedding), 6) AS cos_sim
+           round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                        CAST(b.embedding AS DOUBLE[])), 6) AS cos_sim
     FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-    WHERE list_cosine_similarity(a.embedding, b.embedding) >= {_COS_T}
+    WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                 CAST(b.embedding AS DOUBLE[])) >= {_COS_T}
     """,
     doc=f"Semantic near-dup: embedding pairs with cosine ≥ {_COS_T}. "
     "Local-mode oracle does the full O(n²) join; the engine's scale "

@@ -36,7 +36,8 @@ _N_QUERIES = 10  # vec_id < 10 are the query vectors in the fixture
     oracle=f"""
     WITH sims AS (
       SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-             list_cosine_similarity(q.embedding, c.embedding) AS cs
+             list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                    CAST(c.embedding AS DOUBLE[])) AS cs
       FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
       WHERE q.vec_id < {_N_QUERIES}),
     ranked AS (

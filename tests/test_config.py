@@ -1,0 +1,64 @@
+"""Config layering tests (reference: cmd/main.go:42-50 TOML + env,
+cmd/init.go:29-51 flags)."""
+
+from __future__ import annotations
+
+import pytest
+
+from dungbeetle_spark.config import load_config, parse_duration
+
+TOML = """\
+server = "0.0.0.0:7070"
+sql_directory = ["sql/a", "sql/b"]
+worker_concurrency = 4
+
+[app]
+default_job_ttl = "90s"
+
+[db.testdata]
+path = "/root/testdata/sf0.001"
+
+[results.cache]
+path = "/tmp/results"
+results_table = "res_%s"
+"""
+
+
+def test_toml_and_env_layering(tmp_path):
+    p = tmp_path / "config.toml"
+    p.write_text(TOML)
+    cfg = load_config(
+        str(p),
+        environ={
+            # `__` → `.` nesting (cmd/main.go:42-50)
+            "DUNGBEETLE_app__default_job_ttl": "120s",
+            "UNRELATED": "x",
+        },
+    )
+    assert cfg.server == "0.0.0.0:7070"
+    assert cfg.sql_directories == ["sql/a", "sql/b"]
+    assert cfg.worker_concurrency == 4
+    assert cfg.default_job_ttl == 120.0  # env beats TOML
+    assert [s.name for s in cfg.sources] == ["testdata"]
+    assert cfg.sources[0].path == "/root/testdata/sf0.001"
+    assert cfg.results[0].results_table == "res_%s"
+
+
+def test_defaults_without_file():
+    cfg = load_config(None, environ={})
+    assert cfg.server == "127.0.0.1:6060"
+    assert cfg.worker_concurrency == 10  # cmd/init.go:44
+    assert cfg.default_job_ttl == 60.0
+
+
+@pytest.mark.parametrize(
+    ("raw", "want"),
+    [("60s", 60.0), ("1m", 60.0), ("1.5h", 5400.0), ("250ms", 0.25), (90, 90.0)],
+)
+def test_parse_duration(raw, want):
+    assert parse_duration(raw) == want
+
+
+def test_parse_duration_rejects_garbage():
+    with pytest.raises(ValueError):
+        parse_duration("soon")

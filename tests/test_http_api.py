@@ -1,0 +1,149 @@
+"""HTTP API + client SDK E2E — the reference's active test suite
+shape (reference: client/client_test.go:1-170 — job post/poll/delete,
+groups, pending listing, slow-query polling) against an in-process
+server, plus envelope/validation behaviors (cmd/http.go).
+"""
+
+from __future__ import annotations
+
+import json
+import time
+import urllib.request
+
+import pytest
+
+from dungbeetle_spark.client import Client, ClientError
+from dungbeetle_spark.core import Core
+from dungbeetle_spark.http_api import Server
+
+TASKS_SQL = """\
+-- name: get_profit_summary
+SELECT SUM(value) AS total, CAST(ts AS DATE) AS entry_date
+FROM events WHERE user_id = $1 GROUP BY CAST(ts AS DATE);
+
+-- name: get_profit_entries
+SELECT * FROM events WHERE user_id = $1;
+
+-- name: slow_query
+-- raw: 1
+SELECT reflect('java.lang.Thread', 'sleep', 3000L) AS slept;
+"""
+
+
+@pytest.fixture(scope="module")
+def server(spark, sf_smoke, tmp_path_factory):
+    sql_dir = tmp_path_factory.mktemp("tasks")
+    (sql_dir / "test.sql").write_text(TASKS_SQL)
+    core = Core(spark, worker_concurrency=4)
+    core.add_source("testdata", sf_smoke)
+    core.add_result_backend("default", str(tmp_path_factory.mktemp("results")))
+    core.load_task_dirs([str(sql_dir)])
+    core.start()
+    srv = Server(core, "127.0.0.1", 0)  # ephemeral port
+    srv.start()
+    yield srv
+    srv.stop()
+    core.stop()
+
+
+@pytest.fixture(scope="module")
+def client(server) -> Client:
+    return Client(server.address)
+
+
+def _poll(client: Client, job_id: str, timeout: float = 90.0) -> dict:
+    deadline = time.time() + timeout
+    while time.time() < deadline:
+        st = client.get_job_status(job_id)
+        if st["state"] in ("SUCCESS", "FAILURE"):
+            return st
+        time.sleep(0.1)
+    raise AssertionError(f"job {job_id} never finished")
+
+
+def test_root_banner(server):
+    with urllib.request.urlopen(server.address + "/") as resp:
+        payload = json.load(resp)
+    assert payload["status"] == "success"
+    assert payload["data"].startswith("dungbeetle-spark")
+
+
+def test_tasks_list(client):
+    names = client.get_tasks()
+    assert names == ["get_profit_entries", "get_profit_summary", "slow_query"]
+    full = client.get_tasks(sql=True)  # quirk Q2, documented behavior
+    assert "SELECT" in full["get_profit_summary"]["stmt"]
+
+
+def test_job_roundtrip(client):
+    resp = client.post_job("get_profit_summary", job_id="http_job1", args=["7"])
+    assert resp["job_id"] == "http_job1"
+    assert resp["task"] == "get_profit_summary"
+    assert resp["queue"] == "default"
+    st = _poll(client, "http_job1")
+    assert st["state"] == "SUCCESS", st["error"]
+    assert st["count"] > 0
+    assert st["error"] == ""
+
+
+def test_invalid_job_id_rejected(client):
+    with pytest.raises(ClientError, match="invalid characters"):
+        client.post_job("get_profit_entries", job_id="bad id!", args=["1"])
+
+
+def test_unknown_task_rejected(client):
+    with pytest.raises(ClientError, match="unrecognized task"):
+        client.post_job("nope", args=["1"])
+
+
+def test_unknown_job_404s(client):
+    with pytest.raises(ClientError, match="unknown job"):
+        client.get_job_status("never_posted")
+
+
+def test_unknown_route_404s(client):
+    with pytest.raises(ClientError) as ei:
+        client._do("GET", "/not/a/route")
+    assert ei.value.code == 404
+
+
+def test_slow_query_poll_then_delete(client):
+    """client_test.go:84-124: slow job stays non-terminal while
+    polling; a second slow job is cancellable mid-flight."""
+    client.post_job("slow_query", job_id="http_slow")
+    time.sleep(1.0)
+    st = client.get_job_status("http_slow")
+    assert st["state"] in ("PENDING", "STARTED")
+    st = _poll(client, "http_slow")
+    assert st["state"] == "SUCCESS", st["error"]
+
+    client.post_job("slow_query", job_id="http_doomed")
+    time.sleep(0.5)
+    client.delete_job("http_doomed")
+    with pytest.raises(ClientError, match="unknown job"):
+        client.get_job_status("http_doomed")
+
+
+def test_group_roundtrip(client):
+    resp = client.post_job_group(
+        [
+            {"task": "get_profit_summary", "args": ["2"]},
+            {"task": "get_profit_entries", "args": ["2"]},
+        ],
+        group_id="http_grp",
+    )
+    assert resp["group_id"] == "http_grp"
+    assert len(resp["jobs"]) == 2
+    deadline = time.time() + 90
+    while time.time() < deadline:
+        st = client.get_group_status("http_grp")
+        if st["state"] == "SUCCESS":
+            break
+        assert st["state"] != "FAILURE", st
+        time.sleep(0.2)
+    assert client.get_group_status("http_grp")["state"] == "SUCCESS"
+
+
+def test_empty_group_rejected(client):
+    with pytest.raises(ClientError, match="non-empty"):
+        client.post_job_group([])

@@ -1,0 +1,219 @@
+"""Core job-layer E2E — the in-process analog of the reference's
+disabled server suite (reference: cmd/server_test.go.bak) plus the
+behaviors its active client suite drives over HTTP
+(client/client_test.go): lifecycle transitions, groups, cancellation,
+single-flight IDs, retries, ETA, and the one result-correctness golden
+the reference has — the canonical-cast schema of a results table
+(server_test.go.bak:261-286: `total` numeric, `entry_date` date).
+"""
+
+from __future__ import annotations
+
+import time
+
+import pytest
+from pyspark.sql import types as T
+
+from dungbeetle_spark import jobstore
+from dungbeetle_spark.core import Core, JobReq
+from dungbeetle_spark.jobstore import SingleFlightError
+
+TASKS_SQL = """\
+-- name: get_profit_summary
+SELECT SUM(value) AS total, CAST(ts AS DATE) AS entry_date
+FROM events WHERE user_id = $1 GROUP BY CAST(ts AS DATE);
+
+-- name: get_profit_entries
+SELECT * FROM events WHERE user_id = $1;
+
+-- name: get_profit_entries_by_date
+SELECT * FROM events WHERE user_id = $1 AND ts > $2 AND ts < $3;
+
+-- name: slow_query
+-- raw: 1
+SELECT reflect('java.lang.Thread', 'sleep', 3000L) AS slept;
+
+-- name: broken_query
+-- raw: 1
+SELECT * FROM this_table_does_not_exist;
+"""
+
+
+def _wait(core: Core, job_id: str, want: tuple[str, ...], timeout: float = 90.0) -> dict:
+    deadline = time.time() + timeout
+    st: dict = {}
+    while time.time() < deadline:
+        st = core.job_status(job_id)
+        if st["state"] in want:
+            return st
+        time.sleep(0.1)
+    raise AssertionError(f"job {job_id} stuck in {st.get('state')}, wanted {want}")
+
+
+@pytest.fixture(scope="module")
+def core(spark, sf_smoke, tmp_path_factory):
+    sql_dir = tmp_path_factory.mktemp("tasks")
+    (sql_dir / "test.sql").write_text(TASKS_SQL)
+    c = Core(spark, worker_concurrency=4)
+    c.add_source("testdata", sf_smoke)
+    c.add_result_backend("default", str(tmp_path_factory.mktemp("results")))
+    c.load_task_dirs([str(sql_dir)])
+    c.start()
+    yield c
+    c.stop()
+
+
+def test_job_lifecycle_and_values(core, spark):
+    resp = core.new_job("get_profit_summary", JobReq(job_id="my_job", args=["7"]))
+    assert resp.job_id == "my_job"
+    st = _wait(core, "my_job", (jobstore.SUCCESS, jobstore.FAILURE))
+    assert st["state"] == jobstore.SUCCESS, st["error"]
+    assert st["count"] > 0
+    out = core.read_result("my_job")
+    # Value check: same aggregate straight on the source session.
+    expected = (
+        core._sessions["testdata"]
+        .sql("SELECT COUNT(DISTINCT CAST(ts AS DATE)) n FROM events WHERE user_id = 7")
+        .collect()[0][0]
+    )
+    assert out.count() == expected == st["count"]
+
+
+def test_result_schema_golden(core):
+    """The reference's only correctness golden (server_test.go.bak:
+    261-286): total collapses to numeric/DECIMAL, entry_date to DATE."""
+    resp = core.new_job("get_profit_summary", JobReq(args=["3"]))
+    _wait(core, resp.job_id, (jobstore.SUCCESS,))
+    schema = {f.name: f.dataType for f in core.read_result(resp.job_id).schema.fields}
+    assert schema["total"] == T.DecimalType(38, 18)
+    assert schema["entry_date"] == T.DateType()
+
+
+def test_timestamp_range_args(core):
+    resp = core.new_job(
+        "get_profit_entries_by_date",
+        JobReq(args=["7", "2024-01-10 00:00:00", "2024-01-20 00:00:00"]),
+    )
+    st = _wait(core, resp.job_id, (jobstore.SUCCESS, jobstore.FAILURE))
+    assert st["state"] == jobstore.SUCCESS, st["error"]
+
+
+def test_auto_job_id(core):
+    resp = core.new_job("get_profit_entries", JobReq(args=["1"]))
+    assert resp.job_id.startswith("job_")  # core.go:341-352
+    _wait(core, resp.job_id, (jobstore.SUCCESS,))
+
+
+def test_unknown_task_rejected(core):
+    with pytest.raises(KeyError, match="unrecognized task"):
+        core.new_job("nope", JobReq())
+
+
+def test_missing_args_fail(core):
+    resp = core.new_job("get_profit_entries", JobReq())
+    st = _wait(core, resp.job_id, (jobstore.FAILURE,))
+    assert "needs 1 args" in st["error"]
+
+
+def test_single_flight(core):
+    """An ID that is Processing/Retrying can't be re-enqueued
+    (core.go:331-339); a completed ID can (non-unique IDs allowed)."""
+    core.new_job("slow_query", JobReq(job_id="sf_test"))
+    time.sleep(0.3)
+    with pytest.raises(SingleFlightError):
+        core.new_job("slow_query", JobReq(job_id="sf_test"))
+    _wait(core, "sf_test", (jobstore.SUCCESS,))
+    core.new_job("get_profit_entries", JobReq(job_id="sf_test", args=["1"]))
+    _wait(core, "sf_test", (jobstore.SUCCESS,))
+
+
+def test_slow_query_stays_running_then_succeeds(core):
+    """client_test.go:84-101: a slow job polls non-terminal, then
+    completes."""
+    resp = core.new_job("slow_query", JobReq(job_id="slow1"))
+    time.sleep(1.0)
+    st = core.job_status("slow1")
+    assert st["state"] in (jobstore.PENDING, jobstore.STARTED)
+    st = _wait(core, "slow1", (jobstore.SUCCESS, jobstore.FAILURE))
+    assert st["state"] == jobstore.SUCCESS, st["error"]
+    assert resp.queue == "default"
+
+
+def test_cancel_running_job(core):
+    core.new_job("slow_query", JobReq(job_id="doomed"))
+    time.sleep(0.5)
+    core.cancel_job("doomed")  # interrupts the Spark job group
+    with pytest.raises(KeyError):
+        core.job_status("doomed")  # deleted from the store (core.go:243-271)
+
+
+def test_cancel_completed_requires_purge(core):
+    resp = core.new_job("get_profit_entries", JobReq(args=["2"]))
+    _wait(core, resp.job_id, (jobstore.SUCCESS,))
+    with pytest.raises(ValueError, match="already complete"):
+        core.cancel_job(resp.job_id, purge=False)
+    core.cancel_job(resp.job_id, purge=True)
+    with pytest.raises(KeyError):
+        core.job_status(resp.job_id)
+
+
+def test_failure_and_retries(core):
+    resp = core.new_job("broken_query", JobReq(retries=2))
+    st = _wait(core, resp.job_id, (jobstore.FAILURE,))
+    assert core.store.get(resp.job_id).attempts == 3  # 1 try + 2 retries
+    assert "this_table_does_not_exist" in st["error"] or "TABLE_OR_VIEW" in st["error"]
+
+
+def test_eta_delays_execution(core):
+    eta = time.strftime("%Y-%m-%d %H:%M:%S", time.localtime(time.time() + 2))
+    resp = core.new_job("get_profit_entries", JobReq(args=["4"], eta=eta))
+    assert core.job_status(resp.job_id)["state"] == jobstore.PENDING
+    time.sleep(1.0)
+    assert core.job_status(resp.job_id)["state"] == jobstore.PENDING  # still waiting
+    _wait(core, resp.job_id, (jobstore.SUCCESS,), timeout=30)
+
+
+def test_job_group_lifecycle(core):
+    group_id, resps = core.new_job_group(
+        "",
+        [
+            ("get_profit_summary", JobReq(args=["5"])),
+            ("get_profit_entries", JobReq(args=["5"])),
+        ],
+    )
+    assert group_id.startswith("group_")
+    assert len(resps) == 2
+    deadline = time.time() + 90
+    while time.time() < deadline:
+        st = core.group_status(group_id)
+        if st["state"] == jobstore.SUCCESS:
+            break
+        assert st["state"] != jobstore.FAILURE, st
+        time.sleep(0.2)
+    st = core.group_status(group_id)
+    assert st["state"] == jobstore.SUCCESS
+    assert {j["state"] for j in st["jobs"]} == {jobstore.SUCCESS}
+
+
+def test_pending_listing_on_busy_queue(core, spark, sf_smoke, tmp_path_factory):
+    """A conc=1 queue holds jobs PENDING while one runs
+    (GetPendingJobs, core.go:149-162 — oldest first)."""
+    c = Core(spark, worker_concurrency=1)
+    c.add_source("testdata", sf_smoke)
+    c.add_result_backend("default", str(tmp_path_factory.mktemp("results2")))
+    sql_dir = tmp_path_factory.mktemp("tasks2")
+    (sql_dir / "t.sql").write_text(
+        "-- name: slow2\n-- raw: 1\n"
+        "SELECT reflect('java.lang.Thread', 'sleep', 2500L) AS slept;\n"
+    )
+    c.load_task_dirs([str(sql_dir)])
+    c.start()
+    try:
+        c.new_job("slow2", JobReq(job_id="p1"))
+        time.sleep(0.4)  # p1 starts; the rest queue up behind it
+        c.new_job("slow2", JobReq(job_id="p2"))
+        c.new_job("slow2", JobReq(job_id="p3"))
+        pending = [j["job_id"] for j in c.pending_jobs("default")]
+        assert pending == ["p2", "p3"]  # oldest first, p1 already STARTED
+    finally:
+        c.stop()
