@@ -30,6 +30,9 @@ HEADLINE = [
     "order_priority_count",
     "top_events_per_user",
     "user_activity_stats",
+    "q14_promo_revenue",
+    "asof_click_attribution",
+    "sessionize_events",
     "dedup_exact",
     "dedup_ngram_jaccard",
     "text_stats",

@@ -8,7 +8,8 @@ Five strategies, each the standard shape for LLM-corpus dedup at scale:
   pairs by shared shingle → exact Jaccard. The explode/self-join is the
   classic MapReduce similarity-join; the shared-shingle equi-join keys
   the shuffle so only co-shingled docs ever meet.
-- **MinHash + LSH**: ``pyspark.ml.feature.MinHashLSH`` banding —
+- **MinHash + LSH**: declarative minhash (min of seeded xxhash64 per
+  shingle, one grouped aggregate) + banded candidate join —
   probabilistic candidate generation whose cost scales with |bands|,
   not |docs|²; the scale path when exact Jaccard's candidate set blows
   up.
@@ -24,12 +25,13 @@ rows-only checks — deterministic across runs via fixed seeds.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from dungbeetle_spark.functions.texts import content_md5, norm_text
-from dungbeetle_spark.functions.vectors import cosine_similarity
 from dungbeetle_spark.queries import _t, query
+from dungbeetle_spark.sources.catalog import fan_out
 
 # ---------------------------------------------------------------------------
 # exact dedup
@@ -65,15 +67,46 @@ _SHINGLE_N = 3
 _JACCARD_T = 0.10
 
 
-def _shingles(col) -> "F.Column":
-    """Distinct word-{n}-grams of normalized text (JVM-side)."""
-    words = F.split(norm_text(col), " ")
+def _shingled(d: DataFrame) -> DataFrame:
+    """documents → (doc_id, shingles: array<string>) of distinct word n-grams.
+
+    Normalization (lowercase, collapse whitespace — the cross-engine
+    regex contract shared with the DuckDB oracle) runs JVM-side, once
+    per row. The gram construction is an Arrow-batched Pandas UDF: a
+    JVM higher-order ``transform`` lambda is evaluated interpreted and
+    its alias gets re-inlined into every consumer (size(), explode(),
+    inferred not-null filters — each re-running the whole pipeline),
+    while a Python UDF result is a materialized column no optimizer
+    rule can duplicate. Splitting an already-normalized string on a
+    single space is byte-exact in any language. ``fan_out`` first:
+    shingling is the compute-bound step and the source is a one-row-
+    group file Spark can't split.
+    """
     n = _SHINGLE_N
-    idx = F.sequence(F.lit(0), F.greatest(F.size(words) - n, F.lit(-1)))
-    grams = F.transform(
-        idx, lambda i: F.concat_ws(" ", *[F.element_at(words, i + j + 1) for j in range(n)])
+    base = fan_out(d.select("doc_id", "text")).select(
+        "doc_id", norm_text(F.col("text")).alias("nt")
     )
-    return F.array_distinct(grams)
+
+    @F.pandas_udf("array<string>")
+    def shingle_set(nt: pd.Series) -> pd.Series:
+        out = []
+        for t in nt:
+            w = t.split(" ")
+            if len(w) < n:
+                out.append([])
+            else:
+                out.append(
+                    list(dict.fromkeys(" ".join(w[i : i + n]) for i in range(len(w) - n + 1)))
+                )
+        return pd.Series(out)
+
+    # asNondeterministic: the function IS deterministic, but the flag
+    # stops Catalyst from inferring pushable predicates through it
+    # (InferFiltersFromGenerate + pushdown otherwise clone a full UDF
+    # evaluation into the pre-shuffle single-task stage to pre-filter
+    # `size(shingles) > 0` — doubling the work and serializing it).
+    shingle_set = shingle_set.asNondeterministic()
+    return base.select("doc_id", shingle_set("nt").alias("shingles"))
 
 
 @query(
@@ -108,22 +141,28 @@ def _shingles(col) -> "F.Column":
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")["documents"]
-    sh = d.select("doc_id", F.explode(_shingles(F.col("text"))).alias("s"))
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    a = sh.alias("a")
-    b = sh.alias("b")
+    # Carry each doc's (distinct) shingle count through the explode:
+    # |A| and |B| then ride along the shingle join for free, so the
+    # whole query is ONE equi-join + ONE aggregate — no separate sizes
+    # subtrees (each would re-run the shingle pipeline at scan time).
+    sh = _shingled(d).select(
+        "doc_id", F.size("shingles").alias("n"), F.explode("shingles").alias("s")
+    )
+    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"), "s")
+    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"), "s")
+    # shuffle_hash on purpose: both sides then hash-partition on s with
+    # IDENTICAL child plans, so ReuseExchange computes the shingle
+    # pipeline once — a broadcast would build a second, unshared copy
+    # (and broadcasting an exploded corpus is wrong at scale anyway).
     common = (
-        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        a.join(b.hint("shuffle_hash"), "s")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b", "na", "nb")
         .agg(F.count(F.lit(1)).alias("c"))
     )
-    sa = sizes.alias("sa")
-    sb = sizes.alias("sb")
-    jac = F.col("c").cast("double") / (F.col("sa.n") + F.col("sb.n") - F.col("c"))
+    jac = F.col("c").cast("double") / (F.col("na") + F.col("nb") - F.col("c"))
     return (
-        common.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
-        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
-        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        common.select("doc_a", "doc_b", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= _JACCARD_T)
     )
 
@@ -132,33 +171,47 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 # MinHash + LSH (probabilistic near-dup; the 100 TB candidate-gen path)
 # ---------------------------------------------------------------------------
 
+_MH_TABLES = 8  # minhash functions; LSH bands of r=1 (OR-amplification)
+_MH_DIST_T = 0.9  # max estimated Jaccard distance, as in ml.MinHashLSH usage
+
+
 @query(
     "dedup_minhash_lsh",
-    oracle=None,  # Spark-side hashing (MinHashLSH/HashingTF) has no DuckDB twin
-    doc="MinHash-LSH near-dup candidates: shingles → HashingTF sparse "
-    "vectors → MinHashLSH(seed=42) approxSimilarityJoin at Jaccard "
-    "distance ≤ 0.9. Banding makes candidate generation linear in "
-    "docs; rows-only oracle (deterministic via fixed seed).",
+    oracle=None,  # Spark-side hashing (xxhash64) has no DuckDB twin
+    doc=f"MinHash-LSH near-dup candidates, fully declarative: per doc, "
+    f"{_MH_TABLES} minhash values min(xxhash64(seed_j, shingle)) in ONE "
+    "grouped aggregate over the exploded shingles (map-side combine — "
+    "the shuffle carries 8 longs per doc, not the shingle sets). "
+    "Candidates = pairs agreeing on any band (equi-join on (band, "
+    "hash)); estimated distance = 1 - matching_bands/8, kept while "
+    f"≤ {_MH_DIST_T}. Linear in corpus size; rows-only oracle "
+    "(deterministic seeds).",
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.ml.feature import HashingTF, MinHashLSH
-
     d = _t(spark, sf_dir, "documents")["documents"]
-    sh = d.select("doc_id", _shingles(F.col("text")).alias("shingles")).filter(
-        F.size("shingles") > 0
+    sh = _shingled(d).select("doc_id", F.explode("shingles").alias("s"))
+    # k seeded minhashes in one pass: min(xxhash64(j, s)) per doc.
+    mh = sh.groupBy("doc_id").agg(
+        *[F.min(F.xxhash64(F.lit(j), F.col("s"))).alias(f"h{j}") for j in range(_MH_TABLES)]
     )
-    tf = HashingTF(inputCol="shingles", outputCol="features", numFeatures=1 << 18, binary=True)
-    feats = tf.transform(sh)
-    mh = MinHashLSH(inputCol="features", outputCol="minhashes", numHashTables=8, seed=42)
-    model = mh.fit(feats)
-    pairs = model.approxSimilarityJoin(feats, feats, 0.9, distCol="jaccard_dist")
-    return (
-        pairs.select(
-            F.col("datasetA.doc_id").alias("doc_a"),
-            F.col("datasetB.doc_id").alias("doc_b"),
-            F.col("jaccard_dist"),
-        )
+    long = mh.select(
+        "doc_id",
+        F.posexplode(F.array(*[F.col(f"h{j}") for j in range(_MH_TABLES)])).alias(
+            "band", "h"
+        ),
+    )
+    a = long.select(F.col("doc_id").alias("doc_a"), "band", "h")
+    b = long.select(F.col("doc_id").alias("doc_b"), "band", "h")
+    matches = (
+        a.join(b, ["band", "h"])
         .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("m"))
+    )
+    dist = F.lit(1.0) - F.col("m").cast("double") / F.lit(float(_MH_TABLES))
+    return (
+        matches.select("doc_a", "doc_b", dist.alias("jaccard_dist"))
+        .filter(F.col("jaccard_dist") <= _MH_DIST_T)
     )
 
 
@@ -177,7 +230,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")["documents"]
-    words = d.select(
+    words = fan_out(d.select("doc_id", "text")).select(
         "doc_id", F.explode(F.array_distinct(F.split(norm_text(F.col("text")), " "))).alias("w")
     )
     h = words.select("doc_id", F.xxhash64("w").alias("h"))
@@ -214,6 +267,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _COS_T = 0.95
+_DIM = 64  # embeddings fixture dimension (TESTDATA.md)
 
 
 @query(
@@ -233,17 +287,52 @@ _COS_T = 0.95
     "candidate set.",
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-pairs exact cosine ≥ threshold, as a blocked matrix sweep.
+
+    Materializing n² pair rows (join + per-pair expression) moves
+    O(n²·dim) data; the blocked form moves O(n·dim): the corpus matrix
+    rides to every task once (closure broadcast — same memory contract
+    as a broadcast join), each partition computes its row-block against
+    the whole corpus with dimension-sequential numpy accumulation, and
+    only the (rare) passing pairs come back. The per-pair arithmetic —
+    `acc += a_i*b_i` per dimension, then dot/(√na·√nb) — is the same
+    IEEE double sequence as a sequential C loop, so results are
+    bit-identical to DuckDB's DOUBLE[] cosine. The exact n² sweep is
+    inherently bounded by corpus-fits-in-memory; past that, the scale
+    path is LSH candidate generation (similarity.ann_lsh_bucketed) with
+    this same exact re-rank inside buckets.
+    """
+    import numpy as np
+
     e = _t(spark, sf_dir, "embeddings")["embeddings"]
-    a = e.alias("a")
-    b = e.alias("b")
-    cos = cosine_similarity(F.col("a.embedding"), F.col("b.embedding"))
-    return (
-        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
-        .select(
-            F.col("a.vec_id").alias("vec_a"),
-            F.col("b.vec_id").alias("vec_b"),
-            cos.alias("cos_raw"),
-        )
-        .filter(F.col("cos_raw") >= _COS_T)
-        .select("vec_a", "vec_b", F.round("cos_raw", 6).alias("cos_sim"))
+    # build-time corpus matrix; Arrow toPandas, not row-based collect()
+    corpus = e.select("vec_id", "embedding").toPandas()
+    ids = corpus["vec_id"].to_numpy(dtype=np.int64)
+    bm = np.array(corpus["embedding"].tolist(), dtype=np.float64)  # f32→64 exact
+    nb = np.zeros(len(bm))
+    for i in range(_DIM):  # sequential fold, matching the engines
+        nb = nb + bm[:, i] * bm[:, i]
+    nb_sqrt = np.sqrt(nb)
+
+    def block(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            am = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+            va = pdf["vec_id"].to_numpy()
+            dots = np.zeros((len(am), len(bm)))
+            na = np.zeros(len(am))
+            for i in range(_DIM):
+                dots = dots + np.outer(am[:, i], bm[:, i])
+                na = na + am[:, i] * am[:, i]
+            cos = dots / (np.sqrt(na)[:, None] * nb_sqrt[None, :])
+            keep = (va[:, None] < ids[None, :]) & (cos >= _COS_T)
+            ai, bi = np.nonzero(keep)
+            yield pd.DataFrame(
+                {"vec_a": va[ai], "vec_b": ids[bi], "cos_raw": cos[ai, bi]}
+            )
+
+    out = fan_out(e.select("vec_id", "embedding")).mapInPandas(
+        block, "vec_a long, vec_b long, cos_raw double"
     )
+    return out.select("vec_a", "vec_b", F.round("cos_raw", 6).alias("cos_sim"))

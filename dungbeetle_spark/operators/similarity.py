@@ -20,15 +20,19 @@ Two paths, same contract (top-k neighbors per query vector):
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
-from dungbeetle_spark.functions.vectors import cosine_similarity, dot
+from dungbeetle_spark.functions.vectors import cosine_similarity_fixed, pair_cosine_udf
 from dungbeetle_spark.queries import _t, query
+from dungbeetle_spark.sources.catalog import fan_out
 
 _TOP_K = 5
 _N_QUERIES = 10  # vec_id < 10 are the query vectors in the fixture
+_DIM = 64  # embeddings fixture dimension (TESTDATA.md)
 
 
 @query(
@@ -58,8 +62,10 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = e.filter(F.col("vec_id") < _N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
     )
-    c = e.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("c_emb"))
-    cos = cosine_similarity(F.col("q_emb"), F.col("c_emb"))
+    c = fan_out(e.select("vec_id", "embedding")).select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("c_emb")
+    )
+    cos = pair_cosine_udf(_DIM)("q_emb", "c_emb")
     sims = (
         c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
         .select("query_id", "neighbor_id", cos.alias("cs"))
@@ -80,24 +86,41 @@ _N_PLANES = 12  # bits per signature band
 _N_BANDS = 4
 
 
-def _hyperplanes(dim: int, n_planes: int, band: int) -> list[list[float]]:
-    """Deterministic pseudo-random hyperplanes (fixed seed per band)."""
-    import numpy as np
+def _plane_matrix(dim: int) -> "object":
+    """Deterministic random hyperplanes, all bands stacked: (bands×planes, dim).
 
-    rng = np.random.default_rng(42 + band)
-    return rng.standard_normal((n_planes, dim)).tolist()
+    Fixed seed per band so signatures are reproducible run-to-run
+    (the rows-only oracle contract for this query).
+    """
+    mats = [
+        np.random.default_rng(42 + band).standard_normal((_N_PLANES, dim))
+        for band in range(_N_BANDS)
+    ]
+    return np.concatenate(mats, axis=0)
 
 
-def _signature(emb_col, planes: list[list[float]]):
-    """Sign-bit signature of one band, folded JVM-side."""
-    bits = []
-    for i, p in enumerate(planes):
-        arr = F.array(*[F.lit(float(x)) for x in p])
-        bits.append(F.when(dot(emb_col, arr) >= 0, F.lit(1 << i)).otherwise(F.lit(0)))
-    out = bits[0]
-    for b in bits[1:]:
-        out = out + b
-    return out
+def _signatures(e: DataFrame, dim: int) -> DataFrame:
+    """embeddings → (vec_id, embedding, sigs: array<int>), one bucket id
+    per band.
+
+    A vectorized Pandas UDF (one numpy matmul per Arrow batch) instead
+    of a per-plane column expression: 48 plane dots × 64 dims as
+    unrolled JVM expressions is a multi-thousand-node codegen blowup,
+    while ``(batch × dim) @ (dim × 48)`` is a single BLAS call. This is
+    also the shape that scales — signature cost is one matmul per
+    batch regardless of band/plane count.
+    """
+    planes_t = _plane_matrix(dim).T  # (dim, bands*planes)
+    weights = 1 << np.arange(_N_PLANES)  # bit weights within a band
+
+    @F.pandas_udf("array<int>")
+    def sig(emb: pd.Series) -> pd.Series:
+        a = np.asarray([np.asarray(x, dtype=np.float64) for x in emb])
+        bits = (a @ planes_t) >= 0  # (n, bands*planes)
+        buckets = bits.reshape(len(a), _N_BANDS, _N_PLANES) @ weights  # (n, bands)
+        return pd.Series([row.astype(np.int32).tolist() for row in buckets])
+
+    return e.select("vec_id", "embedding", sig("embedding").alias("sigs"))
 
 
 @query(
@@ -110,22 +133,12 @@ def _signature(emb_col, planes: list[list[float]]):
     "corpus² never materializes; the plan that still works at 100 TB.",
 )
 def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = _t(spark, sf_dir, "embeddings")["embeddings"]
-    dim = 64
-    # signatures: band → 12-bit bucket id per vector (one projection)
-    sig_cols = [
-        _signature(F.col("embedding"), _hyperplanes(dim, _N_PLANES, band)).alias(f"sig{band}")
-        for band in range(_N_BANDS)
-    ]
-    signed = e.select("vec_id", "embedding", *sig_cols)
+    e = fan_out(_t(spark, sf_dir, "embeddings")["embeddings"])
+    signed = _signatures(e, _DIM)
     # long format: (vec_id, band, bucket)
-    bands = F.array(*[
-        F.struct(F.lit(band).alias("band"), F.col(f"sig{band}").alias("bucket"))
-        for band in range(_N_BANDS)
-    ])
     buckets = signed.select(
-        "vec_id", "embedding", F.explode(bands).alias("bb")
-    ).select("vec_id", "embedding", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+        "vec_id", "embedding", F.posexplode("sigs").alias("band", "bucket")
+    )
 
     q = buckets.filter(F.col("vec_id") < _N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
@@ -139,13 +152,16 @@ def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         "band",
         "bucket",
     )
+    # Explicit broadcast of the (tiny) query side: auto-selection sees
+    # comparable size estimates for both exploded sides and may try to
+    # broadcast the corpus — fatal on a small driver, wrong at 100 TB.
     cands = (
-        q.join(c, ["band", "bucket"])
+        c.join(F.broadcast(q), ["band", "bucket"])
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .select("query_id", "q_emb", "neighbor_id", "c_emb")
         .dropDuplicates(["query_id", "neighbor_id"])
     )
-    cos = cosine_similarity(F.col("q_emb"), F.col("c_emb"))
+    cos = cosine_similarity_fixed(F.col("q_emb"), F.col("c_emb"), _DIM)
     w = W.partitionBy("query_id").orderBy(F.desc("cs"), F.asc("neighbor_id"))
     return (
         cands.select("query_id", "neighbor_id", cos.alias("cs"))

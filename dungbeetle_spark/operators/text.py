@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 
 from dungbeetle_spark.functions.texts import content_md5, norm_text, word_count
 from dungbeetle_spark.queries import _t, query
+from dungbeetle_spark.sources.catalog import fan_out
 
 # Marker-word heuristics for language ID. The guess is a deterministic
 # function of the text, mirrored exactly in the oracle SQL — the
@@ -64,25 +65,39 @@ def _occurrences_sql(expr: str, needle: str) -> str:
     "any scale.",
 )
 def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _t(spark, sf_dir, "documents")["documents"]
+    # Staged projections: each regex result is materialized once per row
+    # and reused (expressions referenced twice inside one Project get
+    # re-evaluated; a non-cheap alias in a prior Project does not).
+    d = fan_out(_t(spark, sf_dir, "documents")["documents"])
     text = F.col("text")
-    nt = norm_text(text)
-    n_words = F.when(nt == "", F.lit(0)).otherwise(
-        F.length(nt) - F.length(F.replace(nt, F.lit(" "), F.lit(""))) + 1
-    )
-    n_punct = F.length(text) - F.length(F.regexp_replace(text, r"\p{Punct}", ""))
-    n_digits = F.length(text) - F.length(F.regexp_replace(text, r"[0-9]", ""))
-    return d.select(
+    base = d.select(
         "doc_id",
         "lang",
         "source",
         F.length(text).alias("n_chars"),
+        norm_text(text).alias("nt"),
+        (
+            F.length(text) - F.length(F.regexp_replace(text, r"\p{Punct}", ""))
+        ).alias("n_punct_raw"),
+        (
+            F.length(text) - F.length(F.regexp_replace(text, r"[0-9]", ""))
+        ).alias("n_digits_raw"),
+    )
+    nt = F.col("nt")
+    n_words = F.when(nt == "", F.lit(0)).otherwise(
+        F.length(nt) - F.length(F.replace(nt, F.lit(" "), F.lit(""))) + 1
+    )
+    return base.select(
+        "doc_id",
+        "lang",
+        "source",
+        "n_chars",
         n_words.cast("long").alias("n_words"),
-        n_punct.cast("long").alias("n_punct"),
-        n_digits.cast("long").alias("n_digits"),
-        (n_punct.cast("double") / F.greatest(F.length(text), F.lit(1))).alias(
-            "punct_ratio"
-        ),
+        F.col("n_punct_raw").cast("long").alias("n_punct"),
+        F.col("n_digits_raw").cast("long").alias("n_digits"),
+        (
+            F.col("n_punct_raw").cast("double") / F.greatest(F.col("n_chars"), F.lit(1))
+        ).alias("punct_ratio"),
     )
 
 
@@ -100,7 +115,7 @@ def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "standard pre-tokenizer shape for LLM data work.",
 )
 def token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _t(spark, sf_dir, "documents")["documents"]
+    d = fan_out(_t(spark, sf_dir, "documents")["documents"])
     bpe = F.size(F.regexp_extract_all("text", F.lit(r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"), 0))
     return d.select(
         "doc_id",
@@ -122,31 +137,41 @@ def token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     "partition key a 100 TB dedup would shuffle on.",
 )
 def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _t(spark, sf_dir, "documents")["documents"]
-    fp = content_md5("text")
-    return d.select(
-        "doc_id", fp.alias("fingerprint"), fp.substr(1, 8).alias("bucket")
+    d = fan_out(_t(spark, sf_dir, "documents")["documents"])
+    return d.select("doc_id", content_md5("text").alias("fingerprint")).select(
+        "doc_id", "fingerprint", F.col("fingerprint").substr(1, 8).alias("bucket")
     )
 
 
-def _lang_guess_spark():
-    nt = F.concat(F.lit(" "), norm_text(F.col("text")), F.lit(" "))
-    scores = {
-        lang: sum(
-            (_occurrences(nt, m) for m in markers), start=F.lit(0.0)
-        )
+def _lang_scores(d: DataFrame) -> DataFrame:
+    """Stage 1+2: materialize the normalized text once, then one
+    occurrence-count column per language. Each stage is its own
+    Project so no regex or replace is ever evaluated twice per row."""
+    base = d.select(
+        "doc_id",
+        "lang",
+        F.concat(F.lit(" "), norm_text(F.col("text")), F.lit(" ")).alias("nt"),
+        (F.length(F.regexp_replace(F.col("text"), r"[^一-鿿]", "")) > 0).alias("cjk"),
+    )
+    nt = F.col("nt")
+    score_cols = [
+        sum((_occurrences(nt, m) for m in markers), start=F.lit(0.0)).alias(f"s_{lang}")
         for lang, markers in _LANG_MARKERS.items()
-    }
-    has_cjk = F.length(F.regexp_replace(F.col("text"), r"[^一-鿿]", "")) > 0
+    ]
+    return base.select("doc_id", "lang", "cjk", *score_cols)
+
+
+def _lang_guess_spark():
+    """Stage 3: fixed-precedence argmax over the materialized scores."""
     best = F.lit("unknown")
     best_score = F.lit(0.0)
     # Deterministic precedence: iterate langs in fixed order, strict >
     for lang in ("de", "fr", "es", "en"):
-        s = scores[lang]
+        s = F.col(f"s_{lang}")
         cond = s > best_score
         best = F.when(cond, F.lit(lang)).otherwise(best)
         best_score = F.when(cond, s).otherwise(best_score)
-    return F.when(has_cjk, F.lit("zh")).otherwise(best)
+    return F.when(F.col("cjk"), F.lit("zh")).otherwise(best)
 
 
 def _lang_guess_sql() -> str:
@@ -186,8 +211,8 @@ def _lang_guess_sql() -> str:
     "scan-parallel; the guess is compared against the labeled lang.",
 )
 def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _t(spark, sf_dir, "documents")["documents"]
-    return d.select(
+    d = fan_out(_t(spark, sf_dir, "documents")["documents"])
+    return _lang_scores(d).select(
         "doc_id",
         F.col("lang").alias("labeled_lang"),
         _lang_guess_spark().alias("guessed_lang"),
@@ -217,18 +242,22 @@ def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     "score is bit-identical across engines.",
 )
 def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _t(spark, sf_dir, "documents")["documents"]
+    d = fan_out(_t(spark, sf_dir, "documents")["documents"])
     text = F.col("text")
-    nc = F.length(text)
     squashed = F.regexp_replace(text, r"\s+", " ")
-    nw = F.when(F.trim(text) == "", F.lit(0)).otherwise(
-        F.size(F.split(F.trim(squashed), " "))
+    base = d.select(
+        "doc_id",
+        F.length(text).alias("nc"),
+        F.when(F.trim(text) == "", F.lit(0))
+        .otherwise(F.size(F.split(F.trim(squashed), " ")))
+        .alias("nw"),
+        (F.length(text) - F.length(F.regexp_replace(text, r"\p{Punct}", ""))).alias("np"),
     )
-    np_ = F.length(text) - F.length(F.regexp_replace(text, r"\p{Punct}", ""))
+    nc, nw, np_ = F.col("nc"), F.col("nw"), F.col("np")
     mean_wl = nc.cast("double") / nw
     quality = (
         F.least(nw.cast("double") / F.lit(100.0), F.lit(1.0)) * F.lit(0.5)
         + F.when((nw > 0) & (mean_wl >= 3.0) & (mean_wl <= 12.0), F.lit(0.3)).otherwise(F.lit(0.0))
         + F.when(np_.cast("double") / F.greatest(nc, F.lit(1)) < 0.1, F.lit(0.2)).otherwise(F.lit(0.0))
     )
-    return d.select("doc_id", quality.alias("quality"))
+    return base.select("doc_id", quality.alias("quality"))

@@ -73,6 +73,36 @@ def load_tables(
     return {n: _fix_nanos(spark.read.parquet(f"{sf_dir}/{n}.parquet")) for n in names}
 
 
+def fan_out(df: DataFrame) -> DataFrame:
+    """Spread a small-file scan across the cluster before per-row work.
+
+    The synthetic tables are single-row-group parquet files, which
+    Spark cannot split — a compute-bound projection (regex, shingling,
+    vector math) would run on one task. On a real 100 TB corpus the
+    scan has thousands of natural splits and this is a no-op cost-wise;
+    locally the repartition is one tiny shuffle that buys full-core
+    parallelism for the expensive projection above it.
+
+    The shuffle key is a seeded ``rand()`` column on purpose: a
+    projection containing a nondeterministic expression is a predicate-
+    pushdown barrier, so filters inferred above (e.g. join-key
+    ``isnotnull`` checks, which Catalyst rewrites into the *full*
+    downstream expression) stay in the parallel post-shuffle stage
+    instead of being pushed into the single-task scan — where they
+    would re-run the whole expensive pipeline per row, serially,
+    defeating the point of the fan-out. Result values don't depend on
+    the row→partition mapping, and the fixed seed keeps runs
+    reproducible. Only use under per-row-heavy operators — plain
+    scans/aggregates are better off letting Catalyst plan the exchange.
+    """
+    n = df.sparkSession.sparkContext.defaultParallelism
+    return (
+        df.withColumn("_fan_salt", F.rand(seed=42))
+        .repartition(n, F.col("_fan_salt"))
+        .drop("_fan_salt")
+    )
+
+
 def register_views(
     spark: SparkSession, sf_dir: str, names: Iterable[str] = TABLES
 ) -> dict[str, DataFrame]:
