@@ -26,7 +26,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
-from dungbeetle_spark.functions.vectors import cosine_similarity_fixed, pair_cosine_udf
+from dungbeetle_spark.functions.vectors import cosine_similarity_fixed
 from dungbeetle_spark.queries import _t, query
 from dungbeetle_spark.sources.catalog import fan_out
 
@@ -58,17 +58,58 @@ _DIM = 64  # embeddings fixture dimension (TESTDATA.md)
     "window-rank per query. Deterministic neighbor_id tiebreak.",
 )
 def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked exact sweep: the (tiny) query matrix rides to every task
+    in the closure — the broadcast-the-small-side join, minus the pair
+    materialization. Each corpus partition computes query×block cosines
+    with dimension-sequential numpy accumulation (bit-identical to a
+    sequential C fold — see dedup_embedding_cosine), then a window
+    ranks per query. Per-partition top-k pre-pruning shrinks the
+    shuffle to k rows per (query, partition)."""
+    import numpy as np
+
     e = _t(spark, sf_dir, "embeddings")["embeddings"]
-    q = e.filter(F.col("vec_id") < _N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
-    )
-    c = fan_out(e.select("vec_id", "embedding")).select(
-        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("c_emb")
-    )
-    cos = pair_cosine_udf(_DIM)("q_emb", "c_emb")
-    sims = (
-        c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "neighbor_id", cos.alias("cs"))
+    qpd = e.filter(F.col("vec_id") < _N_QUERIES).select("vec_id", "embedding").toPandas()
+    qids = qpd["vec_id"].to_numpy(dtype=np.int64)
+    qm = np.array(qpd["embedding"].tolist(), dtype=np.float64)
+    nq = np.zeros(len(qm))
+    for i in range(_DIM):  # sequential fold, matching the engines
+        nq = nq + qm[:, i] * qm[:, i]
+    nq_sqrt = np.sqrt(nq)
+    k = _TOP_K
+
+    def block(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            cm = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+            cids = pdf["vec_id"].to_numpy()
+            dots = np.zeros((len(qm), len(cm)))
+            nc = np.zeros(len(cm))
+            for i in range(_DIM):
+                dots = dots + np.outer(qm[:, i], cm[:, i])
+                nc = nc + cm[:, i] * cm[:, i]
+            cos = dots / (nq_sqrt[:, None] * np.sqrt(nc)[None, :])
+            valid = qids[:, None] != cids[None, :]
+            # per-partition prune: only each query's local top-k can
+            # survive the global rank, so ship k rows per query.
+            out_q, out_n, out_c = [], [], []
+            for qi in range(len(qm)):
+                row = cos[qi]
+                idx = np.nonzero(valid[qi])[0]
+                if len(idx) > k:
+                    # top-k by (cos desc, neighbor_id asc) — lexsort keys
+                    order = np.lexsort((cids[idx], -row[idx]))[:k]
+                    idx = idx[order]
+                out_q.extend([qids[qi]] * len(idx))
+                out_n.extend(cids[idx])
+                out_c.extend(row[idx])
+            if out_q:
+                yield pd.DataFrame(
+                    {"query_id": out_q, "neighbor_id": out_n, "cs": out_c}
+                )
+
+    sims = fan_out(e.select("vec_id", "embedding")).mapInPandas(
+        block, "query_id long, neighbor_id long, cs double"
     )
     w = W.partitionBy("query_id").orderBy(F.desc("cs"), F.asc("neighbor_id"))
     return (

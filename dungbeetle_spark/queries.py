@@ -28,7 +28,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
 from dungbeetle_spark.functions.numeric import davg, dmul, dsum
-from dungbeetle_spark.sources.catalog import load_tables
+from dungbeetle_spark.sources.catalog import fan_out, load_tables
 
 
 @dataclass(frozen=True)
@@ -150,10 +150,12 @@ def profit_entries_by_date(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY l_returnflag, l_linestatus
     """,
     doc="TPC-H Q1 shape: wide aggregate over lineitem. One map-side-"
-    "combinable hash aggregate; scan prunes to 7 columns.",
+    "combinable hash aggregate; scan prunes to 7 columns. fan_out "
+    "spreads the decimal-heavy partial aggregate (single-row-group "
+    "local file; a real corpus has natural splits).",
 )
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    l = _t(spark, sf_dir, "lineitem")["lineitem"]
+    l = fan_out(_t(spark, sf_dir, "lineitem")["lineitem"])
     disc_price = dmul("l_extendedprice", F.lit(1) - F.col("l_discount").cast("decimal(18,2)"))
     charge = disc_price * (F.lit(1) + F.col("l_tax").cast("decimal(18,2)"))
     return (
@@ -555,7 +557,7 @@ def top_events_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     "expands grouping sets; single shuffle).",
 )
 def rollup_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
-    l = _t(spark, sf_dir, "lineitem")["lineitem"]
+    l = fan_out(_t(spark, sf_dir, "lineitem")["lineitem"])
     return l.rollup("l_returnflag", "l_linestatus").agg(
         dsum("l_quantity").alias("sum_qty"), F.count(F.lit(1)).alias("n")
     )
@@ -593,7 +595,7 @@ def cube_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "two-phase aggregate, no driver-side dedup.",
 )
 def distinct_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    l = _t(spark, sf_dir, "lineitem")["lineitem"]
+    l = fan_out(_t(spark, sf_dir, "lineitem")["lineitem"])
     return l.groupBy("l_returnflag").agg(
         F.countDistinct("l_partkey").alias("n_parts"),
         F.countDistinct("l_suppkey").alias("n_suppliers"),
