@@ -59,29 +59,39 @@ def main() -> None:
     # per core) spins up before any timed UDF query.
     from pyspark.sql import functions as F
 
-    from dungbeetle_spark.sources.catalog import TABLES, fan_out, load_tables
+    from dungbeetle_spark.sources.catalog import TABLES, load_tables
 
     tables = load_tables(spark, sf_dir, TABLES)
     for df in tables.values():
         df.write.mode("overwrite").format("noop").save()
 
+    # spark.range gives every core a non-empty partition, so all 32
+    # workers fork+import now — a tiny table (e.g. region, 5 rows)
+    # would warm only 5 and leave the first timed UDF query paying ~27
+    # simultaneous cold forks.
     _warm = F.pandas_udf(lambda s: s, "long")
-    fan_out(tables["region"].select("r_regionkey")).select(
-        _warm("r_regionkey")
-    ).write.mode("overwrite").format("noop").save()
+    cores = spark.sparkContext.defaultParallelism
+    spark.range(0, cores * 100, 1, cores).select(_warm("id")).write.mode(
+        "overwrite"
+    ).format("noop").save()
 
-    # Two timed runs per query, keep the min: steady-state performance
-    # (codegen JIT, shuffle-service warmup) is what a long-running job
-    # server delivers; the first-run spike is session amortization.
+    # Repeated timed runs per query, keep the min: steady-state
+    # performance (codegen JIT, shuffle-service warmup) is what a
+    # long-running job server delivers; the first-run spike is session
+    # amortization. Three runs because the host shows transient multi-
+    # second stalls (virtualized CPU) that can poison any single run;
+    # a third run is skipped when the first two already agree.
     timings: dict[str, float] = {}
     for name in HEADLINE:
         spec = specs[name]
-        best = float("inf")
-        for _ in range(2):
+        runs: list[float] = []
+        for _ in range(3):
             t0 = time.perf_counter()
             spec.build(spark, sf_dir).write.mode("overwrite").format("noop").save()
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 3)
+            runs.append(time.perf_counter() - t0)
+            if len(runs) == 2 and max(runs) <= 1.3 * min(runs):
+                break
+        timings[name] = round(min(runs), 3)
 
     total = round(sum(timings.values()), 3)
     print(
