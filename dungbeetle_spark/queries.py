@@ -59,6 +59,7 @@ def registry() -> dict[str, QuerySpec]:
     import dungbeetle_spark.operators.text  # noqa: F401
     import dungbeetle_spark.operators.multimodal  # noqa: F401
     import dungbeetle_spark.operators.temporal  # noqa: F401
+    import dungbeetle_spark.streaming.stateful  # noqa: F401
     import dungbeetle_spark.streaming.windows  # noqa: F401
 
     return dict(_REGISTRY)

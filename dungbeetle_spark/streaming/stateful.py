@@ -1,0 +1,208 @@
+"""Stateful / joined Structured Streaming operators over ``events``.
+
+Three north-star streaming shapes the reference lacks entirely
+(SURVEY.md §2 Part B notes streaming is absent from the reference):
+
+- **streaming_sessionize** — custom per-key stateful operator via
+  ``applyInPandasWithState``: per-user gap sessions with event-time
+  timeouts. The state store holds exactly one open session per user
+  (bounded by key cardinality, not stream length); sessions close
+  either by data (a later event ≥ gap away) or by watermark timeout.
+- **streaming_segment_volume** — stream-static join: the unbounded
+  events stream joins the static ``customer`` dimension broadcast to
+  every task (no shuffle of the stream side, no state), then a
+  windowed aggregate.
+- **streaming_distinct_daily** — streaming exact dedup with
+  ``dropDuplicatesWithinWatermark``: state evicts once the watermark
+  passes, so 100 TB streams dedup with bounded memory (vs plain
+  ``dropDuplicates`` whose state grows forever).
+
+All three drain with ``availableNow`` (see source.py) making results
+deterministic and batch-SQL-oracle-checkable: the final no-data
+micro-batch advances the watermark to max event time, firing every
+event-time timeout whose timestamp is < that watermark.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterator, Tuple
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dungbeetle_spark.functions.numeric import dsum
+from dungbeetle_spark.queries import _t, query
+from dungbeetle_spark.streaming.source import drain_to_table, stream_events
+
+_GAP_S = 30 * 60  # session inactivity gap, matches operators/temporal.py
+
+
+def _sessionize_batches(
+    key: Tuple[Any, ...],
+    batches: Iterator[pd.DataFrame],
+    state,  # GroupState
+) -> Iterator[pd.DataFrame]:
+    """Per-user session assembly. State = one open session
+    (start_us, last_us, n, cents); sessions close by data gap or by
+    event-time timeout. Values sum as integer cents (exact — the
+    fixture's doubles carry 2 decimals), divided once on emit."""
+    gap_us = _GAP_S * 1_000_000
+    cols = ["user_id", "session_start", "n_events", "total_value"]
+    out: list[list] = []
+
+    def emit(start_us: int, n: int, cents: int) -> None:
+        out.append(
+            [key[0], pd.Timestamp(start_us, unit="us"), n, cents / 100.0]
+        )
+
+    if state.hasTimedOut:
+        start_us, _last, n, cents = state.get
+        emit(start_us, n, cents)
+        state.remove()
+    else:
+        pdf = pd.concat(list(batches)).sort_values("ts")
+        ts_us = pdf["ts"].astype("int64").to_numpy() // 1000  # ns→µs
+        cents_arr = (pdf["value"].to_numpy() * 100).round().astype("int64")
+        if state.exists:
+            start_us, last_us, n, cents = state.get
+        else:
+            start_us, last_us, n, cents = int(ts_us[0]), int(ts_us[0]), 0, 0
+        for t, c in zip(ts_us, cents_arr):
+            t = int(t)
+            if n and t - last_us >= gap_us:  # half-open window: gap >= closes
+                emit(start_us, n, cents)
+                start_us, n, cents = t, 0, 0
+            last_us, n, cents = t, n + 1, cents + int(c)
+        state.update((start_us, last_us, n, cents))
+        # Close the open session when the watermark passes last+gap.
+        # Guard: Spark rejects timeouts at/behind the current watermark.
+        timeout_ms = max(
+            (last_us + gap_us) // 1000, state.getCurrentWatermarkMs() + 1
+        )
+        state.setTimeoutTimestamp(timeout_ms)
+    yield pd.DataFrame(out, columns=cols)
+
+
+@query(
+    "streaming_sessionize",
+    oracle=f"""
+    WITH e AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events),
+    flagged AS (
+      SELECT user_id, ts, value,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                    OR ts - LAG(ts) OVER w >= INTERVAL '{_GAP_S} seconds'
+                  THEN 1 ELSE 0 END AS new_session
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+    numbered AS (
+      SELECT user_id, ts, value,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM flagged)
+    SELECT user_id, MIN(ts) AS session_start,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM numbered
+    GROUP BY user_id, session_id
+    HAVING MAX(ts) + INTERVAL '{_GAP_S} seconds'
+           <= (SELECT MAX(CAST(ts AS TIMESTAMP)) FROM events)
+    """,
+    doc=f"Streaming sessionization via applyInPandasWithState: per-user "
+    f"{_GAP_S//60}-min-gap sessions, event-time timeouts, append mode. "
+    "State is one open session per user. The drained stream emits "
+    "exactly the sessions whose close time (last event + gap) the "
+    "final watermark passed — the oracle's HAVING clause.",
+)
+def streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    try:
+        from pyspark.sql.streaming.state import GroupStateTimeout
+    except ImportError:  # pragma: no cover - pyspark < 3.4
+        from pyspark.sql.streaming import GroupStateTimeout
+
+    ev = stream_events(spark, sf_dir).select("user_id", "ts", "value")
+    sessions = (
+        ev.withWatermark("ts", "0 seconds")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _sessionize_batches,
+            "user_id long, session_start timestamp, n_events long, total_value double",
+            "start long, last long, n long, cents long",
+            "append",
+            GroupStateTimeout.EventTimeTimeout,
+        )
+        .select(
+            "user_id",
+            F.col("session_start").cast("timestamp_ntz").alias("session_start"),
+            "n_events",
+            "total_value",
+        )
+    )
+    name = f"stream_sessions_{abs(hash(sf_dir)) % 10**8}"
+    return spark.table(drain_to_table(sessions, name, "append"))
+
+
+@query(
+    "streaming_segment_volume",
+    oracle="""
+    SELECT CAST(date_trunc('day', e.ts) AS TIMESTAMP) AS window_start,
+           c.c_mktsegment AS segment,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY 1, 2
+    """,
+    doc="Stream-static join: unbounded events ⋈ broadcast static "
+    "customer dim (stream side never shuffles for the join, zero "
+    "join state), then 1-day tumbling windows per market segment. "
+    "The static side re-reads per micro-batch, picking up dimension "
+    "updates — the streaming twin of the snowflake-join queries.",
+)
+def streaming_segment_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = stream_events(spark, sf_dir).select("user_id", "ts", "value")
+    c = _t(spark, sf_dir, "customer")["customer"].select(
+        "c_custkey", "c_mktsegment"
+    )
+    agg = (
+        ev.join(F.broadcast(c), ev.user_id == c.c_custkey)
+        .withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 day").alias("w"), F.col("c_mktsegment"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value").alias("total_value"),
+        )
+        .select(
+            F.col("w.start").cast("timestamp_ntz").alias("window_start"),
+            F.col("c_mktsegment").alias("segment"),
+            "n_events",
+            "total_value",
+        )
+    )
+    name = f"stream_segments_{abs(hash(sf_dir)) % 10**8}"
+    return spark.table(drain_to_table(agg, name, "complete"))
+
+
+@query(
+    "streaming_distinct_daily",
+    oracle="""
+    SELECT DISTINCT user_id, event_type,
+           CAST(date_trunc('day', ts) AS DATE) AS event_date
+    FROM events
+    """,
+    doc="Streaming exact dedup: dropDuplicatesWithinWatermark on "
+    "(user_id, event_type, day). Dedup state evicts once the "
+    "watermark passes the horizon — bounded memory on an unbounded "
+    "stream, unlike plain dropDuplicates. Only key columns are "
+    "emitted, so which duplicate 'wins' cannot affect the result.",
+)
+def streaming_distinct_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = stream_events(spark, sf_dir).select(
+        "user_id", "event_type", F.col("ts"), F.to_date("ts").alias("event_date")
+    )
+    deduped = (
+        ev.withWatermark("ts", "365 days")
+        .dropDuplicatesWithinWatermark(["user_id", "event_type", "event_date"])
+        .select("user_id", "event_type", "event_date")
+    )
+    name = f"stream_distinct_{abs(hash(sf_dir)) % 10**8}"
+    return spark.table(drain_to_table(deduped, name, "append"))

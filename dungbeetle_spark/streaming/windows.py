@@ -14,13 +14,12 @@ and the windowed aggregate shuffles once on (window, key).
 
 from __future__ import annotations
 
-import tempfile
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from dungbeetle_spark.functions.numeric import dsum
 from dungbeetle_spark.queries import query
+from dungbeetle_spark.streaming.source import drain_to_table, stream_events
 
 
 def windowed_event_counts(
@@ -28,24 +27,7 @@ def windowed_event_counts(
 ) -> DataFrame:
     """Run the stream to completion (availableNow) and return the
     materialized windowed aggregate as a normal DataFrame."""
-    import os
-
-    from dungbeetle_spark.sources.catalog import load_tables
-
-    # FileStreamSource wants a directory; expose the single parquet
-    # file through a symlinked temp dir (zero-copy).
-    src_dir = tempfile.mkdtemp(prefix="dungbeetle_stream_src_")
-    os.symlink(f"{sf_dir}/events.parquet", f"{src_dir}/events.parquet")
-    batch = load_tables(spark, sf_dir, ["events"])["events"]
-    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    stream = spark.readStream.schema(raw_schema).parquet(src_dir)
-    # same nanos→µs conversion as the batch loader (catalog._fix_nanos)
-    if dict(batch.dtypes)["ts"] != dict(stream.dtypes)["ts"]:
-        stream = stream.withColumn(
-            "ts", F.timestamp_micros(F.expr("ts div 1000"))
-        )
-    else:
-        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    stream = stream_events(spark, sf_dir)
     agg = (
         stream.withWatermark("ts", watermark)
         .groupBy(F.window("ts", window).alias("w"), F.col("event_type"))
@@ -61,17 +43,7 @@ def windowed_event_counts(
         )
     )
     name = f"stream_windows_{abs(hash(sf_dir)) % 10**8}"
-    with tempfile.TemporaryDirectory() as ckpt:
-        q = (
-            agg.writeStream.format("memory")
-            .queryName(name)
-            .outputMode("complete")
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
-    return spark.table(name)
+    return spark.table(drain_to_table(agg, name, "complete"))
 
 
 @query(
