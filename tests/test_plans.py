@@ -1,0 +1,104 @@
+"""Physical-plan regression tests.
+
+Each test pins a scale-critical property a query's docstring claims:
+explicit broadcasts stay broadcasts, filters reach the parquet scan,
+scans prune to the referenced columns, aggregates partial-combine
+map-side, shuffle counts don't silently grow. These are the properties
+that decide whether the same plan survives 100 TB — value correctness
+is covered separately by the DuckDB oracle suite.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from dungbeetle_spark.plans.inspect import (
+    codegen_stages,
+    formatted_plan,
+    has_broadcast_join,
+    has_partial_aggregate,
+    pushed_filters,
+    scan_schemas,
+    shuffle_exchanges,
+)
+from dungbeetle_spark.queries import registry
+
+SPECS = registry()
+
+
+@pytest.fixture(scope="module")
+def sf(sf_oracle):
+    return sf_oracle
+
+
+def _df(spark, sf, name):
+    return SPECS[name].build(spark, sf)
+
+
+def test_q3_broadcasts_dim_and_avoids_full_sort(spark, sf):
+    df = _df(spark, sf, "q3_shipping_priority")
+    plan = formatted_plan(df)
+    assert has_broadcast_join(df), "customer dim must broadcast"
+    assert "TakeOrderedAndProject" in plan, "top-k must not full-sort"
+    # all three scans receive pushed filters (mktsegment + both dates)
+    assert len(pushed_filters(df)) >= 3
+
+
+def test_q3_prunes_lineitem_scan(spark, sf):
+    df = _df(spark, sf, "q3_shipping_priority")
+    li_schemas = [s for s in scan_schemas(df) if "l_orderkey" in s]
+    assert li_schemas, "expected a lineitem scan"
+    assert "l_comment" not in li_schemas[0]
+    # only the 4 referenced columns are read
+    assert li_schemas[0].count(":") <= 4
+
+
+def test_q6_pushes_all_predicates_to_scan(spark, sf):
+    df = _df(spark, sf, "q6_forecast_revenue")
+    pushed = " ".join(pushed_filters(df))
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in pushed, f"{col} filter must reach the scan"
+    assert has_partial_aggregate(df)
+    assert shuffle_exchanges(df) <= 1  # single global-agg exchange
+
+
+def test_q1_partial_aggregates_before_shuffle(spark, sf):
+    df = _df(spark, sf, "q1_pricing_summary")
+    assert has_partial_aggregate(df)
+    # fan_out's spread shuffle + the aggregate's key shuffle, no more
+    assert shuffle_exchanges(df) <= 2
+
+
+def test_q5_snowflake_dims_broadcast(spark, sf):
+    df = _df(spark, sf, "q5_local_supplier_volume")
+    assert has_broadcast_join(df)
+    plan = formatted_plan(df)
+    # region filter prunes at the region scan, not post-join
+    assert any("r_name" in p for p in pushed_filters(df))
+    assert "SortMergeJoin" not in plan or shuffle_exchanges(df) <= 3
+
+
+def test_dedup_exact_is_single_shuffle(spark, sf):
+    df = _df(spark, sf, "dedup_exact")
+    assert shuffle_exchanges(df) == 1
+    assert has_partial_aggregate(df)
+    # scan reads only doc_id + text
+    assert scan_schemas(df) == ["struct<doc_id:bigint,text:string>"]
+
+
+def test_top_events_uses_window_group_limit(spark, sf):
+    df = _df(spark, sf, "top_events_per_user")
+    # rank<=k pushes into the shuffle as WindowGroupLimit: each
+    # partition keeps k rows per key pre-shuffle instead of sorting
+    # whole partitions post-shuffle
+    assert "WindowGroupLimit" in formatted_plan(df)
+
+
+def test_profit_summary_pushes_param_filter(spark, sf):
+    df = _df(spark, sf, "profit_summary")
+    assert any("user_id" in p for p in pushed_filters(df))
+
+
+def test_whole_stage_codegen_active(spark, sf):
+    for name in ("q1_pricing_summary", "q3_shipping_priority", "dedup_exact"):
+        assert codegen_stages(_df(spark, sf, name)) >= 1, name
