@@ -93,13 +93,17 @@ class Core:
 
     # -- wiring -------------------------------------------------------
     def add_source(self, name: str, path: str) -> None:
-        src = ParquetSource(name, path)
+        self.add_source_obj(ParquetSource(name, path))
+
+    def add_source_obj(self, src) -> None:
+        """Attach any source with a ``name`` and ``register(session)``
+        (ParquetSource, FileSource for csv/json/orc, JdbcSource)."""
         self.sources.add(src)
         # Child session per source: shared SparkContext (one cluster),
         # isolated temp-view catalog per "database".
         sess = self.spark.newSession()
         src.register(sess)
-        self._sessions[name] = sess
+        self._sessions[src.name] = sess
 
     def add_result_backend(self, name: str, path: str) -> None:
         self.result_backends.add(ParquetResultBackend(name, path))
