@@ -696,3 +696,151 @@ def pivot_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "user_id", *[F.coalesce(F.col(t), F.lit(0)).alias(t) for t in types]
     )
+
+
+@query(
+    "q13_order_distribution",
+    oracle="""
+    SELECT n_orders, COUNT(*) AS n_customers
+    FROM (
+      SELECT c.c_custkey, COUNT(o.o_orderkey) AS n_orders
+      FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+      GROUP BY c.c_custkey)
+    GROUP BY n_orders
+    """,
+    doc="TPC-H Q13 shape: customer LEFT OUTER JOIN orders → per-"
+    "customer order count → count distribution. Two shuffles (custkey "
+    "then n_orders); COUNT(o_orderkey) makes customers with no orders "
+    "count 0, preserving the outer-join semantics through the agg. At "
+    "scale the custkey shuffle dominates; the second input is one row "
+    "per customer, the third a handful of rows.",
+)
+def q13_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir, "customer", "orders")
+    per_cust = (
+        t["customer"]
+        .join(t["orders"], t["customer"].c_custkey == t["orders"].o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+    return per_cust.groupBy("n_orders").agg(F.count(F.lit(1)).alias("n_customers"))
+
+
+_Q18_QTY = 150
+
+
+@query(
+    "q18_large_volume_orders",
+    oracle=f"""
+    SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
+           CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+    FROM orders o
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    WHERE o.o_orderkey IN (
+      SELECT l_orderkey FROM lineitem
+      GROUP BY l_orderkey HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > {_Q18_QTY})
+    GROUP BY c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate
+    """,
+    doc=f"TPC-H Q18 shape: orders whose total quantity exceeds "
+    f"{_Q18_QTY}, rejoined to orders+customer. The HAVING pre-"
+    "aggregate runs first and acts as a semi-join filter (LeftSemi on "
+    "orderkey), so the expensive 3-way join only sees qualifying "
+    "orders — at 100 TB the filter reduces the join input by orders "
+    "of magnitude before any wide row is assembled.",
+)
+def q18_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir, "customer", "orders", "lineitem")
+    l, o, c = t["lineitem"], t["orders"], t["customer"]
+    big = (
+        l.groupBy("l_orderkey")
+        .agg(dsum("l_quantity").alias("tq"))
+        .filter(F.col("tq") > _Q18_QTY)
+        .select("l_orderkey")
+    )
+    return (
+        o.join(big.withColumnRenamed("l_orderkey", "bk"), o.o_orderkey == F.col("bk"), "left_semi")
+        .join(l, o.o_orderkey == l.l_orderkey)
+        .join(c, c.c_custkey == o.o_custkey)
+        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate")
+        .agg(dsum("l_quantity").alias("total_qty"))
+    )
+
+
+@query(
+    "q22_idle_customers",
+    oracle="""
+    SELECT c_nationkey,
+           COUNT(*) AS n_customers,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+    FROM customer c
+    WHERE c_acctbal > (SELECT AVG(CAST(c_acctbal AS DECIMAL(18,2)))
+                       FROM customer WHERE c_acctbal > 0.0)
+      AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    GROUP BY c_nationkey
+    """,
+    doc="TPC-H Q22 shape: above-average-balance customers with no "
+    "orders — scalar subquery (computed once, broadcast as a literal) "
+    "+ LeftAnti join on custkey + aggregate. The anti join shuffles "
+    "only keys; the scalar avg is a 1-row broadcast, not a per-row "
+    "recomputation.",
+)
+def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir, "customer", "orders")
+    c, o = t["customer"], t["orders"]
+    avg_bal = (
+        c.filter(F.col("c_acctbal") > 0.0)
+        .agg(F.avg(F.col("c_acctbal").cast("decimal(18,2)")).alias("a"))
+    )
+    rich = c.join(F.broadcast(avg_bal), F.col("c_acctbal") > F.col("a")).drop("a")
+    return (
+        rich.join(o, rich.c_custkey == o.o_custkey, "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            dsum("c_acctbal").alias("total_bal"),
+        )
+    )
+
+
+@query(
+    "q2_min_price_supplier",
+    oracle="""
+    WITH costs AS (
+      SELECT l_partkey, l_suppkey, MIN(l_extendedprice) AS price
+      FROM lineitem GROUP BY l_partkey, l_suppkey),
+    ranked AS (
+      SELECT l_partkey, l_suppkey, price,
+             MIN(price) OVER (PARTITION BY l_partkey) AS best
+      FROM costs)
+    SELECT p.p_partkey, p.p_name, s.s_name, n.n_name AS nation, r.price
+    FROM ranked r
+    JOIN part p ON p.p_partkey = r.l_partkey
+    JOIN supplier s ON s.s_suppkey = r.l_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    WHERE r.price = r.best AND p.p_size < 5
+    """,
+    doc="TPC-H Q2 shape (partsupp stood in by lineitem's part-supplier "
+    "pairs): cheapest supplier per part via a window MIN over the "
+    "grouped price list — one shuffle on l_partkey serves both the "
+    "window and the equality filter (no correlated re-scan). Part is "
+    "filtered on p_size before its join; supplier/nation broadcast.",
+)
+def q2_min_price_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir, "part", "supplier", "nation", "lineitem")
+    costs = (
+        t["lineitem"]
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.min("l_extendedprice").alias("price"))
+    )
+    w = W.partitionBy("l_partkey")
+    best = costs.withColumn("best", F.min("price").over(w)).filter(
+        F.col("price") == F.col("best")
+    )
+    p = t["part"].filter(F.col("p_size") < 5)
+    return (
+        best.join(F.broadcast(p), best.l_partkey == p.p_partkey)
+        .join(F.broadcast(t["supplier"]), best.l_suppkey == F.col("s_suppkey"))
+        .join(F.broadcast(t["nation"]), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("p_partkey", "p_name", "s_name", F.col("n_name").alias("nation"), "price")
+    )
