@@ -75,6 +75,7 @@ class Core:
         default_queue: str = "default",
         worker_concurrency: int = 10,  # reference default, cmd/init.go:44
         default_job_ttl: int = 60,
+        result_reaper_interval: float = 0.0,  # seconds; 0 = off (reference parity)
     ) -> None:
         self.spark = spark
         self.store = JobStore()
@@ -85,11 +86,14 @@ class Core:
         self.default_queue = default_queue
         self.worker_concurrency = worker_concurrency
         self.default_job_ttl = default_job_ttl
+        self.result_reaper_interval = result_reaper_interval
         self._queues: dict[str, _WorkQueue] = {}
         self._sessions: dict[str, SparkSession] = {}
         self._timers: dict[str, threading.Timer] = {}
         self._lock = threading.RLock()
         self._started = False
+        self._reaper: threading.Thread | None = None
+        self._reaper_stop = threading.Event()
 
     # -- wiring -------------------------------------------------------
     def add_source(self, name: str, path: str) -> None:
@@ -148,6 +152,12 @@ class Core:
             for task in self.tasks.values():
                 self._ensure_queue(task.queue, task.conc or self.worker_concurrency)
             self._ensure_queue(self.default_queue, self.worker_concurrency)
+            if self.result_reaper_interval > 0 and self._reaper is None:
+                self._reaper_stop.clear()
+                self._reaper = threading.Thread(
+                    target=self._reap_loop, name="result-reaper", daemon=True
+                )
+                self._reaper.start()
             self._started = True
 
     def stop(self) -> None:
@@ -159,6 +169,36 @@ class Core:
                 q.stop()
             self._queues.clear()
             self._started = False
+        self._reaper_stop.set()
+        if self._reaper is not None:
+            self._reaper.join(timeout=5)
+            self._reaper = None
+
+    def reap_expired_results(self, now: float | None = None) -> list[str]:
+        """Delete result tables whose job TTL has elapsed; return the
+        reaped job ids. Upgrades the reference's accepted-but-ignored
+        ``ttl`` (core.go:354-357, sqldb.go:89 — parameter unused) into
+        real warehouse hygiene: at 100 TB, per-job ephemeral tables
+        that nobody deletes *are* the storage bill."""
+        import time as _time
+
+        reaped = []
+        for rec in self.store.expired(now if now is not None else _time.time()):
+            if rec.result_backend:
+                try:
+                    self.result_backends.get(rec.result_backend).delete(rec.job_id)
+                except KeyError:
+                    pass
+            rec.result_path = ""
+            reaped.append(rec.job_id)
+        return reaped
+
+    def _reap_loop(self) -> None:
+        while not self._reaper_stop.wait(self.result_reaper_interval):
+            try:
+                self.reap_expired_results()
+            except Exception:  # noqa: BLE001 — reaper must not die
+                pass
 
     def _ensure_queue(self, name: str, concurrency: int) -> "_WorkQueue":
         with self._lock:

@@ -44,6 +44,7 @@ class JobRecord:
     result_backend: str = ""
     result_path: str = ""
     created_at: float = field(default_factory=time.time)
+    finished_at: float | None = None  # set on SUCCESS/FAILURE
     cancelled: bool = False
 
 
@@ -98,6 +99,8 @@ class JobStore:
         with self._lock:
             rec = self._jobs[job_id]
             rec.state = state
+            if state in _TERMINAL:
+                rec.finished_at = time.time()
             if count is not None:
                 rec.count = count
             if error is not None:
@@ -123,6 +126,26 @@ class JobStore:
                 if r.queue == queue and r.state == PENDING
             ]
         return sorted(recs, key=lambda r: r.created_at)
+
+    def expired(self, now: float) -> list[JobRecord]:
+        """Terminal jobs whose results outlived their TTL.
+
+        The reference accepts a per-job ``ttl`` but its SQL backend
+        ignores it (core.go:354-357; README: "NOT supported by the
+        default SQL DB result backend"). Here TTL is honored: the
+        reaper collects these and deletes their result tables.
+        ``ttl <= 0`` means keep forever.
+        """
+        with self._lock:
+            return [
+                r
+                for r in self._jobs.values()
+                if r.state in _TERMINAL
+                and r.ttl > 0
+                and r.result_path
+                and r.finished_at is not None
+                and r.finished_at + r.ttl <= now
+            ]
 
     # -- groups -------------------------------------------------------
     def create_group(self, group_id: str, job_ids: list[str]) -> None:

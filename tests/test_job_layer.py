@@ -217,3 +217,24 @@ def test_pending_listing_on_busy_queue(core, spark, sf_smoke, tmp_path_factory):
         assert pending == ["p2", "p3"]  # oldest first, p1 already STARTED
     finally:
         c.stop()
+
+
+def test_ttl_reaper_deletes_expired_results(core):
+    """A21 upgraded: the reference accepts ttl and ignores it
+    (core.go:354-357); here the reaper actually deletes the result
+    table once finished_at + ttl passes."""
+    import os
+
+    resp = core.new_job("get_profit_entries", JobReq(args=["5"], ttl=30))
+    _wait(core, resp.job_id, (jobstore.SUCCESS,))
+    rec = core.store.get(resp.job_id)
+    assert os.path.isdir(rec.result_path)
+    assert core.reap_expired_results(now=time.time()) == []  # not yet expired
+    reaped = core.reap_expired_results(now=time.time() + 3600)
+    assert resp.job_id in reaped
+    assert not os.path.isdir(core.result_backends.get(rec.result_backend).table_path(resp.job_id))
+    with pytest.raises(ValueError):
+        core.read_result(resp.job_id)
+    # status still answers (row count survives the reap, like the
+    # reference's count-only status payload)
+    assert core.job_status(resp.job_id)["count"] > 0
