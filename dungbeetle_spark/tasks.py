@@ -80,9 +80,32 @@ def normalize_placeholders(sql: str) -> tuple[str, int]:
     return _PLACEHOLDER_RE.sub(sub, sql), nargs
 
 
+_INT_RE = re.compile(r"-?\d+")
+_FLOAT_RE = re.compile(r"-?\d+\.\d+")
+
+
+def _coerce(v: object) -> object:
+    """Canonical numeric strings → int/float.
+
+    The reference passes every arg as text and lets the source DB
+    infer the parameter's type from context (core.go:376-378 boxes
+    []string; postgres coerces). Spark's parameterized ``sql`` does no
+    such inference — a LIMIT or arithmetic slot rejects a string — so
+    canonical numerals ('7', '-3', '2.5'; not '007', which may be an
+    identifier) become numbers. Dates/timestamps stay strings: Spark
+    coerces string↔timestamp in comparisons.
+    """
+    if isinstance(v, str):
+        if _INT_RE.fullmatch(v) and str(int(v)) == v:
+            return int(v)
+        if _FLOAT_RE.fullmatch(v):
+            return float(v)
+    return v
+
+
 def bind_args(args: list) -> dict[str, object]:
     """Positional args → the named-param dict for ``spark.sql``."""
-    return {f"p{i + 1}": v for i, v in enumerate(args)}
+    return {f"p{i + 1}": _coerce(v) for i, v in enumerate(args)}
 
 
 @dataclass
