@@ -148,3 +148,111 @@ def multimodal_feature_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("media_type")
         .agg(F.count(F.lit(1)).alias("n"), F.avg("f0").alias("mean_f0"))
     )
+
+
+# ---------------------------------------------------------------------------
+# resize (images) and frame sampling (video) — stubbed codecs, real plumbing
+# ---------------------------------------------------------------------------
+
+_THUMB = 64  # target thumbnail edge
+_FRAME_STRIDE = 30  # sample every Nth frame
+
+RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("out_width", T.IntegerType(), True),
+        T.StructField("out_height", T.IntegerType(), True),
+        T.StructField("thumb", T.BinaryType(), True),
+    ]
+)
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("frame_idx", T.IntegerType(), False),
+        T.StructField("frame_crc", T.LongType(), True),
+    ]
+)
+
+
+def _resize_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Thumbnail pass: clamp dims to the target edge, emit a
+    deterministic fake thumbnail (payload truncated to out_w*out_h
+    bytes — the pillow resample call goes here in production)."""
+    for pdf in batches:
+        ow = pdf["meta"].map(lambda m: min(int(m["width"]), _THUMB))
+        oh = pdf["meta"].map(lambda m: min(int(m["height"]), _THUMB))
+        thumbs = [
+            bytes(p[: w * h]) for p, w, h in zip(pdf["payload"], ow, oh)
+        ]
+        yield pd.DataFrame(
+            {
+                "media_id": pdf["media_id"],
+                "out_width": ow.astype("int32"),
+                "out_height": oh.astype("int32"),
+                "thumb": thumbs,
+            }
+        )
+
+
+def _frame_sample_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Flat-map shape: one video row → one row per sampled frame.
+    Frame decode is the stub (crc of payload ⊕ index stands in for
+    the extracted frame); stride/index bookkeeping is the real
+    contract a production ffmpeg call would slot into."""
+    import zlib
+
+    for pdf in batches:
+        ids, idxs, crcs = [], [], []
+        for mid, payload, meta in zip(pdf["media_id"], pdf["payload"], pdf["meta"]):
+            for i in range(0, int(meta["n_frames"]), _FRAME_STRIDE):
+                ids.append(mid)
+                idxs.append(i)
+                crcs.append(zlib.crc32(payload + i.to_bytes(4, "big")))
+        yield pd.DataFrame(
+            {
+                "media_id": pd.Series(ids, dtype="int64"),
+                "frame_idx": pd.Series(idxs, dtype="int32"),
+                "frame_crc": pd.Series(crcs, dtype="int64"),
+            }
+        )
+
+
+@query(
+    "multimodal_resize",
+    oracle=f"""
+    SELECT doc_id AS media_id,
+           CAST(LEAST(n_chars % 1920, {_THUMB}) AS INT) AS out_width,
+           CAST(LEAST(n_chars % 1080, {_THUMB}) AS INT) AS out_height
+    FROM documents WHERE doc_id % 3 = 0
+    """,
+    doc=f"Image resize plumbing: filter to image rows, mapInPandas "
+    f"thumbnail pass clamping to {_THUMB}px (stub resample, real "
+    "Arrow batch shape + binary output column). Oracle checks the "
+    "dimension math; the thumbnail payload is stub-deterministic.",
+)
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = synthesize_media(spark, sf_dir).filter(F.col("media_type") == "image/jpeg")
+    return media.mapInPandas(_resize_batch, schema=RESIZE_SCHEMA).select(
+        "media_id", "out_width", "out_height"
+    )
+
+
+@query(
+    "multimodal_frame_sample",
+    oracle=f"""
+    SELECT doc_id AS media_id, CAST(t.i AS INT) AS frame_idx
+    FROM documents,
+         UNNEST(range(0, GREATEST(n_chars % 300, 0), {_FRAME_STRIDE})) AS t(i)
+    WHERE doc_id % 3 = 2
+    """,
+    doc=f"Video frame sampling: one row per every-{_FRAME_STRIDE}th "
+    "frame via a flat-map-shaped mapInPandas (row expansion inside "
+    "the Arrow batch — no explode shuffle). Oracle checks the "
+    "(media_id, frame_idx) expansion; frame bytes are stub CRCs.",
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = synthesize_media(spark, sf_dir).filter(F.col("media_type") == "video/mp4")
+    return media.mapInPandas(_frame_sample_batch, schema=FRAME_SCHEMA).select(
+        "media_id", "frame_idx"
+    )
