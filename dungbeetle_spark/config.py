@@ -44,8 +44,10 @@ def parse_duration(v: object, default: float = 0.0) -> float:
 @dataclass
 class SourceConf:
     name: str
-    path: str
-    type: str = "parquet"
+    path: str  # directory for file formats; jdbc: url for type "jdbc"
+    type: str = "parquet"  # parquet | csv | json | orc | jdbc
+    tables: list[str] = field(default_factory=list)
+    options: dict[str, str] = field(default_factory=dict)
 
 
 @dataclass
@@ -63,6 +65,7 @@ class Config:
     worker_concurrency: int = 10  # cmd/init.go:44
     worker_only: bool = False
     default_job_ttl: float = 60.0  # app.default_job_ttl
+    result_reaper_interval: float = 0.0  # app.result_reaper_interval; 0 = off
     sources: list[SourceConf] = field(default_factory=list)
     results: list[ResultsConf] = field(default_factory=list)
 
@@ -108,6 +111,9 @@ def load_config(
         ),
         worker_only=str(raw.get("worker_only", "")).lower() in ("1", "true"),
         default_job_ttl=parse_duration(app.get("default_job_ttl"), 60.0),
+        result_reaper_interval=parse_duration(
+            app.get("result_reaper_interval"), 0.0
+        ),
     )
     for name, sub in (raw.get("db") or {}).items():
         cfg.sources.append(
@@ -115,6 +121,8 @@ def load_config(
                 name=name,
                 path=str(sub.get("path", sub.get("dsn", ""))),
                 type=str(sub.get("type", "parquet")),
+                tables=[str(t) for t in sub.get("tables", [])],
+                options={str(k): str(v) for k, v in (sub.get("options") or {}).items()},
             )
         )
     for name, sub in (raw.get("results") or {}).items():
@@ -139,14 +147,32 @@ def build_core(cfg: Config, spark=None):
         default_queue=cfg.default_queue,
         worker_concurrency=cfg.worker_concurrency,
         default_job_ttl=int(cfg.default_job_ttl),
+        result_reaper_interval=cfg.result_reaper_interval,
     )
+    from dungbeetle_spark.sources.catalog import TABLES
+    from dungbeetle_spark.sources.formats import FileSource, JdbcSource
+
     for src in cfg.sources:
-        if src.type != "parquet":
-            raise ValueError(
-                f"source {src.name}: type {src.type!r} not supported in this build "
-                "(parquet namespaces only; JDBC would go through spark.read.jdbc)"
+        if src.type == "parquet":
+            core.add_source(src.name, src.path)
+        elif src.type in ("csv", "json", "orc", "text"):
+            core.add_source_obj(
+                FileSource(
+                    src.name,
+                    src.path,
+                    tables=src.tables or TABLES,
+                    fmt=src.type,
+                    options=src.options,
+                )
             )
-        core.add_source(src.name, src.path)
+        elif src.type == "jdbc":
+            core.add_source_obj(
+                JdbcSource(
+                    src.name, src.path, tables=src.tables, properties=src.options
+                )
+            )
+        else:
+            raise ValueError(f"source {src.name}: unknown type {src.type!r}")
     for res in cfg.results:
         core.add_result_backend(res.name, res.path)
     if cfg.sql_directories:

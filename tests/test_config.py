@@ -62,3 +62,44 @@ def test_parse_duration(raw, want):
 def test_parse_duration_rejects_garbage():
     with pytest.raises(ValueError):
         parse_duration("soon")
+
+
+def test_typed_sources_and_reaper_interval(tmp_path):
+    p = tmp_path / "config.toml"
+    p.write_text(
+        """
+[app]
+result_reaper_interval = "30s"
+
+[db.warehouse]
+path = "/root/testdata/sf0.001"
+
+[db.raw_csv]
+type = "csv"
+path = "/data/csv"
+tables = ["region", "nation"]
+[db.raw_csv.options]
+header = "true"
+
+[db.replica]
+type = "jdbc"
+path = "jdbc:postgresql://db:5432/app"
+tables = ["entries"]
+"""
+    )
+    cfg = load_config(str(p), environ={})
+    assert cfg.result_reaper_interval == 30.0
+    by_name = {s.name: s for s in cfg.sources}
+    assert by_name["raw_csv"].type == "csv"
+    assert by_name["raw_csv"].tables == ["region", "nation"]
+    assert by_name["raw_csv"].options == {"header": "true"}
+    assert by_name["replica"].type == "jdbc"
+    assert by_name["replica"].path.startswith("jdbc:")
+
+
+def test_build_core_rejects_unknown_source_type(tmp_path, monkeypatch):
+    from dungbeetle_spark.config import Config, SourceConf, build_core
+
+    cfg = Config(sources=[SourceConf(name="x", path="/nope", type="mongodb")])
+    with pytest.raises(ValueError, match="unknown type"):
+        build_core(cfg, spark=object())
