@@ -58,6 +58,26 @@ class Client:
     def get_job_status(self, job_id: str) -> dict:
         return self._do("GET", f"/jobs/{job_id}")
 
+    def wait(
+        self,
+        job_id: str,
+        timeout: float = 60.0,
+        poll: float = 0.2,
+        until: tuple[str, ...] = ("SUCCESS", "FAILURE"),
+    ) -> dict:
+        """Poll until the job reaches a terminal state (the loop every
+        reference client test writes by hand, client_test.go:104-122)."""
+        import time
+
+        deadline = time.monotonic() + timeout
+        while True:
+            st = self.get_job_status(job_id)
+            if st.get("state") in until:
+                return st
+            if time.monotonic() >= deadline:
+                raise TimeoutError(f"job {job_id} still {st.get('state')!r} after {timeout}s")
+            time.sleep(poll)
+
     def get_pending_jobs(self, queue: str) -> list[dict]:
         return self._do("GET", f"/jobs/queue/{queue}")
 

@@ -147,3 +147,13 @@ def test_group_roundtrip(client):
 def test_empty_group_rejected(client):
     with pytest.raises(ClientError, match="non-empty"):
         client.post_job_group([])
+
+
+def test_client_wait_helper(client):
+    resp = client.post_job("get_profit_summary", job_id="http_wait1", args=["3"])
+    st = client.wait(resp["job_id"], timeout=60.0)
+    assert st["state"] == "SUCCESS"
+    with pytest.raises(TimeoutError):
+        r2 = client.post_job("slow_query", job_id="http_wait2")
+        client.wait(r2["job_id"], timeout=0.5, poll=0.1)
+    client.wait("http_wait2", timeout=60.0)  # let it finish before teardown
