@@ -118,3 +118,81 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_value",
         )
     )
+
+
+@query(
+    "range_join_order_context",
+    oracle="""
+    SELECT o.o_orderkey,
+           COUNT(e.event_id) AS n_events,
+           CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS ctx_value
+    FROM orders o
+    LEFT JOIN events e
+      ON e.user_id = o.o_custkey
+     AND e.ts >= o.o_orderdate - INTERVAL '1 day'
+     AND e.ts <  o.o_orderdate + INTERVAL '1 day'
+    GROUP BY o.o_orderkey
+    """,
+    doc="Range join: each order picks up the same user's events within "
+    "±1 day of the order timestamp (band/interval join). The equi key "
+    "(user) drives the shuffle; the range predicate evaluates inside "
+    "the sort-merge join, so no pair set beyond the per-user band "
+    "ever materializes. With no equi key available the 100 TB shape "
+    "is bin-the-interval: assign both sides to time buckets of the "
+    "band width, equi-join on bucket (each probe checks its own and "
+    "one neighbor bucket), filter exactly — turning an O(n·m) "
+    "inequality join into a keyed shuffle.",
+)
+def range_join_order_context(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir, "orders", "events")
+    o, e = t["orders"], t["events"]
+    on = (
+        (e.user_id == o.o_custkey)
+        & (e.ts >= o.o_orderdate - F.expr("INTERVAL 1 DAY"))
+        & (e.ts < o.o_orderdate + F.expr("INTERVAL 1 DAY"))
+    )
+    return (
+        o.join(e, on, "left")
+        .groupBy("o_orderkey")
+        .agg(
+            F.count("event_id").alias("n_events"),
+            dsum("value").alias("ctx_value"),
+        )
+    )
+
+
+@query(
+    "time_rollup_events",
+    oracle="""
+    SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+           CASE WHEN GROUPING(date_trunc('hour', ts)) = 0
+                THEN CAST(date_trunc('hour', ts) AS TIMESTAMP) END AS hour,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY ROLLUP (date_trunc('day', ts), date_trunc('hour', ts))
+    HAVING GROUPING(date_trunc('day', ts)) = 0
+    """,
+    doc="Hypertable-style continuous aggregate: hourly and daily "
+    "rollups of the event stream in ONE pass via ROLLUP on "
+    "(day, hour) — the expand-then-aggregate plan shuffles once, and "
+    "day rows aggregate the hour partials. The grand-total row is "
+    "dropped (HAVING on GROUPING), matching a time-bucketed "
+    "materialized view's shape.",
+)
+def time_rollup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")["events"]
+    day = F.date_trunc("day", "ts").cast("timestamp_ntz")
+    hour = F.date_trunc("hour", "ts").cast("timestamp_ntz")
+    return (
+        e.select(day.alias("d"), hour.alias("h"), "value")
+        .rollup("d", "h")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value").alias("total_value"),
+        )
+        .filter(F.col("d").isNotNull())
+        .select(
+            F.col("d").alias("day"), F.col("h").alias("hour"), "n_events", "total_value"
+        )
+    )
