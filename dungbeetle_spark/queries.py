@@ -844,3 +844,46 @@ def q2_min_price_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(t["nation"]), F.col("s_nationkey") == F.col("n_nationkey"))
         .select("p_partkey", "p_name", "s_name", F.col("n_name").alias("nation"), "price")
     )
+
+
+_SALT_BUCKETS = 8
+
+
+@query(
+    "salted_segment_activity",
+    oracle="""
+    SELECT c.c_mktsegment AS segment,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY c.c_mktsegment
+    """,
+    doc=f"Manually salted fact⋈dim join: the fact side adds a "
+    f"deterministic {_SALT_BUCKETS}-bucket salt (hash of event_id), "
+    f"the dim side replicates ×{_SALT_BUCKETS} via explode, and the "
+    "join keys on (user_id, salt) — a hot user's rows now spread "
+    "over 8 reducers instead of one. This is the explicit-salting "
+    "pattern for engines/paths where AQE skew-splitting can't help "
+    "(streaming joins, aggregation-free pipelines); with AQE on a "
+    "batch plan you'd skip it (see session.py skewJoin config) — the "
+    "oracle is the plain unsalted join, proving salting never changes "
+    "results.",
+)
+def salted_segment_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir, "events", "customer")
+    e, c = t["events"], t["customer"]
+    salt_e = F.pmod(F.xxhash64("event_id"), F.lit(_SALT_BUCKETS)).alias("salt")
+    e_s = e.select("user_id", "value", salt_e)
+    c_s = c.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.explode(F.array(*[F.lit(i) for i in range(_SALT_BUCKETS)])).alias("salt"),
+    )
+    return (
+        e_s.join(c_s, (e_s.user_id == c_s.c_custkey) & (e_s.salt == c_s.salt))
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value").alias("total_value"),
+        )
+    )
