@@ -355,7 +355,9 @@ class Core:
             backend = self.result_backends.get_random(
                 task.result_backends or None
             )  # random tagged backend (core.go:514-515)
-            count = backend.write(rec.job_id, rec.task, df)
+            count = backend.write(
+                rec.job_id, rec.task, df, partition_by=task.partition_by
+            )
             return count, backend.table_path(rec.job_id), backend.name
         finally:
             sc.setJobGroup("", "")

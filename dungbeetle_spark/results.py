@@ -121,7 +121,13 @@ class ParquetResultBackend:
             return self._schemas.get(task_name)
 
     # -- materialization ----------------------------------------------
-    def write(self, job_id: str, task_name: str, df: DataFrame) -> int:
+    def write(
+        self,
+        job_id: str,
+        task_name: str,
+        df: DataFrame,
+        partition_by: Iterable[str] = (),
+    ) -> int:
         """Canonical-cast + overwrite ``results_<job_id>``; return rowcount.
 
         The row count is the job's only "result" payload, surfaced by
@@ -134,7 +140,11 @@ class ParquetResultBackend:
         with self._lock:
             self._schemas.setdefault(task_name, out.schema)
         path = self.table_path(job_id)
-        out.write.mode("overwrite").parquet(path)
+        writer = out.write.mode("overwrite")
+        cols = list(partition_by)
+        if cols:
+            writer = writer.partitionBy(*cols)
+        writer.parquet(path)
         spark = df.sparkSession
         return spark.read.parquet(path).count()
 

@@ -121,6 +121,11 @@ class Task:
     dbs: list[str] = field(default_factory=list)
     result_backends: list[str] = field(default_factory=list)
     nargs: int = 0
+    # result-table layout: `-- partition_by: col[,col]` writes the
+    # job's result table partitioned by these columns, so downstream
+    # readers of a large result get partition pruning for free.
+    # (Engine extension — the reference's result tables are flat.)
+    partition_by: list[str] = field(default_factory=list)
 
 
 class TaskLoadError(Exception):
@@ -219,6 +224,10 @@ def _apply_tags(
             for n in task.dbs:
                 if n not in source_names:
                     raise TaskLoadError(f"unknown db {n} in task {task.name}")
+    if tags.get("partition_by", "").strip():
+        task.partition_by = [
+            s.strip() for s in tags["partition_by"].split(",") if s.strip()
+        ]
     if tags.get("results", "").strip():
         task.result_backends = [s.strip() for s in tags["results"].split(",") if s.strip()]
         if result_backend_names is not None:

@@ -238,3 +238,29 @@ def test_ttl_reaper_deletes_expired_results(core):
     # status still answers (row count survives the reap, like the
     # reference's count-only status payload)
     assert core.job_status(resp.job_id)["count"] > 0
+
+
+def test_partitioned_result_table(core, spark, tmp_path_factory):
+    """`-- partition_by:` writes the result table partitioned, so a
+    downstream reader of a big result gets partition pruning."""
+    import os
+
+    from dungbeetle_spark.tasks import Task
+
+    t = Task(
+        name="per_type_counts",
+        stmt="SELECT event_type, user_id, COUNT(*) AS n FROM events "
+        "GROUP BY event_type, user_id",
+        raw_stmt="",
+        partition_by=["event_type"],
+    )
+    core.register_task(t)
+    resp = core.new_job("per_type_counts", JobReq())
+    st = _wait(core, resp.job_id, (jobstore.SUCCESS, jobstore.FAILURE))
+    assert st["state"] == jobstore.SUCCESS, st["error"]
+    rec = core.store.get(resp.job_id)
+    subdirs = [d for d in os.listdir(rec.result_path) if d.startswith("event_type=")]
+    assert len(subdirs) >= 2, subdirs
+    out = core.read_result(resp.job_id)
+    assert out.count() == st["count"] > 0
+    assert set(out.columns) == {"event_type", "user_id", "n"}

@@ -103,3 +103,14 @@ def test_placeholders_skip_strings_and_comments():
 
 def test_bind_args():
     assert bind_args(["a", 2]) == {"p1": "a", "p2": 2}
+
+
+def test_partition_by_tag(tmp_path):
+    from dungbeetle_spark.tasks import load_tasks
+
+    (tmp_path / "p.sql").write_text(
+        "-- name: t1\n-- partition_by: event_type, entry_date\n"
+        "SELECT 1 AS x;\n"
+    )
+    tasks = load_tasks([str(tmp_path)])
+    assert tasks["t1"].partition_by == ["event_type", "entry_date"]
