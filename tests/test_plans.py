@@ -102,3 +102,34 @@ def test_profit_summary_pushes_param_filter(spark, sf):
 def test_whole_stage_codegen_active(spark, sf):
     for name in ("q1_pricing_summary", "q3_shipping_priority", "dedup_exact"):
         assert codegen_stages(_df(spark, sf, name)) >= 1, name
+
+
+def test_q18_semi_join_filters_before_wide_join(spark, sf):
+    df = _df(spark, sf, "q18_large_volume_orders")
+    plan = formatted_plan(df)
+    assert "LeftSemi" in plan, "HAVING pre-aggregate must act as a semi-join"
+
+
+def test_q22_anti_join_with_broadcast_threshold(spark, sf):
+    df = _df(spark, sf, "q22_idle_customers")
+    plan = formatted_plan(df)
+    assert "LeftAnti" in plan
+    # the 1-row scalar avg must broadcast, never shuffle
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_range_join_keeps_equi_key(spark, sf):
+    df = _df(spark, sf, "range_join_order_context")
+    plan = formatted_plan(df)
+    # the user equi-key must drive the join (SMJ/SHJ/BHJ keyed on it),
+    # not degrade to a pure nested-loop over the range predicate
+    assert any(
+        j in plan for j in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin")
+    )
+
+
+def test_time_rollup_single_expand_aggregate(spark, sf):
+    df = _df(spark, sf, "time_rollup_events")
+    plan = formatted_plan(df)
+    assert "Expand" in plan, "rollup should expand grouping sets in one pass"
+    assert shuffle_exchanges(df) <= 1
