@@ -887,3 +887,28 @@ def salted_segment_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum("value").alias("total_value"),
         )
     )
+
+
+@query(
+    "sketch_user_stats",
+    oracle=None,  # HLL/quantile sketches have no cross-engine twin; rows-only
+    doc="Sketch aggregates per event_type: HyperLogLog++ distinct "
+    "users (approx_count_distinct, rsd 1%) and approximate value "
+    "quantiles (percentile_approx). At 100 TB these replace exact "
+    "distinct/percentile where a bounded-memory mergeable sketch is "
+    "the only thing that fits: partial sketches combine map-side and "
+    "merge associatively across any partitioning, so the shuffle "
+    "carries kilobytes per group instead of the value set.",
+)
+def sketch_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")["events"]
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id", rsd=0.01).alias("approx_users"),
+            F.percentile_approx("value", [0.5, 0.95, 0.99], 10_000).alias(
+                "value_quantiles"
+            ),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )

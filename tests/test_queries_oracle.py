@@ -37,3 +37,20 @@ def test_rows_only(spark, sf_oracle, name):
     rows = df.limit(5).collect()
     assert df.columns, f"{name}: no columns"
     assert rows is not None
+
+
+def test_sketch_user_stats_accuracy(spark, sf_oracle):
+    """HLL sketch must land within 5% of the exact distinct count."""
+    from pyspark.sql import functions as F
+
+    from dungbeetle_spark.sources.catalog import load_tables
+
+    df = SPECS["sketch_user_stats"].build(spark, sf_oracle)
+    e = load_tables(spark, sf_oracle, ["events"])["events"]
+    exact = {
+        r[0]: r[1]
+        for r in e.groupBy("event_type").agg(F.countDistinct("user_id")).collect()
+    }
+    for r in df.collect():
+        err = abs(r["approx_users"] - exact[r["event_type"]]) / exact[r["event_type"]]
+        assert err < 0.05, (r["event_type"], err)
