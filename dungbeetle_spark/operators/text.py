@@ -261,3 +261,50 @@ def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         + F.when(np_.cast("double") / F.greatest(nc, F.lit(1)) < 0.1, F.lit(0.2)).otherwise(F.lit(0.0))
     )
     return base.select("doc_id", quality.alias("quality"))
+
+
+# ---------------------------------------------------------------------------
+# Python UDTF: table-generating function surface (Spark 4 @udtf)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "udtf_sentences",
+    oracle="""
+    WITH split AS (
+      SELECT doc_id, string_split(text, '. ') AS parts FROM documents),
+    exploded AS (
+      SELECT doc_id, CAST(t.i - 1 AS INT) AS idx, trim(parts[t.i]) AS s
+      FROM split, UNNEST(range(1, len(parts) + 1)) AS t(i))
+    SELECT doc_id, idx,
+           CAST(len(string_split(s, ' ')) AS INT) AS n_words
+    FROM exploded WHERE s <> ''
+    """,
+    doc="Python UDTF (table-generating function) splitting each doc "
+    "into sentences via LATERAL join — the arbitrary-arity row "
+    "expansion surface (one input row → N output rows with state "
+    "allowed per call). Runs Arrow-batched like other Python "
+    "surfaces; the oracle replicates the split relationally. At "
+    "scale UDTFs parallelize per input partition like any "
+    "projection — no shuffle introduced by the expansion itself.",
+)
+def udtf_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="idx: int, sentence: string, n_words: int")
+    class SplitSentences:
+        def eval(self, text: str):
+            if text is None:
+                return
+            for i, p in enumerate(text.split(". ")):
+                p = p.strip()
+                if p:
+                    yield i, p, len(p.split(" "))
+
+    spark.udtf.register("dungbeetle_split_sentences", SplitSentences)
+    d = _t(spark, sf_dir, "documents")["documents"]
+    d.createOrReplaceTempView("_udtf_docs")
+    return spark.sql(
+        "SELECT doc_id, s.idx, s.n_words "
+        "FROM _udtf_docs, LATERAL dungbeetle_split_sentences(text) s"
+    )
