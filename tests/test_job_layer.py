@@ -264,3 +264,24 @@ def test_partitioned_result_table(core, spark, tmp_path_factory):
     out = core.read_result(resp.job_id)
     assert out.count() == st["count"] > 0
     assert set(out.columns) == {"event_type", "user_id", "n"}
+
+
+def test_concurrent_job_burst(core):
+    """20 jobs across two queues complete correctly under concurrent
+    submission — the 'queue as traffic control' story actually holds
+    (README Usecase; worker pools bound Spark pressure per queue)."""
+    import concurrent.futures as cf
+
+    def submit(i: int):
+        resp = core.new_job("get_profit_summary", JobReq(args=[str(i % 9)]))
+        st = _wait(core, resp.job_id, (jobstore.SUCCESS, jobstore.FAILURE))
+        return st["state"], st["count"]
+
+    with cf.ThreadPoolExecutor(max_workers=10) as ex:
+        results = list(ex.map(submit, range(20)))
+    assert all(s == jobstore.SUCCESS for s, _ in results), results
+    # same-arg jobs must agree on row counts (deterministic engine)
+    by_arg: dict[int, set[int]] = {}
+    for i, (_, count) in enumerate(results):
+        by_arg.setdefault(i % 9, set()).add(count)
+    assert all(len(v) == 1 for v in by_arg.values()), by_arg
