@@ -75,23 +75,21 @@ def main() -> None:
         "overwrite"
     ).format("noop").save()
 
-    # Repeated timed runs per query, keep the min: steady-state
-    # performance (codegen JIT, shuffle-service warmup) is what a
-    # long-running job server delivers; the first-run spike is session
-    # amortization. Three runs because the host shows transient multi-
-    # second stalls (virtualized CPU) that can poison any single run;
-    # a third run is skipped when the first two already agree.
-    timings: dict[str, float] = {}
-    for name in HEADLINE:
-        spec = specs[name]
-        runs: list[float] = []
-        for _ in range(3):
+    # Three interleaved passes over the whole list, per-query min:
+    # steady-state performance (codegen JIT, shuffle warmup) is what a
+    # long-running job server delivers, and the host shows transient
+    # multi-second CPU stalls that can span back-to-back runs of one
+    # query — round-robin passes decorrelate a stall window from any
+    # single query's every sample.
+    runs: dict[str, list[float]] = {name: [] for name in HEADLINE}
+    for _ in range(3):
+        for name in HEADLINE:
             t0 = time.perf_counter()
-            spec.build(spark, sf_dir).write.mode("overwrite").format("noop").save()
-            runs.append(time.perf_counter() - t0)
-            if len(runs) == 2 and max(runs) <= 1.3 * min(runs):
-                break
-        timings[name] = round(min(runs), 3)
+            specs[name].build(spark, sf_dir).write.mode("overwrite").format(
+                "noop"
+            ).save()
+            runs[name].append(time.perf_counter() - t0)
+    timings = {name: round(min(ts), 3) for name, ts in runs.items()}
 
     total = round(sum(timings.values()), 3)
     print(
