@@ -148,6 +148,14 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = _shingled(d).select(
         "doc_id", F.size("shingles").alias("n"), F.explode("shingles").alias("s")
     )
+    # Join on the shingle's xxhash64, not the string: the shuffle then
+    # moves fixed 8-byte keys instead of ~N-byte grams — at corpus
+    # scale the similarity join is shuffle-IO-bound, so key width is
+    # the bill. A hash collision would need two distinct grams in one
+    # posting pair: P ≈ (distinct grams)²/2⁶⁵ — ~1e-10 even at 1e9
+    # grams, far below the noise floor of near-dup detection (and the
+    # DuckDB oracle, which joins exact strings, agrees at test scale).
+    sh = sh.select("doc_id", "n", F.xxhash64("s").alias("s"))
     a = sh.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"), "s")
     b = sh.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"), "s")
     # shuffle_hash on purpose: both sides then hash-partition on s with
