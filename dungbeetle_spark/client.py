@@ -51,6 +51,12 @@ class Client:
     def get_tasks(self, sql: bool = False) -> Any:
         return self._do("GET", "/tasks", sql="1" if sql else "")
 
+    def explain(self, task: str, args: list[str] | None = None, db: str = "") -> dict:
+        """The task's physical plan with args bound (engine extension)."""
+        return self._do(
+            "GET", f"/tasks/{task}/explain", args=",".join(args or []), db=db
+        )
+
     def post_job(self, task: str, **job) -> dict:
         """Enqueue one job. kwargs: job_id, args, db, ttl, eta, retries, queue."""
         return self._do("POST", f"/tasks/{task}/jobs", body=job)

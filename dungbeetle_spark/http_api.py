@@ -146,6 +146,15 @@ class _Handler(BaseHTTPRequestHandler):
         if method == "POST" and len(parts) == 3 and parts[0] == "tasks" and parts[2] == "jobs":
             resp = core.new_job(parts[1], _job_req(self._body()))
             return asdict(resp)
+        if method == "GET" and len(parts) == 3 and parts[0] == "tasks" and parts[2] == "explain":
+            # Engine extension (no reference analog — it cannot see its
+            # source DBs' plans): the task's Catalyst physical plan,
+            # with placeholder args bound from ?args=a,b,c.
+            from dungbeetle_spark.plans.inspect import formatted_plan
+
+            args = [a for a in q.get("args", "").split(",") if a != ""]
+            _sess, df = core.build_dataframe(parts[1], args, db=q.get("db", ""))
+            return {"task": parts[1], "plan": formatted_plan(df)}
         if method == "GET" and len(parts) == 3 and parts[:2] == ["jobs", "queue"]:
             return core.pending_jobs(parts[2])
         if method == "GET" and len(parts) == 2 and parts[0] == "jobs":

@@ -157,3 +157,12 @@ def test_client_wait_helper(client):
         r2 = client.post_job("slow_query", job_id="http_wait2")
         client.wait(r2["job_id"], timeout=0.5, poll=0.1)
     client.wait("http_wait2", timeout=60.0)  # let it finish before teardown
+
+
+def test_explain_endpoint(client):
+    out = client.explain("get_profit_summary", args=["7"])
+    assert out["task"] == "get_profit_summary"
+    assert "Physical Plan" in out["plan"]
+    assert "PushedFilters" in out["plan"]  # param filter reaches the scan
+    with pytest.raises(ClientError):
+        client._do("GET", "/tasks/no_such_task/explain")
