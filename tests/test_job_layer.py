@@ -285,3 +285,23 @@ def test_concurrent_job_burst(core):
     for i, (_, count) in enumerate(results):
         by_arg.setdefault(i % 9, set()).add(count)
     assert all(len(v) == 1 for v in by_arg.values()), by_arg
+
+
+def test_streaming_task_through_job_layer(core, sf_smoke):
+    """A Structured Streaming query registered as a callable task runs
+    like any SQL job: enqueue → worker drains the stream → result
+    table + row count. Streams are first-class jobs, not a side
+    system."""
+    from dungbeetle_spark.streaming.windows import windowed_event_counts
+
+    core.register_callable_task(
+        "stream_daily_counts",
+        lambda sess, args: windowed_event_counts(sess, sf_smoke),
+        queue="streams",
+    )
+    resp = core.new_job("stream_daily_counts", JobReq())
+    st = _wait(core, resp.job_id, (jobstore.SUCCESS, jobstore.FAILURE))
+    assert st["state"] == jobstore.SUCCESS, st["error"]
+    out = core.read_result(resp.job_id)
+    assert st["count"] == out.count() > 0
+    assert "window_start" in out.columns
