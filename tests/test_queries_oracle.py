@@ -54,3 +54,36 @@ def test_sketch_user_stats_accuracy(spark, sf_oracle):
     for r in df.collect():
         err = abs(r["approx_users"] - exact[r["event_type"]]) / exact[r["event_type"]]
         assert err < 0.05, (r["event_type"], err)
+
+
+def test_probabilistic_recall_floors(spark, sf_oracle):
+    """Measured recall of the approximate paths against their exact
+    twins — pinned so a parameter/seed regression that silently
+    guts recall fails loudly (fixed seeds → deterministic values)."""
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in SPECS["ann_cosine_topk"].build(spark, sf_oracle).collect()
+    }
+    lsh = {
+        (r.query_id, r.neighbor_id)
+        for r in SPECS["ann_lsh_bucketed"].build(spark, sf_oracle).collect()
+    }
+    assert len(exact & lsh) / len(exact) >= 0.5  # measured 0.56
+
+    ivf = {
+        (r.query_id, r.neighbor_id)
+        for r in SPECS["ann_ivf"].build(spark, sf_oracle).collect()
+    }
+    # isotropic fixture → IVF recall ~= scanned fraction (nprobe/K);
+    # the floor asserts mechanical correctness, not clustering luck
+    assert len(exact & ivf) / len(exact) >= 0.2  # measured 0.28
+
+    true_pairs = {
+        (r.doc_a, r.doc_b)
+        for r in SPECS["dedup_ngram_jaccard"].build(spark, sf_oracle).collect()
+    }
+    cands = {
+        (r.doc_a, r.doc_b)
+        for r in SPECS["dedup_minhash_lsh"].build(spark, sf_oracle).collect()
+    }
+    assert len(true_pairs & cands) / max(len(true_pairs), 1) >= 0.9  # measured 1.0
