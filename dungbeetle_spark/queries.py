@@ -776,14 +776,17 @@ def q18_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM customer c
     WHERE c_acctbal > (SELECT AVG(CAST(c_acctbal AS DECIMAL(18,2)))
                        FROM customer WHERE c_acctbal > 0.0)
-      AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+      AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                      AND o.o_orderdate >= TIMESTAMP '2000-06-01 00:00:00')
     GROUP BY c_nationkey
     """,
     doc="TPC-H Q22 shape: above-average-balance customers with no "
-    "orders — scalar subquery (computed once, broadcast as a literal) "
-    "+ LeftAnti join on custkey + aggregate. The anti join shuffles "
-    "only keys; the scalar avg is a 1-row broadcast, not a per-row "
-    "recomputation.",
+    "recent orders (the fixture gives every customer *some* order, so "
+    "the anti join runs against the recent-order subset to have real "
+    "survivors) — scalar subquery (computed once, broadcast as a "
+    "literal) + LeftAnti join on custkey + aggregate. The anti join "
+    "shuffles only keys; the recency filter pushes to the orders "
+    "scan.",
 )
 def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = _t(spark, sf_dir, "customer", "orders")
@@ -793,8 +796,11 @@ def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.avg(F.col("c_acctbal").cast("decimal(18,2)")).alias("a"))
     )
     rich = c.join(F.broadcast(avg_bal), F.col("c_acctbal") > F.col("a")).drop("a")
+    recent = o.filter(
+        F.col("o_orderdate") >= F.lit("2000-06-01 00:00:00").cast("timestamp_ntz")
+    )
     return (
-        rich.join(o, rich.c_custkey == o.o_custkey, "left_anti")
+        rich.join(recent, rich.c_custkey == recent.o_custkey, "left_anti")
         .groupBy("c_nationkey")
         .agg(
             F.count(F.lit(1)).alias("n_customers"),

@@ -52,7 +52,7 @@ def _normalize(rows: list[tuple], cols: list[str]) -> list[tuple]:
     return sorted(out, key=repr)
 
 
-def compare(spark_df, con: duckdb.DuckDBPyConnection, oracle: str) -> None:
+def compare(spark_df, con: duckdb.DuckDBPyConnection, oracle: str) -> int:
     s_cols = [c.lower() for c in spark_df.columns]
     s_rows = [tuple(r) for r in spark_df.collect()]
     rel = con.sql(oracle)
@@ -69,3 +69,4 @@ def compare(spark_df, con: duckdb.DuckDBPyConnection, oracle: str) -> None:
         f"{len(mismatches)}/{len(sn)} rows differ; first: "
         f"spark={mismatches[0][0]} duckdb={mismatches[0][1]}"
     )
+    return len(s_rows)

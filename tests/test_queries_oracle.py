@@ -27,7 +27,10 @@ def duck(sf_oracle):
 def test_oracle_match(spark, sf_oracle, duck, name):
     spec = SPECS[name]
     df = spec.build(spark, sf_oracle)
-    compare(df, duck, spec.oracle)
+    n = compare(df, duck, spec.oracle)
+    # hollow-check guard: an oracle that matches on an empty result
+    # set proves nothing — every fixture query must produce rows
+    assert n > 0, f"{name}: oracle matched but on ZERO rows"
 
 
 @pytest.mark.parametrize("name", ROWS_ONLY_NAMES)
