@@ -53,8 +53,10 @@ class SourceConf:
 @dataclass
 class ResultsConf:
     name: str
-    path: str
+    path: str  # directory, or jdbc: url for type "jdbc"
+    type: str = "parquet"  # parquet | jdbc
     results_table: str = "results_%s"
+    options: dict[str, str] = field(default_factory=dict)
 
 
 @dataclass
@@ -130,7 +132,9 @@ def load_config(
             ResultsConf(
                 name=name,
                 path=str(sub.get("path", sub.get("dsn", ""))),
+                type=str(sub.get("type", "parquet")),
                 results_table=str(sub.get("results_table", "results_%s")),
+                options={str(k): str(v) for k, v in (sub.get("options") or {}).items()},
             )
         )
     return cfg
@@ -173,8 +177,24 @@ def build_core(cfg: Config, spark=None):
             )
         else:
             raise ValueError(f"source {src.name}: unknown type {src.type!r}")
+    from dungbeetle_spark.results import JdbcResultBackend, ParquetResultBackend
+
     for res in cfg.results:
-        core.add_result_backend(res.name, res.path)
+        if res.type == "parquet":
+            core.add_result_backend_obj(
+                ParquetResultBackend(res.name, res.path, res.results_table)
+            )
+        elif res.type == "jdbc":
+            core.add_result_backend_obj(
+                JdbcResultBackend(
+                    res.name,
+                    res.path,
+                    properties=res.options,
+                    table_template=res.results_table,
+                )
+            )
+        else:
+            raise ValueError(f"results {res.name}: unknown type {res.type!r}")
     if cfg.sql_directories:
         core.load_task_dirs(cfg.sql_directories)
     return core

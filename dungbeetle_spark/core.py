@@ -112,6 +112,11 @@ class Core:
     def add_result_backend(self, name: str, path: str) -> None:
         self.result_backends.add(ParquetResultBackend(name, path))
 
+    def add_result_backend_obj(self, backend) -> None:
+        """Attach any backend with name/write/read/delete/table_path
+        (ParquetResultBackend, JdbcResultBackend)."""
+        self.result_backends.add(backend)
+
     def load_task_dirs(self, dirs: list[str]) -> None:
         self.tasks.update(
             load_tasks(

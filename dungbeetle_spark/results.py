@@ -188,3 +188,90 @@ class ResultBackends:
 
     def __len__(self) -> int:
         return len(self._backends)
+
+
+class JdbcResultBackend:
+    """Results written to an external SQL database over JDBC — the
+    direct analog of the reference's SQL result backends
+    (internal/resultbackends/sqldb/sqldb.go): per-job table
+    ``results_<job_id>``, overwrite semantics, canonical type collapse
+    before the write (Spark's JDBC writer maps LongType→BIGINT,
+    DecimalType→NUMERIC, etc., landing the same schema the reference
+    produces).
+
+    Scale notes: ``numPartitions`` bounds concurrent INSERT
+    connections (the reference's max_active analog) and ``batchsize``
+    replaces its row-at-a-time INSERT loop with batched writes.
+    Requires the vendor driver jar; construction is cheap/validated,
+    connection happens at write time.
+    """
+
+    def __init__(
+        self,
+        name: str,
+        url: str,
+        properties: Mapping[str, str] | None = None,
+        table_template: str = "results_%s",
+        num_partitions: int = 8,
+        batchsize: int = 10_000,
+    ):
+        if not url.startswith("jdbc:"):
+            raise ValueError(f"JDBC url must start with 'jdbc:': {url!r}")
+        if "%s" not in table_template:
+            table_template += "_%s"
+        self.name = name
+        self.url = url
+        self.properties = dict(properties or {})
+        self.table_template = table_template
+        self.num_partitions = num_partitions
+        self.batchsize = batchsize
+        self._schemas: dict[str, T.StructType] = {}
+        self._lock = threading.Lock()
+
+    def table_name(self, job_id: str) -> str:
+        return self.table_template % job_id
+
+    def table_path(self, job_id: str) -> str:
+        return f"{self.url}#{self.table_name(job_id)}"
+
+    def is_registered(self, task_name: str) -> bool:
+        with self._lock:
+            return task_name in self._schemas
+
+    def write(
+        self,
+        job_id: str,
+        task_name: str,
+        df: DataFrame,
+        partition_by: Iterable[str] = (),  # noqa: ARG002 — JDBC tables are flat
+    ) -> int:
+        out = canonical_cast(df).coalesce(self.num_partitions)
+        with self._lock:
+            self._schemas.setdefault(task_name, out.schema)
+        (
+            out.write.format("jdbc")
+            .option("url", self.url)
+            .option("dbtable", self.table_name(job_id))
+            .option("batchsize", str(self.batchsize))
+            .options(**self.properties)
+            .mode("overwrite")
+            .save()
+        )
+        return self.read(df.sparkSession, job_id).count()
+
+    def read(self, spark: SparkSession, job_id: str) -> DataFrame:
+        return (
+            spark.read.format("jdbc")
+            .option("url", self.url)
+            .option("dbtable", self.table_name(job_id))
+            .options(**self.properties)
+            .load()
+        )
+
+    def delete(self, job_id: str) -> None:
+        # DROP TABLE over JDBC needs a direct connection (Spark has no
+        # DDL path); left to the warehouse's own retention policy.
+        raise NotImplementedError(
+            "JDBC result deletion requires a direct DB connection; "
+            "configure retention on the results database"
+        )

@@ -103,3 +103,30 @@ def test_build_core_rejects_unknown_source_type(tmp_path, monkeypatch):
     cfg = Config(sources=[SourceConf(name="x", path="/nope", type="mongodb")])
     with pytest.raises(ValueError, match="unknown type"):
         build_core(cfg, spark=object())
+
+
+def test_jdbc_result_backend_config(tmp_path):
+    p = tmp_path / "config.toml"
+    p.write_text(
+        """
+[results.cache]
+type = "jdbc"
+path = "jdbc:postgresql://db:5432/cache"
+results_table = "res_%s"
+[results.cache.options]
+user = "writer"
+"""
+    )
+    cfg = load_config(str(p), environ={})
+    assert cfg.results[0].type == "jdbc"
+    assert cfg.results[0].options == {"user": "writer"}
+
+    from dungbeetle_spark.config import build_core
+
+    core = build_core(cfg, spark=object())
+    backend = core.result_backends.get("cache")
+    assert backend.table_name("j1") == "res_j1"
+    import pytest as _pytest
+
+    with _pytest.raises(NotImplementedError):
+        backend.delete("j1")
