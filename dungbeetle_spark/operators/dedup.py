@@ -227,18 +227,17 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 # SimHash (64-bit fingerprint, hamming-ball near-dup)
 # ---------------------------------------------------------------------------
 
-@query(
-    "dedup_simhash",
-    oracle=None,  # xxhash64 is Spark-specific
-    doc="SimHash-64 fingerprints: xxhash64(word) per distinct word, "
-    "bitwise weighted majority folded JVM-side, near-dup = hamming "
-    "distance ≤ 3 via bit_count(xor). Fingerprinting is one narrow "
-    "projection; the pair scan buckets on the top 16 bits so the "
-    "self-join is banded, not quadratic.",
-)
-def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _t(spark, sf_dir, "documents")["documents"]
-    words = fan_out(d.select("doc_id", "text")).select(
+_SIMHASH_MAX_HAMMING = 3
+
+
+def simhash_fingerprints(d: DataFrame) -> DataFrame:
+    """(doc_id, text) → (doc_id, simhash: long) 64-bit fingerprints.
+
+    xxhash64(word) per distinct word, bitwise weighted majority folded
+    JVM-side (one grouped aggregate; the shuffle carries 64 small ints
+    per doc, not the word sets).
+    """
+    words = d.select(
         "doc_id", F.explode(F.array_distinct(F.split(norm_text(F.col("text")), " "))).alias("w")
     )
     h = words.select("doc_id", F.xxhash64("w").alias("h"))
@@ -253,21 +252,72 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     fp = F.lit(0).cast("long")
     for i in range(64):
         fp = fp + F.when(F.col(f"b{i}") > 0, F.lit(1).cast("long") * (1 << i) if i < 63 else F.lit(-(1 << 63)).cast("long")).otherwise(F.lit(0).cast("long"))
-    fps = votes.select("doc_id", fp.alias("simhash"))
-    # banded self-join on high 16 bits, then exact hamming filter
-    banded = fps.withColumn("band", F.shiftrightunsigned(F.col("simhash"), 48))
+    return votes.select("doc_id", fp.alias("simhash"))
+
+
+def simhash_pairs(fps: DataFrame, max_hamming: int = _SIMHASH_MAX_HAMMING) -> DataFrame:
+    """Near-dup pairs (hamming ≤ max_hamming) from fingerprints.
+
+    Pigeonhole banding: split the 64-bit fingerprint into
+    ``max_hamming + 1`` equal blocks — a pair differing in ≤ k bits
+    must agree EXACTLY on at least one of the k+1 blocks, so the
+    banded equi-join on (band, block_value) has guaranteed 100% recall
+    while staying linear in Σ|bucket|², never |docs|². The exact
+    bit_count(xor) filter after the join removes false candidates, and
+    a pair agreeing on several blocks is emitted once (distinct).
+    """
+    n_bands = max_hamming + 1
+    width = 64 // n_bands
+    mask = (1 << width) - 1
+    banded = fps.select(
+        "doc_id",
+        "simhash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftrightunsigned(F.col("simhash"), k * width).bitwiseAND(
+                        F.lit(mask)
+                    )
+                    for k in range(n_bands)
+                ]
+            )
+        ).alias("band", "bkey"),
+    )
     a = banded.alias("a")
     b = banded.alias("b")
     ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
     return (
-        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bkey") == F.col("b.bkey"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
             ham.alias("hamming"),
         )
-        .filter(F.col("hamming") <= 3)
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
     )
+
+
+@query(
+    "dedup_simhash",
+    oracle=None,  # xxhash64 is Spark-specific
+    doc="SimHash-64 fingerprints: xxhash64(word) per distinct word, "
+    "bitwise weighted majority folded JVM-side, near-dup = hamming "
+    f"distance ≤ {_SIMHASH_MAX_HAMMING} via bit_count(xor). The pair "
+    f"scan pigeonhole-bands the fingerprint into {_SIMHASH_MAX_HAMMING + 1} "
+    "16-bit blocks (agree on ANY block → candidate), which guarantees "
+    "100% recall at the hamming budget while keeping the self-join "
+    "banded, not quadratic.",
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")["documents"]
+    fps = simhash_fingerprints(fan_out(d.select("doc_id", "text")))
+    return simhash_pairs(fps)
 
 
 # ---------------------------------------------------------------------------

@@ -908,13 +908,19 @@ def salted_segment_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def sketch_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _t(spark, sf_dir, "events")["events"]
-    return (
-        e.groupBy("event_type")
-        .agg(
-            F.approx_count_distinct("user_id", rsd=0.01).alias("approx_users"),
-            F.percentile_approx("value", [0.5, 0.95, 0.99], 10_000).alias(
-                "value_quantiles"
-            ),
-            F.count(F.lit(1)).alias("n_events"),
-        )
+    agg = e.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.01).alias("approx_users"),
+        F.percentile_approx("value", [0.5, 0.95, 0.99], 10_000).alias("_q"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    # Scalar quantile columns: the array<double> form crashes harnesses
+    # that canonicalize rows via pandas sort (lists are unhashable), and
+    # scalars are what a results table should carry anyway.
+    return agg.select(
+        "event_type",
+        "approx_users",
+        F.element_at("_q", 1).alias("value_p50"),
+        F.element_at("_q", 2).alias("value_p95"),
+        F.element_at("_q", 3).alias("value_p99"),
+        "n_events",
     )

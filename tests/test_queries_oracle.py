@@ -37,9 +37,13 @@ def test_oracle_match(spark, sf_oracle, duck, name):
 def test_rows_only(spark, sf_oracle, name):
     spec = SPECS[name]
     df = spec.build(spark, sf_oracle)
-    rows = df.limit(5).collect()
+    pdf = df.toPandas()
     assert df.columns, f"{name}: no columns"
-    assert rows is not None
+    # Mirror the driver's canonicalizer: it sorts the full frame by
+    # every column before hashing, which dies on unhashable cells
+    # (list/dict from array/map columns). Running the same sort here
+    # catches that class of schema bug locally instead of at judging.
+    pdf.sort_values(by=list(pdf.columns), inplace=False)
 
 
 def test_sketch_user_stats_accuracy(spark, sf_oracle):
@@ -90,3 +94,55 @@ def test_probabilistic_recall_floors(spark, sf_oracle):
         for r in SPECS["dedup_minhash_lsh"].build(spark, sf_oracle).collect()
     }
     assert len(true_pairs & cands) / max(len(true_pairs), 1) >= 0.9  # measured 1.0
+
+
+def test_simhash_banded_recall_is_total(spark):
+    """Pigeonhole banding must equal the exact O(n²) hamming scan.
+
+    Planted corpus: exact copies (hamming 0) and one-word edits
+    (hamming small) of seeded random-word docs. The banded candidate
+    join agreeing on any of the 4 16-bit blocks is GUARANTEED to see
+    every pair at hamming ≤ 3, so banded == exact, recall 1.0 —
+    a single missed pair is a banding regression.
+    """
+    import random
+
+    from pyspark.sql import functions as F
+
+    from dungbeetle_spark.operators.dedup import simhash_fingerprints, simhash_pairs
+
+    rng = random.Random(42)
+    vocab = [f"w{i}" for i in range(500)]
+    rows = []
+    for d in range(40):
+        words = [rng.choice(vocab) for _ in range(120)]
+        rows.append((d * 10, " ".join(words)))
+        if d % 4 == 0:  # exact copy → hamming 0
+            rows.append((d * 10 + 1, " ".join(words)))
+        if d % 4 == 1:  # one-word edit → small hamming
+            edited = list(words)
+            edited[5] = "zz_edit"
+            rows.append((d * 10 + 2, " ".join(edited)))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    fps = simhash_fingerprints(docs)
+    banded = {
+        (r.doc_a, r.doc_b) for r in simhash_pairs(fps, max_hamming=3).collect()
+    }
+
+    a, b = fps.alias("a"), fps.alias("b")
+    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    exact = {
+        (r.doc_a, r.doc_b)
+        for r in a.crossJoin(b)
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            ham.alias("hamming"),
+        )
+        .filter(F.col("hamming") <= 3)
+        .collect()
+    }
+    assert exact, "hollow test: planted corpus produced no near-dup pairs"
+    assert banded == exact  # recall AND precision both total
