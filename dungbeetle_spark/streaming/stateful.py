@@ -33,7 +33,7 @@ from pyspark.sql import functions as F
 
 from dungbeetle_spark.functions.numeric import dsum
 from dungbeetle_spark.queries import _t, query
-from dungbeetle_spark.streaming.source import drain_to_table, stream_events
+from dungbeetle_spark.streaming.source import drain_to_df, stream_events
 
 _GAP_S = 30 * 60  # session inactivity gap, matches operators/temporal.py
 
@@ -138,8 +138,7 @@ def streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_value",
         )
     )
-    name = f"stream_sessions_{abs(hash(sf_dir)) % 10**8}"
-    return spark.table(drain_to_table(sessions, name, "append"))
+    return drain_to_df(sessions, "stream_sessions", "append")
 
 
 @query(
@@ -178,8 +177,7 @@ def streaming_segment_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_value",
         )
     )
-    name = f"stream_segments_{abs(hash(sf_dir)) % 10**8}"
-    return spark.table(drain_to_table(agg, name, "complete"))
+    return drain_to_df(agg, "stream_segments", "complete")
 
 
 @query(
@@ -204,5 +202,4 @@ def streaming_distinct_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         .dropDuplicatesWithinWatermark(["user_id", "event_type", "event_date"])
         .select("user_id", "event_type", "event_date")
     )
-    name = f"stream_distinct_{abs(hash(sf_dir)) % 10**8}"
-    return spark.table(drain_to_table(deduped, name, "append"))
+    return drain_to_df(deduped, "stream_distinct", "append")

@@ -19,7 +19,7 @@ from pyspark.sql import functions as F
 
 from dungbeetle_spark.functions.numeric import dsum
 from dungbeetle_spark.queries import query
-from dungbeetle_spark.streaming.source import drain_to_table, stream_events
+from dungbeetle_spark.streaming.source import drain_to_df, stream_events
 
 
 def windowed_event_counts(
@@ -42,8 +42,7 @@ def windowed_event_counts(
             "total_value",
         )
     )
-    name = f"stream_windows_{abs(hash(sf_dir)) % 10**8}"
-    return spark.table(drain_to_table(agg, name, "complete"))
+    return drain_to_df(agg, "stream_windows", "complete")
 
 
 @query(
