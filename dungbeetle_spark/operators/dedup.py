@@ -332,24 +332,14 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 _COS_T = 0.40
 _DIM = 64  # embeddings fixture dimension (TESTDATA.md)
 
+# Ceiling for the exact blocked sweep: the corpus matrix rides to every
+# task in the closure (n_rows × dim × 8 bytes ≈ 0.5 GB at 1M×64), so
+# past this the operator MUST NOT collect — it fails over to LSH
+# candidate generation with exact re-rank inside buckets.
+EXACT_SWEEP_MAX_ROWS = 1_000_000
 
-@query(
-    "dedup_embedding_cosine",
-    oracle=f"""
-    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-           round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-                                        CAST(b.embedding AS DOUBLE[])), 6) AS cos_sim
-    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-    WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-                                 CAST(b.embedding AS DOUBLE[])) >= {_COS_T}
-    """,
-    doc=f"Semantic near-dup: embedding pairs with cosine ≥ {_COS_T}. "
-    "Local-mode oracle does the full O(n²) join; the engine's scale "
-    "path is the same expression after LSH bucketing (see "
-    "similarity.ann_lsh_bucketed) — identical filter, banded "
-    "candidate set.",
-)
-def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+
+def _embedding_pairs_exact(e: DataFrame) -> DataFrame:
     """All-pairs exact cosine ≥ threshold, as a blocked matrix sweep.
 
     Materializing n² pair rows (join + per-pair expression) moves
@@ -360,14 +350,10 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     only the (rare) passing pairs come back. The per-pair arithmetic —
     `acc += a_i*b_i` per dimension, then dot/(√na·√nb) — is the same
     IEEE double sequence as a sequential C loop, so results are
-    bit-identical to DuckDB's DOUBLE[] cosine. The exact n² sweep is
-    inherently bounded by corpus-fits-in-memory; past that, the scale
-    path is LSH candidate generation (similarity.ann_lsh_bucketed) with
-    this same exact re-rank inside buckets.
+    bit-identical to DuckDB's DOUBLE[] cosine.
     """
     import numpy as np
 
-    e = _t(spark, sf_dir, "embeddings")["embeddings"]
     # build-time corpus matrix; Arrow toPandas, not row-based collect()
     corpus = e.select("vec_id", "embedding").toPandas()
     ids = corpus["vec_id"].to_numpy(dtype=np.int64)
@@ -395,7 +381,76 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
                 {"vec_a": va[ai], "vec_b": ids[bi], "cos_raw": cos[ai, bi]}
             )
 
-    out = fan_out(e.select("vec_id", "embedding")).mapInPandas(
+    return fan_out(e.select("vec_id", "embedding")).mapInPandas(
         block, "vec_a long, vec_b long, cos_raw double"
     )
+
+
+def _embedding_pairs_lsh(e: DataFrame) -> DataFrame:
+    """Near-dup candidates via random-hyperplane LSH, exact re-rank.
+
+    The 100 TB path: nothing ever collects. Signatures are one narrow
+    Arrow pass (similarity._signatures); candidates are a self equi-
+    join keyed on (band, bucket) — the shuffle moves (vec_id, band,
+    bucket, embedding) rows, cost scales with Σ|bucket|², never
+    corpus²; the exact JVM-side cosine filter then removes false
+    candidates. Recall < 1 by construction (pairs agreeing on no band
+    are missed) — the documented trade for unbounded corpora.
+    """
+    from dungbeetle_spark.functions.vectors import cosine_similarity_fixed
+    from dungbeetle_spark.operators.similarity import _signatures
+
+    signed = _signatures(e.select("vec_id", "embedding"), _DIM)
+    buckets = signed.select(
+        "vec_id", "embedding", F.posexplode("sigs").alias("band", "bucket")
+    )
+    a = buckets.select(
+        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("a_emb"),
+        "band", "bucket",
+    )
+    b = buckets.select(
+        F.col("vec_id").alias("vec_b"), F.col("embedding").alias("b_emb"),
+        "band", "bucket",
+    )
+    cos = cosine_similarity_fixed(F.col("a_emb"), F.col("b_emb"), _DIM)
+    return (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .dropDuplicates(["vec_a", "vec_b"])
+        .select("vec_a", "vec_b", cos.alias("cos_raw"))
+        .filter(F.col("cos_raw") >= _COS_T)
+    )
+
+
+@query(
+    "dedup_embedding_cosine",
+    oracle=f"""
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                        CAST(b.embedding AS DOUBLE[])), 6) AS cos_sim
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                 CAST(b.embedding AS DOUBLE[])) >= {_COS_T}
+    """,
+    doc=f"Semantic near-dup: embedding pairs with cosine ≥ {_COS_T}. "
+    "Local-mode oracle does the full O(n²) join; the engine's scale "
+    "path is the same expression after LSH bucketing (see "
+    "similarity.ann_lsh_bucketed) — identical filter, banded "
+    "candidate set.",
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic near-dup pairs, with a corpus-size routing guard.
+
+    ≤ EXACT_SWEEP_MAX_ROWS → exact blocked sweep (collects the corpus
+    matrix once — bounded by the guard, bit-identical to the DuckDB
+    oracle). Above it, collecting is an OOM, so the operator routes to
+    the LSH-bucketed candidate join with exact cosine re-rank — same
+    filter expression, fully distributed, recall < 1 by design.
+    """
+    e = _t(spark, sf_dir, "embeddings")["embeddings"]
+    # Metadata-only count (parquet row-group stats): cheap at any scale.
+    if e.count() <= EXACT_SWEEP_MAX_ROWS:
+        out = _embedding_pairs_exact(e)
+    else:  # pragma: no cover - exercised via the forced-path unit test
+        out = _embedding_pairs_lsh(e)
     return out.select("vec_a", "vec_b", F.round("cos_raw", 6).alias("cos_sim"))

@@ -92,10 +92,19 @@ def fan_out(df: DataFrame) -> DataFrame:
     would re-run the whole expensive pipeline per row, serially,
     defeating the point of the fan-out. Result values don't depend on
     the row→partition mapping, and the fixed seed keeps runs
-    reproducible. Only use under per-row-heavy operators — plain
-    scans/aggregates are better off letting Catalyst plan the exchange.
+    reproducible.
+
+    **Conditional on purpose**: when the scan already plans at least
+    ``defaultParallelism`` input splits — every real multi-file /
+    multi-row-group dataset, i.e. anything at cluster scale — this is
+    the identity. Repartitioning a 100 TB fact table on ``rand()``
+    before a scan-shaped consumer would insert a full-table shuffle
+    Catalyst never asked for; the spread shuffle exists solely to
+    rescue unsplittable single-row-group files in local runs.
     """
     n = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= n:
+        return df
     return (
         df.withColumn("_fan_salt", F.rand(seed=42))
         .repartition(n, F.col("_fan_salt"))

@@ -69,6 +69,25 @@ def test_q1_partial_aggregates_before_shuffle(spark, sf):
     assert shuffle_exchanges(df) <= 2
 
 
+def test_fan_out_noops_on_multi_split_source(spark, sf, tmp_path):
+    """fan_out is for unsplittable single-row-group local fixtures ONLY.
+    Against a source that already scans in >= defaultParallelism splits
+    (any real cluster-scale dataset) it must be the identity — q1 then
+    plans its single aggregate exchange and nothing else. This pins the
+    100 TB behavior: no rand() repartition of the fact table."""
+    from dungbeetle_spark.sources.catalog import load_tables
+
+    li = load_tables(spark, sf, ["lineitem"])["lineitem"]
+    n = spark.sparkContext.defaultParallelism
+    li.repartition(n * 2).write.mode("overwrite").parquet(
+        str(tmp_path / "lineitem.parquet")
+    )
+    df = _df(spark, str(tmp_path), "q1_pricing_summary")
+    assert shuffle_exchanges(df) <= 1, "fan_out must no-op on multi-split scans"
+    assert "rand" not in formatted_plan(df).lower()
+    assert has_partial_aggregate(df)
+
+
 def test_q5_snowflake_dims_broadcast(spark, sf):
     df = _df(spark, sf, "q5_local_supplier_volume")
     assert has_broadcast_join(df)

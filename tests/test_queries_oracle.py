@@ -96,6 +96,32 @@ def test_probabilistic_recall_floors(spark, sf_oracle):
     assert len(true_pairs & cands) / max(len(true_pairs), 1) >= 0.9  # measured 1.0
 
 
+def test_embedding_dedup_big_corpus_never_collects(spark, sf_oracle, monkeypatch):
+    """Above the sweep ceiling the operator must route to the LSH
+    candidate path — proven by making the collecting path explode and
+    forcing the ceiling to 0. LSH output must be a subset of the exact
+    pairs with identical cosine values (same filter, fewer candidates)."""
+    from dungbeetle_spark.operators import dedup
+
+    exact = {
+        (r.vec_a, r.vec_b): r.cos_sim
+        for r in SPECS["dedup_embedding_cosine"].build(spark, sf_oracle).collect()
+    }
+
+    def boom(_e):
+        raise AssertionError("exact sweep (driver collect) used on big corpus")
+
+    monkeypatch.setattr(dedup, "EXACT_SWEEP_MAX_ROWS", 0)
+    monkeypatch.setattr(dedup, "_embedding_pairs_exact", boom)
+    lsh = {
+        (r.vec_a, r.vec_b): r.cos_sim
+        for r in SPECS["dedup_embedding_cosine"].build(spark, sf_oracle).collect()
+    }
+    assert lsh, "hollow test: LSH path surfaced no pairs at fixture scale"
+    assert set(lsh) <= set(exact)
+    assert all(exact[k] == v for k, v in lsh.items())
+
+
 def test_simhash_banded_recall_is_total(spark):
     """Pigeonhole banding must equal the exact O(n²) hamming scan.
 
