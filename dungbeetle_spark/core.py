@@ -50,7 +50,10 @@ class JobReq:
     job_id: str = ""
     args: list = field(default_factory=list)
     db: str = ""
-    ttl: int = 0
+    # None → server default TTL; <= 0 → keep results forever. The
+    # explicit-zero case must survive to the record (an `or` would
+    # silently turn "keep forever" into the 60 s default).
+    ttl: int | None = None
     eta: str = ""
     retries: int = 0
     queue: str = ""
@@ -192,8 +195,16 @@ class Core:
             if rec.result_backend:
                 try:
                     self.result_backends.get(rec.result_backend).delete(rec.job_id)
-                except KeyError:
+                except (KeyError, NotImplementedError):
+                    # backend detached, or retention is external (a
+                    # delete-less JDBC target): clear the record so the
+                    # reaper stops re-selecting it every pass
                     pass
+                except Exception:  # noqa: BLE001
+                    # transient delete failure (warehouse hiccup): keep
+                    # result_path so the NEXT pass retries this record,
+                    # and keep reaping the rest of the list
+                    continue
             rec.result_path = ""
             reaped.append(rec.job_id)
         return reaped
@@ -231,7 +242,7 @@ class Core:
             queue=queue_name,
             args=list(req.args),
             db=req.db,
-            ttl=req.ttl or self.default_job_ttl,
+            ttl=self.default_job_ttl if req.ttl is None else req.ttl,
             eta=eta_ts,
             max_retries=req.retries,
         )

@@ -67,7 +67,8 @@ def _job_req(payload: dict) -> JobReq:
         job_id=job_id,
         args=[str(a) for a in args],  # reference args are []string
         db=payload.get("db", "") or "",
-        ttl=int(payload.get("ttl", 0) or 0),
+        # absent → None (server default); explicit 0 → keep forever
+        ttl=None if payload.get("ttl") is None else int(payload["ttl"]),
         eta=payload.get("eta", "") or "",
         retries=int(payload.get("retries", 0) or 0),
         queue=payload.get("queue", "") or "",

@@ -214,6 +214,7 @@ class JdbcResultBackend:
         table_template: str = "results_%s",
         num_partitions: int = 8,
         batchsize: int = 10_000,
+        dbapi_connect=None,
     ):
         if not url.startswith("jdbc:"):
             raise ValueError(f"JDBC url must start with 'jdbc:': {url!r}")
@@ -225,6 +226,11 @@ class JdbcResultBackend:
         self.table_template = table_template
         self.num_partitions = num_partitions
         self.batchsize = batchsize
+        # DDL seam: Spark's JDBC writer has no DROP TABLE path, so TTL
+        # deletion needs a direct DBAPI connection (psycopg2 / mysql
+        # driver / sqlite3). Callers inject a zero-arg factory; sqlite
+        # URLs get one automatically (stdlib).
+        self.dbapi_connect = dbapi_connect
         self._schemas: dict[str, T.StructType] = {}
         self._lock = threading.Lock()
 
@@ -268,10 +274,32 @@ class JdbcResultBackend:
             .load()
         )
 
-    def delete(self, job_id: str) -> None:
-        # DROP TABLE over JDBC needs a direct connection (Spark has no
-        # DDL path); left to the warehouse's own retention policy.
+    def _connect(self):
+        if self.dbapi_connect is not None:
+            return self.dbapi_connect()
+        if self.url.startswith("jdbc:sqlite:"):
+            import sqlite3
+
+            return sqlite3.connect(self.url[len("jdbc:sqlite:") :])
         raise NotImplementedError(
-            "JDBC result deletion requires a direct DB connection; "
-            "configure retention on the results database"
+            "JDBC result deletion needs a DBAPI connection factory "
+            f"(dbapi_connect=...) for {self.url.split(':', 2)[1]} urls; "
+            "without one, configure retention on the results database"
         )
+
+    def delete(self, job_id: str) -> None:
+        """DROP the job's result table via a direct DBAPI connection.
+
+        The reference documents TTL as unsupported on SQL backends
+        (README 'ttl' row); here the reaper covers JDBC too, issuing
+        the same DROP TABLE its parquet twin does with rmtree
+        (sqldb.go:179-186 is the overwrite-path DROP this mirrors).
+        """
+        table = self.table_name(job_id).replace('"', '""')
+        con = self._connect()
+        try:
+            cur = con.cursor()
+            cur.execute(f'DROP TABLE IF EXISTS "{table}"')
+            con.commit()
+        finally:
+            con.close()

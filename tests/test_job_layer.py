@@ -240,6 +240,94 @@ def test_ttl_reaper_deletes_expired_results(core):
     assert core.job_status(resp.job_id)["count"] > 0
 
 
+def test_ttl_zero_keeps_results_forever(core):
+    """Explicit ttl=0 is 'keep forever' (jobstore.expired contract) —
+    it must NOT silently fall back to the server default; absent ttl
+    must."""
+    r0 = core.new_job("get_profit_entries", JobReq(args=["5"], ttl=0))
+    _wait(core, r0.job_id, (jobstore.SUCCESS,))
+    rdef = core.new_job("get_profit_entries", JobReq(args=["5"]))
+    _wait(core, rdef.job_id, (jobstore.SUCCESS,))
+    assert core.store.get(r0.job_id).ttl == 0
+    assert core.store.get(rdef.job_id).ttl == core.default_job_ttl
+    # far future: the default-ttl job reaps, the ttl=0 job never does
+    reaped = core.reap_expired_results(now=time.time() + 10**6)
+    assert rdef.job_id in reaped
+    assert r0.job_id not in reaped
+
+
+def test_jdbc_result_delete_drops_table(tmp_path):
+    """The TTL reaper's JDBC path issues a real DROP TABLE through a
+    direct DBAPI connection (Spark's JDBC writer has no DDL path)."""
+    import sqlite3
+
+    from dungbeetle_spark.results import JdbcResultBackend
+
+    db = tmp_path / "results.db"
+    with sqlite3.connect(db) as con:
+        con.execute('CREATE TABLE "results_j1" (n INTEGER)')
+        con.execute('CREATE TABLE "results_j2" (n INTEGER)')
+        con.commit()
+    backend = JdbcResultBackend("cache", f"jdbc:sqlite:{db}")
+    backend.delete("j1")
+    backend.delete("missing")  # DROP IF EXISTS: no error on absent table
+    with sqlite3.connect(db) as con:
+        names = {
+            r[0]
+            for r in con.execute(
+                "SELECT name FROM sqlite_master WHERE type='table'"
+            )
+        }
+    assert names == {"results_j2"}
+
+
+def test_reaper_survives_failing_and_unsupported_deletes(core):
+    """One bad backend must not stall TTL reaping for everyone else:
+    NotImplementedError (external retention) clears the record; a
+    transient failure keeps it for retry; records after either still
+    reap on the same pass."""
+
+    class _NoDelete:
+        name = "nodelete"
+
+        def delete(self, job_id):
+            raise NotImplementedError
+
+    class _Flaky:
+        name = "flaky"
+        calls = 0
+
+        def delete(self, job_id):
+            self.calls += 1
+            raise RuntimeError("warehouse hiccup")
+
+    flaky = _Flaky()
+    core.result_backends.add(_NoDelete())
+    core.result_backends.add(flaky)
+    try:
+        for name, backend in (("a", "nodelete"), ("b", "flaky"), ("c", "nodelete")):
+            rec = jobstore.JobRecord(job_id=f"reap_{name}", task="t", queue="q", ttl=1)
+            rec.state = jobstore.SUCCESS
+            rec.finished_at = time.time() - 100
+            rec.result_backend = backend
+            rec.result_path = f"/nonexistent/{name}"
+            core.store._jobs[rec.job_id] = rec
+        reaped = core.reap_expired_results()
+        assert "reap_a" in reaped and "reap_c" in reaped  # loop never stalls
+        assert "reap_b" not in reaped
+        assert core.store.get("reap_b").result_path  # kept for retry
+        assert not core.store.get("reap_a").result_path  # not re-selected
+        assert core.reap_expired_results() == []  # only flaky retries...
+        assert flaky.calls == 2  # ...and it was retried
+    finally:
+        # the shared core fixture routes result writes randomly across
+        # attached backends — the fakes must not leak to later tests
+        core.result_backends._backends.pop("nodelete", None)
+        core.result_backends._backends.pop("flaky", None)
+        for jid in ("reap_a", "reap_b", "reap_c"):
+            core.store.delete(jid)
+
+
 def test_partitioned_result_table(core, spark, tmp_path_factory):
     """`-- partition_by:` writes the result table partitioned, so a
     downstream reader of a big result gets partition pruning."""
