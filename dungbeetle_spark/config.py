@@ -68,8 +68,18 @@ class Config:
     worker_only: bool = False
     default_job_ttl: float = 60.0  # app.default_job_ttl
     result_reaper_interval: float = 0.0  # app.result_reaper_interval; 0 = off
+    job_store: str = ""  # SQLite path; "" = in-memory job state
     sources: list[SourceConf] = field(default_factory=list)
     results: list[ResultsConf] = field(default_factory=list)
+
+
+def _as_str_list(v: object) -> list[str]:
+    """A scalar TOML value is one entry, not an iterable of chars."""
+    if v is None:
+        return []
+    if isinstance(v, str):
+        return [v]
+    return [str(x) for x in v]
 
 
 def _apply_env(raw: dict, environ: dict[str, str]) -> None:
@@ -106,7 +116,9 @@ def load_config(
     app = raw.get("app", {})
     cfg = Config(
         server=str(raw.get("server", app.get("server", "127.0.0.1:6060"))),
-        sql_directories=list(raw.get("sql_directory", raw.get("sql_directories", []))),
+        sql_directories=_as_str_list(
+            raw.get("sql_directory", raw.get("sql_directories"))
+        ),
         default_queue=str(raw.get("queue", app.get("queue", "default"))),
         worker_concurrency=int(
             raw.get("worker_concurrency", app.get("worker_concurrency", 10))
@@ -116,6 +128,7 @@ def load_config(
         result_reaper_interval=parse_duration(
             app.get("result_reaper_interval"), 0.0
         ),
+        job_store=str(raw.get("job_store", app.get("job_store", "")) or ""),
     )
     for name, sub in (raw.get("db") or {}).items():
         cfg.sources.append(
@@ -152,6 +165,7 @@ def build_core(cfg: Config, spark=None):
         worker_concurrency=cfg.worker_concurrency,
         default_job_ttl=int(cfg.default_job_ttl),
         result_reaper_interval=cfg.result_reaper_interval,
+        jobstore_path=cfg.job_store or None,
     )
     from dungbeetle_spark.sources.catalog import TABLES
     from dungbeetle_spark.sources.formats import FileSource, JdbcSource

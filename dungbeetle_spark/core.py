@@ -79,9 +79,10 @@ class Core:
         worker_concurrency: int = 10,  # reference default, cmd/init.go:44
         default_job_ttl: int = 60,
         result_reaper_interval: float = 0.0,  # seconds; 0 = off (reference parity)
+        jobstore_path: str | None = None,  # SQLite file; None = in-memory only
     ) -> None:
         self.spark = spark
-        self.store = JobStore()
+        self.store = JobStore(persist_path=jobstore_path)
         self.sources = SourcePool()
         self.result_backends = ResultBackends()
         self.tasks: dict[str, Task] = {}
@@ -181,6 +182,7 @@ class Core:
         if self._reaper is not None:
             self._reaper.join(timeout=5)
             self._reaper = None
+        self.store.close()
 
     def reap_expired_results(self, now: float | None = None) -> list[str]:
         """Delete result tables whose job TTL has elapsed; return the
@@ -206,6 +208,7 @@ class Core:
                     # and keep reaping the rest of the list
                     continue
             rec.result_path = ""
+            self.store.touch(rec.job_id)
             reaped.append(rec.job_id)
         return reaped
 

@@ -1,4 +1,4 @@
-"""In-process job state store.
+"""In-process job state store, optionally persisted to SQLite.
 
 The reference tracks job state in Redis via tasqueue (states PENDING /
 STARTED / FAILURE / SUCCESS / RETRY, reference: internal/core/
@@ -7,13 +7,24 @@ count — per job (core.go:436). This store keeps the same state machine
 and payloads in-process with atomic check-and-set, fixing the
 reference's read-then-enqueue race on single-flight IDs
 (core.go:331-339).
+
+Persistence closes the reference's durability story (its Redis broker
+survives server restarts, README "Multiple queues, workers and job
+distribution"): with ``persist_path`` set, every mutation writes
+through to a SQLite file, and a restarted Core recovers terminal job
+status and result locations. Jobs caught mid-flight by the crash
+(PENDING/STARTED/RETRY) are marked FAILURE on recovery — their worker
+threads died with the process, and honest failure beats a forever-
+PENDING ghost.
 """
 
 from __future__ import annotations
 
+import json
+import sqlite3
 import threading
 import time
-from dataclasses import dataclass, field
+from dataclasses import asdict, dataclass, field
 
 # Job states (core.go:574-580).
 PENDING = "PENDING"
@@ -61,10 +72,64 @@ class JobStore:
     active at a time — enforced atomically here.
     """
 
-    def __init__(self) -> None:
+    def __init__(self, persist_path: str | None = None) -> None:
         self._jobs: dict[str, JobRecord] = {}
         self._groups: dict[str, list[str]] = {}
         self._lock = threading.RLock()
+        self._db: sqlite3.Connection | None = None
+        if persist_path:
+            # One shared connection, serialized by self._lock (worker
+            # threads all mutate through store methods).
+            self._db = sqlite3.connect(persist_path, check_same_thread=False)
+            self._db.execute(
+                "CREATE TABLE IF NOT EXISTS jobs (job_id TEXT PRIMARY KEY, data TEXT)"
+            )
+            self._db.execute(
+                "CREATE TABLE IF NOT EXISTS groups (group_id TEXT PRIMARY KEY, job_ids TEXT)"
+            )
+            self._db.commit()
+            self._recover()
+
+    # -- persistence --------------------------------------------------
+    def _recover(self) -> None:
+        """Load persisted state; fail jobs the crash caught mid-flight."""
+        assert self._db is not None
+        for (data,) in self._db.execute("SELECT data FROM jobs"):
+            rec = JobRecord(**json.loads(data))
+            if rec.state in _ACTIVE:
+                rec.state = FAILURE
+                rec.error = "interrupted by engine restart"
+                rec.finished_at = rec.finished_at or time.time()
+            self._jobs[rec.job_id] = rec
+        for gid, ids in self._db.execute("SELECT group_id, job_ids FROM groups"):
+            self._groups[gid] = json.loads(ids)
+        # write back the mid-flight → FAILURE transitions
+        for rec in self._jobs.values():
+            self._persist(rec)
+
+    def _persist(self, rec: JobRecord) -> None:
+        if self._db is None:
+            return
+        self._db.execute(
+            "INSERT OR REPLACE INTO jobs (job_id, data) VALUES (?, ?)",
+            (rec.job_id, json.dumps(asdict(rec))),
+        )
+        self._db.commit()
+
+    def _persist_group(self, group_id: str, job_ids: list[str]) -> None:
+        if self._db is None:
+            return
+        self._db.execute(
+            "INSERT OR REPLACE INTO groups (group_id, job_ids) VALUES (?, ?)",
+            (group_id, json.dumps(job_ids)),
+        )
+        self._db.commit()
+
+    def close(self) -> None:
+        with self._lock:
+            if self._db is not None:
+                self._db.close()
+                self._db = None
 
     # -- jobs ---------------------------------------------------------
     def create(self, rec: JobRecord) -> JobRecord:
@@ -75,6 +140,7 @@ class JobStore:
                     f"job {rec.job_id} is already running: {existing.state}"
                 )
             self._jobs[rec.job_id] = rec
+            self._persist(rec)
             return rec
 
     def get(self, job_id: str) -> JobRecord:
@@ -105,16 +171,28 @@ class JobStore:
                 rec.count = count
             if error is not None:
                 rec.error = error
+            self._persist(rec)
+
+    def touch(self, job_id: str) -> None:
+        """Re-persist a record mutated in place (result_path, group_id)."""
+        with self._lock:
+            rec = self._jobs.get(job_id)
+            if rec is not None:
+                self._persist(rec)
 
     def mark_cancelled(self, job_id: str) -> JobRecord:
         with self._lock:
             rec = self.get(job_id)
             rec.cancelled = True
+            self._persist(rec)
             return rec
 
     def delete(self, job_id: str) -> None:
         with self._lock:
             self._jobs.pop(job_id, None)
+            if self._db is not None:
+                self._db.execute("DELETE FROM jobs WHERE job_id = ?", (job_id,))
+                self._db.commit()
 
     def pending(self, queue: str) -> list[JobRecord]:
         """Pending jobs on a queue, oldest first (core.go:149-162 —
@@ -151,6 +229,9 @@ class JobStore:
     def create_group(self, group_id: str, job_ids: list[str]) -> None:
         with self._lock:
             self._groups[group_id] = list(job_ids)
+            self._persist_group(group_id, list(job_ids))
+            for jid in job_ids:  # members' group_id was set in place
+                self.touch(jid)
 
     def group_jobs(self, group_id: str) -> list[str]:
         with self._lock:
@@ -172,3 +253,8 @@ class JobStore:
     def delete_group(self, group_id: str) -> None:
         with self._lock:
             self._groups.pop(group_id, None)
+            if self._db is not None:
+                self._db.execute(
+                    "DELETE FROM groups WHERE group_id = ?", (group_id,)
+                )
+                self._db.commit()

@@ -44,6 +44,16 @@ def test_toml_and_env_layering(tmp_path):
     assert cfg.results[0].results_table == "res_%s"
 
 
+def test_scalar_sql_directory_is_one_entry(tmp_path):
+    """A scalar `sql_directory = "tasks_sql"` is one directory, not a
+    per-character list that silently globs to nothing."""
+    p = tmp_path / "config.toml"
+    p.write_text('sql_directory = "tasks_sql"\njob_store = "/tmp/jobs.db"\n')
+    cfg = load_config(str(p), environ={})
+    assert cfg.sql_directories == ["tasks_sql"]
+    assert cfg.job_store == "/tmp/jobs.db"
+
+
 def test_defaults_without_file():
     cfg = load_config(None, environ={})
     assert cfg.server == "127.0.0.1:6060"
