@@ -175,21 +175,58 @@ FRAME_SCHEMA = T.StructType(
 )
 
 
+try:  # codec auto-detect: real resampling when pillow exists
+    from PIL import Image as _PILImage
+
+    HAVE_PIL = True
+except ImportError:  # container has no media libs; stub path below
+    _PILImage = None
+    HAVE_PIL = False
+
+
+def resize_real(payload: bytes | None, edge: int = _THUMB):
+    """Pillow thumbnail: ``(png_bytes, w, h)``, or None when pillow is
+    absent or the payload isn't a decodable image (then the caller
+    falls back to the deterministic stub — so synthetic text payloads
+    produce the same oracle row with or without pillow installed)."""
+    if _PILImage is None or payload is None:
+        return None
+    import io
+
+    try:
+        with _PILImage.open(io.BytesIO(bytes(payload))) as im:
+            im.thumbnail((edge, edge))
+            buf = io.BytesIO()
+            im.save(buf, format="PNG")
+            return buf.getvalue(), im.width, im.height
+    except Exception:  # noqa: BLE001 — undecodable bytes → stub path
+        return None
+
+
 def _resize_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """Thumbnail pass: clamp dims to the target edge, emit a
-    deterministic fake thumbnail (payload truncated to out_w*out_h
-    bytes — the pillow resample call goes here in production)."""
+    """Thumbnail pass. Per row: try the real codec (pillow, when
+    importable AND the payload decodes as an image); otherwise clamp
+    dims to the target edge and emit a deterministic fake thumbnail
+    (payload truncated to out_w*out_h bytes)."""
     for pdf in batches:
-        ow = pdf["meta"].map(lambda m: min(int(m["width"]), _THUMB))
-        oh = pdf["meta"].map(lambda m: min(int(m["height"]), _THUMB))
-        thumbs = [
-            bytes(p[: w * h]) for p, w, h in zip(pdf["payload"], ow, oh)
-        ]
+        ids, ows, ohs, thumbs = [], [], [], []
+        for mid, payload, meta in zip(pdf["media_id"], pdf["payload"], pdf["meta"]):
+            real = resize_real(payload)
+            if real is not None:
+                thumb, w, h = real
+            else:
+                w = min(int(meta["width"]), _THUMB)
+                h = min(int(meta["height"]), _THUMB)
+                thumb = bytes(payload[: w * h])
+            ids.append(mid)
+            ows.append(w)
+            ohs.append(h)
+            thumbs.append(thumb)
         yield pd.DataFrame(
             {
-                "media_id": pdf["media_id"],
-                "out_width": ow.astype("int32"),
-                "out_height": oh.astype("int32"),
+                "media_id": pd.Series(ids, dtype="int64"),
+                "out_width": pd.Series(ows, dtype="int32"),
+                "out_height": pd.Series(ohs, dtype="int32"),
                 "thumb": thumbs,
             }
         )

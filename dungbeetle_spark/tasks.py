@@ -39,16 +39,19 @@ from dataclasses import dataclass, field
 from pyspark.sql import SparkSession
 
 # Matches, in order: single-quoted strings (with '' escapes),
-# double-quoted identifiers, line comments, $n markers, ? markers.
+# double-quoted identifiers, line comments, /* */ block comments,
+# $n markers, ? markers. The comment/string branches exist so markers
+# INSIDE them are left alone and don't inflate nargs.
 _PLACEHOLDER_RE = re.compile(
     r"""
     (?P<str>'(?:[^']|'')*')
   | (?P<ident>"(?:[^"]|"")*")
   | (?P<comment>--[^\n]*)
+  | (?P<block>/\*.*?\*/)
   | \$(?P<dollar>\d+)
   | (?P<qmark>\?)
     """,
-    re.VERBOSE,
+    re.VERBOSE | re.DOTALL,
 )
 
 _NAME_TAG_RE = re.compile(r"^\s*--\s*name\s*:\s*(\S+)\s*$")

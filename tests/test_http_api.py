@@ -164,5 +164,15 @@ def test_explain_endpoint(client):
     assert out["task"] == "get_profit_summary"
     assert "Physical Plan" in out["plan"]
     assert "PushedFilters" in out["plan"]  # param filter reaches the scan
+    # pin the plan PROPERTY, not just the section header: the bound
+    # user_id predicate itself must be inside the pushed-filter list,
+    # and the aggregate must partial-combine map-side — the same
+    # contract tests/test_plans.py pins on the DataFrame directly, now
+    # guaranteed through the HTTP surface so the endpoint can't rot.
+    pushed = [
+        line for line in out["plan"].splitlines() if "PushedFilters" in line
+    ]
+    assert any("user_id" in line for line in pushed), pushed
+    assert "partial" in out["plan"].lower()  # HashAggregate(partial)
     with pytest.raises(ClientError):
         client._do("GET", "/tasks/no_such_task/explain")

@@ -101,6 +101,15 @@ def test_placeholders_skip_strings_and_comments():
     assert sql.endswith("WHERE x = :p1")
 
 
+def test_placeholders_skip_block_comments():
+    sql, n = normalize_placeholders(
+        "SELECT a /* doc: pass $3 or ?\n   spanning lines */ FROM t WHERE x = $1"
+    )
+    assert n == 1  # markers inside /* */ must not inflate nargs
+    assert "/* doc: pass $3 or ?\n   spanning lines */" in sql
+    assert sql.endswith("WHERE x = :p1")
+
+
 def test_bind_args():
     assert bind_args(["a", 2]) == {"p1": "a", "p2": 2}
 
