@@ -31,6 +31,8 @@ HEADLINE = [
     "top_events_per_user",
     "user_activity_stats",
     "q14_promo_revenue",
+    "q8_market_share",
+    "q21_latest_shippers",
     "asof_click_attribution",
     "sessionize_events",
     "dedup_exact",

@@ -152,3 +152,46 @@ def test_time_rollup_single_expand_aggregate(spark, sf):
     plan = formatted_plan(df)
     assert "Expand" in plan, "rollup should expand grouping sets in one pass"
     assert shuffle_exchanges(df) <= 1
+
+
+def test_q21_single_fact_partitioning_serves_agg_and_windows(spark, sf):
+    """The explicit l_orderkey repartition must satisfy both the
+    composite-key aggregate and the window partitioning — the fact
+    shuffles once, not once per operator."""
+    df = _df(spark, sf, "q21_latest_shippers")
+    # orderkey spread + the tiny post-filter s_name aggregate, no more
+    assert shuffle_exchanges(df) <= 2
+    assert has_broadcast_join(df), "supplier dim must broadcast"
+
+
+def test_q8_q9_broadcast_snowflake_single_fact_shuffle(spark, sf):
+    for name in ("q8_market_share", "q9_product_profit"):
+        df = _df(spark, sf, name)
+        assert has_broadcast_join(df), name
+        assert has_partial_aggregate(df), name
+        # dims broadcast; the only exchanges are the (possible) fact-
+        # fact orders join and the group-by key
+        assert shuffle_exchanges(df) <= 3, name
+
+
+def test_q11_q15_scalar_from_reaggregation_not_rescan(spark, sf):
+    """The global scalar (total value / max revenue) must come from
+    re-aggregating the small per-key aggregate, never a second scan
+    of the fact table."""
+    for name, fact_col in (
+        ("q11_important_parts", "l_partkey"),
+        ("q15_top_supplier", "l_suppkey"),
+    ):
+        df = _df(spark, sf, name)
+        fact_scans = [s for s in scan_schemas(df) if fact_col in s]
+        assert len(fact_scans) <= 2, (name, fact_scans)
+        assert has_broadcast_join(df), name
+
+
+def test_q17_decorrelated_average_broadcasts_back(spark, sf):
+    df = _df(spark, sf, "q17_small_quantity_revenue")
+    assert has_broadcast_join(df), "per-part average must broadcast onto the fact"
+    assert shuffle_exchanges(df) <= 2
+    # both lineitem scans are narrow projections
+    for s in scan_schemas(df):
+        assert "l_comment" not in s and s.count(":") <= 3, s
