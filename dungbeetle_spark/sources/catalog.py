@@ -68,6 +68,16 @@ def load_tables(
     # verify harness builds its own SparkSession.
     try:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # Engine tuning default: a session still on the stock 200
+        # shuffle partitions gets the cluster's parallelism instead —
+        # on a vanilla local session every windowed/stateful query
+        # otherwise pays 200 near-empty tasks per exchange. A
+        # deliberately configured value (anything != 200) is honored.
+        if spark.conf.get("spark.sql.shuffle.partitions", "200") == "200":
+            spark.conf.set(
+                "spark.sql.shuffle.partitions",
+                str(max(spark.sparkContext.defaultParallelism, 1)),
+            )
     except Exception:  # noqa: BLE001 — conf locked: rely on session defaults
         pass
     return {n: _fix_nanos(spark.read.parquet(f"{sf_dir}/{n}.parquet")) for n in names}
