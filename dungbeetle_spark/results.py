@@ -131,12 +131,16 @@ class ParquetResultBackend:
         """Canonical-cast + overwrite ``results_<job_id>``; return rowcount.
 
         The row count is the job's only "result" payload, surfaced by
-        status polls (core.go:436, 183-190). Spark's write gives it to
-        us without a second scan via ``df.count()`` on the cast plan —
-        at 100 TB prefer reading the write metric, but in local mode a
-        cached count on the already-computed result is equivalent.
+        status polls (core.go:436, 183-190). It comes from an
+        ``Observation`` on the write pass itself — rows are counted as
+        they stream through the writer, so there is no second scan of
+        the result (and no recompute of the query): the 100 TB-correct
+        way to get write metrics.
         """
-        out = canonical_cast(df)
+        from pyspark.sql import Observation
+
+        obs = Observation()
+        out = canonical_cast(df).observe(obs, F.count(F.lit(1)).alias("n"))
         with self._lock:
             self._schemas.setdefault(task_name, out.schema)
         path = self.table_path(job_id)
@@ -145,8 +149,7 @@ class ParquetResultBackend:
         if cols:
             writer = writer.partitionBy(*cols)
         writer.parquet(path)
-        spark = df.sparkSession
-        return spark.read.parquet(path).count()
+        return int(obs.get["n"])
 
     def read(self, spark: SparkSession, job_id: str) -> DataFrame:
         return spark.read.parquet(self.table_path(job_id))
@@ -251,7 +254,16 @@ class JdbcResultBackend:
         df: DataFrame,
         partition_by: Iterable[str] = (),  # noqa: ARG002 — JDBC tables are flat
     ) -> int:
-        out = canonical_cast(df).coalesce(self.num_partitions)
+        from pyspark.sql import Observation
+
+        # Count on the write pass itself (Observation): re-reading the
+        # written table would be a SECOND full transfer over JDBC.
+        obs = Observation()
+        out = (
+            canonical_cast(df)
+            .coalesce(self.num_partitions)
+            .observe(obs, F.count(F.lit(1)).alias("n"))
+        )
         with self._lock:
             self._schemas.setdefault(task_name, out.schema)
         (
@@ -263,7 +275,7 @@ class JdbcResultBackend:
             .mode("overwrite")
             .save()
         )
-        return self.read(df.sparkSession, job_id).count()
+        return int(obs.get["n"])
 
     def read(self, spark: SparkSession, job_id: str) -> DataFrame:
         return (

@@ -107,6 +107,32 @@ def test_unknown_route_404s(client):
     assert ei.value.code == 404
 
 
+def test_eta_and_retries_through_http(client):
+    """Request-level eta + retries must survive the HTTP layer end to
+    end (reference job-param table, README): the ETA job stays PENDING
+    until its wall-clock time, then runs; the retries value echoes in
+    the enqueue response and drives re-execution on failure."""
+    eta = time.strftime("%Y-%m-%d %H:%M:%S", time.localtime(time.time() + 2))
+    resp = client.post_job(
+        "get_profit_summary", job_id="http_eta1", args=["4"], eta=eta, retries=2
+    )
+    assert resp["eta"] == eta
+    assert resp["retries"] == 2
+    st = client.get_job_status("http_eta1")
+    assert st["state"] == "PENDING"  # not submitted before the ETA
+    time.sleep(1.0)
+    assert client.get_job_status("http_eta1")["state"] == "PENDING"
+    st = _poll(client, "http_eta1")
+    assert st["state"] == "SUCCESS", st["error"]
+    assert st["count"] > 0
+
+    # retries through HTTP: a failing task re-executes attempts+1 times
+    failing = client.post_job("get_profit_entries", args=[], retries=1)
+    st = _poll(client, failing["job_id"])
+    assert st["state"] == "FAILURE"  # needs 1 arg; failed after retry
+    assert "needs" in st["error"]
+
+
 def test_slow_query_poll_then_delete(client):
     """client_test.go:84-124: slow job stays non-terminal while
     polling; a second slow job is cancellable mid-flight."""
