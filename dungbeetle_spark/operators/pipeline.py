@@ -1,0 +1,194 @@
+"""Training-data pipeline operators: dedup clustering, term scoring,
+dataset splitting.
+
+Three op classes a 100 TB corpus pipeline needs beyond pairwise dedup
+(SURVEY.md §2 addendum):
+
+- **dedup_components** — duplicate CLUSTERS from near-dup pairs via
+  iterative min-label propagation (the Pregel/GraphX shape expressed
+  on DataFrames). Pairs alone can't drive "keep one per group":
+  transitive duplicates (A~B, B~C) must collapse into one component.
+- **tfidf_top_terms** — per-document top-k terms by a log-free tf-idf
+  variant (tf·N/df). Dropping the log keeps the score an exact
+  integer ratio, so ranking is bit-identical cross-engine (ln() last-
+  ulp differences between libms would make rank ties nondeterministic).
+- **hash_split_train_test** — deterministic train/test assignment by
+  md5-prefix range. Content-hash splitting is the reproducible way to
+  partition a corpus that is re-ingested incrementally: a document's
+  split never depends on what else arrived.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from dungbeetle_spark.functions.texts import norm_text
+from dungbeetle_spark.queries import _t, query
+
+_CC_MAX_ITERS = 20
+
+
+def connected_components(nodes: DataFrame, pairs: DataFrame) -> DataFrame:
+    """Min-label propagation: (doc_id) × (doc_a, doc_b) → (doc_id, component).
+
+    Each iteration is ONE shuffle (edges ⋈ labels + a min-aggregate);
+    the loop runs until no label changes, bounded by the duplicate-
+    graph diameter (near-dup clusters are shallow — a handful of
+    rounds). ``localCheckpoint`` truncates the plan each round so
+    lineage doesn't grow with iterations — the standard Spark
+    iterative-algorithm contract (GraphX does the same internally).
+    """
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .union(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+        .localCheckpoint()
+    )
+    labels = nodes.select("doc_id", F.col("doc_id").alias("component")).localCheckpoint()
+    for _ in range(_CC_MAX_ITERS):
+        prop = (
+            edges.join(labels, edges.src == labels.doc_id)
+            .groupBy(F.col("dst").alias("doc_id"))
+            .agg(F.min("component").alias("cand"))
+        )
+        improved = prop.join(labels, "doc_id").filter(F.col("cand") < F.col("component"))
+        if improved.isEmpty():
+            break
+        labels = (
+            labels.join(prop, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(F.col("component"), F.coalesce("cand", "component")).alias(
+                    "component"
+                ),
+            )
+            .localCheckpoint()
+        )
+    return labels
+
+
+@query(
+    "dedup_components",
+    oracle="""
+    WITH RECURSIVE
+    words AS (
+      SELECT doc_id,
+             regexp_split_to_array(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS w
+      FROM documents),
+    sh AS (
+      SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+      FROM words, UNNEST(range(1, greatest(len(w) - 3 + 2, 1))) AS t(i)),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    common AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2),
+    pairs AS (
+      SELECT doc_a, doc_b FROM common
+      JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
+      WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.10),
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION ALL SELECT doc_b, doc_a FROM pairs),
+    reach(node, lbl) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node)
+    SELECT node AS doc_id, MIN(lbl) AS component FROM reach GROUP BY node
+    """,
+    doc="Duplicate clustering: near-dup pairs (exact 3-gram Jaccard "
+    "≥ 0.1, same contract as dedup_ngram_jaccard) grow into connected "
+    "components via iterative min-label propagation — one shuffle per "
+    "round, rounds bounded by cluster diameter, lineage checkpointed. "
+    "component = min doc_id of the cluster, i.e. the canonical keeper. "
+    "The oracle replays the fixpoint as a DuckDB recursive CTE "
+    "(transitive closure + MIN) — an exact cross-engine check of an "
+    "ITERATIVE distributed algorithm.",
+)
+def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dungbeetle_spark.operators.dedup import dedup_ngram_jaccard
+
+    d = _t(spark, sf_dir, "documents")["documents"]
+    pairs = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    return connected_components(d.select("doc_id"), pairs)
+
+
+@query(
+    "tfidf_top_terms",
+    oracle="""
+    WITH words AS (
+      SELECT doc_id,
+             UNNEST(regexp_split_to_array(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS w
+      FROM documents),
+    tf AS (SELECT doc_id, w, COUNT(*) AS tf FROM words GROUP BY 1, 2),
+    df AS (SELECT w, COUNT(DISTINCT doc_id) AS df FROM words GROUP BY 1),
+    n AS (SELECT COUNT(*) AS n FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.w AS term,
+             tf.tf * (SELECT n FROM n) / CAST(df.df AS DOUBLE) AS score
+      FROM tf JOIN df ON tf.w = df.w),
+    ranked AS (
+      SELECT doc_id, term, score,
+             ROW_NUMBER() OVER (PARTITION BY doc_id
+                                ORDER BY score DESC, term) AS rk
+      FROM scored)
+    SELECT doc_id, term, rk AS rank, score FROM ranked WHERE rk <= 3
+    """,
+    doc="Per-document top-3 terms by tf·N/df (log-free tf-idf: the "
+    "score stays an exact integer ratio — one IEEE division, "
+    "bit-identical cross-engine, so ranks can't wobble on libm ln() "
+    "differences). tf and df come from the same exploded projection; "
+    "df joins back on the term (the shuffle moves (term, df) pairs, "
+    "not documents); WindowGroupLimit prunes to 3 rows per doc "
+    "pre-shuffle.",
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")["documents"]
+    words = d.select(
+        "doc_id", F.explode(F.split(norm_text(F.col("text")), " ")).alias("w")
+    )
+    tf = words.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("tf"))
+    df = tf.groupBy("w").agg(F.count(F.lit(1)).alias("df"))  # tf rows = distinct docs
+    n = d.agg(F.count(F.lit(1)).alias("n"))
+    scored = (
+        tf.join(df, "w")
+        .join(F.broadcast(n))
+        .select(
+            "doc_id",
+            F.col("w").alias("term"),
+            ((F.col("tf") * F.col("n")) / F.col("df").cast("double")).alias("score"),
+        )
+    )
+    w_rank = W.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w_rank))
+        .filter(F.col("rank") <= 3)
+        .select("doc_id", "term", "rank", "score")
+    )
+
+
+@query(
+    "hash_split_train_test",
+    oracle="""
+    SELECT doc_id,
+           CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cd'
+                THEN 'train' ELSE 'test' END AS split
+    FROM documents
+    """,
+    doc="Deterministic ~80/20 train/test split by md5-prefix range "
+    "('cd' = 205/256 ≈ 80.1%): assignment depends only on the key, so "
+    "re-ingesting or re-partitioning the corpus never moves a document "
+    "across the split — the reproducibility contract training "
+    "pipelines need. Pure narrow projection; no shuffle at any scale.",
+)
+def hash_split_train_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")["documents"]
+    return d.select(
+        "doc_id",
+        F.when(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2) < "cd", "train"
+        )
+        .otherwise("test")
+        .alias("split"),
+    )

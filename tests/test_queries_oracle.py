@@ -122,6 +122,21 @@ def test_embedding_dedup_big_corpus_never_collects(spark, sf_oracle, monkeypatch
     assert all(exact[k] == v for k, v in lsh.items())
 
 
+def test_connected_components_transitivity(spark):
+    """Label propagation must collapse CHAINS (A~B, B~C → one
+    component) and leave disconnected nodes as singletons — pairwise
+    output alone can't express this."""
+    from dungbeetle_spark.operators.pipeline import connected_components
+
+    nodes = spark.createDataFrame([(i,) for i in range(7)], "doc_id long")
+    #  chain 0-1-2, pair 4-5, singletons 3 and 6
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (4, 5)], "doc_a long, doc_b long"
+    )
+    got = {r.doc_id: r.component for r in connected_components(nodes, pairs).collect()}
+    assert got == {0: 0, 1: 0, 2: 0, 3: 3, 4: 4, 5: 4, 6: 6}
+
+
 def test_simhash_banded_recall_is_total(spark):
     """Pigeonhole banding must equal the exact O(n²) hamming scan.
 
