@@ -79,3 +79,92 @@ def test_coerce_leaves_noncanonical_numerals(s):
 def test_bind_args_positions(args):
     bound = bind_args(args)
     assert set(bound) == {f"p{i+1}" for i in range(len(args))}
+
+
+# ---------------------------------------------------------------------------
+# Distributed-operator properties (small example counts: each example
+# runs real Spark jobs; the point is structural invariants on
+# arbitrary graphs/fingerprints, not throughput).
+# ---------------------------------------------------------------------------
+
+
+def _union_find_components(n_nodes, edges):
+    parent = list(range(n_nodes))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # canonical label = min node id of the component
+    out = {}
+    for v in range(n_nodes):
+        root = find(v)
+        out[v] = min(w for w in range(n_nodes) if find(w) == root)
+    return out
+
+
+@given(st.data())
+@settings(max_examples=8, deadline=None)
+def test_connected_components_matches_union_find(spark, data):
+    n = data.draw(st.integers(2, 12))
+    edges = data.draw(
+        st.lists(
+            st.tuples(st.integers(0, n - 1), st.integers(0, n - 1)).filter(
+                lambda e: e[0] < e[1]
+            ),
+            max_size=10,
+            unique=True,
+        )
+    )
+    from dungbeetle_spark.operators.pipeline import connected_components
+
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+    pairs = spark.createDataFrame(edges, "doc_a long, doc_b long") if edges else (
+        spark.createDataFrame([], "doc_a long, doc_b long")
+    )
+    got = {r.doc_id: r.component for r in connected_components(nodes, pairs).collect()}
+    assert got == _union_find_components(n, edges)
+
+
+@given(st.data())
+@settings(max_examples=8, deadline=None)
+def test_simhash_banding_matches_exact_hamming(spark, data):
+    """Pigeonhole banding == exact O(n²) hamming scan for ANY set of
+    64-bit fingerprints (not just text-derived ones)."""
+    from pyspark.sql import functions as F
+
+    from dungbeetle_spark.operators.dedup import simhash_pairs
+
+    n = data.draw(st.integers(2, 10))
+    base = data.draw(st.integers(-(2**63), 2**63 - 1))
+    # cluster fingerprints around a base value by flipping few bits —
+    # guarantees some near pairs exist instead of pure-random distance
+    fps_vals = [
+        base
+        if data.draw(st.booleans())
+        else base ^ sum(1 << b for b in data.draw(
+            st.lists(st.integers(0, 63), min_size=0, max_size=5, unique=True)
+        ))
+        for _ in range(n)
+    ]
+    fps_vals = [((v + 2**63) % 2**64) - 2**63 for v in fps_vals]  # wrap to i64
+    fps = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(fps_vals)], "doc_id long, simhash long"
+    )
+    banded = {
+        (r.doc_a, r.doc_b, r.hamming)
+        for r in simhash_pairs(fps, max_hamming=3).collect()
+    }
+    exact = set()
+    for i in range(n):
+        for j in range(i + 1, n):
+            h = bin((fps_vals[i] ^ fps_vals[j]) & (2**64 - 1)).count("1")
+            if h <= 3:
+                exact.add((i, j, h))
+    assert banded == exact
