@@ -188,6 +188,23 @@ def test_q11_q15_scalar_from_reaggregation_not_rescan(spark, sf):
         assert has_broadcast_join(df), name
 
 
+def test_tfidf_prunes_topk_and_scans_narrow(spark, sf):
+    df = _df(spark, sf, "tfidf_top_terms")
+    plan = formatted_plan(df)
+    assert "WindowGroupLimit" in plan, "rank<=3 must prune pre-shuffle"
+    assert has_partial_aggregate(df), "tf counts must combine map-side"
+    # every documents scan is narrow: the words pipeline reads exactly
+    # (doc_id, text); the corpus-size scalar reads zero columns
+    for s in scan_schemas(df):
+        assert s in ("struct<doc_id:bigint,text:string>", "struct<>"), s
+
+
+def test_hash_split_is_shuffle_free(spark, sf):
+    df = _df(spark, sf, "hash_split_train_test")
+    assert shuffle_exchanges(df) == 0, "split must stay a narrow projection"
+    assert scan_schemas(df) == ["struct<doc_id:bigint>"]
+
+
 def test_q17_decorrelated_average_broadcasts_back(spark, sf):
     df = _df(spark, sf, "q17_small_quantity_revenue")
     assert has_broadcast_join(df), "per-part average must broadcast onto the fact"
