@@ -72,15 +72,28 @@ class JobStore:
     active at a time — enforced atomically here.
     """
 
-    def __init__(self, persist_path: str | None = None) -> None:
+    def __init__(
+        self, persist_path: str | None = None, recover_inflight: bool = True
+    ) -> None:
+        """``recover_inflight=True`` (the restart flow) marks persisted
+        active jobs FAILURE at startup — their workers died with the
+        previous process. A SECONDARY process attaching to a live
+        store (worker-only sidecar) must pass False: the primary's
+        active jobs are still running, and failing them from the
+        outside would corrupt its state."""
         self._jobs: dict[str, JobRecord] = {}
         self._groups: dict[str, list[str]] = {}
         self._lock = threading.RLock()
+        self._recover_inflight = recover_inflight
         self._db: sqlite3.Connection | None = None
         if persist_path:
             # One shared connection, serialized by self._lock (worker
-            # threads all mutate through store methods).
-            self._db = sqlite3.connect(persist_path, check_same_thread=False)
+            # threads all mutate through store methods). Autocommit
+            # (isolation_level=None) so the explicit BEGIN IMMEDIATE in
+            # create() owns its transaction boundaries.
+            self._db = sqlite3.connect(
+                persist_path, check_same_thread=False, isolation_level=None
+            )
             self._db.execute(
                 "CREATE TABLE IF NOT EXISTS jobs (job_id TEXT PRIMARY KEY, data TEXT)"
             )
@@ -96,16 +109,14 @@ class JobStore:
         assert self._db is not None
         for (data,) in self._db.execute("SELECT data FROM jobs"):
             rec = JobRecord(**json.loads(data))
-            if rec.state in _ACTIVE:
+            if rec.state in _ACTIVE and self._recover_inflight:
                 rec.state = FAILURE
                 rec.error = "interrupted by engine restart"
                 rec.finished_at = rec.finished_at or time.time()
+                self._persist(rec)
             self._jobs[rec.job_id] = rec
         for gid, ids in self._db.execute("SELECT group_id, job_ids FROM groups"):
             self._groups[gid] = json.loads(ids)
-        # write back the mid-flight → FAILURE transitions
-        for rec in self._jobs.values():
-            self._persist(rec)
 
     def _persist(self, rec: JobRecord) -> None:
         if self._db is None:
@@ -139,8 +150,40 @@ class JobStore:
                 raise SingleFlightError(
                     f"job {rec.job_id} is already running: {existing.state}"
                 )
+            if self._db is not None:
+                # Cross-process single-flight: another engine process
+                # sharing this store file may own an active instance of
+                # the ID. BEGIN IMMEDIATE takes the writer lock, so the
+                # check-and-insert is atomic against concurrent
+                # creators (the reference gets the same guarantee from
+                # Redis, core.go:331-339).
+                self._db.execute("BEGIN IMMEDIATE")
+                try:
+                    row = self._db.execute(
+                        "SELECT data FROM jobs WHERE job_id = ?", (rec.job_id,)
+                    ).fetchone()
+                    if row is not None:
+                        state = json.loads(row[0]).get("state")
+                        # Our own in-memory copy already passed the
+                        # active check above (and write-through keeps
+                        # it in sync with the DB), so an active DB row
+                        # here can only belong to another process.
+                        if state in _ACTIVE:
+                            raise SingleFlightError(
+                                f"job {rec.job_id} is already running "
+                                f"in another process: {state}"
+                            )
+                    self._db.execute(
+                        "INSERT OR REPLACE INTO jobs (job_id, data) VALUES (?, ?)",
+                        (rec.job_id, json.dumps(asdict(rec))),
+                    )
+                    self._db.commit()
+                except BaseException:
+                    self._db.rollback()
+                    raise
+                self._jobs[rec.job_id] = rec
+                return rec
             self._jobs[rec.job_id] = rec
-            self._persist(rec)
             return rec
 
     def get(self, job_id: str) -> JobRecord:

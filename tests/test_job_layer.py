@@ -365,6 +365,36 @@ def test_jobstore_survives_restart(spark, sf_smoke, tmp_path):
     c2.stop()
 
 
+def test_single_flight_across_processes(tmp_path):
+    """Two engine processes sharing one job-store file must honor each
+    other's active jobs: the check-and-insert is atomic in SQLite
+    (BEGIN IMMEDIATE), the reference's Redis single-flight guarantee
+    (core.go:331-339) without Redis."""
+    db = str(tmp_path / "jobs.db")
+    s1 = jobstore.JobStore(persist_path=db)
+    s2 = jobstore.JobStore(persist_path=db)  # second "process"
+
+    s1.create(jobstore.JobRecord(job_id="sf1", task="t", queue="q"))  # PENDING
+    with pytest.raises(SingleFlightError, match="another process"):
+        s2.create(jobstore.JobRecord(job_id="sf1", task="t", queue="q"))
+
+    # a sidecar attaching to the LIVE store must not fail the
+    # primary's in-flight jobs (recover_inflight=False) — and must
+    # still see and honor them
+    s3 = jobstore.JobStore(persist_path=db, recover_inflight=False)
+    assert s3.get("sf1").state == jobstore.PENDING
+    with pytest.raises(SingleFlightError):  # loaded live job honored
+        s3.create(jobstore.JobRecord(job_id="sf1", task="t", queue="q"))
+    s3.close()
+
+    s1.set_state("sf1", jobstore.SUCCESS)  # terminal → re-post allowed anywhere
+    s2.create(jobstore.JobRecord(job_id="sf1", task="t", queue="q"))
+    with pytest.raises(SingleFlightError):  # and now s2 owns the active one
+        s1.create(jobstore.JobRecord(job_id="sf1", task="t", queue="q"))
+    s1.close()
+    s2.close()
+
+
 def test_partitioned_result_table(core, spark, tmp_path_factory):
     """`-- partition_by:` writes the result table partitioned, so a
     downstream reader of a big result gets partition pruning."""
