@@ -113,13 +113,30 @@ def fan_out(df: DataFrame) -> DataFrame:
     rescue unsplittable single-row-group files in local runs.
     """
     n = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() >= n:
+    if _scan_partitions(df) >= n:
         return df
     return (
         df.withColumn("_fan_salt", F.rand(seed=42))
         .repartition(n, F.col("_fan_salt"))
         .drop("_fan_salt")
     )
+
+
+_SCAN_PARTS_CACHE: dict[tuple[int, int], int] = {}
+
+
+def _scan_partitions(df: DataFrame) -> int:
+    """Planned input splits for ``df``, memoized per (session, plan).
+
+    ``df.rdd.getNumPartitions()`` costs a physical-planning pass
+    (~50-100 ms); repeated builds of the same query — a job server's
+    steady state — hit the cache keyed on Catalyst's semantic plan
+    hash instead."""
+    key = (id(df.sparkSession), df.semanticHash())
+    hit = _SCAN_PARTS_CACHE.get(key)
+    if hit is None:
+        hit = _SCAN_PARTS_CACHE[key] = df.rdd.getNumPartitions()
+    return hit
 
 
 def register_views(
