@@ -421,3 +421,54 @@ def q21_latest_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("numwait"), F.asc("s_name"))
         .limit(20)
     )
+
+
+@query(
+    "grouping_sets_sales",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           GROUPING(l_returnflag) AS g_rf, GROUPING(l_linestatus) AS g_ls
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+    """,
+    doc="Arbitrary GROUPING SETS (beyond the rollup/cube shorthands "
+    "covered elsewhere) with GROUPING() markers disambiguating "
+    "subtotal NULLs from data NULLs. Catalyst expands all three sets "
+    "in ONE Expand + aggregate pass over a single scan — no per-set "
+    "re-scan. Expressed through spark.sql to exercise the task-SQL "
+    "passthrough path the job server serves.",
+)
+def grouping_sets_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir, "lineitem")
+    t["lineitem"].createOrReplaceTempView("gs_lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+               GROUPING(l_returnflag) AS g_rf, GROUPING(l_linestatus) AS g_ls
+        FROM gs_lineitem
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+        """
+    )
+
+
+@query(
+    "customer_status_except_all",
+    oracle="""
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+    EXCEPT ALL
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    """,
+    doc="Multiset EXCEPT ALL (bag semantics — each F-status order "
+    "cancels ONE O-status occurrence of the same customer, unlike the "
+    "set-based operators in customer_set_ops). Catalyst plans a "
+    "single hash aggregation counting occurrences per side, then "
+    "replicates rows by the count difference — one shuffle, no "
+    "row-by-row anti join.",
+)
+def customer_status_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")["orders"]
+    open_keys = o.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    filled_keys = o.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    return open_keys.exceptAll(filled_keys)
