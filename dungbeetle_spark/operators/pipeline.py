@@ -31,14 +31,18 @@ _CC_MAX_ITERS = 20
 
 
 def connected_components(nodes: DataFrame, pairs: DataFrame) -> DataFrame:
-    """Min-label propagation: (doc_id) × (doc_a, doc_b) → (doc_id, component).
+    """Min-label propagation with pointer jumping:
+    (doc_id) × (doc_a, doc_b) → (doc_id, component).
 
-    Each iteration is ONE shuffle (edges ⋈ labels + a min-aggregate);
-    the loop runs until no label changes, bounded by the duplicate-
-    graph diameter (near-dup clusters are shallow — a handful of
-    rounds). ``localCheckpoint`` truncates the plan each round so
-    lineage doesn't grow with iterations — the standard Spark
-    iterative-algorithm contract (GraphX does the same internally).
+    Each round does (1) a neighbor step — every node takes the min
+    label across its edges — and (2) a pointer-jump step — every node
+    re-reads the CURRENT label of its labelholder, halving chain depth
+    like union-find path compression. Convergence is O(log diameter),
+    so the iteration cap is a pathology guard, not a correctness
+    bound; hitting it raises instead of silently returning unconverged
+    labels. ``localCheckpoint`` truncates lineage each round — the
+    standard Spark iterative-algorithm contract (GraphX does the same
+    internally).
     """
     edges = (
         pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
@@ -47,25 +51,45 @@ def connected_components(nodes: DataFrame, pairs: DataFrame) -> DataFrame:
     )
     labels = nodes.select("doc_id", F.col("doc_id").alias("component")).localCheckpoint()
     for _ in range(_CC_MAX_ITERS):
+        # (1) neighbor step: min label over incident edges
         prop = (
             edges.join(labels, edges.src == labels.doc_id)
             .groupBy(F.col("dst").alias("doc_id"))
             .agg(F.min("component").alias("cand"))
         )
-        improved = prop.join(labels, "doc_id").filter(F.col("cand") < F.col("component"))
-        if improved.isEmpty():
-            break
-        labels = (
-            labels.join(prop, "doc_id", "left")
+        stepped = labels.join(prop, "doc_id", "left").select(
+            "doc_id",
+            F.least(F.col("component"), F.coalesce("cand", "component")).alias(
+                "component"
+            ),
+        )
+        # (2) pointer jump: component ← its labelholder's component
+        holder = stepped.select(
+            F.col("doc_id").alias("h_id"), F.col("component").alias("h_comp")
+        )
+        jumped = (
+            stepped.join(holder, stepped.component == holder.h_id, "left")
             .select(
                 "doc_id",
-                F.least(F.col("component"), F.coalesce("cand", "component")).alias(
-                    "component"
-                ),
+                F.least(
+                    F.col("component"), F.coalesce("h_comp", "component")
+                ).alias("component"),
             )
             .localCheckpoint()
         )
-    return labels
+        changed = (
+            jumped.join(
+                labels.select("doc_id", F.col("component").alias("prev")), "doc_id"
+            )
+            .filter(F.col("component") != F.col("prev"))
+        )
+        labels = jumped
+        if changed.isEmpty():
+            return labels
+    raise RuntimeError(
+        f"connected_components did not converge in {_CC_MAX_ITERS} rounds "
+        "(graph diameter > 2^20 — not a duplicate graph)"
+    )
 
 
 @query(
