@@ -21,10 +21,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
-from dungbeetle_spark.functions.numeric import dmul, dsum
+from dungbeetle_spark.functions.numeric import dmul
 from dungbeetle_spark.queries import _t, query
-
-_REV = "CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))"
 
 
 def _rev_col() -> F.Column:
