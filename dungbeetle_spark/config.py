@@ -166,6 +166,10 @@ def build_core(cfg: Config, spark=None):
         default_job_ttl=int(cfg.default_job_ttl),
         result_reaper_interval=cfg.result_reaper_interval,
         jobstore_path=cfg.job_store or None,
+        # A worker-only sidecar attaches to the PRIMARY's live store:
+        # it must not fail the primary's in-flight jobs at startup
+        # (jobstore.JobStore recovery contract).
+        jobstore_recover_inflight=not cfg.worker_only,
     )
     from dungbeetle_spark.sources.catalog import TABLES
     from dungbeetle_spark.sources.formats import FileSource, JdbcSource

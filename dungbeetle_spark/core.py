@@ -80,9 +80,13 @@ class Core:
         default_job_ttl: int = 60,
         result_reaper_interval: float = 0.0,  # seconds; 0 = off (reference parity)
         jobstore_path: str | None = None,  # SQLite file; None = in-memory only
+        jobstore_recover_inflight: bool = True,  # False for worker sidecars
     ) -> None:
         self.spark = spark
-        self.store = JobStore(persist_path=jobstore_path)
+        self.store = JobStore(
+            persist_path=jobstore_path,
+            recover_inflight=jobstore_recover_inflight,
+        )
         self.sources = SourcePool()
         self.result_backends = ResultBackends()
         self.tasks: dict[str, Task] = {}
@@ -174,7 +178,8 @@ class Core:
             for t in self._timers.values():
                 t.cancel()
             self._timers.clear()
-            for q in self._queues.values():
+            queues = list(self._queues.values())
+            for q in queues:
                 q.stop()
             self._queues.clear()
             self._started = False
@@ -182,7 +187,17 @@ class Core:
         if self._reaper is not None:
             self._reaper.join(timeout=5)
             self._reaper = None
-        self.store.close()
+        # Close the persistent store only once every worker thread has
+        # exited: a worker finishing a job after close() would find the
+        # DB gone and its terminal-state write would silently vanish —
+        # the next startup would then falsely fail a SUCCEEDED job as
+        # 'interrupted by engine restart'. If draining exceeds the
+        # timeout (a long Spark query mid-flight), leave the
+        # connection open for those daemon threads instead of dropping
+        # their writes.
+        drained = all(q.join(timeout=30) for q in queues)
+        if drained:
+            self.store.close()
 
     def reap_expired_results(self, now: float | None = None) -> list[str]:
         """Delete result tables whose job TTL has elapsed; return the
@@ -462,3 +477,12 @@ class _WorkQueue:
         self._stopping = True
         for _ in self._threads:
             self._q.put(None)
+
+    def join(self, timeout: float) -> bool:
+        """Wait for the worker threads to drain; True if all exited.
+        Sentinels sit behind already-queued jobs, so this drains the
+        queue's backlog too."""
+        deadline = time.monotonic() + timeout
+        for t in self._threads:
+            t.join(timeout=max(0.0, deadline - time.monotonic()))
+        return not any(t.is_alive() for t in self._threads)

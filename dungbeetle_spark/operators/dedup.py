@@ -448,9 +448,23 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     filter expression, fully distributed, recall < 1 by design.
     """
     e = _t(spark, sf_dir, "embeddings")["embeddings"]
-    # Metadata-only count (parquet row-group stats): cheap at any scale.
-    if e.count() <= EXACT_SWEEP_MAX_ROWS:
+    if _corpus_rows(spark, sf_dir) <= EXACT_SWEEP_MAX_ROWS:
         out = _embedding_pairs_exact(e)
     else:  # pragma: no cover - exercised via the forced-path unit test
         out = _embedding_pairs_lsh(e)
     return out.select("vec_a", "vec_b", F.round("cos_raw", 6).alias("cos_sim"))
+
+
+def _corpus_rows(spark: SparkSession, sf_dir: str) -> int:
+    """Embeddings row count from parquet FOOTERS (pyarrow), no Spark
+    job: the routing guard must stay cheap at DataFrame-build time —
+    plan inspection (``/tasks/.../explain``) builds this operator too,
+    and a full-scan ``df.count()`` there would run cluster work just
+    to print a plan. Falls back to a Spark count for non-local
+    filesystems pyarrow can't reach."""
+    try:
+        import pyarrow.dataset as ds
+
+        return ds.dataset(f"{sf_dir}/embeddings.parquet", format="parquet").count_rows()
+    except Exception:  # noqa: BLE001 - remote/united FS: pay the scan
+        return _t(spark, sf_dir, "embeddings")["embeddings"].count()

@@ -307,11 +307,18 @@ class JdbcResultBackend:
         the same DROP TABLE its parquet twin does with rmtree
         (sqldb.go:179-186 is the overwrite-path DROP this mirrors).
         """
-        table = self.table_name(job_id).replace('"', '""')
+        name = self.table_name(job_id)
+        # MySQL-family servers reject ANSI double-quoted identifiers
+        # under the default sql_mode — a wrongly-quoted DROP would be
+        # retried by the reaper forever as a 'transient' failure.
+        if self.url.startswith(("jdbc:mysql:", "jdbc:mariadb:")):
+            table = "`" + name.replace("`", "``") + "`"
+        else:
+            table = '"' + name.replace('"', '""') + '"'
         con = self._connect()
         try:
             cur = con.cursor()
-            cur.execute(f'DROP TABLE IF EXISTS "{table}"')
+            cur.execute(f"DROP TABLE IF EXISTS {table}")
             con.commit()
         finally:
             con.close()

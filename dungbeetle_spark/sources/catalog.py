@@ -122,7 +122,8 @@ def fan_out(df: DataFrame) -> DataFrame:
     )
 
 
-_SCAN_PARTS_CACHE: dict[tuple[int, int], int] = {}
+_SCAN_PARTS_CACHE: "weakref.WeakKeyDictionary" = None  # type: ignore[assignment]
+_SCAN_PARTS_MAX = 512  # plans cached per session
 
 
 def _scan_partitions(df: DataFrame) -> int:
@@ -131,11 +132,26 @@ def _scan_partitions(df: DataFrame) -> int:
     ``df.rdd.getNumPartitions()`` costs a physical-planning pass
     (~50-100 ms); repeated builds of the same query — a job server's
     steady state — hit the cache keyed on Catalyst's semantic plan
-    hash instead."""
-    key = (id(df.sparkSession), df.semanticHash())
-    hit = _SCAN_PARTS_CACHE.get(key)
+    hash instead. The outer map holds the session WEAKLY (a stale
+    ``id()`` must never alias a recycled session) and each session's
+    plan map is size-capped. Deliberately NOT invalidated when the
+    files under a path change — the value only picks fan-out vs
+    no-op, and any multi-split source stays multi-split as it grows.
+    """
+    global _SCAN_PARTS_CACHE
+    import weakref
+
+    if _SCAN_PARTS_CACHE is None:
+        _SCAN_PARTS_CACHE = weakref.WeakKeyDictionary()
+    per_session = _SCAN_PARTS_CACHE.get(df.sparkSession)
+    if per_session is None:
+        per_session = _SCAN_PARTS_CACHE[df.sparkSession] = {}
+    key = df.semanticHash()
+    hit = per_session.get(key)
     if hit is None:
-        hit = _SCAN_PARTS_CACHE[key] = df.rdd.getNumPartitions()
+        if len(per_session) >= _SCAN_PARTS_MAX:
+            per_session.clear()
+        hit = per_session[key] = df.rdd.getNumPartitions()
     return hit
 
 

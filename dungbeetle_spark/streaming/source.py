@@ -19,6 +19,7 @@ import os
 import shutil
 import tempfile
 import threading
+from collections import deque
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -26,14 +27,52 @@ from pyspark.sql import functions as F
 # Per-process caches so a long-lived job server doesn't leak one temp
 # dir per streaming call (each used to mkdtemp on every invocation).
 _SRC_DIRS: dict[str, str] = {}
-_OUT_DIRS: dict[str, str] = {}
+_OUT_PARENTS: dict[str, str] = {}
+_OUT_HISTORY: dict[str, deque] = {}
+_STREAM_SESSIONS: dict[int, SparkSession] = {}
 _DIR_LOCK = threading.Lock()
+
+# Completed drain outputs retained per query name. The DataFrame a
+# drain returns reads its parquet lazily; retention keeps the last few
+# drains' files alive so an earlier result stays readable while newer
+# jobs for the same query land. (Result PERSISTENCE is the job layer's
+# result backend — these dirs are scratch.)
+_KEEP_DRAINS = 8
 
 
 @atexit.register
 def _cleanup_dirs() -> None:  # pragma: no cover - process teardown
-    for d in list(_SRC_DIRS.values()) + list(_OUT_DIRS.values()):
+    for d in list(_SRC_DIRS.values()) + list(_OUT_PARENTS.values()):
         shutil.rmtree(d, ignore_errors=True)
+
+
+def streaming_session(spark: SparkSession) -> SparkSession:
+    """A cloned session (shared SparkContext, isolated conf) tuned for
+    streaming drains, memoized per parent session.
+
+    Stateful streaming bakes ``spark.sql.shuffle.partitions`` into
+    each checkpoint, and every stateful partition costs a state-store
+    instance (plus a Python worker round-trip for
+    applyInPandasWithState) per micro-batch — a vanilla 200-partition
+    session makes tiny drains ~5× slower. Mutating the CALLER's conf
+    around the drain would race concurrent jobs on the shared session
+    (set/restore interleavings can strand the override), so the tuning
+    lives on a clone that nothing else plans against.
+    """
+    with _DIR_LOCK:
+        s = _STREAM_SESSIONS.get(id(spark))
+        if s is None:
+            s = spark.newSession()
+            s.conf.set(
+                "spark.sql.shuffle.partitions",
+                str(max(spark.sparkContext.defaultParallelism, 1)),
+            )
+            try:
+                s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+            except Exception:  # noqa: BLE001 - conf locked; inherit defaults
+                pass
+            _STREAM_SESSIONS[id(spark)] = s
+    return s
 
 
 def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -41,19 +80,22 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Applies the same TIMESTAMP(NANOS)→µs normalization as the batch
     loader (sources/catalog.py) so stream and batch plans see one
-    schema.
+    schema. The returned stream is bound to the tuned streaming clone
+    (``streaming_session``); build any static join sides on
+    ``df.sparkSession`` so both sides share that session.
     """
     from dungbeetle_spark.sources.catalog import load_tables
 
+    sess = streaming_session(spark)
     with _DIR_LOCK:
         src_dir = _SRC_DIRS.get(sf_dir)
         if src_dir is None:
             src_dir = tempfile.mkdtemp(prefix="dungbeetle_stream_src_")
             os.symlink(f"{sf_dir}/events.parquet", f"{src_dir}/events.parquet")
             _SRC_DIRS[sf_dir] = src_dir
-    batch = load_tables(spark, sf_dir, ["events"])["events"]
-    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    stream = spark.readStream.schema(raw_schema).parquet(src_dir)
+    batch = load_tables(sess, sf_dir, ["events"])["events"]
+    raw_schema = sess.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = sess.readStream.schema(raw_schema).parquet(src_dir)
     if dict(batch.dtypes)["ts"] != dict(stream.dtypes)["ts"]:
         stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     else:
@@ -71,7 +113,7 @@ def drain_to_df(agg: DataFrame, name: str, output_mode: str) -> DataFrame:
     termination — the parquet output holds the complete, deterministic
     result.
 
-    Two scale choices vs the old memory-sink drain:
+    Scale/concurrency choices vs a memory-sink drain:
 
     - **foreachBatch → parquet**, not ``format("memory")``: the memory
       sink collects every batch into driver heap — fine for tests, a
@@ -80,53 +122,43 @@ def drain_to_df(agg: DataFrame, name: str, output_mode: str) -> DataFrame:
       batch job, so the job layer's result backend can serve it.
       ``complete`` mode overwrites per trigger (the final trigger holds
       the full aggregate); ``append`` mode accumulates.
-    - **state partitions = cluster parallelism**, not the 200-partition
-      default: ``spark.sql.shuffle.partitions`` is baked into a
-      streaming checkpoint at creation, and every stateful partition
-      costs a state-store instance (and a Python worker round-trip for
-      applyInPandasWithState) per micro-batch. On a real cluster you'd
-      size this to executors × cores; locally the driver-default 200
-      makes tiny drains ~5× slower.
+    - **A unique output dir per drain**: concurrent jobs for the same
+      streaming task (or the same task on two sources) must not share
+      or wipe each other's output. The last ``_KEEP_DRAINS`` outputs
+      per name are retained so previously returned (lazy) DataFrames
+      stay readable; older ones are deleted to bound scratch space.
+    - State-partition tuning comes from the stream's own cloned
+      session (see ``streaming_session``) — the caller's session conf
+      is never touched.
     """
     spark = agg.sparkSession
     with _DIR_LOCK:
-        out_dir = _OUT_DIRS.get(name)
-        if out_dir is None:
-            out_dir = tempfile.mkdtemp(prefix=f"dungbeetle_stream_out_{name}_")
-            _OUT_DIRS[name] = out_dir
-    # Fresh output per drain: complete-mode overwrites anyway; append
-    # mode must not accumulate across two drains of the same query.
-    for entry in os.listdir(out_dir):
-        shutil.rmtree(os.path.join(out_dir, entry), ignore_errors=True)
+        parent = _OUT_PARENTS.get(name)
+        if parent is None:
+            parent = tempfile.mkdtemp(prefix=f"dungbeetle_stream_out_{name}_")
+            _OUT_PARENTS[name] = parent
+            _OUT_HISTORY[name] = deque()
+        out_dir = tempfile.mkdtemp(prefix="drain_", dir=parent)
+        hist = _OUT_HISTORY[name]
+        hist.append(out_dir)
+        while len(hist) > _KEEP_DRAINS:
+            shutil.rmtree(hist.popleft(), ignore_errors=True)
     data_dir = os.path.join(out_dir, "data")
 
     append = output_mode != "complete"
-    write_lock = threading.Lock()
 
     def write_batch(bdf: DataFrame, _batch_id: int) -> None:
-        with write_lock:  # micro-batches are sequential, but be explicit
-            bdf.write.mode("append" if append else "overwrite").parquet(data_dir)
+        bdf.write.mode("append" if append else "overwrite").parquet(data_dir)
 
-    prev = spark.conf.get("spark.sql.shuffle.partitions", None)
-    try:
-        spark.conf.set(
-            "spark.sql.shuffle.partitions",
-            str(max(spark.sparkContext.defaultParallelism, 1)),
+    with tempfile.TemporaryDirectory(prefix="dungbeetle_ckpt_") as ckpt:
+        q = (
+            agg.writeStream.foreachBatch(write_batch)
+            .outputMode(output_mode)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
         )
-        with tempfile.TemporaryDirectory(prefix="dungbeetle_ckpt_") as ckpt:
-            q = (
-                agg.writeStream.foreachBatch(write_batch)
-                .outputMode(output_mode)
-                .option("checkpointLocation", ckpt)
-                .trigger(availableNow=True)
-                .start()
-            )
-            q.awaitTermination()
-    finally:
-        if prev is not None:
-            spark.conf.set("spark.sql.shuffle.partitions", prev)
-        else:  # pragma: no cover - default sessions always carry a value
-            spark.conf.unset("spark.sql.shuffle.partitions")
+        q.awaitTermination()
     if not os.path.isdir(data_dir):  # no batch produced rows
         return spark.createDataFrame([], agg.schema)
     return spark.read.parquet(data_dir)

@@ -159,7 +159,9 @@ def streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def streaming_segment_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = stream_events(spark, sf_dir).select("user_id", "ts", "value")
-    c = _t(spark, sf_dir, "customer")["customer"].select(
+    # static side on the stream's session — joining frames from two
+    # sessions is undefined behavior in Spark
+    c = _t(ev.sparkSession, sf_dir, "customer")["customer"].select(
         "c_custkey", "c_mktsegment"
     )
     agg = (
