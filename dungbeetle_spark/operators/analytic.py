@@ -86,3 +86,39 @@ def moving_avg_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.count(F.lit(1)).over(w)
         ).alias("avg_1h"),
     )
+
+
+@query(
+    "window_rank_family",
+    oracle="""
+    SELECT event_id, user_id,
+           NTILE(4) OVER w AS quartile,
+           CAST(PERCENT_RANK() OVER w AS DOUBLE) AS pct_rank,
+           CAST(CUME_DIST() OVER w AS DOUBLE) AS cume,
+           LAG(value) OVER t AS prev_value,
+           LEAD(value) OVER t AS next_value
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY value, event_id),
+           t AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+    doc="The remaining window-function family in one pass: NTILE "
+    "bucketing and the rank ratios (PERCENT_RANK / CUME_DIST — "
+    "integer-count ratios in one double division, bit-exact "
+    "cross-engine) over a value ordering, plus LAG/LEAD neighbors "
+    "over an event-time ordering. Both orderings carry event_id "
+    "tiebreaks so every rank is total; Catalyst plans the two frames "
+    "over ONE user_id shuffle (same partitioning, two sorts).",
+)
+def window_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")["events"]
+    w = W.partitionBy("user_id").orderBy("value", "event_id")
+    t = W.partitionBy("user_id").orderBy("ts", "event_id")
+    return e.select(
+        "event_id",
+        "user_id",
+        F.ntile(4).over(w).alias("quartile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+        F.lag("value").over(t).alias("prev_value"),
+        F.lead("value").over(t).alias("next_value"),
+    )
