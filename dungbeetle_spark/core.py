@@ -429,6 +429,21 @@ class Core:
         return self._sessions[self.sources.get_random(names).name]
 
     # -- results access ----------------------------------------------
+    def compact_result(self, job_id: str, target_files: int = 1) -> int:
+        """Warehouse maintenance: rewrite a job's result table into
+        ``target_files`` files (ParquetResultBackend.compact). Raises
+        for jobs without results or backends without a compact path."""
+        rec = self.store.get(job_id)
+        if not rec.result_path:
+            raise ValueError(f"job {job_id} has no results (state={rec.state})")
+        backend = self.result_backends.get(rec.result_backend)
+        compact = getattr(backend, "compact", None)
+        if compact is None:
+            raise NotImplementedError(
+                f"result backend {backend.name} does not support compaction"
+            )
+        return compact(self.spark, job_id, target_files)
+
     def read_result(self, job_id: str) -> DataFrame:
         rec = self.store.get(job_id)
         if not rec.result_path:

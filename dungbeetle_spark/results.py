@@ -157,6 +157,40 @@ class ParquetResultBackend:
     def delete(self, job_id: str) -> None:
         shutil.rmtree(self.table_path(job_id), ignore_errors=True)
 
+    def compact(
+        self, spark: SparkSession, job_id: str, target_files: int = 1
+    ) -> int:
+        """Rewrite ``results_<job_id>`` into ``target_files`` files.
+
+        Warehouse maintenance: a result written by a wide cluster
+        lands one file per task — at 100 TB the per-job table sprawl
+        becomes a metadata/open-cost problem for every reader. The
+        rewrite round-trips through a sibling temp dir and swaps via
+        rename, verifying the row count before the swap (same
+        guarantee level as the reference's DROP+CREATE window,
+        sqldb.go:179-186). Returns the row count.
+        """
+        import os
+
+        path = self.table_path(job_id)
+        tmp = f"{path}__compacting"
+        df = spark.read.parquet(path)
+        n_before = df.count()
+        shutil.rmtree(tmp, ignore_errors=True)
+        df.coalesce(max(target_files, 1)).write.mode("overwrite").parquet(tmp)
+        n_after = spark.read.parquet(tmp).count()
+        if n_after != n_before:  # pragma: no cover - write-path corruption
+            shutil.rmtree(tmp, ignore_errors=True)
+            raise RuntimeError(
+                f"compaction of {path} changed row count "
+                f"({n_before} -> {n_after}); original left untouched"
+            )
+        old = f"{path}__old"
+        os.rename(path, old)
+        os.rename(tmp, path)
+        shutil.rmtree(old, ignore_errors=True)
+        return n_after
+
 
 class ResultBackends:
     """Named backend registry with random routing (results.go:30-63)."""

@@ -329,6 +329,22 @@ def test_reaper_survives_failing_and_unsupported_deletes(core):
             core.store.delete(jid)
 
 
+def test_compact_result_rewrites_to_fewer_files(core):
+    """Warehouse maintenance: compaction collapses a multi-file result
+    table to N files with identical rows, swapping atomically."""
+    import glob
+
+    resp = core.new_job("get_profit_entries", JobReq(args=["7"]))
+    _wait(core, resp.job_id, (jobstore.SUCCESS,))
+    rec = core.store.get(resp.job_id)
+    before = core.read_result(resp.job_id).orderBy("event_id").collect()
+    n = core.compact_result(resp.job_id, target_files=1)
+    assert n == len(before)
+    files = glob.glob(f"{rec.result_path}/part-*.parquet")
+    assert len(files) == 1
+    assert core.read_result(resp.job_id).orderBy("event_id").collect() == before
+
+
 def test_jobstore_survives_restart(spark, sf_smoke, tmp_path):
     """Control-plane durability (the reference's Redis-broker analog,
     core.go:164-204): a persisted Core recovers terminal job status,
