@@ -93,6 +93,9 @@ class Client:
     def get_group_status(self, group_id: str) -> dict:
         return self._do("GET", f"/groups/{group_id}")
 
+    def compact_job_result(self, job_id: str, files: int = 1) -> dict:
+        return self._do("POST", f"/jobs/{job_id}/compact", files=str(files))
+
     def delete_job(self, job_id: str, purge: bool = False) -> None:
         self._do("DELETE", f"/jobs/{job_id}", purge="true" if purge else "")
 

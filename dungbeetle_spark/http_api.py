@@ -158,6 +158,15 @@ class _Handler(BaseHTTPRequestHandler):
             return {"task": parts[1], "plan": formatted_plan(df)}
         if method == "GET" and len(parts) == 3 and parts[:2] == ["jobs", "queue"]:
             return core.pending_jobs(parts[2])
+        if method == "POST" and len(parts) == 3 and parts[0] == "jobs" and parts[2] == "compact":
+            # Engine extension (no reference analog — its SQL results
+            # live in external DBs): rewrite the job's result table to
+            # ?files=N files. Returns the row count, like job status.
+            try:
+                files = int(q.get("files", "1") or "1")
+            except ValueError:
+                raise APIError("`files` must be an integer", 400) from None
+            return {"job_id": parts[1], "count": core.compact_result(parts[1], files)}
         if method == "GET" and len(parts) == 2 and parts[0] == "jobs":
             return core.job_status(parts[1])
         if method == "DELETE" and len(parts) == 2 and parts[0] == "jobs":

@@ -107,6 +107,16 @@ def test_unknown_route_404s(client):
     assert ei.value.code == 404
 
 
+def test_compact_over_http(client):
+    resp = client.post_job("get_profit_entries", job_id="http_compact1", args=["3"])
+    st = _poll(client, resp["job_id"])
+    assert st["state"] == "SUCCESS"
+    out = client.compact_job_result("http_compact1", files=1)
+    assert out == {"job_id": "http_compact1", "count": st["count"]}
+    with pytest.raises(ClientError, match="unknown job"):
+        client.compact_job_result("never_posted")
+
+
 def test_eta_and_retries_through_http(client):
     """Request-level eta + retries must survive the HTTP layer end to
     end (reference job-param table, README): the ETA job stays PENDING
