@@ -93,6 +93,9 @@ class Client:
     def get_group_status(self, group_id: str) -> dict:
         return self._do("GET", f"/groups/{group_id}")
 
+    def get_job_result(self, job_id: str, limit: int = 100) -> dict:
+        return self._do("GET", f"/jobs/{job_id}/result", limit=str(limit))
+
     def compact_job_result(self, job_id: str, files: int = 1) -> dict:
         return self._do("POST", f"/jobs/{job_id}/compact", files=str(files))
 

@@ -53,6 +53,29 @@ class APIError(Exception):
         self.code = code
 
 
+def _jsonable(v):
+    """Result cell → JSON-safe value (canonical types only: DECIMAL →
+    string to preserve exactness, timestamps/dates → ISO text, binary
+    → base64, arrays/structs recurse)."""
+    import base64
+    import datetime
+    import decimal
+
+    if isinstance(v, decimal.Decimal):
+        return str(v)
+    if isinstance(v, datetime.datetime):
+        return v.isoformat(sep=" ")
+    if isinstance(v, datetime.date):
+        return v.isoformat()
+    if isinstance(v, (bytes, bytearray)):
+        return base64.b64encode(bytes(v)).decode()
+    if isinstance(v, list):
+        return [_jsonable(x) for x in v]
+    if isinstance(v, dict):
+        return {k: _jsonable(x) for k, x in v.items()}
+    return v
+
+
 def _job_req(payload: dict) -> JobReq:
     """JSON body → JobReq, validating the job_id charset."""
     job_id = payload.get("job_id", "") or ""
@@ -158,6 +181,20 @@ class _Handler(BaseHTTPRequestHandler):
             return {"task": parts[1], "plan": formatted_plan(df)}
         if method == "GET" and len(parts) == 3 and parts[:2] == ["jobs", "queue"]:
             return core.pending_jobs(parts[2])
+        if method == "GET" and len(parts) == 3 and parts[0] == "jobs" and parts[2] == "result":
+            # Engine extension: the reference's users SELECT from
+            # results_<job_id> in their own DB; with a parquet
+            # warehouse the server must serve the rows itself.
+            try:
+                limit = min(int(q.get("limit", "100") or "100"), 10_000)
+            except ValueError:
+                raise APIError("`limit` must be an integer", 400) from None
+            df = core.read_result(parts[1]).limit(limit)
+            rows = [
+                {k: _jsonable(v) for k, v in r.asDict(recursive=True).items()}
+                for r in df.collect()
+            ]
+            return {"job_id": parts[1], "columns": df.columns, "rows": rows}
         if method == "POST" and len(parts) == 3 and parts[0] == "jobs" and parts[2] == "compact":
             # Engine extension (no reference analog — its SQL results
             # live in external DBs): rewrite the job's result table to

@@ -107,6 +107,24 @@ def test_unknown_route_404s(client):
     assert ei.value.code == 404
 
 
+def test_result_rows_over_http(client):
+    """The parquet warehouse's stand-in for 'SELECT * FROM
+    results_<job_id>': rows round-trip through JSON with the canonical
+    types readable (DECIMAL as exact strings, timestamps as ISO)."""
+    resp = client.post_job("get_profit_summary", job_id="http_rows1", args=["7"])
+    st = _poll(client, resp["job_id"])
+    assert st["state"] == "SUCCESS"
+    out = client.get_job_result("http_rows1", limit=5)
+    assert out["job_id"] == "http_rows1"
+    assert set(out["columns"]) == {"total", "entry_date"}
+    assert 0 < len(out["rows"]) <= 5
+    row = out["rows"][0]
+    float(row["total"])  # DECIMAL serialized as an exact numeric string
+    assert "-" in row["entry_date"]  # ISO date text
+    with pytest.raises(ClientError, match="unknown job"):
+        client.get_job_result("never_posted")
+
+
 def test_compact_over_http(client):
     resp = client.post_job("get_profit_entries", job_id="http_compact1", args=["3"])
     st = _poll(client, resp["job_id"])
