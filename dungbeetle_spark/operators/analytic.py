@@ -122,3 +122,111 @@ def window_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lag("value").over(t).alias("prev_value"),
         F.lead("value").over(t).alias("next_value"),
     )
+
+
+@query(
+    "user_event_sequence",
+    oracle="""
+    SELECT user_id,
+           string_agg(event_type, '->' ORDER BY ts, event_id) AS sequence,
+           COUNT(*) AS n_events
+    FROM (SELECT user_id, event_type, ts, event_id,
+                 ROW_NUMBER() OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS rk
+          FROM events) t
+    WHERE rk <= 8
+    GROUP BY user_id
+    """,
+    doc="Ordered sequence aggregation: each user's first 8 events as a "
+    "'->'-joined behavioral string (the session-path feature "
+    "LLM-pipeline labelers consume). collect_list has no ordering "
+    "guarantee under parallel aggregation, so order is imposed "
+    "DETERMINISTICALLY: sort_array over (ts, event_id, type) structs "
+    "— struct comparison is lexicographic, and event_id breaks ts "
+    "ties — then transform extracts the types. WindowGroupLimit "
+    "prunes to 8 rows per user pre-aggregate; string output (not "
+    "array) keeps the result canonical-type friendly.",
+)
+def user_event_sequence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")["events"]
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    first_n = (
+        e.select("user_id", "event_type", "ts", "event_id")
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 8)
+    )
+    return (
+        first_n.groupBy("user_id")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("ts", "event_id", "event_type"))
+            ).alias("evs"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select(
+            "user_id",
+            F.array_join(
+                F.transform("evs", lambda s: s["event_type"]), "->"
+            ).alias("sequence"),
+            "n_events",
+        )
+    )
+
+
+_PROFILE_COLS = ("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority")
+
+
+@query(
+    "profile_orders_columns",
+    oracle="""
+    SELECT 'o_orderkey' AS column_name,
+           COUNT(*) - COUNT(o_orderkey) AS n_null,
+           COUNT(DISTINCT o_orderkey) AS n_distinct,
+           CAST(MIN(o_orderkey) AS VARCHAR) AS min_value,
+           CAST(MAX(o_orderkey) AS VARCHAR) AS max_value
+    FROM orders
+    UNION ALL
+    SELECT 'o_custkey', COUNT(*) - COUNT(o_custkey),
+           COUNT(DISTINCT o_custkey),
+           CAST(MIN(o_custkey) AS VARCHAR), CAST(MAX(o_custkey) AS VARCHAR)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderstatus', COUNT(*) - COUNT(o_orderstatus),
+           COUNT(DISTINCT o_orderstatus),
+           MIN(o_orderstatus), MAX(o_orderstatus)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderpriority', COUNT(*) - COUNT(o_orderpriority),
+           COUNT(DISTINCT o_orderpriority),
+           MIN(o_orderpriority), MAX(o_orderpriority)
+    FROM orders
+    """,
+    doc="Column profiling (the data-quality pass a pipeline runs before "
+    "training ingest): null count, exact distinct count, min/max per "
+    "column, one output row per column. Computed in a SINGLE scan — "
+    "all per-column aggregates in one agg, then stack() unpivots to "
+    "long form (the oracle's UNION ALL re-scans instead; DuckDB scans "
+    "are cheap at fixture scale, Spark's plan is the 100 TB shape). "
+    "min/max stringify AFTER aggregating on the native type, so "
+    "numeric ordering is preserved. Only int/string columns profiled: "
+    "float-to-string rendering differs across engines.",
+)
+def profile_orders_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")["orders"]
+    aggs = []
+    for c in _PROFILE_COLS:
+        aggs += [
+            (F.count(F.lit(1)) - F.count(c)).alias(f"{c}__null"),
+            F.countDistinct(c).alias(f"{c}__distinct"),
+            F.min(c).cast("string").alias(f"{c}__min"),
+            F.max(c).cast("string").alias(f"{c}__max"),
+        ]
+    wide = o.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', `{c}__null`, `{c}__distinct`, `{c}__min`, `{c}__max`"
+        for c in _PROFILE_COLS
+    )
+    return wide.selectExpr(
+        f"stack({len(_PROFILE_COLS)}, {stack_args}) AS "
+        "(column_name, n_null, n_distinct, min_value, max_value)"
+    )
