@@ -448,6 +448,15 @@ class Core:
         rec = self.store.get(job_id)
         if not rec.result_path:
             raise ValueError(f"job {job_id} has no results (state={rec.state})")
+        # Dispatch through the job's backend — a JDBC-backed result is
+        # not a parquet path.
+        if rec.result_backend:
+            try:
+                return self.result_backends.get(rec.result_backend).read(
+                    self.spark, job_id
+                )
+            except KeyError:
+                pass  # backend detached since the job ran; try the path
         return self.spark.read.parquet(rec.result_path)
 
 

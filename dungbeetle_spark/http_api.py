@@ -83,6 +83,11 @@ def _job_req(payload: dict) -> JobReq:
         raise APIError(
             "invalid characters in the `job_id`", 400
         )  # message text: cmd/http.go:99-101
+    if job_id == "queue":
+        # /jobs/queue/{name} is the pending-listing route (reference
+        # parity); a job literally named 'queue' would shadow its own
+        # /jobs/queue/result and /jobs/queue/compact URLs.
+        raise APIError('`job_id` "queue" is reserved', 400)
     args = payload.get("args") or []
     if not isinstance(args, list):
         raise APIError("`args` should be a list", 400)
@@ -186,7 +191,7 @@ class _Handler(BaseHTTPRequestHandler):
             # results_<job_id> in their own DB; with a parquet
             # warehouse the server must serve the rows itself.
             try:
-                limit = min(int(q.get("limit", "100") or "100"), 10_000)
+                limit = max(0, min(int(q.get("limit", "100") or "100"), 10_000))
             except ValueError:
                 raise APIError("`limit` must be an integer", 400) from None
             df = core.read_result(parts[1]).limit(limit)

@@ -103,6 +103,7 @@ class ParquetResultBackend:
         # result schema must not drift between jobs.
         self._schemas: dict[str, T.StructType] = {}
         self._lock = threading.Lock()
+        self._compacting: set[str] = set()  # tables mid-compaction
 
     # -- naming -------------------------------------------------------
     def table_name(self, job_id: str) -> str:
@@ -155,7 +156,8 @@ class ParquetResultBackend:
         return spark.read.parquet(self.table_path(job_id))
 
     def delete(self, job_id: str) -> None:
-        shutil.rmtree(self.table_path(job_id), ignore_errors=True)
+        with self._lock:  # serialize vs a concurrent compact's swap
+            shutil.rmtree(self.table_path(job_id), ignore_errors=True)
 
     def compact(
         self, spark: SparkSession, job_id: str, target_files: int = 1
@@ -165,31 +167,76 @@ class ParquetResultBackend:
         Warehouse maintenance: a result written by a wide cluster
         lands one file per task — at 100 TB the per-job table sprawl
         becomes a metadata/open-cost problem for every reader. The
-        rewrite round-trips through a sibling temp dir and swaps via
-        rename, verifying the row count before the swap (same
-        guarantee level as the reference's DROP+CREATE window,
-        sqldb.go:179-186). Returns the row count.
+        rewrite lands in a sibling temp dir with the row count taken
+        from an Observation on the write pass (no re-read), is
+        verified against the source count, and swaps via rename under
+        the backend lock (serialized against delete/reaper and other
+        compacts — the crash window between the two renames is the
+        same guarantee level as the reference's DROP+CREATE,
+        sqldb.go:179-186). Hive-partitioned result tables
+        (``partition_by`` tasks) are refused: a flat rewrite would
+        drop the layout and partition-type inference can corrupt
+        key values (e.g. leading zeros). Returns the row count.
         """
         import os
 
+        from pyspark.sql import Observation
+
         path = self.table_path(job_id)
-        tmp = f"{path}__compacting"
-        df = spark.read.parquet(path)
-        n_before = df.count()
-        shutil.rmtree(tmp, ignore_errors=True)
-        df.coalesce(max(target_files, 1)).write.mode("overwrite").parquet(tmp)
-        n_after = spark.read.parquet(tmp).count()
-        if n_after != n_before:  # pragma: no cover - write-path corruption
-            shutil.rmtree(tmp, ignore_errors=True)
-            raise RuntimeError(
-                f"compaction of {path} changed row count "
-                f"({n_before} -> {n_after}); original left untouched"
+        if any(
+            "=" in entry and os.path.isdir(os.path.join(path, entry))
+            for entry in os.listdir(path)
+        ):
+            raise NotImplementedError(
+                f"{path} is hive-partitioned (partition_by task); "
+                "compaction would flatten the layout"
             )
-        old = f"{path}__old"
-        os.rename(path, old)
-        os.rename(tmp, path)
-        shutil.rmtree(old, ignore_errors=True)
-        return n_after
+        import glob
+        import uuid
+
+        # One compaction per table at a time: a second concurrent call
+        # fails fast instead of racing the first one's scratch dirs.
+        with self._lock:
+            if path in self._compacting:
+                raise RuntimeError(f"compaction of {path} already in progress")
+            self._compacting.add(path)
+            # stale scratch from crashed runs (safe: no live compact)
+            for stale in glob.glob(f"{path}__compacting_*") + glob.glob(
+                f"{path}__old_*"
+            ):
+                shutil.rmtree(stale, ignore_errors=True)
+        token = uuid.uuid4().hex[:8]
+        tmp = f"{path}__compacting_{token}"
+        old = f"{path}__old_{token}"
+        try:
+            df = spark.read.parquet(path)
+            n_before = df.count()
+            obs = Observation()
+            (
+                df.observe(obs, F.count(F.lit(1)).alias("n"))
+                .coalesce(max(target_files, 1))
+                .write.mode("overwrite")
+                .parquet(tmp)
+            )
+            n_after = int(obs.get["n"])
+            if n_after != n_before:  # pragma: no cover - write corruption
+                raise RuntimeError(
+                    f"compaction of {path} changed row count "
+                    f"({n_before} -> {n_after}); original left untouched"
+                )
+            with self._lock:
+                if not os.path.isdir(path):  # deleted/reaped mid-compact
+                    raise FileNotFoundError(
+                        f"{path} was deleted during compaction"
+                    )
+                os.rename(path, old)
+                os.rename(tmp, path)
+                shutil.rmtree(old, ignore_errors=True)
+            return n_after
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
+            with self._lock:
+                self._compacting.discard(path)
 
 
 class ResultBackends:

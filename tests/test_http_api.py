@@ -135,6 +135,18 @@ def test_compact_over_http(client):
         client.compact_job_result("never_posted")
 
 
+def test_result_route_edge_cases(client):
+    # negative limit is a client error (400), not a server blowup
+    with pytest.raises(ClientError) as ei:
+        client._do("GET", "/jobs/http_compact1/result", limit="not_a_number")
+    assert ei.value.code == 400
+    out = client._do("GET", "/jobs/http_compact1/result", limit="-5")
+    assert out["rows"] == []  # clamped to 0 rows, still a success envelope
+    # job_id 'queue' would shadow /jobs/queue/{name}: reserved
+    with pytest.raises(ClientError, match="reserved"):
+        client.post_job("get_profit_entries", job_id="queue", args=["1"])
+
+
 def test_eta_and_retries_through_http(client):
     """Request-level eta + retries must survive the HTTP layer end to
     end (reference job-param table, README): the ETA job stays PENDING

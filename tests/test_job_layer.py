@@ -435,6 +435,10 @@ def test_partitioned_result_table(core, spark, tmp_path_factory):
     out = core.read_result(resp.job_id)
     assert out.count() == st["count"] > 0
     assert set(out.columns) == {"event_type", "user_id", "n"}
+    # compaction refuses partitioned tables: a flat rewrite would drop
+    # the layout and partition-type inference can corrupt key values
+    with pytest.raises(NotImplementedError, match="hive-partitioned"):
+        core.compact_result(resp.job_id)
 
 
 def test_concurrent_job_burst(core):
