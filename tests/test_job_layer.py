@@ -363,6 +363,9 @@ def test_jobstore_survives_restart(spark, sf_smoke, tmp_path):
     c1.start()
     resp = c1.new_job("n_orders", JobReq(job_id="durable1"))
     st = _wait(c1, resp.job_id, (jobstore.SUCCESS,))
+    gid, _resps = c1.new_job_group("durable_grp", [("n_orders", JobReq())])
+    for j in c1.store.group_jobs(gid):
+        _wait(c1, j, (jobstore.SUCCESS,))
     # simulate a crash mid-flight for a second job: poke a fake active
     # record straight into the store (persisted as PENDING)
     c1.store.create(jobstore.JobRecord(job_id="ghost", task="n_orders", queue="default"))
@@ -378,6 +381,10 @@ def test_jobstore_survives_restart(spark, sf_smoke, tmp_path):
     ghost = c2.job_status("ghost")
     assert ghost["state"] == jobstore.FAILURE
     assert "restart" in ghost["error"]
+    # groups recover too: membership and aggregate state
+    g = c2.group_status("durable_grp")
+    assert g["state"] == jobstore.SUCCESS
+    assert len(g["jobs"]) == 1
     c2.stop()
 
 
