@@ -428,6 +428,25 @@ class Core:
         names = self.sources.filter_by_tags(task.dbs)
         return self._sessions[self.sources.get_random(names).name]
 
+    # -- introspection ------------------------------------------------
+    def metrics(self) -> dict:
+        """Operational counters: jobs by state, queue backlogs, catalog
+        sizes. The reference leans on external monitoring of its Redis
+        broker; an in-process engine has to surface its own gauges."""
+        with self.store._lock:
+            by_state: dict[str, int] = {}
+            for rec in self.store._jobs.values():
+                by_state[rec.state] = by_state.get(rec.state, 0) + 1
+        with self._lock:
+            backlogs = {name: q.backlog() for name, q in self._queues.items()}
+        return {
+            "jobs_by_state": by_state,
+            "queue_backlog": backlogs,
+            "tasks": len(self.tasks),
+            "sources": len(self.sources),
+            "result_backends": len(self.result_backends),
+        }
+
     # -- results access ----------------------------------------------
     def compact_result(self, job_id: str, target_files: int = 1) -> int:
         """Warehouse maintenance: rewrite a job's result table into
@@ -486,6 +505,9 @@ class _WorkQueue:
 
     def submit(self, job_id: str) -> None:
         self._q.put(job_id)
+
+    def backlog(self) -> int:
+        return self._q.qsize()
 
     def _worker(self) -> None:
         while True:

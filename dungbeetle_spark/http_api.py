@@ -158,6 +158,8 @@ class _Handler(BaseHTTPRequestHandler):
         core = self.core
         if method == "GET" and not parts:
             return f"dungbeetle-spark {__version__}"
+        if method == "GET" and parts == ["metrics"]:
+            return core.metrics()  # engine extension: ops gauges
         if method == "GET" and parts == ["tasks"]:
             if q.get("sql"):  # full objects incl. SQL (quirk Q2, as documented)
                 return {

@@ -107,6 +107,15 @@ def test_unknown_route_404s(client):
     assert ei.value.code == 404
 
 
+def test_metrics_endpoint(client):
+    resp = client.post_job("get_profit_summary", job_id="http_metrics1", args=["2"])
+    _poll(client, resp["job_id"])
+    m = client._do("GET", "/metrics")
+    assert m["jobs_by_state"].get("SUCCESS", 0) >= 1
+    assert m["tasks"] == 3 and m["sources"] == 1 and m["result_backends"] == 1
+    assert "default" in m["queue_backlog"]
+
+
 def test_result_rows_over_http(client):
     """The parquet warehouse's stand-in for 'SELECT * FROM
     results_<job_id>': rows round-trip through JSON with the canonical
