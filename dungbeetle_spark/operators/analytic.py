@@ -230,3 +230,36 @@ def profile_orders_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"stack({len(_PROFILE_COLS)}, {stack_args}) AS "
         "(column_name, n_null, n_distinct, min_value, max_value)"
     )
+
+
+@query(
+    "embedding_array_stats",
+    oracle="""
+    SELECT vec_id,
+           CAST(len(embedding) AS INT) AS dim,
+           CAST(list_max(CAST(embedding AS DOUBLE[])) AS DOUBLE) AS max_val,
+           CAST(list_min(CAST(embedding AS DOUBLE[])) AS DOUBLE) AS min_val,
+           CAST(list_position(CAST(embedding AS DOUBLE[]),
+                              list_max(CAST(embedding AS DOUBLE[]))) AS INT)
+             AS argmax_pos
+    FROM embeddings
+    """,
+    doc="JVM-side higher-order array functions over the embedding "
+    "column: size / array_max / array_min / array_position (1-based, "
+    "matching DuckDB list_position), all order-free semantics so "
+    "float32→double widening stays value-exact cross-engine. This is "
+    "the zero-Python vector-column fast path — sums/means stay off "
+    "this list on purpose (fold order is engine-defined; ordered "
+    "folds live in functions/vectors.py with an explicit sequential "
+    "contract).",
+)
+def embedding_array_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "embeddings")["embeddings"]
+    emb = F.col("embedding").cast("array<double>")
+    return e.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.array_max(emb).alias("max_val"),
+        F.array_min(emb).alias("min_val"),
+        F.array_position(emb, F.array_max(emb)).cast("int").alias("argmax_pos"),
+    )

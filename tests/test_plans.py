@@ -10,7 +10,10 @@ is covered separately by the DuckDB oracle suite.
 
 from __future__ import annotations
 
+import re
+
 import pytest
+from pyspark.sql import functions as F
 
 from dungbeetle_spark.plans.inspect import (
     codegen_stages,
@@ -197,6 +200,25 @@ def test_tfidf_prunes_topk_and_scans_narrow(spark, sf):
     # (doc_id, text); the corpus-size scalar reads zero columns
     for s in scan_schemas(df):
         assert s in ("struct<doc_id:bigint,text:string>", "struct<>"), s
+
+
+def test_partitioned_result_read_prunes_partitions(spark, sf, tmp_path):
+    """A `partition_by` result table must give downstream readers real
+    partition pruning: filtering on the partition column reads only
+    that partition's files."""
+    from dungbeetle_spark.results import ParquetResultBackend
+    from dungbeetle_spark.sources.catalog import load_tables
+
+    e = load_tables(spark, sf, ["events"])["events"]
+    agg = e.groupBy("event_type", "user_id").count()
+    backend = ParquetResultBackend("plans", str(tmp_path))
+    backend.write("ptest", "t", agg, partition_by=["event_type"])
+    out = backend.read(spark, "ptest").filter(F.col("event_type") == "click")
+    plan = formatted_plan(out)
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "event_type" in m.group(1), plan[:800]
+    # and the pruned read returns exactly the one partition's rows
+    assert out.select("event_type").distinct().collect()[0][0] == "click"
 
 
 def test_hash_split_is_shuffle_free(spark, sf):
