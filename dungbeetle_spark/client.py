@@ -99,6 +99,10 @@ class Client:
     def compact_job_result(self, job_id: str, files: int = 1) -> dict:
         return self._do("POST", f"/jobs/{job_id}/compact", files=str(files))
 
+    def get_metrics(self) -> dict:
+        """Engine gauges: jobs by state, queue backlogs, catalog sizes."""
+        return self._do("GET", "/metrics")
+
     def delete_job(self, job_id: str, purge: bool = False) -> None:
         self._do("DELETE", f"/jobs/{job_id}", purge="true" if purge else "")
 

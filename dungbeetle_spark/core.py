@@ -433,10 +433,7 @@ class Core:
         """Operational counters: jobs by state, queue backlogs, catalog
         sizes. The reference leans on external monitoring of its Redis
         broker; an in-process engine has to surface its own gauges."""
-        with self.store._lock:
-            by_state: dict[str, int] = {}
-            for rec in self.store._jobs.values():
-                by_state[rec.state] = by_state.get(rec.state, 0) + 1
+        by_state = self.store.counts_by_state()
         with self._lock:
             backlogs = {name: q.backlog() for name, q in self._queues.items()}
         return {

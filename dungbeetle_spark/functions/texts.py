@@ -26,6 +26,13 @@ def content_md5(col: Column | str) -> Column:
     return F.md5(norm_text(col))
 
 
+def content_md5_sql(expr: str = "text") -> str:
+    """DuckDB expression equivalent of :func:`content_md5` — the single
+    source of truth for oracle SQL that fingerprints content (used by
+    the dedup_exact and corpus_clean oracles)."""
+    return f"md5(trim(regexp_replace(lower({expr}), '\\s+', ' ', 'g')))"
+
+
 def word_count(col: Column | str) -> Column:
     """Whitespace-token count; 0 for blank strings."""
     t = F.trim(_c(col))

@@ -248,6 +248,14 @@ class JobStore:
             ]
         return sorted(recs, key=lambda r: r.created_at)
 
+    def counts_by_state(self) -> dict[str, int]:
+        """Job counts keyed by state (for the /metrics gauges)."""
+        with self._lock:
+            counts: dict[str, int] = {}
+            for rec in self._jobs.values():
+                counts[rec.state] = counts.get(rec.state, 0) + 1
+            return counts
+
     def expired(self, now: float) -> list[JobRecord]:
         """Terminal jobs whose results outlived their TTL.
 

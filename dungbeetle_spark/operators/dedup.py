@@ -29,7 +29,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from dungbeetle_spark.functions.texts import content_md5, norm_text
+from dungbeetle_spark.functions.texts import content_md5, content_md5_sql, norm_text
 from dungbeetle_spark.queries import _t, query
 from dungbeetle_spark.sources.catalog import fan_out
 
@@ -39,8 +39,8 @@ from dungbeetle_spark.sources.catalog import fan_out
 
 @query(
     "dedup_exact",
-    oracle="""
-    SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS content_hash,
+    oracle=f"""
+    SELECT {content_md5_sql()} AS content_hash,
            MIN(doc_id) AS keep_doc_id,
            COUNT(*) AS n_copies
     FROM documents

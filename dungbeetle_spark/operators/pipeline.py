@@ -219,29 +219,18 @@ def hash_split_train_test(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _corpus_clean_oracle() -> str:
-    from dungbeetle_spark.operators.text import _lang_guess_sql
+    # Each gate's oracle SQL comes from the operator it composes, so a
+    # formula fix there propagates here (same contract on both sides).
+    from dungbeetle_spark.functions.texts import content_md5_sql
+    from dungbeetle_spark.operators.text import _lang_guess_sql, _quality_cte_sql
 
     return f"""
-    WITH q AS (
-      SELECT doc_id,
-             length(text) AS nc,
-             CASE WHEN trim(text) = '' THEN 0
-                  ELSE len(regexp_split_to_array(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ')) END AS nw,
-             length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS np
-      FROM documents),
-    scored AS (
-      SELECT doc_id,
-             (least(CAST(nw AS DOUBLE) / 100.0, 1.0) * 0.5
-              + CASE WHEN nw > 0 AND CAST(nc AS DOUBLE) / nw BETWEEN 3.0 AND 12.0
-                     THEN 0.3 ELSE 0.0 END
-              + CASE WHEN CAST(np AS DOUBLE) / greatest(nc, 1) < 0.1
-                     THEN 0.2 ELSE 0.0 END) AS quality
-      FROM q),
+    WITH {_quality_cte_sql()},
     langs AS (SELECT doc_id, {_lang_guess_sql()} AS guessed_lang FROM documents),
     keepers AS (
       SELECT MIN(doc_id) AS doc_id
       FROM documents
-      GROUP BY md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))))
+      GROUP BY {content_md5_sql()})
     SELECT doc_id, quality, guessed_lang
     FROM scored JOIN langs USING (doc_id) JOIN keepers USING (doc_id)
     WHERE quality >= 0.6 AND guessed_lang = 'en'

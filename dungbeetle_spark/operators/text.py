@@ -219,23 +219,34 @@ def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "quality_score",
-    oracle="""
-    WITH t AS (
+def _quality_cte_sql() -> str:
+    """CTE pair computing (doc_id, quality) over ``documents`` — the
+    single source of truth for the quality formula on the oracle side,
+    shared with the composed corpus_clean oracle (operators/pipeline.py)."""
+    return """
+    q AS (
       SELECT doc_id,
              length(text) AS nc,
              CASE WHEN trim(text) = '' THEN 0
                   ELSE len(regexp_split_to_array(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ')) END AS nw,
              length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS np
-      FROM documents)
-    SELECT doc_id,
-           (least(CAST(nw AS DOUBLE) / 100.0, 1.0) * 0.5
-            + CASE WHEN nw > 0 AND CAST(nc AS DOUBLE) / nw BETWEEN 3.0 AND 12.0
-                   THEN 0.3 ELSE 0.0 END
-            + CASE WHEN CAST(np AS DOUBLE) / greatest(nc, 1) < 0.1
-                   THEN 0.2 ELSE 0.0 END) AS quality
-    FROM t
+      FROM documents),
+    scored AS (
+      SELECT doc_id,
+             (least(CAST(nw AS DOUBLE) / 100.0, 1.0) * 0.5
+              + CASE WHEN nw > 0 AND CAST(nc AS DOUBLE) / nw BETWEEN 3.0 AND 12.0
+                     THEN 0.3 ELSE 0.0 END
+              + CASE WHEN CAST(np AS DOUBLE) / greatest(nc, 1) < 0.1
+                     THEN 0.2 ELSE 0.0 END) AS quality
+      FROM q)
+    """
+
+
+@query(
+    "quality_score",
+    oracle=f"""
+    WITH {_quality_cte_sql()}
+    SELECT doc_id, quality FROM scored
     """,
     doc="Rule-based document quality score (length / mean-word-length "
     "band / punctuation-density), rational arithmetic only so the "

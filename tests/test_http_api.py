@@ -110,7 +110,7 @@ def test_unknown_route_404s(client):
 def test_metrics_endpoint(client):
     resp = client.post_job("get_profit_summary", job_id="http_metrics1", args=["2"])
     _poll(client, resp["job_id"])
-    m = client._do("GET", "/metrics")
+    m = client.get_metrics()
     assert m["jobs_by_state"].get("SUCCESS", 0) >= 1
     assert m["tasks"] == 3 and m["sources"] == 1 and m["result_backends"] == 1
     assert "default" in m["queue_backlog"]

@@ -218,7 +218,9 @@ def test_partitioned_result_read_prunes_partitions(spark, sf, tmp_path):
     m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
     assert m and "event_type" in m.group(1), plan[:800]
     # and the pruned read returns exactly the one partition's rows
-    assert out.select("event_type").distinct().collect()[0][0] == "click"
+    expected = agg.filter(F.col("event_type") == "click").count()
+    assert expected > 0, "fixture must have a click partition"
+    assert out.count() == expected
 
 
 def test_hash_split_is_shuffle_free(spark, sf):
