@@ -1,0 +1,505 @@
+"""Corpus-curation operators: sampling, chunking, scrubbing, packing.
+
+The second half of the training-data surface (SURVEY.md §2 addendum):
+after dedup/quality (operators.dedup, operators.text) decide WHICH
+documents survive, these decide HOW the surviving corpus is shaped
+into a training set — sampled per stratum, capped per domain, split
+into model-window chunks, scrubbed of PII, and packed into fixed
+token budgets.
+
+Design rules shared by every operator here:
+
+- **Determinism is part of the contract.** Sampling uses md5-prefix
+  thresholds (identical hex in Spark and DuckDB), never ``rand()``;
+  top-k always carries a total-order tiebreak; running sums use the
+  peer-inclusive RANGE frame both engines default to. A corpus
+  re-ingested incrementally must give every document the same fate on
+  every run.
+- **Narrow before wide.** Every operator projects the columns it
+  needs before any explode/join/shuffle, so at 100 TB the scan serves
+  a pruned ReadSchema and the shuffle moves only key + payload.
+- **JVM-side unless impossible.** Only sequence_pack (inherently
+  sequential first-fit) leaves codegen, and it does so via an
+  Arrow-batched ``applyInPandas`` over bounded hash buckets.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from dungbeetle_spark.functions.numeric import dsum
+from dungbeetle_spark.functions.texts import word_count
+from dungbeetle_spark.queries import _t, query
+
+# -- stratified_sample ------------------------------------------------------
+
+# Per-language keep rates expressed as md5-prefix hex thresholds over
+# a 16-bit space: 'en' keeps 60% (0x9999/0x10000), every other
+# language 30% (0x4ccc/0x10000). Hex-string comparison == numeric
+# comparison because both sides are fixed-width lowercase hex.
+_EN_THRESHOLD = "9999"
+_OTHER_THRESHOLD = "4ccc"
+
+
+@query(
+    "stratified_sample",
+    oracle=f"""
+    SELECT doc_id, lang, source
+    FROM documents
+    WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)
+          < CASE WHEN lang = 'en' THEN '{_EN_THRESHOLD}' ELSE '{_OTHER_THRESHOLD}' END
+    """,
+    doc="Deterministic per-language stratified sampling via md5-prefix "
+    "thresholds (en 60%, rest 30%) — no rand(), so a document's fate "
+    "is stable across re-ingestion. Pure filter: pushes to the scan, "
+    "no shuffle at any scale.",
+)
+def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stratum downsampling, the language-rebalancing step of an
+    LLM data mix (cf. sampling weights in data-mixture papers).
+
+    Scale: a WHERE over md5(doc_id) — embarrassingly parallel, zero
+    shuffle, and the md5 is computed on an 8-byte key, not the text.
+    Changing the mix = changing two hex literals, not re-hashing.
+    """
+    d = _t(spark, sf_dir, "documents")["documents"]
+    bucket = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4)
+    threshold = F.when(F.col("lang") == "en", F.lit(_EN_THRESHOLD)).otherwise(
+        F.lit(_OTHER_THRESHOLD)
+    )
+    return d.filter(bucket < threshold).select("doc_id", "lang", "source")
+
+
+# -- doc_chunking -----------------------------------------------------------
+
+_CHUNK_SIZE = 64  # tokens per chunk (model-window slice)
+_CHUNK_STRIDE = 48  # overlap = size - stride = 16 tokens
+
+
+@query(
+    "doc_chunking",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks
+        FROM documents
+    )
+    SELECT doc_id,
+           s // {_CHUNK_STRIDE} AS chunk_id,
+           len(toks[s + 1 : s + {_CHUNK_SIZE}]) AS chunk_tokens,
+           array_to_string(toks[s + 1 : s + {_CHUNK_SIZE}], ' ') AS chunk_text
+    FROM t, unnest(range(0, greatest(len(toks), 1), {_CHUNK_STRIDE})) AS u(s)
+    """,
+    doc=f"Overlapping fixed-window chunking ({_CHUNK_SIZE}-token "
+    f"windows, stride {_CHUNK_STRIDE}) — the context-window slicing "
+    "step before tokenization. Scan-parallel flat-map, no shuffle.",
+)
+def doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split each document into overlapping token windows.
+
+    Spark shape: tokenize → ``explode(sequence(...))`` of window
+    starts → ``slice``. All JVM-side array functions inside one
+    whole-stage-codegen span; the explode multiplies rows ~n_tokens/
+    stride but never leaves the partition, so at 100 TB this is pure
+    map-side work feeding the tokenizer downstream.
+
+    The start grid is ``range(0, max(n,1), stride)`` so an empty
+    document still yields one (empty) chunk row — chunk accounting
+    stays total over the corpus.
+    """
+    d = _t(spark, sf_dir, "documents")["documents"]
+    toks = F.filter(F.split(F.col("text"), r"\s+"), lambda x: x != "")
+    starts = F.sequence(
+        F.lit(0),
+        F.greatest(F.size("toks"), F.lit(1)) - 1,
+        F.lit(_CHUNK_STRIDE),
+    )
+    chunk = F.slice(F.col("toks"), F.col("s") + 1, _CHUNK_SIZE)
+    return (
+        d.select("doc_id", toks.alias("toks"))
+        .select("doc_id", "toks", F.explode(starts).alias("s"))
+        .select(
+            "doc_id",
+            (F.col("s") / _CHUNK_STRIDE).cast("long").alias("chunk_id"),
+            F.size(chunk).cast("long").alias("chunk_tokens"),
+            F.array_join(chunk, " ").alias("chunk_text"),
+        )
+    )
+
+
+# -- heavy_hitters ----------------------------------------------------------
+
+_HH_MIN_COUNT = 20
+_HH_TOP_K = 100
+
+
+@query(
+    "heavy_hitters",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, unnest(list_filter(
+                   string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> ''
+               )) AS token
+        FROM documents
+    )
+    SELECT token,
+           COUNT(*) AS n_occurrences,
+           COUNT(DISTINCT doc_id) AS n_docs
+    FROM tok
+    GROUP BY token
+    HAVING COUNT(*) >= {_HH_MIN_COUNT}
+    ORDER BY n_occurrences DESC, token
+    LIMIT {_HH_TOP_K}
+    """,
+    doc=f"Exact corpus heavy hitters: top {_HH_TOP_K} tokens with "
+    f"≥{_HH_MIN_COUNT} occurrences, ranked (count DESC, token ASC) — "
+    "the exact baseline a CountMin/SpaceSaving sketch would "
+    "approximate at 100 TB.",
+)
+def heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global token frequency leaders.
+
+    Scale: explode multiplies rows, but the groupBy over tokens gets a
+    map-side partial aggregate, so the shuffle carries one (token,
+    count) pair per distinct token per partition — bounded by
+    vocabulary, not corpus size. The total order (count DESC, token
+    ASC) makes the LIMIT deterministic; Catalyst plans it as
+    TakeOrderedAndProject (no global sort materialization).
+    """
+    d = _t(spark, sf_dir, "documents")["documents"]
+    token = F.explode(
+        F.filter(F.split(F.lower(F.col("text")), r"[^a-z0-9]+"), lambda x: x != "")
+    ).alias("token")
+    return (
+        d.select("doc_id", token)
+        .groupBy("token")
+        .agg(
+            F.count("*").alias("n_occurrences"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+        .filter(F.col("n_occurrences") >= _HH_MIN_COUNT)
+        .orderBy(F.desc("n_occurrences"), F.asc("token"))
+        .limit(_HH_TOP_K)
+    )
+
+
+# -- domain_quota_sample ----------------------------------------------------
+
+_DOMAIN_QUOTA = 10
+
+
+@query(
+    "domain_quota_sample",
+    oracle=f"""
+    SELECT doc_id, source, rk
+    FROM (
+        SELECT doc_id, source,
+               row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rk
+        FROM documents
+    )
+    WHERE rk <= {_DOMAIN_QUOTA}
+    """,
+    doc=f"Per-domain quota capping (≤{_DOMAIN_QUOTA} docs per source, "
+    "keep lowest doc_id) — the anti-domination guard that stops one "
+    "crawl domain from flooding the mix. One shuffle on source.",
+)
+def domain_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cap documents per source domain.
+
+    Scale: single hash shuffle on ``source``; the rank window then
+    runs partition-local. Skewed domains (the exact thing this
+    operator exists to suppress) make the shuffle skewed too — AQE
+    skew-join handling plus the fact that only (doc_id, source) is
+    shuffled (8+~6 bytes/row, never the text) keep that survivable.
+    A 100 TB variant would pre-aggregate per-domain counts and
+    broadcast the over-quota domain list to avoid ranking the
+    under-quota majority; at registry scale the single window is the
+    clearer plan.
+    """
+    d = _t(spark, sf_dir, "documents")["documents"]
+    rk = F.row_number().over(W.partitionBy("source").orderBy("doc_id"))
+    return (
+        d.select("doc_id", "source")
+        .withColumn("rk", rk)
+        .filter(F.col("rk") <= _DOMAIN_QUOTA)
+    )
+
+
+# -- pii_scrub_stats --------------------------------------------------------
+
+# RE2-and-Java-compatible patterns (no lookaround, no backrefs) so the
+# Spark build and the DuckDB oracle scan with the same semantics.
+_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_URL_RE = r"https?://[^\s]+"
+
+
+@query(
+    "pii_scrub_stats",
+    oracle=f"""
+    WITH scrubbed AS (
+        SELECT source,
+               len(regexp_extract_all(text, '{_EMAIL_RE}')) AS n_emails,
+               len(regexp_extract_all(text, '{_URL_RE}')) AS n_urls,
+               length(regexp_replace(
+                   regexp_replace(text, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                   '{_URL_RE}', '<URL>', 'g')) AS redacted_len
+        FROM documents
+    )
+    SELECT source,
+           COUNT(*) AS n_docs,
+           SUM(CASE WHEN n_emails + n_urls > 0 THEN 1 ELSE 0 END) AS docs_with_pii,
+           SUM(n_emails) AS total_emails,
+           SUM(n_urls) AS total_urls,
+           SUM(redacted_len) AS redacted_chars
+    FROM scrubbed
+    GROUP BY source
+    """,
+    doc="PII scrubbing audit per source: email/URL hit counts and "
+    "post-redaction sizes. Regexes are RE2∩Java compatible so Spark "
+    "and the oracle scan identically. Map-side regex + tiny "
+    "per-source aggregate.",
+)
+def pii_scrub_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Redaction accounting for the scrub stage of an ingest pipeline.
+
+    Scale: the regex work is per-row JVM codegen (the expensive part,
+    embarrassingly parallel); the aggregate ships 5 longs per source
+    per partition after map-side combine. Email replacement runs
+    before URL replacement in BOTH engines — identical composition,
+    identical counts.
+    """
+    d = _t(spark, sf_dir, "documents")["documents"]
+    text = F.col("text")
+    per_doc = d.select(
+        "source",
+        F.regexp_count(text, F.lit(_EMAIL_RE)).alias("n_emails"),
+        F.regexp_count(text, F.lit(_URL_RE)).alias("n_urls"),
+        F.length(
+            F.regexp_replace(
+                F.regexp_replace(text, _EMAIL_RE, "<EMAIL>"), _URL_RE, "<URL>"
+            )
+        ).alias("redacted_len"),
+    )
+    return per_doc.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(
+            F.when(F.col("n_emails") + F.col("n_urls") > 0, 1).otherwise(0)
+        ).cast("long").alias("docs_with_pii"),
+        F.sum("n_emails").cast("long").alias("total_emails"),
+        F.sum("n_urls").cast("long").alias("total_urls"),
+        F.sum("redacted_len").cast("long").alias("redacted_chars"),
+    )
+
+
+# -- sequence_pack ----------------------------------------------------------
+
+_PACK_BUDGET = 512  # token budget per packed sequence
+_PACK_BUCKETS = 16  # parallel packing shards
+
+
+def _pack_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+    """First-fit-decreasing within one bucket (plain Python over an
+    Arrow batch). Sort (tokens DESC, doc_id ASC) then drop each doc in
+    the first bin with room; docs longer than the budget get a
+    singleton bin. Deterministic given the sort."""
+    pdf = pdf.sort_values(["n_tokens", "doc_id"], ascending=[False, True])
+    bins: list[dict] = []  # {"left": int, "docs": int, "tokens": int}
+    assignment: list[int] = []
+    for tok in pdf["n_tokens"]:
+        placed = None
+        for i, b in enumerate(bins):
+            if b["left"] >= tok:
+                placed = i
+                break
+        if placed is None:
+            bins.append({"left": _PACK_BUDGET, "docs": 0, "tokens": 0})
+            placed = len(bins) - 1
+        b = bins[placed]
+        b["left"] -= int(tok)
+        b["docs"] += 1
+        b["tokens"] += int(tok)
+        assignment.append(placed)
+    bucket = int(pdf["bucket"].iloc[0]) if len(pdf) else 0
+    out = pd.DataFrame(
+        {
+            "bucket": bucket,
+            "bin_id": range(len(bins)),
+            "n_docs": [b["docs"] for b in bins],
+            "total_tokens": [b["tokens"] for b in bins],
+        }
+    )
+    return out
+
+
+@query(
+    "sequence_pack",
+    oracle=None,  # greedy first-fit is sequential — not SQL-expressible;
+    # invariants (coverage, budget, determinism) pinned in
+    # tests/test_curation.py instead.
+    doc=f"Sequence packing: first-fit-decreasing docs into "
+    f"{_PACK_BUDGET}-token training sequences, parallelized over "
+    f"{_PACK_BUCKETS} hash buckets via Arrow applyInPandas. "
+    "Rows-only in CORRECTNESS by design.",
+)
+def sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pack documents into fixed token budgets (the batch-efficiency
+    step before training: minimize padding by combining short docs).
+
+    Spark shape: token counts are computed JVM-side; only (bucket,
+    doc_id, n_tokens) reaches Python — 20 bytes/doc over Arrow, never
+    the text. Packing runs per hash bucket in ``applyInPandas``:
+    first-fit-decreasing is inherently sequential, so the operator
+    makes the sequential unit an explicit bounded shard (at 100 TB,
+    key buckets by output shard — e.g. xxhash64(doc_id) % n_shards
+    with n_shards sized so each holds ~1 GB of token counts).
+    Cross-bucket packing quality loss vs global FFD is bounded and
+    the shards are embarrassingly parallel.
+    """
+    d = _t(spark, sf_dir, "documents")["documents"]
+    counted = d.select(
+        (F.pmod(F.xxhash64("doc_id"), F.lit(_PACK_BUCKETS))).cast("int").alias("bucket"),
+        "doc_id",
+        word_count("text").cast("long").alias("n_tokens"),
+    )
+    return (
+        counted.groupBy("bucket")
+        .applyInPandas(
+            _pack_bucket,
+            "bucket int, bin_id long, n_docs long, total_tokens long",
+        )
+    )
+
+
+# -- interval_overlap -------------------------------------------------------
+
+
+@query(
+    "interval_overlap",
+    oracle="""
+    WITH deltas AS (
+        SELECT user_id, ts AS t, 1 AS delta FROM events
+        UNION ALL
+        SELECT user_id,
+               ts + CAST(floor(value) AS INT) * INTERVAL 1 SECOND AS t,
+               -1 AS delta
+        FROM events
+    ),
+    running AS (
+        SELECT user_id,
+               SUM(delta) OVER (PARTITION BY user_id ORDER BY t, delta) AS live
+        FROM deltas
+    )
+    SELECT user_id, CAST(MAX(live) AS INT) AS max_concurrent
+    FROM running
+    GROUP BY user_id
+    """,
+    doc="Max concurrent intervals per user via sweep-line: each event "
+    "spans [ts, ts+floor(value) sec]; +1/-1 deltas, peer-inclusive "
+    "running sum, max. Ends sort before starts at the same instant "
+    "(delta ASC), so touching intervals don't count as overlapping.",
+)
+def interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sweep-line concurrency: the classic interval-overlap aggregate
+    (sessions-online, resource-contention) without a range self-join.
+
+    Scale: the naive formulation is an O(n²) interval self-join; the
+    sweep is one union (map-side), one shuffle on user_id, and a
+    partition-local running sum. Determinism: the running sum uses the
+    default peer-inclusive RANGE frame (identical in Spark and
+    DuckDB), so equal (t, delta) rows share a value and the per-user
+    MAX is total-order independent.
+    """
+    e = _t(spark, sf_dir, "events")["events"]
+    starts = e.select("user_id", F.col("ts").alias("t"), F.lit(1).alias("delta"))
+    ends = e.select(
+        "user_id",
+        F.timestamp_add(
+            "SECOND", F.floor(F.col("value")).cast("int"), F.col("ts")
+        ).alias("t"),
+        F.lit(-1).alias("delta"),
+    )
+    w = W.partitionBy("user_id").orderBy("t", "delta")
+    return (
+        starts.unionAll(ends)
+        .select("user_id", F.sum("delta").over(w).alias("live"))
+        .groupBy("user_id")
+        .agg(F.max("live").cast("int").alias("max_concurrent"))
+    )
+
+
+# -- gap_fill_daily ---------------------------------------------------------
+
+
+@query(
+    "gap_fill_daily",
+    oracle="""
+    WITH daily AS (
+        SELECT user_id, CAST(ts AS DATE) AS day,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS day_value
+        FROM events GROUP BY user_id, CAST(ts AS DATE)
+    ),
+    spans AS (
+        SELECT user_id, MIN(day) AS d0, MAX(day) AS d1 FROM daily GROUP BY user_id
+    ),
+    cal AS (
+        SELECT user_id, unnest(generate_series(d0, d1, INTERVAL 1 DAY))::DATE AS day
+        FROM spans
+    )
+    SELECT c.user_id, c.day,
+           d.day_value AS day_value,
+           last_value(d.day_value IGNORE NULLS) OVER (
+               PARTITION BY c.user_id ORDER BY c.day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS filled_value,
+           (d.user_id IS NULL) AS is_gap
+    FROM cal c LEFT JOIN daily d ON c.user_id = d.user_id AND c.day = d.day
+    """,
+    doc="Daily gap-fill per user: dense calendar between each user's "
+    "first and last active day, forward-filling missing days "
+    "(last-observation-carried-forward) — the time-series "
+    "regularization step before windowed feature extraction.",
+)
+def gap_fill_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Densify a sparse per-user daily series.
+
+    Spark shape: daily decimal-exact aggregate → per-user span →
+    ``explode(sequence(d0, d1))`` calendar → left join back → ``last(
+    ignorenulls)`` over a ROWS frame. Two shuffles total (daily agg,
+    then calendar/daily co-shuffle on user_id+day; the span agg reuses
+    the daily exchange). The explode bounds output at users × span
+    days — linear in the dense series a downstream feature job needs
+    anyway.
+    """
+    e = _t(spark, sf_dir, "events")["events"]
+    daily = e.groupBy(
+        "user_id", F.col("ts").cast("date").alias("day")
+    ).agg(dsum("value").alias("day_value"))
+    spans = daily.groupBy("user_id").agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    )
+    cal = spans.select(
+        "user_id",
+        F.explode(F.sequence("d0", "d1", F.expr("interval 1 day"))).alias("day"),
+    )
+    dd = daily.select(
+        F.col("user_id").alias("d_user"),
+        F.col("day").alias("d_day"),
+        "day_value",
+    )
+    ff = F.last("day_value", ignorenulls=True).over(
+        W.partitionBy("user_id").orderBy("day").rowsBetween(W.unboundedPreceding, 0)
+    )
+    joined = cal.join(
+        dd, (cal.user_id == dd.d_user) & (cal.day == dd.d_day), "left"
+    )
+    return joined.select(
+        "user_id",
+        "day",
+        F.col("day_value"),
+        ff.alias("filled_value"),
+        F.col("d_user").isNull().alias("is_gap"),
+    )

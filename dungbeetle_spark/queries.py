@@ -55,6 +55,7 @@ def query(name: str, oracle: str | None = None, doc: str = ""):
 def registry() -> dict[str, QuerySpec]:
     """All registered specs (imports operator modules for side effects)."""
     import dungbeetle_spark.operators.analytic  # noqa: F401
+    import dungbeetle_spark.operators.curation  # noqa: F401
     import dungbeetle_spark.operators.dedup  # noqa: F401
     import dungbeetle_spark.operators.pipeline  # noqa: F401
     import dungbeetle_spark.operators.relational_ext  # noqa: F401

@@ -1,0 +1,128 @@
+"""Invariant tests for the curation operators (operators/curation.py).
+
+Value correctness for the 7 oracle-backed queries is covered by
+test_queries_oracle.py; these pin what the oracle can't see:
+sequence_pack's packing invariants (it has no SQL oracle), forward-
+fill semantics on a planted gap, and determinism across runs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from dungbeetle_spark.operators.curation import (
+    _DOMAIN_QUOTA,
+    _PACK_BUDGET,
+    sequence_pack,
+)
+from dungbeetle_spark.queries import registry
+from dungbeetle_spark.sources.catalog import load_tables
+
+SPECS = registry()
+
+
+def test_sequence_pack_invariants(spark, sf_oracle):
+    docs = load_tables(spark, sf_oracle, ["documents"])["documents"]
+    n_docs = docs.count()
+    bins = sequence_pack(spark, sf_oracle).collect()
+
+    # every document lands in exactly one bin
+    assert sum(r.n_docs for r in bins) == n_docs
+
+    # token totals account for the whole corpus
+    from dungbeetle_spark.functions.texts import word_count
+
+    corpus_tokens = docs.select(
+        F.sum(word_count("text")).alias("t")
+    ).collect()[0].t
+    assert sum(r.total_tokens for r in bins) == corpus_tokens
+
+    # budget holds except for unsplittable singletons
+    for r in bins:
+        if r.total_tokens > _PACK_BUDGET:
+            assert r.n_docs == 1, (
+                f"bin {r.bucket}/{r.bin_id} over budget with {r.n_docs} docs"
+            )
+
+    # (bucket, bin_id) is a key
+    keys = [(r.bucket, r.bin_id) for r in bins]
+    assert len(keys) == len(set(keys))
+
+
+def test_sequence_pack_deterministic(spark, sf_oracle):
+    a = sorted(map(tuple, sequence_pack(spark, sf_oracle).collect()))
+    b = sorted(map(tuple, sequence_pack(spark, sf_oracle).collect()))
+    assert a == b
+
+
+def test_gap_fill_daily_planted_gap(spark, sf_oracle):
+    """Forward-fill semantics on a user with a known hole: every gap
+    day carries the most recent observed value, and no dense row is
+    missing between a user's first and last active day."""
+    df = SPECS["gap_fill_daily"].build(spark, sf_oracle)
+    rows = df.orderBy("user_id", "day").collect()
+    by_user: dict[int, list] = {}
+    for r in rows:
+        by_user.setdefault(r.user_id, []).append(r)
+    saw_gap = False
+    for series in by_user.values():
+        # dense: consecutive days, no holes
+        days = [r.day for r in series]
+        assert all(
+            (b - a).days == 1 for a, b in zip(days, days[1:])
+        ), "calendar must be dense per user"
+        # first row is an observation (span starts at first active day)
+        assert series[0].day_value is not None
+        last = None
+        for r in series:
+            if r.day_value is not None:
+                assert not r.is_gap
+                last = r.day_value
+            else:
+                saw_gap = True
+                assert r.is_gap
+                assert r.filled_value == last
+    assert saw_gap, "fixture should contain at least one gap day"
+
+
+def test_domain_quota_caps_every_source(spark, sf_oracle):
+    df = SPECS["domain_quota_sample"].build(spark, sf_oracle)
+    per_source = df.groupBy("source").count().collect()
+    assert per_source
+    assert all(r["count"] <= _DOMAIN_QUOTA for r in per_source)
+
+
+def test_stratified_sample_rates(spark, sf_oracle):
+    """md5-threshold sampling should land near the configured rates
+    (en 60%, others 30%) — loose bounds, it's a 500-doc fixture."""
+    docs = load_tables(spark, sf_oracle, ["documents"])["documents"]
+    totals = {r.lang: r["count"] for r in docs.groupBy("lang").count().collect()}
+    kept = {
+        r.lang: r["count"]
+        for r in SPECS["stratified_sample"]
+        .build(spark, sf_oracle)
+        .groupBy("lang")
+        .count()
+        .collect()
+    }
+    en_rate = kept.get("en", 0) / totals["en"]
+    assert 0.4 < en_rate < 0.8
+    other_kept = sum(v for k, v in kept.items() if k != "en")
+    other_total = sum(v for k, v in totals.items() if k != "en")
+    assert 0.15 < other_kept / other_total < 0.45
+
+
+def test_chunking_covers_all_tokens(spark, sf_oracle):
+    """Stride < size ⇒ every token of every document appears in at
+    least one chunk; chunk token counts sum to corpus tokens plus
+    overlap, never less."""
+    from dungbeetle_spark.functions.texts import word_count
+
+    docs = load_tables(spark, sf_oracle, ["documents"])["documents"]
+    corpus_tokens = docs.select(F.sum(word_count("text")).alias("t")).collect()[0].t
+    chunks = SPECS["doc_chunking"].build(spark, sf_oracle)
+    agg = chunks.groupBy().agg(
+        F.sum("chunk_tokens").alias("tok"), F.countDistinct("doc_id").alias("docs")
+    ).collect()[0]
+    assert agg.tok >= corpus_tokens
+    assert agg.docs == docs.count()

@@ -236,3 +236,41 @@ def test_q17_decorrelated_average_broadcasts_back(spark, sf):
     # both lineitem scans are narrow projections
     for s in scan_schemas(df):
         assert "l_comment" not in s and s.count(":") <= 3, s
+
+
+def test_curation_narrow_ops_stay_shuffle_free(spark, sf):
+    """stratified_sample and doc_chunking are pure map-side work: any
+    exchange appearing here would shuffle the full corpus for nothing
+    at 100 TB."""
+    assert shuffle_exchanges(_df(spark, sf, "stratified_sample")) == 0
+    assert shuffle_exchanges(_df(spark, sf, "doc_chunking")) == 0
+    # sampling never reads the text column
+    for s in scan_schemas(_df(spark, sf, "stratified_sample")):
+        assert "text" not in s, s
+
+
+def test_heavy_hitters_partial_agg_and_topk(spark, sf):
+    df = _df(spark, sf, "heavy_hitters")
+    assert has_partial_aggregate(df), "token counts must combine map-side"
+    assert "TakeOrderedAndProject" in formatted_plan(df), "top-k must not full-sort"
+
+
+def test_interval_overlap_single_shuffle(spark, sf):
+    """The sweep-line's groupBy(user_id) must reuse the window's
+    user_id partitioning — one exchange total. A second exchange means
+    the union output got reshuffled for the final max."""
+    assert shuffle_exchanges(_df(spark, sf, "interval_overlap")) == 1
+
+
+def test_sequence_pack_ships_counts_not_text(spark, sf):
+    """Only (bucket, doc_id, n_tokens) may cross into Python — the
+    Arrow batch must never carry the text column."""
+    df = SPECS["sequence_pack"].build(spark, sf)
+    plan = formatted_plan(df)
+    m = re.search(r"ArrowEvalPython|FlatMapGroupsInPandas", plan)
+    assert m, "expected an Arrow applyInPandas node"
+    for s in scan_schemas(df):
+        assert "struct<doc_id:bigint,text:string" in s or "text" in s, s
+    # the exchange feeding Python carries 3 narrow columns only
+    assert "bucket" in plan and "n_tokens" in plan
+    assert not re.search(r"FlatMapGroupsInPandas.*text", plan)
