@@ -240,28 +240,44 @@ _URL_RE = r"https?://[^\s]+"
 @query(
     "pii_scrub_stats",
     oracle=f"""
-    WITH scrubbed AS (
+    WITH contaminated AS (
+        SELECT source,
+               text
+               || CASE WHEN doc_id % 3 = 0
+                       THEN ' contact u' || CAST(doc_id AS VARCHAR) || '@example.com now'
+                       ELSE '' END
+               || CASE WHEN doc_id % 5 = 0
+                       THEN ' see https://example.com/d/' || CAST(doc_id AS VARCHAR) || ' page'
+                       ELSE '' END AS text
+        FROM documents
+    ),
+    scrubbed AS (
         SELECT source,
                len(regexp_extract_all(text, '{_EMAIL_RE}')) AS n_emails,
                len(regexp_extract_all(text, '{_URL_RE}')) AS n_urls,
                length(regexp_replace(
                    regexp_replace(text, '{_EMAIL_RE}', '<EMAIL>', 'g'),
                    '{_URL_RE}', '<URL>', 'g')) AS redacted_len
-        FROM documents
+        FROM contaminated
     )
     SELECT source,
            COUNT(*) AS n_docs,
-           SUM(CASE WHEN n_emails + n_urls > 0 THEN 1 ELSE 0 END) AS docs_with_pii,
-           SUM(n_emails) AS total_emails,
-           SUM(n_urls) AS total_urls,
-           SUM(redacted_len) AS redacted_chars
+           CAST(SUM(CASE WHEN n_emails + n_urls > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_with_pii,
+           CAST(SUM(n_emails) AS BIGINT) AS total_emails,
+           CAST(SUM(n_urls) AS BIGINT) AS total_urls,
+           CAST(SUM(redacted_len) AS BIGINT) AS redacted_chars
     FROM scrubbed
     GROUP BY source
     """,
     doc="PII scrubbing audit per source: email/URL hit counts and "
     "post-redaction sizes. Regexes are RE2∩Java compatible so Spark "
-    "and the oracle scan identically. Map-side regex + tiny "
-    "per-source aggregate.",
+    "and the oracle scan identically. The fixture corpus contains no "
+    "PII, so deterministic emails/URLs are synthesized from doc_id "
+    "(doc_id%3 → email, doc_id%5 → URL) before scanning — the same "
+    "seeding trick multimodal uses for media payloads. Map-side regex "
+    "+ tiny per-source aggregate. Oracle SUMs are CAST AS BIGINT so "
+    "DuckDB's HUGEINT doesn't diverge from Spark's long in the "
+    "driver's type-sensitive value hash.",
 )
 def pii_scrub_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Redaction accounting for the scrub stage of an ingest pipeline.
@@ -273,6 +289,27 @@ def pii_scrub_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical counts.
     """
     d = _t(spark, sf_dir, "documents")["documents"]
+    doc_id_str = F.col("doc_id").cast("string")
+    text = F.concat(
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(F.lit(" contact u"), doc_id_str, F.lit("@example.com now")),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(
+                F.lit(" see https://example.com/d/"), doc_id_str, F.lit(" page")
+            ),
+        ).otherwise(F.lit("")),
+    )
+    return scrub_stats_frame(d.select("source", text.alias("text")))
+
+
+def scrub_stats_frame(d: DataFrame) -> DataFrame:
+    """Per-source scrub accounting over any (source, text) frame —
+    split out so planted-corpus tests can exercise the regex
+    extraction/redaction semantics on known PII directly."""
     text = F.col("text")
     per_doc = d.select(
         "source",

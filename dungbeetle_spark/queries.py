@@ -52,8 +52,61 @@ def query(name: str, oracle: str | None = None, doc: str = ""):
     return deco
 
 
+# The driver's CORRECTNESS harness verifies the FIRST 50 registry
+# entries per round (registration order). This list pins which queries
+# occupy that window: queries that have never had a driver row, then
+# queries whose code changed this round, then queries verified only
+# once (r01), so that over rounds every oracle-backed query earns at
+# least one green driver row. Names not listed follow in registration
+# order; unknown names here are an error (caught by tests).
+DRIVER_PRIORITY: list[str] = [
+    # never driver-verified through r03 (VERDICT r03 "What's missing" #2)
+    "q11_important_parts",
+    "q12_shipping_delay",
+    "q15_top_supplier",
+    "q16_part_supplier_variety",
+    "q17_small_quantity_revenue",
+    "q20_qualified_suppliers",
+    "q21_latest_shippers",
+    "grouping_sets_sales",
+    "customer_status_except_all",
+    "streaming_windowed_counts",
+    "streaming_segment_volume",
+    "streaming_stream_stream_join",
+    "streaming_distinct_daily",
+    # displaced from the window by r03's curation batch (green in r02)
+    "corpus_clean",
+    "doc_fingerprint",
+    "lang_id",
+    "quality_score",
+    "token_count",
+    "udtf_sentences",
+    "q8_market_share",
+    "q9_product_profit",
+    # changed this round — needs a fresh driver row
+    "pii_scrub_stats",
+    "domain_quota_sample",
+    "sequence_pack",
+    # verified only in r01, outside the window since
+    "ann_cosine_topk",
+    "ann_ivf",
+    "ann_lsh_bucketed",
+    "multimodal_features",
+    "multimodal_feature_stats",
+    "multimodal_resize",
+    "multimodal_frame_sample",
+    "asof_click_attribution",
+    "sessionize_events",
+    "range_join_order_context",
+    "time_rollup_events",
+    "streaming_sessionize",
+]
+
+
 def registry() -> dict[str, QuerySpec]:
-    """All registered specs (imports operator modules for side effects)."""
+    """All registered specs (imports operator modules for side effects),
+    ordered DRIVER_PRIORITY-first so the driver's 50-entry correctness
+    window lands on the queries that most need a verification row."""
     import dungbeetle_spark.operators.analytic  # noqa: F401
     import dungbeetle_spark.operators.curation  # noqa: F401
     import dungbeetle_spark.operators.dedup  # noqa: F401
@@ -66,7 +119,15 @@ def registry() -> dict[str, QuerySpec]:
     import dungbeetle_spark.streaming.stateful  # noqa: F401
     import dungbeetle_spark.streaming.windows  # noqa: F401
 
-    return dict(_REGISTRY)
+    ordered: dict[str, QuerySpec] = {}
+    for name in DRIVER_PRIORITY:
+        spec = _REGISTRY.get(name)
+        if spec is not None:
+            ordered[name] = spec
+    for name, spec in _REGISTRY.items():
+        if name not in ordered:
+            ordered[name] = spec
+    return ordered
 
 
 def _t(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:

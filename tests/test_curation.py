@@ -112,6 +112,62 @@ def test_stratified_sample_rates(spark, sf_oracle):
     assert 0.15 < other_kept / other_total < 0.45
 
 
+def test_pii_scrub_planted_corpus(spark):
+    """Exact extraction/redaction semantics on known PII (ADVICE r03:
+    the fixture corpus alone would leave the regexes unexercised)."""
+    from dungbeetle_spark.operators.curation import scrub_stats_frame
+
+    rows = [
+        # (source, text, n_emails, n_urls, redacted_len)
+        ("a", "plain text no pii", 0, 0, len("plain text no pii")),
+        (
+            "a",
+            "mail bob@site.org today",
+            1,
+            0,
+            len("mail <EMAIL> today"),
+        ),
+        (
+            "b",
+            "see https://x.io/p?q=1 then jo.ann+x@my-site.co.uk bye",
+            1,
+            1,
+            len("see <URL> then <EMAIL> bye"),
+        ),
+        ("b", "go http://plain.example/path now", 0, 1, len("go <URL> now")),
+    ]
+    df = spark.createDataFrame(
+        [(s, t) for s, t, *_ in rows], "source string, text string"
+    )
+    got = {r.source: r for r in scrub_stats_frame(df).collect()}
+    assert got["a"].n_docs == 2
+    assert got["a"].docs_with_pii == 1
+    assert got["a"].total_emails == 1
+    assert got["a"].total_urls == 0
+    assert got["a"].redacted_chars == rows[0][4] + rows[1][4]
+    assert got["b"].n_docs == 2
+    assert got["b"].docs_with_pii == 2
+    assert got["b"].total_emails == 1
+    assert got["b"].total_urls == 2  # one URL in each of b's docs
+    assert got["b"].redacted_chars == rows[2][4] + rows[3][4]
+
+
+def test_pii_scrub_fixture_not_hollow(spark, sf_oracle):
+    """The registry query must actually find PII on the fixture —
+    synthesized emails/URLs guarantee non-zero hits, so a regression
+    back to a PII-free scan fails loudly here."""
+    agg = (
+        SPECS["pii_scrub_stats"]
+        .build(spark, sf_oracle)
+        .agg(
+            F.sum("total_emails").alias("e"),
+            F.sum("total_urls").alias("u"),
+        )
+        .collect()[0]
+    )
+    assert agg.e > 0 and agg.u > 0
+
+
 def test_chunking_covers_all_tokens(spark, sf_oracle):
     """Stride < size ⇒ every token of every document appears in at
     least one chunk; chunk token counts sum to corpus tokens plus
