@@ -66,6 +66,11 @@ class Config:
     default_queue: str = "default"
     worker_concurrency: int = 10  # cmd/init.go:44
     worker_only: bool = False
+    # Cross-process job distribution: the SQLite job_store doubles as
+    # the broker; every process (server or --worker-only) claims jobs
+    # from it atomically. Implied by worker_only; a server that feeds
+    # worker-only sidecars must set it too.
+    distributed: bool = False
     default_job_ttl: float = 60.0  # app.default_job_ttl
     result_reaper_interval: float = 0.0  # app.result_reaper_interval; 0 = off
     job_store: str = ""  # SQLite path; "" = in-memory job state
@@ -124,6 +129,9 @@ def load_config(
             raw.get("worker_concurrency", app.get("worker_concurrency", 10))
         ),
         worker_only=str(raw.get("worker_only", "")).lower() in ("1", "true"),
+        distributed=str(
+            raw.get("distributed", app.get("distributed", ""))
+        ).lower() in ("1", "true"),
         default_job_ttl=parse_duration(app.get("default_job_ttl"), 60.0),
         result_reaper_interval=parse_duration(
             app.get("result_reaper_interval"), 0.0
@@ -167,9 +175,12 @@ def build_core(cfg: Config, spark=None):
         result_reaper_interval=cfg.result_reaper_interval,
         jobstore_path=cfg.job_store or None,
         # A worker-only sidecar attaches to the PRIMARY's live store:
-        # it must not fail the primary's in-flight jobs at startup
-        # (jobstore.JobStore recovery contract).
+        # it must not fail or requeue the primary's in-flight jobs at
+        # startup (jobstore.JobStore recovery contract).
         jobstore_recover_inflight=not cfg.worker_only,
+        # worker_only implies distribution — a sidecar can only ever
+        # receive work through the shared store.
+        distributed=cfg.distributed or cfg.worker_only,
     )
     from dungbeetle_spark.sources.catalog import TABLES
     from dungbeetle_spark.sources.formats import FileSource, JdbcSource

@@ -25,7 +25,9 @@ job's result (core.go:436).
 
 from __future__ import annotations
 
+import os
 import queue as _queue
+import socket
 import threading
 import time
 import uuid
@@ -81,11 +83,34 @@ class Core:
         result_reaper_interval: float = 0.0,  # seconds; 0 = off (reference parity)
         jobstore_path: str | None = None,  # SQLite file; None = in-memory only
         jobstore_recover_inflight: bool = True,  # False for worker sidecars
+        distributed: bool = False,  # workers claim from the shared store
+        claim_queues: list[str] | None = None,  # None = claim every queue
+        claim_poll_interval: float = 0.2,  # broker poll period (tasqueue analog)
     ) -> None:
+        if distributed and not jobstore_path:
+            raise ValueError(
+                "distributed mode needs a shared jobstore_path — the "
+                "SQLite file is the broker the processes rendezvous on"
+            )
         self.spark = spark
-        self.store = JobStore(
-            persist_path=jobstore_path,
-            recover_inflight=jobstore_recover_inflight,
+        # Restart policy: a sidecar attaches without touching the
+        # primary's rows; a distributed primary treats the store as a
+        # durable broker (keep the backlog, re-deliver in-flight rows);
+        # a single-process engine fails whatever its dead workers left.
+        recover = (
+            "attach"
+            if not jobstore_recover_inflight
+            else ("requeue" if distributed else "fail")
+        )
+        self.store = JobStore(persist_path=jobstore_path, recover=recover)
+        self.distributed = distributed
+        self.claim_queues = claim_queues
+        self.claim_poll_interval = claim_poll_interval
+        # Claim stamp for this worker (the reference's worker identity
+        # is its Redis consumer; ours is host:pid plus a nonce so two
+        # Cores in one process — tests, embedded setups — stay distinct).
+        self.worker_id = (
+            f"{socket.gethostname()}:{os.getpid()}:{uuid.uuid4().hex[:6]}"
         )
         self.sources = SourcePool()
         self.result_backends = ResultBackends()
@@ -222,8 +247,7 @@ class Core:
                     # result_path so the NEXT pass retries this record,
                     # and keep reaping the rest of the list
                     continue
-            rec.result_path = ""
-            self.store.touch(rec.job_id)
+            self.store.clear_result(rec.job_id)
             reaped.append(rec.job_id)
         return reaped
 
@@ -234,11 +258,31 @@ class Core:
             except Exception:  # noqa: BLE001 — reaper must not die
                 pass
 
-    def _ensure_queue(self, name: str, concurrency: int) -> "_WorkQueue":
+    def _ensure_queue(self, name: str, concurrency: int):
+        """One worker pool per queue: an in-proc FIFO pool normally, a
+        store-claiming pool in distributed mode (where the backlog
+        lives in the shared SQLite broker, not process memory). A
+        distributed process only spins claim workers for queues it
+        subscribes to (``claim_queues``), like reference workers
+        subscribing to specific queues — but tracks every queue name
+        for metrics."""
         with self._lock:
             q = self._queues.get(name)
             if q is None:
-                q = _WorkQueue(name, max(concurrency, 1), self._run_job)
+                if self.distributed:
+                    subscribed = (
+                        self.claim_queues is None or name in self.claim_queues
+                    )
+                    q = _ClaimPool(
+                        name,
+                        max(concurrency, 1) if subscribed else 0,
+                        self.store,
+                        self._run_job,
+                        self.claim_poll_interval,
+                        self.worker_id,
+                    )
+                else:
+                    q = _WorkQueue(name, max(concurrency, 1), self._run_job)
                 self._queues[name] = q
             return q
 
@@ -266,7 +310,12 @@ class Core:
         )
         self.store.create(rec)  # atomic single-flight check (jobstore)
         q = self._ensure_queue(queue_name, task.conc or self.worker_concurrency)
-        if eta_ts is not None and eta_ts > time.time():
+        if self.distributed:
+            # The INSERT above IS the enqueue: any process claiming
+            # this queue (this one included) will pick the job up; the
+            # claim itself filters on ETA, so no local timer.
+            pass
+        elif eta_ts is not None and eta_ts > time.time():
             delay = eta_ts - time.time()
             timer = threading.Timer(delay, lambda: self._submit(q, job_id))
             timer.daemon = True
@@ -290,9 +339,8 @@ class Core:
         group_id = group_id or f"group_{uuid.uuid4()}"
         resps: list[JobResp] = []
         for task_name, req in task_jobs:
-            resp = self.new_job(task_name, req)
-            self.store.get(resp.job_id).group_id = group_id
-            resps.append(resp)
+            resps.append(self.new_job(task_name, req))
+        # create_group stamps group_id onto each member record.
         self.store.create_group(group_id, [r.job_id for r in resps])
         return group_id, resps
 
@@ -359,23 +407,57 @@ class Core:
             return  # cancelled while pending (core.go:451-454)
         if rec.cancelled:
             return
-        task = self.tasks[rec.task]
-        self.store.set_state(job_id, jobstore.STARTED)
+        task = self.tasks.get(rec.task)
+        if task is None:
+            # A claimed job for a task this process doesn't know is a
+            # deployment error (sidecar missing the sql dirs) — fail
+            # loudly rather than swallowing the job.
+            self.store.set_state(
+                job_id,
+                jobstore.FAILURE,
+                error=f"task {rec.task} not registered in worker {self.worker_id}",
+            )
+            return
+        self.store.set_state(job_id, jobstore.STARTED, owner=self.worker_id)
         try:
             count, path, backend = self._execute(rec, task, queue_name)
-            rec.result_path = path
-            rec.result_backend = backend
-            self.store.set_state(job_id, jobstore.SUCCESS, count=count, error="")
+            self.store.set_state(
+                job_id,
+                jobstore.SUCCESS,
+                count=count,
+                error="",
+                result_path=path,
+                result_backend=backend,
+            )
         except Exception as exc:  # noqa: BLE001
-            if not self.store.exists(job_id):
+            attempts = rec.attempts + 1
+            fresh = self.store.get(job_id) if self.store.exists(job_id) else None
+            if fresh is None:
                 return  # cancelled mid-flight; job purged
-            rec.attempts += 1
-            if rec.attempts <= rec.max_retries and not rec.cancelled:
-                self.store.set_state(job_id, jobstore.RETRY, error=str(exc)[:1000])
-                q = self._ensure_queue(queue_name, task.conc or self.worker_concurrency)
-                q.submit(job_id)
+            if attempts <= rec.max_retries and not fresh.cancelled:
+                # RETRY returns the job to the backlog. Distributed:
+                # clear the owner stamp so ANY subscribed process may
+                # re-deliver it (broker semantics); in-proc: resubmit
+                # to this queue's pool like the reference's tasqueue.
+                self.store.set_state(
+                    job_id,
+                    jobstore.RETRY,
+                    error=str(exc)[:1000],
+                    attempts=attempts,
+                    owner="",
+                )
+                if not self.distributed:
+                    q = self._ensure_queue(
+                        queue_name, task.conc or self.worker_concurrency
+                    )
+                    q.submit(job_id)
             else:
-                self.store.set_state(job_id, jobstore.FAILURE, error=str(exc)[:1000])
+                self.store.set_state(
+                    job_id,
+                    jobstore.FAILURE,
+                    error=str(exc)[:1000],
+                    attempts=attempts,
+                )
 
     def _execute(
         self, rec: JobRecord, task: Task, queue_name: str
@@ -474,6 +556,70 @@ class Core:
             except KeyError:
                 pass  # backend detached since the job ran; try the path
         return self.spark.read.parquet(rec.result_path)
+
+
+class _ClaimPool:
+    """Distributed-mode worker pool: N threads polling the shared
+    SQLite broker for jobs on one queue.
+
+    The analog of reference workers subscribed to a tasqueue queue
+    (core.go:403-447): any process pointed at the same store file runs
+    its own pool, and the atomic ``JobStore.claim`` guarantees each
+    job is delivered to exactly one of them. ``concurrency=0`` means
+    this process tracks the queue (metrics, enqueue) but does not
+    execute its jobs — a pure producer.
+    """
+
+    def __init__(
+        self,
+        name: str,
+        concurrency: int,
+        store: JobStore,
+        run: Callable[[str, str], None],
+        poll_interval: float,
+        owner: str,
+    ) -> None:
+        self.name = name
+        self.concurrency = concurrency
+        self._store = store
+        self._run = run
+        self._poll = poll_interval
+        self._owner = owner
+        self._stop = threading.Event()
+        self._threads: list[threading.Thread] = []
+        for i in range(concurrency):
+            t = threading.Thread(
+                target=self._worker, name=f"dbclaim-{name}-{i}", daemon=True
+            )
+            t.start()
+            self._threads.append(t)
+
+    def submit(self, job_id: str) -> None:
+        """No-op: the store INSERT already enqueued the job; claim
+        threads will find it on their next poll."""
+
+    def backlog(self) -> int:
+        return len(self._store.pending(self.name))
+
+    def _worker(self) -> None:
+        while not self._stop.is_set():
+            try:
+                rec = self._store.claim([self.name], self._owner)
+            except Exception:  # noqa: BLE001 — transient store contention
+                rec = None
+            if rec is None:
+                self._stop.wait(self._poll)
+                continue
+            self._run(self.name, rec.job_id)
+
+    def stop(self) -> None:
+        self._stop.set()
+
+    def join(self, timeout: float) -> bool:
+        deadline = time.monotonic() + timeout
+        for t in self._threads:
+            t.join(timeout=max(0.0, deadline - time.monotonic()))
+        return not any(t.is_alive() for t in self._threads)
 
 
 class _WorkQueue:

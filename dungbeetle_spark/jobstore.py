@@ -1,21 +1,46 @@
-"""In-process job state store, optionally persisted to SQLite.
+"""Job state store + cross-process backlog, optionally SQLite-backed.
 
 The reference tracks job state in Redis via tasqueue (states PENDING /
 STARTED / FAILURE / SUCCESS / RETRY, reference: internal/core/
-core.go:574-599) and stores a single integer result — the written row
-count — per job (core.go:436). This store keeps the same state machine
-and payloads in-process with atomic check-and-set, fixing the
-reference's read-then-enqueue race on single-flight IDs
-(core.go:331-339).
+core.go:574-599), stores a single integer result — the written row
+count — per job (core.go:436), and uses the Redis broker to hand jobs
+to whichever worker process polls them first (core.go:403-447; README
+"Multiple queues, workers and job distribution"). This store plays
+both roles for the rebuild:
 
-Persistence closes the reference's durability story (its Redis broker
-survives server restarts, README "Multiple queues, workers and job
-distribution"): with ``persist_path`` set, every mutation writes
-through to a SQLite file, and a restarted Core recovers terminal job
-status and result locations. Jobs caught mid-flight by the crash
-(PENDING/STARTED/RETRY) are marked FAILURE on recovery — their worker
-threads died with the process, and honest failure beats a forever-
-PENDING ghost.
+- **State store.** Same state machine, same payloads. Every mutation
+  is a read-modify-write through a store method, so with a persistent
+  file the SQLite row is authoritative and any process sharing the
+  file sees the same truth (fixing the reference's read-then-enqueue
+  race on single-flight IDs, core.go:331-339, with a real atomic
+  check-and-set).
+- **Broker.** ``create`` = INSERT of a PENDING row; ``claim`` = an
+  atomic owner-stamping UPDATE under SQLite's writer lock. A server
+  process and any number of ``--worker-only`` processes pointed at the
+  same ``jobstore_path`` share one backlog: whoever claims a job first
+  owns it — the Spark-native answer to the reference's Redis-brokered
+  worker distribution.
+
+Restart semantics (``recover`` modes, applied to rows the previous
+process left non-terminal):
+
+- ``"fail"`` — single-process engine: the in-proc work queue died with
+  the process, so non-terminal jobs can never finish; mark FAILURE
+  (honest failure beats a forever-PENDING ghost).
+- ``"requeue"`` — distributed engine: the SQLite file IS the broker
+  and PENDING rows are durable backlog; keep them, and return
+  STARTED/RETRY rows to the backlog (owner cleared) for re-delivery —
+  the same at-least-once semantics a Redis broker gives the reference
+  after a worker crash.
+- ``"attach"`` — worker-only sidecar joining a live store: touch
+  nothing; the rows belong to the running primary.
+
+Cross-process cancellation is purge-level: DELETE /jobs/{id} removes
+the row, so an unclaimed job is never picked up, and the eventual
+terminal write from a remote owner is dropped (no resurrect). Stage
+interruption via ``cancelJobGroup`` only reaches jobs running in the
+process that receives the cancel — mirroring the reference, whose
+MySQL path cannot interrupt server-side either (README DELETE caveat).
 """
 
 from __future__ import annotations
@@ -57,6 +82,7 @@ class JobRecord:
     created_at: float = field(default_factory=time.time)
     finished_at: float | None = None  # set on SUCCESS/FAILURE
     cancelled: bool = False
+    owner: str = ""  # claiming process id ("host:pid"); "" = unclaimed
 
 
 class SingleFlightError(Exception):
@@ -64,77 +90,91 @@ class SingleFlightError(Exception):
 
 
 class JobStore:
-    """Thread-safe job/group registry.
+    """Thread-safe (and, when persistent, process-shared) job registry.
 
     Job IDs are caller-suppliable and *non-unique* across completed
     runs (a re-post of a finished ID overwrites it, like the reference
     re-enqueueing the same ID); only one instance of an ID may be
-    active at a time — enforced atomically here.
+    active at a time — enforced atomically here, across processes when
+    a shared SQLite file is configured.
     """
 
     def __init__(
-        self, persist_path: str | None = None, recover_inflight: bool = True
+        self,
+        persist_path: str | None = None,
+        recover: str = "fail",
+        recover_inflight: bool | None = None,
     ) -> None:
-        """``recover_inflight=True`` (the restart flow) marks persisted
-        active jobs FAILURE at startup — their workers died with the
-        previous process. A SECONDARY process attaching to a live
-        store (worker-only sidecar) must pass False: the primary's
-        active jobs are still running, and failing them from the
-        outside would corrupt its state."""
+        """``recover`` picks the restart policy (module docstring).
+        ``recover_inflight=False`` is the pre-distribution spelling of
+        ``recover="attach"`` (worker sidecar), kept as an alias."""
+        if recover_inflight is not None and not recover_inflight:
+            recover = "attach"
+        if recover not in ("fail", "requeue", "attach"):
+            raise ValueError(f"unknown recover mode: {recover!r}")
         self._jobs: dict[str, JobRecord] = {}
         self._groups: dict[str, list[str]] = {}
         self._lock = threading.RLock()
-        self._recover_inflight = recover_inflight
         self._db: sqlite3.Connection | None = None
         if persist_path:
-            # One shared connection, serialized by self._lock (worker
-            # threads all mutate through store methods). Autocommit
-            # (isolation_level=None) so the explicit BEGIN IMMEDIATE in
-            # create() owns its transaction boundaries.
+            # One shared connection, serialized by self._lock within
+            # the process. Autocommit (isolation_level=None) so the
+            # explicit BEGIN IMMEDIATE transactions below own their
+            # boundaries. WAL + busy_timeout make concurrent access
+            # from sibling processes safe instead of "database is
+            # locked" roulette.
             self._db = sqlite3.connect(
                 persist_path, check_same_thread=False, isolation_level=None
             )
+            self._db.execute("PRAGMA journal_mode=WAL")
+            self._db.execute("PRAGMA busy_timeout=10000")
             self._db.execute(
                 "CREATE TABLE IF NOT EXISTS jobs (job_id TEXT PRIMARY KEY, data TEXT)"
             )
             self._db.execute(
                 "CREATE TABLE IF NOT EXISTS groups (group_id TEXT PRIMARY KEY, job_ids TEXT)"
             )
-            self._db.commit()
-            self._recover()
+            self._recover(recover)
 
-    # -- persistence --------------------------------------------------
-    def _recover(self) -> None:
-        """Load persisted state; fail jobs the crash caught mid-flight."""
+    # -- persistence helpers ------------------------------------------
+    def _recover(self, mode: str) -> None:
+        """Apply the restart policy to rows a dead process left active."""
         assert self._db is not None
         for (data,) in self._db.execute("SELECT data FROM jobs"):
             rec = JobRecord(**json.loads(data))
-            if rec.state in _ACTIVE and self._recover_inflight:
+            if rec.state in _ACTIVE and mode == "fail":
                 rec.state = FAILURE
                 rec.error = "interrupted by engine restart"
                 rec.finished_at = rec.finished_at or time.time()
-                self._persist(rec)
+                self._write(rec)
+            elif rec.state in (STARTED, RETRY) and mode == "requeue":
+                rec.state = PENDING
+                rec.owner = ""
+                self._write(rec)
             self._jobs[rec.job_id] = rec
         for gid, ids in self._db.execute("SELECT group_id, job_ids FROM groups"):
             self._groups[gid] = json.loads(ids)
 
-    def _persist(self, rec: JobRecord) -> None:
-        if self._db is None:
-            return
+    def _write(self, rec: JobRecord) -> None:
+        assert self._db is not None
         self._db.execute(
             "INSERT OR REPLACE INTO jobs (job_id, data) VALUES (?, ?)",
             (rec.job_id, json.dumps(asdict(rec))),
         )
-        self._db.commit()
 
-    def _persist_group(self, group_id: str, job_ids: list[str]) -> None:
-        if self._db is None:
-            return
-        self._db.execute(
-            "INSERT OR REPLACE INTO groups (group_id, job_ids) VALUES (?, ?)",
-            (group_id, json.dumps(job_ids)),
-        )
-        self._db.commit()
+    def _row(self, job_id: str) -> JobRecord | None:
+        assert self._db is not None
+        row = self._db.execute(
+            "SELECT data FROM jobs WHERE job_id = ?", (job_id,)
+        ).fetchone()
+        return None if row is None else JobRecord(**json.loads(row[0]))
+
+    def _all_rows(self) -> list[JobRecord]:
+        assert self._db is not None
+        return [
+            JobRecord(**json.loads(data))
+            for (data,) in self._db.execute("SELECT data FROM jobs")
+        ]
 
     def close(self) -> None:
         with self._lock:
@@ -145,49 +185,53 @@ class JobStore:
     # -- jobs ---------------------------------------------------------
     def create(self, rec: JobRecord) -> JobRecord:
         with self._lock:
-            existing = self._jobs.get(rec.job_id)
-            if existing is not None and existing.state in (STARTED, RETRY, PENDING):
-                raise SingleFlightError(
-                    f"job {rec.job_id} is already running: {existing.state}"
-                )
-            if self._db is not None:
-                # Cross-process single-flight: another engine process
-                # sharing this store file may own an active instance of
-                # the ID. BEGIN IMMEDIATE takes the writer lock, so the
-                # check-and-insert is atomic against concurrent
-                # creators (the reference gets the same guarantee from
-                # Redis, core.go:331-339).
-                self._db.execute("BEGIN IMMEDIATE")
-                try:
-                    row = self._db.execute(
-                        "SELECT data FROM jobs WHERE job_id = ?", (rec.job_id,)
-                    ).fetchone()
-                    if row is not None:
-                        state = json.loads(row[0]).get("state")
-                        # Our own in-memory copy already passed the
-                        # active check above (and write-through keeps
-                        # it in sync with the DB), so an active DB row
-                        # here can only belong to another process.
-                        if state in _ACTIVE:
-                            raise SingleFlightError(
-                                f"job {rec.job_id} is already running "
-                                f"in another process: {state}"
-                            )
-                    self._db.execute(
-                        "INSERT OR REPLACE INTO jobs (job_id, data) VALUES (?, ?)",
-                        (rec.job_id, json.dumps(asdict(rec))),
+            if self._db is None:
+                existing = self._jobs.get(rec.job_id)
+                if existing is not None and existing.state in _ACTIVE:
+                    raise SingleFlightError(
+                        f"job {rec.job_id} is already running: {existing.state}"
                     )
-                    self._db.commit()
-                except BaseException:
-                    self._db.rollback()
-                    raise
                 self._jobs[rec.job_id] = rec
                 return rec
+            # Cross-process single-flight: another engine process
+            # sharing this store file may own an active instance of
+            # the ID. BEGIN IMMEDIATE takes the writer lock, so the
+            # check-and-insert is atomic against concurrent creators
+            # (the reference gets the same guarantee from Redis,
+            # core.go:331-339 — minus its read-then-enqueue race).
+            self._db.execute("BEGIN IMMEDIATE")
+            try:
+                existing = self._row(rec.job_id)
+                if existing is not None and existing.state in _ACTIVE:
+                    local = self._jobs.get(rec.job_id)
+                    where = (
+                        ""
+                        if local is not None and local.state in _ACTIVE
+                        else " in another process"
+                    )
+                    raise SingleFlightError(
+                        f"job {rec.job_id} is already running"
+                        f"{where}: {existing.state}"
+                    )
+                self._write(rec)
+                self._db.execute("COMMIT")
+            except BaseException:
+                self._db.execute("ROLLBACK")
+                raise
             self._jobs[rec.job_id] = rec
             return rec
 
     def get(self, job_id: str) -> JobRecord:
+        """Authoritative record: the SQLite row when persistent (a
+        sibling process may have advanced it), else the local object."""
         with self._lock:
+            if self._db is not None:
+                rec = self._row(job_id)
+                if rec is not None:
+                    self._jobs[job_id] = rec
+                    return rec
+                self._jobs.pop(job_id, None)
+                raise KeyError(f"unknown job: {job_id}")
             try:
                 return self._jobs[job_id]
             except KeyError:
@@ -195,6 +239,8 @@ class JobStore:
 
     def exists(self, job_id: str) -> bool:
         with self._lock:
+            if self._db is not None:
+                return self._row(job_id) is not None
             return job_id in self._jobs
 
     def set_state(
@@ -204,57 +250,205 @@ class JobStore:
         *,
         count: int | None = None,
         error: str | None = None,
-    ) -> None:
-        with self._lock:
-            rec = self._jobs[job_id]
-            rec.state = state
-            if state in _TERMINAL:
-                rec.finished_at = time.time()
-            if count is not None:
-                rec.count = count
-            if error is not None:
-                rec.error = error
-            self._persist(rec)
+        result_path: str | None = None,
+        result_backend: str | None = None,
+        attempts: int | None = None,
+        owner: str | None = None,
+    ) -> bool:
+        """Atomic read-modify-write of the job's status fields.
 
-    def touch(self, job_id: str) -> None:
-        """Re-persist a record mutated in place (result_path, group_id)."""
+        Returns False (and drops the local cache entry) when the row
+        has been purged by a cancel in this or another process — the
+        caller's terminal write is dropped rather than resurrecting a
+        cancelled job.
+        """
         with self._lock:
+            if self._db is not None:
+                self._db.execute("BEGIN IMMEDIATE")
+                try:
+                    rec = self._row(job_id)
+                    if rec is None:
+                        self._db.execute("COMMIT")
+                        self._jobs.pop(job_id, None)
+                        return False
+                    self._apply(
+                        rec, state, count, error, result_path,
+                        result_backend, attempts, owner,
+                    )
+                    self._write(rec)
+                    self._db.execute("COMMIT")
+                except BaseException:
+                    self._db.execute("ROLLBACK")
+                    raise
+                self._jobs[job_id] = rec
+                return True
             rec = self._jobs.get(job_id)
-            if rec is not None:
-                self._persist(rec)
+            if rec is None:
+                return False
+            self._apply(
+                rec, state, count, error, result_path,
+                result_backend, attempts, owner,
+            )
+            return True
+
+    @staticmethod
+    def _apply(
+        rec: JobRecord,
+        state: str,
+        count: int | None,
+        error: str | None,
+        result_path: str | None,
+        result_backend: str | None,
+        attempts: int | None,
+        owner: str | None,
+    ) -> None:
+        rec.state = state
+        if state in _TERMINAL:
+            rec.finished_at = time.time()
+        if count is not None:
+            rec.count = count
+        if error is not None:
+            rec.error = error
+        if result_path is not None:
+            rec.result_path = result_path
+        if result_backend is not None:
+            rec.result_backend = result_backend
+        if attempts is not None:
+            rec.attempts = attempts
+        if owner is not None:
+            rec.owner = owner
+
+    def claim(
+        self, queues: list[str], owner: str, now: float | None = None
+    ) -> JobRecord | None:
+        """Atomically claim the oldest runnable job on ``queues``.
+
+        Runnable = PENDING (or RETRY returned to the backlog), not
+        cancelled, unclaimed, and past its ETA. The claim stamps
+        ``owner`` and moves the row to STARTED inside one writer-lock
+        transaction, so two processes polling the same file can never
+        claim the same job — the broker handoff the reference gets
+        from Redis (core.go:403-447).
+        """
+        now = time.time() if now is None else now
+        with self._lock:
+            if self._db is None:
+                cands = [
+                    r
+                    for r in self._jobs.values()
+                    if r.queue in queues
+                    and r.state in (PENDING, RETRY)
+                    and not r.owner
+                    and not r.cancelled
+                    and (r.eta is None or r.eta <= now)
+                ]
+                if not cands:
+                    return None
+                rec = min(cands, key=lambda r: r.created_at)
+                rec.owner = owner
+                rec.state = STARTED
+                return rec
+            marks = ",".join("?" for _ in queues)
+            self._db.execute("BEGIN IMMEDIATE")
+            try:
+                row = self._db.execute(
+                    f"""
+                    SELECT data FROM jobs
+                    WHERE json_extract(data, '$.queue') IN ({marks})
+                      AND json_extract(data, '$.state') IN ('PENDING', 'RETRY')
+                      AND json_extract(data, '$.owner') = ''
+                      AND NOT json_extract(data, '$.cancelled')
+                      AND (json_extract(data, '$.eta') IS NULL
+                           OR json_extract(data, '$.eta') <= ?)
+                    ORDER BY json_extract(data, '$.created_at')
+                    LIMIT 1
+                    """,
+                    (*queues, now),
+                ).fetchone()
+                if row is None:
+                    self._db.execute("COMMIT")
+                    return None
+                rec = JobRecord(**json.loads(row[0]))
+                rec.owner = owner
+                rec.state = STARTED
+                self._write(rec)
+                self._db.execute("COMMIT")
+            except BaseException:
+                self._db.execute("ROLLBACK")
+                raise
+            self._jobs[rec.job_id] = rec
+            return rec
 
     def mark_cancelled(self, job_id: str) -> JobRecord:
         with self._lock:
+            if self._db is not None:
+                self._db.execute("BEGIN IMMEDIATE")
+                try:
+                    rec = self._row(job_id)
+                    if rec is None:
+                        self._db.execute("COMMIT")
+                        raise KeyError(f"unknown job: {job_id}")
+                    rec.cancelled = True
+                    self._write(rec)
+                    self._db.execute("COMMIT")
+                except BaseException:
+                    self._db.execute("ROLLBACK")
+                    raise
+                self._jobs[job_id] = rec
+                return rec
             rec = self.get(job_id)
             rec.cancelled = True
-            self._persist(rec)
             return rec
+
+    def clear_result(self, job_id: str) -> None:
+        """Forget a reaped job's result location (TTL reaper)."""
+        with self._lock:
+            if self._db is not None:
+                self._db.execute("BEGIN IMMEDIATE")
+                try:
+                    rec = self._row(job_id)
+                    if rec is not None:
+                        rec.result_path = ""
+                        self._write(rec)
+                    self._db.execute("COMMIT")
+                except BaseException:
+                    self._db.execute("ROLLBACK")
+                    raise
+                if rec is not None:
+                    self._jobs[job_id] = rec
+                return
+            rec = self._jobs.get(job_id)
+            if rec is not None:
+                rec.result_path = ""
 
     def delete(self, job_id: str) -> None:
         with self._lock:
             self._jobs.pop(job_id, None)
             if self._db is not None:
                 self._db.execute("DELETE FROM jobs WHERE job_id = ?", (job_id,))
-                self._db.commit()
 
     def pending(self, queue: str) -> list[JobRecord]:
         """Pending jobs on a queue, oldest first (core.go:149-162 —
         the reference fetches newest-first then reverses)."""
         with self._lock:
-            recs = [
-                r
-                for r in self._jobs.values()
-                if r.queue == queue and r.state == PENDING
-            ]
-        return sorted(recs, key=lambda r: r.created_at)
+            recs = self._all_rows() if self._db is not None else list(
+                self._jobs.values()
+            )
+        return sorted(
+            (r for r in recs if r.queue == queue and r.state == PENDING),
+            key=lambda r: r.created_at,
+        )
 
     def counts_by_state(self) -> dict[str, int]:
         """Job counts keyed by state (for the /metrics gauges)."""
         with self._lock:
-            counts: dict[str, int] = {}
-            for rec in self._jobs.values():
-                counts[rec.state] = counts.get(rec.state, 0) + 1
-            return counts
+            recs = self._all_rows() if self._db is not None else list(
+                self._jobs.values()
+            )
+        counts: dict[str, int] = {}
+        for rec in recs:
+            counts[rec.state] = counts.get(rec.state, 0) + 1
+        return counts
 
     def expired(self, now: float) -> list[JobRecord]:
         """Terminal jobs whose results outlived their TTL.
@@ -266,26 +460,63 @@ class JobStore:
         ``ttl <= 0`` means keep forever.
         """
         with self._lock:
-            return [
-                r
-                for r in self._jobs.values()
-                if r.state in _TERMINAL
-                and r.ttl > 0
-                and r.result_path
-                and r.finished_at is not None
-                and r.finished_at + r.ttl <= now
-            ]
+            recs = self._all_rows() if self._db is not None else list(
+                self._jobs.values()
+            )
+        return [
+            r
+            for r in recs
+            if r.state in _TERMINAL
+            and r.ttl > 0
+            and r.result_path
+            and r.finished_at is not None
+            and r.finished_at + r.ttl <= now
+        ]
 
     # -- groups -------------------------------------------------------
     def create_group(self, group_id: str, job_ids: list[str]) -> None:
         with self._lock:
             self._groups[group_id] = list(job_ids)
-            self._persist_group(group_id, list(job_ids))
-            for jid in job_ids:  # members' group_id was set in place
-                self.touch(jid)
+            if self._db is not None:
+                self._db.execute(
+                    "INSERT OR REPLACE INTO groups (group_id, job_ids) VALUES (?, ?)",
+                    (group_id, json.dumps(list(job_ids))),
+                )
+            for jid in job_ids:
+                self.set_group(jid, group_id)
+
+    def set_group(self, job_id: str, group_id: str) -> None:
+        with self._lock:
+            if self._db is not None:
+                self._db.execute("BEGIN IMMEDIATE")
+                try:
+                    rec = self._row(job_id)
+                    if rec is not None:
+                        rec.group_id = group_id
+                        self._write(rec)
+                    self._db.execute("COMMIT")
+                except BaseException:
+                    self._db.execute("ROLLBACK")
+                    raise
+                if rec is not None:
+                    self._jobs[job_id] = rec
+                return
+            rec = self._jobs.get(job_id)
+            if rec is not None:
+                rec.group_id = group_id
 
     def group_jobs(self, group_id: str) -> list[str]:
         with self._lock:
+            if self._db is not None:
+                row = self._db.execute(
+                    "SELECT job_ids FROM groups WHERE group_id = ?", (group_id,)
+                ).fetchone()
+                if row is not None:
+                    ids = json.loads(row[0])
+                    self._groups[group_id] = list(ids)
+                    return list(ids)
+                self._groups.pop(group_id, None)
+                raise KeyError(f"unknown group: {group_id}")
             try:
                 return list(self._groups[group_id])
             except KeyError:
@@ -308,4 +539,3 @@ class JobStore:
                 self._db.execute(
                     "DELETE FROM groups WHERE group_id = ?", (group_id,)
                 )
-                self._db.commit()

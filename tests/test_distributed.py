@@ -1,0 +1,345 @@
+"""Cross-process job distribution through the shared SQLite broker.
+
+The reference's defining feature is a Redis-brokered queue any worker
+process on any machine can pull from (reference: internal/core/
+core.go:403-447, cmd/init.go:200-229; README "Multiple queues, workers,
+and job distribution"). The rebuild's broker is the shared SQLite
+jobstore: enqueue = INSERT of a PENDING row, delivery = atomic
+owner-stamping claim. These tests pin:
+
+- exactly-once delivery under concurrent claimers,
+- a producer/worker split across two Cores (the sidecar topology),
+- retry re-delivery through the broker,
+- ETA holding jobs back from claimers,
+- restart semantics: a distributed primary re-queues (the store is a
+  durable broker), it does not fail the backlog,
+- the reference's documented two-process topology END TO END: a real
+  HTTP server process and a real ``--worker-only`` subprocess sharing
+  only the store file and the results directory.
+"""
+
+from __future__ import annotations
+
+import os
+import subprocess
+import sys
+import threading
+import time
+
+import pytest
+
+from dungbeetle_spark import jobstore
+from dungbeetle_spark.core import Core, JobReq
+from dungbeetle_spark.jobstore import JobRecord, JobStore, SingleFlightError
+from dungbeetle_spark.tasks import Task
+
+
+def _wait(core: Core, job_id: str, states=("SUCCESS", "FAILURE"), timeout=60.0):
+    deadline = time.monotonic() + timeout
+    while time.monotonic() < deadline:
+        st = core.job_status(job_id)
+        if st["state"] in states:
+            return st
+        time.sleep(0.05)
+    raise TimeoutError(f"job {job_id} stuck in {core.job_status(job_id)}")
+
+
+def test_claim_exactly_once_under_contention(tmp_path):
+    """Two stores (≈ two processes), four claiming threads: every job
+    delivered exactly once — the BEGIN IMMEDIATE claim can't double-
+    deliver or drop."""
+    db = str(tmp_path / "jobs.db")
+    s1 = JobStore(persist_path=db)
+    s2 = JobStore(persist_path=db, recover="attach")
+    n = 60
+    for i in range(n):
+        s1.create(JobRecord(job_id=f"c{i:03d}", task="t", queue="q"))
+
+    claimed: list[tuple[str, str]] = []
+    lock = threading.Lock()
+
+    def drain(store: JobStore, owner: str):
+        while True:
+            rec = store.claim(["q"], owner)
+            if rec is None:
+                return
+            with lock:
+                claimed.append((rec.job_id, owner))
+
+    threads = [
+        threading.Thread(target=drain, args=(s, o))
+        for s, o in [(s1, "w1"), (s1, "w2"), (s2, "w3"), (s2, "w4")]
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=30)
+    ids = [jid for jid, _ in claimed]
+    assert sorted(ids) == [f"c{i:03d}" for i in range(n)]  # all, exactly once
+    owners = {o for _, o in claimed}
+    assert len(owners) > 1  # contention actually happened
+    for jid, o in claimed:
+        rec = s1.get(jid)
+        assert rec.state == jobstore.STARTED and rec.owner == o
+    s1.close()
+    s2.close()
+
+
+def test_producer_worker_core_split(spark, sf_smoke, tmp_path):
+    """Sidecar topology inside one process: a producer Core that
+    claims nothing (claim_queues=[]) and a worker Core attached to the
+    same store execute the producer's jobs; the producer sees SUCCESS
+    and reads the results — without ever running the query itself."""
+    db = str(tmp_path / "jobs.db")
+    results = str(tmp_path / "results")
+    task = Task(
+        name="n_orders",
+        stmt="SELECT COUNT(*) AS n FROM orders",
+        raw_stmt="",
+        queue="default",
+    )
+
+    producer = Core(spark, jobstore_path=db, distributed=True, claim_queues=[])
+    producer.add_source("testdata", sf_smoke)
+    producer.add_result_backend("default", results)
+    producer.register_task(task)
+    producer.start()
+
+    worker = Core(
+        spark,
+        jobstore_path=db,
+        distributed=True,
+        jobstore_recover_inflight=False,
+    )
+    worker.add_source("testdata", sf_smoke)
+    worker.add_result_backend("default", results)
+    worker.register_task(task)
+    worker.start()
+
+    try:
+        resp = producer.new_job("n_orders", JobReq(job_id="dist1"))
+        st = _wait(producer, resp.job_id)
+        assert st["state"] == jobstore.SUCCESS
+        assert st["count"] == 1
+        rec = producer.store.get("dist1")
+        assert rec.owner == worker.worker_id  # the worker claimed it
+        assert rec.owner != producer.worker_id
+        assert producer.read_result("dist1").collect()[0].n > 0
+    finally:
+        worker.stop()
+        producer.stop()
+
+
+def test_retry_redelivered_through_broker(spark, sf_smoke, tmp_path):
+    """A failing attempt returns the job to the backlog (owner cleared,
+    RETRY) and a claimer re-delivers it; attempts are tracked across
+    deliveries."""
+    db = str(tmp_path / "jobs.db")
+    results = str(tmp_path / "results")
+    calls = {"n": 0}
+
+    def flaky(sess, args):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise RuntimeError("transient failure")
+        return sess.sql("SELECT 1 AS ok")
+
+    core = Core(spark, jobstore_path=db, distributed=True)
+    core.add_source("testdata", sf_smoke)
+    core.add_result_backend("default", results)
+    core.register_callable_task("flaky", flaky)
+    core.start()
+    try:
+        resp = core.new_job("flaky", JobReq(job_id="retry1", retries=2))
+        st = _wait(core, resp.job_id)
+        assert st["state"] == jobstore.SUCCESS
+        assert calls["n"] == 2
+        assert core.store.get("retry1").attempts == 1  # one failed attempt
+    finally:
+        core.stop()
+
+
+def test_eta_holds_job_from_claimers(spark, sf_smoke, tmp_path):
+    """Distributed mode has no local timers: the ETA lives in the
+    broker row and claimers skip it until due."""
+    db = str(tmp_path / "jobs.db")
+    results = str(tmp_path / "results")
+    core = Core(
+        spark, jobstore_path=db, distributed=True, claim_poll_interval=0.05
+    )
+    core.add_source("testdata", sf_smoke)
+    core.add_result_backend("default", results)
+    core.register_task(
+        Task(name="one", stmt="SELECT 1 AS x", raw_stmt="", queue="default")
+    )
+    core.start()
+    try:
+        eta = time.strftime("%Y-%m-%d %H:%M:%S", time.localtime(time.time() + 2))
+        resp = core.new_job("one", JobReq(job_id="eta1", eta=eta))
+        time.sleep(0.8)
+        assert core.job_status(resp.job_id)["state"] == jobstore.PENDING
+        st = _wait(core, resp.job_id, timeout=30)
+        assert st["state"] == jobstore.SUCCESS
+    finally:
+        core.stop()
+
+
+def test_distributed_restart_requeues_backlog(tmp_path):
+    """A distributed primary restart treats the store as a durable
+    broker: PENDING survives, in-flight rows return to the backlog
+    (owner cleared) for re-delivery — at-least-once, like the
+    reference's Redis broker after a worker crash. A single-process
+    restart (recover='fail') still fails them honestly."""
+    db = str(tmp_path / "jobs.db")
+    s = JobStore(persist_path=db)
+    s.create(JobRecord(job_id="p1", task="t", queue="q"))
+    s.create(JobRecord(job_id="r1", task="t", queue="q"))
+    assert s.claim(["q"], "w-dead") is not None  # r1 or p1 now STARTED
+    s.close()
+
+    s2 = JobStore(persist_path=db, recover="requeue")
+    states = {j: s2.get(j).state for j in ("p1", "r1")}
+    assert set(states.values()) == {jobstore.PENDING}
+    assert all(s2.get(j).owner == "" for j in ("p1", "r1"))
+    # both claimable again
+    assert s2.claim(["q"], "w-new") is not None
+    assert s2.claim(["q"], "w-new") is not None
+    assert s2.claim(["q"], "w-new") is None
+    s2.close()
+
+    s3 = JobStore(persist_path=db, recover="fail")
+    assert {s3.get(j).state for j in ("p1", "r1")} == {jobstore.FAILURE}
+    s3.close()
+
+
+def test_single_flight_across_distributed_cores(spark, sf_smoke, tmp_path):
+    """While a job is queued/claimed anywhere in the fleet, re-posting
+    its ID anywhere else is rejected."""
+    db = str(tmp_path / "jobs.db")
+    results = str(tmp_path / "results")
+    producer = Core(spark, jobstore_path=db, distributed=True, claim_queues=[])
+    producer.add_source("testdata", sf_smoke)
+    producer.add_result_backend("default", results)
+    producer.register_task(
+        Task(name="one", stmt="SELECT 1 AS x", raw_stmt="", queue="default")
+    )
+    producer.start()
+    other = Core(
+        spark,
+        jobstore_path=db,
+        distributed=True,
+        claim_queues=[],
+        jobstore_recover_inflight=False,
+    )
+    other.add_source("testdata", sf_smoke)
+    other.add_result_backend("default", results)
+    other.register_task(
+        Task(name="one", stmt="SELECT 1 AS x", raw_stmt="", queue="default")
+    )
+    other.start()
+    try:
+        producer.new_job("one", JobReq(job_id="sfd1"))
+        with pytest.raises(SingleFlightError, match="another process"):
+            other.new_job("one", JobReq(job_id="sfd1"))
+    finally:
+        other.stop()
+        producer.stop()
+
+
+def test_worker_only_process_end_to_end(spark, tmp_path):
+    """THE reference topology (README "Multiple queues, workers, and
+    job distribution"; client/client_test.go drives it E2E): process A
+    serves HTTP and enqueues; a real ``--worker-only`` process B —
+    separate Python interpreter, separate JVM — claims the job from
+    the shared store, executes it on ITS SparkSession, and writes the
+    results; A polls SUCCESS over HTTP and reads results_<job_id>."""
+    from dungbeetle_spark.client import Client
+    from dungbeetle_spark.http_api import Server
+
+    db = str(tmp_path / "jobs.db")
+    results = str(tmp_path / "results")
+    sqldir = tmp_path / "sql"
+    sqldir.mkdir()
+    (sqldir / "tasks.sql").write_text(
+        "-- name: remote_user_counts\n"
+        "SELECT user_id, COUNT(*) AS n_events FROM events GROUP BY user_id;\n"
+    )
+    cfg = tmp_path / "worker.toml"
+    cfg.write_text(
+        f"""
+sql_directory = "{sqldir}"
+
+[app]
+job_store = "{db}"
+
+[db.testdata]
+path = "/root/testdata/sf0.001"
+
+[results.default]
+path = "{results}"
+"""
+    )
+
+    # Process A: HTTP server, pure producer (claims nothing).
+    core = Core(spark, jobstore_path=db, distributed=True, claim_queues=[])
+    core.add_source("testdata", "/root/testdata/sf0.001")
+    core.add_result_backend("default", results)
+    core.load_task_dirs([str(sqldir)])
+    core.start()
+    server = Server(core, "127.0.0.1", 0)
+    server.start()
+
+    # Process B: the documented worker-only sidecar. It runs from its
+    # own cwd (separate spark-warehouse), so the repo root must be on
+    # PYTHONPATH explicitly.
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(
+        os.environ,
+        SPARK_GRAFT_CPUS="2",
+        SPARK_GRAFT_DRIVER_MEM="2g",
+        PYTHONPATH=repo_root
+        + (os.pathsep + os.environ["PYTHONPATH"] if os.environ.get("PYTHONPATH") else ""),
+    )
+    workdir = tmp_path / "workerproc"
+    workdir.mkdir()
+    proc = subprocess.Popen(
+        [
+            sys.executable,
+            "-m",
+            "dungbeetle_spark",
+            "--config",
+            str(cfg),
+            "--worker-only",
+        ],
+        cwd=str(workdir),
+        env=env,
+        stdout=subprocess.PIPE,
+        stderr=subprocess.STDOUT,
+    )
+    try:
+        client = Client(server.address, timeout=10)
+        resp = client.post_job("remote_user_counts", job_id="remote_job_1")
+        assert resp["job_id"] == "remote_job_1"
+        # B needs a JVM + SparkSession before it can claim; be patient.
+        try:
+            st = client.wait("remote_job_1", timeout=150, poll=0.5)
+        except TimeoutError:
+            proc.kill()
+            out = (proc.communicate(timeout=10)[0] or b"").decode(errors="replace")
+            raise AssertionError(f"worker process never ran the job; its output:\n{out[-3000:]}")
+        assert st["state"] == "SUCCESS", st
+        assert st["count"] > 0
+        rec = core.store.get("remote_job_1")
+        assert rec.owner and rec.owner != core.worker_id  # B ran it
+        assert f":{proc.pid}:" in rec.owner  # specifically process B
+        got = core.read_result("remote_job_1")
+        assert got.count() == st["count"]
+        assert set(got.columns) == {"user_id", "n_events"}
+    finally:
+        proc.terminate()
+        try:
+            proc.wait(timeout=15)
+        except subprocess.TimeoutExpired:
+            proc.kill()
+        server.stop()
+        core.stop()
