@@ -94,6 +94,16 @@ def main() -> None:
     timings = {name: round(min(ts), 3) for name, ts in runs.items()}
 
     total = round(sum(timings.values()), 3)
+    # Canary normalization (VERDICT r03 bench-hygiene recommendation):
+    # q6_forecast_revenue is a pure scan-aggregate untouched since r01
+    # (r01 measured 0.18 s on an idle host), so its ratio to that
+    # anchor measures HOST drift, not code drift. normalized_total
+    # divides host drift back out, making cross-round totals
+    # comparable even when the sandbox is loaded.
+    canary_name = "q6_forecast_revenue"
+    canary_r01 = 0.18
+    canary = timings.get(canary_name, 0.0)
+    host_factor = round(canary / canary_r01, 3) if canary else None
     print(
         json.dumps(
             {
@@ -102,6 +112,15 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "canary": {
+                    "query": canary_name,
+                    "sec": canary,
+                    "r01_sec": canary_r01,
+                    "host_factor": host_factor,
+                },
+                "normalized_total": (
+                    round(total / host_factor, 3) if host_factor else None
+                ),
             }
         )
     )

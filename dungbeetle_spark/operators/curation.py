@@ -195,7 +195,7 @@ _DOMAIN_QUOTA = 10
 @query(
     "domain_quota_sample",
     oracle=f"""
-    SELECT doc_id, source, rk
+    SELECT doc_id, source
     FROM (
         SELECT doc_id, source,
                row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rk
@@ -205,28 +205,48 @@ _DOMAIN_QUOTA = 10
     """,
     doc=f"Per-domain quota capping (≤{_DOMAIN_QUOTA} docs per source, "
     "keep lowest doc_id) — the anti-domination guard that stops one "
-    "crawl domain from flooding the mix. One shuffle on source.",
+    "crawl domain from flooding the mix. Only over-quota domains are "
+    "ever window-ranked; the under-quota majority bypasses the "
+    "shuffle entirely via a broadcast anti-join.",
 )
 def domain_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cap documents per source domain.
 
-    Scale: single hash shuffle on ``source``; the rank window then
-    runs partition-local. Skewed domains (the exact thing this
-    operator exists to suppress) make the shuffle skewed too — AQE
-    skew-join handling plus the fact that only (doc_id, source) is
-    shuffled (8+~6 bytes/row, never the text) keep that survivable.
-    A 100 TB variant would pre-aggregate per-domain counts and
-    broadcast the over-quota domain list to avoid ranking the
-    under-quota majority; at registry scale the single window is the
-    clearer plan.
+    Scale plan (the oracle states WHAT — rank-within-source — but the
+    physical plan must not rank the whole corpus): pre-aggregate
+    per-source counts (map-side combined, output bounded by the
+    domain count, not the corpus), broadcast the tiny over-quota
+    domain list, window-rank ONLY those domains' rows, and union the
+    untouched majority back via a broadcast anti-join. The skewed
+    domains this operator exists to suppress are exactly the skewed
+    shuffle keys — so the under-quota majority never shuffles at all,
+    and the window's input is capped at the few genuinely heavy
+    domains. Both branches scan only (doc_id, source), never text.
     """
     d = _t(spark, sf_dir, "documents")["documents"]
-    rk = F.row_number().over(W.partitionBy("source").orderBy("doc_id"))
-    return (
-        d.select("doc_id", "source")
-        .withColumn("rk", rk)
-        .filter(F.col("rk") <= _DOMAIN_QUOTA)
+    return domain_quota_frame(d.select("doc_id", "source"), _DOMAIN_QUOTA)
+
+
+def domain_quota_frame(d: DataFrame, quota: int) -> DataFrame:
+    """Quota-cap any (doc_id, source) frame (split out for planted
+    tests and plan assertions)."""
+    over = (
+        d.groupBy("source")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") > quota)
+        .select("source")
     )
+    rk = F.row_number().over(W.partitionBy("source").orderBy("doc_id"))
+    capped = (
+        d.join(F.broadcast(over), "source")
+        .withColumn("rk", rk)
+        .filter(F.col("rk") <= quota)
+        .select("doc_id", "source")
+    )
+    untouched = d.join(F.broadcast(over), "source", "left_anti").select(
+        "doc_id", "source"
+    )
+    return untouched.unionByName(capped)
 
 
 # -- pii_scrub_stats --------------------------------------------------------
@@ -335,7 +355,36 @@ def scrub_stats_frame(d: DataFrame) -> DataFrame:
 # -- sequence_pack ----------------------------------------------------------
 
 _PACK_BUDGET = 512  # token budget per packed sequence
-_PACK_BUCKETS = 16  # parallel packing shards
+# Sequential-FFD shard sizing: each shard is one Python task, so shard
+# count bounds parallelism and shard size bounds task memory/runtime.
+# ~5k (doc_id, n_tokens) pairs keeps the O(docs × bins) first-fit scan
+# in the low milliseconds per shard while the shard count grows
+# linearly with the corpus.
+_PACK_TARGET_DOCS_PER_SHARD = 5_000
+
+
+def pack_shard_count(n_docs: int, parallelism: int) -> int:
+    """Shards for FFD packing: enough that no shard exceeds the target
+    doc budget, never fewer than the cluster's parallelism (idle-core
+    floor). Grows with the data — 16 hardcoded shards would make 16
+    sequential Python tasks the long pole of a 100 TB run."""
+    import math
+
+    return max(math.ceil(n_docs / _PACK_TARGET_DOCS_PER_SHARD), parallelism, 1)
+
+
+def _doc_rows(spark: SparkSession, sf_dir: str) -> int:
+    """Documents row count from parquet FOOTERS (no Spark job — this
+    runs at DataFrame-build time, incl. plan-only /explain calls).
+    Falls back to a Spark count where pyarrow can't reach the files."""
+    try:
+        import pyarrow.dataset as ds
+
+        return ds.dataset(
+            f"{sf_dir}/documents.parquet", format="parquet"
+        ).count_rows()
+    except Exception:  # noqa: BLE001 - remote/united FS: pay the scan
+        return _t(spark, sf_dir, "documents")["documents"].count()
 
 
 def _pack_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -345,7 +394,6 @@ def _pack_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
     singleton bin. Deterministic given the sort."""
     pdf = pdf.sort_values(["n_tokens", "doc_id"], ascending=[False, True])
     bins: list[dict] = []  # {"left": int, "docs": int, "tokens": int}
-    assignment: list[int] = []
     for tok in pdf["n_tokens"]:
         placed = None
         for i, b in enumerate(bins):
@@ -359,7 +407,6 @@ def _pack_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
         b["left"] -= int(tok)
         b["docs"] += 1
         b["tokens"] += int(tok)
-        assignment.append(placed)
     bucket = int(pdf["bucket"].iloc[0]) if len(pdf) else 0
     out = pd.DataFrame(
         {
@@ -379,7 +426,7 @@ def _pack_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
     # tests/test_curation.py instead.
     doc=f"Sequence packing: first-fit-decreasing docs into "
     f"{_PACK_BUDGET}-token training sequences, parallelized over "
-    f"{_PACK_BUCKETS} hash buckets via Arrow applyInPandas. "
+    "corpus-sized hash shards via Arrow applyInPandas. "
     "Rows-only in CORRECTNESS by design.",
 )
 def sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -390,15 +437,19 @@ def sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc_id, n_tokens) reaches Python — 20 bytes/doc over Arrow, never
     the text. Packing runs per hash bucket in ``applyInPandas``:
     first-fit-decreasing is inherently sequential, so the operator
-    makes the sequential unit an explicit bounded shard (at 100 TB,
-    key buckets by output shard — e.g. xxhash64(doc_id) % n_shards
-    with n_shards sized so each holds ~1 GB of token counts).
-    Cross-bucket packing quality loss vs global FFD is bounded and
-    the shards are embarrassingly parallel.
+    makes the sequential unit an explicit bounded shard whose COUNT
+    scales with the corpus (footer row count / target shard size,
+    floored at cluster parallelism — ``pack_shard_count``), so at
+    100 TB packing stays a sea of bounded parallel tasks instead of
+    16 giant sequential ones. Cross-bucket packing quality loss vs
+    global FFD is bounded and the shards are embarrassingly parallel.
     """
     d = _t(spark, sf_dir, "documents")["documents"]
+    n_shards = pack_shard_count(
+        _doc_rows(spark, sf_dir), spark.sparkContext.defaultParallelism
+    )
     counted = d.select(
-        (F.pmod(F.xxhash64("doc_id"), F.lit(_PACK_BUCKETS))).cast("int").alias("bucket"),
+        (F.pmod(F.xxhash64("doc_id"), F.lit(n_shards))).cast("int").alias("bucket"),
         "doc_id",
         word_count("text").cast("long").alias("n_tokens"),
     )

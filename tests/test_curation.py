@@ -92,6 +92,32 @@ def test_domain_quota_caps_every_source(spark, sf_oracle):
     assert all(r["count"] <= _DOMAIN_QUOTA for r in per_source)
 
 
+def test_domain_quota_keeps_under_quota_rows_verbatim(spark):
+    """Planted corpus: the under-quota source passes through complete
+    and untouched; the over-quota source keeps its lowest doc_ids."""
+    from dungbeetle_spark.operators.curation import domain_quota_frame
+
+    rows = [(i, "big") for i in range(10)] + [(100 + i, "small") for i in range(3)]
+    d = spark.createDataFrame(rows, "doc_id long, source string")
+    got = {(r.doc_id, r.source) for r in domain_quota_frame(d, 5).collect()}
+    assert got == {(i, "big") for i in range(5)} | {(100 + i, "small") for i in range(3)}
+
+
+def test_pack_shard_count_scales_with_corpus():
+    """16 hardcoded shards was the r03 'weak' finding: shard count must
+    grow with the data and never dip below cluster parallelism."""
+    from dungbeetle_spark.operators.curation import (
+        _PACK_TARGET_DOCS_PER_SHARD,
+        pack_shard_count,
+    )
+
+    assert pack_shard_count(500, 32) == 32  # parallelism floor
+    assert pack_shard_count(0, 8) == 8
+    big = pack_shard_count(10_000_000, 32)
+    assert big == -(-10_000_000 // _PACK_TARGET_DOCS_PER_SHARD)
+    assert pack_shard_count(100_000_000, 32) == 10 * big  # linear growth
+
+
 def test_stratified_sample_rates(spark, sf_oracle):
     """md5-threshold sampling should land near the configured rates
     (en 60%, others 30%) — loose bounds, it's a 500-doc fixture."""

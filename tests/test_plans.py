@@ -269,8 +269,25 @@ def test_sequence_pack_ships_counts_not_text(spark, sf):
     plan = formatted_plan(df)
     m = re.search(r"ArrowEvalPython|FlatMapGroupsInPandas", plan)
     assert m, "expected an Arrow applyInPandas node"
-    for s in scan_schemas(df):
-        assert "struct<doc_id:bigint,text:string" in s or "text" in s, s
+    # the scan is pruned to exactly the two columns the tokenizer needs
+    assert scan_schemas(df) == ["struct<doc_id:bigint,text:string>"]
     # the exchange feeding Python carries 3 narrow columns only
     assert "bucket" in plan and "n_tokens" in plan
     assert not re.search(r"FlatMapGroupsInPandas.*text", plan)
+
+
+def test_domain_quota_under_quota_rows_bypass_window(spark, sf):
+    """The scale plan: ONLY over-quota domains feed the rank window;
+    the under-quota majority routes through a broadcast anti-join and
+    never shuffles on the (skewed) source key."""
+    df = _df(spark, sf, "domain_quota_sample")
+    plan = formatted_plan(df)
+    assert len(re.findall(r"\(\d+\)\s+Window\b", plan)) == 1, "one window only"
+    # the bypass branch: broadcast LEFT ANTI against the over-quota list
+    assert "BroadcastHashJoin LeftAnti" in plan, plan
+    assert "Union" in plan
+    # the window branch filters to over-quota sources BEFORE ranking
+    assert "BroadcastHashJoin Inner" in plan
+    # neither branch ever reads text
+    for s in scan_schemas(df):
+        assert "text" not in s, s

@@ -51,3 +51,21 @@ def test_window_covers_unverified_and_changed():
 def test_registry_is_priority_prefixed():
     names = list(registry())
     assert names[: len(DRIVER_PRIORITY)] == DRIVER_PRIORITY
+
+
+def test_operators_md_in_sync():
+    """OPERATORS.md is generated from the registry; its Total line
+    drifting from len(registry()) was a VERDICT r03 finding. Any
+    registry change must rerun tools/gen_operators.py."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    import gen_operators
+
+    path = os.path.join(os.path.dirname(__file__), "..", "OPERATORS.md")
+    with open(path) as f:
+        on_disk = f.read()
+    assert on_disk == gen_operators.render(), (
+        "OPERATORS.md is stale — run: python tools/gen_operators.py"
+    )
