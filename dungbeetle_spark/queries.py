@@ -124,9 +124,12 @@ def registry() -> dict[str, QuerySpec]:
         spec = _REGISTRY.get(name)
         if spec is not None:
             ordered[name] = spec
-    for name, spec in _REGISTRY.items():
+    # Remainder sorted by name: raw registration order depends on which
+    # module a caller happened to import first, and the driver's
+    # 50-entry window must not move with import accidents.
+    for name in sorted(_REGISTRY):
         if name not in ordered:
-            ordered[name] = spec
+            ordered[name] = _REGISTRY[name]
     return ordered
 
 
