@@ -1,0 +1,373 @@
+"""Dataset-assembly operators: decontamination, sketching, mixing.
+
+The last mile of a training-data pipeline (SURVEY.md §2 addendum):
+after dedup/quality/curation decide which documents exist, these
+assemble the actual training mix — scrub benchmark contamination,
+summarize token distributions (exactly and by mergeable sketch), and
+hit per-language mixture targets deterministically.
+
+Shared design rules (same contract as operators/curation.py):
+
+- **Determinism is the contract.** Sampling uses md5-prefix integer
+  thresholds (identical in Spark and DuckDB), never ``rand()``; hash
+  buckets derive from md5 so the oracle can reproduce them bit-for-bit.
+- **Broadcast the small side.** Benchmark gram sets and per-language
+  rate tables are KBs at any corpus scale — they broadcast; the corpus
+  itself never shuffles for membership checks.
+- **JVM-side only.** Every operator here is pure column expressions
+  inside whole-stage codegen; zero Python in the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dungbeetle_spark.queries import _t, query
+
+# -- decontamination --------------------------------------------------------
+
+# Eval-set membership: doc_id % 37 == 0 stands in for "this document is
+# in a benchmark" (~2.7% of the corpus). Deterministic benchmark
+# passages are injected so the overlap machinery is exercised on
+# guaranteed hits (the corpus itself has few natural cross-split
+# n-gram collisions — same seeding trick as pii_scrub_stats).
+_EVAL_MOD = 37
+_PLANT_MOD = 10
+_GRAM_N = 5
+_PASSAGE = " benchmark passage k%s alpha beta gamma delta epsilon zeta eta"
+
+
+@query(
+    "decontamination",
+    oracle=f"""
+    WITH seeded AS (
+        SELECT doc_id,
+               text || CASE WHEN doc_id % {_EVAL_MOD} = 0 OR doc_id % {_PLANT_MOD} = 0
+                            THEN ' benchmark passage k' || CAST(doc_id % 5 AS VARCHAR)
+                                 || ' alpha beta gamma delta epsilon zeta eta'
+                            ELSE '' END AS text
+        FROM documents
+    ),
+    toks AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                           x -> x <> '') AS t
+        FROM seeded
+    ),
+    grams AS (
+        SELECT DISTINCT doc_id, array_to_string(t[i : i + {_GRAM_N - 1}], ' ') AS gram
+        FROM toks, unnest(range(1, greatest(len(t) - {_GRAM_N - 1}, 0) + 1)) AS u(i)
+    ),
+    ev AS (SELECT DISTINCT gram FROM grams WHERE doc_id % {_EVAL_MOD} = 0),
+    agg AS (
+        SELECT doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_grams,
+               CAST(SUM(CASE WHEN gram IN (SELECT gram FROM ev)
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated
+        FROM grams
+        WHERE doc_id % {_EVAL_MOD} <> 0
+        GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           COALESCE(a.n_grams, 0) AS n_grams,
+           COALESCE(a.n_contaminated, 0) AS n_contaminated,
+           COALESCE(a.n_contaminated, 0) > 0 AS is_contaminated
+    FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+    WHERE d.doc_id % {_EVAL_MOD} <> 0
+    """,
+    doc=f"Benchmark decontamination audit: per training document, how "
+    f"many of its distinct word {_GRAM_N}-grams also occur in the "
+    "held-out eval split (doc_id%37==0; deterministic benchmark "
+    "passages planted on both sides so hits are guaranteed non-zero). "
+    "Eval gram set broadcasts — the corpus never shuffles for the "
+    "membership check.",
+)
+def decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Test-set overlap detection — the scrub that keeps benchmark
+    text out of the training mix.
+
+    Scale shape: the eval side of any real decontamination run is MBs
+    (benchmarks) against TBs of corpus, so the distinct eval-gram set
+    is built once and **broadcast**; each training document's grams
+    are checked map-side. The only shuffle is the per-doc aggregate
+    (doc_id-keyed, uniform). n-gramming is JVM ``transform`` over a
+    token array inside codegen; no Python anywhere.
+    """
+    d = _t(spark, sf_dir, "documents")["documents"]
+    seeded_text = F.concat(
+        F.col("text"),
+        F.when(
+            (F.col("doc_id") % _EVAL_MOD == 0) | (F.col("doc_id") % _PLANT_MOD == 0),
+            F.concat(
+                F.lit(" benchmark passage k"),
+                (F.col("doc_id") % 5).cast("string"),
+                F.lit(" alpha beta gamma delta epsilon zeta eta"),
+            ),
+        ).otherwise(F.lit("")),
+    )
+    toks = F.filter(
+        F.split(F.lower(seeded_text), r"[^a-z0-9]+"), lambda x: x != ""
+    )
+    grams = F.array_distinct(
+        F.transform(
+            F.sequence(
+                F.lit(1), F.greatest(F.size("t") - (_GRAM_N - 1), F.lit(0))
+            ),
+            lambda i: F.array_join(F.slice(F.col("t"), i, _GRAM_N), " "),
+        )
+    )
+    per_doc = d.select("doc_id", toks.alias("t")).select(
+        "doc_id", F.explode_outer(grams).alias("gram")
+    )
+    ev = (
+        per_doc.filter(F.col("doc_id") % _EVAL_MOD == 0)
+        .select("gram")
+        .where(F.col("gram").isNotNull())
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    train = per_doc.filter(F.col("doc_id") % _EVAL_MOD != 0)
+    return (
+        train.join(F.broadcast(ev), "gram", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.col("gram")).alias("n_grams"),
+            F.count(F.when(F.col("hit").isNotNull(), 1)).alias("n_contaminated"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_contaminated",
+            (F.col("n_contaminated") > 0).alias("is_contaminated"),
+        )
+    )
+
+
+# -- countmin_sketch --------------------------------------------------------
+
+_CMS_DEPTH = 4
+_CMS_WIDTH = 1024
+
+
+@query(
+    "countmin_sketch",
+    oracle=f"""
+    WITH tok AS (
+        SELECT unnest(list_filter(
+                   string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> ''
+               )) AS token
+        FROM documents
+    ),
+    cells AS (
+        SELECT d,
+               ('0x' || substr(md5(CAST(d AS VARCHAR) || ':' || token), 1, 8))::BIGINT
+                   % {_CMS_WIDTH} AS bucket
+        FROM tok, unnest([0, 1, 2, 3]) AS u(d)
+    )
+    SELECT CAST(d AS INT) AS depth, CAST(bucket AS INT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM cells
+    GROUP BY d, bucket
+    """,
+    doc=f"CountMin sketch of corpus token frequencies ({_CMS_DEPTH}×"
+    f"{_CMS_WIDTH}, md5-derived rows so DuckDB reproduces every cell): "
+    "the mergeable bounded-memory summary that answers point frequency "
+    "queries at 100 TB where exact heavy_hitters would need the full "
+    "vocabulary. Shuffle bounded by sketch size, not corpus size.",
+)
+def countmin_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build the CMS as a relational aggregate.
+
+    Each token contributes one count to one bucket per depth; the
+    groupBy(depth, bucket) gets a map-side partial aggregate, so the
+    shuffle moves at most depth×width cells per partition regardless
+    of corpus size — the textbook mergeable-sketch property, expressed
+    as plain SQL. Point estimates (min over depths of the hashed
+    cell) are checked against exact counts in tests — CMS never
+    underestimates, and overestimates are bounded by N/width.
+    """
+    d = _t(spark, sf_dir, "documents")["documents"]
+    token = F.explode(
+        F.filter(F.split(F.lower(F.col("text")), r"[^a-z0-9]+"), lambda x: x != "")
+    ).alias("token")
+    depth = F.explode(F.array(*[F.lit(i) for i in range(_CMS_DEPTH)])).alias("d")
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("d").cast("string"), F.lit(":"), F.col("token"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % _CMS_WIDTH
+    )
+    return (
+        d.select(token)
+        .select("token", depth)
+        .select(F.col("d").cast("int").alias("depth"), bucket.cast("int").alias("bucket"))
+        .groupBy("depth", "bucket")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def cms_estimate(sketch: DataFrame, tokens: DataFrame) -> DataFrame:
+    """Point-query the sketch: for each (token) row, min over depths of
+    the matching cell — the CMS read path (used by the accuracy test;
+    at scale this joins a broadcast token list against the sketch)."""
+    probes = tokens.select(
+        "token",
+        F.explode(F.array(*[F.lit(i) for i in range(_CMS_DEPTH)])).alias("depth"),
+    ).select(
+        "token",
+        F.col("depth").cast("int").alias("depth"),
+        (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.col("depth").cast("string"), F.lit(":"), F.col("token")
+                        )
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % _CMS_WIDTH
+        )
+        .cast("int")
+        .alias("bucket"),
+    )
+    return (
+        probes.join(F.broadcast(sketch), ["depth", "bucket"], "left")
+        .groupBy("token")
+        .agg(F.min(F.coalesce(F.col("n"), F.lit(0))).alias("est"))
+    )
+
+
+# -- dataset_mix_weighted ---------------------------------------------------
+
+# Target language shares of the output mix. The binding language (the
+# one whose corpus runs out first relative to its share) is kept
+# whole; every other language downsamples deterministically to match.
+_MIX_SHARES = {"en": 0.30, "zh": 0.25, "es": 0.20, "de": 0.15, "fr": 0.10}
+_MIX_CASE = " ".join(
+    f"WHEN '{lang}' THEN {share}" for lang, share in _MIX_SHARES.items()
+)
+
+
+@query(
+    "dataset_mix_weighted",
+    oracle=f"""
+    WITH counts AS (
+        SELECT lang, CAST(COUNT(*) AS DOUBLE) AS n,
+               CASE lang {_MIX_CASE} END AS share
+        FROM documents GROUP BY lang
+    ),
+    k AS (SELECT MIN(n / share) AS k FROM counts WHERE share IS NOT NULL),
+    rates AS (
+        SELECT lang,
+               CAST(floor(least(k.k * share / n, 1.0) * 65536) AS BIGINT) AS thr
+        FROM counts, k WHERE share IS NOT NULL
+    )
+    SELECT d.doc_id, d.lang
+    FROM documents d JOIN rates r ON d.lang = r.lang
+    WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 4))::BIGINT < r.thr
+    """,
+    doc="Deterministic weighted language mixing: per-language keep "
+    "rates computed FROM the data to hit target shares (en .30 / zh "
+    ".25 / es .20 / de .15 / fr .10), scaled so the binding language "
+    "is kept whole; membership via md5-prefix integer thresholds — "
+    "re-ingestion never flips a document's fate. Tiny rate table "
+    "broadcasts; the corpus is filtered scan-parallel.",
+)
+def dataset_mix_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture construction — the 'data recipe' step of LLM training.
+
+    Scale: per-language counts are one map-side-combined aggregate
+    (output = #languages rows); the rate table is a broadcast join;
+    the keep decision is a pure per-row filter on md5(doc_id). No
+    corpus shuffle at any size. The identical expression tree runs in
+    DuckDB, so thresholds match bit-for-bit.
+    """
+    d = _t(spark, sf_dir, "documents")["documents"]
+    share = None
+    for lang, s in _MIX_SHARES.items():
+        share = (
+            F.when(F.col("lang") == lang, F.lit(s))
+            if share is None
+            else share.when(F.col("lang") == lang, F.lit(s))
+        )
+    counts = (
+        d.groupBy("lang")
+        .agg(F.count("*").cast("double").alias("n"))
+        .withColumn("share", share)
+        .filter(F.col("share").isNotNull())
+    )
+    k = counts.select(F.min(F.col("n") / F.col("share")).alias("k"))
+    rates = counts.crossJoin(F.broadcast(k)).select(
+        "lang",
+        F.floor(
+            F.least(F.col("k") * F.col("share") / F.col("n"), F.lit(1.0)) * 65536
+        )
+        .cast("long")
+        .alias("thr"),
+    )
+    prefix = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10
+    ).cast("long")
+    return (
+        d.select("doc_id", "lang")
+        .join(F.broadcast(rates), "lang")
+        .filter(prefix < F.col("thr"))
+        .select("doc_id", "lang")
+    )
+
+
+# -- token_length_histogram -------------------------------------------------
+
+
+@query(
+    "token_length_histogram",
+    oracle="""
+    WITH counted AS (
+        SELECT lang,
+               len(list_filter(string_split_regex(text, '\\s+'), x -> x <> ''))
+                   AS n_tokens
+        FROM documents
+    )
+    SELECT lang,
+           CAST(floor(log2(n_tokens + 1)) AS INT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(MIN(n_tokens) AS BIGINT) AS min_tokens,
+           CAST(MAX(n_tokens) AS BIGINT) AS max_tokens
+    FROM counted
+    GROUP BY lang, bucket
+    """,
+    doc="Per-language log2-bucketed histogram of document token "
+    "lengths — the length-distribution audit run before choosing "
+    "chunking/packing budgets. Pure two-key aggregate, map-side "
+    "combined; output bounded by langs × ~16 buckets.",
+)
+def token_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length distribution summary (scan-parallel, no Python)."""
+    from dungbeetle_spark.functions.texts import word_count
+
+    d = _t(spark, sf_dir, "documents")["documents"]
+    n = word_count("text")
+    return (
+        d.select("lang", n.alias("n_tokens"))
+        .groupBy(
+            "lang",
+            F.floor(F.log2(F.col("n_tokens") + 1)).cast("int").alias("bucket"),
+        )
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("n_tokens").cast("long").alias("min_tokens"),
+            F.max("n_tokens").cast("long").alias("max_tokens"),
+        )
+    )

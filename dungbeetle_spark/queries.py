@@ -87,6 +87,11 @@ DRIVER_PRIORITY: list[str] = [
     "pii_scrub_stats",
     "domain_quota_sample",
     "sequence_pack",
+    # new this round (operators/mixing.py) — never verified
+    "decontamination",
+    "countmin_sketch",
+    "dataset_mix_weighted",
+    "token_length_histogram",
     # verified only in r01, outside the window since
     "ann_cosine_topk",
     "ann_ivf",
@@ -114,6 +119,7 @@ def registry() -> dict[str, QuerySpec]:
     import dungbeetle_spark.operators.relational_ext  # noqa: F401
     import dungbeetle_spark.operators.similarity  # noqa: F401
     import dungbeetle_spark.operators.text  # noqa: F401
+    import dungbeetle_spark.operators.mixing  # noqa: F401
     import dungbeetle_spark.operators.multimodal  # noqa: F401
     import dungbeetle_spark.operators.temporal  # noqa: F401
     import dungbeetle_spark.streaming.stateful  # noqa: F401

@@ -1,0 +1,123 @@
+"""Invariant tests for the dataset-assembly operators
+(operators/mixing.py). Value correctness vs DuckDB is covered by
+test_queries_oracle.py; these pin the properties the oracle can't
+see: CMS accuracy bounds, guaranteed non-hollow contamination,
+mixture proportions, and plan shape (broadcast membership, no corpus
+shuffle for the mix filter).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from dungbeetle_spark.operators.mixing import (
+    _CMS_WIDTH,
+    _EVAL_MOD,
+    _MIX_SHARES,
+    _PLANT_MOD,
+    cms_estimate,
+)
+from dungbeetle_spark.queries import registry
+from dungbeetle_spark.sources.catalog import load_tables
+
+SPECS = registry()
+
+
+def test_countmin_never_underestimates(spark, sf_oracle):
+    """The CMS one-sided guarantee: every point estimate >= the true
+    count, and overestimates stay within a loose eps*N bound."""
+    sketch = SPECS["countmin_sketch"].build(spark, sf_oracle)
+    docs = load_tables(spark, sf_oracle, ["documents"])["documents"]
+    tok = docs.select(
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.col("text")), r"[^a-z0-9]+"), lambda x: x != ""
+            )
+        ).alias("token")
+    )
+    exact = tok.groupBy("token").count()
+    n_total = tok.count()
+    est = cms_estimate(sketch, exact.select("token"))
+    joined = {
+        r.token: (r["count"], r.est)
+        for r in exact.join(est, "token").collect()
+    }
+    assert joined, "hollow test: no tokens"
+    margin = 5 * n_total / _CMS_WIDTH
+    for token, (true, est_n) in joined.items():
+        assert est_n >= true, (token, true, est_n)
+        assert est_n - true <= margin, (token, true, est_n, margin)
+
+
+def test_countmin_sketch_is_bounded(spark, sf_oracle):
+    """Sketch size is depth x width regardless of corpus size — the
+    mergeable-summary property that makes it usable at 100 TB."""
+    sketch = SPECS["countmin_sketch"].build(spark, sf_oracle).collect()
+    assert 0 < len(sketch) <= 4 * _CMS_WIDTH
+    # total mass per depth equals the corpus token count
+    per_depth = {}
+    for r in sketch:
+        per_depth[r.depth] = per_depth.get(r.depth, 0) + r.n
+    assert len(set(per_depth.values())) == 1, per_depth
+
+
+def test_decontamination_catches_planted_overlap(spark, sf_oracle):
+    """Every training doc carrying a planted benchmark passage must be
+    flagged (the passage's grams are in the eval set by construction)
+    — and clean docs must not all be flagged."""
+    df = SPECS["decontamination"].build(spark, sf_oracle)
+    rows = {r.doc_id: r for r in df.collect()}
+    assert rows
+    planted = [
+        d for d in rows if d % _PLANT_MOD == 0 and d % _EVAL_MOD != 0
+    ]
+    assert planted, "fixture too small: no planted training docs"
+    for d in planted:
+        assert rows[d].is_contaminated, f"planted doc {d} not flagged"
+        assert rows[d].n_contaminated > 0
+    # eval docs never appear on the training side
+    assert all(d % _EVAL_MOD != 0 for d in rows)
+    flagged = sum(1 for r in rows.values() if r.is_contaminated)
+    assert flagged < len(rows), "everything flagged — check broadcast side"
+
+
+def test_dataset_mix_hits_target_shares(spark, sf_oracle):
+    """Output language proportions land near the configured shares
+    (md5-threshold sampling is binomial around the rate), and the
+    binding language is kept ~whole."""
+    docs = load_tables(spark, sf_oracle, ["documents"])["documents"]
+    totals = {r.lang: r["count"] for r in docs.groupBy("lang").count().collect()}
+    mix = SPECS["dataset_mix_weighted"].build(spark, sf_oracle)
+    kept = {r.lang: r["count"] for r in mix.groupBy("lang").count().collect()}
+    n_out = sum(kept.values())
+    assert n_out > 0
+    for lang, share in _MIX_SHARES.items():
+        got = kept.get(lang, 0) / n_out
+        assert abs(got - share) < 0.08, (lang, got, share)
+    # the binding language is the one with min(n/share): kept whole
+    binding = min(_MIX_SHARES, key=lambda l: totals[l] / _MIX_SHARES[l])
+    assert kept[binding] >= 0.95 * totals[binding]
+    # deterministic: same fate on re-run
+    again = {r.lang: r["count"] for r in mix.groupBy("lang").count().collect()}
+    assert again == kept
+
+
+def test_mix_filter_plan_broadcasts_rates(spark, sf_oracle):
+    """The corpus side of the mix must not shuffle: the rate table is
+    a broadcast join and the keep decision is a per-row filter."""
+    from dungbeetle_spark.plans.inspect import formatted_plan, has_broadcast_join
+
+    df = SPECS["dataset_mix_weighted"].build(spark, sf_oracle)
+    assert has_broadcast_join(df)
+    plan = formatted_plan(df)
+    # exchanges exist only under the (tiny) counts/rates subtree, never
+    # repartitioning the documents scan on the probe side: the join's
+    # streaming side reads parquet directly.
+    assert "SortMergeJoin" not in plan
+
+
+def test_decontamination_plan_broadcasts_eval_grams(spark, sf_oracle):
+    from dungbeetle_spark.plans.inspect import has_broadcast_join
+
+    df = SPECS["decontamination"].build(spark, sf_oracle)
+    assert has_broadcast_join(df)
