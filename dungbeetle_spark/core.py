@@ -86,6 +86,7 @@ class Core:
         distributed: bool = False,  # workers claim from the shared store
         claim_queues: list[str] | None = None,  # None = claim every queue
         claim_poll_interval: float = 0.2,  # broker poll period (tasqueue analog)
+        claim_lease: float = 120.0,  # reclaim jobs from dead workers; 0 = off
     ) -> None:
         if distributed and not jobstore_path:
             raise ValueError(
@@ -106,6 +107,7 @@ class Core:
         self.distributed = distributed
         self.claim_queues = claim_queues
         self.claim_poll_interval = claim_poll_interval
+        self.claim_lease = claim_lease
         # Claim stamp for this worker (the reference's worker identity
         # is its Redis consumer; ours is host:pid plus a nonce so two
         # Cores in one process — tests, embedded setups — stay distinct).
@@ -127,6 +129,8 @@ class Core:
         self._started = False
         self._reaper: threading.Thread | None = None
         self._reaper_stop = threading.Event()
+        self._heartbeat: threading.Thread | None = None
+        self._heartbeat_stop = threading.Event()
 
     # -- wiring -------------------------------------------------------
     def add_source(self, name: str, path: str) -> None:
@@ -196,6 +200,16 @@ class Core:
                     target=self._reap_loop, name="result-reaper", daemon=True
                 )
                 self._reaper.start()
+            if (
+                self.distributed
+                and self.claim_lease > 0
+                and self._heartbeat is None
+            ):
+                self._heartbeat_stop.clear()
+                self._heartbeat = threading.Thread(
+                    target=self._heartbeat_loop, name="lease-heartbeat", daemon=True
+                )
+                self._heartbeat.start()
             self._started = True
 
     def stop(self) -> None:
@@ -212,6 +226,10 @@ class Core:
         if self._reaper is not None:
             self._reaper.join(timeout=5)
             self._reaper = None
+        self._heartbeat_stop.set()
+        if self._heartbeat is not None:
+            self._heartbeat.join(timeout=5)
+            self._heartbeat = None
         # Close the persistent store only once every worker thread has
         # exited: a worker finishing a job after close() would find the
         # DB gone and its terminal-state write would silently vanish —
@@ -258,6 +276,17 @@ class Core:
             except Exception:  # noqa: BLE001 — reaper must not die
                 pass
 
+    def _heartbeat_loop(self) -> None:
+        """Keep this process's job leases alive (distributed mode): a
+        quarter-lease cadence gives three missed beats of slack before
+        a peer reclaims our in-flight jobs."""
+        interval = max(1.0, min(self.claim_lease / 4, 15.0))
+        while not self._heartbeat_stop.wait(interval):
+            try:
+                self.store.heartbeat(self.worker_id)
+            except Exception:  # noqa: BLE001 — liveness must not die
+                pass
+
     def _ensure_queue(self, name: str, concurrency: int):
         """One worker pool per queue: an in-proc FIFO pool normally, a
         store-claiming pool in distributed mode (where the backlog
@@ -280,6 +309,7 @@ class Core:
                         self._run_job,
                         self.claim_poll_interval,
                         self.worker_id,
+                        self.claim_lease,
                     )
                 else:
                     q = _WorkQueue(name, max(concurrency, 1), self._run_job)
@@ -578,6 +608,7 @@ class _ClaimPool:
         run: Callable[[str, str], None],
         poll_interval: float,
         owner: str,
+        lease: float = 0.0,
     ) -> None:
         self.name = name
         self.concurrency = concurrency
@@ -585,6 +616,7 @@ class _ClaimPool:
         self._run = run
         self._poll = poll_interval
         self._owner = owner
+        self._lease = lease
         self._stop = threading.Event()
         self._threads: list[threading.Thread] = []
         for i in range(concurrency):
@@ -604,7 +636,9 @@ class _ClaimPool:
     def _worker(self) -> None:
         while not self._stop.is_set():
             try:
-                rec = self._store.claim([self.name], self._owner)
+                rec = self._store.claim(
+                    [self.name], self._owner, lease=self._lease
+                )
             except Exception:  # noqa: BLE001 — transient store contention
                 rec = None
             if rec is None:

@@ -83,6 +83,7 @@ class JobRecord:
     finished_at: float | None = None  # set on SUCCESS/FAILURE
     cancelled: bool = False
     owner: str = ""  # claiming process id ("host:pid"); "" = unclaimed
+    heartbeat_at: float | None = None  # owner liveness stamp (lease reclaim)
 
 
 class SingleFlightError(Exception):
@@ -319,51 +320,84 @@ class JobStore:
             rec.owner = owner
 
     def claim(
-        self, queues: list[str], owner: str, now: float | None = None
+        self,
+        queues: list[str],
+        owner: str,
+        now: float | None = None,
+        lease: float = 0.0,
     ) -> JobRecord | None:
         """Atomically claim the oldest runnable job on ``queues``.
 
         Runnable = PENDING (or RETRY returned to the backlog), not
         cancelled, unclaimed, and past its ETA. The claim stamps
-        ``owner`` and moves the row to STARTED inside one writer-lock
-        transaction, so two processes polling the same file can never
-        claim the same job — the broker handoff the reference gets
-        from Redis (core.go:403-447).
+        ``owner`` + a heartbeat and moves the row to STARTED inside one
+        writer-lock transaction, so two processes polling the same file
+        can never claim the same job — the broker handoff the reference
+        gets from Redis (core.go:403-447).
+
+        With ``lease > 0``, a STARTED row whose owner's heartbeat is
+        older than the lease is also runnable: a worker that died
+        mid-job gets its jobs re-delivered to a live process without
+        waiting for a primary restart — at-least-once, the same
+        visibility-timeout semantics a Redis broker gives the
+        reference. (A stalled-but-alive worker can therefore cause a
+        double execution; results are overwrite tables, so the
+        duplicate write is idempotent.)
         """
         now = time.time() if now is None else now
+
+        def _runnable(r: JobRecord) -> bool:
+            if r.queue not in queues or r.cancelled:
+                return False
+            if r.eta is not None and r.eta > now:
+                return False
+            if r.state in (PENDING, RETRY) and not r.owner:
+                return True
+            return (
+                lease > 0
+                and r.state == STARTED
+                and bool(r.owner)
+                and (r.heartbeat_at or 0.0) <= now - lease
+            )
+
         with self._lock:
             if self._db is None:
-                cands = [
-                    r
-                    for r in self._jobs.values()
-                    if r.queue in queues
-                    and r.state in (PENDING, RETRY)
-                    and not r.owner
-                    and not r.cancelled
-                    and (r.eta is None or r.eta <= now)
-                ]
+                cands = [r for r in self._jobs.values() if _runnable(r)]
                 if not cands:
                     return None
                 rec = min(cands, key=lambda r: r.created_at)
                 rec.owner = owner
                 rec.state = STARTED
+                rec.heartbeat_at = now
                 return rec
             marks = ",".join("?" for _ in queues)
+            lease_clause = (
+                """
+                OR (json_extract(data, '$.state') = 'STARTED'
+                    AND json_extract(data, '$.owner') <> ''
+                    AND COALESCE(json_extract(data, '$.heartbeat_at'), 0)
+                        <= ? - ?)
+                """
+                if lease > 0
+                else ""
+            )
+            lease_args = (now, lease) if lease > 0 else ()
             self._db.execute("BEGIN IMMEDIATE")
             try:
                 row = self._db.execute(
                     f"""
                     SELECT data FROM jobs
                     WHERE json_extract(data, '$.queue') IN ({marks})
-                      AND json_extract(data, '$.state') IN ('PENDING', 'RETRY')
-                      AND json_extract(data, '$.owner') = ''
                       AND NOT json_extract(data, '$.cancelled')
                       AND (json_extract(data, '$.eta') IS NULL
                            OR json_extract(data, '$.eta') <= ?)
+                      AND ((json_extract(data, '$.state') IN ('PENDING', 'RETRY')
+                            AND json_extract(data, '$.owner') = '')
+                           {lease_clause})
                     ORDER BY json_extract(data, '$.created_at')
                     LIMIT 1
                     """,
-                    (*queues, now),
+                    (*queues, now, *lease_args),
                 ).fetchone()
                 if row is None:
                     self._db.execute("COMMIT")
@@ -371,6 +405,7 @@ class JobStore:
                 rec = JobRecord(**json.loads(row[0]))
                 rec.owner = owner
                 rec.state = STARTED
+                rec.heartbeat_at = now
                 self._write(rec)
                 self._db.execute("COMMIT")
             except BaseException:
@@ -378,6 +413,26 @@ class JobStore:
                 raise
             self._jobs[rec.job_id] = rec
             return rec
+
+    def heartbeat(self, owner: str, now: float | None = None) -> None:
+        """Refresh the liveness stamp on every job ``owner`` is
+        currently running — called periodically by each worker process
+        so its leases never expire while it's alive."""
+        now = time.time() if now is None else now
+        with self._lock:
+            if self._db is not None:
+                self._db.execute(
+                    """
+                    UPDATE jobs
+                    SET data = json_set(data, '$.heartbeat_at', ?)
+                    WHERE json_extract(data, '$.owner') = ?
+                      AND json_extract(data, '$.state') = 'STARTED'
+                    """,
+                    (now, owner),
+                )
+            for rec in self._jobs.values():
+                if rec.owner == owner and rec.state == STARTED:
+                    rec.heartbeat_at = now
 
     def mark_cancelled(self, job_id: str) -> JobRecord:
         with self._lock:
