@@ -263,3 +263,63 @@ def embedding_array_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_min(emb).alias("min_val"),
         F.array_position(emb, F.array_max(emb)).cast("int").alias("argmax_pos"),
     )
+
+
+@query(
+    "embedding_quantize",
+    oracle="""
+    WITH prep AS (
+        SELECT vec_id,
+               CAST(embedding AS DOUBLE[]) AS e,
+               list_max(list_transform(CAST(embedding AS DOUBLE[]),
+                                       x -> abs(x))) AS m
+        FROM embeddings
+    )
+    SELECT vec_id,
+           CAST(m AS DOUBLE) AS max_abs,
+           CAST(len(list_filter(e,
+                x -> abs(floor(127 * x / m + 0.5)) >= 127)) AS BIGINT)
+               AS n_saturated,
+           CAST(list_max(list_transform(e,
+                x -> abs(x - floor(127 * x / m + 0.5) * m / 127))) AS DOUBLE)
+               AS max_abs_err
+    FROM prep
+    WHERE m > 0
+    """,
+    doc="Symmetric int8 quantization audit per vector: scale = "
+    "max|x|/127, q = floor(127*x/scale... + 0.5), reporting saturated "
+    "dims and the max reconstruction error. All error metrics are "
+    "per-dim MAX (order-free — float SUM fold order is engine-defined "
+    "and stays out of oracle-checked columns). The compression step "
+    "before shipping 100 TB of embeddings to an ANN index.",
+)
+def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 quantization stats, zero Python: higher-order array
+    expressions inside codegen. floor(x + 0.5) is used instead of
+    round() because round's half-tie convention differs across
+    engines while floor is floor everywhere — the identical
+    expression tree yields bit-identical doubles in Spark and DuckDB.
+    """
+    e = _t(spark, sf_dir, "embeddings")["embeddings"]
+    emb = F.col("embedding").cast("array<double>")
+    m = F.array_max(F.transform(emb, lambda x: F.abs(x)))
+    q = lambda x: F.floor(F.lit(127) * x / F.col("m") + F.lit(0.5))  # noqa: E731
+    return (
+        e.select("vec_id", emb.alias("e"), m.alias("m"))
+        .filter(F.col("m") > 0)
+        .select(
+            "vec_id",
+            F.col("m").alias("max_abs"),
+            F.size(
+                F.filter(F.col("e"), lambda x: F.abs(q(x)) >= 127)
+            )
+            .cast("long")
+            .alias("n_saturated"),
+            F.array_max(
+                F.transform(
+                    F.col("e"),
+                    lambda x: F.abs(x - q(x) * F.col("m") / F.lit(127)),
+                )
+            ).alias("max_abs_err"),
+        )
+    )

@@ -468,3 +468,91 @@ def _corpus_rows(spark: SparkSession, sf_dir: str) -> int:
         return ds.dataset(f"{sf_dir}/embeddings.parquet", format="parquet").count_rows()
     except Exception:  # noqa: BLE001 - remote/united FS: pay the scan
         return _t(spark, sf_dir, "embeddings")["embeddings"].count()
+
+
+# -- dedup_incremental ------------------------------------------------------
+
+# Incremental-ingest split: doc_id % 11 == 0 plays the "incoming batch"
+# (~9% of the corpus); the rest is the already-ingested corpus. Docs
+# with doc_id % 25 == 0 are rewritten to one of five canonical bodies
+# on BOTH sides, so cross-side exact duplicates exist by construction
+# (the fixture corpus has no natural exact dupes — same seeding
+# pattern as pii_scrub_stats / decontamination).
+_INC_MOD = 11
+_CANON_MOD = 25
+
+
+@query(
+    "dedup_incremental",
+    oracle=f"""
+    WITH seeded AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % {_CANON_MOD} = 0
+                    THEN 'canonical duplicate body ' || CAST(doc_id % 5 AS VARCHAR)
+                    ELSE text END AS text
+        FROM documents
+    ),
+    hashed AS (
+        SELECT doc_id, {content_md5_sql("text")} AS h FROM seeded
+    ),
+    incoming AS (SELECT doc_id, h FROM hashed WHERE doc_id % {_INC_MOD} = 0),
+    corpus AS (SELECT doc_id, h FROM hashed WHERE doc_id % {_INC_MOD} <> 0),
+    matches AS (
+        SELECT i.doc_id, MIN(c.doc_id) AS dup_of
+        FROM incoming i JOIN corpus c ON i.h = c.h
+        GROUP BY i.doc_id
+    )
+    SELECT i.doc_id,
+           m.dup_of AS dup_of,
+           (m.doc_id IS NOT NULL) AS is_dup
+    FROM incoming i LEFT JOIN matches m ON i.doc_id = m.doc_id
+    """,
+    doc="Incremental dedup: classify an incoming batch (doc_id%11==0) "
+    "against the already-ingested corpus by normalized-content md5 — "
+    "dup_of = the lowest-id corpus twin. Canonical bodies planted on "
+    "both sides guarantee non-hollow hits. The incoming batch (always "
+    "small relative to the corpus) broadcasts; the corpus streams "
+    "against it without shuffling.",
+)
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ingest-time shape of exact dedup: not corpus × corpus but
+    batch × corpus, which at 100 TB must NOT shuffle the corpus.
+
+    Plan: hash both sides JVM-side (md5 of normalized text); broadcast
+    the incoming batch's (doc_id, hash) pairs — an ingest batch is MBs
+    against a TB corpus — so the corpus scan probes the broadcast
+    table map-side and only the (tiny) match set aggregates. Two
+    broadcast joins, zero corpus shuffles, text never leaves the scan
+    except through the 16-byte hash.
+    """
+    d = _t(spark, sf_dir, "documents")["documents"]
+    seeded = d.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % _CANON_MOD == 0,
+            F.concat(
+                F.lit("canonical duplicate body "),
+                (F.col("doc_id") % 5).cast("string"),
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    hashed = seeded.select("doc_id", content_md5("text").alias("h"))
+    incoming = hashed.filter(F.col("doc_id") % _INC_MOD == 0)
+    corpus = hashed.filter(F.col("doc_id") % _INC_MOD != 0)
+    matches = (
+        corpus.alias("c")
+        .join(F.broadcast(incoming.alias("i")), F.col("c.h") == F.col("i.h"))
+        .groupBy(F.col("i.doc_id").alias("doc_id"))
+        .agg(F.min(F.col("c.doc_id")).alias("dup_of"))
+    )
+    return (
+        incoming.select("doc_id")
+        .join(F.broadcast(matches.alias("m")), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("dup_of"),
+            F.col("dup_of").isNotNull().alias("is_dup"),
+        )
+    )

@@ -87,11 +87,13 @@ DRIVER_PRIORITY: list[str] = [
     "pii_scrub_stats",
     "domain_quota_sample",
     "sequence_pack",
-    # new this round (operators/mixing.py) — never verified
+    # new this round — never verified
     "decontamination",
     "countmin_sketch",
     "dataset_mix_weighted",
     "token_length_histogram",
+    "dedup_incremental",
+    "embedding_quantize",
     # verified only in r01, outside the window since
     "ann_cosine_topk",
     "ann_ivf",

@@ -121,3 +121,38 @@ def test_decontamination_plan_broadcasts_eval_grams(spark, sf_oracle):
 
     df = SPECS["decontamination"].build(spark, sf_oracle)
     assert has_broadcast_join(df)
+
+
+def test_dedup_incremental_flags_planted_dupes(spark, sf_oracle):
+    """Incoming docs rewritten to canonical bodies (doc_id%25==0 ∩
+    %11==0, e.g. doc 0) must match a corpus twin; the rest of the
+    batch must not all be flagged. The corpus side must never shuffle
+    — the incoming batch broadcasts."""
+    from dungbeetle_spark.plans.inspect import formatted_plan, has_broadcast_join
+
+    df = SPECS["dedup_incremental"].build(spark, sf_oracle)
+    rows = {r.doc_id: r for r in df.collect()}
+    assert rows
+    planted = [d for d in rows if d % 25 == 0]
+    assert planted, "fixture too small for planted incremental dupes"
+    for d in planted:
+        assert rows[d].is_dup, f"planted canonical doc {d} not matched"
+        assert rows[d].dup_of is not None and rows[d].dup_of % 11 != 0
+    assert any(not r.is_dup for r in rows.values())
+    assert has_broadcast_join(df)
+    assert "SortMergeJoin" not in formatted_plan(df)
+
+
+def test_embedding_quantize_error_bound(spark, sf_oracle):
+    """Quantization error can never exceed half a quantization step
+    (scale/2 = max_abs/254), and the argmax dim always saturates."""
+    df = SPECS["embedding_quantize"].build(spark, sf_oracle)
+    rows = df.collect()
+    assert rows
+    for r in rows:
+        assert r.n_saturated >= 1  # x == max_abs quantizes to ±127
+        assert r.max_abs_err <= r.max_abs / 254 + 1e-12, (
+            r.vec_id,
+            r.max_abs_err,
+            r.max_abs / 254,
+        )
