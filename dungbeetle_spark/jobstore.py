@@ -382,24 +382,30 @@ class JobStore:
                 else ""
             )
             lease_args = (now, lease) if lease > 0 else ()
+            select_sql = f"""
+                SELECT data FROM jobs
+                WHERE json_extract(data, '$.queue') IN ({marks})
+                  AND NOT json_extract(data, '$.cancelled')
+                  AND (json_extract(data, '$.eta') IS NULL
+                       OR json_extract(data, '$.eta') <= ?)
+                  AND ((json_extract(data, '$.state') IN ('PENDING', 'RETRY')
+                        AND json_extract(data, '$.owner') = '')
+                       {lease_clause})
+                ORDER BY json_extract(data, '$.created_at')
+                LIMIT 1
+                """
+            select_args = (*queues, now, *lease_args)
+            # Idle fast path: a plain read (WAL: no writer lock) before
+            # paying for BEGIN IMMEDIATE. Claim pools poll continuously
+            # across every process; an empty backlog must not serialize
+            # them on the writer lock. The candidate is re-checked
+            # inside the transaction, so the handoff stays exact.
+            if self._db.execute(select_sql, select_args).fetchone() is None:
+                return None
             self._db.execute("BEGIN IMMEDIATE")
             try:
-                row = self._db.execute(
-                    f"""
-                    SELECT data FROM jobs
-                    WHERE json_extract(data, '$.queue') IN ({marks})
-                      AND NOT json_extract(data, '$.cancelled')
-                      AND (json_extract(data, '$.eta') IS NULL
-                           OR json_extract(data, '$.eta') <= ?)
-                      AND ((json_extract(data, '$.state') IN ('PENDING', 'RETRY')
-                            AND json_extract(data, '$.owner') = '')
-                           {lease_clause})
-                    ORDER BY json_extract(data, '$.created_at')
-                    LIMIT 1
-                    """,
-                    (*queues, now, *lease_args),
-                ).fetchone()
-                if row is None:
+                row = self._db.execute(select_sql, select_args).fetchone()
+                if row is None:  # lost the race to another claimer
                     self._db.execute("COMMIT")
                     return None
                 rec = JobRecord(**json.loads(row[0]))
