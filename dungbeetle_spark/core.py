@@ -554,6 +554,8 @@ class Core:
             "tasks": len(self.tasks),
             "sources": len(self.sources),
             "result_backends": len(self.result_backends),
+            "worker_id": self.worker_id,
+            "distributed": self.distributed,
         }
 
     # -- results access ----------------------------------------------

@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from dungbeetle_spark.queries import _t, query
+from dungbeetle_spark.sources.catalog import fan_out
 
 # -- decontamination --------------------------------------------------------
 
@@ -117,9 +118,12 @@ def decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda i: F.array_join(F.slice(F.col("t"), i, _GRAM_N), " "),
         )
     )
-    per_doc = d.select("doc_id", toks.alias("t")).select(
-        "doc_id", F.explode_outer(grams).alias("gram")
-    )
+    # fan_out before the gram construction: tokenize + slice + join is
+    # the CPU-bound step, and the local single-row-group fixture would
+    # otherwise run it on one task (no-op on a real multi-split scan).
+    per_doc = fan_out(d.select("doc_id", "text")).select(
+        "doc_id", toks.alias("t")
+    ).select("doc_id", F.explode_outer(grams).alias("gram"))
     ev = (
         per_doc.filter(F.col("doc_id") % _EVAL_MOD == 0)
         .select("gram")
@@ -205,7 +209,8 @@ def countmin_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         % _CMS_WIDTH
     )
     return (
-        d.select(token)
+        fan_out(d.select("doc_id", "text"))
+        .select(token)
         .select("token", depth)
         .select(F.col("d").cast("int").alias("depth"), bucket.cast("int").alias("bucket"))
         .groupBy("depth", "bucket")
