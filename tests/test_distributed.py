@@ -308,6 +308,42 @@ def test_single_flight_across_distributed_cores(spark, sf_smoke, tmp_path):
         producer.stop()
 
 
+def test_cross_process_cancel_never_resurrects(tmp_path):
+    """DELETE /jobs/{id} from any process purges the row; the owning
+    worker's eventual terminal write is dropped instead of
+    resurrecting a cancelled job."""
+    db = str(tmp_path / "jobs.db")
+    a = JobStore(persist_path=db)
+    b = JobStore(persist_path=db, recover="attach")
+    a.create(JobRecord(job_id="x", task="t", queue="q"))
+    rec = a.claim(["q"], "wa")
+    assert rec is not None and rec.state == jobstore.STARTED
+    b.mark_cancelled("x")
+    b.delete("x")
+    assert a.set_state("x", jobstore.SUCCESS, count=5) is False
+    assert not a.exists("x") and not b.exists("x")
+    a.close()
+    b.close()
+
+
+def test_cross_process_group_visibility(tmp_path):
+    """Groups created in one process resolve (membership + aggregate
+    state) from any process sharing the store."""
+    db = str(tmp_path / "jobs.db")
+    a = JobStore(persist_path=db)
+    b = JobStore(persist_path=db, recover="attach")
+    a.create(JobRecord(job_id="g1", task="t", queue="q"))
+    a.create(JobRecord(job_id="g2", task="t", queue="q"))
+    a.create_group("G", ["g1", "g2"])
+    assert b.group_jobs("G") == ["g1", "g2"]
+    assert b.group_state("G") == jobstore.PENDING
+    a.set_state("g1", jobstore.SUCCESS)
+    a.set_state("g2", jobstore.SUCCESS)
+    assert b.group_state("G") == jobstore.SUCCESS
+    a.close()
+    b.close()
+
+
 def test_worker_only_process_end_to_end(spark, tmp_path):
     """THE reference topology (README "Multiple queues, workers, and
     job distribution"; client/client_test.go drives it E2E): process A
