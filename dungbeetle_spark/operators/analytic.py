@@ -323,3 +323,191 @@ def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("max_abs_err"),
         )
     )
+
+
+@query(
+    "funnel_conversion",
+    oracle="""
+    WITH v AS (
+        SELECT user_id, MIN(ts) AS t_view
+        FROM events WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+        SELECT e.user_id, MIN(e.ts) AS t_click
+        FROM events e JOIN v ON e.user_id = v.user_id
+        WHERE e.event_type = 'click' AND e.ts > v.t_view
+        GROUP BY e.user_id
+    ),
+    p AS (
+        SELECT e.user_id, MIN(e.ts) AS t_purchase
+        FROM events e JOIN c ON e.user_id = c.user_id
+        WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+        GROUP BY e.user_id
+    )
+    SELECT stage, stage_order, n_users FROM (
+        SELECT 'view' AS stage, 1 AS stage_order,
+               CAST((SELECT COUNT(*) FROM v) AS BIGINT) AS n_users
+        UNION ALL
+        SELECT 'click', 2, CAST((SELECT COUNT(*) FROM c) AS BIGINT)
+        UNION ALL
+        SELECT 'purchase', 3, CAST((SELECT COUNT(*) FROM p) AS BIGINT)
+    )
+    """,
+    doc="Ordered funnel conversion (view -> later click -> later "
+    "purchase): per-stage user counts where each stage's first event "
+    "must strictly follow the previous stage's first event. Min-per-"
+    "user aggregates + user_id-co-keyed joins — one shuffle key "
+    "reused across every stage.",
+)
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The classic product-analytics funnel, expressed so every stage
+    shares the user_id shuffle key (Catalyst reuses the partitioning
+    instead of reshuffling per stage). Timestamp comparisons are
+    exact microseconds — no window buckets to disagree on.
+    """
+    e = _t(spark, sf_dir, "events")["events"]
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    c = (
+        e.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+
+    def stage_count(df: DataFrame, stage: str, order: int) -> DataFrame:
+        return df.agg(F.count("*").alias("n_users")).select(
+            F.lit(stage).alias("stage"),
+            F.lit(order).alias("stage_order"),
+            F.col("n_users"),
+        )
+
+    return (
+        stage_count(v, "view", 1)
+        .unionAll(stage_count(c, "click", 2))
+        .unionAll(stage_count(p, "purchase", 3))
+    )
+
+
+@query(
+    "cohort_retention",
+    oracle="""
+    WITH first_seen AS (
+        SELECT user_id, CAST(date_trunc('week', MIN(ts)) AS DATE) AS cohort_week
+        FROM events GROUP BY user_id
+    ),
+    activity AS (
+        SELECT DISTINCT e.user_id, CAST(date_trunc('week', e.ts) AS DATE) AS w
+        FROM events e
+    )
+    SELECT f.cohort_week,
+           CAST((a.w - f.cohort_week) / 7 AS INT) AS week_offset,
+           CAST(COUNT(DISTINCT a.user_id) AS BIGINT) AS n_users
+    FROM activity a JOIN first_seen f ON a.user_id = f.user_id
+    GROUP BY f.cohort_week, week_offset
+    """,
+    doc="Weekly cohort retention: users bucketed by first-activity "
+    "week (ISO Monday truncation, identical in both engines), counted "
+    "in each subsequent active week. Two user_id-keyed aggregates "
+    "sharing one shuffle; output bounded by weeks².",
+)
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort × week-offset retention triangle. week_offset is integer
+    day-difference / 7 on week-truncated dates — engine-convention-free
+    (both engines truncate weeks to Monday; datediff of two Mondays is
+    always a multiple of 7).
+    """
+    e = _t(spark, sf_dir, "events")["events"]
+    first_seen = e.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).cast("date").alias("cohort_week")
+    )
+    activity = e.select(
+        "user_id", F.date_trunc("week", F.col("ts")).cast("date").alias("w")
+    ).distinct()
+    return (
+        activity.join(first_seen, "user_id")
+        .groupBy(
+            "cohort_week",
+            (F.datediff(F.col("w"), F.col("cohort_week")) / 7)
+            .cast("int")
+            .alias("week_offset"),
+        )
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
+
+
+@query(
+    "user_value_outliers",
+    oracle="""
+    WITH stats AS (
+        SELECT user_id,
+               CAST(COUNT(*) AS DOUBLE) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS s1,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))
+                        * CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS s2
+        FROM events WHERE event_type = 'purchase'
+        GROUP BY user_id
+        HAVING COUNT(*) > 1
+    ),
+    scored AS (
+        SELECT e.event_id, e.user_id, e.value,
+               round((e.value - s.s1 / s.n)
+                     / sqrt((s.s2 / s.n - (s.s1 / s.n) * (s.s1 / s.n))
+                            * (s.n / (s.n - 1))), 6) AS z
+        FROM events e JOIN stats s ON e.user_id = s.user_id
+        WHERE e.event_type = 'purchase'
+          AND (s.s2 / s.n - (s.s1 / s.n) * (s.s1 / s.n)) > 0
+    )
+    SELECT event_id, user_id, value, z
+    FROM scored WHERE abs(z) > 2.5
+    """,
+    doc="Per-user purchase-value outliers (|z| > 2.5). Mean and "
+    "variance derive from DECIMAL-EXACT sums (value and value² are "
+    "2- and 4-decimal-exact) so the statistics are order-free; only "
+    "the final mean/variance/z arithmetic is floating point, and the "
+    "identical expression tree runs in both engines. One shuffle on "
+    "user_id, stats broadcast back onto the events.",
+)
+def user_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-score anomaly flagging with cross-engine-stable statistics.
+
+    Float SUMs are order-dependent under parallel aggregation, so the
+    moments are accumulated as exact decimals (the trick every
+    decimal-exact oracle in queries.py uses) and converted to double
+    only for the closed-form mean/var/z — bit-identical in Spark and
+    DuckDB because the expression trees match.
+    """
+    e = _t(spark, sf_dir, "events")["events"]
+    purchases = e.filter(F.col("event_type") == "purchase")
+    dec = F.col("value").cast("decimal(18,2)")
+    stats = (
+        purchases.groupBy("user_id")
+        .agg(
+            F.count("*").cast("double").alias("n"),
+            F.sum(dec).cast("double").alias("s1"),
+            F.sum(dec * dec).cast("double").alias("s2"),
+        )
+        .filter(F.col("n") > 1)
+    )
+    mean = F.col("s1") / F.col("n")
+    var = (F.col("s2") / F.col("n") - mean * mean) * (
+        F.col("n") / (F.col("n") - 1)
+    )
+    z = F.round((F.col("value") - mean) / F.sqrt(var), 6)
+    return (
+        purchases.join(F.broadcast(stats), "user_id")
+        .filter(F.col("s2") / F.col("n") - mean * mean > 0)
+        .select("event_id", "user_id", "value", z.alias("z"))
+        .filter(F.abs(F.col("z")) > 2.5)
+    )

@@ -94,6 +94,9 @@ DRIVER_PRIORITY: list[str] = [
     "token_length_histogram",
     "dedup_incremental",
     "embedding_quantize",
+    "funnel_conversion",
+    "cohort_retention",
+    "user_value_outliers",
     # verified only in r01, outside the window since
     "ann_cosine_topk",
     "ann_ivf",
