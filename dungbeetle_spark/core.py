@@ -103,7 +103,11 @@ class Core:
             if not jobstore_recover_inflight
             else ("requeue" if distributed else "fail")
         )
-        self.store = JobStore(persist_path=jobstore_path, recover=recover)
+        self.store = JobStore(
+            persist_path=jobstore_path,
+            recover=recover,
+            requeue_lease=claim_lease if distributed else 0.0,
+        )
         self.distributed = distributed
         self.claim_queues = claim_queues
         self.claim_poll_interval = claim_poll_interval
@@ -448,7 +452,11 @@ class Core:
                 error=f"task {rec.task} not registered in worker {self.worker_id}",
             )
             return
-        self.store.set_state(job_id, jobstore.STARTED, owner=self.worker_id)
+        if not (rec.state == jobstore.STARTED and rec.owner == self.worker_id):
+            # In-proc pools transition PENDING→STARTED here; distributed
+            # claims already stamped STARTED+owner+heartbeat in the claim
+            # transaction — skip the redundant writer-lock RMW.
+            self.store.set_state(job_id, jobstore.STARTED, owner=self.worker_id)
         try:
             count, path, backend = self._execute(rec, task, queue_name)
             self.store.set_state(

@@ -105,14 +105,24 @@ class JobStore:
         persist_path: str | None = None,
         recover: str = "fail",
         recover_inflight: bool | None = None,
+        requeue_lease: float = 0.0,
     ) -> None:
         """``recover`` picks the restart policy (module docstring).
         ``recover_inflight=False`` is the pre-distribution spelling of
-        ``recover="attach"`` (worker sidecar), kept as an alias."""
+        ``recover="attach"`` (worker sidecar), kept as an alias.
+
+        ``requeue_lease`` scopes the "requeue" policy: rows whose
+        owner heartbeat is fresher than the lease belong to a LIVE
+        sibling process and are left alone (stealing them would
+        double-execute); only stale/unowned rows return to the
+        backlog. 0 = reset every in-flight row (correct when lease
+        reclaim is disabled — nothing else would ever recover them).
+        """
         if recover_inflight is not None and not recover_inflight:
             recover = "attach"
         if recover not in ("fail", "requeue", "attach"):
             raise ValueError(f"unknown recover mode: {recover!r}")
+        self._requeue_lease = requeue_lease
         self._jobs: dict[str, JobRecord] = {}
         self._groups: dict[str, list[str]] = {}
         self._lock = threading.RLock()
@@ -149,9 +159,21 @@ class JobStore:
                 rec.finished_at = rec.finished_at or time.time()
                 self._write(rec)
             elif rec.state in (STARTED, RETRY) and mode == "requeue":
-                rec.state = PENDING
-                rec.owner = ""
-                self._write(rec)
+                # Only reclaim rows no live process owns: a fresh heartbeat
+                # means a live sibling worker is mid-job — stealing it
+                # here would double-execute. (Stale rows also remain
+                # covered by lease reclaim in claim(); resetting them at
+                # startup is just the fast path.)
+                stale = (
+                    self._requeue_lease <= 0
+                    or not rec.owner
+                    or (rec.heartbeat_at or 0.0)
+                    <= time.time() - self._requeue_lease
+                )
+                if stale:
+                    rec.state = PENDING
+                    rec.owner = ""
+                    self._write(rec)
             self._jobs[rec.job_id] = rec
         for gid, ids in self._db.execute("SELECT group_id, job_ids FROM groups"):
             self._groups[gid] = json.loads(ids)
@@ -169,13 +191,6 @@ class JobStore:
             "SELECT data FROM jobs WHERE job_id = ?", (job_id,)
         ).fetchone()
         return None if row is None else JobRecord(**json.loads(row[0]))
-
-    def _all_rows(self) -> list[JobRecord]:
-        assert self._db is not None
-        return [
-            JobRecord(**json.loads(data))
-            for (data,) in self._db.execute("SELECT data FROM jobs")
-        ]
 
     def close(self) -> None:
         with self._lock:
@@ -490,11 +505,24 @@ class JobStore:
 
     def pending(self, queue: str) -> list[JobRecord]:
         """Pending jobs on a queue, oldest first (core.go:149-162 —
-        the reference fetches newest-first then reverses)."""
+        the reference fetches newest-first then reverses). Filter and
+        order run in SQL — metrics/pending polls must not deserialize
+        the full (mostly terminal) job history."""
         with self._lock:
-            recs = self._all_rows() if self._db is not None else list(
-                self._jobs.values()
-            )
+            if self._db is not None:
+                return [
+                    JobRecord(**json.loads(data))
+                    for (data,) in self._db.execute(
+                        """
+                        SELECT data FROM jobs
+                        WHERE json_extract(data, '$.queue') = ?
+                          AND json_extract(data, '$.state') = 'PENDING'
+                        ORDER BY json_extract(data, '$.created_at')
+                        """,
+                        (queue,),
+                    )
+                ]
+            recs = list(self._jobs.values())
         return sorted(
             (r for r in recs if r.queue == queue and r.state == PENDING),
             key=lambda r: r.created_at,
@@ -503,9 +531,17 @@ class JobStore:
     def counts_by_state(self) -> dict[str, int]:
         """Job counts keyed by state (for the /metrics gauges)."""
         with self._lock:
-            recs = self._all_rows() if self._db is not None else list(
-                self._jobs.values()
-            )
+            if self._db is not None:
+                return {
+                    state: n
+                    for state, n in self._db.execute(
+                        """
+                        SELECT json_extract(data, '$.state'), COUNT(*)
+                        FROM jobs GROUP BY 1
+                        """
+                    )
+                }
+            recs = list(self._jobs.values())
         counts: dict[str, int] = {}
         for rec in recs:
             counts[rec.state] = counts.get(rec.state, 0) + 1
@@ -521,9 +557,23 @@ class JobStore:
         ``ttl <= 0`` means keep forever.
         """
         with self._lock:
-            recs = self._all_rows() if self._db is not None else list(
-                self._jobs.values()
-            )
+            if self._db is not None:
+                return [
+                    JobRecord(**json.loads(data))
+                    for (data,) in self._db.execute(
+                        """
+                        SELECT data FROM jobs
+                        WHERE json_extract(data, '$.state') IN ('SUCCESS', 'FAILURE')
+                          AND json_extract(data, '$.ttl') > 0
+                          AND json_extract(data, '$.result_path') <> ''
+                          AND json_extract(data, '$.finished_at') IS NOT NULL
+                          AND json_extract(data, '$.finished_at')
+                              + json_extract(data, '$.ttl') <= ?
+                        """,
+                        (now,),
+                    )
+                ]
+            recs = list(self._jobs.values())
         return [
             r
             for r in recs

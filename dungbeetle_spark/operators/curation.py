@@ -363,28 +363,24 @@ _PACK_BUDGET = 512  # token budget per packed sequence
 _PACK_TARGET_DOCS_PER_SHARD = 5_000
 
 
-def pack_shard_count(n_docs: int, parallelism: int) -> int:
+def pack_shard_count(n_docs: int) -> int:
     """Shards for FFD packing: enough that no shard exceeds the target
-    doc budget, never fewer than the cluster's parallelism (idle-core
-    floor). Grows with the data — 16 hardcoded shards would make 16
-    sequential Python tasks the long pole of a 100 TB run."""
+    doc budget. Grows with the data — 16 hardcoded shards would make
+    16 sequential Python tasks the long pole of a 100 TB run. Derived
+    from n_docs ONLY (not cluster parallelism) so bucket assignment —
+    and therefore packing output — is identical on a laptop and a
+    1000-executor cluster, honoring the module's determinism contract;
+    at any corpus size where throughput matters the count already
+    exceeds the core count by orders of magnitude."""
     import math
 
-    return max(math.ceil(n_docs / _PACK_TARGET_DOCS_PER_SHARD), parallelism, 1)
+    return max(math.ceil(n_docs / _PACK_TARGET_DOCS_PER_SHARD), 1)
 
 
 def _doc_rows(spark: SparkSession, sf_dir: str) -> int:
-    """Documents row count from parquet FOOTERS (no Spark job — this
-    runs at DataFrame-build time, incl. plan-only /explain calls).
-    Falls back to a Spark count where pyarrow can't reach the files."""
-    try:
-        import pyarrow.dataset as ds
+    from dungbeetle_spark.sources.catalog import parquet_row_count
 
-        return ds.dataset(
-            f"{sf_dir}/documents.parquet", format="parquet"
-        ).count_rows()
-    except Exception:  # noqa: BLE001 - remote/united FS: pay the scan
-        return _t(spark, sf_dir, "documents")["documents"].count()
+    return parquet_row_count(spark, sf_dir, "documents")
 
 
 def _pack_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -438,16 +434,15 @@ def sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     the text. Packing runs per hash bucket in ``applyInPandas``:
     first-fit-decreasing is inherently sequential, so the operator
     makes the sequential unit an explicit bounded shard whose COUNT
-    scales with the corpus (footer row count / target shard size,
-    floored at cluster parallelism — ``pack_shard_count``), so at
-    100 TB packing stays a sea of bounded parallel tasks instead of
-    16 giant sequential ones. Cross-bucket packing quality loss vs
-    global FFD is bounded and the shards are embarrassingly parallel.
+    scales with the corpus (footer row count / target shard size —
+    ``pack_shard_count``, a function of the data alone so output is
+    machine-independent), so at 100 TB packing stays a sea of bounded
+    parallel tasks instead of 16 giant sequential ones. Cross-bucket
+    packing quality loss vs global FFD is bounded and the shards are
+    embarrassingly parallel.
     """
     d = _t(spark, sf_dir, "documents")["documents"]
-    n_shards = pack_shard_count(
-        _doc_rows(spark, sf_dir), spark.sparkContext.defaultParallelism
-    )
+    n_shards = pack_shard_count(_doc_rows(spark, sf_dir))
     counted = d.select(
         (F.pmod(F.xxhash64("doc_id"), F.lit(n_shards))).cast("int").alias("bucket"),
         "doc_id",

@@ -456,18 +456,11 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _corpus_rows(spark: SparkSession, sf_dir: str) -> int:
-    """Embeddings row count from parquet FOOTERS (pyarrow), no Spark
-    job: the routing guard must stay cheap at DataFrame-build time —
-    plan inspection (``/tasks/.../explain``) builds this operator too,
-    and a full-scan ``df.count()`` there would run cluster work just
-    to print a plan. Falls back to a Spark count for non-local
-    filesystems pyarrow can't reach."""
-    try:
-        import pyarrow.dataset as ds
+    """Embeddings row count for the exact-sweep routing guard (cheap
+    footer read — see sources.catalog.parquet_row_count)."""
+    from dungbeetle_spark.sources.catalog import parquet_row_count
 
-        return ds.dataset(f"{sf_dir}/embeddings.parquet", format="parquet").count_rows()
-    except Exception:  # noqa: BLE001 - remote/united FS: pay the scan
-        return _t(spark, sf_dir, "embeddings")["embeddings"].count()
+    return parquet_row_count(spark, sf_dir, "embeddings")
 
 
 # -- dedup_incremental ------------------------------------------------------

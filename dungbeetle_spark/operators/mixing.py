@@ -26,6 +26,25 @@ from pyspark.sql import functions as F
 from dungbeetle_spark.queries import _t, query
 from dungbeetle_spark.sources.catalog import fan_out
 
+
+def word_ngrams(token_array, n: int):
+    """Distinct word n-grams of a token-array column, as one JVM
+    expression. Guarded for short inputs: ``sequence(1, 0)`` is
+    DESCENDING ``[1, 0]`` in Spark and the resulting ``slice(t, 0,
+    n)`` throws at runtime — a document shorter than one gram must
+    yield an EMPTY array (matching DuckDB's empty ``range()``), not a
+    crash."""
+    t = F.col(token_array) if isinstance(token_array, str) else token_array
+    return F.when(
+        F.size(t) >= n,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size(t) - (n - 1)),
+                lambda i: F.array_join(F.slice(t, i, n), " "),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
 # -- decontamination --------------------------------------------------------
 
 # Eval-set membership: doc_id % 37 == 0 stands in for "this document is
@@ -36,7 +55,6 @@ from dungbeetle_spark.sources.catalog import fan_out
 _EVAL_MOD = 37
 _PLANT_MOD = 10
 _GRAM_N = 5
-_PASSAGE = " benchmark passage k%s alpha beta gamma delta epsilon zeta eta"
 
 
 @query(
@@ -110,20 +128,12 @@ def decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = F.filter(
         F.split(F.lower(seeded_text), r"[^a-z0-9]+"), lambda x: x != ""
     )
-    grams = F.array_distinct(
-        F.transform(
-            F.sequence(
-                F.lit(1), F.greatest(F.size("t") - (_GRAM_N - 1), F.lit(0))
-            ),
-            lambda i: F.array_join(F.slice(F.col("t"), i, _GRAM_N), " "),
-        )
-    )
     # fan_out before the gram construction: tokenize + slice + join is
     # the CPU-bound step, and the local single-row-group fixture would
     # otherwise run it on one task (no-op on a real multi-split scan).
     per_doc = fan_out(d.select("doc_id", "text")).select(
         "doc_id", toks.alias("t")
-    ).select("doc_id", F.explode_outer(grams).alias("gram"))
+    ).select("doc_id", F.explode_outer(word_ngrams("t", _GRAM_N)).alias("gram"))
     ev = (
         per_doc.filter(F.col("doc_id") % _EVAL_MOD == 0)
         .select("gram")

@@ -122,6 +122,23 @@ def fan_out(df: DataFrame) -> DataFrame:
     )
 
 
+def parquet_row_count(spark, sf_dir: str, table: str) -> int:
+    """Row count of ``<sf_dir>/<table>.parquet`` from parquet FOOTERS
+    (pyarrow), no Spark job: size-routing guards run at DataFrame-
+    build time — plan inspection (``/tasks/.../explain``) builds those
+    operators too, and a full-scan ``df.count()`` there would run
+    cluster work just to print a plan. Falls back to a Spark count for
+    filesystems pyarrow can't reach. Shared by every operator that
+    routes on corpus size (dedup exact-sweep guard, sequence_pack
+    shard sizing)."""
+    try:
+        import pyarrow.dataset as ds
+
+        return ds.dataset(f"{sf_dir}/{table}.parquet", format="parquet").count_rows()
+    except Exception:  # noqa: BLE001 - remote/united FS: pay the scan
+        return load_tables(spark, sf_dir, [table])[table].count()
+
+
 _SCAN_PARTS_CACHE: "weakref.WeakKeyDictionary" = None  # type: ignore[assignment]
 _SCAN_PARTS_MAX = 512  # plans cached per session
 

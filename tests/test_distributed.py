@@ -213,6 +213,31 @@ def test_distributed_restart_requeues_backlog(tmp_path):
     s3.close()
 
 
+def test_requeue_respects_live_worker_leases(tmp_path):
+    """A restarting primary must not steal in-flight jobs from LIVE
+    sidecars (code-review r04 finding): with requeue_lease set, only
+    stale-heartbeat rows return to the backlog; fresh ones stay owned
+    (lease reclaim covers them if their owner later dies)."""
+    db = str(tmp_path / "jobs.db")
+    s = JobStore(persist_path=db)
+    s.create(JobRecord(job_id="fresh", task="t", queue="q"))
+    s.create(JobRecord(job_id="stale", task="t", queue="q"))
+    now = time.time()
+    assert s.claim(["q"], "w-live", now=now) is not None  # fresh heartbeat
+    assert s.claim(["q"], "w-dead", now=now - 10_000) is not None  # ancient
+    # identify which claim got which job (oldest-first = fresh first)
+    fresh_owner = s.get("fresh").owner
+    assert fresh_owner == "w-live"
+    s.close()
+
+    s2 = JobStore(persist_path=db, recover="requeue", requeue_lease=120)
+    assert s2.get("fresh").state == jobstore.STARTED  # live worker keeps it
+    assert s2.get("fresh").owner == "w-live"
+    assert s2.get("stale").state == jobstore.PENDING  # dead worker's returns
+    assert s2.get("stale").owner == ""
+    s2.close()
+
+
 def test_lease_reclaims_jobs_from_dead_workers(tmp_path):
     """A worker that dies mid-job stops heartbeating; after the lease
     expires any live claimer re-delivers its jobs. Fresh claims are

@@ -123,6 +123,34 @@ def test_decontamination_plan_broadcasts_eval_grams(spark, sf_oracle):
     assert has_broadcast_join(df)
 
 
+def test_word_ngrams_short_docs_yield_empty_not_crash(spark):
+    """Spark's sequence(1, 0) is DESCENDING and slice(t, 0, n) throws —
+    documents shorter than one gram must produce an empty gram array
+    (code-review r04 finding; latent on the fixture, guaranteed on
+    real short web documents)."""
+    from pyspark.sql import functions as F
+
+    from dungbeetle_spark.operators.mixing import word_ngrams
+
+    df = spark.createDataFrame(
+        [
+            (1, []),
+            (2, ["hello"]),
+            (3, ["one", "two", "three", "four"]),  # n-1 tokens
+            (4, ["a", "b", "c", "d", "e"]),  # exactly one gram
+            (5, ["a", "b", "c", "d", "e", "f"]),  # two grams
+        ],
+        "doc_id long, t array<string>",
+    )
+    got = {
+        r.doc_id: r.g
+        for r in df.select("doc_id", word_ngrams("t", 5).alias("g")).collect()
+    }
+    assert got[1] == [] and got[2] == [] and got[3] == []
+    assert got[4] == ["a b c d e"]
+    assert got[5] == ["a b c d e", "b c d e f"]
+
+
 def test_dedup_incremental_flags_planted_dupes(spark, sf_oracle):
     """Incoming docs rewritten to canonical bodies (doc_id%25==0 ∩
     %11==0, e.g. doc 0) must match a corpus twin; the rest of the
