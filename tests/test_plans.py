@@ -276,6 +276,25 @@ def test_sequence_pack_ships_counts_not_text(spark, sf):
     assert not re.search(r"FlatMapGroupsInPandas.*text", plan)
 
 
+def test_outliers_single_shuffle_stats_broadcast(spark, sf):
+    """user_value_outliers: ONE shuffle (the per-user moments agg);
+    the stats frame broadcasts back onto the events — z-scoring must
+    never reshuffle the fact side."""
+    df = _df(spark, sf, "user_value_outliers")
+    assert shuffle_exchanges(df) == 1
+    assert has_broadcast_join(df)
+    assert "SortMergeJoin" not in formatted_plan(df)
+
+
+def test_funnel_and_cohort_avoid_sort_merge(spark, sf):
+    """Stage joins ride broadcasts of the per-user aggregates; no
+    stage should fall back to a sort-merge join of fact-sized sides."""
+    for name in ("funnel_conversion", "cohort_retention"):
+        df = _df(spark, sf, name)
+        assert has_broadcast_join(df), name
+        assert "SortMergeJoin" not in formatted_plan(df), name
+
+
 def test_domain_quota_under_quota_rows_bypass_window(spark, sf):
     """The scale plan: ONLY over-quota domains feed the rank window;
     the under-quota majority routes through a broadcast anti-join and
