@@ -42,7 +42,24 @@ HEADLINE = [
     "lang_id",
     "ann_cosine_topk",
     "dedup_embedding_cosine",
+    "decontamination",
+    "funnel_conversion",
 ]
+
+# Host-drift canary (ADVICE r04: one hardcoded-anchor query is noisy
+# and misattributes regressions in that query's own shared path to host
+# drift). Anchors: scan/agg queries UNTOUCHED since r01, with their
+# r01-measured times (BENCH_r01.json); host_factor is the MEDIAN of
+# their ratios, so a real regression in any one anchor can't silently
+# skew the factor. The raw total stays the primary metric —
+# normalized_total is advisory context for cross-round comparison.
+CANARY_R01 = {
+    "q6_forecast_revenue": 0.201,
+    "q14_promo_revenue": 0.328,
+    "order_priority_count": 0.521,
+    "text_stats": 0.249,
+    "token_count": 0.225,
+}
 
 
 def main() -> None:
@@ -94,16 +111,14 @@ def main() -> None:
     timings = {name: round(min(ts), 3) for name, ts in runs.items()}
 
     total = round(sum(timings.values()), 3)
-    # Canary normalization (VERDICT r03 bench-hygiene recommendation):
-    # q6_forecast_revenue is a pure scan-aggregate untouched since r01
-    # (r01 measured 0.18 s on an idle host), so its ratio to that
-    # anchor measures HOST drift, not code drift. normalized_total
-    # divides host drift back out, making cross-round totals
-    # comparable even when the sandbox is loaded.
-    canary_name = "q6_forecast_revenue"
-    canary_r01 = 0.18
-    canary = timings.get(canary_name, 0.0)
-    host_factor = round(canary / canary_r01, 3) if canary else None
+    ratios = sorted(
+        timings[name] / r01
+        for name, r01 in CANARY_R01.items()
+        if timings.get(name)
+    )
+    host_factor = (
+        round(ratios[len(ratios) // 2], 3) if ratios else None
+    )  # median ratio (odd-sized anchor set)
     print(
         json.dumps(
             {
@@ -113,10 +128,12 @@ def main() -> None:
                 "queries": timings,
                 "sf": sf,
                 "canary": {
-                    "query": canary_name,
-                    "sec": canary,
-                    "r01_sec": canary_r01,
+                    "queries": {
+                        name: {"sec": timings.get(name), "r01_sec": r01}
+                        for name, r01 in CANARY_R01.items()
+                    },
                     "host_factor": host_factor,
+                    "note": "median ratio over r01-untouched anchors; advisory",
                 },
                 "normalized_total": (
                     round(total / host_factor, 3) if host_factor else None

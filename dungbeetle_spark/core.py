@@ -25,6 +25,7 @@ job's result (core.go:436).
 
 from __future__ import annotations
 
+import logging
 import os
 import queue as _queue
 import socket
@@ -41,6 +42,8 @@ from dungbeetle_spark.jobstore import JobRecord, JobStore
 from dungbeetle_spark.results import ParquetResultBackend, ResultBackends
 from dungbeetle_spark.sources.catalog import ParquetSource, SourcePool
 from dungbeetle_spark.tasks import Task, bind_args, load_tasks
+
+_log = logging.getLogger("dungbeetle_spark.core")
 
 DEFAULT_ETA_FMT = "%Y-%m-%d %H:%M:%S"  # core.go:359-367
 
@@ -242,7 +245,10 @@ class Core:
         # timeout (a long Spark query mid-flight), leave the
         # connection open for those daemon threads instead of dropping
         # their writes.
-        drained = all(q.join(timeout=30) for q in queues)
+        # list-comprehension, not a generator: all() on a generator
+        # short-circuits at the first undrained queue and would skip
+        # joining (and draining) every pool after it
+        drained = all([q.join(timeout=30) for q in queues])
         if drained:
             self.store.close()
 
@@ -456,7 +462,10 @@ class Core:
             # In-proc pools transition PENDING→STARTED here; distributed
             # claims already stamped STARTED+owner+heartbeat in the claim
             # transaction — skip the redundant writer-lock RMW.
-            self.store.set_state(job_id, jobstore.STARTED, owner=self.worker_id)
+            try:
+                self.store.set_state(job_id, jobstore.STARTED, owner=self.worker_id)
+            except KeyError:
+                return  # purged by a cross-process cancel between get and here
         try:
             count, path, backend = self._execute(rec, task, queue_name)
             self.store.set_state(
@@ -469,8 +478,12 @@ class Core:
             )
         except Exception as exc:  # noqa: BLE001
             attempts = rec.attempts + 1
-            fresh = self.store.get(job_id) if self.store.exists(job_id) else None
-            if fresh is None:
+            # single get under try, not exists()+get(): a cross-process
+            # cancel purge between the two calls would raise KeyError
+            # out of the error path and kill the worker thread
+            try:
+                fresh = self.store.get(job_id)
+            except KeyError:
                 return  # cancelled mid-flight; job purged
             if attempts <= rec.max_retries and not fresh.cancelled:
                 # RETRY returns the job to the backlog. Distributed:
@@ -654,7 +667,16 @@ class _ClaimPool:
             if rec is None:
                 self._stop.wait(self._poll)
                 continue
-            self._run(self.name, rec.job_id)
+            try:
+                self._run(self.name, rec.job_id)
+            except Exception:  # noqa: BLE001
+                # _run_job traps job errors into FAILURE/RETRY state,
+                # so reaching here means the *store* raised (sqlite
+                # busy_timeout under multi-process contention, cancel
+                # purge race). Log and keep polling — a dead claim
+                # thread would strand backlog jobs PENDING forever.
+                _log.exception("claim worker: job %s crashed the run wrapper",
+                               rec.job_id)
 
     def stop(self) -> None:
         self._stop.set()
@@ -703,6 +725,11 @@ class _WorkQueue:
                 return
             try:
                 self._run(self.name, job_id)
+            except Exception:  # noqa: BLE001 — same rationale as
+                # _ClaimPool: only store-layer errors escape _run_job,
+                # and they must not kill the pool thread
+                _log.exception("queue worker: job %s crashed the run wrapper",
+                               job_id)
             finally:
                 self._q.task_done()
 

@@ -33,6 +33,23 @@ def content_md5_sql(expr: str = "text") -> str:
     return f"md5(trim(regexp_replace(lower({expr}), '\\s+', ' ', 'g')))"
 
 
+def md5_hash60(col: Column | str) -> Column:
+    """60-bit integer hash from the md5 hex prefix — the cross-engine
+    substitute for ``xxhash64`` wherever a DuckDB oracle must recompute
+    the hash (DuckDB ships no xxhash64). 15 hex chars = 60 bits, well
+    inside signed-BIGINT range in both engines, and md5 of a UTF-8
+    string is byte-identical everywhere. Costs one md5 per value vs
+    xxhash64's near-free mix, but stays JVM-codegen — for the hot path
+    of an un-oracled production deployment, xxhash64 is a one-line
+    drop-in. DuckDB twin: :func:`md5_hash60_sql`."""
+    return F.conv(F.substring(F.md5(_c(col)), 1, 15), 16, 10).cast("long")
+
+
+def md5_hash60_sql(expr: str) -> str:
+    """DuckDB expression equivalent of :func:`md5_hash60`."""
+    return f"CAST(concat('0x', substr(md5({expr}), 1, 15)) AS BIGINT)"
+
+
 def word_count(col: Column | str) -> Column:
     """Whitespace-token count; 0 for blank strings."""
     t = F.trim(_c(col))

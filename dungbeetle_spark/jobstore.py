@@ -151,7 +151,11 @@ class JobStore:
     def _recover(self, mode: str) -> None:
         """Apply the restart policy to rows a dead process left active."""
         assert self._db is not None
-        for (data,) in self._db.execute("SELECT data FROM jobs"):
+        # fetchall() first: INSERT OR REPLACE is a delete+reinsert (new
+        # rowid), so mutating the table under a live SELECT cursor can
+        # skip or revisit rows — exactly the in-flight rows this scan
+        # exists to recover.
+        for (data,) in self._db.execute("SELECT data FROM jobs").fetchall():
             rec = JobRecord(**json.loads(data))
             if rec.state in _ACTIVE and mode == "fail":
                 rec.state = FAILURE
@@ -163,7 +167,10 @@ class JobStore:
                 # means a live sibling worker is mid-job — stealing it
                 # here would double-execute. (Stale rows also remain
                 # covered by lease reclaim in claim(); resetting them at
-                # startup is just the fast path.)
+                # startup is just the fast path.) NOTE: requeue_lease=0
+                # with live sibling processes therefore GUARANTEES
+                # double execution of their in-flight jobs — configure a
+                # lease whenever sidecars share the store file.
                 stale = (
                     self._requeue_lease <= 0
                     or not rec.owner
@@ -171,9 +178,25 @@ class JobStore:
                     <= time.time() - self._requeue_lease
                 )
                 if stale:
-                    rec.state = PENDING
-                    rec.owner = ""
-                    self._write(rec)
+                    # Per-row RMW under the writer lock, re-checking
+                    # state: an owner's terminal write landing between
+                    # our scan and this reset must win — blindly
+                    # re-PENDING a SUCCESS row would re-execute a
+                    # completed job.
+                    self._db.execute("BEGIN IMMEDIATE")
+                    try:
+                        cur = self._row(rec.job_id)
+                        if cur is not None and cur.state in (STARTED, RETRY):
+                            cur.state = PENDING
+                            cur.owner = ""
+                            self._write(cur)
+                            rec = cur
+                        elif cur is not None:
+                            rec = cur
+                        self._db.execute("COMMIT")
+                    except BaseException:
+                        self._db.execute("ROLLBACK")
+                        raise
             self._jobs[rec.job_id] = rec
         for gid, ids in self._db.execute("SELECT group_id, job_ids FROM groups"):
             self._groups[gid] = json.loads(ids)

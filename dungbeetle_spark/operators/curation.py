@@ -32,7 +32,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
 from dungbeetle_spark.functions.numeric import dsum
-from dungbeetle_spark.functions.texts import word_count
+from dungbeetle_spark.functions.texts import md5_hash60, md5_hash60_sql, word_count
 from dungbeetle_spark.queries import _t, query
 
 # -- stratified_sample ------------------------------------------------------
@@ -417,13 +417,69 @@ def _pack_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
 
 @query(
     "sequence_pack",
-    oracle=None,  # greedy first-fit is sequential — not SQL-expressible;
-    # invariants (coverage, budget, determinism) pinned in
-    # tests/test_curation.py instead.
+    oracle=rf"""
+    WITH RECURSIVE
+    params AS (
+      SELECT CAST(ceil(COUNT(*) / {_PACK_TARGET_DOCS_PER_SHARD}.0) AS BIGINT)
+               AS n_shards
+      FROM documents),
+    docs AS (
+      SELECT CAST({md5_hash60_sql("CAST(doc_id AS VARCHAR)")}
+                  % (SELECT n_shards FROM params) AS INT) AS bucket,
+             doc_id,
+             CAST(CASE WHEN trim(text) = '' THEN 0
+                  ELSE len(regexp_split_to_array(trim(text), '\s+'))
+                  END AS BIGINT) AS tok
+      FROM documents),
+    ranked AS (
+      SELECT bucket, doc_id, tok,
+             row_number() OVER (PARTITION BY bucket
+                                ORDER BY tok DESC, doc_id ASC) AS rn
+      FROM docs),
+    counts AS (SELECT bucket, COUNT(*) AS n FROM ranked GROUP BY bucket),
+    pack AS (
+      SELECT bucket, CAST(0 AS BIGINT) AS rn,
+             CAST([] AS BIGINT[]) AS lefts,
+             CAST([] AS BIGINT[]) AS ndocs,
+             CAST([] AS BIGINT[]) AS toks
+      FROM counts
+      UNION ALL
+      SELECT p.bucket, p.rn + 1,
+             CASE WHEN fit.idx IS NULL
+                  THEN list_append(p.lefts, {_PACK_BUDGET} - r.tok)
+                  ELSE list_transform(p.lefts, (x, i) ->
+                       CASE WHEN i = fit.idx THEN x - r.tok ELSE x END) END,
+             CASE WHEN fit.idx IS NULL
+                  THEN list_append(p.ndocs, CAST(1 AS BIGINT))
+                  ELSE list_transform(p.ndocs, (x, i) ->
+                       CASE WHEN i = fit.idx THEN x + 1 ELSE x END) END,
+             CASE WHEN fit.idx IS NULL
+                  THEN list_append(p.toks, r.tok)
+                  ELSE list_transform(p.toks, (x, i) ->
+                       CASE WHEN i = fit.idx THEN x + r.tok ELSE x END) END
+      FROM pack p
+      JOIN ranked r ON r.bucket = p.bucket AND r.rn = p.rn + 1
+      CROSS JOIN LATERAL (
+        SELECT list_filter(list_transform(p.lefts,
+                  (x, i) -> CASE WHEN x >= r.tok THEN i ELSE NULL END),
+                  y -> y IS NOT NULL)[1] AS idx
+      ) AS fit
+    ),
+    finished AS (
+      SELECT p.bucket, p.ndocs, p.toks
+      FROM pack p JOIN counts c ON c.bucket = p.bucket AND p.rn = c.n)
+    SELECT bucket, CAST(i - 1 AS BIGINT) AS bin_id,
+           ndocs[i] AS n_docs, toks[i] AS total_tokens
+    FROM finished, UNNEST(range(1, len(ndocs) + 1)) AS u(i)
+    """,
     doc=f"Sequence packing: first-fit-decreasing docs into "
     f"{_PACK_BUDGET}-token training sequences, parallelized over "
-    "corpus-sized hash shards via Arrow applyInPandas. "
-    "Rows-only in CORRECTNESS by design.",
+    "corpus-sized hash shards via Arrow applyInPandas. Oracle-backed "
+    "since r05 (VERDICT r04 item 3): FFD is sequential per shard but "
+    "still deterministic SQL — the DuckDB oracle replays the exact "
+    "first-fit recurrence in a recursive CTE whose state is the list "
+    "of open-bin capacities, over the same (tok DESC, doc_id ASC) "
+    "order and the same md5-derived shard assignment.",
 )
 def sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pack documents into fixed token budgets (the batch-efficiency
@@ -443,8 +499,14 @@ def sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     d = _t(spark, sf_dir, "documents")["documents"]
     n_shards = pack_shard_count(_doc_rows(spark, sf_dir))
+    # md5_hash60, not xxhash64, for the shard key: same uniformity, but
+    # the DuckDB oracle can recompute the assignment (non-negative, so
+    # pmod == %). Shard choice affects which bins exist, so the hash is
+    # part of the operator's deterministic contract.
     counted = d.select(
-        (F.pmod(F.xxhash64("doc_id"), F.lit(n_shards))).cast("int").alias("bucket"),
+        (F.pmod(md5_hash60(F.col("doc_id").cast("string")), F.lit(n_shards)))
+        .cast("int")
+        .alias("bucket"),
         "doc_id",
         word_count("text").cast("long").alias("n_tokens"),
     )

@@ -8,19 +8,21 @@ Five strategies, each the standard shape for LLM-corpus dedup at scale:
   pairs by shared shingle → exact Jaccard. The explode/self-join is the
   classic MapReduce similarity-join; the shared-shingle equi-join keys
   the shuffle so only co-shingled docs ever meet.
-- **MinHash + LSH**: declarative minhash (min of seeded xxhash64 per
+- **MinHash + LSH**: declarative minhash (min of seeded md5_hash60 per
   shingle, one grouped aggregate) + banded candidate join —
   probabilistic candidate generation whose cost scales with |bands|,
   not |docs|²; the scale path when exact Jaccard's candidate set blows
   up.
-- **SimHash**: 64-bit weighted-majority fingerprint via xxhash64;
+- **SimHash**: 60-bit weighted-majority fingerprint via md5_hash60;
   near-dups differ in ≤ k bits (hamming via bit_count(xor)).
 - **embedding cosine**: semantic near-dup on the embedding column.
 
-The exact / Jaccard variants carry DuckDB oracles (md5 and integer set
-arithmetic are cross-engine exact). MinHash/SimHash depend on Spark-
-side hash functions (xxhash64 has no DuckDB twin), so they get
-rows-only checks — deterministic across runs via fixed seeds.
+ALL variants carry DuckDB oracles since r05: md5 and integer
+arithmetic are cross-engine exact, so MinHash/SimHash fingerprints use
+the md5-prefix hash (functions.texts.md5_hash60) that the oracle can
+recompute — the minhash estimate is a pure function of the hash, and
+simhash's 100%-recall pigeonhole banding makes its output equal the
+exact O(n²) hamming join the oracle runs.
 """
 
 from __future__ import annotations
@@ -29,7 +31,13 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from dungbeetle_spark.functions.texts import content_md5, content_md5_sql, norm_text
+from dungbeetle_spark.functions.texts import (
+    content_md5,
+    content_md5_sql,
+    md5_hash60,
+    md5_hash60_sql,
+    norm_text,
+)
 from dungbeetle_spark.queries import _t, query
 from dungbeetle_spark.sources.catalog import fan_out
 
@@ -185,22 +193,51 @@ _MH_DIST_T = 0.9  # max estimated Jaccard distance, as in ml.MinHashLSH usage
 
 @query(
     "dedup_minhash_lsh",
-    oracle=None,  # Spark-side hashing (xxhash64) has no DuckDB twin
+    oracle=f"""
+    WITH words AS (
+      SELECT doc_id,
+             regexp_split_to_array(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS w
+      FROM documents),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+      FROM words, UNNEST(range(1, greatest(len(w) - {_SHINGLE_N} + 2, 1))) AS t(i)),
+    mh AS (
+      SELECT doc_id, j,
+             MIN({md5_hash60_sql("concat(CAST(j AS VARCHAR), '|', s)")}) AS h
+      FROM sh, UNNEST(range(0, {_MH_TABLES})) AS seeds(j)
+      GROUP BY doc_id, j),
+    matches AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS m
+      FROM mh a JOIN mh b ON a.j = b.j AND a.h = b.h AND a.doc_id < b.doc_id
+      GROUP BY 1, 2)
+    SELECT doc_a, doc_b,
+           CAST(1 AS DOUBLE) - CAST(m AS DOUBLE) / {_MH_TABLES} AS jaccard_dist
+    FROM matches
+    WHERE CAST(1 AS DOUBLE) - CAST(m AS DOUBLE) / {_MH_TABLES} <= {_MH_DIST_T}
+    """,
     doc=f"MinHash-LSH near-dup candidates, fully declarative: per doc, "
-    f"{_MH_TABLES} minhash values min(xxhash64(seed_j, shingle)) in ONE "
-    "grouped aggregate over the exploded shingles (map-side combine — "
-    "the shuffle carries 8 longs per doc, not the shingle sets). "
+    f"{_MH_TABLES} minhash values min(md5_hash60(seed_j || shingle)) in "
+    "ONE grouped aggregate over the exploded shingles (map-side combine "
+    "— the shuffle carries 8 longs per doc, not the shingle sets). "
     "Candidates = pairs agreeing on any band (equi-join on (band, "
     "hash)); estimated distance = 1 - matching_bands/8, kept while "
-    f"≤ {_MH_DIST_T}. Linear in corpus size; rows-only oracle "
-    "(deterministic seeds).",
+    f"≤ {_MH_DIST_T}. Linear in corpus size. The estimate is a pure "
+    "function of the (deterministic, cross-engine) hash, so since r05 "
+    "the oracle recomputes the full minhash pipeline in DuckDB — "
+    "hash-green, not rows-only (VERDICT r04 item 3).",
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")["documents"]
     sh = _shingled(d).select("doc_id", F.explode("shingles").alias("s"))
-    # k seeded minhashes in one pass: min(xxhash64(j, s)) per doc.
+    # k seeded minhashes in one pass: min(md5_hash60("j|" + s)) per doc
+    # (seed as a literal prefix; md5_hash60 so the DuckDB oracle can
+    # recompute the identical value — see functions.texts).
     mh = sh.groupBy("doc_id").agg(
-        *[F.min(F.xxhash64(F.lit(j), F.col("s"))).alias(f"h{j}") for j in range(_MH_TABLES)]
+        *[
+            F.min(md5_hash60(F.concat(F.lit(f"{j}|"), F.col("s")))).alias(f"h{j}")
+            for j in range(_MH_TABLES)
+        ]
     )
     long = mh.select(
         "doc_id",
@@ -228,30 +265,37 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _SIMHASH_MAX_HAMMING = 3
+_SIMHASH_BITS = 60  # md5_hash60-derived; top 4 bits of the i64 stay 0
 
 
 def simhash_fingerprints(d: DataFrame) -> DataFrame:
-    """(doc_id, text) → (doc_id, simhash: long) 64-bit fingerprints.
+    """(doc_id, text) → (doc_id, simhash: long) 60-bit fingerprints.
 
-    xxhash64(word) per distinct word, bitwise weighted majority folded
-    JVM-side (one grouped aggregate; the shuffle carries 64 small ints
-    per doc, not the word sets).
+    md5_hash60(word) per distinct word, bitwise weighted majority
+    folded JVM-side (one grouped aggregate; the shuffle carries 60
+    small ints per doc, not the word sets). 60-bit, not 64: the hash
+    is the md5-prefix variant a DuckDB oracle can recompute
+    (functions.texts.md5_hash60) — banding in :func:`simhash_pairs`
+    still treats the value as 64-bit (the constant-zero top nibble
+    changes nothing about pigeonhole recall).
     """
     words = d.select(
         "doc_id", F.explode(F.array_distinct(F.split(norm_text(F.col("text")), " "))).alias("w")
     )
-    h = words.select("doc_id", F.xxhash64("w").alias("h"))
+    h = words.select("doc_id", md5_hash60("w").alias("h"))
     # bit i contribution: +1 if set else -1; majority per bit
     bit_votes = [
         F.sum(
             (F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) * 2 - 1)
         ).alias(f"b{i}")
-        for i in range(64)
+        for i in range(_SIMHASH_BITS)
     ]
     votes = h.groupBy("doc_id").agg(*bit_votes)
     fp = F.lit(0).cast("long")
-    for i in range(64):
-        fp = fp + F.when(F.col(f"b{i}") > 0, F.lit(1).cast("long") * (1 << i) if i < 63 else F.lit(-(1 << 63)).cast("long")).otherwise(F.lit(0).cast("long"))
+    for i in range(_SIMHASH_BITS):
+        fp = fp + F.when(
+            F.col(f"b{i}") > 0, F.lit(1 << i).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
     return votes.select("doc_id", fp.alias("simhash"))
 
 
@@ -296,7 +340,7 @@ def simhash_pairs(fps: DataFrame, max_hamming: int = _SIMHASH_MAX_HAMMING) -> Da
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            ham.alias("hamming"),
+            ham.cast("int").alias("hamming"),
         )
         .filter(F.col("hamming") <= max_hamming)
         .distinct()
@@ -305,14 +349,38 @@ def simhash_pairs(fps: DataFrame, max_hamming: int = _SIMHASH_MAX_HAMMING) -> Da
 
 @query(
     "dedup_simhash",
-    oracle=None,  # xxhash64 is Spark-specific
-    doc="SimHash-64 fingerprints: xxhash64(word) per distinct word, "
+    oracle=f"""
+    WITH words AS (
+      SELECT DISTINCT doc_id,
+             unnest(regexp_split_to_array(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS w
+      FROM documents),
+    hashed AS (
+      SELECT doc_id, {md5_hash60_sql("w")} AS h FROM words),
+    bits AS (
+      SELECT doc_id, i,
+             SUM(CASE WHEN ((h >> i) & 1) = 1 THEN 1 ELSE -1 END) AS vote
+      FROM hashed, UNNEST(range(0, {_SIMHASH_BITS})) AS t(i)
+      GROUP BY doc_id, i),
+    fp AS (
+      SELECT doc_id,
+             CAST(SUM(CASE WHEN vote > 0 THEN (CAST(1 AS BIGINT) << i)
+                           ELSE 0 END) AS BIGINT) AS simhash
+      FROM bits GROUP BY doc_id)
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+    FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= {_SIMHASH_MAX_HAMMING}
+    """,
+    doc="SimHash fingerprints: md5_hash60(word) per distinct word, "
     "bitwise weighted majority folded JVM-side, near-dup = hamming "
     f"distance ≤ {_SIMHASH_MAX_HAMMING} via bit_count(xor). The pair "
     f"scan pigeonhole-bands the fingerprint into {_SIMHASH_MAX_HAMMING + 1} "
     "16-bit blocks (agree on ANY block → candidate), which guarantees "
     "100% recall at the hamming budget while keeping the self-join "
-    "banded, not quadratic.",
+    "banded, not quadratic. BECAUSE recall is 100%, the banded output "
+    "equals the exact O(n²) hamming join — which is what the DuckDB "
+    "oracle computes (full simhash recomputation; hash-green since "
+    "r05, VERDICT r04 item 3).",
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")["documents"]

@@ -135,18 +135,48 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "multimodal_feature_stats",
-    oracle=None,  # feature values come from the stub codec; rows-only
-    doc="Aggregate over extracted multimodal features (mean first-"
-    "bucket ratio per media_type) — proves the mapInPandas output "
-    "feeds normal relational ops downstream.",
+    oracle="""
+    WITH feats AS (
+      SELECT CASE WHEN doc_id % 3 = 0 THEN 'image/jpeg'
+                  WHEN doc_id % 3 = 1 THEN 'audio/wav'
+                  ELSE 'video/mp4' END AS media_type,
+             CAST(length(text) - length(regexp_replace(text, '[\\x20-\\x3F]', '', 'g')) AS DOUBLE)
+               / greatest(octet_length(encode(text)), 1) AS f1
+      FROM documents)
+    SELECT media_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(floor(f1 * 1000000) AS BIGINT)) AS BIGINT) AS sum_f1_micro
+    FROM feats GROUP BY media_type
+    """,
+    doc="Aggregate over extracted multimodal features (histogram bucket "
+    "1 = bytes 0x20-0x3F ratio — space/digits/punctuation; bucket 0 is "
+    "identically zero on the fixture, a hollow check), per media_type "
+    "— proves the mapInPandas output feeds normal relational ops "
+    "downstream. The per-doc ratio is floor-scaled to integer micros "
+    "BEFORE the sum so the aggregate is fold-order-free (float SUM "
+    "across partitions is not); the oracle recomputes the stub codec's "
+    "byte-class count in SQL (ASCII 0x20-0x3F are single-byte in "
+    "UTF-8, and multi-byte sequences contribute no bytes in that "
+    "range). Hash-green since r05 (VERDICT r04 item 3).",
 )
 def multimodal_feature_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = synthesize_media(spark, sf_dir)
     feats = extract_features(media)
+    # floor(f1 * 1e6): IEEE multiply + floor are bit-deterministic in
+    # both engines (floor has no .5-tie ambiguity, unlike round), and
+    # the BIGINT sum is associative — safe under any partition fold.
     return (
-        feats.select("media_type", F.element_at("feature", 1).alias("f0"))
+        feats.select(
+            "media_type",
+            F.floor(F.element_at("feature", 2) * 1_000_000)
+            .cast("long")
+            .alias("f1_micro"),
+        )
         .groupBy("media_type")
-        .agg(F.count(F.lit(1)).alias("n"), F.avg("f0").alias("mean_f0"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("f1_micro").alias("sum_f1_micro"),
+        )
     )
 
 

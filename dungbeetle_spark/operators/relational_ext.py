@@ -173,10 +173,10 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q12_shipping_delay",
     oracle="""
     SELECT o.o_orderpriority,
-           SUM(CASE WHEN l.l_shipdate >= o.o_orderdate + INTERVAL 90 DAY
-                    THEN 1 ELSE 0 END) AS late_count,
-           SUM(CASE WHEN l.l_shipdate <  o.o_orderdate + INTERVAL 90 DAY
-                    THEN 1 ELSE 0 END) AS ontime_count
+           CAST(SUM(CASE WHEN l.l_shipdate >= o.o_orderdate + INTERVAL 90 DAY
+                    THEN 1 ELSE 0 END) AS BIGINT) AS late_count,
+           CAST(SUM(CASE WHEN l.l_shipdate <  o.o_orderdate + INTERVAL 90 DAY
+                    THEN 1 ELSE 0 END) AS BIGINT) AS ontime_count
     FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
     GROUP BY 1
     """,

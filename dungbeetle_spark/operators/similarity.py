@@ -26,6 +26,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
+from dungbeetle_spark.functions.texts import md5_hash60_sql
 from dungbeetle_spark.functions.vectors import cosine_similarity_fixed
 from dungbeetle_spark.queries import _t, query
 from dungbeetle_spark.sources.catalog import fan_out
@@ -124,26 +125,39 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 # Tuned on the fixture's similarity regime (top-k cosines 0.26-0.49,
-# isotropic gaussian embeddings — the hardest case for LSH): 16 bands
-# x 6-bit signatures measure 0.56 recall of the exact top-5 while
-# probing ~22% of the corpus, a ~2.5x lift over random scanning. On
+# isotropic gaussian embeddings — the hardest case for LSH): 20 bands
+# x 6-bit md5-derived signatures measure 0.56 recall of the exact
+# top-5 while probing ~28% of the corpus, a ~2x lift over random
+# scanning (re-tuned in r05 when planes moved from gaussian RNG to
+# oracle-recomputable md5 uniforms — 16 bands measured 0.48). On
 # real (clustered) embedding corpora the same banding does far
 # better; raise planes/bands for higher-similarity near-dup regimes.
 _N_PLANES = 6  # bits per signature band
-_N_BANDS = 16
+_N_BANDS = 20
 
 
 def _plane_matrix(dim: int) -> "object":
     """Deterministic random hyperplanes, all bands stacked: (bands×planes, dim).
 
-    Fixed seed per band so signatures are reproducible run-to-run
-    (the rows-only oracle contract for this query).
+    Plane components are md5-derived uniforms in [-1, 1):
+    ``md5_hash60(f"{plane}|{dim}") / 2^59 - 1`` — a pure function of
+    the (plane, dim) index that a DuckDB oracle recomputes exactly
+    (the r05 conversion from rows-only to hash-checked; uniform-cube
+    directions are a valid sign-LSH family — slightly corner-biased vs
+    gaussian, recall floor re-measured in
+    test_probabilistic_recall_floors).
     """
-    mats = [
-        np.random.default_rng(42 + band).standard_normal((_N_PLANES, dim))
-        for band in range(_N_BANDS)
-    ]
-    return np.concatenate(mats, axis=0)
+    import hashlib
+
+    n = _N_BANDS * _N_PLANES
+    vals = np.empty((n, dim), dtype=np.float64)
+    for j in range(n):
+        for d in range(dim):
+            h = int(
+                hashlib.md5(f"{j}|{d}".encode()).hexdigest()[:15], 16
+            )
+            vals[j, d] = h / float(1 << 59) - 1.0
+    return vals
 
 
 def _signatures(e: DataFrame, dim: int) -> DataFrame:
@@ -163,7 +177,16 @@ def _signatures(e: DataFrame, dim: int) -> DataFrame:
     @F.pandas_udf("array<int>")
     def sig(emb: pd.Series) -> pd.Series:
         a = np.asarray([np.asarray(x, dtype=np.float64) for x in emb])
-        bits = (a @ planes_t) >= 0  # (n, bands*planes)
+        # dimension-sequential accumulation, NOT a BLAS matmul: BLAS
+        # reorders/fuses the reduction, which can flip the sign of
+        # near-zero dots vs the oracle's ordered C fold. Each (row,
+        # plane) entry sees the exact mul-add sequence d=0..dim-1 that
+        # DuckDB's list_dot_product performs, so the sign bits are
+        # bit-identical cross-engine.
+        dots = np.zeros((len(a), planes_t.shape[1]))
+        for d in range(dim):
+            dots = dots + np.outer(a[:, d], planes_t[d, :])
+        bits = dots >= 0  # (n, bands*planes)
         buckets = bits.reshape(len(a), _N_BANDS, _N_PLANES) @ weights  # (n, bands)
         return pd.Series([row.astype(np.int32).tolist() for row in buckets])
 
@@ -172,12 +195,52 @@ def _signatures(e: DataFrame, dim: int) -> DataFrame:
 
 @query(
     "ann_lsh_bucketed",
-    oracle=None,  # probabilistic candidate set; rows-only (deterministic seed)
+    oracle=f"""
+    WITH planes AS (
+      SELECT j.j, d.d,
+             CAST({md5_hash60_sql("concat(CAST(j.j AS VARCHAR), '|', CAST(d.d AS VARCHAR))")} AS DOUBLE)
+               / 576460752303423488.0 - 1.0 AS v
+      FROM UNNEST(range(0, {_N_BANDS * _N_PLANES})) AS j(j),
+           UNNEST(range(0, {_DIM})) AS d(d)),
+    pvec AS (SELECT j, list(v ORDER BY d) AS pv FROM planes GROUP BY j),
+    dots AS (
+      SELECT e.vec_id,
+             CAST(p.j // {_N_PLANES} AS INT) AS band,
+             CAST(p.j % {_N_PLANES} AS INT) AS bit,
+             list_dot_product(CAST(e.embedding AS DOUBLE[]), p.pv) AS dot
+      FROM embeddings e CROSS JOIN pvec p),
+    sigs AS (
+      SELECT vec_id, band,
+             CAST(SUM(CASE WHEN dot >= 0 THEN (1 << bit) ELSE 0 END) AS INT)
+               AS bucket
+      FROM dots GROUP BY vec_id, band),
+    cands AS (
+      SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+      FROM sigs q JOIN sigs c ON q.band = c.band AND q.bucket = c.bucket
+      WHERE q.vec_id < {_N_QUERIES} AND q.vec_id <> c.vec_id),
+    scored AS (
+      SELECT cand.query_id, cand.neighbor_id,
+             list_cosine_similarity(CAST(qe.embedding AS DOUBLE[]),
+                                    CAST(ce.embedding AS DOUBLE[])) AS cs
+      FROM cands cand
+      JOIN embeddings qe ON qe.vec_id = cand.query_id
+      JOIN embeddings ce ON ce.vec_id = cand.neighbor_id),
+    ranked AS (
+      SELECT query_id, neighbor_id, cs,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cs DESC, neighbor_id) AS rank
+      FROM scored)
+    SELECT query_id, neighbor_id, rank, round(cs, 6) AS cos_sim
+    FROM ranked WHERE rank <= {_TOP_K}
+    """,
     doc=f"LSH-bucketed ANN: {_N_BANDS} bands × {_N_PLANES} random-"
-    "hyperplane sign bits (seed 42) bucket the corpus; same-bucket-"
-    "in-any-band candidates get exact cosine re-rank, top-"
+    "hyperplane sign bits (md5-derived planes) bucket the corpus; "
+    "same-bucket-in-any-band candidates get exact cosine re-rank, top-"
     f"{_TOP_K} per query. Shuffle is keyed on (band, bucket) — "
-    "corpus² never materializes; the plan that still works at 100 TB.",
+    "corpus² never materializes; the plan that still works at 100 TB. "
+    "Oracle-backed since r05: planes are a pure md5 function of "
+    "(plane, dim) and signature dots fold dimension-sequentially, so "
+    "DuckDB recomputes the exact candidate set + re-rank.",
 )
 def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = fan_out(_t(spark, sf_dir, "embeddings")["embeddings"])

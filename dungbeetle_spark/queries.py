@@ -60,56 +60,67 @@ def query(name: str, oracle: str | None = None, doc: str = ""):
 # least one green driver row. Names not listed follow in registration
 # order; unknown names here are an error (caught by tests).
 DRIVER_PRIORITY: list[str] = [
-    # never driver-verified through r03 (VERDICT r03 "What's missing" #2)
-    "q11_important_parts",
+    # -- r05 window ---------------------------------------------------
+    # changed this round — MUST re-verify (rotation rule from r04):
+    # q12's oracle gained the BIGINT casts (the r04 red row); the next
+    # five were converted from rows-only to full oracles (VERDICT r04
+    # item 3: md5_hash60 hashing + recursive-CTE FFD + md5 planes)
     "q12_shipping_delay",
-    "q15_top_supplier",
-    "q16_part_supplier_variety",
-    "q17_small_quantity_revenue",
-    "q20_qualified_suppliers",
-    "q21_latest_shippers",
-    "grouping_sets_sales",
-    "customer_status_except_all",
-    "streaming_windowed_counts",
-    "streaming_segment_volume",
-    "streaming_stream_stream_join",
-    "streaming_distinct_daily",
-    # displaced from the window by r03's curation batch (green in r02)
-    "corpus_clean",
-    "doc_fingerprint",
-    "lang_id",
-    "quality_score",
-    "token_count",
-    "udtf_sentences",
-    "q8_market_share",
-    "q9_product_profit",
-    # changed this round — needs a fresh driver row
-    "pii_scrub_stats",
-    "domain_quota_sample",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "multimodal_feature_stats",
     "sequence_pack",
-    # new this round — never verified
-    "decontamination",
-    "countmin_sketch",
-    "dataset_mix_weighted",
-    "token_length_histogram",
-    "dedup_incremental",
-    "embedding_quantize",
-    "funnel_conversion",
-    "cohort_retention",
-    "user_value_outliers",
-    # verified only in r01, outside the window since
+    "ann_lsh_bucketed",
+    # same-module neighbors of this round's similarity.py change
+    # (shared _signatures/_plane_matrix helpers) — re-window to prove
+    # no collateral drift
     "ann_cosine_topk",
     "ann_ivf",
-    "ann_lsh_bucketed",
-    "multimodal_features",
-    "multimodal_feature_stats",
-    "multimodal_resize",
-    "multimodal_frame_sample",
-    "asof_click_attribution",
-    "sessionize_events",
-    "range_join_order_context",
-    "time_rollup_events",
-    "streaming_sessionize",
+    "dedup_embedding_cosine",
+    # the one remaining rows-only-by-design query: keep its driver row
+    # fresh (HLL++ sketch internals have no DuckDB twin)
+    "sketch_user_stats",
+    # last green row is r03 — re-verify before it goes stale
+    # (VERDICT r05 item 2: no query's green row older than its code)
+    "dedup_ngram_jaccard",
+    "distinct_part_suppliers",
+    "doc_chunking",
+    "embedding_array_stats",
+    "events_json_extract",
+    "gap_fill_daily",
+    "hash_split_train_test",
+    "heavy_hitters",
+    "interval_overlap",
+    "moving_avg_user_value",
+    "order_priority_count",
+    "parts_never_shipped",
+    "pivot_event_counts",
+    "profile_orders_columns",
+    "profit_entries",
+    "profit_entries_by_date",
+    "profit_summary",
+    "q10_returned_items",
+    "q13_order_distribution",
+    "q14_promo_revenue",
+    "q18_large_volume_orders",
+    "q19_disjunctive_predicates",
+    "q1_pricing_summary",
+    "q22_idle_customers",
+    "q2_min_price_supplier",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "q7_nation_volume",
+    "rollup_sales",
+    "salted_segment_activity",
+    "stratified_sample",
+    "text_stats",
+    "tfidf_top_terms",
+    "top_events_per_user",
+    "udaf_median_value",
+    "user_activity_stats",
+    "user_event_sequence",
+    "window_rank_family",
 ]
 
 

@@ -14,25 +14,26 @@ from dungbeetle_spark.queries import DRIVER_PRIORITY, registry
 
 DRIVER_WINDOW = 50
 
-# VERDICT r03 "What's missing" #2: no driver row in any round ≤ 3.
-NEVER_VERIFIED = [
-    "q11_important_parts",
-    "q12_shipping_delay",
-    "q15_top_supplier",
-    "q16_part_supplier_variety",
-    "q17_small_quantity_revenue",
-    "q20_qualified_suppliers",
-    "q21_latest_shippers",
-    "grouping_sets_sales",
-    "customer_status_except_all",
-    "streaming_windowed_counts",
-    "streaming_segment_volume",
-    "streaming_stream_stream_join",
-    "streaming_distinct_daily",
-]
+# After r04 every query has had at least one driver row (VERDICT r04);
+# the only one without a hash-green row ever is the rows-only-by-design
+# HLL sketch — it stays windowed so its rows-check never goes stale.
+NEVER_VERIFIED = ["sketch_user_stats"]
 
-# Operators whose code or oracle changed in round 4.
-CHANGED_THIS_ROUND = ["pii_scrub_stats", "domain_quota_sample", "sequence_pack"]
+# Operators whose code or oracle changed in round 5: q12's oracle
+# casts, the five rows-only → oracle conversions (md5_hash60 hashing),
+# and the similarity-module neighbors sharing the changed
+# _signatures/_plane_matrix helpers.
+CHANGED_THIS_ROUND = [
+    "q12_shipping_delay",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "multimodal_feature_stats",
+    "sequence_pack",
+    "ann_lsh_bucketed",
+    "ann_cosine_topk",
+    "ann_ivf",
+    "dedup_embedding_cosine",
+]
 
 
 def test_priority_names_exist_and_unique():
