@@ -57,6 +57,14 @@ class ResultsConf:
     type: str = "parquet"  # parquet | jdbc
     results_table: str = "results_%s"
     options: dict[str, str] = field(default_factory=dict)
+    # TTL deletion for JDBC results needs a direct DBAPI connection
+    # (Spark's JDBC writer has no DROP TABLE path): "module:callable"
+    # import path of a connection factory, called with dbapi_options
+    # as kwargs — e.g. dbapi = "psycopg2:connect". sqlite urls get a
+    # stdlib factory automatically; without one, TTL reaping of this
+    # backend is a no-op and retention belongs to the results DB.
+    dbapi: str = ""
+    dbapi_options: dict[str, str] = field(default_factory=dict)
 
 
 @dataclass
@@ -156,9 +164,38 @@ def load_config(
                 type=str(sub.get("type", "parquet")),
                 results_table=str(sub.get("results_table", "results_%s")),
                 options={str(k): str(v) for k, v in (sub.get("options") or {}).items()},
+                dbapi=str(sub.get("dbapi", "")),
+                dbapi_options={
+                    str(k): str(v)
+                    for k, v in (sub.get("dbapi_options") or {}).items()
+                },
             )
         )
     return cfg
+
+
+def _dbapi_factory(spec: str, options: dict[str, str]):
+    """``"module:callable"`` → zero-arg connection factory (the
+    dbapi_connect seam of JdbcResultBackend). Import is deferred to
+    first use so a worker whose config names a driver it never reaps
+    with doesn't need the driver installed."""
+    import functools
+    import importlib
+
+    mod_name, _, attr = spec.partition(":")
+    if not mod_name or not attr:
+        raise ValueError(
+            f"dbapi must be 'module:callable', got {spec!r}"
+        )
+
+    @functools.lru_cache(maxsize=1)
+    def _resolve():
+        return getattr(importlib.import_module(mod_name), attr)
+
+    def factory():
+        return _resolve()(**options)
+
+    return factory
 
 
 def build_core(cfg: Config, spark=None):
@@ -220,6 +257,11 @@ def build_core(cfg: Config, spark=None):
                     res.path,
                     properties=res.options,
                     table_template=res.results_table,
+                    dbapi_connect=(
+                        _dbapi_factory(res.dbapi, res.dbapi_options)
+                        if res.dbapi
+                        else None
+                    ),
                 )
             )
         else:

@@ -138,6 +138,11 @@ class Core:
         self._reaper_stop = threading.Event()
         self._heartbeat: threading.Thread | None = None
         self._heartbeat_stop = threading.Event()
+        # Jobs executing Spark stages in THIS process right now — the
+        # cancel-watcher's scope (distributed mode).
+        self._running: set[str] = set()
+        self._cancel_watch: threading.Thread | None = None
+        self._cancel_watch_stop = threading.Event()
 
     # -- wiring -------------------------------------------------------
     def add_source(self, name: str, path: str) -> None:
@@ -217,6 +222,14 @@ class Core:
                     target=self._heartbeat_loop, name="lease-heartbeat", daemon=True
                 )
                 self._heartbeat.start()
+            if self.distributed and self._cancel_watch is None:
+                self._cancel_watch_stop.clear()
+                self._cancel_watch = threading.Thread(
+                    target=self._cancel_watch_loop,
+                    name="cancel-watcher",
+                    daemon=True,
+                )
+                self._cancel_watch.start()
             self._started = True
 
     def stop(self) -> None:
@@ -237,6 +250,10 @@ class Core:
         if self._heartbeat is not None:
             self._heartbeat.join(timeout=5)
             self._heartbeat = None
+        self._cancel_watch_stop.set()
+        if self._cancel_watch is not None:
+            self._cancel_watch.join(timeout=5)
+            self._cancel_watch = None
         # Close the persistent store only once every worker thread has
         # exited: a worker finishing a job after close() would find the
         # DB gone and its terminal-state write would silently vanish —
@@ -285,6 +302,38 @@ class Core:
                 self.reap_expired_results()
             except Exception:  # noqa: BLE001 — reaper must not die
                 pass
+
+    def _cancel_watch_loop(self) -> None:
+        """Propagate cross-process cancels into running Spark stages.
+
+        A cancel is purge-level in the store (the row disappears), but
+        ``cancelJobGroup`` only reaches stages in the process that
+        receives the DELETE. This watcher closes the gap for the
+        distributed topology: each worker process polls the rows of
+        ITS currently-executing jobs, and when one is gone (or flagged
+        cancelled before the purge), interrupts the local job group —
+        so a cancel posted to the HTTP server actually stops the
+        worker sidecar's stages instead of letting the query run to a
+        dropped terminal write. Polling rides the same cadence as
+        claim polling; cancelJobGroup is idempotent, so repeat fires
+        while the stage unwinds are harmless.
+        """
+        while not self._cancel_watch_stop.wait(self.claim_poll_interval):
+            with self._lock:
+                running = list(self._running)
+            for job_id in running:
+                try:
+                    rec = self.store.get(job_id)
+                    gone = rec.cancelled
+                except KeyError:
+                    gone = True
+                except Exception:  # noqa: BLE001 — transient store error
+                    continue
+                if gone:
+                    try:
+                        self.spark.sparkContext.cancelJobGroup(job_id)
+                    except Exception:  # noqa: BLE001
+                        pass
 
     def _heartbeat_loop(self) -> None:
         """Keep this process's job leases alive (distributed mode): a
@@ -466,6 +515,8 @@ class Core:
                 self.store.set_state(job_id, jobstore.STARTED, owner=self.worker_id)
             except KeyError:
                 return  # purged by a cross-process cancel between get and here
+        with self._lock:
+            self._running.add(job_id)
         try:
             count, path, backend = self._execute(rec, task, queue_name)
             self.store.set_state(
@@ -509,6 +560,9 @@ class Core:
                     error=str(exc)[:1000],
                     attempts=attempts,
                 )
+        finally:
+            with self._lock:
+                self._running.discard(job_id)
 
     def _execute(
         self, rec: JobRecord, task: Task, queue_name: str

@@ -140,3 +140,63 @@ user = "writer"
 
     with _pytest.raises(NotImplementedError):
         backend.delete("j1")
+
+
+def test_jdbc_dbapi_factory_config(tmp_path):
+    """`dbapi = "module:callable"` + dbapi_options wires the TTL
+    reaper's DROP TABLE seam for non-sqlite JDBC urls (VERDICT r05
+    item 7). Uses sqlite3:connect as a stand-in importable driver."""
+    dbfile = tmp_path / "cache.db"
+    p = tmp_path / "config.toml"
+    p.write_text(
+        f"""
+[results.cache]
+type = "jdbc"
+path = "jdbc:postgresql://db:5432/cache"
+results_table = "res_%s"
+dbapi = "sqlite3:connect"
+[results.cache.dbapi_options]
+database = "{dbfile}"
+"""
+    )
+    cfg = load_config(str(p), environ={})
+    assert cfg.results[0].dbapi == "sqlite3:connect"
+
+    from dungbeetle_spark.config import build_core
+
+    core = build_core(cfg, spark=object())
+    backend = core.result_backends.get("cache")
+    # the factory connects to the configured database and delete()
+    # no longer raises NotImplementedError — it DROPs via the DBAPI
+    import sqlite3
+
+    con = sqlite3.connect(dbfile)
+    con.execute('CREATE TABLE "res_j1" (x INT)')
+    con.commit()
+    con.close()
+    backend.delete("j1")
+    con = sqlite3.connect(dbfile)
+    left = con.execute(
+        "SELECT name FROM sqlite_master WHERE type='table'"
+    ).fetchall()
+    con.close()
+    assert left == []
+
+
+def test_jdbc_dbapi_bad_spec_rejected(tmp_path):
+    p = tmp_path / "config.toml"
+    p.write_text(
+        """
+[results.cache]
+type = "jdbc"
+path = "jdbc:postgresql://db:5432/cache"
+dbapi = "no_colon_here"
+"""
+    )
+    cfg = load_config(str(p), environ={})
+    from dungbeetle_spark.config import build_core
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="module:callable"):
+        build_core(cfg, spark=object())

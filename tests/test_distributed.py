@@ -466,3 +466,132 @@ path = "{results}"
             proc.kill()
         server.stop()
         core.stop()
+
+
+def test_cross_process_cancel_interrupts_worker_stages(spark, tmp_path):
+    """VERDICT r05 item 5: the HTTP process cancels a job MID-STAGE
+    while a real ``--worker-only`` subprocess is executing it. The
+    worker's cancel-watcher must interrupt its local Spark stages (not
+    just drop the eventual terminal write), the terminal state must
+    not resurrect the purged row, and the worker's claim thread must
+    survive to run the next job — provably faster than the cancelled
+    query could have finished."""
+    from dungbeetle_spark.client import Client
+    from dungbeetle_spark.http_api import Server
+
+    db = str(tmp_path / "jobs.db")
+    results = str(tmp_path / "results")
+    sqldir = tmp_path / "sql"
+    sqldir.mkdir()
+    # One single-threaded queue: the follow-up job can only run after
+    # the slow job's worker thread is free, so its completion time
+    # proves whether the 45 s sleep was interrupted.
+    (sqldir / "tasks.sql").write_text(
+        "-- name: slow_sleep\n"
+        "-- raw: 1\n"
+        "-- queue: solo\n"
+        "-- conc: 1\n"
+        "SELECT reflect('java.lang.Thread', 'sleep', 45000L) AS slept;\n"
+        "\n"
+        "-- name: quick_count\n"
+        "-- queue: solo\n"
+        "-- conc: 1\n"
+        "-- raw: 1\n"
+        "SELECT COUNT(*) AS n FROM events;\n"
+    )
+    cfg = tmp_path / "worker.toml"
+    cfg.write_text(
+        f"""
+sql_directory = "{sqldir}"
+
+[app]
+job_store = "{db}"
+
+[db.testdata]
+path = "/root/testdata/sf0.001"
+
+[results.default]
+path = "{results}"
+"""
+    )
+
+    core = Core(spark, jobstore_path=db, distributed=True, claim_queues=[])
+    core.add_source("testdata", "/root/testdata/sf0.001")
+    core.add_result_backend("default", results)
+    core.load_task_dirs([str(sqldir)])
+    core.start()
+    server = Server(core, "127.0.0.1", 0)
+    server.start()
+
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(
+        os.environ,
+        SPARK_GRAFT_CPUS="2",
+        SPARK_GRAFT_DRIVER_MEM="2g",
+        PYTHONPATH=repo_root
+        + (os.pathsep + os.environ["PYTHONPATH"] if os.environ.get("PYTHONPATH") else ""),
+    )
+    workdir = tmp_path / "workerproc"
+    workdir.mkdir()
+    proc = subprocess.Popen(
+        [sys.executable, "-m", "dungbeetle_spark", "--config", str(cfg), "--worker-only"],
+        cwd=str(workdir),
+        env=env,
+        stdout=subprocess.PIPE,
+        stderr=subprocess.STDOUT,
+    )
+    try:
+        client = Client(server.address, timeout=10)
+        # Warm-up: proves B is fully up (JVM + session) before timing.
+        client.post_job("quick_count", job_id="cancel_warmup")
+        try:
+            st = client.wait("cancel_warmup", timeout=150, poll=0.5)
+        except TimeoutError:
+            proc.kill()
+            out = (proc.communicate(timeout=10)[0] or b"").decode(errors="replace")
+            raise AssertionError(f"worker never came up; output:\n{out[-3000:]}")
+        assert st["state"] == "SUCCESS"
+
+        client.post_job("slow_sleep", job_id="doomed")
+        # Wait until B has claimed it and is inside the Spark stage.
+        deadline = time.monotonic() + 60
+        while time.monotonic() < deadline:
+            rec = core.store.get("doomed")
+            if rec.state == "STARTED" and rec.owner and rec.owner != core.worker_id:
+                break
+            time.sleep(0.1)
+        else:
+            raise AssertionError(f"worker never claimed: {core.store.get('doomed')}")
+        worker_owner = rec.owner
+        assert f":{proc.pid}:" in worker_owner
+        time.sleep(1.0)  # let the sleep stage actually start
+
+        t_cancel = time.monotonic()
+        client.delete_job("doomed", purge=True)
+        # Row purged immediately; B's watcher interrupts the stage.
+        assert not core.store.exists("doomed")
+
+        # The follow-up job shares the conc-1 queue, so its SUCCESS
+        # bounds the slow job's actual runtime from above.
+        client.post_job("quick_count", job_id="after_cancel")
+        st2 = client.wait("after_cancel", timeout=40, poll=0.5)
+        elapsed = time.monotonic() - t_cancel
+        assert st2["state"] == "SUCCESS", st2
+        assert elapsed < 35, (
+            f"follow-up took {elapsed:.1f}s — the 45s sleep was NOT interrupted"
+        )
+        rec2 = core.store.get("after_cancel")
+        assert rec2.owner == worker_owner  # same claim thread survived
+
+        # No resurrect: B's error/terminal write for the purged job
+        # must not re-create the row.
+        time.sleep(2.0)
+        assert not core.store.exists("doomed")
+    finally:
+        proc.terminate()
+        try:
+            proc.wait(timeout=15)
+        except subprocess.TimeoutExpired:
+            proc.kill()
+        server.stop()
+        core.stop()
