@@ -319,3 +319,171 @@ def udtf_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT doc_id, s.idx, s.n_words "
         "FROM _udtf_docs, LATERAL dungbeetle_split_sentences(text) s"
     )
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style repetition filter
+# ---------------------------------------------------------------------------
+
+# Repetition thresholds from the published Gopher corpus-filtering
+# rules (Rae et al. 2021, Table A1): a doc is dropped when too much of
+# it is covered by one dominant n-gram or by duplicated 5-grams. The
+# line/paragraph duplicate rules are omitted — the operator keys on
+# word n-grams, which are the signals the rules share with any
+# whitespace-tokenizable corpus (and the only non-degenerate ones on
+# the fixture, which has no line structure).
+_REP_TOP2_T = 0.20
+_REP_TOP3_T = 0.18
+_REP_TOP4_T = 0.16
+_REP_DUP5_T = 0.15
+_REP_KS = (1, 2, 3, 4, 5)  # 1 = word stats; 2-4 top-gram; 5 dup-gram
+
+
+@query(
+    "repetition_stats",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id,
+             trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS nt
+      FROM documents),
+    base AS (
+      SELECT doc_id, length(nt) AS n_chars,
+             regexp_split_to_array(nt, ' ') AS w
+      FROM t),
+    grams AS (
+      SELECT doc_id, n_chars, ks.k AS k,
+             array_to_string(list_slice(w, s.i, s.i + ks.k - 1), ' ') AS g
+      FROM base,
+           UNNEST([1, 2, 3, 4, 5]) AS ks(k),
+           UNNEST(range(1, greatest(len(w) - ks.k + 2, 1))) AS s(i)),
+    counts AS (
+      SELECT doc_id, n_chars, k, g, COUNT(*) AS c
+      FROM grams GROUP BY doc_id, n_chars, k, g),
+    stats AS (
+      SELECT doc_id, n_chars,
+             SUM(CASE WHEN k = 1 THEN c END) AS n_words,
+             COUNT(CASE WHEN k = 1 THEN 1 END) AS n_distinct,
+             COALESCE(MAX(CASE WHEN k = 2 THEN c * length(g) END), 0) AS top2,
+             COALESCE(MAX(CASE WHEN k = 3 THEN c * length(g) END), 0) AS top3,
+             COALESCE(MAX(CASE WHEN k = 4 THEN c * length(g) END), 0) AS top4,
+             COALESCE(SUM(CASE WHEN k = 5 AND c >= 2
+                          THEN c * length(g) END), 0) AS dup5
+      FROM counts GROUP BY doc_id, n_chars)
+    SELECT doc_id,
+           CAST(n_words AS BIGINT) AS n_words,
+           CAST(1 AS DOUBLE) - CAST(n_distinct AS DOUBLE)
+             / CAST(n_words AS DOUBLE) AS dup_word_frac,
+           CAST(top2 AS DOUBLE) / greatest(n_chars, 1) AS top2_char_frac,
+           CAST(top3 AS DOUBLE) / greatest(n_chars, 1) AS top3_char_frac,
+           CAST(top4 AS DOUBLE) / greatest(n_chars, 1) AS top4_char_frac,
+           CAST(dup5 AS DOUBLE) / greatest(n_chars, 1) AS dup5_char_frac,
+           CAST(CAST(top2 AS DOUBLE) / greatest(n_chars, 1) <= {_REP_TOP2_T}
+            AND CAST(top3 AS DOUBLE) / greatest(n_chars, 1) <= {_REP_TOP3_T}
+            AND CAST(top4 AS DOUBLE) / greatest(n_chars, 1) <= {_REP_TOP4_T}
+            AND CAST(dup5 AS DOUBLE) / greatest(n_chars, 1) <= {_REP_DUP5_T}
+            AS INT) AS keep
+    FROM stats
+    """,
+    doc="Gopher-rule repetition filter (Rae et al. 2021 Table A1): "
+    "per doc, the char fraction covered by the dominant 2/3/4-gram "
+    "and by duplicated 5-grams, plus the duplicate-word fraction; "
+    "keep = all fractions under the published thresholds "
+    f"({_REP_TOP2_T}/{_REP_TOP3_T}/{_REP_TOP4_T}/{_REP_DUP5_T}). "
+    "'Dominant' is max(count × gram chars) — order-free, so the "
+    "aggregate is fold-independent; every fraction is one integer-"
+    "ratio double division, bit-equal cross-engine.",
+)
+def repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document repetition signals for corpus quality filtering.
+
+    Spark shape: gram construction is a JVM higher-order ``transform``
+    over the split-word array (all of k = 1..5 built in one projection
+    and flattened into a single ``explode`` — one generator, not five
+    scans), then two keyed aggregates: (doc, k, gram) counts with
+    map-side partial aggregation, and the per-doc rollup. Both shuffle
+    keys include doc_id, so at 100 TB the load spreads with the corpus
+    — no hot keys (gram strings never leave their doc's groups, unlike
+    the dedup inverted index which shares grams ACROSS docs on
+    purpose). ``fan_out`` first: gram explosion is compute-heavy and
+    the fixture parquet is one unsplittable row group.
+    """
+    d = _t(spark, sf_dir, "documents")["documents"]
+    base = (
+        fan_out(d.select("doc_id", "text"))
+        .select("doc_id", norm_text(F.col("text")).alias("nt"))
+        .select(
+            "doc_id",
+            F.length("nt").alias("n_chars"),
+            F.split("nt", " ").alias("w"),
+        )
+    )
+
+    def grams(k: int):
+        w = F.col("w")
+        return F.when(
+            F.size(w) >= k,
+            F.transform(
+                # sequence is DESCENDING when end < start (Spark 4);
+                # the size guard above keeps it ascending
+                F.sequence(F.lit(0), F.size(w) - F.lit(k)),
+                lambda i: F.struct(
+                    F.lit(k).alias("k"),
+                    F.concat_ws(" ", F.slice(w, i + 1, k)).alias("g"),
+                ),
+            ),
+        ).otherwise(F.array().cast("array<struct<k:int,g:string>>"))
+
+    exploded = base.select(
+        "doc_id",
+        "n_chars",
+        F.explode(F.flatten(F.array(*[grams(k) for k in _REP_KS]))).alias("kg"),
+    ).select(
+        "doc_id", "n_chars", F.col("kg.k").alias("k"), F.col("kg.g").alias("g")
+    )
+    cl = F.col("c") * F.length("g")
+    stats = (
+        exploded.groupBy("doc_id", "n_chars", "k", "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id", "n_chars")
+        .agg(
+            F.sum(F.when(F.col("k") == 1, F.col("c"))).alias("n_words"),
+            F.count(F.when(F.col("k") == 1, F.lit(1))).alias("n_distinct"),
+            F.coalesce(
+                F.max(F.when(F.col("k") == 2, cl)), F.lit(0)
+            ).alias("top2"),
+            F.coalesce(
+                F.max(F.when(F.col("k") == 3, cl)), F.lit(0)
+            ).alias("top3"),
+            F.coalesce(
+                F.max(F.when(F.col("k") == 4, cl)), F.lit(0)
+            ).alias("top4"),
+            F.coalesce(
+                F.sum(F.when((F.col("k") == 5) & (F.col("c") >= 2), cl)),
+                F.lit(0),
+            ).alias("dup5"),
+        )
+    )
+    nc = F.greatest(F.col("n_chars"), F.lit(1)).cast("double")
+    top2f = F.col("top2").cast("double") / nc
+    top3f = F.col("top3").cast("double") / nc
+    top4f = F.col("top4").cast("double") / nc
+    dup5f = F.col("dup5").cast("double") / nc
+    dupw = F.lit(1.0).cast("double") - F.col("n_distinct").cast("double") / F.col(
+        "n_words"
+    ).cast("double")
+    keep = (
+        (top2f <= _REP_TOP2_T)
+        & (top3f <= _REP_TOP3_T)
+        & (top4f <= _REP_TOP4_T)
+        & (dup5f <= _REP_DUP5_T)
+    )
+    return stats.select(
+        "doc_id",
+        F.col("n_words").cast("long").alias("n_words"),
+        dupw.alias("dup_word_frac"),
+        top2f.alias("top2_char_frac"),
+        top3f.alias("top3_char_frac"),
+        top4f.alias("top4_char_frac"),
+        dup5f.alias("dup5_char_frac"),
+        keep.cast("int").alias("keep"),
+    )

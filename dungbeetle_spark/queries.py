@@ -71,6 +71,8 @@ DRIVER_PRIORITY: list[str] = [
     "multimodal_feature_stats",
     "sequence_pack",
     "ann_lsh_bucketed",
+    # new in r05 — never verified
+    "repetition_stats",
     # same-module neighbors of this round's similarity.py change
     # (shared _signatures/_plane_matrix helpers) — re-window to prove
     # no collateral drift

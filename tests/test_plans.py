@@ -310,3 +310,16 @@ def test_domain_quota_under_quota_rows_bypass_window(spark, sf):
     # neither branch ever reads text
     for s in scan_schemas(df):
         assert "text" not in s, s
+
+
+def test_repetition_stats_two_keyed_aggregates_narrow_scan(spark, sf):
+    """repetition_stats: gram counting + per-doc rollup are exactly two
+    keyed shuffles (both keys include doc_id — load spreads with the
+    corpus) on top of the fan_out salt repartition, both aggregates
+    partial-combine map-side, and the scan reads only (doc_id, text)."""
+    df = _df(spark, sf, "repetition_stats")
+    plan = formatted_plan(df)
+    assert shuffle_exchanges(df) == 3  # fan_out + 2 aggregates
+    assert plan.count("REPARTITION_BY_NUM") == 1  # the fan_out salt
+    assert has_partial_aggregate(df)
+    assert scan_schemas(df) == ["struct<doc_id:bigint,text:string>"]

@@ -24,6 +24,7 @@ NEVER_VERIFIED = ["sketch_user_stats"]
 # and the similarity-module neighbors sharing the changed
 # _signatures/_plane_matrix helpers.
 CHANGED_THIS_ROUND = [
+    "repetition_stats",  # new in r05
     "q12_shipping_delay",
     "dedup_minhash_lsh",
     "dedup_simhash",
