@@ -371,3 +371,96 @@ def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= _TOP_K)
         .select("query_id", "neighbor_id", "rank", F.round("cs", 6).alias("cos_sim"))
     )
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup — cluster-then-dedup semantic deduplication
+# ---------------------------------------------------------------------------
+
+_SEM_T = 0.35  # within-cluster cosine above which the higher id drops
+
+
+@query(
+    "semdedup",
+    oracle=f"""
+    WITH cent AS (
+      SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS c_emb
+      FROM embeddings
+      WHERE vec_id >= {_N_QUERIES} AND vec_id < {_N_QUERIES + _IVF_K}),
+    scored AS (
+      SELECT e.vec_id, CAST(e.embedding AS DOUBLE[]) AS emb, cent.cid,
+             ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                                ORDER BY list_cosine_similarity(
+                                  CAST(e.embedding AS DOUBLE[]), cent.c_emb) DESC,
+                                cent.cid) AS rk
+      FROM embeddings e CROSS JOIN cent),
+    assign AS (SELECT vec_id, emb, cid AS cluster FROM scored WHERE rk = 1),
+    pairs AS (
+      SELECT a.cluster, a.vec_id AS keeper, b.vec_id AS dropped,
+             list_cosine_similarity(a.emb, b.emb) AS cs
+      FROM assign a JOIN assign b
+        ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+      WHERE list_cosine_similarity(a.emb, b.emb) >= {_SEM_T})
+    SELECT cluster, dropped AS dropped_vec_id,
+           MIN(keeper) AS kept_vec_id,
+           round(MAX(cs), 6) AS max_cos
+    FROM pairs GROUP BY cluster, dropped
+    """,
+    doc=f"SemDeDup (Abbas et al. 2023): semantic dedup via cluster-"
+    "then-pairwise — vectors assign to their nearest coarse centroid "
+    f"(the ann_ivf seed centroids), and within each cluster any vector "
+    f"with a lower-id neighbor at cosine ≥ {_SEM_T} is dropped "
+    "(keep-lowest-id representative, deterministic). Emits (cluster, "
+    "dropped, kept=MIN lower neighbor, max_cos) — MIN/MAX aggregates "
+    "are fold-order-free, so the DuckDB oracle is hash-exact.",
+)
+def semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-blocked semantic dedup — the shape that scales.
+
+    The all-pairs cosine sweep is O(n²·dim); SemDeDup's insight is
+    that semantic duplicates share a cluster, so pairing only within
+    clusters cuts the cost to Σ|cluster|² — with k ∝ √n centroids the
+    expected quadratic term stays bounded as the corpus grows. Spark
+    shape: centroids broadcast (tiny), assignment is one narrow pass
+    (no shuffle), the pair join shuffles once keyed on cluster, and
+    AQE skew-join splitting absorbs hot clusters. The fixture uses
+    the ann_ivf seed centroids; production swaps in k-means centroids
+    without touching the dataflow.
+    """
+    e = fan_out(_t(spark, sf_dir, "embeddings")["embeddings"]).select(
+        "vec_id", "embedding"
+    )
+    cent = (
+        _t(spark, sf_dir, "embeddings")["embeddings"]
+        .filter(
+            (F.col("vec_id") >= _N_QUERIES) & (F.col("vec_id") < _N_QUERIES + _IVF_K)
+        )
+        .select(F.col("vec_id").alias("cid"), F.col("embedding").alias("c_emb"))
+    )
+    cs_cent = cosine_similarity_fixed(F.col("embedding"), F.col("c_emb"), _DIM)
+    w_assign = W.partitionBy("vec_id").orderBy(F.desc("cs"), F.asc("cid"))
+    assign = (
+        e.join(F.broadcast(cent))
+        .select("vec_id", "embedding", "cid", cs_cent.alias("cs"))
+        .withColumn("rk", F.row_number().over(w_assign))
+        .filter(F.col("rk") == 1)
+        .select("vec_id", "embedding", F.col("cid").alias("cluster"))
+    )
+    a = assign.select(
+        "cluster", F.col("vec_id").alias("keeper"), F.col("embedding").alias("a_emb")
+    )
+    b = assign.select(
+        "cluster", F.col("vec_id").alias("dropped"), F.col("embedding").alias("b_emb")
+    )
+    cs_pair = cosine_similarity_fixed(F.col("a_emb"), F.col("b_emb"), _DIM)
+    return (
+        a.join(b.hint("shuffle_hash"), "cluster")
+        .filter(F.col("keeper") < F.col("dropped"))
+        .select("cluster", "keeper", "dropped", cs_pair.alias("cs"))
+        .filter(F.col("cs") >= _SEM_T)
+        .groupBy("cluster", F.col("dropped").alias("dropped_vec_id"))
+        .agg(
+            F.min("keeper").alias("kept_vec_id"),
+            F.round(F.max("cs"), 6).alias("max_cos"),
+        )
+    )

@@ -73,6 +73,7 @@ DRIVER_PRIORITY: list[str] = [
     "ann_lsh_bucketed",
     # new in r05 — never verified
     "repetition_stats",
+    "semdedup",
     # same-module neighbors of this round's similarity.py change
     # (shared _signatures/_plane_matrix helpers) — re-window to prove
     # no collateral drift

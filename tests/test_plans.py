@@ -323,3 +323,15 @@ def test_repetition_stats_two_keyed_aggregates_narrow_scan(spark, sf):
     assert plan.count("REPARTITION_BY_NUM") == 1  # the fan_out salt
     assert has_partial_aggregate(df)
     assert scan_schemas(df) == ["struct<doc_id:bigint,text:string>"]
+
+
+def test_semdedup_broadcasts_centroids_single_cluster_shuffle(spark, sf):
+    """semdedup: centroid assignment rides a broadcast (no shuffle for
+    the corpus-side join) and the within-cluster pair join is
+    shuffle-keyed on cluster — the Σ|cluster|² cost model the operator
+    docstring claims."""
+    df = _df(spark, sf, "semdedup")
+    assert has_broadcast_join(df)
+    plan = formatted_plan(df)
+    # the pair join must NOT be a broadcast of the full corpus side
+    assert "ShuffledHashJoin" in plan or "SortMergeJoin" in plan

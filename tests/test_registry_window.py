@@ -25,6 +25,7 @@ NEVER_VERIFIED = ["sketch_user_stats"]
 # _signatures/_plane_matrix helpers.
 CHANGED_THIS_ROUND = [
     "repetition_stats",  # new in r05
+    "semdedup",  # new in r05
     "q12_shipping_delay",
     "dedup_minhash_lsh",
     "dedup_simhash",
