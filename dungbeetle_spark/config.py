@@ -82,6 +82,12 @@ class Config:
     default_job_ttl: float = 60.0  # app.default_job_ttl
     result_reaper_interval: float = 0.0  # app.result_reaper_interval; 0 = off
     job_store: str = ""  # SQLite path; "" = in-memory job state
+    # app.operators_data_dir: when set, every query in the operator
+    # registry (OPERATORS.md) registers as a callable task named after
+    # the query, runnable through POST /jobs like any SQL task; the
+    # dir is the default parquet dataset (a job's first arg overrides
+    # it). "" = SQL tasks only (reference parity).
+    operators_data_dir: str = ""
     sources: list[SourceConf] = field(default_factory=list)
     results: list[ResultsConf] = field(default_factory=list)
 
@@ -145,6 +151,10 @@ def load_config(
             app.get("result_reaper_interval"), 0.0
         ),
         job_store=str(raw.get("job_store", app.get("job_store", "")) or ""),
+        operators_data_dir=str(
+            raw.get("operators_data_dir", app.get("operators_data_dir", ""))
+            or ""
+        ),
     )
     for name, sub in (raw.get("db") or {}).items():
         cfg.sources.append(
@@ -268,4 +278,24 @@ def build_core(cfg: Config, spark=None):
             raise ValueError(f"results {res.name}: unknown type {res.type!r}")
     if cfg.sql_directories:
         core.load_task_dirs(cfg.sql_directories)
+    if cfg.operators_data_dir:
+        _register_operator_tasks(core, cfg.operators_data_dir)
     return core
+
+
+def _register_operator_tasks(core, data_dir: str) -> None:
+    """Expose the whole operator registry (OPERATORS.md) as callable
+    tasks: POST /jobs {"task": "dedup_exact"} runs the operator
+    through the full job pipeline (queue → worker → result backend →
+    TTL), same as any SQL task. A job's first arg overrides the
+    configured dataset dir. Registered AFTER SQL task dirs so a name
+    collision with a user task fails loudly at startup, not at
+    enqueue."""
+    from dungbeetle_spark.queries import registry
+
+    for name, spec in registry().items():
+
+        def _build(sess, args, _spec=spec):
+            return _spec.build(sess, str(args[0]) if args else data_dir)
+
+        core.register_callable_task(name, _build, queue="operators")

@@ -200,3 +200,71 @@ dbapi = "no_colon_here"
 
     with _pytest.raises(ValueError, match="module:callable"):
         build_core(cfg, spark=object())
+
+
+def test_operators_registered_as_tasks(tmp_path, spark, sf_smoke):
+    """app.operators_data_dir exposes the whole operator registry as
+    callable tasks: a registry query runs through the FULL job
+    pipeline (enqueue -> worker -> result backend) via build_core, the
+    way an HTTP user would POST it."""
+    import time
+
+    from dungbeetle_spark import jobstore
+    from dungbeetle_spark.config import build_core
+    from dungbeetle_spark.core import JobReq
+    from dungbeetle_spark.queries import registry
+
+    results = tmp_path / "results"
+    p = tmp_path / "config.toml"
+    p.write_text(
+        f"""
+[app]
+operators_data_dir = "{sf_smoke}"
+
+[results.default]
+path = "{results}"
+"""
+    )
+    cfg = load_config(str(p), environ={})
+    core = build_core(cfg, spark=spark)
+    assert set(registry()) <= set(core.tasks)
+    core.start()
+    try:
+        resp = core.new_job("dedup_exact", JobReq())
+        deadline = time.monotonic() + 60
+        while time.monotonic() < deadline:
+            st = core.job_status(resp.job_id)
+            if st["state"] in (jobstore.SUCCESS, jobstore.FAILURE):
+                break
+            time.sleep(0.1)
+        assert st["state"] == jobstore.SUCCESS, st
+        out = core.read_result(resp.job_id)
+        assert st["count"] == out.count() > 0
+        assert "content_hash" in out.columns
+    finally:
+        core.stop()
+
+
+def test_operator_task_name_collision_fails_loudly(tmp_path):
+    p = tmp_path / "config.toml"
+    sqldir = tmp_path / "sql"
+    sqldir.mkdir()
+    # a user SQL task that shadows a registry operator name
+    (sqldir / "t.sql").write_text(
+        "-- name: dedup_exact\n-- raw: 1\nSELECT 1 AS x;\n"
+    )
+    p.write_text(
+        f"""
+sql_directory = "{sqldir}"
+
+[app]
+operators_data_dir = "/root/testdata/sf0.001"
+"""
+    )
+    cfg = load_config(str(p), environ={})
+    from dungbeetle_spark.config import build_core
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="duplicate task name"):
+        build_core(cfg, spark=object())
