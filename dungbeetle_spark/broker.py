@@ -349,3 +349,354 @@ class SqliteBroker(BrokerBackend):
 
     def close(self) -> None:
         self._db.close()
+
+
+class DBAPIBroker(BrokerBackend):
+    """Generic DBAPI-2.0 backend: the multi-machine broker.
+
+    Works over any DBAPI connection factory — ``sqlite3.connect`` for
+    tests/single-host, ``psycopg2.connect`` for a real served
+    Postgres, where every machine in a worker fleet points at the same
+    database. Hot fields live in real indexed columns (state, owner,
+    queue, heartbeat) so claim/pending/expired run as plain SQL over
+    any engine; the full record rides along as a JSON document that is
+    rewritten on every row mutation (columns overlay the JSON on read,
+    so the column-only fast paths — heartbeat — never go stale).
+
+    Dialect differences are confined to two knobs:
+
+    - ``paramstyle``: qmark (sqlite) vs format/%s (psycopg2) —
+      auto-derived from the dialect.
+    - claim/mutate locking: ``BEGIN IMMEDIATE`` writer lock on
+      sqlite; ``SELECT ... FOR UPDATE [SKIP LOCKED]`` row locks on
+      postgresql. SKIP LOCKED lets N claiming machines scan past each
+      other instead of queueing on the head row — the server-grade
+      delivery path the reference gets from Redis.
+
+    sqlite factories must pass ``isolation_level=None`` (autocommit)
+    so the explicit BEGIN IMMEDIATE owns its transaction. Validated
+    end-to-end by the ``BrokerContract`` suite
+    (tests/test_broker_contract.py) over the sqlite3 driver; the
+    postgresql dialect changes only the SQL strings noted above.
+    """
+
+    _DIALECTS = ("sqlite", "postgresql")
+
+    def __init__(self, connect, dialect: str = "sqlite") -> None:
+        if dialect not in self._DIALECTS:
+            raise ValueError(f"unknown dialect: {dialect!r}")
+        self._dialect = dialect
+        self._pg = dialect == "postgresql"
+        self._db = connect()
+        cur = self._db.cursor()
+        real = "DOUBLE PRECISION" if self._pg else "REAL"
+        cur.execute(
+            f"""
+            CREATE TABLE IF NOT EXISTS db_jobs (
+                job_id TEXT PRIMARY KEY,
+                queue TEXT NOT NULL,
+                state TEXT NOT NULL,
+                owner TEXT NOT NULL DEFAULT '',
+                cancelled INTEGER NOT NULL DEFAULT 0,
+                eta {real},
+                created_at {real} NOT NULL,
+                heartbeat_at {real},
+                reaps_at {real},
+                data TEXT NOT NULL
+            )
+            """
+        )
+        cur.execute(
+            "CREATE INDEX IF NOT EXISTS db_jobs_claim "
+            "ON db_jobs (queue, state, created_at)"
+        )
+        cur.execute(
+            """
+            CREATE TABLE IF NOT EXISTS db_groups (
+                group_id TEXT PRIMARY KEY, job_ids TEXT NOT NULL
+            )
+            """
+        )
+        self._db.commit()
+
+    # -- helpers ------------------------------------------------------
+    def _q(self, sql: str) -> str:
+        return sql.replace("?", "%s") if self._pg else sql
+
+    def _begin(self, cur) -> None:
+        if not self._pg:
+            cur.execute("BEGIN IMMEDIATE")
+        # postgresql: the DBAPI connection opens a transaction
+        # implicitly at first statement; row locks come from FOR UPDATE
+
+    @staticmethod
+    def _reaps_at(rec: "JobRecord") -> float | None:
+        if (
+            rec.state in ("SUCCESS", "FAILURE")
+            and rec.ttl > 0
+            and rec.result_path
+            and rec.finished_at is not None
+        ):
+            return rec.finished_at + rec.ttl
+        return None
+
+    def _upsert(self, cur, rec: "JobRecord") -> None:
+        # INSERT .. ON CONFLICT DO UPDATE: identical syntax on
+        # sqlite >= 3.24 and postgresql >= 9.5
+        cur.execute(
+            self._q(
+                """
+                INSERT INTO db_jobs (job_id, queue, state, owner, cancelled,
+                                     eta, created_at, heartbeat_at, reaps_at, data)
+                VALUES (?, ?, ?, ?, ?, ?, ?, ?, ?, ?)
+                ON CONFLICT (job_id) DO UPDATE SET
+                    queue = excluded.queue, state = excluded.state,
+                    owner = excluded.owner, cancelled = excluded.cancelled,
+                    eta = excluded.eta, created_at = excluded.created_at,
+                    heartbeat_at = excluded.heartbeat_at,
+                    reaps_at = excluded.reaps_at, data = excluded.data
+                """
+            ),
+            (
+                rec.job_id, rec.queue, rec.state, rec.owner,
+                1 if rec.cancelled else 0, rec.eta, rec.created_at,
+                rec.heartbeat_at, self._reaps_at(rec),
+                json.dumps(asdict(rec)),
+            ),
+        )
+
+    @staticmethod
+    def _overlay(row) -> "JobRecord":
+        """JSON document + authoritative hot columns → record."""
+        (job_id, queue, state, owner, cancelled, eta, created_at,
+         heartbeat_at, _reaps, data) = row
+        rec = _record(data)
+        rec.state = state
+        rec.owner = owner
+        rec.cancelled = bool(cancelled)
+        rec.heartbeat_at = heartbeat_at
+        return rec
+
+    _COLS = ("job_id, queue, state, owner, cancelled, eta, created_at, "
+             "heartbeat_at, reaps_at, data")
+
+    def _select_row(self, cur, job_id: str, lock: bool):
+        sql = f"SELECT {self._COLS} FROM db_jobs WHERE job_id = ?"
+        if lock and self._pg:
+            sql += " FOR UPDATE"
+        cur.execute(self._q(sql), (job_id,))
+        return cur.fetchone()
+
+    # -- BrokerBackend ------------------------------------------------
+    def check_and_put(
+        self, rec: "JobRecord", active_states: tuple[str, ...]
+    ) -> "JobRecord | None":
+        cur = self._db.cursor()
+        try:
+            self._begin(cur)
+            row = self._select_row(cur, rec.job_id, lock=True)
+            if row is not None and row[2] in active_states:
+                self._db.commit()
+                return self._overlay(row)
+            self._upsert(cur, rec)
+            self._db.commit()
+        except BaseException:
+            self._db.rollback()
+            raise
+        return None
+
+    def get(self, job_id: str) -> "JobRecord | None":
+        cur = self._db.cursor()
+        row = self._select_row(cur, job_id, lock=False)
+        if not self._pg:
+            self._db.commit()  # close the implicit read txn
+        return None if row is None else self._overlay(row)
+
+    def mutate(
+        self, job_id: str, fn: Callable[["JobRecord"], None]
+    ) -> "JobRecord | None":
+        cur = self._db.cursor()
+        try:
+            self._begin(cur)
+            row = self._select_row(cur, job_id, lock=True)
+            rec = None
+            if row is not None:
+                rec = self._overlay(row)
+                fn(rec)
+                self._upsert(cur, rec)
+            self._db.commit()
+        except BaseException:
+            self._db.rollback()
+            raise
+        return rec
+
+    def claim(
+        self, queues: list[str], owner: str, now: float, lease: float
+    ) -> "JobRecord | None":
+        marks = ",".join("?" for _ in queues)
+        lease_clause = (
+            "OR (state = 'STARTED' AND owner <> '' "
+            "    AND COALESCE(heartbeat_at, 0) <= ? - ?)"
+            if lease > 0
+            else ""
+        )
+        lease_args = (now, lease) if lease > 0 else ()
+        select_sql = f"""
+            SELECT {self._COLS} FROM db_jobs
+            WHERE queue IN ({marks})
+              AND cancelled = 0
+              AND (eta IS NULL OR eta <= ?)
+              AND ((state IN ('PENDING', 'RETRY') AND owner = '')
+                   {lease_clause})
+            ORDER BY created_at
+            LIMIT 1
+            """
+        args = (*queues, now, *lease_args)
+        cur = self._db.cursor()
+        # Idle fast path (see SqliteBroker.claim): plain read first so
+        # an empty backlog never takes the writer/row lock.
+        cur.execute(self._q(select_sql), args)
+        if cur.fetchone() is None:
+            self._db.commit()
+            return None
+        locked_sql = select_sql + (" FOR UPDATE SKIP LOCKED" if self._pg else "")
+        try:
+            self._begin(cur)
+            cur.execute(self._q(locked_sql), args)
+            row = cur.fetchone()
+            if row is None:  # lost the race to another claimer
+                self._db.commit()
+                return None
+            rec = self._overlay(row)
+            rec.owner = owner
+            rec.state = "STARTED"
+            rec.heartbeat_at = now
+            self._upsert(cur, rec)
+            self._db.commit()
+        except BaseException:
+            self._db.rollback()
+            raise
+        return rec
+
+    def heartbeat(self, owner: str, now: float) -> None:
+        cur = self._db.cursor()
+        try:
+            cur.execute(
+                self._q(
+                    "UPDATE db_jobs SET heartbeat_at = ? "
+                    "WHERE owner = ? AND state = 'STARTED'"
+                ),
+                (now, owner),
+            )
+            self._db.commit()
+        except BaseException:
+            self._db.rollback()
+            raise
+
+    def delete(self, job_id: str) -> None:
+        cur = self._db.cursor()
+        try:
+            cur.execute(
+                self._q("DELETE FROM db_jobs WHERE job_id = ?"), (job_id,)
+            )
+            self._db.commit()
+        except BaseException:
+            self._db.rollback()
+            raise
+
+    def scan(self) -> list["JobRecord"]:
+        cur = self._db.cursor()
+        cur.execute(f"SELECT {self._COLS} FROM db_jobs")
+        rows = cur.fetchall()
+        if not self._pg:
+            self._db.commit()
+        return [self._overlay(r) for r in rows]
+
+    def pending(self, queue: str) -> list["JobRecord"]:
+        cur = self._db.cursor()
+        cur.execute(
+            self._q(
+                f"SELECT {self._COLS} FROM db_jobs "
+                "WHERE queue = ? AND state = 'PENDING' ORDER BY created_at"
+            ),
+            (queue,),
+        )
+        rows = cur.fetchall()
+        if not self._pg:
+            self._db.commit()
+        return [self._overlay(r) for r in rows]
+
+    def counts_by_state(self) -> dict[str, int]:
+        cur = self._db.cursor()
+        cur.execute("SELECT state, COUNT(*) FROM db_jobs GROUP BY state")
+        out = {state: int(n) for state, n in cur.fetchall()}
+        if not self._pg:
+            self._db.commit()
+        return out
+
+    def expired(self, now: float) -> list["JobRecord"]:
+        cur = self._db.cursor()
+        cur.execute(
+            self._q(
+                f"SELECT {self._COLS} FROM db_jobs "
+                "WHERE reaps_at IS NOT NULL AND reaps_at <= ?"
+            ),
+            (now,),
+        )
+        rows = cur.fetchall()
+        if not self._pg:
+            self._db.commit()
+        return [self._overlay(r) for r in rows]
+
+    # -- groups -------------------------------------------------------
+    def put_group(self, group_id: str, job_ids: list[str]) -> None:
+        cur = self._db.cursor()
+        try:
+            cur.execute(
+                self._q(
+                    """
+                    INSERT INTO db_groups (group_id, job_ids) VALUES (?, ?)
+                    ON CONFLICT (group_id) DO UPDATE SET
+                        job_ids = excluded.job_ids
+                    """
+                ),
+                (group_id, json.dumps(list(job_ids))),
+            )
+            self._db.commit()
+        except BaseException:
+            self._db.rollback()
+            raise
+
+    def get_group(self, group_id: str) -> list[str] | None:
+        cur = self._db.cursor()
+        cur.execute(
+            self._q("SELECT job_ids FROM db_groups WHERE group_id = ?"),
+            (group_id,),
+        )
+        row = cur.fetchone()
+        if not self._pg:
+            self._db.commit()
+        return None if row is None else list(json.loads(row[0]))
+
+    def scan_groups(self) -> dict[str, list[str]]:
+        cur = self._db.cursor()
+        cur.execute("SELECT group_id, job_ids FROM db_groups")
+        rows = cur.fetchall()
+        if not self._pg:
+            self._db.commit()
+        return {gid: json.loads(ids) for gid, ids in rows}
+
+    def delete_group(self, group_id: str) -> None:
+        cur = self._db.cursor()
+        try:
+            cur.execute(
+                self._q("DELETE FROM db_groups WHERE group_id = ?"),
+                (group_id,),
+            )
+            self._db.commit()
+        except BaseException:
+            self._db.rollback()
+            raise
+
+    def close(self) -> None:
+        self._db.close()

@@ -90,11 +90,13 @@ class Core:
         claim_queues: list[str] | None = None,  # None = claim every queue
         claim_poll_interval: float = 0.2,  # broker poll period (tasqueue analog)
         claim_lease: float = 120.0,  # reclaim jobs from dead workers; 0 = off
+        jobstore_backend=None,  # BrokerBackend instance; overrides jobstore_path
     ) -> None:
-        if distributed and not jobstore_path:
+        if distributed and not (jobstore_path or jobstore_backend):
             raise ValueError(
-                "distributed mode needs a shared jobstore_path — the "
-                "SQLite file is the broker the processes rendezvous on"
+                "distributed mode needs a shared jobstore_path or a "
+                "jobstore_backend — the store is the broker the "
+                "processes rendezvous on"
             )
         self.spark = spark
         # Restart policy: a sidecar attaches without touching the
@@ -110,6 +112,7 @@ class Core:
             persist_path=jobstore_path,
             recover=recover,
             requeue_lease=claim_lease if distributed else 0.0,
+            backend=jobstore_backend,
         )
         self.distributed = distributed
         self.claim_queues = claim_queues

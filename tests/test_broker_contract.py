@@ -251,3 +251,31 @@ class TestSqliteBrokerExplicitBackend(BrokerContract):
         return [
             JobStore(backend=SqliteBroker(path), **kwargs) for _ in range(n)
         ]
+
+
+class TestDBAPIBrokerContract(BrokerContract):
+    """The generic DBAPI backend, driven through the stdlib sqlite3
+    DBAPI driver — the same code path a psycopg2-backed multi-machine
+    deployment runs (the postgresql dialect swaps paramstyle and uses
+    FOR UPDATE SKIP LOCKED row locks in place of BEGIN IMMEDIATE)."""
+
+    def make_stores(self, tmp_path, n: int, **store_kwargs) -> list[JobStore]:
+        import sqlite3
+
+        from dungbeetle_spark.broker import DBAPIBroker
+
+        path = str(tmp_path / "dbapi.db")
+
+        def connect():
+            con = sqlite3.connect(
+                path, check_same_thread=False, isolation_level=None
+            )
+            con.execute("PRAGMA journal_mode=WAL")
+            con.execute("PRAGMA busy_timeout=10000")
+            return con
+
+        kwargs = {"recover": "attach", **store_kwargs}
+        return [
+            JobStore(backend=DBAPIBroker(connect, dialect="sqlite"), **kwargs)
+            for _ in range(n)
+        ]
