@@ -168,3 +168,122 @@ def test_simhash_banding_matches_exact_hamming(spark, data):
             if h <= 3:
                 exact.add((i, j, h))
     assert banded == exact
+
+
+@given(
+    st.lists(
+        st.text(
+            alphabet=st.characters(
+                blacklist_categories=("Cs",),  # no lone surrogates
+                max_codepoint=0x2FFF,
+            ),
+            min_size=0,
+            max_size=40,
+        ),
+        min_size=1,
+        max_size=30,
+        unique=True,
+    )
+)
+@settings(max_examples=10, deadline=None)
+def test_md5_hash60_cross_engine_equal(spark, strings):
+    """The r05 oracle foundation: md5_hash60 (Spark expression) and
+    md5_hash60_sql (DuckDB twin) agree on ARBITRARY unicode strings —
+    not just fixture words. Every converted oracle (minhash, simhash,
+    sequence_pack shards, LSH planes) stands on this equality."""
+    import duckdb
+
+    from dungbeetle_spark.functions.texts import md5_hash60, md5_hash60_sql
+
+    sdf = spark.createDataFrame([(s,) for s in strings], "s string")
+    got = {
+        r["s"]: r["h"]
+        for r in sdf.select("s", md5_hash60("s").alias("h")).collect()
+    }
+    con = duckdb.connect()
+    want = {}
+    for s in strings:
+        (h,) = con.execute(
+            f"SELECT {md5_hash60_sql('?')}", [s]
+        ).fetchone()
+        want[s] = h
+    con.close()
+    assert got == want
+
+
+@given(
+    st.lists(st.integers(0, 700), min_size=1, max_size=60),
+)
+@settings(max_examples=15, deadline=None)
+def test_ffd_recursive_cte_matches_python_packer(toks):
+    """sequence_pack's DuckDB-oracle FFD recurrence equals the Python
+    applyInPandas packer on ARBITRARY token lists (including tokens
+    above the 512 budget → singleton bins), not just the fixture.
+    Exercises the recursive-CTE list-state transition directly."""
+    import duckdb
+    import pandas as pd
+
+    from dungbeetle_spark.operators.curation import _PACK_BUDGET, _pack_bucket
+
+    pdf = pd.DataFrame(
+        {
+            "bucket": [0] * len(toks),
+            "doc_id": range(len(toks)),
+            "n_tokens": toks,
+        }
+    )
+    py = _pack_bucket(pdf)
+    expect = [
+        (int(r.bin_id), int(r.n_docs), int(r.total_tokens))
+        for r in py.itertuples()
+    ]
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE docs (doc_id BIGINT, tok BIGINT)")
+    con.executemany(
+        "INSERT INTO docs VALUES (?, ?)", list(zip(range(len(toks)), toks))
+    )
+    rows = con.execute(
+        f"""
+        WITH RECURSIVE
+        ranked AS (
+          SELECT doc_id, tok,
+                 row_number() OVER (ORDER BY tok DESC, doc_id ASC) AS rn
+          FROM docs),
+        counts AS (SELECT COUNT(*) AS n FROM ranked),
+        pack AS (
+          SELECT CAST(0 AS BIGINT) AS rn,
+                 CAST([] AS BIGINT[]) AS lefts,
+                 CAST([] AS BIGINT[]) AS ndocs,
+                 CAST([] AS BIGINT[]) AS toks
+          UNION ALL
+          SELECT p.rn + 1,
+                 CASE WHEN fit.idx IS NULL
+                      THEN list_append(p.lefts, {_PACK_BUDGET} - r.tok)
+                      ELSE list_transform(p.lefts, (x, i) ->
+                           CASE WHEN i = fit.idx THEN x - r.tok ELSE x END) END,
+                 CASE WHEN fit.idx IS NULL
+                      THEN list_append(p.ndocs, CAST(1 AS BIGINT))
+                      ELSE list_transform(p.ndocs, (x, i) ->
+                           CASE WHEN i = fit.idx THEN x + 1 ELSE x END) END,
+                 CASE WHEN fit.idx IS NULL
+                      THEN list_append(p.toks, r.tok)
+                      ELSE list_transform(p.toks, (x, i) ->
+                           CASE WHEN i = fit.idx THEN x + r.tok ELSE x END) END
+          FROM pack p
+          JOIN ranked r ON r.rn = p.rn + 1
+          CROSS JOIN LATERAL (
+            SELECT list_filter(list_transform(p.lefts,
+                      (x, i) -> CASE WHEN x >= r.tok THEN i ELSE NULL END),
+                      y -> y IS NOT NULL)[1] AS idx
+          ) AS fit
+        ),
+        finished AS (
+          SELECT p.ndocs, p.toks FROM pack p, counts c WHERE p.rn = c.n)
+        SELECT CAST(i - 1 AS BIGINT), ndocs[i], toks[i]
+        FROM finished, UNNEST(range(1, len(ndocs) + 1)) AS u(i)
+        ORDER BY 1
+        """
+    ).fetchall()
+    con.close()
+    assert [(int(a), int(b), int(c)) for a, b, c in rows] == expect
