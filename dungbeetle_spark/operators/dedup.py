@@ -465,7 +465,7 @@ def _embedding_pairs_lsh(e: DataFrame) -> DataFrame:
     candidates. Recall < 1 by construction (pairs agreeing on no band
     are missed) — the documented trade for unbounded corpora.
     """
-    from dungbeetle_spark.functions.vectors import cosine_similarity_fixed
+    from dungbeetle_spark.functions.vectors import pair_cosine_udf
     from dungbeetle_spark.operators.similarity import _signatures
 
     signed = _signatures(e.select("vec_id", "embedding"), _DIM)
@@ -480,7 +480,9 @@ def _embedding_pairs_lsh(e: DataFrame) -> DataFrame:
         F.col("vec_id").alias("vec_b"), F.col("embedding").alias("b_emb"),
         "band", "bucket",
     )
-    cos = cosine_similarity_fixed(F.col("a_emb"), F.col("b_emb"), _DIM)
+    # vectorized exact filter (bit-exact fold; unrolled expression
+    # trees this size leave codegen — see functions.vectors)
+    cos = pair_cosine_udf(_DIM)(F.col("a_emb"), F.col("b_emb"))
     return (
         a.join(b, ["band", "bucket"])
         .filter(F.col("vec_a") < F.col("vec_b"))

@@ -27,7 +27,6 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
 from dungbeetle_spark.functions.texts import md5_hash60_sql
-from dungbeetle_spark.functions.vectors import cosine_similarity_fixed
 from dungbeetle_spark.queries import _t, query
 from dungbeetle_spark.sources.catalog import fan_out
 
@@ -271,7 +270,11 @@ def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "q_emb", "neighbor_id", "c_emb")
         .dropDuplicates(["query_id", "neighbor_id"])
     )
-    cos = cosine_similarity_fixed(F.col("q_emb"), F.col("c_emb"), _DIM)
+    # vectorized re-rank (bit-exact fold; the unrolled expression tree
+    # leaves codegen at this node count — see functions.vectors)
+    from dungbeetle_spark.functions.vectors import pair_cosine_udf
+
+    cos = pair_cosine_udf(_DIM)(F.col("q_emb"), F.col("c_emb"))
     w = W.partitionBy("query_id").orderBy(F.desc("cs"), F.asc("neighbor_id"))
     return (
         cands.select("query_id", "neighbor_id", cos.alias("cs"))
@@ -335,31 +338,84 @@ def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = fan_out(_t(spark, sf_dir, "embeddings")["embeddings"]).select(
         "vec_id", "embedding"
     )
-    cent = (
+    # Assignment/probe ranking as a closure-broadcast numpy pass (same
+    # rationale + bit-compat argument as semdedup: the broadcast-join +
+    # window form sorts n×k rows per assignment and its unrolled cosine
+    # leaves codegen — measured 5.4 s at sf0.1, 1.5 s this way). Each
+    # row emits its rank-1 cluster, and query rows additionally their
+    # top-nprobe probe clusters; the probe/candidate/re-rank stages
+    # stay relational (that is the part whose plan carries the
+    # partition-pruning scale story).
+    cpd = (
         _t(spark, sf_dir, "embeddings")["embeddings"]
         .filter(
             (F.col("vec_id") >= _N_QUERIES) & (F.col("vec_id") < _N_QUERIES + _IVF_K)
         )
-        .select(F.col("vec_id").alias("cid"), F.col("embedding").alias("c_emb"))
+        .select("vec_id", "embedding")
+        .toPandas()
     )
-    cs_cent = cosine_similarity_fixed(F.col("embedding"), F.col("c_emb"), _DIM)
-    w_assign = W.partitionBy("vec_id").orderBy(F.desc("cs"), F.asc("cid"))
-    scored = (
-        e.join(F.broadcast(cent))
-        .select("vec_id", "embedding", "cid", cs_cent.alias("cs"))
-        .withColumn("rk", F.row_number().over(w_assign))
+    cids = cpd["vec_id"].to_numpy(dtype=np.int64)
+    cm = np.array(cpd["embedding"].tolist(), dtype=np.float64)
+    nc = np.zeros(len(cm))
+    for d in range(_DIM):  # sequential fold, matching the engines
+        nc = nc + cm[:, d] * cm[:, d]
+    nc_sqrt = np.sqrt(nc)
+
+    def _rank(m: "np.ndarray") -> "np.ndarray":
+        """(rows × dim) → centroid order per row by (cos DESC, cid ASC),
+        dimension-sequential fold (bit-identical to the oracle)."""
+        dots = np.zeros((len(m), len(cm)))
+        na = np.zeros(len(m))
+        for d in range(_DIM):
+            dots = dots + np.outer(m[:, d], cm[:, d])
+            na = na + m[:, d] * m[:, d]
+        cos = dots / (np.sqrt(na)[:, None] * nc_sqrt[None, :])
+        return np.lexsort((np.broadcast_to(cids, cos.shape), -cos), axis=1)
+
+    def _assign(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            m = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"],
+                    "embedding": pdf["embedding"],
+                    "cluster": cids[_rank(m)[:, 0]],
+                }
+            )
+
+    assign = e.mapInPandas(
+        _assign, "vec_id long, embedding array<float>, cluster long"
     )
-    assign = scored.filter(F.col("rk") == 1).select(
-        "vec_id", "embedding", F.col("cid").alias("cluster")
+    # Probes are the _N_QUERIES query vectors — a bounded driver-side
+    # pull (like the centroid matrix), ranked with the same fold, so
+    # the corpus-wide Python pass runs ONCE (probes as a branch of the
+    # assignment subtree would re-evaluate it per consumer).
+    qpd = (
+        _t(spark, sf_dir, "embeddings")["embeddings"]
+        .filter(F.col("vec_id") < _N_QUERIES)
+        .select("vec_id", "embedding")
+        .toPandas()
     )
-    probes = scored.filter(
-        (F.col("vec_id") < _N_QUERIES) & (F.col("rk") <= _IVF_NPROBE)
-    ).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("embedding").alias("q_emb"),
-        F.col("cid").alias("cluster"),
+    q_order = _rank(np.array(qpd["embedding"].tolist(), dtype=np.float64))
+    probes = spark.createDataFrame(
+        [
+            (int(qid), [float(x) for x in emb], int(cids[q_order[i, p]]))
+            for i, (qid, emb) in enumerate(
+                zip(qpd["vec_id"], qpd["embedding"])
+            )
+            for p in range(_IVF_NPROBE)
+        ],
+        "query_id long, q_emb array<float>, cluster long",
     )
-    cs_pair = cosine_similarity_fixed(F.col("q_emb"), F.col("embedding"), _DIM)
+    # Arrow-vectorized pair cosine for the candidate re-rank: the
+    # unrolled expression tree leaves codegen at this node count and
+    # evaluates interpreted per pair (see functions.vectors); the UDF
+    # is the same bit-exact fold, vectorized across the batch.
+    from dungbeetle_spark.functions.vectors import pair_cosine_udf
+
+    cs_pair = pair_cosine_udf(_DIM)(F.col("q_emb"), F.col("embedding"))
     w_rank = W.partitionBy("query_id").orderBy(F.desc("cs"), F.asc("neighbor_id"))
     return (
         assign.join(F.broadcast(probes), "cluster")
