@@ -74,10 +74,11 @@ DRIVER_PRIORITY: list[str] = [
     # new in r05 — never verified
     "repetition_stats",
     "semdedup",
-    # same-module neighbors of this round's similarity.py change
-    # (shared _signatures/_plane_matrix helpers) — re-window to prove
-    # no collateral drift
-    "ann_cosine_topk",
+    # same-module neighbors of this round's similarity.py change —
+    # re-window to prove no collateral drift (ann_ivf and the
+    # embedding-dedup failover changed directly; ann_cosine_topk's own
+    # code is untouched and green in r04, so it yields its slot to
+    # window_rank_family under the 50-entry cap)
     "ann_ivf",
     "dedup_embedding_cosine",
     # the one remaining rows-only-by-design query: keep its driver row

@@ -32,7 +32,6 @@ CHANGED_THIS_ROUND = [
     "multimodal_feature_stats",
     "sequence_pack",
     "ann_lsh_bucketed",
-    "ann_cosine_topk",
     "ann_ivf",
     "dedup_embedding_cosine",
 ]
