@@ -338,3 +338,17 @@ def test_semdedup_each_embedding_shuffles_once(spark, sf):
     # fan_out salt + cluster groupBy + final rollup, nothing more
     assert shuffle_exchanges(df) <= 3
     assert "FlatMapGroupsInPandas" in plan  # the blocked numpy sweep
+
+
+def test_ann_ivf_assignment_is_narrow_probe_join_broadcasts(spark, sf):
+    """ann_ivf: centroid assignment is a closure-broadcast Arrow pass
+    (MapInPandas — no join, no window sort over n×k rows); the only
+    join is the tiny probe table broadcast onto the assigned corpus;
+    re-rank pairs never sort-merge."""
+    df = _df(spark, sf, "ann_ivf")
+    plan = formatted_plan(df)
+    assert "MapInPandas" in plan
+    assert has_broadcast_join(df)
+    assert "SortMergeJoin" not in plan
+    # fan_out salt + (at most) re-rank window partitioning
+    assert shuffle_exchanges(df) <= 3
