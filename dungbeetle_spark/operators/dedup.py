@@ -619,3 +619,126 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("dup_of").isNotNull().alias("is_dup"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# exact duplicated-substring spans (Lee et al. 2021, window approximation)
+# ---------------------------------------------------------------------------
+
+_SPAN_L = 40  # window length (chars)
+_SPAN_PLANT_MOD = 7  # docs with doc_id % 7 == 0 get the planted passage
+_SPAN_FLAG_PERMILLE = 200  # flag docs whose dup coverage ≥ 20%
+# ≥ _SPAN_L chars shared verbatim across every planted doc, so the
+# machinery is exercised on guaranteed cross-doc repeats (the corpus
+# itself is synthetic — natural 40-char verbatim repeats are rare).
+_SPAN_PASSAGE = (
+    " standard boilerplate license header text that recurs verbatim and "
+    "unchanged across many crawled documents in this corpus"
+)
+
+
+@query(
+    "dedup_exact_substring",
+    oracle=f"""
+    WITH seeded AS (
+      SELECT doc_id,
+             text || CASE WHEN doc_id % {_SPAN_PLANT_MOD} = 0
+                          THEN '{_SPAN_PASSAGE}' ELSE '' END AS text
+      FROM documents),
+    wins AS (
+      SELECT doc_id, substr(text, i, {_SPAN_L}) AS w
+      FROM seeded,
+           unnest(range(1, greatest(length(text) - {_SPAN_L - 1}, 0) + 1))
+             AS u(i)),
+    docs_per AS (
+      SELECT w, COUNT(DISTINCT doc_id) AS nd FROM wins GROUP BY w),
+    agg AS (
+      SELECT doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_windows,
+             CAST(SUM(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_dup_windows
+      FROM wins JOIN docs_per USING (w) GROUP BY doc_id)
+    SELECT d.doc_id,
+           COALESCE(a.n_windows, 0) AS n_windows,
+           COALESCE(a.n_dup_windows, 0) AS n_dup_windows,
+           CASE WHEN COALESCE(a.n_windows, 0) > 0
+                THEN a.n_dup_windows * 1000 // a.n_windows
+                ELSE 0 END AS dup_permille,
+           CASE WHEN COALESCE(a.n_windows, 0) > 0
+                THEN a.n_dup_windows * 1000 // a.n_windows
+                ELSE 0 END >= {_SPAN_FLAG_PERMILLE} AS flagged
+    FROM documents d LEFT JOIN agg a USING (doc_id)
+    """,
+    doc=f"Exact duplicated-substring detection (the window form of "
+    "Lee et al. 2021's suffix-array substring dedup): every "
+    f"{_SPAN_L}-char window of every document, a window is 'duplicated'"
+    " if its exact text occurs in ≥2 distinct documents; per doc, the "
+    "duplicated-window coverage in integer permille and a flag at "
+    f"{_SPAN_FLAG_PERMILLE}‰. A shared boilerplate passage is planted "
+    f"on doc_id%{_SPAN_PLANT_MOD}==0 so cross-doc repeats are "
+    "guaranteed non-zero. All counts integer — hash-exact cross-engine.",
+)
+def dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index shape, like dedup_ngram_jaccard: windows explode
+    scan-side (one narrow pass, no pre-shuffle), the duplicate test is
+    a groupBy on the window's md5 (16-byte binary key — the shuffle
+    never carries the 40-char text), and the per-doc rollup reuses the
+    doc_id partitioning. Cost is linear in total characters; at 100 TB
+    the only superlinear risk is a pathologically hot window (billions
+    of copies of one string), which AQE skew-split absorbs because the
+    per-window aggregate is a pure count. A production variant strides
+    the window start (i % s == 0) for an s× scan discount at bounded
+    recall loss — kept at stride 1 here to stay exact vs the oracle."""
+    d = _t(spark, sf_dir, "documents")["documents"]
+    seeded = d.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % _SPAN_PLANT_MOD == 0,
+            F.concat(F.col("text"), F.lit(_SPAN_PASSAGE)),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    # windows as 16-byte md5 keys: the explode happens scan-side, the
+    # shuffle (groupBy h) carries binary(16), never the text.
+    wins = seeded.select(
+        "doc_id",
+        F.explode(
+            F.when(
+                F.length("text") >= _SPAN_L,
+                F.transform(
+                    F.sequence(F.lit(1), F.length("text") - (_SPAN_L - 1)),
+                    lambda i: F.unhex(
+                        F.md5(F.substring(F.col("text"), i, F.lit(_SPAN_L)))
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<binary>"))
+        ).alias("h"),
+    )
+    docs_per = wins.groupBy("h").agg(
+        F.count_distinct("doc_id").alias("nd")
+    )
+    agg = (
+        wins.join(docs_per, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_windows"),
+            F.sum(F.when(F.col("nd") >= 2, 1).otherwise(0)).alias("n_dup_windows"),
+        )
+    )
+    out = (
+        d.select("doc_id")
+        .join(agg, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_windows", F.lit(0)).alias("n_windows"),
+            F.coalesce("n_dup_windows", F.lit(0)).alias("n_dup_windows"),
+            F.when(
+                F.coalesce("n_windows", F.lit(0)) > 0,
+                F.expr("n_dup_windows * 1000 div n_windows"),
+            )
+            .otherwise(F.lit(0).cast("long"))
+            .alias("dup_permille"),
+        )
+    )
+    return out.withColumn("flagged", F.col("dup_permille") >= _SPAN_FLAG_PERMILLE)

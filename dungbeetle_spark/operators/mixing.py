@@ -23,6 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from dungbeetle_spark.functions.texts import md5_hash60_sql
 from dungbeetle_spark.queries import _t, query
 from dungbeetle_spark.sources.catalog import fan_out
 
@@ -384,5 +385,137 @@ def token_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_docs"),
             F.min("n_tokens").cast("long").alias("min_tokens"),
             F.max("n_tokens").cast("long").alias("max_tokens"),
+        )
+    )
+
+
+# -- DSIR-style hashed importance weights -----------------------------------
+
+_DSIR_B = 256  # hashed feature buckets
+_DSIR_TARGET_LANG = "en"  # the fixture's "target distribution" split
+_DSIR_SCALE = 1_000_000  # importance ratios in integer micros
+
+
+@query(
+    "dsir_importance_weights",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, lang,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                         x -> x <> '') AS t
+      FROM documents),
+    grams AS (
+      SELECT doc_id, lang,
+             {md5_hash60_sql("t[i] || ' ' || t[i+1]")} % {_DSIR_B} AS b
+      FROM toks, unnest(range(1, greatest(len(t) - 1, 0) + 1)) AS u(i)),
+    r AS (SELECT b, COUNT(*) AS r_cnt FROM grams GROUP BY b),
+    tc AS (SELECT b, COUNT(*) AS t_cnt FROM grams
+           WHERE lang = '{_DSIR_TARGET_LANG}' GROUP BY b),
+    tot AS (SELECT (SELECT COUNT(*) FROM grams) AS r_tot,
+                   (SELECT COUNT(*) FROM grams
+                    WHERE lang = '{_DSIR_TARGET_LANG}') AS t_tot),
+    w AS (
+      SELECT r.b,
+             ((COALESCE(tc.t_cnt, 0) + 1) * (tot.r_tot + {_DSIR_B})
+              * {_DSIR_SCALE})
+               // ((tot.t_tot + {_DSIR_B}) * (r.r_cnt + 1)) AS w_micros
+      FROM r LEFT JOIN tc USING (b) CROSS JOIN tot),
+    doc AS (
+      SELECT g.doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+             CAST(SUM(w.w_micros) // COUNT(*) AS BIGINT) AS mean_w_micros
+      FROM grams g JOIN w USING (b) GROUP BY g.doc_id)
+    SELECT d.doc_id, d.lang,
+           COALESCE(doc.n_bigrams, 0) AS n_bigrams,
+           COALESCE(doc.mean_w_micros, 0) AS mean_w_micros,
+           COALESCE(doc.mean_w_micros, 0) >= {_DSIR_SCALE} AS selected
+    FROM documents d LEFT JOIN doc USING (doc_id)
+    """,
+    doc=f"DSIR-style data selection (Xie et al. 2023, Data Selection "
+    "via Importance Resampling): documents scored by hashed-bigram "
+    f"importance — bigrams hash into {_DSIR_B} buckets, each bucket's "
+    "weight is the add-one-smoothed ratio of its probability under "
+    f"the target split (lang='{_DSIR_TARGET_LANG}') vs the raw corpus, "
+    "and a document's score is the mean bucket weight over its bigram "
+    "occurrences. Linear-domain variant: the paper sums log-ratios, "
+    "but ln() is libm-dependent — mean-of-ratios keeps every value "
+    "exact integer micros, bit-identical cross-engine (ranking is "
+    "order-isomorphic for the selection cut). selected = score above "
+    "corpus-neutral (ratio ≥ 1).",
+)
+def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: the bucket-weight table is ≤256 rows at ANY corpus
+    size — built with two map-side-combined aggregates (256-key
+    shuffles of partial counts) and **broadcast** back for the
+    per-gram scoring join; the corpus shuffles once, keyed on doc_id,
+    for the final mean. Bigramming is JVM transform inside codegen;
+    no Python anywhere. Integer products stay under 2^63 for corpora
+    up to ~1e12 bigram occurrences; past that, widen the weight
+    arithmetic to decimal(38,0) (same expressions)."""
+    from dungbeetle_spark.functions.texts import md5_hash60
+
+    d = _t(spark, sf_dir, "documents")["documents"]
+    toks = F.filter(
+        F.split(F.lower(F.col("text")), r"[^a-z0-9]+"), lambda x: x != ""
+    )
+    tdf = fan_out(d.select("doc_id", "lang", "text")).select(
+        "doc_id", "lang", toks.alias("t")
+    )
+    gram = F.transform(
+        F.sequence(F.lit(1), F.size("t") - 1),
+        lambda i: F.concat(
+            F.element_at(F.col("t"), i), F.lit(" "), F.element_at(F.col("t"), i + 1)
+        ),
+    )
+    grams = tdf.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.when(F.size("t") >= 2, gram).otherwise(F.array().cast("array<string>"))
+        ).alias("g"),
+    ).select("doc_id", "lang", (md5_hash60(F.col("g")) % _DSIR_B).alias("b"))
+    r = grams.groupBy("b").agg(F.count(F.lit(1)).alias("r_cnt"))
+    tc = (
+        grams.filter(F.col("lang") == _DSIR_TARGET_LANG)
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).alias("t_cnt"))
+    )
+    tot = grams.agg(
+        F.count(F.lit(1)).alias("r_tot"),
+        F.count(F.when(F.col("lang") == _DSIR_TARGET_LANG, 1)).alias("t_tot"),
+    )
+    w = (
+        r.join(tc, "b", "left")
+        .join(F.broadcast(tot))
+        .select(
+            "b",
+            F.expr(
+                f"((coalesce(t_cnt, 0) + 1) * (r_tot + {_DSIR_B})"
+                f" * {_DSIR_SCALE})"
+                f" div ((t_tot + {_DSIR_B}) * (r_cnt + 1))"
+            ).alias("w_micros"),
+        )
+    )
+    doc = (
+        grams.join(F.broadcast(w), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.expr("sum(w_micros) div count(*)").alias("mean_w_micros"),
+        )
+    )
+    return (
+        d.select("doc_id", "lang")
+        .join(doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            "lang",
+            F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
+            F.coalesce("mean_w_micros", F.lit(0).cast("long")).alias(
+                "mean_w_micros"
+            ),
+            (F.coalesce("mean_w_micros", F.lit(0).cast("long")) >= _DSIR_SCALE).alias(
+                "selected"
+            ),
         )
     )

@@ -590,3 +590,173 @@ def semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max("cs"), 6).alias("max_cos"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# k-means (Lloyd) — iterative distributed clustering, fixed-point exact
+# ---------------------------------------------------------------------------
+
+_KM_SCALE = 1_000_000  # micro quantization: floor((x + offset) * scale)
+_KM_OFFSET = 2.0  # shifts every fixture component positive (range ±0.58)
+
+
+def _km_quant(mat: "np.ndarray") -> "np.ndarray":
+    """Micro-quantize a (rows × dim) float64 matrix to int64:
+    ``floor((x + 2) * 1e6)``. Float32→float64 widening, the add, the
+    multiply, and the floor are all single IEEE-754 operations, so
+    Spark, numpy, and DuckDB produce bit-identical integers — every
+    downstream distance and centroid mean is then EXACT int arithmetic
+    with no fold-order sensitivity anywhere. The +2 offset keeps all
+    values positive so truncating and flooring division agree across
+    engines (differences cancel in distances)."""
+    return np.floor((mat + _KM_OFFSET) * _KM_SCALE).astype(np.int64)
+
+
+def _km_assign(m: "np.ndarray", cents: "np.ndarray", cids: "np.ndarray"):
+    """Nearest centroid per row by exact integer squared L2 distance,
+    ties to the lowest centroid id (cids ascending → argmin's
+    first-minimum rule IS the tiebreak). Returns (index array, min
+    dist² array) — int64 throughout, max value ~8e13, no overflow."""
+    d2 = np.empty((len(m), len(cents)), dtype=np.int64)
+    for j in range(len(cents)):
+        diff = m - cents[j]
+        d2[:, j] = (diff * diff).sum(axis=1)
+    idx = np.argmin(d2, axis=1)
+    return idx, d2[np.arange(len(m)), idx]
+
+
+@query(
+    "kmeans_clusters",
+    oracle=f"""
+    WITH mic AS (
+      SELECT vec_id,
+             list_transform(CAST(embedding AS DOUBLE[]),
+                            x -> CAST(floor((x + {_KM_OFFSET}) * {_KM_SCALE})
+                                      AS BIGINT)) AS m
+      FROM embeddings),
+    dims AS (
+      SELECT vec_id, i, m[i] AS v
+      FROM mic, unnest(range(1, {_DIM + 1})) AS u(i)),
+    seedd AS (
+      SELECT vec_id - {_N_QUERIES} AS cid, i, v
+      FROM dims WHERE vec_id >= {_N_QUERIES} AND vec_id < {_N_QUERIES + _IVF_K}),
+    d1 AS (
+      SELECT d.vec_id, s.cid, SUM((d.v - s.v) * (d.v - s.v)) AS dist2
+      FROM dims d JOIN seedd s USING (i) GROUP BY 1, 2),
+    a1 AS (
+      SELECT vec_id, cid AS c1 FROM (
+        SELECT vec_id, cid,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY dist2, cid) AS rk
+        FROM d1) WHERE rk = 1),
+    cent1 AS (
+      SELECT a.c1 AS cid, d.i, SUM(d.v) // COUNT(*) AS v
+      FROM a1 a JOIN dims d USING (vec_id) GROUP BY 1, 2),
+    d2 AS (
+      SELECT d.vec_id, c.cid, SUM((d.v - c.v) * (d.v - c.v)) AS dist2
+      FROM dims d JOIN cent1 c USING (i) GROUP BY 1, 2),
+    a2 AS (
+      SELECT vec_id, cid AS c2, dist2 FROM (
+        SELECT vec_id, cid, dist2,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY dist2, cid) AS rk
+        FROM d2) WHERE rk = 1)
+    SELECT a1.vec_id, a1.c1 AS cluster_seed, a2.c2 AS cluster_final,
+           a1.c1 <> a2.c2 AS moved,
+           CAST(a2.dist2 AS BIGINT) AS dist2_final
+    FROM a1 JOIN a2 USING (vec_id)
+    """,
+    doc=f"Distributed k-means (Lloyd 1982), k={_IVF_K}, one full "
+    "update from the deterministic seed centroids (the ann_ivf seed "
+    "vectors): assign → recompute centroids as per-cluster per-dim "
+    "means → reassign. Vectors are micro-quantized (floor((x+2)·1e6)) "
+    "so every distance and centroid mean is EXACT int64/decimal "
+    "arithmetic — bit-identical across Spark, numpy, and the DuckDB "
+    "oracle, which replays both assignment rounds relationally. Emits "
+    "per vector: seed-round cluster, final cluster, whether it moved, "
+    "and its final squared distance.",
+)
+def kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each Lloyd iteration is ONE corpus scan: centroids ride to the
+    tasks in the closure (kilobytes at any scale), per-partition numpy
+    assigns in exact int64, and the centroid update aggregates 8×64
+    decimal sums with map-side combine — the shuffle between
+    iterations is 8 rows wide. No caching: at 100 TB re-scanning
+    parquet per iteration beats pinning the corpus in memory, and the
+    scan is embarrassingly parallel. Python (not JVM expressions)
+    because an unrolled 8-centroid × 64-dim distance tree leaves
+    whole-stage codegen (same measured rationale as ann_ivf's
+    closure assignment); Arrow batches keep the transfer columnar."""
+    e = _t(spark, sf_dir, "embeddings")["embeddings"]
+    spd = (
+        e.filter(
+            (F.col("vec_id") >= _N_QUERIES) & (F.col("vec_id") < _N_QUERIES + _IVF_K)
+        )
+        .select("vec_id", "embedding")
+        .toPandas()
+        .sort_values("vec_id")
+    )
+    seed_cids = (spd["vec_id"].to_numpy(dtype=np.int64)) - _N_QUERIES
+    seed_m = _km_quant(np.array(spd["embedding"].tolist(), dtype=np.float64))
+
+    def _p1(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            m = _km_quant(np.array(pdf["embedding"].tolist(), dtype=np.float64))
+            i1, _ = _km_assign(m, seed_m, seed_cids)
+            yield pd.DataFrame({"cluster_seed": seed_cids[i1], "m": m.tolist()})
+
+    assigned = fan_out(e.select("embedding")).mapInPandas(
+        _p1, "cluster_seed long, m array<long>"
+    )
+    # Centroid update: decimal(38,0) sums are overflow-proof at any
+    # corpus size and exact (integer micros), map-side combined into
+    # an 8-row shuffle.
+    sums = assigned.groupBy("cluster_seed").agg(
+        F.count(F.lit(1)).alias("n"),
+        *[
+            F.sum(F.element_at(F.col("m"), d + 1).cast("decimal(38,0)")).alias(
+                f"s{d}"
+            )
+            for d in range(_DIM)
+        ],
+    )
+    rows = sorted(sums.collect(), key=lambda r: r["cluster_seed"])
+    cent_cids = np.array([r["cluster_seed"] for r in rows], dtype=np.int64)
+    # positive ints: Python floor division == DuckDB/Spark truncation
+    cent_m = np.array(
+        [[int(r[f"s{d}"]) // r["n"] for d in range(_DIM)] for r in rows],
+        dtype=np.int64,
+    )
+
+    def _p2(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            m = _km_quant(np.array(pdf["embedding"].tolist(), dtype=np.float64))
+            i1, _ = _km_assign(m, seed_m, seed_cids)
+            i2, d2 = _km_assign(m, cent_m, cent_cids)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"],
+                    "cluster_seed": seed_cids[i1],
+                    "cluster_final": cent_cids[i2],
+                    "dist2_final": d2,
+                }
+            )
+
+    return (
+        fan_out(e.select("vec_id", "embedding"))
+        .mapInPandas(
+            _p2,
+            "vec_id long, cluster_seed long, cluster_final long, dist2_final long",
+        )
+        .select(
+            "vec_id",
+            "cluster_seed",
+            "cluster_final",
+            (F.col("cluster_seed") != F.col("cluster_final")).alias("moved"),
+            "dist2_final",
+        )
+    )

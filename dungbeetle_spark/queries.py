@@ -74,6 +74,10 @@ DRIVER_PRIORITY: list[str] = [
     # new in r05 — never verified
     "repetition_stats",
     "semdedup",
+    "kmeans_clusters",
+    "dedup_exact_substring",
+    "dsir_importance_weights",
+    "quality_filter_funnel",
     # same-module neighbors of this round's similarity.py change —
     # re-window to prove no collateral drift (ann_ivf and the
     # embedding-dedup failover changed directly; ann_cosine_topk's own
@@ -121,10 +125,10 @@ DRIVER_PRIORITY: list[str] = [
     "text_stats",
     "tfidf_top_terms",
     "top_events_per_user",
-    "udaf_median_value",
-    "user_activity_stats",
-    "user_event_sequence",
-    "window_rank_family",
+    # displaced by the four new-in-r05 operators (new > stale under the
+    # rotation rule): udaf_median_value, user_activity_stats,
+    # user_event_sequence, window_rank_family — all r03-green with
+    # unchanged code; they head the r06 rotation.
 ]
 
 

@@ -352,3 +352,51 @@ def test_ann_ivf_assignment_is_narrow_probe_join_broadcasts(spark, sf):
     assert "SortMergeJoin" not in plan
     # fan_out salt + (at most) re-rank window partitioning
     assert shuffle_exchanges(df) <= 3
+
+
+def test_quality_filter_funnel_is_shuffle_free_narrow_scan(spark, sf):
+    """quality_filter_funnel: verdicts are pure codegen column
+    expressions — no shuffle beyond the fan_out salt, no join, and the
+    scan reads only (doc_id, lang, text)."""
+    df = _df(spark, sf, "quality_filter_funnel")
+    plan = formatted_plan(df)
+    assert "Join" not in plan
+    assert shuffle_exchanges(df) == 1  # the fan_out salt only
+    assert scan_schemas(df) == ["struct<doc_id:bigint,text:string,lang:string>"]
+
+
+def test_dsir_weight_table_broadcasts_corpus_shuffles_by_doc(spark, sf):
+    """dsir_importance_weights: the ≤256-row bucket-weight table and
+    the 1-row totals broadcast; the ONLY sort-merge allowed is the
+    final doc_id-keyed completion join (corpus-sized on both sides —
+    the correct shuffle join at any scale), so the corpus crosses the
+    wire for keyed work, never for the scoring join."""
+    df = _df(spark, sf, "dsir_importance_weights")
+    plan = formatted_plan(df)
+    assert has_broadcast_join(df)
+    smj_nodes = re.findall(r"^\(\d+\) SortMergeJoin", plan, re.M)
+    assert len(smj_nodes) <= 1
+    assert has_partial_aggregate(df)
+
+
+def test_kmeans_iterations_are_narrow_python_passes(spark, sf):
+    """kmeans_clusters: centroids ride the closure — the per-vector
+    output plan has NO join and no shuffle at all beyond the fan_out
+    salt; assignment is one MapInPandas pass."""
+    df = _df(spark, sf, "kmeans_clusters")
+    plan = formatted_plan(df)
+    assert "MapInPandas" in plan
+    assert "Join" not in plan
+    assert shuffle_exchanges(df) == 1  # the fan_out salt only
+
+
+def test_exact_substring_shuffles_hashes_not_text(spark, sf):
+    """dedup_exact_substring: the duplicate test groups on the
+    16-byte window md5 — the exploded text windows themselves never
+    leave the map side; per-doc rollup is the second keyed shuffle."""
+    df = _df(spark, sf, "dedup_exact_substring")
+    plan = formatted_plan(df)
+    assert has_partial_aggregate(df)
+    # window text must not appear in any exchange-side schema: the
+    # join keys are the binary hash h and doc_id
+    assert "SortMergeJoin" not in plan or "h#" in plan

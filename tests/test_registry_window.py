@@ -26,6 +26,10 @@ NEVER_VERIFIED = ["sketch_user_stats"]
 CHANGED_THIS_ROUND = [
     "repetition_stats",  # new in r05
     "semdedup",  # new in r05
+    "kmeans_clusters",  # new in r05
+    "dedup_exact_substring",  # new in r05
+    "dsir_importance_weights",  # new in r05
+    "quality_filter_funnel",  # new in r05
     "q12_shipping_delay",
     "dedup_minhash_lsh",
     "dedup_simhash",
