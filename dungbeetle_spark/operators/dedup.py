@@ -742,3 +742,84 @@ def dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return out.withColumn("flagged", F.col("dup_permille") >= _SPAN_FLAG_PERMILLE)
+
+
+# ---------------------------------------------------------------------------
+# fuzzy entity matching — blocked edit-distance join (record linkage)
+# ---------------------------------------------------------------------------
+
+_FUZZ_MAX_DIST = 1
+
+
+@query(
+    "fuzzy_join_customers",
+    oracle=f"""
+    SELECT a.c_custkey AS custkey_a, b.c_custkey AS custkey_b,
+           CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist
+    FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
+    WHERE levenshtein(a.c_name, b.c_name) <= {_FUZZ_MAX_DIST}
+    """,
+    doc=f"Fuzzy entity matching: customer-name pairs within Levenshtein "
+    f"distance {_FUZZ_MAX_DIST} (record linkage / entity resolution). "
+    "The oracle runs the O(n²) edit-distance join directly; the engine "
+    "runs the SCALE plan — neighborhood blocking: each name emits its "
+    "substitution-wildcard and deletion variants (2L keys, linear in "
+    "the corpus), candidate pairs are an equi-join on the variant, and "
+    "exact levenshtein verifies. Identical result set, Σ|block|² cost "
+    "instead of n².",
+)
+def fuzzy_join_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The deletion-neighborhood trick (Levenshtein-automata style):
+    two strings are within edit distance 1 iff they share a variant
+    where one position is wildcarded (substitution) or deleted
+    (insert/delete). Variants explode scan-side inside codegen; the
+    equi-join keys the shuffle on the variant's 16-byte md5 — never a
+    cross join, and AQE skew-split absorbs any pathological block.
+    Exact ``levenshtein`` (JVM codegen) then removes false candidates,
+    and pairs dedupe on (a, b). At 100 TB this is the only
+    edit-distance join shape that survives: candidates scale with
+    Σ|block|², and block sizes are bounded by how many real-world
+    strings share a 1-error neighborhood."""
+    c = _t(spark, sf_dir, "customer")["customer"].select("c_custkey", "c_name")
+    n = F.col("c_name")
+    sub_variants = F.transform(
+        F.sequence(F.lit(1), F.length(n)),
+        lambda i: F.concat(
+            F.substring(n, F.lit(1), i - 1),
+            F.lit("*"),
+            F.substring(n, i + 1, F.length(n)),
+        ),
+    )
+    del_variants = F.transform(
+        F.sequence(F.lit(1), F.length(n)),
+        lambda i: F.concat(
+            F.substring(n, F.lit(1), i - 1), F.substring(n, i + 1, F.length(n))
+        ),
+    )
+    blocked = fan_out(c).select(
+        "c_custkey",
+        "c_name",
+        F.explode(F.concat(sub_variants, del_variants)).alias("v"),
+    ).select("c_custkey", "c_name", F.unhex(F.md5("v")).alias("bk"))
+    a = blocked.select(
+        F.col("c_custkey").alias("custkey_a"),
+        F.col("c_name").alias("name_a"),
+        "bk",
+    )
+    b = blocked.select(
+        F.col("c_custkey").alias("custkey_b"),
+        F.col("c_name").alias("name_b"),
+        "bk",
+    )
+    return (
+        a.join(b, "bk")
+        .filter(F.col("custkey_a") < F.col("custkey_b"))
+        .select("custkey_a", "custkey_b", "name_a", "name_b")
+        .distinct()
+        .filter(F.levenshtein("name_a", "name_b") <= _FUZZ_MAX_DIST)
+        .select(
+            "custkey_a",
+            "custkey_b",
+            F.levenshtein("name_a", "name_b").cast("long").alias("dist"),
+        )
+    )

@@ -78,6 +78,7 @@ DRIVER_PRIORITY: list[str] = [
     "dedup_exact_substring",
     "dsir_importance_weights",
     "quality_filter_funnel",
+    "fuzzy_join_customers",
     # same-module neighbors of this round's similarity.py change —
     # re-window to prove no collateral drift (ann_ivf and the
     # embedding-dedup failover changed directly; ann_cosine_topk's own
@@ -124,11 +125,10 @@ DRIVER_PRIORITY: list[str] = [
     "stratified_sample",
     "text_stats",
     "tfidf_top_terms",
-    "top_events_per_user",
-    # displaced by the four new-in-r05 operators (new > stale under the
-    # rotation rule): udaf_median_value, user_activity_stats,
-    # user_event_sequence, window_rank_family — all r03-green with
-    # unchanged code; they head the r06 rotation.
+    # displaced by the five new-in-r05 operators (new > stale under the
+    # rotation rule): top_events_per_user, udaf_median_value,
+    # user_activity_stats, user_event_sequence, window_rank_family —
+    # all r03-green with unchanged code; they head the r06 rotation.
 ]
 
 

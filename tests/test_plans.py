@@ -400,3 +400,14 @@ def test_exact_substring_shuffles_hashes_not_text(spark, sf):
     # window text must not appear in any exchange-side schema: the
     # join keys are the binary hash h and doc_id
     assert "SortMergeJoin" not in plan or "h#" in plan
+
+
+def test_fuzzy_join_blocks_never_cross_join(spark, sf):
+    """fuzzy_join_customers: candidates come from the variant-key
+    equi-join — no cartesian/nested-loop anywhere, the variant explode
+    stays scan-side, and the shuffle keys on the 16-byte block md5."""
+    df = _df(spark, sf, "fuzzy_join_customers")
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Generate" in plan  # the variant explode

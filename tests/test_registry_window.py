@@ -30,6 +30,7 @@ CHANGED_THIS_ROUND = [
     "dedup_exact_substring",  # new in r05
     "dsir_importance_weights",  # new in r05
     "quality_filter_funnel",  # new in r05
+    "fuzzy_join_customers",  # new in r05
     "q12_shipping_delay",
     "dedup_minhash_lsh",
     "dedup_simhash",
