@@ -44,6 +44,13 @@ HEADLINE = [
     "dedup_embedding_cosine",
     "decontamination",
     "funnel_conversion",
+    # r05 additions: iterative clustering, substring dedup, importance
+    # weighting, codegen funnel, blocked edit-distance join
+    "kmeans_clusters",
+    "dedup_exact_substring",
+    "dsir_importance_weights",
+    "quality_filter_funnel",
+    "fuzzy_join_customers",
 ]
 
 # Host-drift canary (ADVICE r04: one hardcoded-anchor query is noisy

@@ -474,23 +474,24 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.size("t") >= 2, gram).otherwise(F.array().cast("array<string>"))
         ).alias("g"),
     ).select("doc_id", "lang", (md5_hash60(F.col("g")) % _DSIR_B).alias("b"))
-    r = grams.groupBy("b").agg(F.count(F.lit(1)).alias("r_cnt"))
-    tc = (
-        grams.filter(F.col("lang") == _DSIR_TARGET_LANG)
-        .groupBy("b")
-        .agg(F.count(F.lit(1)).alias("t_cnt"))
+    # Raw + target bucket counts in ONE conditional aggregate (a
+    # separate r/tc/tot trio re-evaluated the tokenize+explode subtree
+    # per consumer — 4 corpus passes; this is 2: counts + scoring).
+    # The totals re-aggregate the ≤256-row count table, never the
+    # corpus (same re-aggregation rule as q11/q15).
+    counts = grams.groupBy("b").agg(
+        F.count(F.lit(1)).alias("r_cnt"),
+        F.count(F.when(F.col("lang") == _DSIR_TARGET_LANG, 1)).alias("t_cnt"),
     )
-    tot = grams.agg(
-        F.count(F.lit(1)).alias("r_tot"),
-        F.count(F.when(F.col("lang") == _DSIR_TARGET_LANG, 1)).alias("t_tot"),
+    tot = counts.agg(
+        F.sum("r_cnt").alias("r_tot"), F.sum("t_cnt").alias("t_tot")
     )
     w = (
-        r.join(tc, "b", "left")
-        .join(F.broadcast(tot))
+        counts.join(F.broadcast(tot))
         .select(
             "b",
             F.expr(
-                f"((coalesce(t_cnt, 0) + 1) * (r_tot + {_DSIR_B})"
+                f"((t_cnt + 1) * (r_tot + {_DSIR_B})"
                 f" * {_DSIR_SCALE})"
                 f" div ((t_tot + {_DSIR_B}) * (r_cnt + 1))"
             ).alias("w_micros"),

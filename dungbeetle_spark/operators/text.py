@@ -501,9 +501,10 @@ _QF_STOPWORDS = ("the", "a", "is", "of")
 _QF_MIN_STOP = 2
 
 
-@query(
-    "quality_filter_funnel",
-    oracle=f"""
+# Shared by the batch query below and streaming_quality_filter
+# (streaming/windows.py): the drained stream must equal the batch
+# verdicts row-for-row, so both check against the same SQL.
+_QF_ORACLE = f"""
     WITH s AS (
       SELECT doc_id, lang, length(text) AS nc,
              CASE WHEN trim(text) = '' THEN 0
@@ -527,7 +528,12 @@ _QF_MIN_STOP = 2
     SELECT doc_id, lang, CAST(nw AS BIGINT) AS n_words, reason,
            reason = 'kept' AS keep
     FROM verdict
-    """,
+    """
+
+
+@query(
+    "quality_filter_funnel",
+    oracle=_QF_ORACLE,
     doc="Quality-filter funnel: the composed keep/drop pass a curation "
     "pipeline runs before training ingest — four heuristics in fixed "
     f"precedence (word count < {_QF_MIN_WORDS} → too_short; chars > "
@@ -542,8 +548,16 @@ def quality_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same projected stats, the CASE chain collapses to a single
     whole-stage-codegen stage, and there is NO shuffle at any scale —
     verdicts are embarrassingly parallel. Downstream counts-by-reason
-    aggregate map-side."""
-    d = fan_out(_t(spark, sf_dir, "documents")["documents"])
+    aggregate map-side. The verdict expressions are shared verbatim
+    with the streaming path (streaming/windows.py
+    streaming_quality_filter) — one rule set, batch and stream."""
+    return funnel_verdicts(fan_out(_t(spark, sf_dir, "documents")["documents"]))
+
+
+def funnel_verdicts(d: DataFrame) -> DataFrame:
+    """The funnel's verdict columns over any (doc_id, lang, text)
+    DataFrame — batch or streaming (every expression is stateless
+    codegen, so the same plan fragment serves both)."""
     text = F.col("text")
     squashed = F.regexp_replace(text, r"\s+", " ")
     toks = F.filter(F.split(F.lower(text), r"[^a-z0-9]+"), lambda x: x != "")

@@ -162,3 +162,19 @@ def drain_to_df(agg: DataFrame, name: str, output_mode: str) -> DataFrame:
     if not os.path.isdir(data_dir):  # no batch produced rows
         return spark.createDataFrame([], agg.schema)
     return spark.read.parquet(data_dir)
+
+
+def stream_table(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    """Any fixture table as an unbounded file-source DataFrame (no
+    timestamp normalization — use :func:`stream_events` for ``events``).
+    Bound to the tuned streaming clone like every other stream here."""
+    sess = streaming_session(spark)
+    key = f"{sf_dir}:{table}"
+    with _DIR_LOCK:
+        src_dir = _SRC_DIRS.get(key)
+        if src_dir is None:
+            src_dir = tempfile.mkdtemp(prefix="dungbeetle_stream_src_")
+            os.symlink(f"{sf_dir}/{table}.parquet", f"{src_dir}/{table}.parquet")
+            _SRC_DIRS[key] = src_dir
+    schema = sess.read.parquet(f"{sf_dir}/{table}.parquet").schema
+    return sess.readStream.schema(schema).parquet(src_dir)

@@ -62,3 +62,26 @@ def windowed_event_counts(
 )
 def streaming_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return windowed_event_counts(spark, sf_dir)
+
+
+from dungbeetle_spark.operators.text import _QF_ORACLE
+
+
+@query(
+    "streaming_quality_filter",
+    oracle=_QF_ORACLE,  # the batch funnel's oracle, verbatim
+    doc="Streaming quality filter: the SAME verdict expressions as the "
+    "batch quality_filter_funnel (operators/text.funnel_verdicts) "
+    "applied to a document stream — stateless codegen projection, so "
+    "no watermark and no state store; append-mode foreachBatch lands "
+    "verdicts as parquet micro-batch by micro-batch. The drained "
+    "stream equals the batch verdicts row-for-row, checked against "
+    "the identical SQL oracle — the unified batch/stream API story in "
+    "one query.",
+)
+def streaming_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dungbeetle_spark.operators.text import funnel_verdicts
+    from dungbeetle_spark.streaming.source import stream_table
+
+    stream = stream_table(spark, sf_dir, "documents")
+    return drain_to_df(funnel_verdicts(stream), "stream_quality_filter", "append")

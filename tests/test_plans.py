@@ -390,16 +390,19 @@ def test_kmeans_iterations_are_narrow_python_passes(spark, sf):
     assert shuffle_exchanges(df) == 1  # the fan_out salt only
 
 
-def test_exact_substring_shuffles_hashes_not_text(spark, sf):
-    """dedup_exact_substring: the duplicate test groups on the
-    16-byte window md5 — the exploded text windows themselves never
-    leave the map side; per-doc rollup is the second keyed shuffle."""
+def test_exact_substring_single_hash_pass_no_similarity_join(spark, sf):
+    """dedup_exact_substring: the duplicate test is a min≠max window
+    over the 16-byte md5 partition — each position row shuffles ONCE
+    on the hash (never the 40-char text), there is no similarity join
+    at all (the only join is the doc_id completion join), and the
+    explode+md5 subtree is evaluated exactly once."""
     df = _df(spark, sf, "dedup_exact_substring")
     plan = formatted_plan(df)
+    assert len(re.findall(r"^\(\d+\) Window", plan, re.M)) == 1
+    joins = re.findall(r"^\(\d+\) \w*Join\w*", plan, re.M)
+    assert len(joins) <= 1, joins  # the doc_id completion join only
+    assert len(re.findall(r"^\(\d+\) Generate", plan, re.M)) == 1  # one explode
     assert has_partial_aggregate(df)
-    # window text must not appear in any exchange-side schema: the
-    # join keys are the binary hash h and doc_id
-    assert "SortMergeJoin" not in plan or "h#" in plan
 
 
 def test_fuzzy_join_blocks_never_cross_join(spark, sf):

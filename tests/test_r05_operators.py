@@ -1,0 +1,83 @@
+"""Non-hollowness invariants for the round-5 operators.
+
+Value correctness is covered by test_queries_oracle.py (all five are
+fully oracle-backed); these pin what a value-match alone can't see —
+that each operator's discriminating machinery actually FIRES on the
+fixture (the hollow-check lesson from multimodal_feature_stats r04):
+k-means actually moves vectors between rounds, the planted boilerplate
+actually flags substring dups, DSIR actually prefers the target
+language, every funnel rule actually drops documents, and the blocked
+fuzzy join actually finds distance-1 (not just distance-0) pairs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from dungbeetle_spark.queries import registry
+
+SPECS = registry()
+
+
+def _rows(spark, sf_oracle, name):
+    return SPECS[name].build(spark, sf_oracle).collect()
+
+
+def test_kmeans_iteration_moves_vectors_and_fills_clusters(spark, sf_oracle):
+    rows = _rows(spark, sf_oracle, "kmeans_clusters")
+    moved = sum(1 for r in rows if r.moved)
+    assert 0 < moved < len(rows), "the Lloyd update must reassign SOME vectors"
+    finals = {r.cluster_final for r in rows}
+    assert finals == set(range(8)), "all 8 centroids keep members"
+    assert all(r.dist2_final >= 0 for r in rows)
+
+
+def test_exact_substring_flags_planted_boilerplate(spark, sf_oracle):
+    rows = {r.doc_id: r for r in _rows(spark, sf_oracle, "dedup_exact_substring")}
+    planted = [r for d, r in rows.items() if d % 7 == 0]
+    unplanted = [r for d, r in rows.items() if d % 7 != 0]
+    # every planted doc carries duplicated windows (the shared passage)
+    assert all(r.n_dup_windows > 0 for r in planted)
+    # and the passage dominates short docs: most planted docs flag
+    assert sum(1 for r in planted if r.flagged) > len(planted) * 0.5
+    # natural (unplanted) dups exist but flag far less often
+    plant_rate = sum(r.flagged for r in planted) / len(planted)
+    nat_rate = sum(r.flagged for r in unplanted) / len(unplanted)
+    assert nat_rate < plant_rate
+
+
+def test_dsir_prefers_target_language(spark, sf_oracle):
+    rows = _rows(spark, sf_oracle, "dsir_importance_weights")
+    en = [r for r in rows if r.lang == "en"]
+    other = [r for r in rows if r.lang != "en"]
+    en_rate = sum(r.selected for r in en) / len(en)
+    other_rate = sum(r.selected for r in other) / len(other)
+    assert en_rate > 2 * other_rate, (en_rate, other_rate)
+
+
+def test_funnel_every_rule_fires_and_reasons_partition(spark, sf_oracle):
+    rows = _rows(spark, sf_oracle, "quality_filter_funnel")
+    reasons = {r.reason for r in rows}
+    assert reasons == {
+        "kept",
+        "too_short",
+        "too_long",
+        "word_length",
+        "low_stopword",
+    }, "every rule (and the kept path) must fire on the fixture"
+    # keep is exactly reason == 'kept' — verdicts partition
+    assert all(r.keep == (r.reason == "kept") for r in rows)
+    # low_stopword is en-only by construction
+    assert all(r.lang == "en" for r in rows if r.reason == "low_stopword")
+
+
+def test_fuzzy_join_finds_distance_one_pairs_only(spark, sf_oracle):
+    rows = _rows(spark, sf_oracle, "fuzzy_join_customers")
+    assert rows, "blocked join must surface candidate pairs"
+    # names are unique, so distance 0 is impossible and the threshold
+    # caps at 1: every pair the blocks surface is a REAL fuzzy match
+    assert all(r.dist == 1 for r in rows)
+    # symmetric dedup held: (a, b) appears once, always a < b
+    keys = [(r.custkey_a, r.custkey_b) for r in rows]
+    assert len(keys) == len(set(keys))
+    assert all(a < b for a, b in keys)

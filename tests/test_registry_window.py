@@ -31,6 +31,7 @@ CHANGED_THIS_ROUND = [
     "dsir_importance_weights",  # new in r05
     "quality_filter_funnel",  # new in r05
     "fuzzy_join_customers",  # new in r05
+    "streaming_quality_filter",  # new in r05
     "q12_shipping_delay",
     "dedup_minhash_lsh",
     "dedup_simhash",
