@@ -51,6 +51,8 @@ HEADLINE = [
     "dsir_importance_weights",
     "quality_filter_funnel",
     "fuzzy_join_customers",
+    "cross_source_overlap_matrix",
+    "curriculum_buckets",
 ]
 
 # Host-drift canary (ADVICE r04: one hardcoded-anchor query is noisy

@@ -34,6 +34,7 @@ from pyspark.sql.window import Window as W
 from dungbeetle_spark.functions.numeric import dsum
 from dungbeetle_spark.functions.texts import md5_hash60, md5_hash60_sql, word_count
 from dungbeetle_spark.queries import _t, query
+from dungbeetle_spark.sources.catalog import fan_out
 
 # -- stratified_sample ------------------------------------------------------
 
@@ -647,4 +648,88 @@ def gap_fill_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("day_value"),
         ff.alias("filled_value"),
         F.col("d_user").isNull().alias("is_gap"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# curriculum ordering — rarity-scored difficulty stages
+# ---------------------------------------------------------------------------
+
+_CURR_STAGES = 4
+
+
+@query(
+    "curriculum_buckets",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                         x -> x <> '') AS t
+      FROM documents),
+    words AS (
+      SELECT doc_id, t[i] AS w
+      FROM toks, unnest(range(1, len(t) + 1)) AS u(i)),
+    wc AS (SELECT w, COUNT(*) AS c FROM words GROUP BY w),
+    doc AS (
+      SELECT doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_tokens,
+             CAST(SUM(1000000000 // wc.c) // COUNT(*) AS BIGINT) AS difficulty
+      FROM words JOIN wc USING (w)
+      GROUP BY doc_id)
+    SELECT d.doc_id,
+           COALESCE(doc.n_tokens, 0) AS n_tokens,
+           COALESCE(doc.difficulty, 0) AS difficulty,
+           CAST(NTILE({_CURR_STAGES}) OVER (
+                  ORDER BY COALESCE(doc.difficulty, 0), d.doc_id)
+                AS BIGINT) AS stage
+    FROM documents d LEFT JOIN doc USING (doc_id)
+    """,
+    doc=f"Curriculum ordering: each document scored by mean token "
+    "rarity (1e9 // corpus token-count, integer — the log-free "
+    "constant-numerator IDF; a corpus-total numerator orders "
+    "identically but costs an extra aggregate pass), then split into "
+    f"{_CURR_STAGES} equal NTILE difficulty stages, easy → hard. The "
+    "ordering a curriculum-learning schedule feeds to training: stage "
+    "1 is common-vocabulary text, stage 4 the rarest. Fully "
+    "deterministic (ties break on doc_id); all arithmetic integer.",
+)
+def curriculum_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two keyed corpus shuffles, both unavoidable: token counts (the
+    same vocabulary build as tfidf) and the per-doc rollup; the
+    constant-numerator rarity keeps the plan to exactly these (a
+    corpus-total numerator added a third corpus evaluation for its
+    scalar — ordering is identical without it). The final NTILE is a global sort over ONE ROW PER DOC
+    — fine to corpus scale as a range-partitioned sort, but the
+    single-partition window is local-mode-only: production computes
+    the {_CURR_STAGES-1} stage boundaries from approx_percentile and
+    maps documents through them, which this query's plan would swap in
+    behind the same output contract."""
+    d = _t(spark, sf_dir, "documents")["documents"]
+    toks = F.filter(
+        F.split(F.lower(F.col("text")), r"[^a-z0-9]+"), lambda x: x != ""
+    )
+    words = fan_out(d.select("doc_id", "text")).select(
+        "doc_id", F.explode(toks).alias("w")
+    )
+    wc = words.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    doc = (
+        words.join(wc, "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.expr("sum(1000000000 div c) div count(*)").alias("difficulty"),
+        )
+    )
+    ranked = (
+        d.select("doc_id")
+        .join(doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+            F.coalesce("difficulty", F.lit(0).cast("long")).alias("difficulty"),
+        )
+    )
+    w_nt = W.orderBy("difficulty", "doc_id")
+    return ranked.withColumn(
+        "stage", F.ntile(_CURR_STAGES).over(w_nt).cast("long")
     )

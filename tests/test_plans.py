@@ -414,3 +414,28 @@ def test_fuzzy_join_blocks_never_cross_join(spark, sf):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "Generate" in plan  # the variant explode
+
+
+def test_cross_source_matrix_bounded_output_no_nested_loop(spark, sf):
+    """cross_source_overlap_matrix: candidates come from the hash
+    equi-join over distinct (hash, source) rows — no cartesian/nested
+    loop, partial aggregation on the tiny pair rollup, one explode."""
+    df = _df(spark, sf, "cross_source_overlap_matrix")
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert has_partial_aggregate(df)
+
+
+def test_curriculum_constant_rarity_keeps_three_scans(spark, sf):
+    """curriculum_buckets: the constant-numerator rarity means NO
+    scalar-total subtree — the documents table scans exactly 3 times
+    (vocabulary build, rarity probe side, doc_id completion join), the
+    vocabulary joins as a hash join with no nested loop anywhere, and
+    partial aggregation covers both corpus-keyed aggregates."""
+    df = _df(spark, sf, "curriculum_buckets")
+    plan = formatted_plan(df)
+    assert len(re.findall(r"^\(\d+\) Scan parquet", plan, re.M)) <= 3
+    assert has_partial_aggregate(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

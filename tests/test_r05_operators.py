@@ -81,3 +81,33 @@ def test_fuzzy_join_finds_distance_one_pairs_only(spark, sf_oracle):
     keys = [(r.custkey_a, r.custkey_b) for r in rows]
     assert len(keys) == len(set(keys))
     assert all(a < b for a, b in keys)
+
+
+def test_cross_source_matrix_planted_boilerplate_everywhere(spark, sf_oracle):
+    rows = _rows(spark, sf_oracle, "cross_source_overlap_matrix")
+    assert rows, "planted passage guarantees a non-empty matrix"
+    pairs = {(r.source_a, r.source_b) for r in rows}
+    assert all(a < b for a, b in pairs)
+    # the planted passage reaches most sources: the matrix is dense
+    srcs = {s for p in pairs for s in p}
+    assert len(srcs) >= 15
+    assert all(r.n_shared_windows > 0 for r in rows)
+
+
+def test_curriculum_stages_are_balanced_and_ordered(spark, sf_oracle):
+    rows = _rows(spark, sf_oracle, "curriculum_buckets")
+    from collections import Counter
+
+    sizes = Counter(r.stage for r in rows)
+    assert set(sizes) == {1, 2, 3, 4}
+    assert max(sizes.values()) - min(sizes.values()) <= 1  # NTILE balance
+    # stages are ordered by difficulty: every stage-k doc is <= every
+    # stage-(k+1) doc
+    by_stage = {
+        k: [r.difficulty for r in rows if r.stage == k] for k in sizes
+    }
+    for k in (1, 2, 3):
+        assert max(by_stage[k]) <= min(by_stage[k + 1])
+    # the rarity signal spreads scores (not a constant column; the
+    # fixture's ~40-word vocabulary keeps the spread coarse)
+    assert len({r.difficulty for r in rows}) > 10

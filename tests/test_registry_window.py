@@ -32,6 +32,8 @@ CHANGED_THIS_ROUND = [
     "quality_filter_funnel",  # new in r05
     "fuzzy_join_customers",  # new in r05
     "streaming_quality_filter",  # new in r05
+    "cross_source_overlap_matrix",  # new in r05
+    "curriculum_buckets",  # new in r05
     "q12_shipping_delay",
     "dedup_minhash_lsh",
     "dedup_simhash",
