@@ -776,17 +776,27 @@ _FUZZ_MAX_DIST = 1
     "instead of n².",
 )
 def fuzzy_join_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The deletion-neighborhood trick (Levenshtein-automata style):
-    two strings are within edit distance 1 iff they share a variant
-    where one position is wildcarded (substitution) or deleted
-    (insert/delete). Variants explode scan-side inside codegen; the
-    equi-join keys the shuffle on the variant's 16-byte md5 — never a
-    cross join, and AQE skew-split absorbs any pathological block.
-    Exact ``levenshtein`` (JVM codegen) then removes false candidates,
-    and pairs dedupe on (a, b). At 100 TB this is the only
-    edit-distance join shape that survives: candidates scale with
-    Σ|block|², and block sizes are bounded by how many real-world
-    strings share a 1-error neighborhood."""
+    """The deletion-neighborhood trick (Levenshtein-automata style),
+    as TWO typed candidate streams instead of one variant self-join:
+
+    - **substitution** (equal length): wildcard-variant self-join —
+      two strings at hamming distance 1 share exactly the wildcard at
+      the differing position.
+    - **insert/delete** (length ± 1): each name's deletion variants
+      join against RAW names — ``del(s) == t`` iff t is s minus one
+      char. Joining deletion variants against deletion variants
+      instead (the first cut) admits delete+insert pairs at distance
+      2: on dense ID-like strings those collisions dominate, and the
+      10x scale sweep measured 47 s there vs 3.4 s for this shape —
+      exponent 1.6 → 0.5 (tools/scale_sweep.py).
+
+    Variants explode scan-side inside codegen; both equi-joins key
+    their shuffles on 16-byte md5s — never a cross join — and AQE
+    skew-split absorbs pathological blocks. Exact ``levenshtein``
+    (JVM codegen) removes residual false candidates (wildcard-char
+    literals, distinct runs), pairs dedupe on (a, b). At 100 TB this
+    is the edit-distance join shape that survives: candidates scale
+    with Σ|block|² over 1-error neighborhoods, not n²."""
     c = _t(spark, sf_dir, "customer")["customer"].select("c_custkey", "c_name")
     n = F.col("c_name")
     sub_variants = F.transform(
@@ -803,30 +813,67 @@ def fuzzy_join_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.substring(n, F.lit(1), i - 1), F.substring(n, i + 1, F.length(n))
         ),
     )
+    base = fan_out(c)
     # array_distinct: a run of equal characters yields the SAME
-    # deletion variant from every position in the run (e.g. the zero
-    # run in Customer#000000123), and duplicate (name, variant) rows
-    # multiply candidate pairs quadratically inside each block —
-    # measured 2.2 s → 1.5 s at sf0.1 from this dedup alone.
-    blocked = fan_out(c).select(
+    # variant from every position in the run (the zero run in
+    # Customer#000000123), and duplicate (name, variant) rows multiply
+    # candidate pairs inside each block.
+    subs = base.select(
         "c_custkey",
         "c_name",
-        F.explode(F.array_distinct(F.concat(sub_variants, del_variants))).alias("v"),
+        F.explode(F.array_distinct(sub_variants)).alias("v"),
     ).select("c_custkey", "c_name", F.unhex(F.md5("v")).alias("bk"))
-    a = blocked.select(
-        F.col("c_custkey").alias("custkey_a"),
-        F.col("c_name").alias("name_a"),
-        "bk",
+    sub_pairs = (
+        subs.select(
+            F.col("c_custkey").alias("custkey_a"),
+            F.col("c_name").alias("name_a"),
+            "bk",
+        )
+        .join(
+            subs.select(
+                F.col("c_custkey").alias("custkey_b"),
+                F.col("c_name").alias("name_b"),
+                "bk",
+            ),
+            "bk",
+        )
+        .filter(F.col("custkey_a") < F.col("custkey_b"))
     )
-    b = blocked.select(
-        F.col("c_custkey").alias("custkey_b"),
-        F.col("c_name").alias("name_b"),
-        "bk",
+    dels = base.select(
+        "c_custkey",
+        "c_name",
+        F.explode(F.array_distinct(del_variants)).alias("v"),
+    ).select("c_custkey", "c_name", F.unhex(F.md5("v")).alias("bk"))
+    raw = base.select("c_custkey", "c_name", F.unhex(F.md5(n)).alias("bk"))
+    indel_pairs = (
+        dels.select(
+            F.col("c_custkey").alias("custkey_a"),
+            F.col("c_name").alias("name_a"),
+            "bk",
+        )
+        .join(
+            raw.select(
+                F.col("c_custkey").alias("custkey_b"),
+                F.col("c_name").alias("name_b"),
+                "bk",
+            ),
+            "bk",
+        )
+        .filter(F.col("custkey_a") != F.col("custkey_b"))
+        .select(
+            F.least("custkey_a", "custkey_b").alias("custkey_a"),
+            F.greatest("custkey_a", "custkey_b").alias("custkey_b"),
+            F.when(F.col("custkey_a") < F.col("custkey_b"), F.col("name_a"))
+            .otherwise(F.col("name_b"))
+            .alias("name_a"),
+            F.when(F.col("custkey_a") < F.col("custkey_b"), F.col("name_b"))
+            .otherwise(F.col("name_a"))
+            .alias("name_b"),
+        )
     )
     return (
-        a.join(b, "bk")
-        .filter(F.col("custkey_a") < F.col("custkey_b"))
-        .select("custkey_a", "custkey_b", "name_a", "name_b")
+        sub_pairs.select("custkey_a", "custkey_b", "name_a", "name_b")
+        .unionByName(indel_pairs)
         .distinct()
         .filter(F.levenshtein("name_a", "name_b") <= _FUZZ_MAX_DIST)
         .select(

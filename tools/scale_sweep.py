@@ -1,0 +1,161 @@
+"""Scale sweep: measure operator wall-time scaling on amplified data.
+
+Amplifies the sf0.1 fixture Nx into /tmp (new DISTINCT content — each
+copy gets a version-suffixed text, offset ids, and perturbed names, so
+duplication structure stays comparable and we measure data-size
+scaling, not adversarial dup blowup), then times selected registry
+operators at each amplification and reports the fitted scaling
+exponent log(t_hi/t_lo) / log(hi/lo). An exponent near 1.0 means the
+plan scales linearly, as the operator docstrings claim; the exact
+similarity join (dedup_ngram_jaccard) is expected superlinear —
+Σ|posting|² grows with posting-list length — and is swept only to 4x.
+
+Usage: python tools/scale_sweep.py [--factors 1 4 10] [--out SCALING.md]
+"""
+
+from __future__ import annotations
+
+import argparse
+import math
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+SRC_SF = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+WORK = "/tmp/dungbeetle_scale_sweep"
+
+# (operator, max amplification) — None = no cap
+SWEEP_OPS = [
+    ("dedup_exact", None),
+    ("dedup_exact_substring", None),
+    ("quality_filter_funnel", None),
+    ("dsir_importance_weights", None),
+    ("curriculum_buckets", None),
+    ("kmeans_clusters", None),
+    ("cross_source_overlap_matrix", None),
+    ("fuzzy_join_customers", None),
+    ("ann_cosine_topk", None),
+    ("dedup_ngram_jaccard", 4),  # exact similarity join: Σ|posting|²
+]
+
+
+def build_amplified(spark, factor: int) -> str:
+    """Write a factor-x corpus: each copy k gets distinct text (version
+    suffix), offset doc/vec/cust ids (k·1,000,000 — clear of the ANN
+    seed range), and distinct customer names."""
+    from pyspark.sql import functions as F
+
+    from dungbeetle_spark.sources.catalog import load_tables
+
+    out = f"{WORK}/x{factor}"
+    if os.path.isdir(out):
+        return out
+    os.makedirs(out, exist_ok=True)
+    t = load_tables(spark, SRC_SF, ["documents", "embeddings", "customer"])
+    parts = max(spark.sparkContext.defaultParallelism, 8)
+
+    copies = spark.range(factor).withColumnRenamed("id", "k")
+    docs = (
+        t["documents"]
+        .crossJoin(F.broadcast(copies))
+        .select(
+            (F.col("doc_id") + F.col("k") * 1_000_000).alias("doc_id"),
+            F.when(F.col("k") == 0, F.col("text"))
+            .otherwise(F.concat(F.col("text"), F.lit(" v"), F.col("k")))
+            .alias("text"),
+            "lang",
+            "source",
+            "n_chars",
+        )
+    )
+    docs.repartition(parts).write.mode("overwrite").parquet(f"{out}/documents.parquet")
+    emb = (
+        t["embeddings"]
+        .crossJoin(F.broadcast(copies))
+        .select(
+            (F.col("vec_id") + F.col("k") * 1_000_000).alias("vec_id"),
+            "embedding",
+            "label",
+        )
+    )
+    emb.repartition(parts).write.mode("overwrite").parquet(f"{out}/embeddings.parquet")
+    cust = (
+        t["customer"]
+        .crossJoin(F.broadcast(copies))
+        .select(
+            (F.col("c_custkey") + F.col("k") * 1_000_000).alias("c_custkey"),
+            F.format_string(
+                "Customer#%09d", F.col("c_custkey") + F.col("k") * 1_000_000
+            ).alias("c_name"),
+            "c_nationkey",
+            "c_acctbal",
+            "c_mktsegment",
+        )
+    )
+    cust.repartition(parts).write.mode("overwrite").parquet(f"{out}/customer.parquet")
+    return out
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--factors", nargs="+", type=int, default=[1, 4, 10])
+    ap.add_argument("--out", default=None, help="write a markdown report here")
+    ap.add_argument("--runs", type=int, default=2)
+    args = ap.parse_args()
+
+    from dungbeetle_spark.queries import registry
+    from dungbeetle_spark.session import get_spark
+
+    spark = get_spark("scale_sweep")
+    specs = registry()
+    dirs = {f: build_amplified(spark, f) for f in args.factors}
+
+    results: dict[str, dict[int, float]] = {}
+    for name, cap in SWEEP_OPS:
+        results[name] = {}
+        for f in args.factors:
+            if cap is not None and f > cap:
+                continue
+            best = math.inf
+            for _ in range(args.runs):
+                t0 = time.monotonic()
+                specs[name].build(spark, dirs[f]).count()
+                best = min(best, time.monotonic() - t0)
+            results[name][f] = best
+            print(f"{name} x{f}: {best:.2f}s", flush=True)
+
+    lines = [
+        "| operator | " + " | ".join(f"x{f} (s)" for f in args.factors)
+        + " | exponent |",
+        "|---|" + "---|" * (len(args.factors) + 1),
+    ]
+    for name, _cap in SWEEP_OPS:
+        r = results[name]
+        fs = sorted(r)
+        lo, hi = fs[0], fs[-1]
+        exp = math.log(r[hi] / r[lo]) / math.log(hi / lo) if hi > lo else float("nan")
+        cells = [f"{r[f]:.2f}" if f in r else "—" for f in args.factors]
+        lines.append(f"| `{name}` | " + " | ".join(cells) + f" | {exp:.2f} |")
+    table = "\n".join(lines)
+    print(table)
+    if args.out:
+        with open(args.out, "w") as fh:
+            fh.write(
+                "# SCALING — measured wall-time scaling on amplified data\n\n"
+                f"Generated by `python tools/scale_sweep.py` from {SRC_SF} "
+                f"amplified to {args.factors} (distinct content per copy; "
+                "see the script docstring). Exponent = "
+                "log(t_max/t_min)/log(factor_max/factor_min); ~1.0 = the "
+                "linear scaling the operator docstrings claim. Sub-linear "
+                "exponents mean fixed overhead still dominates at this "
+                "size; the exact similarity join is capped at 4x and "
+                "expected superlinear (Σ|posting|²).\n\n" + table + "\n"
+            )
+    shutil.rmtree(WORK, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()
