@@ -470,3 +470,97 @@ def customer_status_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     open_keys = o.filter(F.col("o_orderstatus") == "O").select("o_custkey")
     filled_keys = o.filter(F.col("o_orderstatus") == "F").select("o_custkey")
     return open_keys.exceptAll(filled_keys)
+
+
+# ---------------------------------------------------------------------------
+# LATERAL correlated subquery + UNPIVOT — SQL-surface completions
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "lateral_topk_orders",
+    oracle="""
+    SELECT c.c_custkey, c.c_name,
+           l.o_orderkey AS top_orderkey,
+           l.o_totalprice AS top_order_price
+    FROM customer c, LATERAL (
+      SELECT o_orderkey, o_totalprice
+      FROM orders o
+      WHERE o.o_custkey = c.c_custkey
+      ORDER BY o_totalprice DESC, o_orderkey
+      LIMIT 1) l
+    """,
+    doc="LATERAL correlated subquery: each customer's single most "
+    "expensive order, written as a per-row dependent subquery — the "
+    "SQL-standard form of a top-1-per-group. Catalyst DECORRELATES "
+    "the lateral into a ranked window over one orders shuffle (no "
+    "per-customer re-execution, which is how a naive engine runs "
+    "LATERAL); customers with no orders drop (inner lateral). "
+    "Deterministic tiebreak on o_orderkey; o_totalprice passes "
+    "through untransformed so the double is bit-identical.",
+)
+def lateral_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Run through ``spark.sql`` on purpose: LATERAL is a task-SQL
+    surface feature (the job server executes user SQL verbatim), and
+    the point is that Spark's decorrelation turns the row-dependent
+    subquery into the same window-rank plan top_events_per_user gets
+    from the DataFrame API — one shuffle, WindowGroupLimit prune."""
+    t = _t(spark, sf_dir, "customer", "orders")
+    t["customer"].createOrReplaceTempView("_lat_customer")
+    t["orders"].createOrReplaceTempView("_lat_orders")
+    return spark.sql(
+        """
+        SELECT c.c_custkey, c.c_name,
+               l.o_orderkey AS top_orderkey,
+               l.o_totalprice AS top_order_price
+        FROM _lat_customer c, LATERAL (
+          SELECT o_orderkey, o_totalprice
+          FROM _lat_orders o
+          WHERE o.o_custkey = c.c_custkey
+          ORDER BY o_totalprice DESC, o_orderkey
+          LIMIT 1) l
+        """
+    )
+
+
+@query(
+    "unpivot_user_metrics",
+    oracle="""
+    WITH wide AS (
+      SELECT user_id,
+             CAST(COUNT(*) AS DOUBLE) AS n_events,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+             CAST(MIN(value) AS DOUBLE) AS min_value,
+             CAST(MAX(value) AS DOUBLE) AS max_value
+      FROM events GROUP BY user_id)
+    SELECT user_id, 'n_events' AS metric, n_events AS value FROM wide
+    UNION ALL
+    SELECT user_id, 'total_value', total_value FROM wide
+    UNION ALL
+    SELECT user_id, 'min_value', min_value FROM wide
+    UNION ALL
+    SELECT user_id, 'max_value', max_value FROM wide
+    """,
+    doc="UNPIVOT (wide → long, the inverse of pivot_event_counts): "
+    "per-user metric columns melt into (user_id, metric, value) rows "
+    "via DataFrame.unpivot — Catalyst plans one Expand over the "
+    "aggregate, not four re-scans (the UNION ALL the oracle spells "
+    "out). Sum goes through decimal before the double cast "
+    "(fold-order-free, the dsum contract).",
+)
+def unpivot_user_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dungbeetle_spark.functions.numeric import dsum
+
+    e = _t(spark, sf_dir, "events")["events"]
+    wide = e.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("double").alias("n_events"),
+        dsum("value").alias("total_value"),
+        F.min("value").cast("double").alias("min_value"),
+        F.max("value").cast("double").alias("max_value"),
+    )
+    return wide.unpivot(
+        ids=["user_id"],
+        values=["n_events", "total_value", "min_value", "max_value"],
+        variableColumnName="metric",
+        valueColumnName="value",
+    )

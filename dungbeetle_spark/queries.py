@@ -82,6 +82,8 @@ DRIVER_PRIORITY: list[str] = [
     "streaming_quality_filter",
     "cross_source_overlap_matrix",
     "curriculum_buckets",
+    "lateral_topk_orders",
+    "unpivot_user_metrics",
     # same-module neighbors of this round's similarity.py change —
     # re-window to prove no collateral drift (ann_ivf and the
     # embedding-dedup failover changed directly; ann_cosine_topk's own
@@ -123,13 +125,12 @@ DRIVER_PRIORITY: list[str] = [
     "q5_local_supplier_volume",
     "q6_forecast_revenue",
     "q7_nation_volume",
-    "rollup_sales",
-    "salted_segment_activity",
-    # displaced by the eight new-in-r05 operators (new > stale under
-    # the rotation rule): stratified_sample, text_stats,
-    # tfidf_top_terms, top_events_per_user, udaf_median_value,
-    # user_activity_stats, user_event_sequence, window_rank_family —
-    # all r03-green with unchanged code; they head the r06 rotation.
+    # displaced by the ten new-in-r05 operators (new > stale under
+    # the rotation rule): rollup_sales, salted_segment_activity,
+    # stratified_sample, text_stats, tfidf_top_terms,
+    # top_events_per_user, udaf_median_value, user_activity_stats,
+    # user_event_sequence, window_rank_family — all r03-green with
+    # unchanged code; they head the r06 rotation.
 ]
 
 

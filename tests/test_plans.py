@@ -439,3 +439,25 @@ def test_curriculum_constant_rarity_keeps_three_scans(spark, sf):
     assert has_partial_aggregate(df)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_lateral_decorrelates_to_window_rank(spark, sf):
+    """lateral_topk_orders: Catalyst must decorrelate the LATERAL
+    subquery into a ranked window over ONE orders shuffle — never a
+    per-customer nested-loop re-execution."""
+    df = _df(spark, sf, "lateral_topk_orders")
+    plan = formatted_plan(df)
+    assert "WindowGroupLimit" in plan  # top-1 prunes pre-shuffle
+    assert "CartesianProduct" not in plan
+    assert len(re.findall(r"^\(\d+\) BroadcastNestedLoopJoin", plan, re.M)) == 0
+
+
+def test_unpivot_is_expand_not_rescans(spark, sf):
+    """unpivot_user_metrics: the melt is one Expand over the single
+    user aggregate — not four UNION ALL re-scans of events (the shape
+    the oracle spells out)."""
+    df = _df(spark, sf, "unpivot_user_metrics")
+    plan = formatted_plan(df)
+    assert "Expand" in plan
+    assert len(re.findall(r"^\(\d+\) Scan parquet", plan, re.M)) == 1
+    assert shuffle_exchanges(df) <= 1

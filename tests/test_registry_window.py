@@ -34,6 +34,8 @@ CHANGED_THIS_ROUND = [
     "streaming_quality_filter",  # new in r05
     "cross_source_overlap_matrix",  # new in r05
     "curriculum_buckets",  # new in r05
+    "lateral_topk_orders",  # new in r05
+    "unpivot_user_metrics",  # new in r05
     "q12_shipping_delay",
     "dedup_minhash_lsh",
     "dedup_simhash",
