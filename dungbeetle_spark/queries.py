@@ -84,6 +84,12 @@ DRIVER_PRIORITY: list[str] = [
     "curriculum_buckets",
     "lateral_topk_orders",
     "unpivot_user_metrics",
+    "listagg_nation_suppliers",
+    "ordered_set_event_stats",
+    "recursive_daily_spine",
+    "activity_streaks",
+    "events_variant_stats",
+    "collated_event_type_counts",
     # same-module neighbors of this round's similarity.py change —
     # re-window to prove no collateral drift (ann_ivf and the
     # embedding-dedup failover changed directly; ann_cosine_topk's own
@@ -119,18 +125,15 @@ DRIVER_PRIORITY: list[str] = [
     "q18_large_volume_orders",
     "q19_disjunctive_predicates",
     "q1_pricing_summary",
-    "q22_idle_customers",
-    "q2_min_price_supplier",
-    "q3_shipping_priority",
-    "q5_local_supplier_volume",
-    "q6_forecast_revenue",
-    "q7_nation_volume",
-    # displaced by the ten new-in-r05 operators (new > stale under
-    # the rotation rule): rollup_sales, salted_segment_activity,
-    # stratified_sample, text_stats, tfidf_top_terms,
-    # top_events_per_user, udaf_median_value, user_activity_stats,
-    # user_event_sequence, window_rank_family — all r03-green with
-    # unchanged code; they head the r06 rotation.
+    # displaced by the sixteen new-in-r05 operators (new > stale
+    # under the rotation rule): q22_idle_customers,
+    # q2_min_price_supplier, q3_shipping_priority,
+    # q5_local_supplier_volume, q6_forecast_revenue, q7_nation_volume,
+    # rollup_sales, salted_segment_activity, stratified_sample,
+    # text_stats, tfidf_top_terms, top_events_per_user,
+    # udaf_median_value, user_activity_stats, user_event_sequence,
+    # window_rank_family — all r03-green with unchanged code; they
+    # head the r06 rotation.
 ]
 
 
@@ -146,6 +149,7 @@ def registry() -> dict[str, QuerySpec]:
     import dungbeetle_spark.operators.similarity  # noqa: F401
     import dungbeetle_spark.operators.text  # noqa: F401
     import dungbeetle_spark.operators.mixing  # noqa: F401
+    import dungbeetle_spark.operators.modern_sql  # noqa: F401
     import dungbeetle_spark.operators.multimodal  # noqa: F401
     import dungbeetle_spark.operators.temporal  # noqa: F401
     import dungbeetle_spark.streaming.stateful  # noqa: F401

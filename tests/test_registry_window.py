@@ -36,6 +36,12 @@ CHANGED_THIS_ROUND = [
     "curriculum_buckets",  # new in r05
     "lateral_topk_orders",  # new in r05
     "unpivot_user_metrics",  # new in r05
+    "listagg_nation_suppliers",  # new in r05
+    "ordered_set_event_stats",  # new in r05
+    "recursive_daily_spine",  # new in r05
+    "activity_streaks",  # new in r05
+    "events_variant_stats",  # new in r05
+    "collated_event_type_counts",  # new in r05
     "q12_shipping_delay",
     "dedup_minhash_lsh",
     "dedup_simhash",
