@@ -201,9 +201,14 @@ def recursive_daily_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
     "an anchor, a gap starts a new one — the O(n) window idiom that "
     "replaces self-join-per-day approaches (quadratic in streak "
     "length). All arithmetic is dates and integers: bit-identical "
-    "cross-engine. One user_id shuffle serves the distinct, the "
-    "window, and both aggregates (same key end-to-end, Catalyst "
-    "reuses the partitioning).",
+    "cross-engine. Two shuffles by design: the distinct shuffles "
+    "map-side-DEDUPLICATED (user, day) pairs (partial aggregate "
+    "before the exchange — at 100 TB this moves ≤ users x days rows, "
+    "not the raw events; forcing a single user_id shuffle up front "
+    "would move the full fact table), then the tiny day-set "
+    "reshuffles on user_id for the window, whose partitioning the "
+    "island and streak aggregates both reuse exchange-free (subset "
+    "clustering).",
 )
 def activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = _t(spark, sf_dir, "events")

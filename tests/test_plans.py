@@ -461,3 +461,61 @@ def test_unpivot_is_expand_not_rescans(spark, sf):
     assert "Expand" in plan
     assert len(re.findall(r"^\(\d+\) Scan parquet", plan, re.M)) == 1
     assert shuffle_exchanges(df) <= 1
+
+
+def test_activity_streaks_two_shuffles_then_reuse(spark, sf):
+    """activity_streaks: shuffle #1 carries the map-side-deduplicated
+    (user, day) pairs, shuffle #2 re-keys that tiny day set on user_id
+    for the window — and the island + streak aggregates both ride the
+    window's partitioning exchange-free (subset clustering). A third
+    exchange would mean the reuse broke."""
+    df = _df(spark, sf, "activity_streaks")
+    plan = formatted_plan(df)
+    assert shuffle_exchanges(df) == 2
+    # partial (map-side) distinct before the first exchange
+    assert has_partial_aggregate(df)
+    # window output feeds aggregates directly: no exchange between the
+    # Window operator and the final plan root
+    window_pos = plan.index("Window")
+    assert "Exchange" not in plan[:window_pos].split("AdaptiveSparkPlan")[-1]
+
+
+def test_collated_group_single_shuffle(spark, sf):
+    """collated_event_type_counts: collation-aware grouping still
+    partial-aggregates map-side and moves one exchange; the collated
+    key falls back to SortAggregate (collated strings are not
+    hash-aggregable) which is the expected physical shape, not a bug."""
+    df = _df(spark, sf, "collated_event_type_counts")
+    assert shuffle_exchanges(df) == 1
+    plan = formatted_plan(df)
+    assert len(re.findall(r"^\(\d+\) Scan parquet", plan, re.M)) == 1
+
+
+def test_recursive_spine_broadcasts_to_daily_counts(spark, sf):
+    """recursive_daily_spine: the spine (one row per day of history)
+    must join the daily aggregate as the broadcast side — shuffling a
+    100 TB fact table to meet a thousand-row spine would be backwards."""
+    df = _df(spark, sf, "recursive_daily_spine")
+    assert has_broadcast_join(df)
+    # events scans once for bounds, once for daily counts; the spine
+    # recursion re-reads nothing
+    plan = formatted_plan(df)
+    assert len(re.findall(r"^\(\d+\) Scan parquet", plan, re.M)) <= 2
+
+
+def test_ordered_set_aggs_single_pass(spark, sf):
+    """ordered_set_event_stats: mode + both percentile_disc run inside
+    ONE aggregate over one event_type exchange — not one pass per
+    ordered-set aggregate."""
+    df = _df(spark, sf, "ordered_set_event_stats")
+    plan = formatted_plan(df)
+    assert len(re.findall(r"^\(\d+\) Scan parquet", plan, re.M)) == 1
+    assert shuffle_exchanges(df) <= 2
+
+
+def test_listagg_broadcasts_nation_dim(spark, sf):
+    """listagg_nation_suppliers: nation is a broadcast dim; the only
+    exchange is the listagg's own group-by on n_name."""
+    df = _df(spark, sf, "listagg_nation_suppliers")
+    assert has_broadcast_join(df)
+    assert shuffle_exchanges(df) <= 1
