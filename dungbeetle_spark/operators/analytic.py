@@ -511,3 +511,111 @@ def user_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_id", "user_id", "value", z.alias("z"))
         .filter(F.abs(F.col("z")) > 2.5)
     )
+
+
+@query(
+    "pagerank_trade_graph",
+    oracle="""
+    WITH e0 AS (
+      SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+    edges AS (
+      SELECT c * 2 AS src, s * 2 + 1 AS dst FROM e0
+      UNION ALL
+      SELECT s * 2 + 1, c * 2 FROM e0),
+    deg AS (SELECT src, COUNT(*) AS d FROM edges GROUP BY src),
+    nodes AS (SELECT DISTINCT src AS node FROM edges),
+    r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS r FROM nodes),
+    c1 AS (
+      SELECT e.dst AS node, SUM((r.r // g.d) * 85 // 100) AS contrib
+      FROM edges e
+      JOIN r0 r ON e.src = r.node
+      JOIN deg g ON e.src = g.src
+      GROUP BY e.dst),
+    r1 AS (
+      SELECT n.node, 150000 + COALESCE(c.contrib, 0) AS r
+      FROM nodes n LEFT JOIN c1 c ON n.node = c.node),
+    c2 AS (
+      SELECT e.dst AS node, SUM((r.r // g.d) * 85 // 100) AS contrib
+      FROM edges e
+      JOIN r1 r ON e.src = r.node
+      JOIN deg g ON e.src = g.src
+      GROUP BY e.dst),
+    r2 AS (
+      SELECT n.node, 150000 + COALESCE(c.contrib, 0) AS r
+      FROM nodes n LEFT JOIN c2 c ON n.node = c.node)
+    SELECT CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END
+             AS node_type,
+           node // 2 AS node_key,
+           CAST(r AS BIGINT) AS rank_micros
+    FROM r2
+    """,
+    doc="PageRank (Page et al. 1999), two power iterations over the "
+    "bipartite customer↔supplier trade graph (distinct lineitem "
+    "pairs, both directions so rank flows both ways), damping 0.85. "
+    "Ranks are integer MICROS and every per-edge contribution is "
+    "((r DIV deg) * 85) DIV 100 in bigint — floor division on "
+    "positive integers is bit-identical in Spark, DuckDB, and any "
+    "engine, so the iterative fixed-point needs no tolerance: the "
+    "oracle unrolls the identical two iterations relationally. "
+    "Completes the iterative-algorithm family next to "
+    "dedup_components (label propagation) and kmeans_clusters "
+    "(Lloyd).",
+)
+def pagerank_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: the edge list (fact-scale) is built once, degree-
+    joined, hash-partitioned on src, and localCheckpoint'd — each
+    iteration then reuses that partitioning and only the rank table
+    (node-cardinality, orders of magnitude smaller) moves through the
+    join shuffle. Lineage is truncated per round (the iterative-
+    algorithm contract, same as connected_components); ranks never
+    collect to the driver."""
+    t = _t(spark, sf_dir, "lineitem", "orders")
+    e0 = (
+        t["lineitem"]
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(
+            (F.col("o_custkey") * 2).alias("cnode"),
+            (F.col("l_suppkey") * 2 + 1).alias("snode"),
+        )
+        .distinct()
+    )
+    edges = e0.select(F.col("cnode").alias("src"), F.col("snode").alias("dst")).union(
+        e0.select(F.col("snode").alias("src"), F.col("cnode").alias("dst"))
+    )
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    # One edge-side shuffle for the whole run: degree join + explicit
+    # src partitioning, then checkpoint so neither is recomputed per
+    # iteration.
+    edges_d = (
+        edges.join(deg, "src").repartition("src").localCheckpoint()
+    )
+    nodes = edges_d.select(F.col("src").alias("node")).distinct().localCheckpoint()
+    ranks = nodes.select("node", F.lit(1_000_000).cast("long").alias("r"))
+    for _ in range(2):
+        contrib = (
+            edges_d.join(ranks, edges_d.src == ranks.node)
+            .select(
+                F.col("dst"),
+                F.expr("((r DIV d) * 85) DIV 100").alias("w"),
+            )
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum("w").alias("contrib"))
+        )
+        ranks = (
+            nodes.join(contrib, "node", "left")
+            .select(
+                "node",
+                (F.lit(150_000) + F.coalesce(F.col("contrib"), F.lit(0)))
+                .cast("long")
+                .alias("r"),
+            )
+            .localCheckpoint()
+        )
+    return ranks.select(
+        F.when(F.col("node") % 2 == 0, F.lit("customer"))
+        .otherwise(F.lit("supplier"))
+        .alias("node_type"),
+        F.expr("node DIV 2").alias("node_key"),
+        F.col("r").alias("rank_micros"),
+    )
