@@ -53,6 +53,9 @@ HEADLINE = [
     "fuzzy_join_customers",
     "cross_source_overlap_matrix",
     "curriculum_buckets",
+    # iterative graph rank + the gaps-and-islands window idiom
+    "pagerank_trade_graph",
+    "activity_streaks",
 ]
 
 # Host-drift canary (ADVICE r04: one hardcoded-anchor query is noisy

@@ -39,6 +39,7 @@ SWEEP_OPS = [
     ("fuzzy_join_customers", None),
     ("ann_cosine_topk", None),
     ("dedup_ngram_jaccard", 4),  # exact similarity join: Σ|posting|²
+    ("pagerank_trade_graph", None),  # k disjoint subgraphs: O(E) per iter
 ]
 
 
@@ -54,7 +55,9 @@ def build_amplified(spark, factor: int) -> str:
     if os.path.isdir(out):
         return out
     os.makedirs(out, exist_ok=True)
-    t = load_tables(spark, SRC_SF, ["documents", "embeddings", "customer"])
+    t = load_tables(
+        spark, SRC_SF, ["documents", "embeddings", "customer", "orders", "lineitem"]
+    )
     parts = max(spark.sparkContext.defaultParallelism, 8)
 
     copies = spark.range(factor).withColumnRenamed("id", "k")
@@ -96,7 +99,80 @@ def build_amplified(spark, factor: int) -> str:
         )
     )
     cust.repartition(parts).write.mode("overwrite").parquet(f"{out}/customer.parquet")
+    # orders/lineitem: each copy is a DISJOINT subgraph (offset order,
+    # customer, and supplier keys) so graph operators see k-x nodes and
+    # edges, not densified blocks — data-size scaling, same topology.
+    orders = (
+        t["orders"]
+        .crossJoin(F.broadcast(copies))
+        .select(
+            (F.col("o_orderkey") + F.col("k") * 100_000_000).alias("o_orderkey"),
+            (F.col("o_custkey") + F.col("k") * 1_000_000).alias("o_custkey"),
+            "o_orderstatus",
+            "o_totalprice",
+            "o_orderdate",
+            "o_orderpriority",
+        )
+    )
+    orders.repartition(parts).write.mode("overwrite").parquet(f"{out}/orders.parquet")
+    li = (
+        t["lineitem"]
+        .crossJoin(F.broadcast(copies))
+        .select(
+            (F.col("l_orderkey") + F.col("k") * 100_000_000).alias("l_orderkey"),
+            "l_partkey",
+            (F.col("l_suppkey") + F.col("k") * 1_000_000).alias("l_suppkey"),
+            "l_linenumber",
+            "l_quantity",
+            "l_extendedprice",
+            "l_discount",
+            "l_tax",
+            "l_returnflag",
+            "l_linestatus",
+            "l_shipdate",
+        )
+    )
+    li.repartition(parts).write.mode("overwrite").parquet(f"{out}/lineitem.parquet")
     return out
+
+
+# Interpretation notes, appended to the generated report so a
+# regeneration never silently drops them. Update alongside SWEEP_OPS.
+NOTES = """
+## Notes
+
+- The flat (<0.1) exponents mean fixed overhead (JVM job launch,
+  Python worker spin-up, 32-task scheduling) still dominates at this
+  corpus size — 32x data rides the same 32 cores without moving wall
+  time. The per-row work is visible only in absolute terms (e.g.
+  `dedup_exact_substring` hashes 77M windows at x32 inside its time).
+- A strongly NEGATIVE exponent on the first Pandas-UDF operator in
+  the list (`kmeans_clusters` has shown x1 ≫ x10) is a cold-start
+  artifact: the x1 pass is the first to fork the Python worker pool
+  and import numpy on every core, and best-of-2 at the same factor
+  does not absorb a stall that spans both runs. Compare its x10 vs
+  x32 instead.
+- `cross_source_overlap_matrix` (~0.5): the amplified copies share
+  window bodies, so per-window source sets densify toward the
+  20-source bound as the corpus grows — the pair-emit step approaches
+  its worst case by construction of the amplification, not of the
+  plan.
+- `fuzzy_join_customers` (~0.7-0.8): sequential customer ids densify
+  the numeric name space, so 1-error blocks grow with corpus size —
+  the Σ|block|² candidate cost rises accordingly. Real-world name
+  corpora don't densify like consecutive IDs; the exponent is the
+  price of an adversarially dense key space, already reduced from 1.6
+  by typing the candidate streams (substitution self-join +
+  deletion-vs-raw).
+- `pagerank_trade_graph` (~0.5): each amplified copy is a disjoint
+  subgraph, so edges grow linearly and the per-iteration join/agg cost
+  with them; the sub-linear exponent is the fixed per-iteration floor
+  (two localCheckpoint barriers + node-table shuffles) amortizing, on
+  top of 32 cores absorbing the x32 edge volume.
+- `dedup_ngram_jaccard` is swept only at x1: the exact similarity
+  join's Σ|posting|² cost is the documented reason `dedup_minhash_lsh`
+  exists as the scale path.
+"""
 
 
 def main() -> None:
@@ -152,7 +228,7 @@ def main() -> None:
                 "linear scaling the operator docstrings claim. Sub-linear "
                 "exponents mean fixed overhead still dominates at this "
                 "size; the exact similarity join is capped at 4x and "
-                "expected superlinear (Σ|posting|²).\n\n" + table + "\n"
+                "expected superlinear (Σ|posting|²).\n\n" + table + "\n" + NOTES
             )
     shutil.rmtree(WORK, ignore_errors=True)
 
