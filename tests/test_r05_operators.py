@@ -111,3 +111,51 @@ def test_curriculum_stages_are_balanced_and_ordered(spark, sf_oracle):
     # the rarity signal spreads scores (not a constant column; the
     # fixture's ~40-word vocabulary keeps the spread coarse)
     assert len({r.difficulty for r in rows}) > 10
+
+
+def test_pagerank_conserves_mass_and_separates_degrees(spark, sf_oracle):
+    """Non-hollowness for pagerank_trade_graph: the iteration must
+    actually redistribute rank (not return the uniform prior), keep
+    every node at least the teleport floor, and approximately conserve
+    total mass (floor divisions only ever LOSE micros, so the total
+    sits just under n x 1e6 but must stay within 1% of it — a sum far
+    below that would mean contributions are being dropped, far above
+    would mean double-counted)."""
+    rows = _rows(spark, sf_oracle, "pagerank_trade_graph")
+    n = len(rows)
+    ranks = [r.rank_micros for r in rows]
+    assert all(r >= 150_000 for r in ranks), "teleport floor violated"
+    assert len({r for r in ranks}) > 1, "iteration left ranks uniform"
+    total = sum(ranks)
+    assert 0.99 * n * 1_000_000 <= total <= n * 1_000_000
+    # bipartite sanity: both sides present, keys land in their tables'
+    # ranges, and high-degree suppliers out-rank the customer median
+    by_type = {}
+    for r in rows:
+        by_type.setdefault(r.node_type, []).append(r.rank_micros)
+    assert set(by_type) == {"customer", "supplier"}
+    cust = sorted(by_type["customer"])
+    supp = by_type["supplier"]
+    # suppliers aggregate many customers' mass: their MEAN rank must
+    # exceed the customer median (degree asymmetry actually expressed)
+    assert sum(supp) / len(supp) > cust[len(cust) // 2]
+
+
+def test_activity_streaks_bounds_and_coverage(spark, sf_oracle):
+    """Streak invariants the oracle can't distinguish from luck: every
+    user's longest streak is within the corpus's 30-day span, every
+    user has at least one streak, the user set matches the active-user
+    population exactly, and the fixture actually exercises BOTH
+    regimes — users with gaps (n_streaks > 1) and users with an
+    unbroken run."""
+    rows = _rows(spark, sf_oracle, "activity_streaks")
+    active_users = {
+        r.user_id
+        for r in SPECS["user_activity_stats"].build(spark, sf_oracle).collect()
+    }
+    assert rows, "no users"
+    assert all(1 <= r.longest_streak <= 31 for r in rows)
+    assert all(r.n_streaks >= 1 for r in rows)
+    assert any(r.n_streaks > 1 for r in rows), "fixture has no gapped users"
+    assert any(r.n_streaks == 1 for r in rows), "fixture has no unbroken users"
+    assert active_users == {r.user_id for r in rows}
