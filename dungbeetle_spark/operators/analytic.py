@@ -567,9 +567,13 @@ def pagerank_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined, hash-partitioned on src, and localCheckpoint'd — each
     iteration then reuses that partitioning and only the rank table
     (node-cardinality, orders of magnitude smaller) moves through the
-    join shuffle. Lineage is truncated per round (the iterative-
-    algorithm contract, same as connected_components); ranks never
-    collect to the driver."""
+    join shuffle. Because edges are symmetric every node has in-edges,
+    so no separate node table or left join exists: iteration 1's
+    uniform prior folds into the edge scan as a constant (one groupBy,
+    no rank join at all), and each round's output covers all nodes by
+    construction. Lineage truncates between rounds only (the final
+    round flows straight to the consumer); ranks never collect to the
+    driver."""
     t = _t(spark, sf_dir, "lineitem", "orders")
     e0 = (
         t["lineitem"]
@@ -587,31 +591,31 @@ def pagerank_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     # One edge-side shuffle for the whole run: degree join + explicit
     # src partitioning, then checkpoint so neither is recomputed per
     # iteration.
-    edges_d = (
-        edges.join(deg, "src").repartition("src").localCheckpoint()
+    edges_d = edges.join(deg, "src").repartition("src").localCheckpoint()
+    n_iters = 2
+    # Iteration 1: every rank is the uniform 1,000,000-micro prior, so
+    # the rank "join" is a constant expression on the edge scan.
+    ranks = (
+        edges_d.select(
+            "dst", F.expr("((1000000 DIV d) * 85) DIV 100").alias("w")
+        )
+        .groupBy(F.col("dst").alias("node"))
+        .agg((F.lit(150_000) + F.sum("w")).cast("long").alias("r"))
+        .localCheckpoint()
     )
-    nodes = edges_d.select(F.col("src").alias("node")).distinct().localCheckpoint()
-    ranks = nodes.select("node", F.lit(1_000_000).cast("long").alias("r"))
-    for _ in range(2):
-        contrib = (
-            edges_d.join(ranks, edges_d.src == ranks.node)
-            .select(
-                F.col("dst"),
-                F.expr("((r DIV d) * 85) DIV 100").alias("w"),
-            )
-            .groupBy(F.col("dst").alias("node"))
-            .agg(F.sum("w").alias("contrib"))
-        )
+    for it in range(1, n_iters):
         ranks = (
-            nodes.join(contrib, "node", "left")
-            .select(
-                "node",
-                (F.lit(150_000) + F.coalesce(F.col("contrib"), F.lit(0)))
-                .cast("long")
-                .alias("r"),
-            )
-            .localCheckpoint()
+            edges_d.join(ranks, edges_d.src == ranks.node)
+            .select("dst", F.expr("((r DIV d) * 85) DIV 100").alias("w"))
+            .groupBy(F.col("dst").alias("node"))
+            .agg((F.lit(150_000) + F.sum("w")).cast("long").alias("r"))
         )
+        if it < n_iters - 1:
+            # checkpoint BETWEEN iterations only: it truncates the
+            # lineage the next round would re-execute; the last
+            # round's output flows straight to the consumer, saving
+            # one materialization barrier.
+            ranks = ranks.localCheckpoint()
     return ranks.select(
         F.when(F.col("node") % 2 == 0, F.lit("customer"))
         .otherwise(F.lit("supplier"))
