@@ -92,10 +92,10 @@ def connected_components(nodes: DataFrame, pairs: DataFrame) -> DataFrame:
     )
 
 
-@query(
-    "dedup_components",
-    oracle="""
-    WITH RECURSIVE
+# The components fixpoint as DuckDB CTEs (3-gram Jaccard pairs →
+# symmetric edges → recursive transitive closure), shared by the
+# dedup_components oracle and the canonical-keep oracle built on it.
+_COMPONENTS_CTES = """
     words AS (
       SELECT doc_id,
              regexp_split_to_array(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS w
@@ -118,7 +118,14 @@ def connected_components(nodes: DataFrame, pairs: DataFrame) -> DataFrame:
     reach(node, lbl) AS (
       SELECT doc_id, doc_id FROM documents
       UNION
-      SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node)
+      SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node)"""
+
+
+@query(
+    "dedup_components",
+    oracle=f"""
+    WITH RECURSIVE
+    {_COMPONENTS_CTES}
     SELECT node AS doc_id, MIN(lbl) AS component FROM reach GROUP BY node
     """,
     doc="Duplicate clustering: near-dup pairs (exact 3-gram Jaccard "
@@ -136,6 +143,64 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")["documents"]
     pairs = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
     return connected_components(d.select("doc_id"), pairs)
+
+
+def _canonical_keep_oracle() -> str:
+    from dungbeetle_spark.operators.text import _quality_cte_sql
+
+    return f"""
+    WITH RECURSIVE
+    {_COMPONENTS_CTES},
+    comp AS (
+      SELECT node AS doc_id, MIN(lbl) AS component FROM reach GROUP BY node),
+    {_quality_cte_sql()},
+    ranked AS (
+      SELECT c.doc_id, c.component, s.quality,
+             ROW_NUMBER() OVER (PARTITION BY c.component
+                                ORDER BY s.quality DESC, c.doc_id) AS rk
+      FROM comp c JOIN scored s ON c.doc_id = s.doc_id)
+    SELECT doc_id, component, quality, rk = 1 AS keep FROM ranked
+    """
+
+
+@query(
+    "dedup_canonical_keep",
+    oracle=_canonical_keep_oracle(),
+    doc="Canonical-document selection — the step that turns duplicate "
+    "CLUSTERS into a deduplicated corpus: within each connected "
+    "component (same pair contract as dedup_components) keep the "
+    "highest-QUALITY member (quality_score's rational-arithmetic "
+    "rule score; ties break on doc_id), drop the rest. Emits every "
+    "document with its component, quality, and keep verdict, so the "
+    "drop set is auditable rather than silently deleted — singleton "
+    "components keep their only member by construction. The oracle "
+    "composes the recursive-CTE components fixpoint with the quality "
+    "CTE and replays the argmax relationally.",
+)
+def dedup_canonical_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: reuses the components labels (iterative, one
+    shuffle per round) and the quality projection (scan-side codegen,
+    no shuffle); the argmax is ONE window over the component key —
+    duplicate clusters are small by construction, so the window
+    partition sizes are bounded and skew-safe. Keep-selection by
+    quality (not min-id) is what real curation does: the shortest or
+    most boilerplate-laden copy should lose, whichever crawl shard it
+    arrived in first."""
+    from dungbeetle_spark.operators.text import quality_score
+
+    comp = dedup_components(spark, sf_dir)
+    q = quality_score(spark, sf_dir)
+    w = W.partitionBy("component").orderBy(F.desc("quality"), F.asc("doc_id"))
+    return (
+        comp.join(q, "doc_id")
+        .withColumn("rk", F.row_number().over(w))
+        .select(
+            "doc_id",
+            "component",
+            "quality",
+            (F.col("rk") == 1).alias("keep"),
+        )
+    )
 
 
 @query(

@@ -91,6 +91,7 @@ DRIVER_PRIORITY: list[str] = [
     "events_variant_stats",
     "collated_event_type_counts",
     "pagerank_trade_graph",
+    "dedup_canonical_keep",
     # same-module neighbors of this round's similarity.py change —
     # re-window to prove no collateral drift (ann_ivf and the
     # embedding-dedup failover changed directly; ann_cosine_topk's own
@@ -124,9 +125,9 @@ DRIVER_PRIORITY: list[str] = [
     "q13_order_distribution",
     "q14_promo_revenue",
     "q18_large_volume_orders",
-    "q19_disjunctive_predicates",
-    # displaced by the seventeen new-in-r05 operators (new > stale
-    # under the rotation rule): q1_pricing_summary, q22_idle_customers,
+    # displaced by the eighteen new-in-r05 operators (new > stale
+    # under the rotation rule): q19_disjunctive_predicates,
+    # q1_pricing_summary, q22_idle_customers,
     # q2_min_price_supplier, q3_shipping_priority,
     # q5_local_supplier_volume, q6_forecast_revenue, q7_nation_volume,
     # rollup_sales, salted_segment_activity, stratified_sample,

@@ -159,3 +159,25 @@ def test_activity_streaks_bounds_and_coverage(spark, sf_oracle):
     assert any(r.n_streaks > 1 for r in rows), "fixture has no gapped users"
     assert any(r.n_streaks == 1 for r in rows), "fixture has no unbroken users"
     assert active_users == {r.user_id for r in rows}
+
+
+def test_canonical_keep_quality_actually_decides(spark, sf_oracle):
+    """Non-hollowness for dedup_canonical_keep: exactly one keeper per
+    component, singletons keep themselves — and the QUALITY criterion
+    must actually fire: at least one multi-doc component's keeper is
+    NOT its minimum doc_id (otherwise the operator degenerates to
+    min-id selection and the quality join proves nothing)."""
+    rows = _rows(spark, sf_oracle, "dedup_canonical_keep")
+    by_comp: dict[int, list] = {}
+    for r in rows:
+        by_comp.setdefault(r.component, []).append(r)
+    assert all(sum(1 for r in ms if r.keep) == 1 for ms in by_comp.values())
+    multi = {c: ms for c, ms in by_comp.items() if len(ms) > 1}
+    assert multi, "fixture has no duplicate clusters"
+    keepers = {c: next(r for r in ms if r.keep) for c, ms in multi.items()}
+    # keeper holds the max quality of its component
+    for c, ms in multi.items():
+        assert keepers[c].quality == max(r.quality for r in ms)
+    assert any(
+        k.doc_id != min(r.doc_id for r in multi[c]) for c, k in keepers.items()
+    ), "quality never overrode min-id — the criterion is hollow on this fixture"

@@ -43,6 +43,7 @@ CHANGED_THIS_ROUND = [
     "events_variant_stats",  # new in r05
     "collated_event_type_counts",  # new in r05
     "pagerank_trade_graph",  # new in r05
+    "dedup_canonical_keep",  # new in r05
     "q12_shipping_delay",
     "dedup_minhash_lsh",
     "dedup_simhash",
