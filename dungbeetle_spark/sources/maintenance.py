@@ -30,6 +30,15 @@ Compaction writes to a fresh directory and atomically swaps only
 after success (write-then-rename), so a failed compaction never
 corrupts the live table — readers see the old files or the new ones,
 nothing in between.
+
+Relationship to ``results.ParquetResultBackend.compact``: that one is
+the JOB-SERVER maintenance path (per-job result table, exact
+target-file count, Observation-verified row count, lock-serialized
+against the TTL reaper and concurrent compacts, exposed at
+``POST /jobs/{id}/compact``). This module is the SOURCE-table
+counterpart: size-targeted file planning from actual bytes and
+optional sort-key clustering for footer pruning, for the corpus
+tables jobs read from.
 """
 
 from __future__ import annotations
