@@ -164,11 +164,12 @@ NOTES = """
   price of an adversarially dense key space, already reduced from 1.6
   by typing the candidate streams (substitution self-join +
   deletion-vs-raw).
-- `pagerank_trade_graph` (~0.5): each amplified copy is a disjoint
-  subgraph, so edges grow linearly and the per-iteration join/agg cost
-  with them; the sub-linear exponent is the fixed per-iteration floor
-  (two localCheckpoint barriers + node-table shuffles) amortizing, on
-  top of 32 cores absorbing the x32 edge volume.
+- `pagerank_trade_graph` (~0.5-0.75, host-load-sensitive): each
+  amplified copy is a disjoint subgraph, so edges grow linearly and
+  the per-iteration join/agg cost with them; the sub-linear exponent
+  is the fixed materialization floor (the edge-table and
+  inter-iteration localCheckpoint barriers) amortizing, on top of 32
+  cores absorbing the x32 edge volume.
 - `dedup_ngram_jaccard` is swept only at x1: the exact similarity
   join's Σ|posting|² cost is the documented reason `dedup_minhash_lsh`
   exists as the scale path.
