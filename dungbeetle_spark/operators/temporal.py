@@ -196,3 +196,84 @@ def time_rollup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("d").alias("day"), F.col("h").alias("hour"), "n_events", "total_value"
         )
     )
+
+
+_TS_QUERY_USER = 1
+_TS_TOPK = 5
+
+
+@query(
+    "timeseries_topk_similar_users",
+    oracle=f"""
+    WITH daily AS (
+      SELECT user_id, CAST(ts AS DATE) AS d, CAST(COUNT(*) AS BIGINT) AS c
+      FROM events GROUP BY 1, 2),
+    qd AS (SELECT d, c FROM daily WHERE user_id = {_TS_QUERY_USER}),
+    sq2 AS (SELECT COALESCE(SUM(c * c), 0) AS v FROM qd),
+    su2 AS (
+      SELECT user_id, SUM(c * c) AS v FROM daily
+      WHERE user_id <> {_TS_QUERY_USER} GROUP BY 1),
+    cross_term AS (
+      SELECT daily.user_id, SUM(daily.c * qd.c) AS v
+      FROM daily JOIN qd ON daily.d = qd.d
+      WHERE daily.user_id <> {_TS_QUERY_USER}
+      GROUP BY 1),
+    dist AS (
+      SELECT s.user_id,
+             s.v + (SELECT v FROM sq2) - 2 * COALESCE(x.v, 0) AS dist2
+      FROM su2 s LEFT JOIN cross_term x ON s.user_id = x.user_id)
+    SELECT CAST(ROW_NUMBER() OVER (ORDER BY dist2, user_id) AS BIGINT)
+             AS rank,
+           user_id, CAST(dist2 AS BIGINT) AS dist2
+    FROM dist
+    ORDER BY dist2, user_id
+    LIMIT {_TS_TOPK}
+    """,
+    doc=f"Top-{_TS_TOPK} time-series similarity search (the "
+    "REPOSE/streaming-similarity problem shape, ICDE'21/EDBT'19, on "
+    "the activity domain): the users whose 30-day daily-activity "
+    "profile sits closest to user "
+    f"{_TS_QUERY_USER}'s in squared Euclidean distance. Distance "
+    "decomposes as Σc_u² + Σc_q² − 2Σ c_u·c_q so missing days need "
+    "no densification — pure integer arithmetic, bit-identical "
+    "cross-engine, ties broken on user_id.",
+)
+def timeseries_topk_similar_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: the query profile (≤ days-of-history rows) and its
+    squared norm BROADCAST; the corpus aggregates once on (user, day)
+    and once on user — the same single-pass norm+cross-term
+    decomposition ann_cosine_topk uses for embeddings, here on
+    event-time profiles. The global top-k is a TakeOrdered over
+    user-cardinality rows, never a full sort of the fact table."""
+    e = _t(spark, sf_dir, "events")["events"]
+    daily = e.groupBy(
+        "user_id", F.col("ts").cast("date").alias("d")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    qd = daily.filter(F.col("user_id") == _TS_QUERY_USER).select(
+        F.col("d").alias("qd_d"), F.col("c").alias("qc")
+    )
+    sq2 = qd.agg(F.coalesce(F.sum(F.col("qc") * F.col("qc")), F.lit(0)).alias("sq2"))
+    rest = daily.filter(F.col("user_id") != _TS_QUERY_USER)
+    su2 = rest.groupBy("user_id").agg(F.sum(F.col("c") * F.col("c")).alias("su2"))
+    cross = (
+        rest.join(F.broadcast(qd), rest.d == qd.qd_d)
+        .groupBy("user_id")
+        .agg(F.sum(F.col("c") * F.col("qc")).alias("xv"))
+    )
+    dist = (
+        su2.join(cross, "user_id", "left")
+        .join(F.broadcast(sq2))
+        .select(
+            "user_id",
+            (
+                F.col("su2") + F.col("sq2") - 2 * F.coalesce(F.col("xv"), F.lit(0))
+            ).alias("dist2"),
+        )
+    )
+    w = W.orderBy(F.asc("dist2"), F.asc("user_id"))
+    return (
+        dist.orderBy("dist2", "user_id")
+        .limit(_TS_TOPK)
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .select("rank", "user_id", F.col("dist2").cast("long").alias("dist2"))
+    )

@@ -92,6 +92,7 @@ DRIVER_PRIORITY: list[str] = [
     "collated_event_type_counts",
     "pagerank_trade_graph",
     "dedup_canonical_keep",
+    "timeseries_topk_similar_users",
     # same-module neighbors of this round's similarity.py change —
     # re-window to prove no collateral drift (ann_ivf and the
     # embedding-dedup failover changed directly; ann_cosine_topk's own
@@ -124,9 +125,9 @@ DRIVER_PRIORITY: list[str] = [
     "q10_returned_items",
     "q13_order_distribution",
     "q14_promo_revenue",
-    "q18_large_volume_orders",
-    # displaced by the eighteen new-in-r05 operators (new > stale
-    # under the rotation rule): q19_disjunctive_predicates,
+    # displaced by the nineteen new-in-r05 operators (new > stale
+    # under the rotation rule): q18_large_volume_orders,
+    # q19_disjunctive_predicates,
     # q1_pricing_summary, q22_idle_customers,
     # q2_min_price_supplier, q3_shipping_priority,
     # q5_local_supplier_volume, q6_forecast_revenue, q7_nation_volume,

@@ -44,6 +44,7 @@ CHANGED_THIS_ROUND = [
     "collated_event_type_counts",  # new in r05
     "pagerank_trade_graph",  # new in r05
     "dedup_canonical_keep",  # new in r05
+    "timeseries_topk_similar_users",  # new in r05
     "q12_shipping_delay",
     "dedup_minhash_lsh",
     "dedup_simhash",
