@@ -519,3 +519,13 @@ def test_listagg_broadcasts_nation_dim(spark, sf):
     df = _df(spark, sf, "listagg_nation_suppliers")
     assert has_broadcast_join(df)
     assert shuffle_exchanges(df) <= 1
+
+
+def test_timeseries_topk_broadcasts_query_profile(spark, sf):
+    """timeseries_topk_similar_users: the query user's profile and
+    norm ride broadcasts; the top-k is a TakeOrdered(Global)Limit over
+    user-cardinality rows, never a full global Sort of the corpus."""
+    df = _df(spark, sf, "timeseries_topk_similar_users")
+    assert has_broadcast_join(df)
+    plan = formatted_plan(df)
+    assert "TakeOrderedAndProject" in plan
