@@ -623,3 +623,58 @@ def pagerank_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("node DIV 2").alias("node_key"),
         F.col("r").alias("rank_micros"),
     )
+
+
+@query(
+    "event_transition_matrix",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             LEAD(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS next_type
+      FROM events),
+    trans AS (
+      SELECT event_type AS from_type, next_type AS to_type,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM seq WHERE next_type IS NOT NULL
+      GROUP BY 1, 2),
+    totals AS (
+      SELECT from_type, SUM(n) AS tot FROM trans GROUP BY 1)
+    SELECT t.from_type, t.to_type, t.n,
+           CAST(t.n * 1000 // x.tot AS BIGINT) AS permille
+    FROM trans t JOIN totals x ON t.from_type = x.from_type
+    """,
+    doc="First-order Markov transition matrix over per-user event "
+    "journeys: for every (from, to) event-type pair, the transition "
+    "count and its per-mille share of the from-state's outgoing "
+    "transitions (integer floor division — exact cross-engine; a "
+    "probability double would hash-wobble). Successor order is "
+    "(ts, event_id) so same-timestamp events have a deterministic "
+    "sequence. The journey analysis behind sankey/flow dashboards.",
+)
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: ONE user_id shuffle feeds the lead() window; the
+    transition aggregate partial-aggregates map-side down to
+    |event_types|² rows (25 here), and the denominator join is over
+    that tiny matrix — the fact table is scanned and shuffled exactly
+    once."""
+    from dungbeetle_spark.queries import _t
+
+    e = _t(spark, sf_dir, "events")["events"]
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "event_type", F.lead("event_type").over(w).alias("next_type")
+    ).filter(F.col("next_type").isNotNull())
+    trans = seq.groupBy(
+        F.col("event_type").alias("from_type"), F.col("next_type").alias("to_type")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    totals = trans.groupBy("from_type").agg(F.sum("n").alias("tot"))
+    return (
+        trans.join(F.broadcast(totals), "from_type")
+        .select(
+            "from_type",
+            "to_type",
+            "n",
+            F.expr("CAST(n * 1000 DIV tot AS BIGINT)").alias("permille"),
+        )
+    )

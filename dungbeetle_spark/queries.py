@@ -93,6 +93,7 @@ DRIVER_PRIORITY: list[str] = [
     "pagerank_trade_graph",
     "dedup_canonical_keep",
     "timeseries_topk_similar_users",
+    "event_transition_matrix",
     # same-module neighbors of this round's similarity.py change —
     # re-window to prove no collateral drift (ann_ivf and the
     # embedding-dedup failover changed directly; ann_cosine_topk's own
@@ -124,9 +125,9 @@ DRIVER_PRIORITY: list[str] = [
     "profit_summary",
     "q10_returned_items",
     "q13_order_distribution",
-    "q14_promo_revenue",
-    # displaced by the nineteen new-in-r05 operators (new > stale
-    # under the rotation rule): q18_large_volume_orders,
+    # displaced by the twenty new-in-r05 operators (new > stale
+    # under the rotation rule): q14_promo_revenue,
+    # q18_large_volume_orders,
     # q19_disjunctive_predicates,
     # q1_pricing_summary, q22_idle_customers,
     # q2_min_price_supplier, q3_shipping_priority,

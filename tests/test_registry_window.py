@@ -45,6 +45,7 @@ CHANGED_THIS_ROUND = [
     "pagerank_trade_graph",  # new in r05
     "dedup_canonical_keep",  # new in r05
     "timeseries_topk_similar_users",  # new in r05
+    "event_transition_matrix",  # new in r05
     "q12_shipping_delay",
     "dedup_minhash_lsh",
     "dedup_simhash",
