@@ -678,3 +678,125 @@ def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("CAST(n * 1000 DIV tot AS BIGINT)").alias("permille"),
         )
     )
+
+
+@query(
+    "anomaly_daily_zscore",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM events GROUP BY 1, 2),
+    trail AS (
+      SELECT event_type, day, cnt,
+             CAST(COUNT(*)        OVER w AS BIGINT) AS trail_n,
+             CAST(SUM(cnt)        OVER w AS BIGINT) AS trail_sum,
+             CAST(SUM(cnt * cnt)  OVER w AS BIGINT) AS trail_sumsq
+      FROM daily
+      WINDOW w AS (PARTITION BY event_type ORDER BY day
+                   ROWS BETWEEN 6 PRECEDING AND CURRENT ROW))
+    SELECT event_type, day, cnt, trail_n, trail_sum, trail_sumsq,
+           (trail_n = 7
+            AND cnt * trail_n > trail_sum
+            AND CAST(cnt * trail_n - trail_sum AS DOUBLE)
+                * CAST(cnt * trail_n - trail_sum AS DOUBLE)
+              > 4.0 * CAST(trail_n * trail_sumsq - trail_sum * trail_sum
+                           AS DOUBLE)) AS is_spike
+    FROM trail
+    """,
+    doc="Rolling z-score anomaly detection on daily event volumes: per "
+    "event type, a trailing-7-day window of counts; a day is a spike "
+    "when it sits more than 2 sigmas above the window mean. The test "
+    "z > 2 is algebraically cleared of divisions -- "
+    "(n*c - sum)^2 > 4*(n*sumsq - sum^2) with an above-mean guard -- "
+    "so every emitted value is integer-exact and the one comparison "
+    "runs on doubles both engines derive from identical int64s. The "
+    "monitoring primitive behind volume alerting.",
+)
+def anomaly_daily_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: the daily pre-aggregate partial-combines map-side
+    down to |types| x |days| rows BEFORE the window; the rolling frame
+    then runs over that tiny series (one shuffle on event_type), never
+    over raw events. Population variance of the trailing window incl.
+    the current day -- the simple online form; n is pinned to full
+    7-day baselines so early-series days never alert."""
+    from dungbeetle_spark.queries import _t
+
+    e = _t(spark, sf_dir, "events")["events"]
+    daily = (
+        e.groupBy("event_type", F.col("ts").cast("date").alias("day"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = W.partitionBy("event_type").orderBy("day").rowsBetween(-6, 0)
+    trail = daily.select(
+        "event_type",
+        "day",
+        "cnt",
+        F.count(F.lit(1)).over(w).alias("trail_n"),
+        F.sum("cnt").over(w).alias("trail_sum"),
+        F.sum(F.col("cnt") * F.col("cnt")).over(w).alias("trail_sumsq"),
+    )
+    dev = (F.col("cnt") * F.col("trail_n") - F.col("trail_sum")).cast("double")
+    var_n2 = (
+        F.col("trail_n") * F.col("trail_sumsq")
+        - F.col("trail_sum") * F.col("trail_sum")
+    ).cast("double")
+    return trail.withColumn(
+        "is_spike",
+        (F.col("trail_n") == 7)
+        & (F.col("cnt") * F.col("trail_n") > F.col("trail_sum"))
+        & (dev * dev > F.lit(4.0) * var_n2),
+    )
+
+
+@query(
+    "incremental_agg_maintenance",
+    oracle="""
+    SELECT o_custkey,
+           CAST(COUNT(*) AS BIGINT) AS order_cnt,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS total_spend,
+           CAST(MAX(o_orderdate) AS DATE) AS last_order_day
+    FROM orders GROUP BY o_custkey
+    """,
+    doc="Incremental materialized-view maintenance: the per-customer "
+    "lifetime aggregate is kept as a snapshot (orders before "
+    "2000-01-01, pre-aggregated) and refreshed by aggregating ONLY "
+    "the delta (orders since), then merging the two partial-aggregate "
+    "sets by re-aggregation -- SUM of sums, SUM of counts, MAX of "
+    "maxes. Works because (count, decimal-sum, max) is a commutative "
+    "monoid; the oracle recomputes from scratch and must match "
+    "exactly. The pattern that turns a daily 100 TB rescan into a "
+    "1 TB delta pass.",
+)
+def incremental_agg_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: the snapshot side is what a stored MV table IS --
+    here rebuilt from the historical partition for self-containment,
+    in production read back pre-aggregated (|customers| rows, no fact
+    scan). The delta aggregate shuffles only delta keys; the merge
+    union re-aggregates |customers|+|delta keys| partial rows. Uses
+    union + re-agg rather than a full-outer join: no join at all, and
+    the same code path merges any number of increments."""
+    from dungbeetle_spark.queries import _t
+
+    o = _t(spark, sf_dir, "orders")["orders"]
+    cutoff = F.lit("2000-01-01").cast("timestamp")
+
+    def partial(df: DataFrame) -> DataFrame:
+        return df.groupBy("o_custkey").agg(
+            F.count(F.lit(1)).alias("order_cnt"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("spend_dec"),
+            F.max("o_orderdate").alias("last_ts"),
+        )
+
+    snapshot = partial(o.filter(F.col("o_orderdate") < cutoff))
+    delta = partial(o.filter(F.col("o_orderdate") >= cutoff))
+    return (
+        snapshot.unionByName(delta)
+        .groupBy("o_custkey")
+        .agg(
+            F.sum("order_cnt").alias("order_cnt"),
+            F.sum("spend_dec").cast("double").alias("total_spend"),
+            F.max("last_ts").cast("date").alias("last_order_day"),
+        )
+    )

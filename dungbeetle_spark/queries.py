@@ -94,6 +94,10 @@ DRIVER_PRIORITY: list[str] = [
     "dedup_canonical_keep",
     "timeseries_topk_similar_users",
     "event_transition_matrix",
+    "zorder_layout_stats",
+    "join_skew_profile",
+    "anomaly_daily_zscore",
+    "incremental_agg_maintenance",
     # same-module neighbors of this round's similarity.py change —
     # re-window to prove no collateral drift (ann_ivf and the
     # embedding-dedup failover changed directly; ann_cosine_topk's own
@@ -121,12 +125,10 @@ DRIVER_PRIORITY: list[str] = [
     "pivot_event_counts",
     "profile_orders_columns",
     "profit_entries",
-    "profit_entries_by_date",
-    "profit_summary",
-    "q10_returned_items",
-    "q13_order_distribution",
-    # displaced by the twenty new-in-r05 operators (new > stale
-    # under the rotation rule): q14_promo_revenue,
+    # displaced by the twenty-six new-in-r05 operators (new > stale
+    # under the rotation rule): profit_entries_by_date,
+    # profit_summary, q10_returned_items, q13_order_distribution,
+    # q14_promo_revenue,
     # q18_large_volume_orders,
     # q19_disjunctive_predicates,
     # q1_pricing_summary, q22_idle_customers,
@@ -147,6 +149,7 @@ def registry() -> dict[str, QuerySpec]:
     import dungbeetle_spark.operators.analytic  # noqa: F401
     import dungbeetle_spark.operators.curation  # noqa: F401
     import dungbeetle_spark.operators.dedup  # noqa: F401
+    import dungbeetle_spark.operators.layout  # noqa: F401
     import dungbeetle_spark.operators.pipeline  # noqa: F401
     import dungbeetle_spark.operators.relational_ext  # noqa: F401
     import dungbeetle_spark.operators.similarity  # noqa: F401

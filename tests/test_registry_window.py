@@ -46,6 +46,10 @@ CHANGED_THIS_ROUND = [
     "dedup_canonical_keep",  # new in r05
     "timeseries_topk_similar_users",  # new in r05
     "event_transition_matrix",  # new in r05
+    "zorder_layout_stats",  # new in r05
+    "join_skew_profile",  # new in r05
+    "anomaly_daily_zscore",  # new in r05
+    "incremental_agg_maintenance",  # new in r05
     "q12_shipping_delay",
     "dedup_minhash_lsh",
     "dedup_simhash",
