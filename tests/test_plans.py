@@ -529,3 +529,50 @@ def test_timeseries_topk_broadcasts_query_profile(spark, sf):
     assert has_broadcast_join(df)
     plan = formatted_plan(df)
     assert "TakeOrderedAndProject" in plan
+
+
+def test_zorder_single_aggregate_shuffle_all_codegen(spark, sf):
+    df = _df(spark, sf, "zorder_layout_stats")
+    plan = formatted_plan(df)
+    # the Morton key is pure bitwise codegen — no UDF, no window
+    assert "BatchEvalPython" not in plan and "Window" not in plan
+    assert has_partial_aggregate(df)
+    assert shuffle_exchanges(df) <= 1, "zone-map agg is the only shuffle"
+    # scan reads only the two layout dimensions
+    schemas = scan_schemas(df)
+    assert schemas and "o_totalprice" not in schemas[0]
+
+
+def test_join_skew_profile_prunes_each_scan_to_one_column(spark, sf):
+    df = _df(spark, sf, "join_skew_profile")
+    schemas = [s for s in scan_schemas(df) if "l_" in s]
+    assert len(schemas) == 3, "one single-column pass per join key"
+    for s in schemas:
+        assert s.count(":") == 1, f"scan must read exactly one column: {s}"
+    assert has_partial_aggregate(df)
+
+
+def test_anomaly_zscore_preaggregates_before_window(spark, sf):
+    df = _df(spark, sf, "anomaly_daily_zscore")
+    plan = formatted_plan(df)
+    # the rolling frame must run over the daily pre-aggregate, never
+    # raw events: partial agg exists and the Window sits above the agg
+    assert has_partial_aggregate(df)
+    agg_ids = [int(m) for m in re.findall(r"\((\d+)\) HashAggregate", plan)]
+    win_ids = [int(m) for m in re.findall(r"\((\d+)\) Window", plan)]
+    assert agg_ids and win_ids
+    # operator ids count from the scan upward: the aggregate must be
+    # a lower id (earlier stage) than the window that consumes it
+    assert min(agg_ids) < min(win_ids), "window must consume the aggregate"
+    assert "BatchEvalPython" not in plan
+
+
+def test_incremental_maintenance_merges_without_join(spark, sf):
+    df = _df(spark, sf, "incremental_agg_maintenance")
+    plan = formatted_plan(df)
+    # mergeable-monoid union + re-agg: there must be NO join operator
+    assert "Join" not in plan, "partial-aggregate merge must not join"
+    assert plan.count("Union") >= 1
+    assert has_partial_aggregate(df)
+    # both branch scans carry the cutoff date pushdown
+    assert len(pushed_filters(df)) >= 2
