@@ -800,3 +800,87 @@ def incremental_agg_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("last_ts").cast("date").alias("last_order_day"),
         )
     )
+
+
+@query(
+    "triangle_cohorts",
+    oracle="""
+    WITH li AS (
+      SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS p,
+             DATE_TRUNC('month', l.l_shipdate) AS m
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      WHERE l.l_quantity >= 44),
+    e AS (
+      SELECT DISTINCT a.c AS x, b.c AS y
+      FROM li a JOIN li b ON a.p = b.p AND a.m = b.m AND a.c < b.c),
+    tri AS (
+      SELECT e1.x AS a, e1.y AS b, e2.y AS c
+      FROM e e1
+      JOIN e e2 ON e1.y = e2.x
+      JOIN e e3 ON e1.x = e3.x AND e2.y = e3.y),
+    nodes AS (
+      SELECT a AS node FROM tri
+      UNION ALL SELECT b FROM tri
+      UNION ALL SELECT c FROM tri)
+    SELECT node AS custkey, CAST(COUNT(*) AS BIGINT) AS triangles
+    FROM nodes GROUP BY node
+    """,
+    doc="Triangle counting over the customer co-purchase graph "
+    "(customers linked when they ship the same part in the same "
+    "month at bulk quantity): per-customer triangle participation -- "
+    "the clustering signal behind community/cohort detection and "
+    "fraud-ring analysis. Edges are oriented low-id -> high-id so "
+    "each triangle is generated exactly once as an (a<b<c) wedge "
+    "closed by one membership join. Completes the graph family next "
+    "to pagerank_trade_graph and dedup_components.",
+)
+def triangle_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: candidate pairs come from (part, month) posting
+    lists -- cost Sum |posting|^2 like the ngram similarity join,
+    never |V|^2 -- and the wedge join runs on oriented edges, whose
+    fan-out is bounded by per-node out-degree. At 100 TB the standard
+    hardening is degree-ordered relabeling (rank nodes by degree,
+    orient toward the higher rank), which caps out-degree at
+    O(sqrt(|E|)); id order stands in for that rank here and keeps the
+    oracle relational. Both joins shuffle only the edge list (tiny
+    vs the fact table); the fact scan happens once."""
+    t = _t(spark, sf_dir, "lineitem", "orders")
+    li = (
+        t["lineitem"]
+        .filter(F.col("l_quantity") >= 44)
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(
+            F.col("o_custkey").alias("c"),
+            F.col("l_partkey").alias("p"),
+            F.date_trunc("month", "l_shipdate").alias("m"),
+        )
+        .distinct()
+    )
+    a, b = li.alias("a"), li.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.p") == F.col("b.p"))
+            & (F.col("a.m") == F.col("b.m"))
+            & (F.col("a.c") < F.col("b.c")),
+        )
+        .select(F.col("a.c").alias("x"), F.col("b.c").alias("y"))
+        .distinct()
+    )
+    e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e1.y") == F.col("e2.x"))
+        .join(
+            e3,
+            (F.col("e1.x") == F.col("e3.x")) & (F.col("e2.y") == F.col("e3.y")),
+        )
+        .select(F.col("e1.x").alias("a"), F.col("e1.y").alias("b"), F.col("e2.y").alias("c"))
+    )
+    nodes = (
+        tri.select(F.col("a").alias("node"))
+        .unionAll(tri.select(F.col("b").alias("node")))
+        .unionAll(tri.select(F.col("c").alias("node")))
+    )
+    return nodes.groupBy(F.col("node").alias("custkey")).agg(
+        F.count(F.lit(1)).alias("triangles")
+    )

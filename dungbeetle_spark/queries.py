@@ -98,6 +98,7 @@ DRIVER_PRIORITY: list[str] = [
     "join_skew_profile",
     "anomaly_daily_zscore",
     "incremental_agg_maintenance",
+    "triangle_cohorts",
     # same-module neighbors of this round's similarity.py change —
     # re-window to prove no collateral drift (ann_ivf and the
     # embedding-dedup failover changed directly; ann_cosine_topk's own
@@ -124,9 +125,8 @@ DRIVER_PRIORITY: list[str] = [
     "parts_never_shipped",
     "pivot_event_counts",
     "profile_orders_columns",
-    "profit_entries",
-    # displaced by the twenty-six new-in-r05 operators (new > stale
-    # under the rotation rule): profit_entries_by_date,
+    # displaced by the twenty-seven new-in-r05 operators (new > stale
+    # under the rotation rule): profit_entries, profit_entries_by_date,
     # profit_summary, q10_returned_items, q13_order_distribution,
     # q14_promo_revenue,
     # q18_large_volume_orders,

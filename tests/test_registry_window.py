@@ -50,6 +50,7 @@ CHANGED_THIS_ROUND = [
     "join_skew_profile",  # new in r05
     "anomaly_daily_zscore",  # new in r05
     "incremental_agg_maintenance",  # new in r05
+    "triangle_cohorts",  # new in r05
     "q12_shipping_delay",
     "dedup_minhash_lsh",
     "dedup_simhash",
