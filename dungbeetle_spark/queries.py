@@ -99,6 +99,7 @@ DRIVER_PRIORITY: list[str] = [
     "anomaly_daily_zscore",
     "incremental_agg_maintenance",
     "triangle_cohorts",
+    "streaming_incremental_mv",
     # same-module neighbors of this round's similarity.py change —
     # re-window to prove no collateral drift (ann_ivf and the
     # embedding-dedup failover changed directly; ann_cosine_topk's own
@@ -124,9 +125,9 @@ DRIVER_PRIORITY: list[str] = [
     "order_priority_count",
     "parts_never_shipped",
     "pivot_event_counts",
-    "profile_orders_columns",
-    # displaced by the twenty-seven new-in-r05 operators (new > stale
-    # under the rotation rule): profit_entries, profit_entries_by_date,
+    # displaced by the twenty-eight new-in-r05 operators (new > stale
+    # under the rotation rule): profile_orders_columns,
+    # profit_entries, profit_entries_by_date,
     # profit_summary, q10_returned_items, q13_order_distribution,
     # q14_promo_revenue,
     # q18_large_volume_orders,
@@ -159,6 +160,7 @@ def registry() -> dict[str, QuerySpec]:
     import dungbeetle_spark.operators.multimodal  # noqa: F401
     import dungbeetle_spark.operators.temporal  # noqa: F401
     import dungbeetle_spark.streaming.stateful  # noqa: F401
+    import dungbeetle_spark.streaming.upsert  # noqa: F401
     import dungbeetle_spark.streaming.windows  # noqa: F401
 
     ordered: dict[str, QuerySpec] = {}

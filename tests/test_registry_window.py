@@ -51,6 +51,7 @@ CHANGED_THIS_ROUND = [
     "anomaly_daily_zscore",  # new in r05
     "incremental_agg_maintenance",  # new in r05
     "triangle_cohorts",  # new in r05
+    "streaming_incremental_mv",  # new in r05
     "q12_shipping_delay",
     "dedup_minhash_lsh",
     "dedup_simhash",
