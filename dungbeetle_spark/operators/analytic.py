@@ -866,6 +866,11 @@ def triangle_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("a.c").alias("x"), F.col("b.c").alias("y"))
         .distinct()
+        # Materialize the (tiny) edge list once: it feeds three join
+        # sides, and without the checkpoint Catalyst re-executes the
+        # whole fact-scan + posting-list self-join per consumer — 9
+        # fact scans instead of 1.
+        .localCheckpoint()
     )
     e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
     tri = (
@@ -876,11 +881,8 @@ def triangle_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("e1.x").alias("a"), F.col("e1.y").alias("b"), F.col("e2.y").alias("c"))
     )
-    nodes = (
-        tri.select(F.col("a").alias("node"))
-        .unionAll(tri.select(F.col("b").alias("node")))
-        .unionAll(tri.select(F.col("c").alias("node")))
-    )
+    # explode, not a 3-way union: one pass over the triangle set
+    nodes = tri.select(F.explode(F.array("a", "b", "c")).alias("node"))
     return nodes.groupBy(F.col("node").alias("custkey")).agg(
         F.count(F.lit(1)).alias("triangles")
     )

@@ -576,3 +576,13 @@ def test_incremental_maintenance_merges_without_join(spark, sf):
     assert has_partial_aggregate(df)
     # both branch scans carry the cutoff date pushdown
     assert len(pushed_filters(df)) >= 2
+
+
+def test_triangle_joins_run_on_materialized_edges(spark, sf):
+    df = _df(spark, sf, "triangle_cohorts")
+    plan = formatted_plan(df)
+    # edges are localCheckpoint'd: the wedge + closure joins and the
+    # node explode must NOT re-execute the fact-scan pipeline
+    assert "Scan parquet" not in plan, "joins must consume the checkpoint"
+    assert "Generate" in plan, "node expansion is one explode, not unions"
+    assert shuffle_exchanges(df) <= 5
