@@ -56,6 +56,12 @@ HEADLINE = [
     # iterative graph rank + the gaps-and-islands window idiom
     "pagerank_trade_graph",
     "activity_streaks",
+    # late-r05 families: layout/skew audits, incremental MV merge,
+    # posting-list triangle counting
+    "zorder_layout_stats",
+    "join_skew_profile",
+    "incremental_agg_maintenance",
+    "triangle_cohorts",
 ]
 
 # Host-drift canary (ADVICE r04: one hardcoded-anchor query is noisy
