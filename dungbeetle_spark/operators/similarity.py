@@ -760,3 +760,164 @@ def kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             "dist2_final",
         )
     )
+
+
+_RRF_K = 60
+_RRF_LIST = 20  # fusion depth per modality
+_RRF_TOP = 5
+
+
+@query(
+    "hybrid_rrf_retrieval",
+    oracle=f"""
+    WITH vr AS (
+      SELECT query_id, neighbor_id, rank FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+                 list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                        CAST(c.embedding AS DOUBLE[])) DESC,
+                 c.vec_id) AS rank
+        FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+        WHERE q.vec_id < {_N_QUERIES})
+      WHERE rank <= {_RRF_LIST}),
+    qtok AS (
+      SELECT DISTINCT doc_id AS qid,
+             UNNEST(regexp_split_to_array(
+               trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS w
+      FROM documents WHERE doc_id < {_N_QUERIES}),
+    ctok AS (
+      SELECT DISTINCT doc_id AS cid,
+             UNNEST(regexp_split_to_array(
+               trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS w
+      FROM documents),
+    lex AS (
+      SELECT qid, cid, COUNT(*) AS ov
+      FROM qtok JOIN ctok USING (w) WHERE qid <> cid GROUP BY 1, 2),
+    lr AS (
+      SELECT qid, cid, rank FROM (
+        SELECT qid, cid,
+               ROW_NUMBER() OVER (PARTITION BY qid
+                                  ORDER BY ov DESC, cid) AS rank
+        FROM lex)
+      WHERE rank <= {_RRF_LIST}),
+    fused AS (
+      SELECT COALESCE(v.query_id, l.qid) AS query_id,
+             COALESCE(v.neighbor_id, l.cid) AS doc_id,
+             v.rank AS vec_rank, l.rank AS lex_rank,
+             COALESCE(CAST(1.0 AS DOUBLE) / ({_RRF_K} + v.rank), 0)
+               + COALESCE(CAST(1.0 AS DOUBLE) / ({_RRF_K} + l.rank), 0)
+               AS rrf
+      FROM vr v FULL JOIN lr l
+        ON v.query_id = l.qid AND v.neighbor_id = l.cid)
+    SELECT query_id, doc_id, vec_rank, lex_rank,
+           round(rrf, 6) AS rrf_score, rk AS rank
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                       ORDER BY rrf DESC, doc_id) AS rk
+          FROM fused)
+    WHERE rk <= {_RRF_TOP}
+    """,
+    doc=f"Hybrid retrieval with reciprocal-rank fusion: for each of "
+    f"the {_N_QUERIES} query documents, a dense rank list (exact "
+    "cosine over the embedding column, declarative zip_with/aggregate "
+    "fold) and a sparse rank list (distinct-token overlap via an "
+    "inverted-index posting join) are fused by RRF "
+    f"score = sum 1/({_RRF_K}+rank) over the top-{_RRF_LIST} of each "
+    f"modality, emitting the fused top-{_RRF_TOP}. Ranks are "
+    "integers and the RRF expression is a fixed-shape row-level "
+    "double, so fusion is bit-deterministic; doc_id breaks "
+    "symmetric-rank ties. The retrieval shape RAG stacks run — dense "
+    "+ BM25-ish + fusion — as one relational plan.",
+)
+def hybrid_rrf_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: the dense side broadcasts the tiny query matrix
+    and scans the corpus once (cosine in JVM higher-order expressions
+    — no Python); the sparse side is a posting-list equi-join keyed
+    on token (cost Sum |posting(q tokens)|, never |corpus|x|queries|),
+    with the 10-query token set broadcast. Both rank lists window
+    over per-query candidates pruned to the fusion depth, and the
+    full-outer fusion join runs on 2*depth rows per query."""
+    from dungbeetle_spark.functions.texts import norm_text
+
+    t = _t(spark, sf_dir, "embeddings", "documents")
+    e, d = t["embeddings"], t["documents"]
+
+    def with_norm(df: DataFrame, vid: str, emb: str) -> DataFrame:
+        sq = F.transform(F.col(emb), lambda x: x.cast("double") * x.cast("double"))
+        return df.select(
+            F.col("vec_id").alias(vid),
+            F.col("embedding").alias(emb),
+            F.sqrt(F.aggregate(sq, F.lit(0.0), lambda a, x: a + x)).alias(
+                vid + "_norm"
+            ),
+        )
+
+    q = with_norm(e.filter(F.col("vec_id") < _N_QUERIES), "query_id", "q_emb")
+    c = with_norm(e, "neighbor_id", "c_emb")
+    dot = F.aggregate(
+        F.zip_with("q_emb", "c_emb", lambda a, b: a.cast("double") * b.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    wv = W.partitionBy("query_id").orderBy(F.desc("cs"), F.asc("neighbor_id"))
+    vr = (
+        F.broadcast(q)
+        .join(c, F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            (dot / (F.col("query_id_norm") * F.col("neighbor_id_norm"))).alias("cs"),
+        )
+        .withColumn("rank", F.row_number().over(wv))
+        .filter(F.col("rank") <= _RRF_LIST)
+        .select("query_id", "neighbor_id", "rank")
+    )
+
+    toks = d.select(
+        "doc_id", F.explode(F.split(norm_text(F.col("text")), " ")).alias("w")
+    ).distinct()
+    qtok = toks.filter(F.col("doc_id") < _N_QUERIES).withColumnRenamed("doc_id", "qid")
+    ctok = toks.withColumnRenamed("doc_id", "cid")
+    wl = W.partitionBy("qid").orderBy(F.desc("ov"), F.asc("cid"))
+    lr = (
+        F.broadcast(qtok)
+        .join(ctok, "w")
+        .filter(F.col("qid") != F.col("cid"))
+        .groupBy("qid", "cid")
+        .agg(F.count(F.lit(1)).alias("ov"))
+        .withColumn("rank", F.row_number().over(wl))
+        .filter(F.col("rank") <= _RRF_LIST)
+        .select("qid", "cid", "rank")
+    )
+
+    fused = (
+        vr.alias("v")
+        .join(
+            lr.alias("l"),
+            (F.col("v.query_id") == F.col("l.qid"))
+            & (F.col("v.neighbor_id") == F.col("l.cid")),
+            "full_outer",
+        )
+        .select(
+            F.coalesce(F.col("v.query_id"), F.col("l.qid")).alias("query_id"),
+            F.coalesce(F.col("v.neighbor_id"), F.col("l.cid")).alias("doc_id"),
+            F.col("v.rank").alias("vec_rank"),
+            F.col("l.rank").alias("lex_rank"),
+            (
+                F.coalesce(F.lit(1.0) / (F.lit(_RRF_K) + F.col("v.rank")), F.lit(0.0))
+                + F.coalesce(F.lit(1.0) / (F.lit(_RRF_K) + F.col("l.rank")), F.lit(0.0))
+            ).alias("rrf"),
+        )
+    )
+    wf = W.partitionBy("query_id").orderBy(F.desc("rrf"), F.asc("doc_id"))
+    return (
+        fused.withColumn("rk", F.row_number().over(wf))
+        .filter(F.col("rk") <= _RRF_TOP)
+        .select(
+            "query_id",
+            "doc_id",
+            "vec_rank",
+            "lex_rank",
+            F.round("rrf", 6).alias("rrf_score"),
+            F.col("rk").alias("rank"),
+        )
+    )

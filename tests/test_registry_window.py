@@ -52,6 +52,7 @@ CHANGED_THIS_ROUND = [
     "incremental_agg_maintenance",  # new in r05
     "triangle_cohorts",  # new in r05
     "streaming_incremental_mv",  # new in r05
+    "hybrid_rrf_retrieval",  # new in r05
     "q12_shipping_delay",
     "dedup_minhash_lsh",
     "dedup_simhash",
