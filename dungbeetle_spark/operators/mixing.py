@@ -520,3 +520,47 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "bitmap_distinct_users",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM events GROUP BY event_type
+    """,
+    doc="EXACT distinct counting by mergeable bitmaps: user ids map to "
+    "(bucket, bit) positions, each (event_type, bucket) group ORs its "
+    "bits into one bitmap, and per-type distinct = sum of per-bucket "
+    "popcounts. Same answer as COUNT(DISTINCT) but built from a "
+    "commutative mergeable aggregate -- the third point on the "
+    "distinct-counting triangle next to naive COUNT(DISTINCT) "
+    "(exact, but shuffles every raw id) and HLL sketch_user_stats "
+    "(bounded memory, approximate).",
+)
+def bitmap_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: the first aggregate partial-combines map-side into
+    fixed 4KB bitmaps per (type, id-bucket) -- the shuffle carries
+    |types| x |occupied buckets| bitmaps instead of one row per raw
+    id, and re-bucketing by id range means the same machinery serves
+    incremental refresh (OR the new day's bitmaps in) and per-segment
+    rollup (OR across segments) without rescanning ids. The popcount
+    re-aggregate runs over that tiny bitmap table. n_events rides the
+    same first pass and sums in the second."""
+    e = _t(spark, sf_dir, "events")["events"]
+    per_bucket = (
+        e.select("event_type", "user_id")
+        .groupBy(
+            "event_type",
+            F.expr("bitmap_bucket_number(user_id)").alias("bucket"),
+        )
+        .agg(
+            F.expr("bitmap_construct_agg(bitmap_bit_position(user_id))").alias("bm"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+    return per_bucket.groupBy("event_type").agg(
+        F.expr("CAST(sum(bitmap_count(bm)) AS BIGINT)").alias("n_users"),
+        F.sum("n").alias("n_events"),
+    )
