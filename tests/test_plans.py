@@ -586,3 +586,16 @@ def test_triangle_joins_run_on_materialized_edges(spark, sf):
     assert "Scan parquet" not in plan, "joins must consume the checkpoint"
     assert "Generate" in plan, "node expansion is one explode, not unions"
     assert shuffle_exchanges(df) <= 5
+
+
+def test_bitmap_distinct_shuffles_bitmaps_not_ids(spark, sf):
+    df = _df(spark, sf, "bitmap_distinct_users")
+    plan = formatted_plan(df)
+    assert has_partial_aggregate(df), "bucket bitmaps must combine map-side"
+    # first agg keyed (type, bucket), popcount re-agg keyed (type):
+    # two exchanges max, and no raw-id distinct (Expand/distinct agg)
+    assert shuffle_exchanges(df) <= 2
+    assert "bitmap" in plan.lower(), "bitmap aggregate must survive planning"
+    assert scan_schemas(df) == ["struct<ts:bigint,user_id:bigint,event_type:string>"] or all(
+        "props" not in s for s in scan_schemas(df)
+    )
