@@ -886,3 +886,109 @@ def triangle_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return nodes.groupBy(F.col("node").alias("custkey")).agg(
         F.count(F.lit(1)).alias("triangles")
     )
+
+
+@query(
+    "funnel_time_bounded",
+    oracle="""
+    WITH v AS (
+        SELECT user_id, MIN(ts) AS t_view
+        FROM events WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+        SELECT e.user_id, v.t_view, MIN(e.ts) AS t_click
+        FROM events e JOIN v ON e.user_id = v.user_id
+        WHERE e.event_type = 'click' AND e.ts > v.t_view
+          AND e.ts <= v.t_view + INTERVAL 72 HOUR
+        GROUP BY e.user_id, v.t_view
+    ),
+    p AS (
+        SELECT e.user_id, c.t_view, MIN(e.ts) AS t_purchase
+        FROM events e JOIN c ON e.user_id = c.user_id
+        WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+          AND e.ts <= c.t_view + INTERVAL 72 HOUR
+        GROUP BY e.user_id, c.t_view
+    )
+    SELECT stage, stage_order, n_users, mean_wait_us FROM (
+        SELECT 'view' AS stage, 1 AS stage_order,
+               CAST((SELECT COUNT(*) FROM v) AS BIGINT) AS n_users,
+               CAST(0 AS BIGINT) AS mean_wait_us
+        UNION ALL
+        SELECT 'click', 2, CAST(COUNT(*) AS BIGINT),
+               CAST(SUM(epoch_us(t_click) - epoch_us(t_view))
+                    // COUNT(*) AS BIGINT)
+        FROM c
+        UNION ALL
+        SELECT 'purchase', 3, CAST(COUNT(*) AS BIGINT),
+               CAST(SUM(epoch_us(t_purchase) - epoch_us(t_view))
+                    // COUNT(*) AS BIGINT)
+        FROM p
+    )
+    """,
+    doc="Conversion-window funnel: view -> later click -> later "
+    "purchase, where every downstream stage must land within 72 "
+    "hours of the user's FIRST view (the start-anchored attribution "
+    "window product analytics defines funnels by -- without it a "
+    "conversion months later still 'counts'). Emits per-stage user "
+    "counts plus mean time-from-funnel-start in integer microseconds "
+    "(sum DIV count -- exact cross-engine; a double mean would "
+    "hash-wobble). Complements funnel_conversion (unbounded) the way "
+    "windowed joins complement plain joins.",
+)
+def funnel_time_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: identical to funnel_conversion -- min-per-user
+    pre-aggregates and user_id-co-keyed joins reuse ONE shuffle key
+    across stages; the 72h bound is a per-row filter after each join
+    (no extra shuffle), and at scale it also bounds state: a
+    streaming port can drop funnel state at watermark + 72h."""
+    e = _t(spark, sf_dir, "events")["events"]
+    bound = F.expr("INTERVAL 72 HOURS")
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    c = (
+        e.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter((F.col("ts") > F.col("t_view")) & (F.col("ts") <= F.col("t_view") + bound))
+        .groupBy("user_id", "t_view")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(
+            (F.col("ts") > F.col("t_click")) & (F.col("ts") <= F.col("t_view") + bound)
+        )
+        .groupBy("user_id", "t_view")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+
+    def stage(df: DataFrame, name: str, order: int, t_col: str | None) -> DataFrame:
+        if t_col is None:
+            agg = df.agg(
+                F.count(F.lit(1)).alias("n_users"),
+                F.lit(0).cast("long").alias("mean_wait_us"),
+            )
+        else:
+            agg = df.agg(
+                F.count(F.lit(1)).alias("n_users"),
+                F.expr(
+                    f"CAST(sum(unix_micros(CAST({t_col} AS TIMESTAMP))"
+                    " - unix_micros(CAST(t_view AS TIMESTAMP)))"
+                    " DIV count(*) AS BIGINT)"
+                ).alias("mean_wait_us"),
+            )
+        return agg.select(
+            F.lit(name).alias("stage"),
+            F.lit(order).alias("stage_order"),
+            "n_users",
+            "mean_wait_us",
+        )
+
+    return (
+        stage(v, "view", 1, None)
+        .unionAll(stage(c, "click", 2, "t_click"))
+        .unionAll(stage(p, "purchase", 3, "t_purchase"))
+    )

@@ -102,6 +102,7 @@ DRIVER_PRIORITY: list[str] = [
     "streaming_incremental_mv",
     "hybrid_rrf_retrieval",
     "bitmap_distinct_users",
+    "funnel_time_bounded",
     # same-module neighbors of this round's similarity.py change —
     # re-window to prove no collateral drift (ann_ivf and the
     # embedding-dedup failover changed directly; ann_cosine_topk's own
@@ -124,9 +125,9 @@ DRIVER_PRIORITY: list[str] = [
     "heavy_hitters",
     "interval_overlap",
     "moving_avg_user_value",
-    "order_priority_count",
-    # displaced by the thirty new-in-r05 operators (new > stale
-    # under the rotation rule): parts_never_shipped,
+    # displaced by the thirty-one new-in-r05 operators (new > stale
+    # under the rotation rule): order_priority_count,
+    # parts_never_shipped,
     # pivot_event_counts,
     # profile_orders_columns,
     # profit_entries, profit_entries_by_date,

@@ -54,6 +54,7 @@ CHANGED_THIS_ROUND = [
     "streaming_incremental_mv",  # new in r05
     "hybrid_rrf_retrieval",  # new in r05
     "bitmap_distinct_users",  # new in r05
+    "funnel_time_bounded",  # new in r05
     "q12_shipping_delay",
     "dedup_minhash_lsh",
     "dedup_simhash",
