@@ -22,6 +22,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
 
 from dungbeetle_spark.functions.texts import md5_hash60_sql
 from dungbeetle_spark.queries import _t, query
@@ -563,4 +564,65 @@ def bitmap_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_bucket.groupBy("event_type").agg(
         F.expr("CAST(sum(bitmap_count(bm)) AS BIGINT)").alias("n_users"),
         F.sum("n").alias("n_events"),
+    )
+
+
+@query(
+    "source_lang_drift",
+    oracle="""
+    WITH cell AS (
+      SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS n
+      FROM documents GROUP BY 1, 2),
+    tot AS (
+      SELECT source, lang, n,
+             SUM(n) OVER (PARTITION BY source) AS src_tot,
+             SUM(n) OVER (PARTITION BY lang) AS lang_tot,
+             SUM(n) OVER () AS grand
+      FROM cell)
+    SELECT source, lang, n,
+           CAST(n * 1000000 // grand AS BIGINT) AS observed_ppm,
+           CAST(src_tot * lang_tot * 1000000 // (grand * grand) AS BIGINT)
+             AS expected_ppm,
+           CAST(n * 1000000 // grand
+                - src_tot * lang_tot * 1000000 // (grand * grand)
+                AS BIGINT) AS drift_ppm
+    FROM tot
+    """,
+    doc="Dataset-composition drift audit: the (source x lang) "
+    "contingency table with each cell's observed corpus share vs the "
+    "independence expectation (row share x column share), both in "
+    "integer ppm (floor division -- exact cross-engine). Large "
+    "|drift_ppm| cells are where a crawl source over/under-delivers "
+    "a language vs the corpus mix -- the signal dataset-mixing "
+    "weights (dataset_mix_weighted) exist to correct.",
+)
+def source_lang_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: one aggregate shuffle reduces the corpus to
+    |sources| x |langs| cells; the three marginal windows run over
+    that tiny table, never the corpus. ppm numerators stay in int64
+    up to ~9e12 rows (n * 1e6) and ~3e9 rows for the expectation
+    (src_tot * lang_tot * 1e6 over two marginals); beyond that widen
+    the expectation to DECIMAL(38,0)."""
+    d = _t(spark, sf_dir, "documents")["documents"]
+    cell = d.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("n"))
+    tot = cell.select(
+        "source",
+        "lang",
+        "n",
+        F.sum("n").over(W.partitionBy("source")).alias("src_tot"),
+        F.sum("n").over(W.partitionBy("lang")).alias("lang_tot"),
+        F.sum("n").over(W.partitionBy()).alias("grand"),
+    )
+    return tot.select(
+        "source",
+        "lang",
+        "n",
+        F.expr("CAST(n * 1000000 DIV grand AS BIGINT)").alias("observed_ppm"),
+        F.expr(
+            "CAST(src_tot * lang_tot * 1000000 DIV (grand * grand) AS BIGINT)"
+        ).alias("expected_ppm"),
+        F.expr(
+            "CAST(n * 1000000 DIV grand"
+            " - src_tot * lang_tot * 1000000 DIV (grand * grand) AS BIGINT)"
+        ).alias("drift_ppm"),
     )

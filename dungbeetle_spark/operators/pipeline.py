@@ -330,3 +330,70 @@ def corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     return q.join(l, "doc_id").join(k, "doc_id").select(
         "doc_id", "quality", "guessed_lang"
     )
+
+
+@query(
+    "vocab_growth",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             regexp_split_to_array(
+               trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS t
+      FROM documents),
+    grams AS (
+      SELECT doc_id, t[i] || ' ' || t[i+1] AS g
+      FROM toks, unnest(range(1, greatest(len(t) - 1, 0) + 1)) AS u(i)),
+    first_seen AS (
+      SELECT g, MIN(doc_id) AS first_doc FROM grams GROUP BY g),
+    per_bucket AS (
+      SELECT first_doc // 25 AS bucket,
+             CAST(COUNT(*) AS BIGINT) AS new_grams
+      FROM first_seen GROUP BY 1)
+    SELECT bucket, bucket * 25 AS from_doc_id, new_grams,
+           CAST(SUM(new_grams) OVER (ORDER BY bucket) AS BIGINT)
+             AS cum_vocab
+    FROM per_bucket
+    """,
+    doc="Vocabulary growth curve (Heaps' law audit) over BIGRAMS: each "
+    "bigram is attributed to the document where it FIRST appears "
+    "(min doc_id), bucketed by 25-doc ingestion windows, and "
+    "cumulatively summed — how fast the corpus's phrase vocabulary "
+    "grows as documents arrive. A flattening curve says new data is "
+    "lexically redundant; a linear one says the corpus is still "
+    "diversifying. Bigrams, not unigrams, because a bounded word "
+    "vocabulary saturates instantly while phrase space keeps "
+    "discriminating. All integer counts, deterministic.",
+)
+def vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: bigramming is a JVM transform inside codegen (the
+    dsir_importance_weights construction); the min-per-gram aggregate
+    partial-combines map-side (one shuffle keyed on gram); the bucket
+    aggregate reduces |vocab| rows to |docs|/25 rows; only THAT tiny
+    series crosses the unpartitioned running-sum window — the
+    single-partition window never sees gram- or doc-scale data."""
+    d = _t(spark, sf_dir, "documents")["documents"]
+    t = F.split(norm_text(F.col("text")), " ")
+    gram = F.transform(
+        F.sequence(F.lit(1), F.size("t") - 1),
+        lambda i: F.concat(
+            F.element_at(F.col("t"), i), F.lit(" "), F.element_at(F.col("t"), i + 1)
+        ),
+    )
+    grams = d.select("doc_id", t.alias("t")).select(
+        "doc_id",
+        F.explode(
+            F.when(F.size("t") >= 2, gram).otherwise(F.array().cast("array<string>"))
+        ).alias("g"),
+    )
+    first_seen = grams.groupBy("g").agg(F.min("doc_id").alias("first_doc"))
+    per_bucket = (
+        first_seen.groupBy(F.expr("first_doc DIV 25").alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("new_grams"))
+    )
+    w = W.orderBy("bucket").rowsBetween(W.unboundedPreceding, 0)
+    return per_bucket.select(
+        "bucket",
+        (F.col("bucket") * 25).alias("from_doc_id"),
+        "new_grams",
+        F.sum("new_grams").over(w).cast("long").alias("cum_vocab"),
+    )

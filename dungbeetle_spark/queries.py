@@ -103,6 +103,8 @@ DRIVER_PRIORITY: list[str] = [
     "hybrid_rrf_retrieval",
     "bitmap_distinct_users",
     "funnel_time_bounded",
+    "vocab_growth",
+    "source_lang_drift",
     # same-module neighbors of this round's similarity.py change —
     # re-window to prove no collateral drift (ann_ivf and the
     # embedding-dedup failover changed directly; ann_cosine_topk's own
@@ -123,10 +125,9 @@ DRIVER_PRIORITY: list[str] = [
     "gap_fill_daily",
     "hash_split_train_test",
     "heavy_hitters",
-    "interval_overlap",
-    "moving_avg_user_value",
-    # displaced by the thirty-one new-in-r05 operators (new > stale
-    # under the rotation rule): order_priority_count,
+    # displaced by the thirty-three new-in-r05 operators (new > stale
+    # under the rotation rule): interval_overlap,
+    # moving_avg_user_value, order_priority_count,
     # parts_never_shipped,
     # pivot_event_counts,
     # profile_orders_columns,

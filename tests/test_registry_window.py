@@ -55,6 +55,8 @@ CHANGED_THIS_ROUND = [
     "hybrid_rrf_retrieval",  # new in r05
     "bitmap_distinct_users",  # new in r05
     "funnel_time_bounded",  # new in r05
+    "vocab_growth",  # new in r05
+    "source_lang_drift",  # new in r05
     "q12_shipping_delay",
     "dedup_minhash_lsh",
     "dedup_simhash",
