@@ -287,3 +287,43 @@ def test_ffd_recursive_cte_matches_python_packer(toks):
     ).fetchall()
     con.close()
     assert [(int(a), int(b), int(c)) for a, b, c in rows] == expect
+
+
+def _spread16(x: int) -> int:
+    for shift, mask in [(8, 0x00FF00FF), (4, 0x0F0F0F0F),
+                        (2, 0x33333333), (1, 0x55555555)]:
+        x = (x | (x << shift)) & mask
+    return x
+
+
+@given(st.integers(min_value=0, max_value=65535),
+       st.integers(min_value=0, max_value=65535))
+def test_morton_spread_is_a_bijective_interleave(x, y):
+    """The Z-key must be an exact bit interleave: extracting even bits
+    gives back x, odd bits give back y — no collisions, no drops.
+    Mirrors dungbeetle_spark/operators/layout.py:_SPREAD_STEPS."""
+    z = _spread16(x) | (_spread16(y) << 1)
+    rx = ry = 0
+    for i in range(16):
+        rx |= ((z >> (2 * i)) & 1) << i
+        ry |= ((z >> (2 * i + 1)) & 1) << i
+    assert (rx, ry) == (x, y)
+
+
+@given(st.lists(st.integers(min_value=-10**9, max_value=10**9),
+                min_size=1, max_size=300))
+@settings(max_examples=10, deadline=None)
+def test_bitmap_distinct_equals_exact_distinct(spark, xs):
+    """The bucket-bitmap OR + popcount pipeline (bitmap_distinct_users'
+    core) must equal COUNT(DISTINCT) for any id multiset, including
+    negatives and duplicates."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([(x,) for x in xs], "id long")
+    got = (
+        df.groupBy(F.expr("bitmap_bucket_number(id)").alias("b"))
+        .agg(F.expr("bitmap_construct_agg(bitmap_bit_position(id))").alias("bm"))
+        .agg(F.expr("sum(bitmap_count(bm))").alias("nd"))
+        .collect()[0]["nd"]
+    )
+    assert got == len(set(xs))
