@@ -62,6 +62,10 @@ HEADLINE = [
     "join_skew_profile",
     "incremental_agg_maintenance",
     "triangle_cohorts",
+    "hybrid_rrf_retrieval",
+    "bitmap_distinct_users",
+    "funnel_time_bounded",
+    "vocab_growth",
 ]
 
 # Host-drift canary (ADVICE r04: one hardcoded-anchor query is noisy

@@ -277,3 +277,84 @@ def timeseries_topk_similar_users(spark: SparkSession, sf_dir: str) -> DataFrame
         .withColumn("rank", F.row_number().over(w).cast("long"))
         .select("rank", "user_id", F.col("dist2").cast("long").alias("dist2"))
     )
+
+
+@query(
+    "scd2_user_type_history",
+    oracle="""
+    WITH daily AS (
+      SELECT user_id, CAST(ts AS DATE) AS day, event_type,
+             COUNT(*) AS n
+      FROM events GROUP BY 1, 2, 3),
+    dominant AS (
+      SELECT user_id, day, event_type AS dom_type FROM (
+        SELECT user_id, day, event_type, ROW_NUMBER() OVER (
+          PARTITION BY user_id, day
+          ORDER BY n DESC, event_type) AS rk
+        FROM daily) WHERE rk = 1),
+    flagged AS (
+      SELECT user_id, day, dom_type,
+             CASE WHEN dom_type IS DISTINCT FROM
+                    LAG(dom_type) OVER (PARTITION BY user_id
+                                        ORDER BY day)
+                  THEN 1 ELSE 0 END AS chg
+      FROM dominant),
+    islands AS (
+      SELECT user_id, day, dom_type,
+             SUM(chg) OVER (PARTITION BY user_id ORDER BY day
+                            ROWS UNBOUNDED PRECEDING) AS seg
+      FROM flagged)
+    SELECT user_id, dom_type,
+           CAST(MIN(day) AS DATE) AS valid_from,
+           CAST(MAX(day) AS DATE) AS valid_to,
+           CAST(COUNT(*) AS BIGINT) AS active_days,
+           CAST(seg AS BIGINT) AS version
+    FROM islands GROUP BY user_id, dom_type, seg
+    """,
+    doc="SCD Type-2 history build: each user's DOMINANT daily event "
+    "type (max count, type-name tiebreak) is collapsed into "
+    "versioned validity intervals -- a new version opens whenever "
+    "the dominant type changes (LAG change-flag -> running-sum "
+    "island id -> min/max day per island). The slowly-changing-"
+    "dimension maintenance pattern every warehouse runs on CDC "
+    "feeds, as one relational plan with deterministic tiebreaks.",
+)
+def scd2_user_type_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: one explicit user_id repartition up front —
+    HashPartitioning(user_id) satisfies the clustering of the daily
+    aggregate (superset key), both windows, and the final interval
+    aggregate, so the fact table shuffles ONCE (the q21 pattern,
+    plan-pinned) and the interval math runs on |user x active-day|
+    pre-aggregated rows."""
+    e = _t(spark, sf_dir, "events")["events"].repartition("user_id")
+    daily = e.groupBy(
+        "user_id", F.col("ts").cast("date").alias("day"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    wr = W.partitionBy("user_id", "day").orderBy(F.desc("n"), F.asc("event_type"))
+    dominant = (
+        daily.withColumn("rk", F.row_number().over(wr))
+        .filter(F.col("rk") == 1)
+        .select("user_id", "day", F.col("event_type").alias("dom_type"))
+    )
+    wd = W.partitionBy("user_id").orderBy("day")
+    flagged = dominant.withColumn(
+        "chg",
+        F.when(
+            ~F.col("dom_type").eqNullSafe(F.lag("dom_type").over(wd)), F.lit(1)
+        ).otherwise(F.lit(0)),
+    )
+    islands = flagged.withColumn(
+        "seg", F.sum("chg").over(wd.rowsBetween(W.unboundedPreceding, 0))
+    )
+    return islands.groupBy("user_id", "dom_type", "seg").agg(
+        F.min("day").alias("valid_from"),
+        F.max("day").alias("valid_to"),
+        F.count(F.lit(1)).alias("active_days"),
+    ).select(
+        "user_id",
+        "dom_type",
+        "valid_from",
+        "valid_to",
+        "active_days",
+        F.col("seg").cast("long").alias("version"),
+    )

@@ -105,6 +105,7 @@ DRIVER_PRIORITY: list[str] = [
     "funnel_time_bounded",
     "vocab_growth",
     "source_lang_drift",
+    "scd2_user_type_history",
     # same-module neighbors of this round's similarity.py change —
     # re-window to prove no collateral drift (ann_ivf and the
     # embedding-dedup failover changed directly; ann_cosine_topk's own
@@ -124,9 +125,8 @@ DRIVER_PRIORITY: list[str] = [
     "events_json_extract",
     "gap_fill_daily",
     "hash_split_train_test",
-    "heavy_hitters",
-    # displaced by the thirty-three new-in-r05 operators (new > stale
-    # under the rotation rule): interval_overlap,
+    # displaced by the thirty-four new-in-r05 operators (new > stale
+    # under the rotation rule): heavy_hitters, interval_overlap,
     # moving_avg_user_value, order_priority_count,
     # parts_never_shipped,
     # pivot_event_counts,

@@ -599,3 +599,11 @@ def test_bitmap_distinct_shuffles_bitmaps_not_ids(spark, sf):
     assert scan_schemas(df) == ["struct<ts:bigint,user_id:bigint,event_type:string>"] or all(
         "props" not in s for s in scan_schemas(df)
     )
+
+
+def test_scd2_single_user_shuffle_serves_all_stages(spark, sf):
+    df = _df(spark, sf, "scd2_user_type_history")
+    # the explicit user_id repartition must satisfy the daily agg,
+    # both windows, and the interval agg: exactly one exchange
+    assert shuffle_exchanges(df) == 1
+    assert has_partial_aggregate(df)

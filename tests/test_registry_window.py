@@ -57,6 +57,7 @@ CHANGED_THIS_ROUND = [
     "funnel_time_bounded",  # new in r05
     "vocab_growth",  # new in r05
     "source_lang_drift",  # new in r05
+    "scd2_user_type_history",  # new in r05
     "q12_shipping_delay",
     "dedup_minhash_lsh",
     "dedup_simhash",
