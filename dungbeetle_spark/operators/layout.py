@@ -183,3 +183,63 @@ def join_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rows_share_ppm"
         ),
     )
+
+
+@query(
+    "join_cardinality_forecast",
+    oracle="""
+    SELECT 'lineitem_x_orders' AS join_name,
+           CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS shared_keys,
+           CAST(COUNT(*) AS BIGINT) AS predicted_rows
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    UNION ALL
+    SELECT 'lineitem_x_part',
+           CAST(COUNT(DISTINCT p_partkey) AS BIGINT),
+           CAST(COUNT(*) AS BIGINT)
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    """,
+    doc="Join-cardinality forecast: |A JOIN B on k| equals "
+    "sum over shared keys of count_A(k) * count_B(k), so the exact "
+    "output size of a fact-fact join is computable from two per-key "
+    "count tables whose size is |distinct keys|, never materializing "
+    "the join. The oracle executes the REAL joins and counts -- the "
+    "two derivations must agree exactly, which is a stronger check "
+    "than re-running the same formula. This is the pre-flight that "
+    "decides whether a 100 TB join's output fits the next stage "
+    "before burning the shuffle.",
+)
+def join_cardinality_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: each side reduces to per-key counts with map-side
+    partial aggregation (single-column scans), and the forecast join
+    runs on |distinct keys| rows -- for lineitem x orders that is
+    |orders| instead of |lineitem x orders| ~ 4x larger; for skewed
+    keys the savings is quadratic in the hot-key count. The sum of
+    products stays in int64 up to ~9e18 predicted rows."""
+    t = _t(spark, sf_dir, "lineitem", "orders", "part")
+
+    def counts(df: DataFrame, key: str) -> DataFrame:
+        return (
+            df.select(F.col(key).alias("k"))
+            .groupBy("k")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+
+    def forecast(a: DataFrame, b: DataFrame, name: str) -> DataFrame:
+        return (
+            a.join(b.withColumnRenamed("n", "m"), "k")
+            .agg(
+                F.count(F.lit(1)).alias("shared_keys"),
+                F.sum(F.col("n") * F.col("m")).alias("predicted_rows"),
+            )
+            .select(
+                F.lit(name).alias("join_name"), "shared_keys", "predicted_rows"
+            )
+        )
+
+    li_ok = counts(t["lineitem"], "l_orderkey")
+    o_ok = counts(t["orders"], "o_orderkey")
+    li_pk = counts(t["lineitem"], "l_partkey")
+    p_pk = counts(t["part"], "p_partkey")
+    return forecast(li_ok, o_ok, "lineitem_x_orders").unionByName(
+        forecast(li_pk, p_pk, "lineitem_x_part")
+    )

@@ -58,6 +58,7 @@ CHANGED_THIS_ROUND = [
     "vocab_growth",  # new in r05
     "source_lang_drift",  # new in r05
     "scd2_user_type_history",  # new in r05
+    "join_cardinality_forecast",  # new in r05
     "q12_shipping_delay",
     "dedup_minhash_lsh",
     "dedup_simhash",
