@@ -609,3 +609,40 @@ def test_scd2_single_user_shuffle_serves_all_stages(spark, sf):
     # Spark plans the aggregates complete-mode — nothing crosses a
     # wire to partially combine for.)
     assert shuffle_exchanges(df) == 1
+
+
+def test_hybrid_rrf_broadcasts_small_sides_no_cartesian(spark, sf):
+    df = _df(spark, sf, "hybrid_rrf_retrieval")
+    plan = formatted_plan(df)
+    assert has_broadcast_join(df), "query matrix + query tokens must broadcast"
+    assert "CartesianProduct" not in plan
+    # sparse side is an equi-join on the token posting lists
+    assert "WindowGroupLimit" in plan, "fusion-depth rank must prune early"
+
+
+def test_vocab_growth_window_rides_the_bucket_aggregate(spark, sf):
+    df = _df(spark, sf, "vocab_growth")
+    plan = formatted_plan(df)
+    assert has_partial_aggregate(df)
+    agg_ids = [int(m) for m in re.findall(r"\((\d+)\) HashAggregate", plan)]
+    win_ids = [int(m) for m in re.findall(r"\((\d+)\) Window", plan)]
+    assert agg_ids and win_ids and min(agg_ids) < min(win_ids)
+
+
+def test_source_lang_drift_single_corpus_shuffle(spark, sf):
+    df = _df(spark, sf, "source_lang_drift")
+    # corpus reduces to |sources|x|langs| cells in one aggregate
+    # shuffle; the three marginal windows add their own tiny
+    # exchanges over that cell table only
+    assert has_partial_aggregate(df)
+    schemas = scan_schemas(df)
+    assert schemas and all("text" not in s for s in schemas), (
+        "drift audit must not read document text"
+    )
+
+
+def test_funnel_time_bounded_matches_unbounded_shape(spark, sf):
+    bounded = _df(spark, sf, "funnel_time_bounded")
+    unbounded = _df(spark, sf, "funnel_conversion")
+    # the 72h bound is a post-join filter: it must not add shuffles
+    assert shuffle_exchanges(bounded) <= shuffle_exchanges(unbounded) + 1
