@@ -658,8 +658,6 @@ def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     |event_types|² rows (25 here), and the denominator join is over
     that tiny matrix — the fact table is scanned and shuffled exactly
     once."""
-    from dungbeetle_spark.queries import _t
-
     e = _t(spark, sf_dir, "events")["events"]
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
     seq = e.select(
@@ -720,8 +718,6 @@ def anomaly_daily_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     over raw events. Population variance of the trailing window incl.
     the current day -- the simple online form; n is pinned to full
     7-day baselines so early-series days never alert."""
-    from dungbeetle_spark.queries import _t
-
     e = _t(spark, sf_dir, "events")["events"]
     daily = (
         e.groupBy("event_type", F.col("ts").cast("date").alias("day"))
@@ -777,8 +773,6 @@ def incremental_agg_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     union re-aggregates |customers|+|delta keys| partial rows. Uses
     union + re-agg rather than a full-outer join: no join at all, and
     the same code path merges any number of increments."""
-    from dungbeetle_spark.queries import _t
-
     o = _t(spark, sf_dir, "orders")["orders"]
     cutoff = F.lit("2000-01-01").cast("timestamp")
 

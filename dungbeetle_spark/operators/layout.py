@@ -92,7 +92,10 @@ def zorder_layout_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders")["orders"]
     x = F.col("o_custkey").bitwiseAND(F.lit(65535))
     day = F.datediff(F.col("o_orderdate").cast("date"), F.lit("1995-01-01").cast("date"))
-    y = day.bitwiseAND(F.lit(65535))
+    # datediff is IntegerType: spread in int64 or shiftleft(...,1)
+    # wraps negative once bit 15 of the masked day is set (any
+    # pre-anchor or >= anchor+2^15-day date) — the oracle is BIGINT
+    y = day.cast("long").bitwiseAND(F.lit(65535))
     zkey = _spread_col(x).bitwiseOR(F.shiftleft(_spread_col(y), 1))
     return (
         o.select(

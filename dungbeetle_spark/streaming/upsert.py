@@ -20,6 +20,7 @@ a north-star extension.
 
 from __future__ import annotations
 
+import atexit
 import os
 import shutil
 import tempfile
@@ -29,6 +30,19 @@ from pyspark.sql import functions as F
 
 from dungbeetle_spark.queries import query
 from dungbeetle_spark.streaming.source import stream_events
+
+# Snapshot roots created this process. The returned DataFrame reads
+# the final version lazily, so the last snapshot must stay on disk for
+# the session's lifetime; everything is removed at process exit (the
+# same scratch-dir policy as streaming/source.py — durable results are
+# the job layer's result backend, not these dirs).
+_MV_ROOTS: list[str] = []
+
+
+@atexit.register
+def _cleanup_mv_roots() -> None:  # pragma: no cover - process teardown
+    for d in _MV_ROOTS:
+        shutil.rmtree(d, ignore_errors=True)
 
 
 def _partial(bdf: DataFrame) -> DataFrame:
@@ -82,6 +96,7 @@ def streaming_incremental_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
     and is what the job layer's overwrite result tables already do."""
     stream = stream_events(spark, sf_dir)
     root = tempfile.mkdtemp(prefix="dungbeetle_mv_")
+    _MV_ROOTS.append(root)
     state = {"current": None, "version": 0}
 
     def merge_batch(bdf: DataFrame, _batch_id: int) -> None:

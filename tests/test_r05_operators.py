@@ -181,3 +181,40 @@ def test_canonical_keep_quality_actually_decides(spark, sf_oracle):
     assert any(
         k.doc_id != min(r.doc_id for r in multi[c]) for c, k in keepers.items()
     ), "quality never overrode min-id — the criterion is hollow on this fixture"
+
+
+def test_zorder_zone_ids_match_python_morton_for_pre_anchor_dates(spark, tmp_path):
+    """Regression (r05 review): datediff is int32 in Spark, and the
+    y-spread must be widened to int64 BEFORE shiftleft or bit 15 of
+    the masked day wraps the zone id negative. Pre-anchor (1992) and
+    far-future dates exercise exactly that bit; zone ids must equal a
+    pure-Python int64 Morton model."""
+    import datetime
+
+    from dungbeetle_spark.operators.layout import _SPREAD_STEPS
+    from dungbeetle_spark.queries import registry
+
+    def spread(v: int) -> int:
+        for shift, mask in _SPREAD_STEPS:
+            v = (v | (v << shift)) & mask
+        return v
+
+    anchor = datetime.date(1995, 1, 1)
+    rows = []
+    for custkey, day in [(7, datetime.date(1992, 3, 1)),   # day_idx < 0
+                         (9, datetime.date(1995, 1, 2)),   # tiny positive
+                         (65535, datetime.date(2085, 6, 1))]:  # bit 15 set
+        rows.append((custkey, datetime.datetime.combine(day, datetime.time())))
+    df = spark.createDataFrame(rows, "o_custkey long, o_orderdate timestamp")
+    df.write.mode("overwrite").parquet(str(tmp_path / "orders.parquet"))
+
+    got = {
+        r["zone_id"]: (r["min_custkey"], r["min_day"])
+        for r in registry()["zorder_layout_stats"].build(spark, str(tmp_path)).collect()
+    }
+    for custkey, ts in rows:
+        day_idx = (ts.date() - anchor).days
+        z = spread(custkey & 65535) | (spread(day_idx & 65535) << 1)
+        zone = z >> 14
+        assert zone in got, f"zone {zone} missing (custkey={custkey})"
+        assert zone >= 0
