@@ -646,3 +646,40 @@ def test_funnel_time_bounded_matches_unbounded_shape(spark, sf):
     unbounded = _df(spark, sf, "funnel_conversion")
     # the 72h bound is a post-join filter: it must not add shuffles
     assert shuffle_exchanges(bounded) <= shuffle_exchanges(unbounded) + 1
+
+
+def test_aqe_splits_skewed_join_at_runtime(spark):
+    """Empirical scale evidence for the skew story the salting and
+    join_skew_profile docstrings tell: on a join with one hot key
+    (30x the rest combined), AQE must detect the oversized shuffle
+    partition at RUNTIME and split it — the executed plan carries
+    SortMergeJoin(skew=true) over an 'AQEShuffleRead … skewed'. This
+    is the mechanism that absorbs residual skew a pre-flight profile
+    missed, without rewriting the query."""
+    s = spark.newSession()
+    for k, v in {
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "65536",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "65536",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1.2",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.shuffle.partitions": "8",
+    }.items():
+        s.conf.set(k, v)
+    big = s.range(300_000).select(
+        F.lit(0).alias("k"), F.col("id").alias("v")
+    ).union(
+        s.range(9_900).select((F.col("id") % 99 + 1).alias("k"), F.col("id").alias("v"))
+    )
+    dim = s.range(10_000).select(
+        (F.col("id") % 100).alias("k"), (F.col("id") * 2).alias("w")
+    )
+    j = big.join(dim, "k")
+    # finalize THIS DataFrame's adaptive plan (count()/write spawn a
+    # separate QueryExecution whose final plan we could not inspect)
+    qe = j._jdf.queryExecution()
+    assert qe.toRdd().count() == 30_990_000
+    plan = j._sc._jvm.PythonSQLUtils.explainString(qe, "simple")
+    assert "isFinalPlan=true" in plan
+    assert "skew=true" in plan, "AQE must split the hot-key partition"
