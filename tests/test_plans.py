@@ -683,3 +683,27 @@ def test_aqe_splits_skewed_join_at_runtime(spark):
     plan = j._sc._jvm.PythonSQLUtils.explainString(qe, "simple")
     assert "isFinalPlan=true" in plan
     assert "skew=true" in plan, "AQE must split the hot-key partition"
+
+
+def test_dynamic_partition_pruning_reaches_partitioned_scan(spark, sf, tmp_path):
+    """A hive-partitioned fact table joined to a filtered dim must get
+    a runtime partition filter (DPP): the fact scan's PartitionFilters
+    carry a dynamicpruning expression derived from the dim's filter,
+    so only the joined partitions are read — the mechanism that turns
+    a 100 TB full scan into a handful of partition reads when the
+    dim side narrows the key space."""
+    from dungbeetle_spark.sources.catalog import load_tables
+
+    o = load_tables(spark, sf, ["orders"])["orders"]
+    fact_dir = str(tmp_path / "orders_by_status")
+    o.write.partitionBy("o_orderstatus").mode("overwrite").parquet(fact_dir)
+    fact = spark.read.parquet(fact_dir)
+    dim = (
+        spark.createDataFrame(
+            [("F", "finished"), ("O", "open"), ("P", "pending")],
+            "status string, label string",
+        ).filter(F.col("label") == "open")
+    )
+    j = fact.join(dim, fact.o_orderstatus == dim.status).select("o_orderkey", "label")
+    plan = formatted_plan(j)
+    assert "dynamicpruning" in plan.lower(), "DPP filter must reach the fact scan"
