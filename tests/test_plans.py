@@ -707,3 +707,32 @@ def test_dynamic_partition_pruning_reaches_partitioned_scan(spark, sf, tmp_path)
     j = fact.join(dim, fact.o_orderstatus == dim.status).select("o_orderkey", "label")
     plan = formatted_plan(j)
     assert "dynamicpruning" in plan.lower(), "DPP filter must reach the fact scan"
+
+
+def test_aqe_switches_to_broadcast_when_runtime_size_is_small(spark):
+    """AQE's runtime join-strategy switch: a join planned sort-merge
+    (both sides unknown-large) must become a BroadcastHashJoin once
+    the shuffle stats reveal one side is tiny — the safety net that
+    saves a 100 TB shuffle when a filter was more selective than the
+    optimizer's estimate."""
+    s = spark.newSession()
+    s.conf.set("spark.sql.adaptive.enabled", "true")
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "1048576")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    big = s.range(200_000).select(
+        (F.col("id") % 100).alias("k"), F.col("id").alias("v")
+    )
+    # aggregate hides the true size from static planning; runtime
+    # stats show ~100 rows -> broadcastable
+    small = (
+        s.range(1_000_000)
+        .select((F.col("id") % 100).alias("k"))
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    j = big.join(small, "k")
+    qe = j._jdf.queryExecution()
+    assert qe.toRdd().count() == 200_000
+    plan = j._sc._jvm.PythonSQLUtils.explainString(qe, "simple")
+    assert "isFinalPlan=true" in plan
+    assert "BroadcastHashJoin" in plan, "runtime stats must flip SMJ to BHJ"
