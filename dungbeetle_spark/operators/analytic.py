@@ -986,3 +986,70 @@ def funnel_time_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(stage(c, "click", 2, "t_click"))
         .unionAll(stage(p, "purchase", 3, "t_purchase"))
     )
+
+
+@query(
+    "frequent_item_pairs",
+    oracle="""
+    WITH op AS (
+      SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+    n_orders AS (SELECT COUNT(DISTINCT o) AS total FROM op),
+    part_supp AS (SELECT p, COUNT(*) AS sup FROM op GROUP BY p),
+    pair_supp AS (
+      SELECT a.p AS p1, b.p AS p2, COUNT(*) AS support
+      FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+      GROUP BY 1, 2)
+    SELECT p1, p2, CAST(support AS BIGINT) AS support,
+           CAST(support * total * 1000000 // (s1.sup * s2.sup) AS BIGINT)
+             AS lift_ppm
+    FROM pair_supp
+    JOIN part_supp s1 ON p1 = s1.p
+    JOIN part_supp s2 ON p2 = s2.p
+    CROSS JOIN n_orders
+    WHERE support >= 3
+    """,
+    doc="Market-basket frequent pairs: part pairs co-occurring in >= 3 "
+    "orders, with association lift = P(p1,p2)/(P(p1)P(p2)) in exact "
+    "integer ppm (support*N*1e6 DIV sup1*sup2 -- floor division, "
+    "cross-engine exact; lift > 1e6 means the pair co-occurs more "
+    "than independence predicts). The A-Priori support-counting core "
+    "of association-rule mining as one relational plan.",
+)
+def frequent_item_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: candidate pairs come from per-order posting lists
+    (Sum |basket|^2 with |basket| ~ 4-7 in this schema, never
+    |parts|^2); the pair aggregate partial-combines map-side. The
+    per-part support table is parts-cardinality and broadcasts to
+    the pair table; the one-row order count rides a broadcast
+    nested-loop. At longer baskets the standard hardening is a
+    support-ordered prefix cut per basket (A-Priori pruning) before
+    pairing. Numerator support*N*1e6 overflows int64 around N ~ 3e9
+    baskets; widen to DECIMAL(38,0) past that."""
+    li = _t(spark, sf_dir, "lineitem")["lineitem"]
+    op = li.select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+    ).distinct()
+    total = op.agg(F.countDistinct("o").alias("total"))
+    part_supp = op.groupBy("p").agg(F.count(F.lit(1)).alias("sup"))
+    a, b = op.alias("a"), op.alias("b")
+    pair_supp = (
+        a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")))
+        .groupBy(F.col("a.p").alias("p1"), F.col("b.p").alias("p2"))
+        .agg(F.count(F.lit(1)).alias("support"))
+        .filter(F.col("support") >= 3)
+    )
+    s1 = part_supp.select(F.col("p").alias("p1"), F.col("sup").alias("sup1"))
+    s2 = part_supp.select(F.col("p").alias("p2"), F.col("sup").alias("sup2"))
+    return (
+        pair_supp.join(F.broadcast(s1), "p1")
+        .join(F.broadcast(s2), "p2")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "p1",
+            "p2",
+            F.col("support").cast("long").alias("support"),
+            F.expr(
+                "CAST(support * total * 1000000 DIV (sup1 * sup2) AS BIGINT)"
+            ).alias("lift_ppm"),
+        )
+    )

@@ -107,6 +107,7 @@ DRIVER_PRIORITY: list[str] = [
     "source_lang_drift",
     "scd2_user_type_history",
     "join_cardinality_forecast",
+    "frequent_item_pairs",
     # same-module neighbors of this round's similarity.py change —
     # re-window to prove no collateral drift (ann_ivf and the
     # embedding-dedup failover changed directly; ann_cosine_topk's own
@@ -124,9 +125,8 @@ DRIVER_PRIORITY: list[str] = [
     "doc_chunking",
     "embedding_array_stats",
     "events_json_extract",
-    "gap_fill_daily",
-    # displaced by the thirty-five new-in-r05 operators (new > stale
-    # under the rotation rule): hash_split_train_test,
+    # displaced by the thirty-six new-in-r05 operators (new > stale
+    # under the rotation rule): gap_fill_daily, hash_split_train_test,
     # heavy_hitters, interval_overlap,
     # moving_avg_user_value, order_priority_count,
     # parts_never_shipped,

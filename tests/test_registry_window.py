@@ -59,6 +59,7 @@ CHANGED_THIS_ROUND = [
     "source_lang_drift",  # new in r05
     "scd2_user_type_history",  # new in r05
     "join_cardinality_forecast",  # new in r05
+    "frequent_item_pairs",  # new in r05
     "q12_shipping_delay",
     "dedup_minhash_lsh",
     "dedup_simhash",
