@@ -1053,3 +1053,92 @@ def frequent_item_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lift_ppm"),
         )
     )
+
+
+@query(
+    "ab_test_significance",
+    oracle="""
+    WITH assign AS (
+      SELECT user_id,
+             CASE WHEN CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+                       AS BIGINT) % 2 = 0
+                  THEN 'A' ELSE 'B' END AS arm,
+             CASE WHEN SUM(CASE WHEN event_type = 'purchase'
+                               THEN 1 ELSE 0 END) >= 14
+                  THEN 1 ELSE 0 END AS converted
+      FROM events GROUP BY 1),
+    arms AS (
+      SELECT CAST(SUM(CASE WHEN arm = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+             CAST(SUM(CASE WHEN arm = 'A' THEN converted ELSE 0 END) AS BIGINT)
+               AS x_a,
+             CAST(SUM(CASE WHEN arm = 'B' THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+             CAST(SUM(CASE WHEN arm = 'B' THEN converted ELSE 0 END) AS BIGINT)
+               AS x_b
+      FROM assign)
+    SELECT n_a, x_a, n_b, x_b,
+           CAST(x_a * 1000000 // n_a AS BIGINT) AS rate_a_ppm,
+           CAST(x_b * 1000000 // n_b AS BIGINT) AS rate_b_ppm,
+           (CAST((x_a * n_b - x_b * n_a) AS DOUBLE)
+              * CAST((x_a * n_b - x_b * n_a) AS DOUBLE)
+              * CAST(n_a + n_b AS DOUBLE)
+            > 3.841 * CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)
+                    * CAST(x_a + x_b AS DOUBLE)
+                    * CAST(n_a + n_b - x_a - x_b AS DOUBLE))
+             AS significant_95
+    FROM arms
+    """,
+    doc="A/B-test significance: users split into arms by md5-hash "
+    "parity (the deterministic assignment hash_split_train_test "
+    "uses), conversion = a heavy-purchaser threshold (>= 14 purchase "
+    "events -- the fixture's every user buys at least once, so the "
+    "interesting margin is depth, not incidence); the two-proportion "
+    "z-test at alpha=0.05 is evaluated with the pooled-variance "
+    "chi-square identity multiplied out to clear every division -- "
+    "(x_a*n_b - x_b*n_a)^2 * N > 3.841 * n_a*n_b*x*(N-x) -- so all "
+    "inputs to the one double comparison are identical int64s in "
+    "both engines. Rates emitted in integer ppm. The experiment "
+    "readout every product-analytics stack runs.",
+)
+def ab_test_significance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: one user_id aggregate (map-side combined) reduces
+    events to one row per user, one more to FOUR counters; no joins,
+    no windows. Cross products like x_a*n_b stay in int64 up to ~3e9
+    users per arm; past that widen to DECIMAL(38,0). The md5-parity
+    assignment is stable under reprocessing -- the property that
+    makes the experiment re-computable from raw logs."""
+    e = _t(spark, sf_dir, "events")["events"]
+    from dungbeetle_spark.functions.texts import md5_hash60
+
+    arm = F.when(
+        md5_hash60(F.col("user_id").cast("string")) % 2 == 0, F.lit("A")
+    ).otherwise(F.lit("B"))
+    assign = e.groupBy("user_id").agg(
+        (
+            F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)) >= 14
+        ).cast("int").alias("converted")
+    ).select(arm.alias("arm"), "converted")
+    arms = assign.agg(
+        F.sum(F.when(F.col("arm") == "A", 1).otherwise(0)).alias("n_a"),
+        F.sum(F.when(F.col("arm") == "A", F.col("converted")).otherwise(0)).alias("x_a"),
+        F.sum(F.when(F.col("arm") == "B", 1).otherwise(0)).alias("n_b"),
+        F.sum(F.when(F.col("arm") == "B", F.col("converted")).otherwise(0)).alias("x_b"),
+    )
+    d = F.col("x_a") * F.col("n_b") - F.col("x_b") * F.col("n_a")
+    n = F.col("n_a") + F.col("n_b")
+    x = F.col("x_a") + F.col("x_b")
+    return arms.select(
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("x_a").cast("long").alias("x_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        F.col("x_b").cast("long").alias("x_b"),
+        F.expr("CAST(x_a * 1000000 DIV n_a AS BIGINT)").alias("rate_a_ppm"),
+        F.expr("CAST(x_b * 1000000 DIV n_b AS BIGINT)").alias("rate_b_ppm"),
+        (
+            d.cast("double") * d.cast("double") * n.cast("double")
+            > F.lit(3.841)
+            * F.col("n_a").cast("double")
+            * F.col("n_b").cast("double")
+            * x.cast("double")
+            * (n - x).cast("double")
+        ).alias("significant_95"),
+    )

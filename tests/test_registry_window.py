@@ -60,6 +60,7 @@ CHANGED_THIS_ROUND = [
     "scd2_user_type_history",  # new in r05
     "join_cardinality_forecast",  # new in r05
     "frequent_item_pairs",  # new in r05
+    "ab_test_significance",  # new in r05
     "q12_shipping_delay",
     "dedup_minhash_lsh",
     "dedup_simhash",
