@@ -1142,3 +1142,96 @@ def ab_test_significance(spark: SparkSession, sf_dir: str) -> DataFrame:
             * (n - x).cast("double")
         ).alias("significant_95"),
     )
+
+
+@query(
+    "pareto_revenue_share",
+    oracle="""
+    WITH rev AS (
+      SELECT o_custkey,
+             SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS r
+      FROM orders GROUP BY o_custkey),
+    tot AS (SELECT SUM(r) AS t FROM rev),
+    cum AS (
+      SELECT o_custkey, r,
+             CAST(SUM(r) OVER (ORDER BY r DESC, o_custkey
+                               ROWS UNBOUNDED PRECEDING) * 100 AS BIGINT)
+               AS c_cents
+      FROM rev)
+    SELECT o_custkey,
+           CAST(r AS DOUBLE) AS revenue,
+           CAST(c_cents * 1000000 // CAST(t * 100 AS BIGINT) AS BIGINT)
+             AS cum_share_ppm,
+           (c_cents * 1000000 // CAST(t * 100 AS BIGINT) <= 800000)
+             AS in_top80
+    FROM cum CROSS JOIN tot
+    """,
+    doc="Pareto contribution analysis: customers ranked by lifetime "
+    "revenue with each one's CUMULATIVE share of total revenue in "
+    "exact ppm (decimal cumsum, integer floor division) and an 80/20 "
+    "flag. The global running sum is computed as a DISTRIBUTED "
+    "prefix sum -- range-partition by the sort key, local cumsum per "
+    "partition, then add each partition's broadcast prefix offset -- "
+    "not a single-partition window; the oracle's ORDER BY window is "
+    "the semantic spec the two-phase plan must reproduce exactly "
+    "(it does: decimal addition is order-free and the (revenue desc, "
+    "custkey) order is total).",
+)
+def pareto_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: the classic global-cumulative problem. A naive
+    Window.orderBy() with no partitionBy moves EVERY row to one task
+    -- a scale-killer at 100 TB. Here: (1) per-customer revenue
+    aggregate (one custkey shuffle, map-side combined); (2)
+    repartitionByRange on the total order so each task holds a
+    contiguous rank range; (3) per-partition local cumsum via a
+    window keyed on spark_partition_id(); (4) per-partition totals
+    (|partitions| rows) cumsum'd on the driver scale (tiny window)
+    and broadcast back as prefix offsets. Exact decimals make the
+    split-and-offset sum bit-equal to the sequential spec."""
+    o = _t(spark, sf_dir, "orders")["orders"]
+    rev = o.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("r")
+    )
+    n_parts = max(spark.sparkContext.defaultParallelism, 8)
+    ranged = (
+        rev.repartitionByRange(n_parts, F.desc("r"), F.asc("o_custkey"))
+        .sortWithinPartitions(F.desc("r"), F.asc("o_custkey"))
+        .withColumn("pid", F.spark_partition_id())
+    )
+    wl = W.partitionBy("pid").orderBy(F.desc("r"), F.asc("o_custkey")).rowsBetween(
+        W.unboundedPreceding, 0
+    )
+    local = ranged.withColumn("local_cum", F.sum("r").over(wl))
+    ptot = (
+        ranged.groupBy("pid")
+        .agg(F.sum("r").alias("ptotal"))
+        .withColumn(
+            "offset",
+            F.coalesce(
+                F.sum("ptotal").over(
+                    W.orderBy("pid").rowsBetween(W.unboundedPreceding, -1)
+                ),
+                F.lit(0).cast("decimal(28,2)"),
+            ),
+        )
+        .withColumn("grand", F.sum("ptotal").over(W.partitionBy()))
+    )
+    return (
+        local.join(F.broadcast(ptot.select("pid", "offset", "grand")), "pid")
+        .select(
+            "o_custkey",
+            F.col("r").cast("double").alias("revenue"),
+            # integer-cent arithmetic: decimal floor-division semantics
+            # differ between engines by 1 ulp; BIGINT DIV is exact in
+            # both. cents*1e6 overflows int64 past ~9e10 dollars of
+            # cumulative revenue -- widen to DECIMAL(38,0) at that scale
+            F.expr(
+                "CAST(CAST((local_cum + offset) * 100 AS BIGINT) * 1000000"
+                " DIV CAST(grand * 100 AS BIGINT) AS BIGINT)"
+            ).alias("cum_share_ppm"),
+            F.expr(
+                "CAST((local_cum + offset) * 100 AS BIGINT) * 1000000"
+                " DIV CAST(grand * 100 AS BIGINT) <= 800000"
+            ).alias("in_top80"),
+        )
+    )

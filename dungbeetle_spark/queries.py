@@ -109,6 +109,7 @@ DRIVER_PRIORITY: list[str] = [
     "join_cardinality_forecast",
     "frequent_item_pairs",
     "ab_test_significance",
+    "pareto_revenue_share",
     # same-module neighbors of this round's similarity.py change —
     # re-window to prove no collateral drift (ann_ivf and the
     # embedding-dedup failover changed directly; ann_cosine_topk's own
@@ -124,9 +125,9 @@ DRIVER_PRIORITY: list[str] = [
     "dedup_ngram_jaccard",
     "distinct_part_suppliers",
     "doc_chunking",
-    "embedding_array_stats",
-    # displaced by the thirty-seven new-in-r05 operators (new > stale
-    # under the rotation rule): events_json_extract,
+    # displaced by the thirty-eight new-in-r05 operators (new > stale
+    # under the rotation rule): embedding_array_stats,
+    # events_json_extract,
     # gap_fill_daily, hash_split_train_test,
     # heavy_hitters, interval_overlap,
     # moving_avg_user_value, order_priority_count,

@@ -736,3 +736,15 @@ def test_aqe_switches_to_broadcast_when_runtime_size_is_small(spark):
     plan = j._sc._jvm.PythonSQLUtils.explainString(qe, "simple")
     assert "isFinalPlan=true" in plan
     assert "BroadcastHashJoin" in plan, "runtime stats must flip SMJ to BHJ"
+
+
+def test_pareto_prefix_sum_is_range_partitioned_not_global_window(spark, sf):
+    df = _df(spark, sf, "pareto_revenue_share")
+    plan = formatted_plan(df)
+    # the customer-scale cumsum must ride a range partitioning (each
+    # task owns a contiguous rank range); only the |partitions|-row
+    # offset table may use an unpartitioned window
+    assert "rangepartitioning" in plan.lower()
+    assert has_partial_aggregate(df)
+    # offsets ride a broadcast join back to the ranged rows
+    assert has_broadcast_join(df)

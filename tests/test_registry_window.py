@@ -61,6 +61,7 @@ CHANGED_THIS_ROUND = [
     "join_cardinality_forecast",  # new in r05
     "frequent_item_pairs",  # new in r05
     "ab_test_significance",  # new in r05
+    "pareto_revenue_share",  # new in r05
     "q12_shipping_delay",
     "dedup_minhash_lsh",
     "dedup_simhash",
