@@ -10,6 +10,7 @@ from __future__ import annotations
 
 import re
 
+import pytest
 from hypothesis import given, settings
 from hypothesis import strategies as st
 
@@ -327,3 +328,35 @@ def test_bitmap_distinct_equals_exact_distinct(spark, xs):
         .collect()[0]["nd"]
     )
     assert got == len(set(xs))
+
+
+INVARIANCE_QUERIES = [
+    # float-emitting or ordering-sensitive queries: the decimal-sum /
+    # integer-algebra discipline claims their results are identical
+    # under ANY partitioning — this is the local[32] proxy for "same
+    # answer on a 1000-executor cluster"
+    "q1_pricing_summary",
+    "moving_avg_user_value",
+    "user_value_outliers",
+    "pareto_revenue_share",
+    "incremental_agg_maintenance",
+    "source_lang_drift",
+]
+
+
+@pytest.mark.parametrize("name", INVARIANCE_QUERIES)
+def test_results_invariant_under_shuffle_partitioning(spark, sf_oracle, name):
+    """Run the same query under two different shuffle-partition counts
+    (different fold orders, different partition boundaries) and demand
+    BIT-identical results. Order-dependent double accumulation fails
+    this; the engine's decimal/integer aggregation contract passes."""
+    from dungbeetle_spark.queries import registry
+
+    spec = registry()[name]
+    results = []
+    for parts in ("3", "32"):
+        s = spark.newSession()
+        s.conf.set("spark.sql.shuffle.partitions", parts)
+        rows = spec.build(s, sf_oracle).collect()
+        results.append(sorted(tuple(r) for r in rows))
+    assert results[0] == results[1], f"{name}: partitioning changed values"
