@@ -66,6 +66,10 @@ HEADLINE = [
     "bitmap_distinct_users",
     "funnel_time_bounded",
     "vocab_growth",
+    "scd2_user_type_history",
+    "frequent_item_pairs",
+    "pareto_revenue_share",
+    "ab_test_significance",
 ]
 
 # Host-drift canary (ADVICE r04: one hardcoded-anchor query is noisy

@@ -1026,9 +1026,13 @@ def frequent_item_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairing. Numerator support*N*1e6 overflows int64 around N ~ 3e9
     baskets; widen to DECIMAL(38,0) past that."""
     li = _t(spark, sf_dir, "lineitem")["lineitem"]
-    op = li.select(
-        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
-    ).distinct()
+    op = (
+        li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+        .distinct()
+        # four consumers (total, part supports, both self-join sides):
+        # materialize once or the fact scan + distinct re-execute per use
+        .localCheckpoint()
+    )
     total = op.agg(F.countDistinct("o").alias("total"))
     part_supp = op.groupBy("p").agg(F.count(F.lit(1)).alias("sup"))
     a, b = op.alias("a"), op.alias("b")
