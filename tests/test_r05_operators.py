@@ -217,4 +217,5 @@ def test_zorder_zone_ids_match_python_morton_for_pre_anchor_dates(spark, tmp_pat
         z = spread(custkey & 65535) | (spread(day_idx & 65535) << 1)
         zone = z >> 14
         assert zone in got, f"zone {zone} missing (custkey={custkey})"
-        assert zone >= 0
+        # zone maps must carry the real dimension values, not just ids
+        assert got[zone] == (custkey, day_idx)
