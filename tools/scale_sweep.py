@@ -45,6 +45,8 @@ SWEEP_OPS = [
     ("incremental_agg_maintenance", None),  # partial aggs + merge: O(n)
     ("hybrid_rrf_retrieval", None),  # broadcast queries, posting join
     ("triangle_cohorts", 4),  # (p,m) blocks densify ×k → pairs ×k²
+    ("pareto_revenue_share", None),  # distributed prefix sum: O(n)
+    ("frequent_item_pairs", 4),  # baskets share partkeys → pairs ×k²
 ]
 
 
@@ -178,12 +180,14 @@ NOTES = """
 - `dedup_ngram_jaccard` is swept only at x1: the exact similarity
   join's Σ|posting|² cost is the documented reason `dedup_minhash_lsh`
   exists as the scale path.
-- `triangle_cohorts` is capped at x4 for the same reason
-  `cross_source_overlap_matrix` bends upward: amplified copies reuse
-  the SAME part keys, so each (part, month) posting block gains k
-  times the customers and the pair-emit step grows ~k² — an artifact
-  of amplification sharing `l_partkey`, not of the plan (disjoint
-  part spaces would scale linearly like pagerank's subgraphs).
+- `triangle_cohorts` and `frequent_item_pairs` are capped at x4 for
+  the same reason `cross_source_overlap_matrix` bends upward:
+  amplified copies reuse the SAME part keys, so each posting block
+  ((part, month) for triangles, per-order basket overlap for pairs)
+  gains k times the members and the pair-emit step grows ~k² — an
+  artifact of amplification sharing `l_partkey`, not of the plan
+  (disjoint part spaces would scale linearly like pagerank's
+  subgraphs).
 - `join_skew_profile` deliberately reads un-offset `l_partkey`
   copies: per-key counts grow k-fold, which is exactly the skew the
   operator exists to measure; its own cost stays one aggregate pass.
