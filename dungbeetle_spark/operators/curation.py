@@ -733,3 +733,82 @@ def curriculum_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranked.withColumn(
         "stage", F.ntile(_CURR_STAGES).over(w_nt).cast("long")
     )
+
+
+@query(
+    "integrity_audit",
+    oracle="""
+    SELECT 'orders.o_custkey->customer' AS constraint_name,
+           CAST((SELECT COUNT(*) FROM orders) AS BIGINT) AS n_rows,
+           CAST((SELECT COUNT(*) FROM orders o
+                 WHERE o.o_custkey IS NOT NULL
+                   AND NOT EXISTS (SELECT 1 FROM customer c
+                                   WHERE c.c_custkey = o.o_custkey))
+                AS BIGINT) AS n_orphans,
+           CAST((SELECT COUNT(*) FROM orders WHERE o_custkey IS NULL)
+                AS BIGINT) AS n_nulls
+    UNION ALL
+    SELECT 'lineitem.l_orderkey->orders',
+           CAST((SELECT COUNT(*) FROM lineitem) AS BIGINT),
+           CAST((SELECT COUNT(*) FROM lineitem l
+                 WHERE l.l_orderkey IS NOT NULL
+                   AND NOT EXISTS (SELECT 1 FROM orders o
+                                   WHERE o.o_orderkey = l.l_orderkey))
+                AS BIGINT),
+           CAST((SELECT COUNT(*) FROM lineitem WHERE l_orderkey IS NULL)
+                AS BIGINT)
+    UNION ALL
+    SELECT 'lineitem.l_partkey->part',
+           CAST((SELECT COUNT(*) FROM lineitem) AS BIGINT),
+           CAST((SELECT COUNT(*) FROM lineitem l
+                 WHERE l.l_partkey IS NOT NULL
+                   AND NOT EXISTS (SELECT 1 FROM part p
+                                   WHERE p.p_partkey = l.l_partkey))
+                AS BIGINT),
+           CAST((SELECT COUNT(*) FROM lineitem WHERE l_partkey IS NULL)
+                AS BIGINT)
+    """,
+    doc="Referential-integrity audit: for each fact->dimension foreign "
+    "key, the row count, the orphan count (fact keys with no matching "
+    "dimension row, via anti-join), and the null-key count -- the "
+    "data-contract check a warehouse runs after every load, before "
+    "letting joins silently drop rows. Exact integer counts.",
+)
+def integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: each check is ONE left join on the (unique) FK --
+    dimension key columns broadcast when they fit, lineitem->orders
+    shuffles once -- followed by a single aggregate whose counters
+    collapse map-side: orphans = joined pk IS NULL, nulls = fk IS
+    NULL. Fully declarative (no driver-side count() loop; the three
+    one-row audits union into one plan) and every scan is pruned to
+    the key column."""
+    t = _t(spark, sf_dir, "orders", "lineitem", "customer", "part")
+
+    def audit(fact: DataFrame, fk: str, dim: DataFrame, pk: str, name: str) -> DataFrame:
+        joined = fact.select(fk).join(
+            dim.select(pk), fact[fk] == dim[pk], "left"
+        )
+        return joined.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(
+                F.when(F.col(fk).isNotNull() & F.col(pk).isNull(), 1).otherwise(0)
+            ).cast("long").alias("n_orphans"),
+            F.sum(F.when(F.col(fk).isNull(), 1).otherwise(0)).cast("long").alias(
+                "n_nulls"
+            ),
+        ).select(
+            F.lit(name).alias("constraint_name"), "n_rows", "n_orphans", "n_nulls"
+        )
+
+    rows = [
+        audit(t["orders"], "o_custkey", t["customer"], "c_custkey",
+              "orders.o_custkey->customer"),
+        audit(t["lineitem"], "l_orderkey", t["orders"], "o_orderkey",
+              "lineitem.l_orderkey->orders"),
+        audit(t["lineitem"], "l_partkey", t["part"], "p_partkey",
+              "lineitem.l_partkey->part"),
+    ]
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out

@@ -358,3 +358,55 @@ def scd2_user_type_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         "active_days",
         F.col("seg").cast("long").alias("version"),
     )
+
+
+@query(
+    "interevent_gap_histogram",
+    oracle="""
+    WITH gaps AS (
+      SELECT event_type,
+             epoch_us(CAST(ts AS TIMESTAMP))
+               - epoch_us(CAST(LAG(ts) OVER (PARTITION BY user_id, event_type
+                                             ORDER BY ts, event_id)
+                          AS TIMESTAMP)) AS gap_us
+      FROM events)
+    SELECT event_type,
+           CAST(LENGTH(BIN(gap_us)) - 1 AS INT) AS log2_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_gaps,
+           CAST(MIN(gap_us) AS BIGINT) AS min_gap_us,
+           CAST(MAX(gap_us) AS BIGINT) AS max_gap_us
+    FROM gaps WHERE gap_us IS NOT NULL AND gap_us > 0
+    GROUP BY 1, 2
+    """,
+    doc="Inter-event gap distribution: per event type, successive "
+    "same-user gaps in microseconds bucketed by floor(log2) via "
+    "LENGTH(BIN(n))-1 (exact integer math, no float log), with each "
+    "bucket's count and min/max -- the latency-distribution "
+    "histogram behind p50/p99 dashboards and session-timeout "
+    "calibration (the 30-min sessionize gap threshold should sit in "
+    "this histogram's valley). Zero-gap ties are excluded (log2 "
+    "undefined); (ts, event_id) ordering makes gaps deterministic "
+    "under ties.",
+)
+def interevent_gap_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: one (user_id, event_type)-keyed shuffle feeds the
+    LAG window; the histogram aggregate partial-combines map-side to
+    |types| x <=64 buckets. The same single-shuffle-then-window shape
+    as sessionize_events, sharing its scalability argument."""
+    e = _t(spark, sf_dir, "events")["events"]
+    w = W.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    gaps = e.select(
+        "event_type",
+        (
+            F.unix_micros(F.col("ts").cast("timestamp"))
+            - F.unix_micros(F.lag("ts").over(w).cast("timestamp"))
+        ).alias("gap_us"),
+    ).filter(F.col("gap_us").isNotNull() & (F.col("gap_us") > 0))
+    return gaps.groupBy(
+        "event_type",
+        (F.length(F.bin("gap_us")) - 1).cast("int").alias("log2_bucket"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        F.min("gap_us").alias("min_gap_us"),
+        F.max("gap_us").alias("max_gap_us"),
+    )

@@ -110,6 +110,8 @@ DRIVER_PRIORITY: list[str] = [
     "frequent_item_pairs",
     "ab_test_significance",
     "pareto_revenue_share",
+    "integrity_audit",
+    "interevent_gap_histogram",
     # same-module neighbors of this round's similarity.py change —
     # re-window to prove no collateral drift (ann_ivf and the
     # embedding-dedup failover changed directly; ann_cosine_topk's own
@@ -123,10 +125,9 @@ DRIVER_PRIORITY: list[str] = [
     # last green row is r03 — re-verify before it goes stale
     # (VERDICT r05 item 2: no query's green row older than its code)
     "dedup_ngram_jaccard",
-    "distinct_part_suppliers",
-    "doc_chunking",
-    # displaced by the thirty-eight new-in-r05 operators (new > stale
-    # under the rotation rule): embedding_array_stats,
+    # displaced by the forty new-in-r05 operators (new > stale
+    # under the rotation rule): distinct_part_suppliers, doc_chunking,
+    # embedding_array_stats,
     # events_json_extract,
     # gap_fill_daily, hash_split_train_test,
     # heavy_hitters, interval_overlap,

@@ -62,6 +62,8 @@ CHANGED_THIS_ROUND = [
     "frequent_item_pairs",  # new in r05
     "ab_test_significance",  # new in r05
     "pareto_revenue_share",  # new in r05
+    "integrity_audit",  # new in r05
+    "interevent_gap_histogram",  # new in r05
     "q12_shipping_delay",
     "dedup_minhash_lsh",
     "dedup_simhash",
