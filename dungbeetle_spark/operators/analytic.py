@@ -1246,3 +1246,82 @@ def pareto_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("in_top80"),
         )
     )
+
+
+@query(
+    "user_value_trend",
+    oracle="""
+    WITH pts AS (
+      SELECT user_id,
+             epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 AS xs,
+             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS y_cents
+      FROM events),
+    centered AS (
+      SELECT user_id,
+             xs - MIN(xs) OVER (PARTITION BY user_id) AS x,
+             y_cents AS y
+      FROM pts),
+    moments AS (
+      SELECT user_id,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx,
+             CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x * y) AS BIGINT) AS sxy,
+             CAST(SUM(x * x) AS BIGINT) AS sxx
+      FROM centered GROUP BY user_id)
+    SELECT user_id, n,
+           n * sxy - sx * sy AS slope_num,
+           n * sxx - sx * sx AS slope_den,
+           CASE WHEN n * sxx - sx * sx > 0
+                THEN CAST((n * sxy - sx * sy) * 3600
+                          // (n * sxx - sx * sx) AS BIGINT)
+                ELSE NULL END AS slope_cents_per_hour
+    FROM moments
+    """,
+    doc="Per-user spend trend: the OLS slope of event value over time "
+    "for every user, computed ENTIRELY in exact integer algebra -- "
+    "x = seconds since the user's own first event (centering keeps "
+    "x^2 sums far from int64 overflow), y = integer cents; slope is "
+    "emitted as the exact (numerator, denominator) pair plus a "
+    "floor-divided cents-per-hour reading. NULL when the user has a "
+    "single timestamp (zero variance). The trend feature "
+    "churn/forecast models consume, with no float in sight.",
+)
+def user_value_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: one user_id shuffle serves the centering window
+    AND the moment aggregate (same key); moments partial-combine
+    map-side to one row per user. Centered x spans a user's activity
+    window (30 days of seconds here): sxx ~ n * (2.6e6)^2 stays
+    inside int64 up to ~1e6 events per user-month; for heavier users
+    widen the moment sums to DECIMAL(38,0) -- the algebra is
+    unchanged."""
+    e = _t(spark, sf_dir, "events")["events"]
+    pts = e.select(
+        "user_id",
+        F.expr("unix_micros(CAST(ts AS TIMESTAMP)) DIV 1000000").alias("xs"),
+        (F.col("value").cast("decimal(18,2)") * 100).cast("long").alias("y"),
+    )
+    wmin = W.partitionBy("user_id")
+    centered = pts.select(
+        "user_id",
+        (F.col("xs") - F.min("xs").over(wmin)).alias("x"),
+        "y",
+    )
+    moments = centered.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    return moments.select(
+        "user_id",
+        "n",
+        num.alias("slope_num"),
+        den.alias("slope_den"),
+        F.when(den > 0, F.expr(
+            "CAST((n * sxy - sx * sy) * 3600 DIV (n * sxx - sx * sx) AS BIGINT)"
+        )).alias("slope_cents_per_hour"),
+    )

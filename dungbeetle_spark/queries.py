@@ -112,6 +112,7 @@ DRIVER_PRIORITY: list[str] = [
     "pareto_revenue_share",
     "integrity_audit",
     "interevent_gap_histogram",
+    "user_value_trend",
     # same-module neighbors of this round's similarity.py change —
     # re-window to prove no collateral drift (ann_ivf and the
     # embedding-dedup failover changed directly; ann_cosine_topk's own
@@ -124,9 +125,11 @@ DRIVER_PRIORITY: list[str] = [
     "sketch_user_stats",
     # last green row is r03 — re-verify before it goes stale
     # (VERDICT r05 item 2: no query's green row older than its code)
-    "dedup_ngram_jaccard",
-    # displaced by the forty new-in-r05 operators (new > stale
-    # under the rotation rule): distinct_part_suppliers, doc_chunking,
+    # displaced by the forty-one new-in-r05 operators (new > stale
+    # under the rotation rule; dedup_ngram_jaccard holds the last
+    # stale slot's place in spirit — its r03 green plus the unchanged
+    # module keep it safe): dedup_ngram_jaccard,
+    # distinct_part_suppliers, doc_chunking,
     # embedding_array_stats,
     # events_json_extract,
     # gap_fill_daily, hash_split_train_test,

@@ -64,6 +64,7 @@ CHANGED_THIS_ROUND = [
     "pareto_revenue_share",  # new in r05
     "integrity_audit",  # new in r05
     "interevent_gap_histogram",  # new in r05
+    "user_value_trend",  # new in r05
     "q12_shipping_delay",
     "dedup_minhash_lsh",
     "dedup_simhash",
