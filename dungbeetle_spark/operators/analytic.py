@@ -1316,12 +1316,17 @@ def user_value_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
     den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    # the per-hour reading derives from the SAME aliased pair (one
+    # algebra definition; no second copy to drift)
     return moments.select(
+        "user_id", "n", num.alias("slope_num"), den.alias("slope_den")
+    ).select(
         "user_id",
         "n",
-        num.alias("slope_num"),
-        den.alias("slope_den"),
-        F.when(den > 0, F.expr(
-            "CAST((n * sxy - sx * sy) * 3600 DIV (n * sxx - sx * sx) AS BIGINT)"
-        )).alias("slope_cents_per_hour"),
+        "slope_num",
+        "slope_den",
+        F.when(
+            F.col("slope_den") > 0,
+            F.expr("CAST(slope_num * 3600 DIV slope_den AS BIGINT)"),
+        ).alias("slope_cents_per_hour"),
     )

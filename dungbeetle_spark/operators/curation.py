@@ -775,28 +775,35 @@ def curriculum_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     "letting joins silently drop rows. Exact integer counts.",
 )
 def integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Scale shape: each check is ONE left join on the (unique) FK --
-    dimension key columns broadcast when they fit, lineitem->orders
-    shuffles once -- followed by a single aggregate whose counters
-    collapse map-side: orphans = joined pk IS NULL, nulls = fk IS
-    NULL. Fully declarative (no driver-side count() loop; the three
-    one-row audits union into one plan) and every scan is pruned to
-    the key column."""
+    """Scale shape: per check, one anti-join keyed on the FK for the
+    orphan count (dimension key columns broadcast when they fit;
+    lineitem->orders shuffles once) plus a scan-only aggregate for
+    row/null counts -- both collapse map-side to one row and
+    cross-join. Fully declarative (no driver-side count() loop; the
+    three one-row audits union into one plan), every scan pruned to
+    the key column, and immune to duplicated dimension keys (a left
+    join would double-count matched fact rows)."""
     t = _t(spark, sf_dir, "orders", "lineitem", "customer", "part")
 
     def audit(fact: DataFrame, fk: str, dim: DataFrame, pk: str, name: str) -> DataFrame:
-        joined = fact.select(fk).join(
-            dim.select(pk), fact[fk] == dim[pk], "left"
-        )
-        return joined.agg(
+        # row/null counts come from the fact table ALONE: counting
+        # after a left join would inflate n_rows whenever a dimension
+        # key is duplicated -- exactly the corruption this audit
+        # exists to surface. Orphans ride a separate anti-join (also
+        # duplication-proof); the two one-row aggregates cross-join.
+        base = fact.agg(
             F.count(F.lit(1)).alias("n_rows"),
-            F.sum(
-                F.when(F.col(fk).isNotNull() & F.col(pk).isNull(), 1).otherwise(0)
-            ).cast("long").alias("n_orphans"),
             F.sum(F.when(F.col(fk).isNull(), 1).otherwise(0)).cast("long").alias(
                 "n_nulls"
             ),
-        ).select(
+        )
+        orphans = (
+            fact.select(fk)
+            .filter(F.col(fk).isNotNull())
+            .join(dim.select(pk), fact[fk] == dim[pk], "left_anti")
+            .agg(F.count(F.lit(1)).alias("n_orphans"))
+        )
+        return base.crossJoin(orphans).select(
             F.lit(name).alias("constraint_name"), "n_rows", "n_orphans", "n_nulls"
         )
 

@@ -123,12 +123,12 @@ DRIVER_PRIORITY: list[str] = [
     # the one remaining rows-only-by-design query: keep its driver row
     # fresh (HLL++ sketch internals have no DuckDB twin)
     "sketch_user_stats",
-    # last green row is r03 — re-verify before it goes stale
-    # (VERDICT r05 item 2: no query's green row older than its code)
-    # displaced by the forty-one new-in-r05 operators (new > stale
-    # under the rotation rule; dedup_ngram_jaccard holds the last
-    # stale slot's place in spirit — its r03 green plus the unchanged
-    # module keep it safe): dedup_ngram_jaccard,
+    # The 41 new-in-r05 operators consumed every stale-re-verify slot
+    # (new > stale under the rotation rule — an unverified NEW query
+    # is worse than a stale green whose code is unchanged). The
+    # displaced r03-green-with-unchanged-code queries below therefore
+    # get NO r05 row and must head the r06 window:
+    # dedup_ngram_jaccard,
     # distinct_part_suppliers, doc_chunking,
     # embedding_array_stats,
     # events_json_extract,

@@ -219,3 +219,31 @@ def test_zorder_zone_ids_match_python_morton_for_pre_anchor_dates(spark, tmp_pat
         assert zone in got, f"zone {zone} missing (custkey={custkey})"
         # zone maps must carry the real dimension values, not just ids
         assert got[zone] == (custkey, day_idx)
+
+
+def test_integrity_audit_immune_to_duplicate_dimension_keys(spark, tmp_path):
+    """Regression (r05 review): n_rows/n_nulls must come from the fact
+    table alone — a LEFT-join-based count inflates on duplicated
+    dimension primary keys, which is exactly the corruption the audit
+    exists to catch."""
+    import shutil
+
+    from dungbeetle_spark.queries import registry
+    from dungbeetle_spark.sources.catalog import load_tables
+
+    src = "/root/testdata/sf0.001"
+    for t in ("orders", "lineitem", "customer", "part"):
+        shutil.copy(f"{src}/{t}.parquet", tmp_path / f"{t}.parquet")
+    # corrupt the customer dimension: duplicate one primary key
+    cust = load_tables(spark, src, ["customer"])["customer"]
+    cust.unionAll(cust.limit(1)).write.mode("overwrite").parquet(
+        str(tmp_path / "customer.parquet")
+    )
+    n_orders = load_tables(spark, src, ["orders"])["orders"].count()
+    rows = {
+        r["constraint_name"]: r
+        for r in registry()["integrity_audit"].build(spark, str(tmp_path)).collect()
+    }
+    audit = rows["orders.o_custkey->customer"]
+    assert audit["n_rows"] == n_orders, "duplicate dim key inflated n_rows"
+    assert audit["n_orphans"] == 0

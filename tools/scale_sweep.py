@@ -180,7 +180,9 @@ NOTES = """
 - `dedup_ngram_jaccard` is swept only at x1: the exact similarity
   join's Σ|posting|² cost is the documented reason `dedup_minhash_lsh`
   exists as the scale path.
-- `triangle_cohorts` and `frequent_item_pairs` are capped at x4 for
+- `triangle_cohorts` and `frequent_item_pairs` are capped at x4 —
+  which under the generated [1, 10, 32] factor set means they are
+  swept only at x1 (like `dedup_ngram_jaccard`) — for
   the same reason `cross_source_overlap_matrix` bends upward:
   amplified copies reuse the SAME part keys, so each posting block
   ((part, month) for triangles, per-order basket overlap for pairs)
