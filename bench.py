@@ -70,6 +70,9 @@ HEADLINE = [
     "frequent_item_pairs",
     "pareto_revenue_share",
     "ab_test_significance",
+    "integrity_audit",
+    "interevent_gap_histogram",
+    "user_value_trend",
 ]
 
 # Host-drift canary (ADVICE r04: one hardcoded-anchor query is noisy
