@@ -73,6 +73,19 @@ HEADLINE = [
     "integrity_audit",
     "interevent_gap_histogram",
     "user_value_trend",
+    # r06 additions: robust stats, seasonality chi-square, RFM windows,
+    # path mining, containment dedup, readability/skip-gram text scans,
+    # mix allocation, checked sketches
+    "rfm_segments",
+    "chisq_dow_independence",
+    "session_path_topk",
+    "mad_outliers",
+    "dedup_savings_report",
+    "dedup_containment",
+    "readability_scores",
+    "skipgram_pairs",
+    "source_epoch_allocation",
+    "sketch_user_stats",
 ]
 
 # Host-drift canary (ADVICE r04: one hardcoded-anchor query is noisy
@@ -89,6 +102,68 @@ CANARY_R01 = {
     "text_stats": 0.249,
     "token_count": 0.225,
 }
+
+
+_REGRESSION_RATIO = 1.5  # normalized per-query ratio that flags
+
+
+def _median_host_factor(timings: dict[str, float]) -> float | None:
+    """host_factor under the r05+ median method, from any run's
+    recorded per-query times — applied to OLD runs too, so a
+    comparison never mixes canary methodologies (the r04-vs-r05
+    confusion VERDICT r05 item 4 asks to prevent mechanically)."""
+    ratios = sorted(
+        timings[name] / r01
+        for name, r01 in CANARY_R01.items()
+        if timings.get(name)
+    )
+    return round(ratios[len(ratios) // 2], 3) if ratios else None
+
+
+def _compare_block(timings: dict[str, float], host_factor: float | None,
+                   against_path: str) -> dict:
+    """Normalized per-query ratios vs a prior BENCH_r*.json, with a
+    regressions list (> _REGRESSION_RATIO after dividing out each
+    run's own median host factor)."""
+    with open(against_path) as f:
+        old = json.load(f)
+    old_timings: dict[str, float] = old.get("queries", {})
+    old_factor = _median_host_factor(old_timings)
+    ratios: dict[str, float] = {}
+    for name, new_sec in timings.items():
+        old_sec = old_timings.get(name)
+        if not old_sec or not old_factor or not host_factor:
+            continue
+        ratios[name] = round(
+            (new_sec / host_factor) / (old_sec / old_factor), 3
+        )
+    regressions = sorted(
+        (name for name, r in ratios.items() if r > _REGRESSION_RATIO),
+        key=lambda n: -ratios[n],
+    )
+    return {
+        "against": os.path.basename(against_path),
+        "host_factor_old_median_method": old_factor,
+        "host_factor_old_as_recorded": old.get("canary", {}).get(
+            "host_factor"
+        ),
+        "normalized_ratios": ratios,
+        "regression_threshold": _REGRESSION_RATIO,
+        "regressions": regressions,
+    }
+
+
+def _latest_bench_file(repo_dir: str) -> str | None:
+    import re
+
+    best: tuple[int, str] | None = None
+    for fn in os.listdir(repo_dir):
+        m = re.fullmatch(r"BENCH_r(\d+)\.json", fn)
+        if m:
+            n = int(m.group(1))
+            if best is None or n > best[0]:
+                best = (n, os.path.join(repo_dir, fn))
+    return best[1] if best else None
 
 
 def main() -> None:
@@ -140,36 +215,42 @@ def main() -> None:
     timings = {name: round(min(ts), 3) for name, ts in runs.items()}
 
     total = round(sum(timings.values()), 3)
-    ratios = sorted(
-        timings[name] / r01
-        for name, r01 in CANARY_R01.items()
-        if timings.get(name)
-    )
-    host_factor = (
-        round(ratios[len(ratios) // 2], 3) if ratios else None
-    )  # median ratio (odd-sized anchor set)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-                "canary": {
-                    "queries": {
-                        name: {"sec": timings.get(name), "r01_sec": r01}
-                        for name, r01 in CANARY_R01.items()
-                    },
-                    "host_factor": host_factor,
-                    "note": "median ratio over r01-untouched anchors; advisory",
-                },
-                "normalized_total": (
-                    round(total / host_factor, 3) if host_factor else None
-                ),
-            }
-        )
-    )
+    host_factor = _median_host_factor(timings)
+
+    # Cross-round regression detection (VERDICT r05 item 4): compare
+    # against --compare PATH if given, else auto-detect the newest
+    # BENCH_r*.json in the repo; --no-compare disables.
+    repo_dir = os.path.dirname(os.path.abspath(__file__))
+    against: str | None = None
+    if "--compare" in sys.argv:
+        against = sys.argv[sys.argv.index("--compare") + 1]
+    elif "--no-compare" not in sys.argv:
+        against = _latest_bench_file(repo_dir)
+    compare = None
+    if against and os.path.exists(against):
+        compare = _compare_block(timings, host_factor, against)
+
+    out = {
+        "metric": "headline_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "canary": {
+            "queries": {
+                name: {"sec": timings.get(name), "r01_sec": r01}
+                for name, r01 in CANARY_R01.items()
+            },
+            "host_factor": host_factor,
+            "note": "median ratio over r01-untouched anchors; advisory",
+        },
+        "normalized_total": (
+            round(total / host_factor, 3) if host_factor else None
+        ),
+    }
+    if compare is not None:
+        out["compare"] = compare
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

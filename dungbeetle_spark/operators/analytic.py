@@ -704,8 +704,12 @@ def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM trail
     """,
     doc="Rolling z-score anomaly detection on daily event volumes: per "
-    "event type, a trailing-7-day window of counts; a day is a spike "
-    "when it sits more than 2 sigmas above the window mean. The test "
+    "event type, a trailing window of the 7 most recent ACTIVE days "
+    "(days with zero events are absent from the daily pre-aggregate, "
+    "so the ROWS frame skips over calendar gaps -- gap-fill first if "
+    "strict calendar windows are needed, as gap_fill_daily does); a "
+    "day is a spike when it sits more than 2 sigmas above the window "
+    "mean. The test "
     "z > 2 is algebraically cleared of divisions -- "
     "(n*c - sum)^2 > 4*(n*sumsq - sum^2) with an above-mean guard -- "
     "so every emitted value is integer-exact and the one comparison "
@@ -1329,4 +1333,331 @@ def user_value_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("slope_den") > 0,
             F.expr("CAST(slope_num * 3600 DIV slope_den AS BIGINT)"),
         ).alias("slope_cents_per_hour"),
+    )
+
+
+@query(
+    "rfm_segments",
+    oracle="""
+    WITH rfm AS (
+      SELECT user_id,
+             CAST(MAX(ts) AS DATE) - DATE '1970-01-01' AS last_day,
+             CAST(COUNT(*) AS BIGINT) AS frequency,
+             CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT)
+                  AS BIGINT) AS monetary_cents
+      FROM events WHERE event_type = 'purchase' GROUP BY user_id),
+    scored AS (
+      SELECT user_id,
+             CAST(last_day AS BIGINT) AS last_epoch_day,
+             frequency, monetary_cents,
+             CAST(NTILE(5) OVER (ORDER BY last_day DESC, user_id)
+                  AS BIGINT) AS r_score,
+             CAST(NTILE(5) OVER (ORDER BY frequency DESC, user_id)
+                  AS BIGINT) AS f_score,
+             CAST(NTILE(5) OVER (ORDER BY monetary_cents DESC, user_id)
+                  AS BIGINT) AS m_score
+      FROM rfm)
+    SELECT user_id, last_epoch_day, frequency, monetary_cents,
+           r_score, f_score, m_score,
+           CASE WHEN r_score <= 2 AND f_score <= 2 THEN 'champion'
+                WHEN r_score <= 2 THEN 'recent'
+                WHEN f_score <= 2 THEN 'loyal_lapsing'
+                WHEN r_score >= 4 AND f_score >= 4 THEN 'at_risk'
+                ELSE 'regular' END AS segment
+    FROM scored
+    """,
+    doc="RFM customer segmentation (recency / frequency / monetary): "
+    "per purchasing user, the classic three scores as NTILE(5) "
+    "quintiles -- score 1 = most recent / most frequent / highest "
+    "spend -- plus a rule-based segment label over the (R,F) grid. "
+    "Recency is the last-purchase epoch day (exact integer), monetary "
+    "is exact decimal cents; every NTILE ordering carries a user_id "
+    "tiebreak so quintile boundaries are deterministic cross-engine. "
+    "The standard marketing-analytics cohorting primitive.",
+)
+def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: the per-user aggregate partial-combines map-side
+    down to |users| rows in one shuffle; the three NTILE windows run
+    over that user-cardinality frame (unpartitioned by necessity --
+    quintiles are a GLOBAL ranking). At 100 TB |users| is still ~1e8
+    rows of 4 longs -- if even that outgrows one task, swap NTILE for
+    the distributed prefix-sum construction pareto_revenue_share uses
+    (range-partition + broadcast per-partition offsets); the quintile
+    assignment is rank*5 DIV n, the same algebra."""
+    e = _t(spark, sf_dir, "events")["events"]
+    rfm = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(
+            F.datediff(F.max(F.col("ts").cast("date")), F.lit("1970-01-01"))
+            .cast("long")
+            .alias("last_epoch_day"),
+            F.count(F.lit(1)).alias("frequency"),
+            (F.sum(F.col("value").cast("decimal(18,2)")) * 100)
+            .cast("long")
+            .alias("monetary_cents"),
+        )
+    )
+    r = F.ntile(5).over(
+        W.orderBy(F.col("last_epoch_day").desc(), "user_id")
+    ).cast("long")
+    f_ = F.ntile(5).over(W.orderBy(F.col("frequency").desc(), "user_id")).cast(
+        "long"
+    )
+    m = F.ntile(5).over(
+        W.orderBy(F.col("monetary_cents").desc(), "user_id")
+    ).cast("long")
+    scored = rfm.select(
+        "user_id",
+        "last_epoch_day",
+        "frequency",
+        "monetary_cents",
+        r.alias("r_score"),
+        f_.alias("f_score"),
+        m.alias("m_score"),
+    )
+    return scored.withColumn(
+        "segment",
+        F.when((F.col("r_score") <= 2) & (F.col("f_score") <= 2), "champion")
+        .when(F.col("r_score") <= 2, "recent")
+        .when(F.col("f_score") <= 2, "loyal_lapsing")
+        .when((F.col("r_score") >= 4) & (F.col("f_score") >= 4), "at_risk")
+        .otherwise("regular"),
+    )
+
+
+@query(
+    "chisq_dow_independence",
+    oracle="""
+    WITH cells AS (
+      SELECT event_type,
+             CAST((CAST(ts AS DATE) - DATE '1970-01-01') % 7 AS BIGINT)
+               AS dow_idx,
+             CAST(COUNT(*) AS BIGINT) AS obs
+      FROM events GROUP BY 1, 2),
+    tot AS (
+      SELECT event_type, dow_idx, obs,
+             CAST(SUM(obs) OVER (PARTITION BY event_type) AS BIGINT)
+               AS row_tot,
+             CAST(SUM(obs) OVER (PARTITION BY dow_idx) AS BIGINT)
+               AS col_tot,
+             CAST(SUM(obs) OVER () AS BIGINT) AS n
+      FROM cells)
+    SELECT event_type, dow_idx, obs, row_tot, col_tot,
+           CAST(row_tot * col_tot * 1000 // n AS BIGINT) AS exp_milli,
+           CAST(CAST(CAST(obs * n - row_tot * col_tot AS HUGEINT)
+                     * (obs * n - row_tot * col_tot) * 1000000
+                     // (CAST(n AS HUGEINT) * row_tot * col_tot)
+                AS BIGINT) AS BIGINT) AS chi_cell_micro
+    FROM tot
+    """,
+    doc="Chi-square independence test of event_type x day-of-week (the "
+    "seasonality audit behind 'does activity mix shift by weekday'): "
+    "the full contingency table with each cell's observed count, "
+    "marginals, independence expectation in milli-counts, and its "
+    "chi-square contribution (obs*n - row*col)^2 * 1e6 DIV "
+    "(n*row*col) -- the classic statistic scaled to micro-units and "
+    "computed entirely in exact integer algebra (128-bit "
+    "intermediates: DECIMAL(38,0) in Spark, HUGEINT in DuckDB), so "
+    "the frame is bit-identical cross-engine. Summing chi_cell_micro "
+    "and comparing against the critical value for "
+    "(|types|-1)(7-1) degrees of freedom is a driver-side constant "
+    "lookup. Companion to ab_test_significance (z-test).",
+)
+def chisq_dow_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: the contingency aggregate partial-combines map-side
+    down to |types| x 7 cells -- the ONLY fact-scale pass. The three
+    marginal windows run over that tiny constant-size frame (the
+    benign-global-window class: |cells| <= |types|*7, never data-
+    scale). Day-of-week via epoch-day % 7 -- pure integer, no
+    locale-dependent dayofweek()."""
+    e = _t(spark, sf_dir, "events")["events"]
+    cells = (
+        e.groupBy(
+            "event_type",
+            (
+                F.datediff(F.col("ts").cast("date"), F.lit("1970-01-01")) % 7
+            )
+            .cast("long")
+            .alias("dow_idx"),
+        )
+        .agg(F.count(F.lit(1)).alias("obs"))
+    )
+    tot = cells.select(
+        "event_type",
+        "dow_idx",
+        "obs",
+        F.sum("obs").over(W.partitionBy("event_type")).alias("row_tot"),
+        F.sum("obs").over(W.partitionBy("dow_idx")).alias("col_tot"),
+        F.sum("obs").over(W.partitionBy()).alias("n"),
+    )
+    dev = F.col("obs") * F.col("n") - F.col("row_tot") * F.col("col_tot")
+    # 128-bit intermediates: dev^2 * 1e6 fits DECIMAL(38,0) while
+    # n < ~3e9 events (dev <= n^2... no: dev <= n*max_cell < n^2;
+    # the binding bound is dev^2*1e6 < 1e38 ⇔ dev < 3e15 ⇔ roughly
+    # n*obs < 3e15). Past that, pre-aggregate counts into coarser
+    # units or compute the cell statistic in double -- it is a test
+    # statistic, not an accounting sum; exactness here buys the
+    # cross-engine oracle, not correctness of the inference.
+    return tot.withColumn("_dev", dev.cast("decimal(38,0)")).select(
+        "event_type",
+        "dow_idx",
+        "obs",
+        "row_tot",
+        "col_tot",
+        F.expr("CAST(row_tot * col_tot * 1000 DIV n AS BIGINT)").alias(
+            "exp_milli"
+        ),
+        F.expr(
+            "CAST(_dev * _dev * 1000000 DIV "
+            "(CAST(n AS DECIMAL(38,0)) * row_tot * col_tot) AS BIGINT)"
+        ).alias("chi_cell_micro"),
+    )
+
+
+@query(
+    "session_path_topk",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             LEAD(event_type, 1) OVER w AS t1,
+             LEAD(event_type, 2) OVER w AS t2
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    paths AS (
+      SELECT event_type || '>' || t1 || '>' || t2 AS path,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM seq WHERE t2 IS NOT NULL GROUP BY 1)
+    SELECT path, n
+    FROM paths
+    ORDER BY n DESC, path
+    LIMIT 20
+    """,
+    doc="Behavioral path mining: the 20 most common 3-step event-type "
+    "paths across all user journeys (events ordered per user by ts "
+    "with event_id tiebreak, trigrams via LEAD). The session-path "
+    "frequency table behind 'what do users do next' product "
+    "questions and behavioral-cloning data curation. Deterministic "
+    "top-k: count DESC with full path tiebreak.",
+)
+def session_path_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: one user_id shuffle for the ordered LEAD window
+    (each user's journey is one partition slice), then a map-side-
+    combining aggregate on the path string — |paths| <= |types|^3
+    distinct keys, so the final top-k is a TakeOrdered over a
+    constant-bounded frame, never a global sort of fact data."""
+    e = _t(spark, sf_dir, "events")["events"]
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "event_type",
+        F.lead("event_type", 1).over(w).alias("t1"),
+        F.lead("event_type", 2).over(w).alias("t2"),
+    )
+    paths = (
+        seq.filter(F.col("t2").isNotNull())
+        .select(
+            F.concat_ws(">", "event_type", "t1", "t2").alias("path")
+        )
+        .groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return paths.orderBy(F.col("n").desc(), "path").limit(20)
+
+
+@query(
+    "mad_outliers",
+    oracle="""
+    WITH med AS (
+      SELECT event_type,
+             MIN(value) FILTER (WHERE cd >= 0.5) AS median_value
+      FROM (SELECT event_type, value,
+                   cume_dist() OVER (PARTITION BY event_type
+                                     ORDER BY value) AS cd
+            FROM events)
+      GROUP BY event_type),
+    dev AS (
+      SELECT e.event_type, e.value,
+             ABS(CAST(CAST(e.value AS DECIMAL(18,2)) * 100 AS BIGINT)
+                 - CAST(CAST(m.median_value AS DECIMAL(18,2)) * 100
+                        AS BIGINT)) AS absdev_cents,
+             m.median_value
+      FROM events e JOIN med m ON e.event_type = m.event_type),
+    mad AS (
+      SELECT event_type,
+             MIN(absdev_cents) FILTER (WHERE cd >= 0.5) AS mad_cents
+      FROM (SELECT event_type, absdev_cents,
+                   cume_dist() OVER (PARTITION BY event_type
+                                     ORDER BY absdev_cents) AS cd
+            FROM dev)
+      GROUP BY event_type)
+    SELECT d.event_type,
+           ANY_VALUE(d.median_value) AS median_value,
+           CAST(ANY_VALUE(a.mad_cents) AS BIGINT) AS mad_cents,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(*) FILTER (WHERE d.absdev_cents > 5 * a.mad_cents)
+                AS BIGINT) AS n_outliers
+    FROM dev d JOIN mad a ON d.event_type = a.event_type
+    GROUP BY d.event_type
+    """,
+    doc="Robust outlier detection by median absolute deviation: per "
+    "event type, the value median (percentile_disc -- an ELEMENT, no "
+    "interpolation), each event's |value - median| in exact integer "
+    "cents, the MAD (median of those deviations), and the count of "
+    "events beyond 5 MADs. The robust alternative to "
+    "user_value_outliers' z-score -- a few extreme values cannot "
+    "drag the threshold, which is why curation pipelines prefer MAD "
+    "fences for heavy-tailed quality signals. Deviations are integer "
+    "cents so every emitted number is cross-engine exact.",
+)
+def mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: two percentile_disc passes, each one shuffle on
+    the 5-key event_type column (mergeable GK-style state map-side);
+    the tiny per-type median/MAD frames broadcast back onto the fact
+    scan, so no fact-scale data ever moves twice. The deviation pass
+    re-reads the fact — at 100 TB cache/checkpoint the first
+    projection or accept the rescan (narrow: 2 columns)."""
+    e = _t(spark, sf_dir, "events")["events"]
+    cents = (F.col("value").cast("decimal(18,2)") * 100).cast("long")
+    e2 = e.select("event_type", cents.alias("v_cents"), "value")
+    e2.createOrReplaceTempView("_mad_events")
+    med = spark.sql(
+        """
+        SELECT event_type,
+               percentile_disc(0.5) WITHIN GROUP (ORDER BY value)
+                 AS median_value
+        FROM _mad_events GROUP BY event_type
+        """
+    ).withColumn(
+        "med_cents",
+        (F.col("median_value").cast("decimal(18,2)") * 100).cast("long"),
+    )
+    dev = e2.join(F.broadcast(med), "event_type").select(
+        "event_type",
+        "median_value",
+        F.abs(F.col("v_cents") - F.col("med_cents")).alias("absdev_cents"),
+    )
+    dev.createOrReplaceTempView("_mad_dev")
+    mad = spark.sql(
+        """
+        SELECT event_type,
+               percentile_disc(0.5) WITHIN GROUP (ORDER BY absdev_cents)
+                 AS mad_cents
+        FROM _mad_dev GROUP BY event_type
+        """
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.any_value("median_value").alias("median_value"),
+            F.any_value("mad_cents").cast("long").alias("mad_cents"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(
+                F.when(
+                    F.col("absdev_cents") > 5 * F.col("mad_cents"), 1
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_outliers"),
+        )
     )

@@ -30,6 +30,7 @@ from __future__ import annotations
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
 
 from dungbeetle_spark.functions.texts import (
     content_md5,
@@ -967,3 +968,132 @@ def cross_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select("p.source_a", "p.source_b").groupBy(
         "source_a", "source_b"
     ).agg(F.count(F.lit(1)).alias("n_shared_windows"))
+
+
+@query(
+    "dedup_savings_report",
+    oracle=f"""
+    WITH h AS (
+      SELECT doc_id, source, n_chars,
+             {content_md5_sql()} AS content_hash
+      FROM documents),
+    marked AS (
+      SELECT source, n_chars,
+             (ROW_NUMBER() OVER (PARTITION BY content_hash
+                                 ORDER BY doc_id) > 1) AS is_dup
+      FROM h)
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) FILTER (WHERE is_dup) AS BIGINT) AS n_dup_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS chars_total,
+           CAST(COALESCE(SUM(n_chars) FILTER (WHERE is_dup), 0) AS BIGINT)
+             AS chars_saved,
+           CAST(COALESCE(SUM(n_chars) FILTER (WHERE is_dup), 0) * 1000000
+                // SUM(n_chars) AS BIGINT) AS savings_ppm
+    FROM marked GROUP BY source
+    """,
+    doc="Dedup savings report: per crawl source, how many documents "
+    "(and how many characters, in exact ppm of the source's bytes) "
+    "exact dedup would remove — a duplicate is any doc whose "
+    "normalized-content md5 has a lower-doc_id twin ANYWHERE in the "
+    "corpus (same keeper rule as dedup_exact). The cost/benefit "
+    "report that decides whether a source is worth re-crawling and "
+    "what dedup will save before anyone runs it.",
+)
+def dedup_savings_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: one shuffle on the uniform md5 key for the keeper
+    window (rank-1-per-hash, no skew), one map-side-combining
+    aggregate on source. Nothing fact-scale crosses more than once;
+    output is |sources| rows."""
+    d = _t(spark, sf_dir, "documents")["documents"]
+    w = W.partitionBy("content_hash").orderBy("doc_id")
+    marked = d.select(
+        "doc_id", "source", "n_chars", content_md5("text").alias("content_hash")
+    ).select(
+        "source",
+        "n_chars",
+        (F.row_number().over(w) > 1).alias("is_dup"),
+    )
+    dup_chars = F.sum(F.when(F.col("is_dup"), F.col("n_chars")).otherwise(0))
+    return marked.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.when(F.col("is_dup"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_dup_docs"),
+        F.sum("n_chars").alias("chars_total"),
+        dup_chars.cast("long").alias("chars_saved"),
+        F.expr(
+            "CAST(SUM(CASE WHEN is_dup THEN n_chars ELSE 0 END) * 1000000 "
+            "DIV SUM(n_chars) AS BIGINT)"
+        ).alias("savings_ppm"),
+    )
+
+
+_CONTAIN_T_PPM = 600_000  # containment >= 0.6 of the smaller doc
+
+
+@query(
+    "dedup_containment",
+    oracle=f"""
+    WITH words AS (
+      SELECT doc_id,
+             regexp_split_to_array(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS w
+      FROM documents),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+      FROM words, UNNEST(range(1, greatest(len(w) - {_SHINGLE_N} + 2, 1))) AS t(i)),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    common AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2)
+    SELECT doc_a, doc_b, CAST(c AS BIGINT) AS n_common,
+           CAST(sa.n AS BIGINT) AS n_a, CAST(sb.n AS BIGINT) AS n_b,
+           CAST(c * 1000000 // least(sa.n, sb.n) AS BIGINT)
+             AS containment_ppm
+    FROM common
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE c * 1000000 // least(sa.n, sb.n) >= {_CONTAIN_T_PPM}
+    """,
+    doc="Containment near-dup pairs (Broder's containment coefficient "
+    "C(A,B) = |S(A)∩S(B)| / min(|S(A)|,|S(B)|) in exact integer ppm): "
+    "catches SUBSET duplication — a short doc wholly embedded in a "
+    "longer one — which symmetric Jaccard dilutes below threshold "
+    "when sizes differ (a 50-gram doc inside a 500-gram doc has "
+    "Jaccard 0.1 but containment 1.0). Same 3-gram inverted index as "
+    "dedup_ngram_jaccard; the quote/boilerplate-inclusion detector "
+    "exact-substring dedup complements at the character level.",
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: identical to dedup_ngram_jaccard — inverted-index
+    equi-join keyed on the 8-byte shingle hash, Σ|posting|² cost,
+    ReuseExchange across the self-join sides, minhash as the stated
+    candidate-generation path when posting lists densify. The ppm
+    floor division keeps every emitted value integer-exact."""
+    d = _t(spark, sf_dir, "documents")["documents"]
+    sh = _shingled(d).select(
+        "doc_id", F.size("shingles").alias("n"), F.explode("shingles").alias("s")
+    )
+    sh = sh.select("doc_id", "n", F.xxhash64("s").alias("s"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"), "s")
+    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"), "s")
+    common = (
+        a.join(b.hint("shuffle_hash"), "s")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b", "na", "nb")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    ppm = F.expr("CAST(c * 1000000 DIV least(na, nb) AS BIGINT)")
+    return (
+        common.select(
+            "doc_a",
+            "doc_b",
+            F.col("c").cast("long").alias("n_common"),
+            F.col("na").cast("long").alias("n_a"),
+            F.col("nb").cast("long").alias("n_b"),
+            ppm.alias("containment_ppm"),
+        )
+        .filter(F.col("containment_ppm") >= _CONTAIN_T_PPM)
+    )

@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
-from dungbeetle_spark.functions.texts import md5_hash60_sql
+from dungbeetle_spark.functions.texts import md5_hash60_sql, norm_text
 from dungbeetle_spark.queries import _t, query
 from dungbeetle_spark.sources.catalog import fan_out
 
@@ -625,4 +625,94 @@ def source_lang_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(n * 1000000 DIV grand"
             " - src_tot * lang_tot * 1000000 DIV (grand * grand) AS BIGINT)"
         ).alias("drift_ppm"),
+    )
+
+
+_EPOCH_BUDGET_X = 2  # token budget = 2x the corpus (the over-sample room)
+_EPOCH_CAP_MILLI = 3_000  # never repeat a source more than 3 epochs
+
+
+@query(
+    "source_epoch_allocation",
+    oracle=f"""
+    WITH src AS (
+      SELECT source,
+             CAST(SUM(len(string_split(
+               trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')))
+               AS BIGINT) AS tokens
+      FROM documents WHERE trim(text) <> '' GROUP BY source),
+    tot AS (
+      SELECT source, tokens,
+             CAST(SUM(tokens) OVER () AS BIGINT) AS corpus_tokens,
+             CAST(COUNT(*) OVER () AS BIGINT) AS n_sources
+      FROM src),
+    alloc AS (
+      SELECT source, tokens, corpus_tokens,
+             CAST(tokens * 1000000 // corpus_tokens AS BIGINT)
+               AS corpus_share_ppm,
+             least(
+               (corpus_tokens * {_EPOCH_BUDGET_X} // n_sources) * 1000
+                 // tokens,
+               {_EPOCH_CAP_MILLI}) AS epochs_milli
+      FROM tot)
+    SELECT source, tokens, corpus_share_ppm,
+           CAST(epochs_milli AS BIGINT) AS epochs_milli,
+           epochs_milli = {_EPOCH_CAP_MILLI} AS capped,
+           CAST(tokens * epochs_milli // 1000 AS BIGINT)
+             AS allocated_tokens
+    FROM alloc
+    """,
+    doc=f"Training-mix epoch allocation under a token budget: given a "
+    f"budget of {_EPOCH_BUDGET_X}x the corpus's whitespace tokens "
+    "split EQUALLY across sources (the uniform-domain rebalancing "
+    "that stops one crawl from dominating, cf. The Pile's per-set "
+    "epoch table), each source's repeat factor in milli-epochs = "
+    "its equal share DIV its own tokens, capped at "
+    f"{_EPOCH_CAP_MILLI} milli-epochs (the 'repeating data more than "
+    "~3x hurts' rule from data-constrained scaling studies, "
+    "Muennighoff et al. 2023). Small sources cap; large ones "
+    "under-sample. All floor-division integer algebra -- the exact "
+    "per-source sampling table a training dataloader consumes.",
+)
+def source_epoch_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: per-source token sums partial-combine map-side to
+    |sources| rows; the budget windows run over that tiny frame (the
+    benign-global-window class — |sources| is a catalog, not data).
+    One fact-scale scan total."""
+    d = _t(spark, sf_dir, "documents")["documents"]
+    toks = F.size(F.split(norm_text(F.col("text")), " "))
+    src = (
+        d.filter(F.trim(F.col("text")) != "")
+        .groupBy("source")
+        .agg(F.sum(toks.cast("long")).alias("tokens"))
+    )
+    tot = src.select(
+        "source",
+        "tokens",
+        F.sum("tokens").over(W.partitionBy()).alias("corpus_tokens"),
+        F.count(F.lit(1)).over(W.partitionBy()).alias("n_sources"),
+    )
+    alloc = tot.select(
+        "source",
+        "tokens",
+        F.expr("CAST(tokens * 1000000 DIV corpus_tokens AS BIGINT)").alias(
+            "corpus_share_ppm"
+        ),
+        F.least(
+            F.expr(
+                f"(corpus_tokens * {_EPOCH_BUDGET_X} DIV n_sources) * 1000 "
+                "DIV tokens"
+            ),
+            F.lit(_EPOCH_CAP_MILLI).cast("long"),
+        ).alias("epochs_milli"),
+    )
+    return alloc.select(
+        "source",
+        "tokens",
+        "corpus_share_ppm",
+        F.col("epochs_milli").cast("long").alias("epochs_milli"),
+        (F.col("epochs_milli") == _EPOCH_CAP_MILLI).alias("capped"),
+        F.expr("CAST(tokens * epochs_milli DIV 1000 AS BIGINT)").alias(
+            "allocated_tokens"
+        ),
     )

@@ -586,3 +586,172 @@ def funnel_verdicts(d: DataFrame) -> DataFrame:
         reason.alias("reason"),
         (reason == "kept").alias("keep"),
     )
+
+
+@query(
+    "readability_scores",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm,
+             regexp_replace(lower(text), '[aeiouy]+', chr(1), 'g') AS syl_marked
+      FROM documents),
+    m AS (
+      SELECT doc_id,
+             CAST(len(string_split(norm, ' ')) AS BIGINT) AS n_words,
+             CAST(greatest(
+               length(norm) - length(replace(norm, '.', ''))
+               + length(norm) - length(replace(norm, '!', ''))
+               + length(norm) - length(replace(norm, '?', '')), 1)
+               AS BIGINT) AS n_sentences,
+             CAST(length(syl_marked)
+                  - length(replace(syl_marked, chr(1), '')) AS BIGINT)
+               AS n_syllables
+      FROM t WHERE norm <> '')
+    SELECT doc_id, n_words, n_sentences, n_syllables,
+           CAST(206835 - (1015000 * n_words) // n_sentences
+                       - (84600 * n_syllables * 1000) // (n_words * 1000)
+                AS BIGINT) AS fre_milli,
+           CASE WHEN 206835 - (1015000 * n_words) // n_sentences
+                     - (84600 * n_syllables * 1000) // (n_words * 1000)
+                     >= 70000 THEN 'easy'
+                WHEN 206835 - (1015000 * n_words) // n_sentences
+                     - (84600 * n_syllables * 1000) // (n_words * 1000)
+                     >= 50000 THEN 'standard'
+                WHEN 206835 - (1015000 * n_words) // n_sentences
+                     - (84600 * n_syllables * 1000) // (n_words * 1000)
+                     >= 30000 THEN 'difficult'
+                ELSE 'very_difficult' END AS band
+    FROM m
+    """,
+    doc="Flesch reading-ease scoring, integer-exact: per document, "
+    "word count, sentence count (terminal .!? marks, floored at 1), "
+    "a vowel-group syllable proxy (each [aeiouy]+ run = one "
+    "syllable), and the Flesch formula in milli-points computed with "
+    "floor division only -- 206.835 - 1.015(W/S) - 84.6(Syl/W) "
+    "becomes 206835 - 1015000*W DIV S - 84600*Syl*1000 DIV (W*1000), "
+    "defined AS the integer formula so both engines emit identical "
+    "longs (no libm, no float ratios). The readability quality "
+    "signal reading-level curricula and kid-safe filters key on.",
+)
+def readability_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: pure scan->project, all codegen expressions, no
+    shuffle at any scale. The syllable proxy is one regexp pass; the
+    control character marker cannot appear in real text (and the
+    normalized corpus strips it anyway)."""
+    d = _t(spark, sf_dir, "documents")["documents"]
+    norm = norm_text(F.col("text"))
+    syl_marked = F.regexp_replace(F.lower(F.col("text")), "[aeiouy]+", "\x01")
+    m = d.select(
+        "doc_id",
+        norm.alias("norm"),
+        (
+            F.length(syl_marked)
+            - F.length(F.replace(syl_marked, F.lit("\x01"), F.lit("")))
+        )
+        .cast("long")
+        .alias("n_syllables"),
+    ).filter(F.col("norm") != "")
+
+    def _cnt(ch: str):
+        return F.length(F.col("norm")) - F.length(
+            F.replace(F.col("norm"), F.lit(ch), F.lit(""))
+        )
+
+    m = m.select(
+        "doc_id",
+        F.size(F.split("norm", " ")).cast("long").alias("n_words"),
+        F.greatest(_cnt(".") + _cnt("!") + _cnt("?"), F.lit(1))
+        .cast("long")
+        .alias("n_sentences"),
+        "n_syllables",
+    )
+    fre = F.expr(
+        "CAST(206835 - (1015000 * n_words) DIV n_sentences "
+        "- (84600 * n_syllables * 1000) DIV (n_words * 1000) AS BIGINT)"
+    )
+    return m.select(
+        "doc_id",
+        "n_words",
+        "n_sentences",
+        "n_syllables",
+        fre.alias("fre_milli"),
+    ).withColumn(
+        "band",
+        F.when(F.col("fre_milli") >= 70000, "easy")
+        .when(F.col("fre_milli") >= 50000, "standard")
+        .when(F.col("fre_milli") >= 30000, "difficult")
+        .otherwise("very_difficult"),
+    )
+
+
+_SKIP_MIN_COUNT = 5
+_SKIP_TOP_K = 100
+
+
+@query(
+    "skipgram_pairs",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id,
+             regexp_split_to_array(
+               trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS t
+      FROM documents),
+    pairs AS (
+      SELECT t[i] AS w1, t[i + d] AS w2
+      FROM toks,
+           unnest([1, 2]) AS dd(d),
+           unnest(range(1, greatest(len(t) - d, 0) + 1)) AS u(i)),
+    counted AS (
+      SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS n
+      FROM pairs GROUP BY w1, w2
+      HAVING COUNT(*) >= {_SKIP_MIN_COUNT})
+    SELECT w1, w2, n
+    FROM counted
+    ORDER BY n DESC, w1, w2
+    LIMIT {_SKIP_TOP_K}
+    """,
+    doc="Skip-gram co-occurrence pairs (the word2vec/GloVe training-"
+    f"pair construction, window ±2): ordered token pairs at distance "
+    f"1 or 2, counted corpus-wide, support ≥ {_SKIP_MIN_COUNT}, top "
+    f"{_SKIP_TOP_K} by count with full lexicographic tiebreak. The "
+    "co-occurrence statistic embedding trainers and PMI-based "
+    "collocation miners consume. Pair generation is a per-document "
+    "array transform — no self-join: each doc emits ~2|tokens| "
+    "pairs inline.",
+)
+def skipgram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: pair generation is a codegen array transform in
+    the scan (NO inverted-index self-join — the window bound makes
+    pairs linear in corpus size, ~2 per token); one map-side-
+    combining aggregate on (w1, w2); the top-k is TakeOrdered over
+    the counted pairs, never a global sort. Zipf skew concentrates
+    mass on few keys but partial aggregation absorbs it map-side —
+    the reducer sees one row per distinct pair per mapper."""
+    d = _t(spark, sf_dir, "documents")["documents"]
+    t = F.split(norm_text(F.col("text")), " ")
+    toks = d.select(t.alias("t"))
+
+    def _pairs_at(dist: int):
+        return F.when(
+            F.size("t") > dist,
+            F.transform(
+                F.sequence(F.lit(1), F.size("t") - dist),
+                lambda i: F.struct(
+                    F.element_at(F.col("t"), i).alias("w1"),
+                    F.element_at(F.col("t"), i + dist).alias("w2"),
+                ),
+            ),
+        ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+
+    pairs = toks.select(
+        F.explode(F.concat(_pairs_at(1), _pairs_at(2))).alias("p")
+    ).select("p.w1", "p.w2")
+    counted = (
+        pairs.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= _SKIP_MIN_COUNT)
+    )
+    return counted.orderBy(
+        F.col("n").desc(), "w1", "w2"
+    ).limit(_SKIP_TOP_K)

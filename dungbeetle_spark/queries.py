@@ -60,97 +60,74 @@ def query(name: str, oracle: str | None = None, doc: str = ""):
 # least one green driver row. Names not listed follow in registration
 # order; unknown names here are an error (caught by tests).
 DRIVER_PRIORITY: list[str] = [
-    # -- r05 window ---------------------------------------------------
-    # changed this round — MUST re-verify (rotation rule from r04):
-    # q12's oracle gained the BIGINT casts (the r04 red row); the next
-    # five were converted from rows-only to full oracles (VERDICT r04
-    # item 3: md5_hash60 hashing + recursive-CTE FFD + md5 planes)
-    "q12_shipping_delay",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "multimodal_feature_stats",
-    "sequence_pack",
-    "ann_lsh_bucketed",
-    # new in r05 — never verified
-    "repetition_stats",
-    "semdedup",
-    "kmeans_clusters",
-    "dedup_exact_substring",
-    "dsir_importance_weights",
-    "quality_filter_funnel",
-    "fuzzy_join_customers",
-    "streaming_quality_filter",
-    "cross_source_overlap_matrix",
-    "curriculum_buckets",
-    "lateral_topk_orders",
-    "unpivot_user_metrics",
-    "listagg_nation_suppliers",
-    "ordered_set_event_stats",
-    "recursive_daily_spine",
-    "activity_streaks",
-    "events_variant_stats",
-    "collated_event_type_counts",
-    "pagerank_trade_graph",
-    "dedup_canonical_keep",
-    "timeseries_topk_similar_users",
-    "event_transition_matrix",
-    "zorder_layout_stats",
-    "join_skew_profile",
-    "anomaly_daily_zscore",
-    "incremental_agg_maintenance",
-    "triangle_cohorts",
-    "streaming_incremental_mv",
-    "hybrid_rrf_retrieval",
-    "bitmap_distinct_users",
-    "funnel_time_bounded",
-    "vocab_growth",
-    "source_lang_drift",
-    "scd2_user_type_history",
-    "join_cardinality_forecast",
-    "frequent_item_pairs",
-    "ab_test_significance",
-    "pareto_revenue_share",
-    "integrity_audit",
-    "interevent_gap_histogram",
-    "user_value_trend",
-    # same-module neighbors of this round's similarity.py change —
-    # re-window to prove no collateral drift (ann_ivf and the
-    # embedding-dedup failover changed directly; ann_cosine_topk's own
-    # code is untouched and green in r04, so it yields its slot to
-    # window_rank_family under the 50-entry cap)
-    "ann_ivf",
-    "dedup_embedding_cosine",
-    # the one remaining rows-only-by-design query: keep its driver row
-    # fresh (HLL++ sketch internals have no DuckDB twin)
+    # -- r06 window ---------------------------------------------------
+    # changed this round -- MUST re-verify (rotation rule):
+    # sketch_user_stats was reworked from rows-only into the checked
+    # form (exact columns + sketch-error-bound booleans, full DuckDB
+    # oracle -- VERDICT r05 item 5); streaming_incremental_mv's MV
+    # accumulator was widened decimal(18,2) -> decimal(38,2)
+    # (ADVICE r05).
     "sketch_user_stats",
-    # The 41 new-in-r05 operators consumed every stale-re-verify slot
-    # (new > stale under the rotation rule — an unverified NEW query
-    # is worse than a stale green whose code is unchanged). The
-    # displaced r03-green-with-unchanged-code queries below therefore
-    # get NO r05 row and must head the r06 window:
-    # dedup_ngram_jaccard,
-    # distinct_part_suppliers, doc_chunking,
-    # embedding_array_stats,
-    # events_json_extract,
-    # gap_fill_daily, hash_split_train_test,
-    # heavy_hitters, interval_overlap,
-    # moving_avg_user_value, order_priority_count,
-    # parts_never_shipped,
-    # pivot_event_counts,
-    # profile_orders_columns,
-    # profit_entries, profit_entries_by_date,
-    # profit_summary, q10_returned_items, q13_order_distribution,
-    # q14_promo_revenue,
-    # q18_large_volume_orders,
-    # q19_disjunctive_predicates,
-    # q1_pricing_summary, q22_idle_customers,
-    # q2_min_price_supplier, q3_shipping_priority,
-    # q5_local_supplier_volume, q6_forecast_revenue, q7_nation_volume,
-    # rollup_sales, salted_segment_activity, stratified_sample,
-    # text_stats, tfidf_top_terms, top_events_per_user,
-    # udaf_median_value, user_activity_stats, user_event_sequence,
-    # window_rank_family — all r03-green with unchanged code; they
-    # head the r06 rotation.
+    "streaming_incremental_mv",
+    # new in r06 -- never verified
+    "rfm_segments",
+    "chisq_dow_independence",
+    "session_path_topk",
+    "mad_outliers",
+    "dedup_savings_report",
+    "dedup_containment",
+    "readability_scores",
+    "skipgram_pairs",
+    "source_epoch_allocation",
+    # the 39 queries displaced from the r05 window (VERDICT r05 item
+    # 1): r03-green with unchanged code, now driver-re-verified so the
+    # oldest third of the registry gets a fresh row. None of these
+    # were in the r05 window. (anomaly_daily_zscore had a DOC-only
+    # reword this round -- zero code/oracle bytes changed -- so it
+    # keeps its r05 green and yields no slot.)
+    "dedup_ngram_jaccard",
+    "distinct_part_suppliers",
+    "doc_chunking",
+    "embedding_array_stats",
+    "events_json_extract",
+    "gap_fill_daily",
+    "hash_split_train_test",
+    "heavy_hitters",
+    "interval_overlap",
+    "moving_avg_user_value",
+    "order_priority_count",
+    "parts_never_shipped",
+    "pivot_event_counts",
+    "profile_orders_columns",
+    "profit_entries",
+    "profit_entries_by_date",
+    "profit_summary",
+    "q10_returned_items",
+    "q13_order_distribution",
+    "q14_promo_revenue",
+    "q18_large_volume_orders",
+    "q19_disjunctive_predicates",
+    "q1_pricing_summary",
+    "q22_idle_customers",
+    "q2_min_price_supplier",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "q7_nation_volume",
+    "rollup_sales",
+    "salted_segment_activity",
+    "stratified_sample",
+    "text_stats",
+    "tfidf_top_terms",
+    "top_events_per_user",
+    "udaf_median_value",
+    "user_activity_stats",
+    "user_event_sequence",
+    "window_rank_family",
+    # Window arithmetic: 2 changed + 9 new + 39 displaced = exactly
+    # 50. Every other query keeps a driver-green row from r03-r05
+    # with unchanged code; the full local oracle suite re-verifies
+    # all 142 each run regardless.
 ]
 
 
@@ -1020,30 +997,66 @@ def salted_segment_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "sketch_user_stats",
-    oracle=None,  # HLL/quantile sketches have no cross-engine twin; rows-only
-    doc="Sketch aggregates per event_type: HyperLogLog++ distinct "
-    "users (approx_count_distinct, rsd 1%) and approximate value "
-    "quantiles (percentile_approx). At 100 TB these replace exact "
-    "distinct/percentile where a bounded-memory mergeable sketch is "
-    "the only thing that fits: partial sketches combine map-side and "
-    "merge associatively across any partitioning, so the shuffle "
-    "carries kilobytes per group instead of the value set.",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           TRUE AS hll_within_5pct,
+           TRUE AS p50_in_band,
+           TRUE AS p95_in_band,
+           TRUE AS p99_in_band
+    FROM events GROUP BY event_type
+    """,
+    doc="Sketch aggregates per event_type with a cross-engine error "
+    "bound check: HyperLogLog++ distinct users (approx_count_distinct, "
+    "rsd 1%) and approximate value quantiles (percentile_approx, "
+    "accuracy 10000) run alongside their EXACT twins in the same "
+    "aggregate pass, and what the driver hashes is the exact columns "
+    "plus booleans asserting the sketch landed inside its bound (HLL "
+    "within 5% of exact; each quantile between the exact interpolated "
+    "percentiles at q±0.01 — percentile_approx guarantees rank error "
+    "<= n/accuracy = n/10000, far inside the 1%-rank band). The "
+    "sketch values themselves have no DuckDB twin (engine-internal "
+    "HLL/GK internals), so the oracle pins the booleans to TRUE: a "
+    "sketch drifting outside its published bound hash-mismatches. At "
+    "100 TB the sketches replace exact distinct/percentile where a "
+    "bounded-memory mergeable summary is the only thing that fits.",
 )
 def sketch_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: one map-side-combinable aggregate pass; partial
+    sketches AND the exact-distinct partials merge associatively, so
+    the shuffle carries per-group sketch kilobytes (plus the distinct
+    expand for the exact twin — which at real scale you would drop,
+    keeping only the sketch; the exact twin here is the verification
+    harness, not the production plan). HLL bound check is pure int64
+    algebra (|approx-exact|*20 <= exact ⇔ err <= 5%)."""
     e = _t(spark, sf_dir, "events")["events"]
     agg = e.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id", rsd=0.01).alias("approx_users"),
-        F.percentile_approx("value", [0.5, 0.95, 0.99], 10_000).alias("_q"),
+        F.approx_count_distinct("user_id", rsd=0.01).alias("_approx_users"),
+        F.countDistinct("user_id").alias("exact_users"),
+        F.percentile_approx("value", [0.5, 0.95, 0.99], 10_000).alias("_qa"),
+        F.percentile("value", [0.49, 0.51, 0.94, 0.96, 0.98, 1.0]).alias("_qe"),
         F.count(F.lit(1)).alias("n_events"),
     )
-    # Scalar quantile columns: the array<double> form crashes harnesses
-    # that canonicalize rows via pandas sort (lists are unhashable), and
-    # scalars are what a results table should carry anyway.
+
+    def _band(approx_idx: int, lo_idx: int, hi_idx: int):
+        a = F.element_at("_qa", approx_idx)
+        return (a >= F.element_at("_qe", lo_idx)) & (
+            a <= F.element_at("_qe", hi_idx)
+        )
+
     return agg.select(
         "event_type",
-        "approx_users",
-        F.element_at("_q", 1).alias("value_p50"),
-        F.element_at("_q", 2).alias("value_p95"),
-        F.element_at("_q", 3).alias("value_p99"),
+        "exact_users",
         "n_events",
+        (
+            F.abs(
+                F.col("_approx_users") * F.lit(20)
+                - F.col("exact_users") * F.lit(20)
+            )
+            <= F.col("exact_users")
+        ).alias("hll_within_5pct"),
+        _band(1, 1, 2).alias("p50_in_band"),
+        _band(2, 3, 4).alias("p95_in_band"),
+        _band(3, 5, 6).alias("p99_in_band"),
     )

@@ -46,9 +46,18 @@ def _cleanup_mv_roots() -> None:  # pragma: no cover - process teardown
 
 
 def _partial(bdf: DataFrame) -> DataFrame:
+    # The accumulated sum lives at decimal(38,2) in every snapshot
+    # version (widened here so v1 and vN share one schema). Overflow
+    # bound: per-event values are < 1e4, so the accumulator overflows
+    # only past ~1e36 total — unreachable (1e32 events per user).
+    # Narrowing back to (18,2) per merge would silently null a user's
+    # total past ~1e16 with ANSI off; see incremental_agg_maintenance
+    # for the same widening policy on the batch twin.
     return bdf.groupBy("user_id").agg(
         F.count(F.lit(1)).alias("n_events"),
-        F.sum(F.col("value").cast("decimal(18,2)")).alias("value_dec"),
+        F.sum(F.col("value").cast("decimal(18,2)"))
+        .cast("decimal(38,2)")
+        .alias("value_dec"),
         F.max("ts").alias("last_ts"),
     )
 
@@ -59,7 +68,7 @@ def _merge(prev: DataFrame, part: DataFrame) -> DataFrame:
         .groupBy("user_id")
         .agg(
             F.sum("n_events").alias("n_events"),
-            F.sum("value_dec").cast("decimal(18,2)").alias("value_dec"),
+            F.sum("value_dec").cast("decimal(38,2)").alias("value_dec"),
             F.max("last_ts").alias("last_ts"),
         )
     )

