@@ -526,3 +526,79 @@ def test_streaming_task_through_job_layer(core, sf_smoke):
     out = core.read_result(resp.job_id)
     assert st["count"] == out.count() > 0
     assert "window_start" in out.columns
+
+
+# ---------------------------------------------------------------------------
+# FAIR scheduler pool wiring (VERDICT r05 item 6): `-- queue:` must
+# become the Spark FAIR pool of the THREAD executing the job, and two
+# queues' jobs must actually interleave (separate worker pools), not
+# serialize behind each other.
+# ---------------------------------------------------------------------------
+
+POOL_TASKS_SQL = """\
+-- name: pool_probe_a
+-- queue: qa
+-- raw: 1
+SELECT reflect('java.lang.Thread', 'sleep', 1200L) AS slept;
+
+-- name: pool_probe_b
+-- queue: qb
+-- raw: 1
+SELECT reflect('java.lang.Thread', 'sleep', 1200L) AS slept;
+"""
+
+
+def test_fair_pool_set_per_queue_and_queues_interleave(
+    spark, tmp_path_factory
+):
+    sql_dir = tmp_path_factory.mktemp("pool_tasks")
+    (sql_dir / "pool.sql").write_text(POOL_TASKS_SQL)
+    c = Core(spark, worker_concurrency=2)
+    c.add_result_backend("default", str(tmp_path_factory.mktemp("pool_res")))
+    c.load_task_dirs([str(sql_dir)])
+
+    # Observe from INSIDE the job: wrap the backend's write (which
+    # _execute calls between setting and clearing the pool property,
+    # on the worker thread) to capture the live thread-local pool and
+    # the execution span.
+    backend = c.result_backends.get_random()
+    seen: dict[str, dict] = {}
+    orig_write = backend.write
+
+    def spying_write(job_id, task, df, **kw):
+        t0 = time.time()
+        pool = spark.sparkContext.getLocalProperty("spark.scheduler.pool")
+        n = orig_write(job_id, task, df, **kw)
+        seen[job_id] = {"pool": pool, "span": (t0, time.time())}
+        return n
+
+    backend.write = spying_write
+    try:
+        c.start()
+        # FAIR mode must be on for pools to mean anything (session.py
+        # pins it; the assert keeps the wiring honest end-to-end)
+        assert spark.conf.get("spark.scheduler.mode") == "FAIR"
+        jobs = []
+        for i in range(2):
+            jobs.append(("qa", c.new_job("pool_probe_a", JobReq()).job_id))
+            jobs.append(("qb", c.new_job("pool_probe_b", JobReq()).job_id))
+        for _q, jid in jobs:
+            st = _wait(c, jid, (jobstore.SUCCESS, jobstore.FAILURE))
+            assert st["state"] == jobstore.SUCCESS, st["error"]
+        # 1) the executing thread carried the queue name as its pool
+        for q, jid in jobs:
+            assert seen[jid]["pool"] == q, (jid, seen[jid])
+        # 2) the two queues ran concurrently: some qa span overlaps
+        # some qb span (each job sleeps 1.2 s executor-side, so
+        # serialized queues could never overlap)
+        qa_spans = [seen[j]["span"] for q, j in jobs if q == "qa"]
+        qb_spans = [seen[j]["span"] for q, j in jobs if q == "qb"]
+        overlaps = any(
+            a0 < b1 and b0 < a1
+            for (a0, a1) in qa_spans
+            for (b0, b1) in qb_spans
+        )
+        assert overlaps, (qa_spans, qb_spans)
+    finally:
+        backend.write = orig_write
+        c.stop()
