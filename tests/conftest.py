@@ -27,3 +27,20 @@ def sf_smoke() -> str:
 @pytest.fixture(scope="session")
 def sf_oracle() -> str:
     return SF_ORACLE
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "sweep: opt-in scale-sweep smoke (quick x1/x4 profile); run "
+        "with `pytest -m sweep`",
+    )
+
+
+def pytest_collection_modifyitems(config, items):
+    if config.getoption("-m"):
+        return  # explicit marker expression: respect it
+    skip = pytest.mark.skip(reason="opt-in: run with `pytest -m sweep`")
+    for item in items:
+        if "sweep" in item.keywords:
+            item.add_marker(skip)

@@ -47,7 +47,18 @@ SWEEP_OPS = [
     ("triangle_cohorts", 4),  # (p,m) blocks densify ×k → pairs ×k²
     ("pareto_revenue_share", None),  # distributed prefix sum: O(n)
     ("frequent_item_pairs", 4),  # baskets share partkeys → pairs ×k²
+    # r06 operators
+    ("skipgram_pairs", None),  # inline pair transform + agg: O(n)
+    ("mad_outliers", None),  # two disc-percentile passes: O(n)
+    ("session_path_topk", None),  # one user window + tiny agg: O(n)
+    ("dedup_containment", 4),  # same Σ|posting|² join as jaccard
 ]
+
+# Sub-factor ladder for capped operators: when the requested factor
+# set skips past an op's cap (e.g. [1, 10, 32] vs cap 4), sweep it at
+# its own documented ladder instead of leaving a one-point nan row
+# (VERDICT r05 item 3).
+CAPPED_LADDER = [1, 2, 4]
 
 
 def build_amplified(spark, factor: int) -> str:
@@ -177,13 +188,14 @@ NOTES = """
   is the fixed materialization floor (the edge-table and
   inter-iteration localCheckpoint barriers) amortizing, on top of 32
   cores absorbing the x32 edge volume.
-- `dedup_ngram_jaccard` is swept only at x1: the exact similarity
-  join's Σ|posting|² cost is the documented reason `dedup_minhash_lsh`
-  exists as the scale path.
-- `triangle_cohorts` and `frequent_item_pairs` are capped at x4 —
-  which under the generated [1, 10, 32] factor set means they are
-  swept only at x1 (like `dedup_ngram_jaccard`) — for
-  the same reason `cross_source_overlap_matrix` bends upward:
+- `dedup_ngram_jaccard` and `dedup_containment` are capped at x4 and
+  sweep their own x1/x2/x4 ladder: the exact similarity join's
+  Σ|posting|² cost is the documented reason `dedup_minhash_lsh`
+  exists as the scale path — their measured exponents quantify that
+  superlinearity instead of footnoting it.
+- `triangle_cohorts` and `frequent_item_pairs` are capped at x4
+  (swept on the x1/x2/x4 ladder) for the same reason
+  `cross_source_overlap_matrix` bends upward:
   amplified copies reuse the SAME part keys, so each posting block
   ((part, month) for triangles, per-order basket overlap for pairs)
   gains k times the members and the pair-emit step grows ~k² — an
@@ -196,47 +208,103 @@ NOTES = """
 """
 
 
-def main() -> None:
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--factors", nargs="+", type=int, default=[1, 4, 10])
-    ap.add_argument("--out", default=None, help="write a markdown report here")
-    ap.add_argument("--runs", type=int, default=2)
-    args = ap.parse_args()
+def _op_factors(cap: int | None, factors: list[int]) -> list[int]:
+    """The factor set an operator actually sweeps: the requested set
+    up to its cap — widened to the capped ladder when the requested
+    set would leave fewer than two points (so every op always gets a
+    measured exponent, never a nan row)."""
+    use = [f for f in factors if cap is None or f <= cap]
+    if cap is not None and len(use) < 2:
+        use = sorted({f for f in CAPPED_LADDER if f <= cap})
+    return use
 
+
+def run_sweep(
+    spark,
+    factors: list[int],
+    runs: int = 2,
+    ops: list[str] | None = None,
+) -> dict[str, dict[int, float]]:
+    """Measure wall times; returns {op: {factor: best_sec}}. Callable
+    from pytest (the `sweep` marker) as well as the CLI."""
     from dungbeetle_spark.queries import registry
-    from dungbeetle_spark.session import get_spark
 
-    spark = get_spark("scale_sweep")
     specs = registry()
-    dirs = {f: build_amplified(spark, f) for f in args.factors}
+    chosen = [
+        (n, c) for n, c in SWEEP_OPS if ops is None or n in ops
+    ]
+    needed = sorted(
+        {f for _n, c in chosen for f in _op_factors(c, factors)}
+    )
+    dirs = {f: build_amplified(spark, f) for f in needed}
 
     results: dict[str, dict[int, float]] = {}
-    for name, cap in SWEEP_OPS:
+    for name, cap in chosen:
         results[name] = {}
-        for f in args.factors:
-            if cap is not None and f > cap:
-                continue
+        for f in _op_factors(cap, factors):
             best = math.inf
-            for _ in range(args.runs):
+            for _ in range(runs):
                 t0 = time.monotonic()
                 specs[name].build(spark, dirs[f]).count()
                 best = min(best, time.monotonic() - t0)
             results[name][f] = best
             print(f"{name} x{f}: {best:.2f}s", flush=True)
+    return results
 
+
+def exponent(r: dict[int, float]) -> float:
+    fs = sorted(r)
+    lo, hi = fs[0], fs[-1]
+    if hi <= lo:
+        return float("nan")
+    return math.log(r[hi] / r[lo]) / math.log(hi / lo)
+
+
+def render_table(
+    results: dict[str, dict[int, float]], factors: list[int]
+) -> str:
+    all_fs = sorted({f for r in results.values() for f in r} | set(factors))
     lines = [
-        "| operator | " + " | ".join(f"x{f} (s)" for f in args.factors)
+        "| operator | " + " | ".join(f"x{f} (s)" for f in all_fs)
         + " | exponent |",
-        "|---|" + "---|" * (len(args.factors) + 1),
+        "|---|" + "---|" * (len(all_fs) + 1),
     ]
     for name, _cap in SWEEP_OPS:
+        if name not in results:
+            continue
         r = results[name]
-        fs = sorted(r)
-        lo, hi = fs[0], fs[-1]
-        exp = math.log(r[hi] / r[lo]) / math.log(hi / lo) if hi > lo else float("nan")
-        cells = [f"{r[f]:.2f}" if f in r else "—" for f in args.factors]
-        lines.append(f"| `{name}` | " + " | ".join(cells) + f" | {exp:.2f} |")
-    table = "\n".join(lines)
+        cells = [f"{r[f]:.2f}" if f in r else "—" for f in all_fs]
+        lines.append(
+            f"| `{name}` | " + " | ".join(cells) + f" | {exponent(r):.2f} |"
+        )
+    return "\n".join(lines)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--factors", nargs="+", type=int, default=[1, 4, 10])
+    ap.add_argument("--out", default=None, help="write a markdown report here")
+    ap.add_argument("--runs", type=int, default=2)
+    ap.add_argument(
+        "--quick",
+        action="store_true",
+        help="x1/x4, 3 representative operators, 1 run — the CI-shape "
+        "profile `pytest -m sweep` drives",
+    )
+    args = ap.parse_args()
+    if args.quick:
+        args.factors, args.runs = [1, 4], 1
+
+    from dungbeetle_spark.session import get_spark
+
+    spark = get_spark("scale_sweep")
+    ops = (
+        ["dedup_exact", "dedup_ngram_jaccard", "pareto_revenue_share"]
+        if args.quick
+        else None
+    )
+    results = run_sweep(spark, args.factors, runs=args.runs, ops=ops)
+    table = render_table(results, args.factors)
     print(table)
     if args.out:
         with open(args.out, "w") as fh:
@@ -245,11 +313,14 @@ def main() -> None:
                 f"Generated by `python tools/scale_sweep.py` from {SRC_SF} "
                 f"amplified to {args.factors} (distinct content per copy; "
                 "see the script docstring). Exponent = "
-                "log(t_max/t_min)/log(factor_max/factor_min); ~1.0 = the "
+                "log(t_max/t_min)/log(factor_max/factor_min) over each "
+                "operator's own measured factor range; ~1.0 = the "
                 "linear scaling the operator docstrings claim. Sub-linear "
                 "exponents mean fixed overhead still dominates at this "
-                "size; the exact similarity join is capped at 4x and "
-                "expected superlinear (Σ|posting|²).\n\n" + table + "\n" + NOTES
+                "size. Capped operators (exact similarity joins and the "
+                "shared-partkey pair ops) sweep their own x1/x2/x4 ladder "
+                "when the main factor set skips past their cap, so every "
+                "row carries a measured exponent.\n\n" + table + "\n" + NOTES
             )
     shutil.rmtree(WORK, ignore_errors=True)
 
