@@ -752,3 +752,103 @@ def test_pareto_prefix_sum_is_range_partitioned_not_global_window(spark, sf):
     assert "Window" in plan
     # offsets ride a broadcast join back to the ranged rows
     assert has_broadcast_join(df)
+
+
+# -- r06 operators ----------------------------------------------------------
+
+def test_skipgram_pairs_no_join_inline_pairs(spark, sf):
+    """Pair generation must stay an inline array transform in the
+    scan — never an inverted-index self-join (which would be
+    Σ|posting|² for a statistic that is linear by construction)."""
+    df = _df(spark, sf, "skipgram_pairs")
+    plan = formatted_plan(df)
+    assert "Join" not in plan, "skip-gram pairs must not plan a join"
+    assert has_partial_aggregate(df)
+    assert "TakeOrderedAndProject" in plan, "top-k must not full-sort"
+
+
+def test_readability_is_pure_scan_project(spark, sf):
+    df = _df(spark, sf, "readability_scores")
+    plan = formatted_plan(df)
+    assert "Join" not in plan
+    # fan_out may add its spread exchange on the single-file fixture;
+    # nothing else is allowed to shuffle a pure projection
+    assert shuffle_exchanges(df) <= 1
+    schemas = [s for s in scan_schemas(df) if "text" in s]
+    assert schemas and "source" not in schemas[0], "scan must prune"
+
+
+def test_mad_outliers_broadcasts_tiny_stat_frames(spark, sf):
+    """The per-type median and MAD frames (5 rows) must broadcast
+    back onto the fact — a shuffle join here would move the corpus
+    twice more for a 5-row lookup."""
+    df = _df(spark, sf, "mad_outliers")
+    plan = formatted_plan(df)
+    assert has_broadcast_join(df)
+    assert "SortMergeJoin" not in plan
+
+
+def test_rfm_pushes_purchase_filter_and_preaggregates(spark, sf):
+    df = _df(spark, sf, "rfm_segments")
+    pushed = " ".join(pushed_filters(df))
+    assert "event_type" in pushed, "purchase filter must reach the scan"
+    assert has_partial_aggregate(df), "per-user RFM must combine map-side"
+
+
+def test_chisq_preaggregates_before_marginal_windows(spark, sf):
+    """The only fact-scale pass is the contingency aggregate; the
+    three marginal windows run over the |types|x7 cell frame."""
+    df = _df(spark, sf, "chisq_dow_independence")
+    assert has_partial_aggregate(df)
+    plan = formatted_plan(df)
+    assert "Join" not in plan
+
+
+def test_session_path_single_user_window_then_takeordered(spark, sf):
+    df = _df(spark, sf, "session_path_topk")
+    plan = formatted_plan(df)
+    assert "TakeOrderedAndProject" in plan
+    assert "Join" not in plan
+    # user window exchange + path aggregate exchange (+ fixture
+    # fan_out); the LEAD window must not add extra shuffles
+    assert shuffle_exchanges(df) <= 3
+
+
+def test_dedup_savings_no_join_single_hash_window(spark, sf):
+    df = _df(spark, sf, "dedup_savings_report")
+    plan = formatted_plan(df)
+    assert "Join" not in plan
+    assert has_partial_aggregate(df)
+    # content-hash window exchange + source aggregate (+ fan_out)
+    assert shuffle_exchanges(df) <= 3
+
+
+def test_containment_shuffle_hash_join_on_hashed_shingles(spark, sf):
+    """Same contract as dedup_ngram_jaccard: the shingle equi-join is
+    shuffle-hash on the 8-byte xxhash key — never broadcast (an
+    exploded corpus must not broadcast) and never nested-loop — with
+    both sides hash-partitioned on identical child plans (which is
+    what lets AQE's exchange-reuse rule compute the shingle pipeline
+    once at runtime)."""
+    df = _df(spark, sf, "dedup_containment")
+    plan = formatted_plan(df)
+    assert "ShuffledHashJoin" in plan
+    assert "NestedLoop" not in plan
+    assert "BroadcastHashJoin" not in plan
+
+
+def test_epoch_allocation_single_fact_pass(spark, sf):
+    df = _df(spark, sf, "source_epoch_allocation")
+    assert has_partial_aggregate(df)
+    schemas = scan_schemas(df)
+    assert len(schemas) == 1, "one corpus scan only"
+
+
+def test_sketch_checked_single_scan(spark, sf):
+    """The exact twins ride the same aggregate pass as the sketches:
+    one scan of events, however many expand/exchange steps the
+    distinct aggregate plans."""
+    df = _df(spark, sf, "sketch_user_stats")
+    schemas = scan_schemas(df)
+    assert len(schemas) == 1, "exact+sketch must share one scan"
+    assert has_partial_aggregate(df)
