@@ -475,3 +475,100 @@ class TestDBAPIBrokerMultiProcessStress:
         assert sorted(surv_claims) == sorted(f"c{i:02d}" for i in range(n))
         for j in crashed_claims:
             assert surv_claims.count(j) == 1
+
+
+# ---------------------------------------------------------------------------
+# PostgreSQL-dialect SQL pins: no served Postgres exists in this
+# sandbox (the contract suite binds through sqlite3), so pin the
+# dialect-specific SQL shape against a recording fake DBAPI driver —
+# the strings can't rot between now and the day someone points
+# DBAPIBroker at a real server.
+# ---------------------------------------------------------------------------
+
+class _RecordingCursor:
+    def __init__(self, log, rows):
+        self._log = log
+        self._rows = rows
+
+    def execute(self, sql, args=()):
+        self._log.append((" ".join(sql.split()), tuple(args)))
+        return self
+
+    def fetchone(self):
+        return self._rows.pop(0) if self._rows else None
+
+    def fetchall(self):
+        out, self._rows[:] = list(self._rows), []
+        return out
+
+
+class _RecordingConn:
+    def __init__(self, log, rows):
+        self._log = log
+        self._rows = rows
+
+    def cursor(self):
+        return _RecordingCursor(self._log, self._rows)
+
+    def commit(self):
+        pass
+
+    def rollback(self):
+        pass
+
+
+def _pg_row(job_id="jx", state=PENDING, owner=""):
+    import json as _json
+    from dataclasses import asdict
+
+    rec = JobRecord(job_id=job_id, task="t", queue="q", state=state,
+                    owner=owner, created_at=1.0)
+    return (rec.job_id, rec.queue, rec.state, rec.owner, 0, None,
+            rec.created_at, None, None, _json.dumps(asdict(rec)))
+
+
+class TestDBAPIBrokerPostgresDialectSQL:
+    def _broker(self, rows):
+        from dungbeetle_spark.broker import DBAPIBroker
+
+        log: list = []
+        broker = DBAPIBroker(
+            lambda: _RecordingConn(log, rows), dialect="postgresql"
+        )
+        ddl_count = len(log)
+        return broker, log, ddl_count
+
+    def test_claim_uses_skip_locked_and_format_params(self):
+        broker, log, ddl = self._broker([_pg_row(), _pg_row()])
+        rec = broker.claim(["q"], "owner-1", now=2.0, lease=30.0)
+        assert rec is not None and rec.owner == "owner-1"
+        stmts = [s for s, _a in log[ddl:]]
+        # the locked re-select carries the row-lock clause
+        locked = [s for s in stmts if "FOR UPDATE SKIP LOCKED" in s]
+        assert locked, stmts
+        # psycopg2 paramstyle: every parameterized statement uses %s,
+        # never qmark
+        for s in stmts:
+            assert "?" not in s, s
+        # no sqlite writer lock on the pg path
+        assert not any("BEGIN IMMEDIATE" in s for s in stmts)
+        # the stale-lease clause rides the claim select
+        assert any("heartbeat_at" in s and "STARTED" in s for s in locked)
+
+    def test_mutate_locks_row_for_update(self):
+        broker, log, ddl = self._broker([_pg_row()])
+        broker.mutate("jx", lambda r: None)
+        stmts = [s for s, _a in log[ddl:]]
+        assert any(
+            s.endswith("FOR UPDATE") and "SKIP" not in s for s in stmts
+        ), stmts
+
+    def test_upsert_on_conflict_and_pg_ddl_types(self):
+        broker, log, _d = self._broker([None, None])
+        ddl = " ".join(s for s, _a in log)
+        assert "DOUBLE PRECISION" in ddl  # pg has no bare REAL affinity
+        rec = JobRecord(job_id="up", task="t", queue="q", created_at=1.0)
+        broker.check_and_put(rec, active_states=(PENDING, STARTED))
+        upserts = [s for s, _a in log if "INSERT INTO db_jobs" in s]
+        assert upserts and "ON CONFLICT (job_id) DO UPDATE" in upserts[-1]
+        assert "%s" in upserts[-1] and "?" not in upserts[-1]
