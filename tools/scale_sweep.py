@@ -70,15 +70,33 @@ def build_amplified(spark, factor: int) -> str:
     from dungbeetle_spark.sources.catalog import load_tables
 
     out = f"{WORK}/x{factor}"
-    if os.path.isdir(out):
+    if os.path.isdir(out) and os.path.isdir(f"{out}/events.parquet"):
         return out
     os.makedirs(out, exist_ok=True)
     t = load_tables(
-        spark, SRC_SF, ["documents", "embeddings", "customer", "orders", "lineitem"]
+        spark,
+        SRC_SF,
+        ["documents", "embeddings", "customer", "orders", "lineitem", "events"],
     )
     parts = max(spark.sparkContext.defaultParallelism, 8)
 
     copies = spark.range(factor).withColumnRenamed("id", "k")
+    # events: disjoint user/event id spaces per copy (linear scaling,
+    # like the order/lineitem subgraphs); timestamps untouched so
+    # windows/sessions see k-x users over the same calendar.
+    ev = (
+        t["events"]
+        .crossJoin(F.broadcast(copies))
+        .select(
+            (F.col("event_id") + F.col("k") * 100_000_000).alias("event_id"),
+            "ts",
+            (F.col("user_id") + F.col("k") * 1_000_000).alias("user_id"),
+            "event_type",
+            "value",
+            "props",
+        )
+    )
+    ev.repartition(parts).write.mode("overwrite").parquet(f"{out}/events.parquet")
     docs = (
         t["documents"]
         .crossJoin(F.broadcast(copies))
