@@ -127,6 +127,8 @@ def _compare_block(timings: dict[str, float], host_factor: float | None,
     run's own median host factor)."""
     with open(against_path) as f:
         old = json.load(f)
+    if "parsed" in old and isinstance(old["parsed"], dict):
+        old = old["parsed"]  # driver-recorded BENCH_r*.json wrap
     old_timings: dict[str, float] = old.get("queries", {})
     old_factor = _median_host_factor(old_timings)
     ratios: dict[str, float] = {}

@@ -55,3 +55,21 @@ def test_latest_bench_file_picks_highest_round(tmp_path):
     (tmp_path / "BENCH_rxx.json").write_text("{}")  # non-matching
     got = bench._latest_bench_file(str(tmp_path))
     assert got is not None and got.endswith("BENCH_r11.json")
+
+
+def test_compare_block_unwraps_driver_recorded_shape(tmp_path):
+    """The driver records bench output wrapped as {"parsed": {...}};
+    the comparison must read through the wrap (found live in r06: the
+    first auto-compare against BENCH_r05.json silently produced zero
+    ratios)."""
+    inner = {"queries": {n: r for n, r in bench.CANARY_R01.items()},
+             "canary": {"host_factor": 1.0}}
+    old = tmp_path / "BENCH_r99.json"
+    old.write_text(json.dumps({"n": 5, "rc": 0, "tail": "...", "parsed": inner}))
+    new_timings = {n: r * 3 for n, r in bench.CANARY_R01.items()}
+    block = bench._compare_block(
+        new_timings, bench._median_host_factor(new_timings), str(old)
+    )
+    assert block["host_factor_old_median_method"] == 1.0
+    assert len(block["normalized_ratios"]) == len(bench.CANARY_R01)
+    assert block["regressions"] == []
