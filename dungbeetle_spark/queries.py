@@ -1023,21 +1023,30 @@ def salted_segment_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
     "bounded-memory mergeable summary is the only thing that fits.",
 )
 def sketch_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Scale shape: one map-side-combinable aggregate pass; partial
-    sketches AND the exact-distinct partials merge associatively, so
-    the shuffle carries per-group sketch kilobytes (plus the distinct
-    expand for the exact twin — which at real scale you would drop,
-    keeping only the sketch; the exact twin here is the verification
-    harness, not the production plan). HLL bound check is pure int64
-    algebra (|approx-exact|*20 <= exact ⇔ err <= 5%)."""
+    """Scale shape: the sketch aggregate is ONE map-side-combinable
+    pass whose shuffle carries per-group sketch kilobytes. The exact
+    distinct twin runs as its OWN two-level aggregate (distinct
+    (type, user) pairs → per-type count) and broadcast-joins back on
+    the 5-row frame: folding countDistinct into the sketch aggregate
+    would force Catalyst to keep every percentile/HLL buffer keyed
+    per (type, user) — ~|users| full value-buffer states merged
+    twice (measured 5.6 s vs 0.6 s warm at sf0.1, a 9x cliff).
+    HLL bound check is pure int64 algebra
+    (|approx-exact|*20 <= exact ⇔ err <= 5%)."""
     e = _t(spark, sf_dir, "events")["events"]
-    agg = e.groupBy("event_type").agg(
+    sketches = e.groupBy("event_type").agg(
         F.approx_count_distinct("user_id", rsd=0.01).alias("_approx_users"),
-        F.countDistinct("user_id").alias("exact_users"),
         F.percentile_approx("value", [0.5, 0.95, 0.99], 10_000).alias("_qa"),
         F.percentile("value", [0.49, 0.51, 0.94, 0.96, 0.98, 1.0]).alias("_qe"),
         F.count(F.lit(1)).alias("n_events"),
     )
+    exact = (
+        e.select("event_type", "user_id")
+        .distinct()
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("exact_users"))
+    )
+    agg = sketches.join(F.broadcast(exact), "event_type")
 
     def _band(approx_idx: int, lo_idx: int, hi_idx: int):
         a = F.element_at("_qa", approx_idx)

@@ -844,11 +844,20 @@ def test_epoch_allocation_single_fact_pass(spark, sf):
     assert len(schemas) == 1, "one corpus scan only"
 
 
-def test_sketch_checked_single_scan(spark, sf):
-    """The exact twins ride the same aggregate pass as the sketches:
-    one scan of events, however many expand/exchange steps the
-    distinct aggregate plans."""
+def test_sketch_checked_splits_exact_distinct_from_sketch_agg(spark, sf):
+    """The sketch aggregate and the exact-distinct twin must be
+    SEPARATE aggregates joined on the 5-row frame (broadcast):
+    folding countDistinct into the sketch aggregate re-keys every
+    percentile/HLL buffer per (type, user) — a measured 9x cliff.
+    Two narrow scans are the price; per-user object-agg state is the
+    thing that cannot scale."""
     df = _df(spark, sf, "sketch_user_stats")
+    plan = formatted_plan(df)
     schemas = scan_schemas(df)
-    assert len(schemas) == 1, "exact+sketch must share one scan"
+    assert len(schemas) == 2, "sketch agg and exact twin scan separately"
+    assert has_broadcast_join(df), "5-row exact frame must broadcast"
     assert has_partial_aggregate(df)
+    # the pathological shape: object aggregates keyed by user_id
+    assert not re.search(
+        r"ObjectHashAggregate\(keys=\[event_type#\d+, user_id", plan
+    ), "sketch buffers must never be keyed per user"
