@@ -129,3 +129,24 @@ def test_operators_md_in_sync():
     assert on_disk == gen_operators.render(), (
         "OPERATORS.md is stale — run: python tools/gen_operators.py"
     )
+
+
+def test_window_covers_all_never_green_queries():
+    """Mechanical form of the rotation rule, computed from the
+    RECORDED driver files rather than a hand-maintained list: any
+    query that has never earned a full hash-green driver row must sit
+    inside the current 50-entry window (tools/window_rotation.py
+    prints the full staleness ranking for the next rotation)."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    import window_rotation
+
+    last = window_rotation.last_green_by_query()
+    window = list(registry())[:DRIVER_WINDOW]
+    never = [n for n, rnd in last.items() if rnd is None]
+    missing = [n for n in never if n not in window]
+    assert not missing, (
+        f"never-driver-verified queries outside the window: {missing}"
+    )
