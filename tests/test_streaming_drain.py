@@ -57,3 +57,31 @@ def test_streaming_session_isolated_and_memoized(spark):
     assert s1.conf.get("spark.sql.shuffle.partitions") == str(
         max(spark.sparkContext.defaultParallelism, 1)
     )
+
+
+def test_mv_merge_survives_sums_past_decimal18(spark):
+    """ADVICE r05: the old per-merge cast back to decimal(18,2)
+    silently NULLed a user's accumulated total once it passed ~1e16
+    (ANSI off). The accumulator now lives at decimal(38,2); a total
+    of 3e17 must survive a chain of merges exactly."""
+    from decimal import Decimal
+
+    from dungbeetle_spark.streaming.upsert import _merge, _partial
+
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    big = 9.9e15  # each batch's per-user sum: just under the dec(18,2) cap
+    rows = [
+        (i, None, 1, "purchase", big, None) for i in range(3)
+    ]
+    snapshot = None
+    for i in range(3):
+        batch = spark.createDataFrame([rows[i]], schema)
+        part = _partial(batch)
+        snapshot = part if snapshot is None else _merge(snapshot, part)
+    got = snapshot.collect()
+    assert len(got) == 1
+    total = got[0]["value_dec"]
+    assert total is not None, "accumulated decimal must not overflow-null"
+    assert total == Decimal(str(big)) * 3
+    # and the snapshot schema is the documented uniform width
+    assert dict(snapshot.dtypes)["value_dec"] == "decimal(38,2)"
