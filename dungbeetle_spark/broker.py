@@ -700,3 +700,21 @@ class DBAPIBroker(BrokerBackend):
 
     def close(self) -> None:
         self._db.close()
+
+
+def sqlite3_dbapi_connect(database: str):
+    """Config-addressable sqlite3 connection factory for
+    :class:`DBAPIBroker` (``job_store_dbapi =
+    "dungbeetle_spark.broker:sqlite3_dbapi_connect"``): autocommit so
+    BEGIN IMMEDIATE owns its transaction, cross-thread handles for the
+    claim pool, WAL + busy timeout for multi-process writers. A real
+    server deployment points the same seam at its driver instead
+    (``psycopg2:connect`` with ``dialect = "postgresql"``)."""
+    import sqlite3
+
+    con = sqlite3.connect(
+        database, check_same_thread=False, isolation_level=None
+    )
+    con.execute("PRAGMA journal_mode=WAL")
+    con.execute("PRAGMA busy_timeout=10000")
+    return con

@@ -82,6 +82,15 @@ class Config:
     default_job_ttl: float = 60.0  # app.default_job_ttl
     result_reaper_interval: float = 0.0  # app.result_reaper_interval; 0 = off
     job_store: str = ""  # SQLite path; "" = in-memory job state
+    # Served-database broker (multi-MACHINE fleets): a DBAPI
+    # connection factory import path routes the job store through
+    # broker.DBAPIBroker instead of the file-SQLite backend — e.g.
+    # job_store_dbapi = "psycopg2:connect" with job_store_dialect =
+    # "postgresql" points every server/worker process at one Postgres.
+    # Takes precedence over job_store when both are set.
+    job_store_dbapi: str = ""
+    job_store_dialect: str = "sqlite"  # sqlite | postgresql
+    job_store_dbapi_options: dict[str, str] = field(default_factory=dict)
     # app.operators_data_dir: when set, every query in the operator
     # registry (OPERATORS.md) registers as a callable task named after
     # the query, runnable through POST /jobs like any SQL task; the
@@ -151,6 +160,12 @@ def load_config(
             app.get("result_reaper_interval"), 0.0
         ),
         job_store=str(raw.get("job_store", app.get("job_store", "")) or ""),
+        job_store_dbapi=str(app.get("job_store_dbapi", "") or ""),
+        job_store_dialect=str(app.get("job_store_dialect", "sqlite") or "sqlite"),
+        job_store_dbapi_options={
+            str(k): str(v)
+            for k, v in (app.get("job_store_dbapi_options") or {}).items()
+        },
         operators_data_dir=str(
             raw.get("operators_data_dir", app.get("operators_data_dir", ""))
             or ""
@@ -214,13 +229,22 @@ def build_core(cfg: Config, spark=None):
     from dungbeetle_spark.session import get_spark
 
     spark = spark or get_spark("dungbeetle-server")
+    jobstore_backend = None
+    if cfg.job_store_dbapi:
+        from dungbeetle_spark.broker import DBAPIBroker
+
+        jobstore_backend = DBAPIBroker(
+            _dbapi_factory(cfg.job_store_dbapi, cfg.job_store_dbapi_options),
+            dialect=cfg.job_store_dialect,
+        )
     core = Core(
         spark,
         default_queue=cfg.default_queue,
         worker_concurrency=cfg.worker_concurrency,
         default_job_ttl=int(cfg.default_job_ttl),
         result_reaper_interval=cfg.result_reaper_interval,
-        jobstore_path=cfg.job_store or None,
+        jobstore_path=(None if jobstore_backend else cfg.job_store or None),
+        jobstore_backend=jobstore_backend,
         # A worker-only sidecar attaches to the PRIMARY's live store:
         # it must not fail or requeue the primary's in-flight jobs at
         # startup (jobstore.JobStore recovery contract).

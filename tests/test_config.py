@@ -268,3 +268,49 @@ operators_data_dir = "/root/testdata/sf0.001"
 
     with _pytest.raises(ValueError, match="duplicate task name"):
         build_core(cfg, spark=object())
+
+
+def test_job_store_dbapi_config_parses_and_overrides_path(tmp_path):
+    """job_store_dbapi routes the store through DBAPIBroker (and wins
+    over a job_store path set alongside); dialect + options tables
+    parse. Env override spelling works like every other app key."""
+    p = tmp_path / "config.toml"
+    p.write_text(
+        f"""
+[app]
+job_store = "{tmp_path}/ignored.db"
+job_store_dbapi = "dungbeetle_spark.broker:sqlite3_dbapi_connect"
+job_store_dialect = "sqlite"
+[app.job_store_dbapi_options]
+database = "{tmp_path}/broker.db"
+"""
+    )
+    cfg = load_config(str(p), environ={})
+    assert cfg.job_store_dbapi == (
+        "dungbeetle_spark.broker:sqlite3_dbapi_connect"
+    )
+    assert cfg.job_store_dialect == "sqlite"
+    assert cfg.job_store_dbapi_options == {
+        "database": f"{tmp_path}/broker.db"
+    }
+
+    from dungbeetle_spark.broker import DBAPIBroker
+    from dungbeetle_spark.config import build_core
+
+    core = build_core(cfg, spark=object())
+    try:
+        assert isinstance(core.store._backend, DBAPIBroker)
+    finally:
+        core.store.close()
+
+
+def test_job_store_dbapi_env_override(tmp_path):
+    cfg = load_config(
+        None,
+        environ={
+            "DUNGBEETLE_app__job_store_dbapi": "x.mod:connect",
+            "DUNGBEETLE_app__job_store_dialect": "postgresql",
+        },
+    )
+    assert cfg.job_store_dbapi == "x.mod:connect"
+    assert cfg.job_store_dialect == "postgresql"

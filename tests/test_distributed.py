@@ -369,13 +369,21 @@ def test_cross_process_group_visibility(tmp_path):
     b.close()
 
 
-def test_worker_only_process_end_to_end(spark, tmp_path):
+@pytest.mark.parametrize("broker_kind", ["sqlite_file", "dbapi"])
+def test_worker_only_process_end_to_end(spark, tmp_path, broker_kind):
     """THE reference topology (README "Multiple queues, workers, and
     job distribution"; client/client_test.go drives it E2E): process A
     serves HTTP and enqueues; a real ``--worker-only`` process B —
     separate Python interpreter, separate JVM — claims the job from
     the shared store, executes it on ITS SparkSession, and writes the
-    results; A polls SUCCESS over HTTP and reads results_<job_id>."""
+    results; A polls SUCCESS over HTTP and reads results_<job_id>.
+
+    Parametrized over both broker wirings: the default file-SQLite
+    store, and the pluggable ``DBAPIBroker`` seam configured the way
+    a served-database fleet would wire it (``job_store_dbapi`` +
+    dialect through the TOML config) — proving the multi-machine
+    broker path end-to-end across real OS processes, as far as a
+    sandbox without a database server can."""
     from dungbeetle_spark.client import Client
     from dungbeetle_spark.http_api import Server
 
@@ -387,13 +395,24 @@ def test_worker_only_process_end_to_end(spark, tmp_path):
         "-- name: remote_user_counts\n"
         "SELECT user_id, COUNT(*) AS n_events FROM events GROUP BY user_id;\n"
     )
+    store_cfg = (
+        f'job_store = "{db}"'
+        if broker_kind == "sqlite_file"
+        else (
+            'job_store_dbapi = '
+            '"dungbeetle_spark.broker:sqlite3_dbapi_connect"\n'
+            'job_store_dialect = "sqlite"\n'
+            '[app.job_store_dbapi_options]\n'
+            f'database = "{db}"'
+        )
+    )
     cfg = tmp_path / "worker.toml"
     cfg.write_text(
         f"""
 sql_directory = "{sqldir}"
 
 [app]
-job_store = "{db}"
+{store_cfg}
 
 [db.testdata]
 path = "/root/testdata/sf0.001"
@@ -403,8 +422,21 @@ path = "{results}"
 """
     )
 
-    # Process A: HTTP server, pure producer (claims nothing).
-    core = Core(spark, jobstore_path=db, distributed=True, claim_queues=[])
+    # Process A: HTTP server, pure producer (claims nothing) — on the
+    # same broker wiring as the worker.
+    if broker_kind == "sqlite_file":
+        core = Core(spark, jobstore_path=db, distributed=True, claim_queues=[])
+    else:
+        from dungbeetle_spark.broker import DBAPIBroker, sqlite3_dbapi_connect
+
+        core = Core(
+            spark,
+            jobstore_backend=DBAPIBroker(
+                lambda: sqlite3_dbapi_connect(db), dialect="sqlite"
+            ),
+            distributed=True,
+            claim_queues=[],
+        )
     core.add_source("testdata", "/root/testdata/sf0.001")
     core.add_result_backend("default", results)
     core.load_task_dirs([str(sqldir)])
@@ -499,13 +531,24 @@ def test_cross_process_cancel_interrupts_worker_stages(spark, tmp_path):
         "-- raw: 1\n"
         "SELECT COUNT(*) AS n FROM events;\n"
     )
+    store_cfg = (
+        f'job_store = "{db}"'
+        if broker_kind == "sqlite_file"
+        else (
+            'job_store_dbapi = '
+            '"dungbeetle_spark.broker:sqlite3_dbapi_connect"\n'
+            'job_store_dialect = "sqlite"\n'
+            '[app.job_store_dbapi_options]\n'
+            f'database = "{db}"'
+        )
+    )
     cfg = tmp_path / "worker.toml"
     cfg.write_text(
         f"""
 sql_directory = "{sqldir}"
 
 [app]
-job_store = "{db}"
+{store_cfg}
 
 [db.testdata]
 path = "/root/testdata/sf0.001"
