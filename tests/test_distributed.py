@@ -531,24 +531,13 @@ def test_cross_process_cancel_interrupts_worker_stages(spark, tmp_path):
         "-- raw: 1\n"
         "SELECT COUNT(*) AS n FROM events;\n"
     )
-    store_cfg = (
-        f'job_store = "{db}"'
-        if broker_kind == "sqlite_file"
-        else (
-            'job_store_dbapi = '
-            '"dungbeetle_spark.broker:sqlite3_dbapi_connect"\n'
-            'job_store_dialect = "sqlite"\n'
-            '[app.job_store_dbapi_options]\n'
-            f'database = "{db}"'
-        )
-    )
     cfg = tmp_path / "worker.toml"
     cfg.write_text(
         f"""
 sql_directory = "{sqldir}"
 
 [app]
-{store_cfg}
+job_store = "{db}"
 
 [db.testdata]
 path = "/root/testdata/sf0.001"
