@@ -167,10 +167,21 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = sh.select("doc_id", "n", F.xxhash64("s").alias("s"))
     a = sh.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"), "s")
     b = sh.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"), "s")
-    # shuffle_hash on purpose: both sides then hash-partition on s with
-    # IDENTICAL child plans, so ReuseExchange computes the shingle
-    # pipeline once — a broadcast would build a second, unshared copy
-    # (and broadcasting an exploded corpus is wrong at scale anyway).
+    # shuffle_hash on purpose — a broadcast would replicate an exploded
+    # corpus, which is wrong at any scale. Measured honesty about the
+    # double pipeline (r06): Spark 4.1's exchange-reuse does NOT fire
+    # for this self-join (0 ReusedExchange in the executed adaptive
+    # plan, even with byte-identical side projections), so the shingle
+    # pipeline runs once per side. Two alternatives were measured at
+    # sf0.1 and both lose: localCheckpoint-ing the hashed shingle
+    # frame (1.11 s vs 1.00 s — materialization beats the saved
+    # recompute only when the per-row UDF cost dominates IO) and the
+    # join-free posting-list pair-emit via collect_list + nested
+    # higher-order transforms (1.44 s — interpreted lambdas off the
+    # codegen path). At true corpus scale the right move is neither:
+    # write the shingle table ONCE to persistent storage and
+    # self-join that (one pipeline pass, resumable), which is the
+    # standard corpus-dedup staging layout.
     common = (
         a.join(b.hint("shuffle_hash"), "s")
         .filter(F.col("doc_a") < F.col("doc_b"))
@@ -1069,9 +1080,12 @@ _CONTAIN_T_PPM = 600_000  # containment >= 0.6 of the smaller doc
 def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scale shape: identical to dedup_ngram_jaccard — inverted-index
     equi-join keyed on the 8-byte shingle hash, Σ|posting|² cost,
-    ReuseExchange across the self-join sides, minhash as the stated
-    candidate-generation path when posting lists densify. The ppm
-    floor division keeps every emitted value integer-exact."""
+    minhash as the stated candidate-generation path when posting
+    lists densify; see the jaccard body for the measured self-join
+    trade study (double pipeline vs checkpoint vs pair-emit — at
+    corpus scale, stage the shingle table to persistent storage
+    once). The ppm floor division keeps every emitted value
+    integer-exact."""
     d = _t(spark, sf_dir, "documents")["documents"]
     sh = _shingled(d).select(
         "doc_id", F.size("shingles").alias("n"), F.explode("shingles").alias("s")

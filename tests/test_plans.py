@@ -826,10 +826,11 @@ def test_dedup_savings_no_join_single_hash_window(spark, sf):
 def test_containment_shuffle_hash_join_on_hashed_shingles(spark, sf):
     """Same contract as dedup_ngram_jaccard: the shingle equi-join is
     shuffle-hash on the 8-byte xxhash key — never broadcast (an
-    exploded corpus must not broadcast) and never nested-loop — with
-    both sides hash-partitioned on identical child plans (which is
-    what lets AQE's exchange-reuse rule compute the shingle pipeline
-    once at runtime)."""
+    exploded corpus must not broadcast) and never nested-loop.
+    (Exchange-reuse does NOT fire for this self-join in Spark 4.1 —
+    measured in r06, 0 ReusedExchange in the executed plan — so the
+    pipeline runs once per side; the measured trade study of the
+    alternatives lives in dedup_ngram_jaccard's body.)"""
     df = _df(spark, sf, "dedup_containment")
     plan = formatted_plan(df)
     assert "ShuffledHashJoin" in plan
