@@ -862,3 +862,34 @@ def test_sketch_checked_splits_exact_distinct_from_sketch_agg(spark, sf):
     assert not re.search(
         r"ObjectHashAggregate\(keys=\[event_type#\d+, user_id", plan
     ), "sketch buffers must never be keyed per user"
+
+
+def test_registry_wide_no_cartesian_and_no_fact_nlj(spark, sf):
+    """Whole-registry invariant (tools/plan_audit.py, PLANS.md): no
+    query anywhere plans a CartesianProduct — an unkeyed fact-fact
+    cross is always a regression — and every BroadcastNestedLoopJoin
+    belongs to the documented 1-row-scalar broadcast class (bounded
+    count pinned here so a new fact-side NLJ can't hide in the
+    herd)."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    import plan_audit
+
+    rows, skipped = plan_audit.audit(spark, sf)
+    assert len(rows) >= 130, (len(rows), skipped)
+    cart = [r["query"] for r in rows if r["cart"]]
+    assert not cart, f"CartesianProduct planned in: {cart}"
+    bnlj = sorted(r["query"] for r in rows if r["bnlj"])
+    known_scalar_broadcast = {
+        "q22_idle_customers", "tfidf_top_terms", "dataset_mix_weighted",
+        "dsir_importance_weights", "frequent_item_pairs",
+        "hybrid_rrf_retrieval", "integrity_audit", "q11_important_parts",
+        "timeseries_topk_similar_users",
+    }
+    unexpected = [q for q in bnlj if q not in known_scalar_broadcast]
+    assert not unexpected, (
+        "new BroadcastNestedLoopJoin outside the documented scalar-"
+        f"broadcast class — justify in its docstring and here: {unexpected}"
+    )
