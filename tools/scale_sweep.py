@@ -182,12 +182,10 @@ NOTES = """
   corpus size — 32x data rides the same 32 cores without moving wall
   time. The per-row work is visible only in absolute terms (e.g.
   `dedup_exact_substring` hashes 77M windows at x32 inside its time).
-- A strongly NEGATIVE exponent on the first Pandas-UDF operator in
-  the list (`kmeans_clusters` has shown x1 ≫ x10) is a cold-start
-  artifact: the x1 pass is the first to fork the Python worker pool
-  and import numpy on every core, and best-of-2 at the same factor
-  does not absorb a stall that spans both runs. Compare its x10 vs
-  x32 instead.
+- The sweep warms the Python worker pool before timing (same as
+  bench.py), so Pandas-UDF operators' x1 cells no longer carry the
+  cold-fork + numpy-import cost that previously read as spurious
+  negative exponents on the first UDF operator in the list.
 - `cross_source_overlap_matrix` (~0.5): the amplified copies share
   window bodies, so per-window source sets densify toward the
   20-source bound as the corpus grows — the pair-emit step approaches
@@ -245,7 +243,18 @@ def run_sweep(
 ) -> dict[str, dict[int, float]]:
     """Measure wall times; returns {op: {factor: best_sec}}. Callable
     from pytest (the `sweep` marker) as well as the CLI."""
+    from pyspark.sql import functions as F
+
     from dungbeetle_spark.queries import registry
+
+    # Python worker-pool warmup (same rationale as bench.py): without
+    # it, the first Pandas-UDF operator's x1 cell pays ~cores cold
+    # forks + numpy imports and reads as a spurious negative exponent.
+    _warm = F.pandas_udf(lambda s: s, "long")
+    cores = spark.sparkContext.defaultParallelism
+    spark.range(0, cores * 100, 1, cores).select(_warm("id")).write.mode(
+        "overwrite"
+    ).format("noop").save()
 
     specs = registry()
     chosen = [
