@@ -172,6 +172,18 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else 0.0
 
+    # Iteration aid: SPARK_GRAFT_BENCH_QUERIES="q1_pricing_summary,q3_..."
+    # times only that comma-separated subset (full headline when unset —
+    # the driver never sets it).
+    headline = HEADLINE
+    subset = os.environ.get("SPARK_GRAFT_BENCH_QUERIES", "")
+    if subset:
+        chosen = [q.strip() for q in subset.split(",") if q.strip()]
+        unknown = [q for q in chosen if q not in HEADLINE]
+        if unknown:
+            raise SystemExit(f"not in HEADLINE: {unknown}")
+        headline = chosen
+
     from dungbeetle_spark.queries import registry
     from dungbeetle_spark.session import get_spark
 
@@ -206,9 +218,9 @@ def main() -> None:
     # multi-second CPU stalls that can span back-to-back runs of one
     # query — round-robin passes decorrelate a stall window from any
     # single query's every sample.
-    runs: dict[str, list[float]] = {name: [] for name in HEADLINE}
+    runs: dict[str, list[float]] = {name: [] for name in headline}
     for _ in range(3):
-        for name in HEADLINE:
+        for name in headline:
             t0 = time.perf_counter()
             specs[name].build(spark, sf_dir).write.mode("overwrite").format(
                 "noop"
