@@ -242,7 +242,11 @@ def main() -> None:
         against = _latest_bench_file(repo_dir)
     compare = None
     if against and os.path.exists(against):
-        compare = _compare_block(timings, host_factor, against)
+        try:
+            compare = _compare_block(timings, host_factor, against)
+        except Exception as ex:  # a bad prior file must never cost the run
+            compare = {"against": os.path.basename(against),
+                       "error": str(ex)[:200]}
 
     out = {
         "metric": "headline_queries_total_wall",

@@ -73,3 +73,17 @@ def test_compare_block_unwraps_driver_recorded_shape(tmp_path):
     assert block["host_factor_old_median_method"] == 1.0
     assert len(block["normalized_ratios"]) == len(bench.CANARY_R01)
     assert block["regressions"] == []
+
+
+def test_corrupt_prior_bench_file_never_crashes(tmp_path):
+    bad = tmp_path / "BENCH_r97.json"
+    bad.write_text("{not json")
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        bench._compare_block({}, 1.0, str(bad))
+    # main() guards this call site — pin the guard exists in source
+    import inspect
+
+    src = inspect.getsource(bench.main)
+    assert "except Exception" in src and "_compare_block" in src
