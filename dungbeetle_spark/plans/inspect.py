@@ -96,3 +96,73 @@ def has_partial_aggregate(df: DataFrame) -> bool:
     if ex < 0:
         return False
     return "HashAggregate" in plan[ex:]
+
+
+# Operators a global-window's partition chain may legitimately pass
+# through between the Window and its SinglePartition shuffle.
+_WINDOW_CHAIN_OPS = ("Sort", "Window", "WindowGroupLimit", "Project",
+                     "Filter")
+
+
+def single_partition_windows(plan_text: str) -> list[str]:
+    """Window operators fed by an ``Exchange SinglePartition``.
+
+    This is the one plan shape that cannot scale: an unpartitioned
+    window spec (global NTILE / rank / cumulative sum) pulls the whole
+    frame through one task. Formatted explain splits the evidence
+    across sections — the tree shows ``Window (9)`` above
+    ``Exchange (7)`` and the detail block shows ``(7) Exchange`` /
+    ``Arguments: SinglePartition`` — so the r06 single-regex detector
+    matched nothing, ever (ADVICE r06). This walks the structure:
+
+    1. collect ids of Exchange blocks whose Arguments say
+       SinglePartition (the ``[^\\n]+`` keeps the match inside one
+       detail block — blocks are blank-line separated);
+    2. in each tree section, walk each such Exchange's parent chain
+       (nearest preceding line with smaller indent) through
+       Sort/Project/Filter; if it reaches a Window, that window is
+       global.
+
+    Returns the list of flagged Window tree labels (e.g. ``Window
+    (9)``), empty when the plan has no global window.
+    """
+    sp_ids = {
+        m.group(1)
+        for m in re.finditer(
+            r"\((\d+)\) Exchange\n(?:[^\n]+\n)*?Arguments: SinglePartition",
+            plan_text,
+        )
+    }
+    if not sp_ids:
+        return []
+    # Tree sections: contiguous runs of "indent Op (id)" lines (the
+    # main plan and each subquery print their own tree).
+    line_re = re.compile(r"^([ +\-:*|]*)([A-Za-z][\w ]*?)\s+\((\d+)\)\s*$")
+    sections: list[list[tuple[int, str, str]]] = []
+    cur: list[tuple[int, str, str]] = []
+    for line in plan_text.splitlines():
+        m = line_re.match(line)
+        if m:
+            cur.append((len(m.group(1)), m.group(2).strip(), m.group(3)))
+        elif cur:
+            sections.append(cur)
+            cur = []
+    if cur:
+        sections.append(cur)
+    flagged: list[str] = []
+    for tree in sections:
+        for i, (indent, op, oid) in enumerate(tree):
+            if oid not in sp_ids:
+                continue
+            walk = indent
+            for j in range(i - 1, -1, -1):
+                p_indent, p_op, p_id = tree[j]
+                if p_indent >= walk:
+                    continue  # sibling subtree, not an ancestor
+                if p_op.startswith("Window"):
+                    flagged.append(f"{p_op} ({p_id})")
+                    break
+                if not p_op.startswith(_WINDOW_CHAIN_OPS):
+                    break  # chain broken by an agg/join/etc.
+                walk = p_indent
+    return flagged

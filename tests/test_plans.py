@@ -893,3 +893,30 @@ def test_registry_wide_no_cartesian_and_no_fact_nlj(spark, sf):
         "new BroadcastNestedLoopJoin outside the documented scalar-"
         f"broadcast class — justify in its docstring and here: {unexpected}"
     )
+
+
+def test_single_partition_window_detector_fires_and_clears(spark):
+    """ADVICE r06: the audit's global-window detector was structurally
+    dead (formatted explain splits tree and Arguments across lines) —
+    PLANS.md showed '—' for every query including the real global
+    NTILEs. Pin the structural detector on both polarities so it can't
+    silently die again."""
+    from pyspark.sql import Window as W
+
+    from dungbeetle_spark.plans.inspect import single_partition_windows
+
+    global_ntile = spark.range(100).withColumn(
+        "b", F.ntile(5).over(W.orderBy("id"))
+    )
+    assert single_partition_windows(formatted_plan(global_ntile))
+
+    partitioned = (
+        spark.range(100)
+        .withColumn("g", F.col("id") % 10)
+        .withColumn("b", F.ntile(5).over(W.partitionBy("g").orderBy("id")))
+    )
+    assert single_partition_windows(formatted_plan(partitioned)) == []
+
+    # a global agg's SinglePartition exchange must NOT read as a window
+    global_agg = spark.range(100).agg(F.sum("id").alias("s"))
+    assert single_partition_windows(formatted_plan(global_agg)) == []
