@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
 from dungbeetle_spark.functions.texts import md5_hash60_sql
+from dungbeetle_spark.operators.ranks import global_ntile
 from dungbeetle_spark.queries import _t, query
 
 
@@ -1377,13 +1378,16 @@ def user_value_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scale shape: the per-user aggregate partial-combines map-side
-    down to |users| rows in one shuffle; the three NTILE windows run
-    over that user-cardinality frame (unpartitioned by necessity --
-    quintiles are a GLOBAL ranking). At 100 TB |users| is still ~1e8
-    rows of 4 longs -- if even that outgrows one task, swap NTILE for
-    the distributed prefix-sum construction pareto_revenue_share uses
-    (range-partition + broadcast per-partition offsets); the quintile
-    assignment is rank*5 DIV n, the same algebra."""
+    down to |users| rows in one shuffle. The three quintiles are
+    GLOBAL rankings; as plain NTILE windows each pulled the whole
+    |users| frame through one Exchange SinglePartition task — the
+    registry's largest single-partition frame (VERDICT r06 item 5).
+    Now each score is a ranks.global_ntile prefix-sum pass: a range
+    shuffle of the pre-aggregated 4-long rows per ordering, a
+    pid-partitioned row_number, and a broadcast |partitions|-row
+    offset table — three parallel sorts instead of three one-task
+    sorts, identical output by the closed-form NTILE bucket map (the
+    user_id tiebreak makes every ordering unique)."""
     e = _t(spark, sf_dir, "events")["events"]
     rfm = (
         e.filter(F.col("event_type") == "purchase")
@@ -1398,23 +1402,22 @@ def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("monetary_cents"),
         )
     )
-    r = F.ntile(5).over(
-        W.orderBy(F.col("last_epoch_day").desc(), "user_id")
-    ).cast("long")
-    f_ = F.ntile(5).over(W.orderBy(F.col("frequency").desc(), "user_id")).cast(
-        "long"
-    )
-    m = F.ntile(5).over(
-        W.orderBy(F.col("monetary_cents").desc(), "user_id")
-    ).cast("long")
-    scored = rfm.select(
+    n_parts = max(spark.sparkContext.defaultParallelism, 8)
+    scored = rfm
+    for out, order_by in (
+        ("r_score", [F.desc("last_epoch_day"), F.asc("user_id")]),
+        ("f_score", [F.desc("frequency"), F.asc("user_id")]),
+        ("m_score", [F.desc("monetary_cents"), F.asc("user_id")]),
+    ):
+        scored = global_ntile(scored, order_by, 5, out, n_parts)
+    scored = scored.select(
         "user_id",
         "last_epoch_day",
         "frequency",
         "monetary_cents",
-        r.alias("r_score"),
-        f_.alias("f_score"),
-        m.alias("m_score"),
+        "r_score",
+        "f_score",
+        "m_score",
     )
     return scored.withColumn(
         "segment",

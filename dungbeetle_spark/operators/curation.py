@@ -33,6 +33,7 @@ from pyspark.sql.window import Window as W
 
 from dungbeetle_spark.functions.numeric import dsum
 from dungbeetle_spark.functions.texts import md5_hash60, md5_hash60_sql, word_count
+from dungbeetle_spark.operators.ranks import global_ntile
 from dungbeetle_spark.queries import _t, query
 from dungbeetle_spark.sources.catalog import fan_out
 
@@ -698,12 +699,19 @@ def curriculum_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     same vocabulary build as tfidf) and the per-doc rollup; the
     constant-numerator rarity keeps the plan to exactly these (a
     corpus-total numerator added a third corpus evaluation for its
-    scalar — ordering is identical without it). The final NTILE is a global sort over ONE ROW PER DOC
-    — fine to corpus scale as a range-partitioned sort, but the
-    single-partition window is local-mode-only: production computes
-    the {_CURR_STAGES-1} stage boundaries from approx_percentile and
-    maps documents through them, which this query's plan would swap in
-    behind the same output contract."""
+    scalar — ordering is identical without it).
+
+    The stage assignment is exact NTILE semantics WITHOUT the global
+    window (VERDICT r06 item 3 — the r06 plan pulled every doc row
+    through one Exchange SinglePartition task): pareto_revenue_share's
+    prefix-sum construction. repartitionByRange on (difficulty,
+    doc_id) gives each task a contiguous rank range (checkpointed —
+    spark_partition_id() feeds two consumers and must not re-sample);
+    row_number windows BY pid; per-partition counts (|partitions|
+    rows) cumsum to rank offsets and broadcast back; the closed-form
+    NTILE bucket formula (first N%k buckets take one extra row) maps
+    global rank → stage. Bit-equal to the oracle's NTILE because the
+    (difficulty, doc_id) order key is unique."""
     d = _t(spark, sf_dir, "documents")["documents"]
     toks = F.filter(
         F.split(F.lower(F.col("text")), r"[^a-z0-9]+"), lambda x: x != ""
@@ -729,10 +737,14 @@ def curriculum_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("difficulty", F.lit(0).cast("long")).alias("difficulty"),
         )
     )
-    w_nt = W.orderBy("difficulty", "doc_id")
-    return ranked.withColumn(
-        "stage", F.ntile(_CURR_STAGES).over(w_nt).cast("long")
-    )
+    n_parts = max(spark.sparkContext.defaultParallelism, 8)
+    return global_ntile(
+        ranked,
+        [F.asc("difficulty"), F.asc("doc_id")],
+        _CURR_STAGES,
+        "stage",
+        n_parts,
+    ).select("doc_id", "n_tokens", "difficulty", "stage")
 
 
 @query(
