@@ -1024,21 +1024,31 @@ def salted_segment_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def sketch_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scale shape: the sketch aggregate is ONE map-side-combinable
-    pass whose shuffle carries per-group sketch kilobytes. The exact
-    distinct twin runs as its OWN two-level aggregate (distinct
-    (type, user) pairs → per-type count) and broadcast-joins back on
-    the 5-row frame: folding countDistinct into the sketch aggregate
-    would force Catalyst to keep every percentile/HLL buffer keyed
-    per (type, user) — ~|users| full value-buffer states merged
-    twice (measured 5.6 s vs 0.6 s warm at sf0.1, a 9x cliff).
-    HLL bound check is pure int64 algebra
+    pass whose shuffle carries per-group sketch kilobytes — HLL
+    registers and GK quantile summaries only, both bounded-memory
+    mergeable state (ADVICE r06: exact F.percentile used to ride this
+    aggregate, whose partial state buffers EVERY value per group — a
+    data-scale object buffer that voided the kilobytes claim). Both
+    exact twins run as their OWN passes and broadcast-join back on
+    the 5-row frame: the distinct twin as a two-level aggregate
+    (distinct (type, user) pairs → per-type count; folding
+    countDistinct into the sketch aggregate re-keys every sketch
+    buffer per (type, user) — a measured 9x cliff), the percentile
+    twin as a separate object aggregate that is explicitly the
+    DIAGNOSTIC side: it buffers values per group by definition of an
+    exact percentile, and at 100 TB it is the thing the sketches
+    exist to replace. HLL bound check is pure int64 algebra
     (|approx-exact|*20 <= exact ⇔ err <= 5%)."""
     e = _t(spark, sf_dir, "events")["events"]
     sketches = e.groupBy("event_type").agg(
         F.approx_count_distinct("user_id", rsd=0.01).alias("_approx_users"),
         F.percentile_approx("value", [0.5, 0.95, 0.99], 10_000).alias("_qa"),
-        F.percentile("value", [0.49, 0.51, 0.94, 0.96, 0.98, 1.0]).alias("_qe"),
         F.count(F.lit(1)).alias("n_events"),
+    )
+    exact_q = e.groupBy("event_type").agg(
+        F.percentile("value", [0.49, 0.51, 0.94, 0.96, 0.98, 1.0]).alias(
+            "_qe"
+        ),
     )
     exact = (
         e.select("event_type", "user_id")
@@ -1046,7 +1056,9 @@ def sketch_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(F.count(F.lit(1)).alias("exact_users"))
     )
-    agg = sketches.join(F.broadcast(exact), "event_type")
+    agg = sketches.join(F.broadcast(exact_q), "event_type").join(
+        F.broadcast(exact), "event_type"
+    )
 
     def _band(approx_idx: int, lo_idx: int, hi_idx: int):
         a = F.element_at("_qa", approx_idx)

@@ -925,13 +925,27 @@ def test_sketch_checked_splits_exact_distinct_from_sketch_agg(spark, sf):
     df = _df(spark, sf, "sketch_user_stats")
     plan = formatted_plan(df)
     schemas = scan_schemas(df)
-    assert len(schemas) == 2, "sketch agg and exact twin scan separately"
-    assert has_broadcast_join(df), "5-row exact frame must broadcast"
+    assert len(schemas) == 3, (
+        "sketch agg, exact-percentile twin and exact-distinct twin "
+        "scan separately"
+    )
+    assert has_broadcast_join(df), "5-row exact frames must broadcast"
     assert has_partial_aggregate(df)
     # the pathological shape: object aggregates keyed by user_id
     assert not re.search(
         r"ObjectHashAggregate\(keys=\[event_type#\d+, user_id", plan
     ), "sketch buffers must never be keyed per user"
+    # ADVICE r06: the sketch pass must hold ONLY bounded-memory state —
+    # exact percentile (buffers every value per group) rides its own
+    # aggregate, never the approx_count_distinct one
+    for m in re.finditer(
+        r"Functions: \[([^\]]*)\]", plan
+    ):
+        fns = m.group(1)
+        if "approx_count_distinct" in fns:
+            assert "percentile(" not in fns, (
+                "exact percentile must not share the sketch aggregate"
+            )
 
 
 def test_registry_wide_no_cartesian_and_no_fact_nlj(spark, sf):

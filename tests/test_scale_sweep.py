@@ -36,3 +36,29 @@ def test_quick_sweep_exponents(spark):
         # shape (e.g. the similarity join going cross-join quadratic+)
         ceiling = 2.5 if op == "dedup_ngram_jaccard" else 1.5
         assert e < ceiling, (op, e, r)
+
+
+def test_amplified_cache_requires_completion_sentinel(tmp_path, monkeypatch):
+    """ADVICE r06: the cache check verified events.parquet, which is
+    the FIRST table written — a build that crashed after it left a
+    partial dir that was silently reused. Reuse now requires the
+    _AMPLIFIED sentinel written after the LAST table."""
+    import scale_sweep
+
+    monkeypatch.setattr(scale_sweep, "WORK", str(tmp_path))
+    partial = tmp_path / "x4"
+    (partial / "events.parquet").mkdir(parents=True)
+
+    class Boom(Exception):
+        pass
+
+    class FakeSpark:  # build must be attempted (and here, fail loudly)
+        class sparkContext:
+            defaultParallelism = 8
+
+    with pytest.raises(Exception):
+        scale_sweep.build_amplified(FakeSpark(), 4)
+
+    # a completed dir (sentinel present) short-circuits without Spark
+    (partial / "_AMPLIFIED").write_text("complete\n")
+    assert scale_sweep.build_amplified(None, 4) == str(partial)

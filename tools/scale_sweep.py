@@ -70,7 +70,11 @@ def build_amplified(spark, factor: int) -> str:
     from dungbeetle_spark.sources.catalog import load_tables
 
     out = f"{WORK}/x{factor}"
-    if os.path.isdir(out) and os.path.isdir(f"{out}/events.parquet"):
+    # _AMPLIFIED sentinel written only after the LAST table: a prior
+    # run that crashed mid-build leaves a partial dir that must be
+    # rebuilt, not reused (ADVICE r06 — events is written FIRST, so
+    # checking it passed half-built dirs through).
+    if os.path.isdir(out) and os.path.exists(f"{out}/_AMPLIFIED"):
         return out
     os.makedirs(out, exist_ok=True)
     t = load_tables(
@@ -169,6 +173,8 @@ def build_amplified(spark, factor: int) -> str:
         )
     )
     li.repartition(parts).write.mode("overwrite").parquet(f"{out}/lineitem.parquet")
+    with open(f"{out}/_AMPLIFIED", "w") as f:
+        f.write("complete\n")
     return out
 
 
