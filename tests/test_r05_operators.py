@@ -247,3 +247,57 @@ def test_integrity_audit_immune_to_duplicate_dimension_keys(spark, tmp_path):
     audit = rows["orders.o_custkey->customer"]
     assert audit["n_rows"] == n_orders, "duplicate dim key inflated n_rows"
     assert audit["n_orphans"] == 0
+
+
+def test_calendar_zscore_zero_fills_gaps_and_alerts_on_return(spark, tmp_path):
+    """anomaly_calendar_zscore vs its active-day sibling: a silent
+    week must LOWER the calendar baseline (zero-filled days enter the
+    trailing frame), so an ordinary-volume return day alerts — the
+    case the ROWS-over-active-days form cannot see (its frame skips
+    the gap entirely). sf0.01 is gap-free, so this builds the sparse
+    case directly."""
+    import datetime
+
+    from dungbeetle_spark.queries import registry
+
+    # type 'a': active daily for 10 days at 100 ev/day, then 7 silent
+    # days, then one ordinary 100-ev day (day 17). Calendar semantics:
+    # day-17 baseline is 6 zeros + itself -> huge spike. Active-day
+    # semantics: baseline is 7 flat 100s -> no spike.
+    rows = []
+    base = datetime.datetime(2024, 1, 1, 12, 0, 0)
+    eid = 0
+    for d in list(range(10)) + [17]:
+        for i in range(100):
+            rows.append(
+                (eid, base + datetime.timedelta(days=d), 1, "a", 1.0, "{}")
+            )
+            eid += 1
+    spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double, props string"
+    ).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+
+    cal = {
+        r["day"]: r
+        for r in registry()["anomaly_calendar_zscore"]
+        .build(spark, str(tmp_path))
+        .collect()
+    }
+    assert len(cal) == 18, "dense spine: first..last day inclusive"
+    gap_day = datetime.date(2024, 1, 11)
+    assert cal[gap_day]["cnt"] == 0, "silent day zero-fills"
+    ret_day = datetime.date(2024, 1, 18)
+    assert cal[ret_day]["trail_sum"] == 100, "baseline saw the quiet week"
+    assert cal[ret_day]["is_spike"], "return-to-normal day must alert"
+
+    active = {
+        r["day"]: r
+        for r in registry()["anomaly_daily_zscore"]
+        .build(spark, str(tmp_path))
+        .collect()
+    }
+    assert len(active) == 11, "active-day form has no gap rows"
+    assert not active[ret_day]["is_spike"], (
+        "active-day frame skips the gap — flat baseline, no alert"
+    )
