@@ -86,6 +86,8 @@ HEADLINE = [
     "skipgram_pairs",
     "source_epoch_allocation",
     "sketch_user_stats",
+    # r07 addition: calendar-spine anomaly twin
+    "anomaly_calendar_zscore",
 ]
 
 # Host-drift canary (ADVICE r04: one hardcoded-anchor query is noisy

@@ -60,74 +60,74 @@ def query(name: str, oracle: str | None = None, doc: str = ""):
 # least one green driver row. Names not listed follow in registration
 # order; unknown names here are an error (caught by tests).
 DRIVER_PRIORITY: list[str] = [
-    # -- r06 window ---------------------------------------------------
+    # -- r07 window ---------------------------------------------------
     # changed this round -- MUST re-verify (rotation rule):
-    # sketch_user_stats was reworked from rows-only into the checked
-    # form (exact columns + sketch-error-bound booleans, full DuckDB
-    # oracle -- VERDICT r05 item 5); streaming_incremental_mv's MV
-    # accumulator was widened decimal(18,2) -> decimal(38,2)
-    # (ADVICE r05).
-    "sketch_user_stats",
-    "streaming_incremental_mv",
-    # new in r06 -- never verified
+    # curriculum_buckets + rfm_segments reworked onto the
+    # ranks.global_ntile prefix-sum construction (VERDICT r06 items
+    # 3/5 -- no more doc-scale Exchange SinglePartition windows);
+    # sketch_user_stats' exact-percentile twin moved into its own
+    # aggregate pass so the sketch aggregate is bounded-memory again
+    # (ADVICE r06).
+    "curriculum_buckets",
     "rfm_segments",
-    "chisq_dow_independence",
-    "session_path_topk",
-    "mad_outliers",
-    "dedup_savings_report",
-    "dedup_containment",
-    "readability_scores",
-    "skipgram_pairs",
-    "source_epoch_allocation",
-    # the 39 queries displaced from the r05 window (VERDICT r05 item
-    # 1): r03-green with unchanged code, now driver-re-verified so the
-    # oldest third of the registry gets a fresh row. None of these
-    # were in the r05 window. (anomaly_daily_zscore had a DOC-only
-    # reword this round -- zero code/oracle bytes changed -- so it
-    # keeps its r05 green and yields no slot.)
-    "dedup_ngram_jaccard",
-    "distinct_part_suppliers",
-    "doc_chunking",
-    "embedding_array_stats",
-    "events_json_extract",
-    "gap_fill_daily",
-    "hash_split_train_test",
-    "heavy_hitters",
-    "interval_overlap",
-    "moving_avg_user_value",
-    "order_priority_count",
-    "parts_never_shipped",
-    "pivot_event_counts",
-    "profile_orders_columns",
-    "profit_entries",
-    "profit_entries_by_date",
-    "profit_summary",
-    "q10_returned_items",
-    "q13_order_distribution",
-    "q14_promo_revenue",
-    "q18_large_volume_orders",
-    "q19_disjunctive_predicates",
-    "q1_pricing_summary",
-    "q22_idle_customers",
-    "q2_min_price_supplier",
-    "q3_shipping_priority",
-    "q5_local_supplier_volume",
-    "q6_forecast_revenue",
-    "q7_nation_volume",
-    "rollup_sales",
-    "salted_segment_activity",
-    "stratified_sample",
-    "text_stats",
-    "tfidf_top_terms",
-    "top_events_per_user",
-    "udaf_median_value",
-    "user_activity_stats",
-    "user_event_sequence",
-    "window_rank_family",
-    # Window arithmetic: 2 changed + 9 new + 39 displaced = exactly
-    # 50. Every other query keeps a driver-green row from r03-r05
-    # with unchanged code; the full local oracle suite re-verifies
-    # all 142 each run regardless.
+    "sketch_user_stats",
+    # new in r07 -- never verified
+    "anomaly_calendar_zscore",
+    # the 44 queries whose last green row is r04 (VERDICT r06 item 4:
+    # nothing may go stale past two rounds). Every one is
+    # code-unchanged since its last green.
+    "ann_cosine_topk",
+    "asof_click_attribution",
+    "cohort_retention",
+    "corpus_clean",
+    "countmin_sketch",
+    "cube_order_stats",
+    "customer_set_ops",
+    "customer_status_except_all",
+    "dataset_mix_weighted",
+    "decontamination",
+    "dedup_components",
+    "dedup_exact",
+    "dedup_incremental",
+    "doc_fingerprint",
+    "domain_quota_sample",
+    "embedding_quantize",
+    "funnel_conversion",
+    "grouping_sets_sales",
+    "lang_id",
+    "multimodal_features",
+    "multimodal_frame_sample",
+    "multimodal_resize",
+    "pii_scrub_stats",
+    "q11_important_parts",
+    "q15_top_supplier",
+    "q16_part_supplier_variety",
+    "q17_small_quantity_revenue",
+    "q20_qualified_suppliers",
+    "q21_latest_shippers",
+    "q8_market_share",
+    "q9_product_profit",
+    "quality_score",
+    "range_join_order_context",
+    "sessionize_events",
+    "streaming_distinct_daily",
+    "streaming_segment_volume",
+    "streaming_sessionize",
+    "streaming_stream_stream_join",
+    "streaming_windowed_counts",
+    "time_rollup_events",
+    "token_count",
+    "token_length_histogram",
+    "udtf_sentences",
+    "user_value_outliers",
+    # 2 spare slots -> the alphabetically-first r05 greens (oldest
+    # remaining cohort), so the r05 tail starts draining too.
+    "ab_test_significance",
+    "activity_streaks",
+    # Window arithmetic: 3 changed + 1 new + 44 r04-stale + 2 r05 =
+    # exactly 50. Displaced to r08+: the other 46 r05 greens and all
+    # 50 r06 greens, all code-unchanged; the full local oracle suite
+    # re-verifies all 143 each run regardless.
 ]
 
 

@@ -14,71 +14,70 @@ from dungbeetle_spark.queries import DRIVER_PRIORITY, registry
 
 DRIVER_WINDOW = 50
 
-# After r06's sketch_user_stats rework every registry query is
-# oracle-backed; nothing is rows-only-by-design any more, and every
-# query has had at least one driver row (VERDICT r05).
-NEVER_VERIFIED: list[str] = []
-
-# Operators whose code or oracle changed in round 6, plus the nine
-# new r06 queries. (anomaly_daily_zscore had a doc-only reword — no
-# code/oracle bytes changed — so it keeps its r05 green.)
-CHANGED_THIS_ROUND = [
-    "sketch_user_stats",  # rows-only → checked form w/ full oracle
-    "streaming_incremental_mv",  # MV accumulator widened to dec(38,2)
-    "rfm_segments",  # new in r06
-    "chisq_dow_independence",  # new in r06
-    "session_path_topk",  # new in r06
-    "mad_outliers",  # new in r06
-    "dedup_savings_report",  # new in r06
-    "dedup_containment",  # new in r06
-    "readability_scores",  # new in r06
-    "skipgram_pairs",  # new in r06
-    "source_epoch_allocation",  # new in r06
+# Every registry query is oracle-backed and has had at least one
+# driver row; "never verified" only holds brand-new queries now.
+NEVER_VERIFIED: list[str] = [
+    "anomaly_calendar_zscore",  # new in r07
 ]
 
-# The r05-window displacement debt paid this round: these 39 queries'
-# only prior driver rows were r03 (VERDICT r05 item 1); all are in
-# the r06 window.
-ROTATED_IN_R06 = [
-    "dedup_ngram_jaccard",
-    "distinct_part_suppliers",
-    "doc_chunking",
-    "embedding_array_stats",
-    "events_json_extract",
-    "gap_fill_daily",
-    "hash_split_train_test",
-    "heavy_hitters",
-    "interval_overlap",
-    "moving_avg_user_value",
-    "order_priority_count",
-    "parts_never_shipped",
-    "pivot_event_counts",
-    "profile_orders_columns",
-    "profit_entries",
-    "profit_entries_by_date",
-    "profit_summary",
-    "q10_returned_items",
-    "q13_order_distribution",
-    "q14_promo_revenue",
-    "q18_large_volume_orders",
-    "q19_disjunctive_predicates",
-    "q1_pricing_summary",
-    "q22_idle_customers",
-    "q2_min_price_supplier",
-    "q3_shipping_priority",
-    "q5_local_supplier_volume",
-    "q6_forecast_revenue",
-    "q7_nation_volume",
-    "rollup_sales",
-    "salted_segment_activity",
-    "stratified_sample",
-    "text_stats",
-    "tfidf_top_terms",
-    "top_events_per_user",
-    "udaf_median_value",
-    "user_activity_stats",
-    "user_event_sequence",
-    "window_rank_family",
+# Operators whose code or oracle changed in round 7.
+CHANGED_THIS_ROUND = [
+    "curriculum_buckets",  # global NTILE -> ranks.global_ntile prefix-sum
+    "rfm_segments",  # three global NTILEs -> prefix-sum passes
+    "sketch_user_stats",  # exact percentile split out of sketch aggregate
+]
+
+# The r04-staleness debt paid this round (VERDICT r06 item 4): the 44
+# queries whose last green row was r04, all code-unchanged, all in
+# the r07 window so no green goes stale past two rounds.
+ROTATED_IN_R07 = [
+    "ann_cosine_topk",
+    "asof_click_attribution",
+    "cohort_retention",
+    "corpus_clean",
+    "countmin_sketch",
+    "cube_order_stats",
+    "customer_set_ops",
+    "customer_status_except_all",
+    "dataset_mix_weighted",
+    "decontamination",
+    "dedup_components",
+    "dedup_exact",
+    "dedup_incremental",
+    "doc_fingerprint",
+    "domain_quota_sample",
+    "embedding_quantize",
+    "funnel_conversion",
+    "grouping_sets_sales",
+    "lang_id",
+    "multimodal_features",
+    "multimodal_frame_sample",
+    "multimodal_resize",
+    "pii_scrub_stats",
+    "q11_important_parts",
+    "q15_top_supplier",
+    "q16_part_supplier_variety",
+    "q17_small_quantity_revenue",
+    "q20_qualified_suppliers",
+    "q21_latest_shippers",
+    "q8_market_share",
+    "q9_product_profit",
+    "quality_score",
+    "range_join_order_context",
+    "sessionize_events",
+    "streaming_distinct_daily",
+    "streaming_segment_volume",
+    "streaming_sessionize",
+    "streaming_stream_stream_join",
+    "streaming_windowed_counts",
+    "time_rollup_events",
+    "token_count",
+    "token_length_histogram",
+    "udtf_sentences",
+    "user_value_outliers",
+    # + the 2 oldest r05 greens taking the spare slots
+    "ab_test_significance",
+    "activity_streaks",
 ]
 
 
@@ -93,7 +92,7 @@ def test_window_covers_unverified_and_changed():
     window = list(registry())[:DRIVER_WINDOW]
     missing = [
         n
-        for n in NEVER_VERIFIED + CHANGED_THIS_ROUND + ROTATED_IN_R06
+        for n in NEVER_VERIFIED + CHANGED_THIS_ROUND + ROTATED_IN_R07
         if n not in window
     ]
     assert not missing, f"outside the driver's first-{DRIVER_WINDOW} window: {missing}"

@@ -52,6 +52,8 @@ SWEEP_OPS = [
     ("mad_outliers", None),  # two disc-percentile passes: O(n)
     ("session_path_topk", None),  # one user window + tiny agg: O(n)
     ("dedup_containment", 4),  # same Σ|posting|² join as jaccard
+    # r07: the prefix-sum NTILE construction (3 chained passes)
+    ("rfm_segments", None),  # range shuffles of the |users| frame: O(n)
 ]
 
 # Sub-factor ladder for capped operators: when the requested factor
