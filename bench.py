@@ -86,8 +86,9 @@ HEADLINE = [
     "skipgram_pairs",
     "source_epoch_allocation",
     "sketch_user_stats",
-    # r07 addition: calendar-spine anomaly twin
+    # r07 additions: calendar-spine anomaly twin, corpus inequality audit
     "anomaly_calendar_zscore",
+    "token_gini_by_source",
 ]
 
 # Host-drift canary (ADVICE r04: one hardcoded-anchor query is noisy

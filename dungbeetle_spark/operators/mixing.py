@@ -716,3 +716,95 @@ def source_epoch_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
             "allocated_tokens"
         ),
     )
+
+# -- token Gini by source ---------------------------------------------------
+
+
+@query(
+    "token_gini_by_source",
+    oracle="""
+    WITH src AS (
+      SELECT source,
+             CAST(SUM(len(string_split(
+               trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')))
+               AS BIGINT) AS tokens
+      FROM documents WHERE trim(text) <> '' GROUP BY source),
+    ranked AS (
+      SELECT source, tokens,
+             CAST(ROW_NUMBER() OVER (ORDER BY tokens, source) AS BIGINT)
+               AS rk,
+             CAST(SUM(tokens) OVER (ORDER BY tokens, source
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS cum
+      FROM src),
+    tot AS (
+      SELECT source, tokens, rk, cum,
+             CAST(COUNT(*) OVER () AS BIGINT) AS n,
+             CAST(SUM(tokens) OVER () AS BIGINT) AS s0,
+             CAST(SUM(rk * tokens) OVER () AS BIGINT) AS s1
+      FROM ranked)
+    SELECT source, tokens,
+           CAST(CAST(cum AS HUGEINT) * 1000000 // s0 AS BIGINT)
+             AS cum_share_ppm,
+           CAST((2 * CAST(s1 AS HUGEINT) - (n + 1) * CAST(s0 AS HUGEINT))
+                * 1000000 // (CAST(n AS HUGEINT) * s0) AS BIGINT)
+             AS gini_ppm
+    FROM tot
+    """,
+    doc="Token-inequality audit: the Gini coefficient of whitespace "
+    "tokens across sources (exact integer ppm, the standard "
+    "2*sum(i*x_i)/(n*sum x) - (n+1)/n form over the ascending-sorted "
+    "source totals with a source-name tiebreak), plus each source's "
+    "cumulative Lorenz share in ppm. The one-number answer to 'how "
+    "dominated is this corpus by its largest crawls' that mix "
+    "rebalancing (source_epoch_allocation) is the response to: "
+    "gini_ppm ~ 0 is a uniform mix, ~ 1e6 is one source holding "
+    "everything. 128-bit intermediates (DECIMAL(38,0) / HUGEINT) keep "
+    "the ppm algebra exact at any corpus size.",
+)
+def token_gini_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: identical to source_epoch_allocation — ONE
+    fact-scale scan partial-combines to |sources| rows; the rank /
+    Lorenz / Gini windows all run over that catalog-sized frame (the
+    benign-global-window class). Gini needs a total order over
+    sources, which is only meaningful as a single frame; the frame is
+    |sources|, never documents."""
+    d = _t(spark, sf_dir, "documents")["documents"]
+    toks = F.size(F.split(norm_text(F.col("text")), " "))
+    src = (
+        d.filter(F.trim(F.col("text")) != "")
+        .groupBy("source")
+        .agg(F.sum(toks.cast("long")).alias("tokens"))
+    )
+    w_ord = W.orderBy("tokens", "source")
+    ranked = src.select(
+        "source",
+        "tokens",
+        F.row_number().over(w_ord).cast("long").alias("rk"),
+        F.sum("tokens")
+        .over(w_ord.rowsBetween(W.unboundedPreceding, 0))
+        .alias("cum"),
+    )
+    tot = ranked.select(
+        "source",
+        "tokens",
+        "rk",
+        "cum",
+        F.count(F.lit(1)).over(W.partitionBy()).alias("n"),
+        F.sum("tokens").over(W.partitionBy()).alias("s0"),
+        F.sum(F.col("rk") * F.col("tokens"))
+        .over(W.partitionBy())
+        .alias("s1"),
+    )
+    return tot.select(
+        "source",
+        "tokens",
+        F.expr(
+            "CAST(CAST(cum AS DECIMAL(38,0)) * 1000000 DIV s0 AS BIGINT)"
+        ).alias("cum_share_ppm"),
+        F.expr(
+            "CAST((2 * CAST(s1 AS DECIMAL(38,0))"
+            " - CAST(n + 1 AS DECIMAL(38,0)) * s0) * 1000000"
+            " DIV (CAST(n AS DECIMAL(38,0)) * s0) AS BIGINT)"
+        ).alias("gini_ppm"),
+    )

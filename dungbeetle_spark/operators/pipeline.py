@@ -397,3 +397,64 @@ def vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         "new_grams",
         F.sum("new_grams").over(w).cast("long").alias("cum_vocab"),
     )
+
+# -- duplicate-cluster size histogram ---------------------------------------
+
+
+@query(
+    "dedup_cluster_histogram",
+    oracle=f"""
+    WITH RECURSIVE
+    {_COMPONENTS_CTES},
+    comp AS (
+      SELECT node AS doc_id, MIN(lbl) AS component FROM reach GROUP BY node),
+    csizes AS (
+      SELECT component, CAST(COUNT(*) AS BIGINT) AS cluster_size
+      FROM comp GROUP BY component)
+    SELECT cluster_size,
+           CAST(COUNT(*) AS BIGINT) AS n_clusters,
+           CAST(cluster_size * COUNT(*) AS BIGINT) AS n_docs,
+           CAST(cluster_size * COUNT(*) * 1000000
+                // (SELECT SUM(cluster_size) FROM csizes) AS BIGINT)
+             AS doc_share_ppm
+    FROM csizes GROUP BY cluster_size
+    """,
+    doc="Duplicate-cluster size distribution: how many connected "
+    "components (dedup_components' exact 3-gram-Jaccard clustering) "
+    "have 1, 2, 3... members, with each size class's document count "
+    "and corpus share in exact ppm. The shape of this histogram is "
+    "the dedup health check the web-scale pipelines publish "
+    "(a heavy tail of giant clusters = boilerplate/template "
+    "contamination; mostly singletons = a clean crawl) and the input "
+    "to choosing the near-dup threshold. Output is bounded by the "
+    "largest cluster size, not the corpus.",
+)
+def dedup_cluster_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: rides dedup_components (iterative min-label
+    propagation, one shuffle per round, diameter-bounded rounds);
+    after that, two tiny keyed aggregates (components -> sizes ->
+    histogram) and a 1-row total broadcast back for the ppm share.
+    The histogram output is bounded by max cluster size."""
+    comp = dedup_components(spark, sf_dir)
+    sizes = comp.groupBy("component").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    hist = sizes.groupBy("cluster_size").agg(
+        F.count(F.lit(1)).alias("n_clusters")
+    )
+    total = sizes.agg(F.sum("cluster_size").alias("_total_docs"))
+    return (
+        hist.crossJoin(F.broadcast(total))
+        .select(
+            "cluster_size",
+            "n_clusters",
+            (F.col("cluster_size") * F.col("n_clusters"))
+            .cast("long")
+            .alias("n_docs"),
+            F.expr(
+                "CAST(cluster_size * n_clusters * 1000000"
+                " DIV _total_docs AS BIGINT)"
+            ).alias("doc_share_ppm"),
+        )
+    )
+

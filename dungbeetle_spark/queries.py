@@ -73,6 +73,8 @@ DRIVER_PRIORITY: list[str] = [
     "sketch_user_stats",
     # new in r07 -- never verified
     "anomaly_calendar_zscore",
+    "token_gini_by_source",
+    "dedup_cluster_histogram",
     # the 44 queries whose last green row is r04 (VERDICT r06 item 4:
     # nothing may go stale past two rounds). Every one is
     # code-unchanged since its last green.
@@ -120,14 +122,10 @@ DRIVER_PRIORITY: list[str] = [
     "token_length_histogram",
     "udtf_sentences",
     "user_value_outliers",
-    # 2 spare slots -> the alphabetically-first r05 greens (oldest
-    # remaining cohort), so the r05 tail starts draining too.
-    "ab_test_significance",
-    "activity_streaks",
-    # Window arithmetic: 3 changed + 1 new + 44 r04-stale + 2 r05 =
-    # exactly 50. Displaced to r08+: the other 46 r05 greens and all
-    # 50 r06 greens, all code-unchanged; the full local oracle suite
-    # re-verifies all 143 each run regardless.
+    # Window arithmetic: 3 changed + 3 new + 44 r04-stale = exactly
+    # 50. Displaced to r08+: all 48 r05 greens and all 50 r06 greens,
+    # code-unchanged; the full local oracle suite re-verifies all 145
+    # each run regardless.
 ]
 
 

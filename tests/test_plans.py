@@ -479,7 +479,17 @@ def test_rfm_scores_never_single_partition(spark, sf):
     plan = formatted_plan(df)
     assert "rangepartitioning" not in plan.lower()
     assert "ExistingRDD" in plan
-    assert len(single_partition_windows(plan)) <= 1
+    # one offsets window per rank pass, every one over the
+    # |partitions|-row counts frame (input carries _pc), never
+    # user-scale data
+    flagged = single_partition_windows(plan)
+    assert len(flagged) <= 3
+    for label in flagged:
+        wid = re.search(r"\((\d+)\)", label).group(1)
+        block = re.search(
+            rf"\({wid}\) Window\nInput \[\d+\]: \[([^\]]*)\]", plan
+        ).group(1)
+        assert "_pc#" in block, f"global window over non-offsets frame: {block}"
     m = re.search(
         r"Arguments: \[row_number\(\) windowspecdefinition\(_pid#\d+,",
         plan,
@@ -1004,3 +1014,32 @@ def test_single_partition_window_detector_fires_and_clears(spark):
     # a global agg's SinglePartition exchange must NOT read as a window
     global_agg = spark.range(100).agg(F.sum("id").alias("s"))
     assert single_partition_windows(formatted_plan(global_agg)) == []
+
+
+def test_token_gini_single_scan_windows_on_source_frame(spark, sf):
+    """token_gini_by_source: one fact-scale scan partial-combining to
+    |sources| rows; every window (rank, Lorenz cumsum, Gini totals)
+    runs over that catalog-sized frame. The global windows are the
+    benign bounded class — assert they see the aggregated 2-column
+    frame, not documents."""
+    df = _df(spark, sf, "token_gini_by_source")
+    plan = formatted_plan(df)
+    assert len(re.findall(r"^\(\d+\) Scan parquet", plan, re.M)) == 1
+    assert has_partial_aggregate(df)
+    assert "Join" not in plan
+    # the scan reads only the two referenced columns
+    schemas = scan_schemas(df)
+    assert all(s.count(":") <= 2 for s in schemas)
+
+
+def test_cluster_histogram_bounded_aggs_after_components(spark, sf):
+    """dedup_cluster_histogram: after the components fixpoint the
+    plan is two tiny keyed aggregates plus a broadcast 1-row total —
+    no cartesian, no fact-scale nested loop."""
+    df = _df(spark, sf, "dedup_cluster_histogram")
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert has_partial_aggregate(df)
+    # the total rides a 1-row broadcast (BNLJ over a scalar frame is
+    # the documented benign class)
+    assert "BroadcastNestedLoopJoin" in plan or has_broadcast_join(df)

@@ -18,6 +18,8 @@ DRIVER_WINDOW = 50
 # driver row; "never verified" only holds brand-new queries now.
 NEVER_VERIFIED: list[str] = [
     "anomaly_calendar_zscore",  # new in r07
+    "token_gini_by_source",  # new in r07
+    "dedup_cluster_histogram",  # new in r07
 ]
 
 # Operators whose code or oracle changed in round 7.
@@ -75,9 +77,6 @@ ROTATED_IN_R07 = [
     "token_length_histogram",
     "udtf_sentences",
     "user_value_outliers",
-    # + the 2 oldest r05 greens taking the spare slots
-    "ab_test_significance",
-    "activity_streaks",
 ]
 
 
