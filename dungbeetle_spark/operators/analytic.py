@@ -1308,7 +1308,9 @@ def pareto_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         # checkpoint each branch re-runs RangePartitioner sampling
         # with its own seed, and a boundary-straddling row can land
         # in different pids per branch -- silently wrong offsets.
-        .localCheckpoint()
+        # Lazy: one shared RDD + partitioner still guarantees a
+        # single sampling/evaluation, without a separate eager job.
+        .localCheckpoint(eager=False)
     )
     wl = W.partitionBy("pid").orderBy(F.desc("r"), F.asc("o_custkey")).rowsBetween(
         W.unboundedPreceding, 0

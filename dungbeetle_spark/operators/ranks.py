@@ -53,7 +53,10 @@ def global_ntile(
     ranged = (
         df.repartitionByRange(n_parts, *order_by)
         .withColumn("_pid", F.spark_partition_id())
-        .localCheckpoint()
+        # lazy: materializes once at the first action and is reused by
+        # both consumers (same single-evaluation guarantee as eager,
+        # without spending a separate job on it before the real one)
+        .localCheckpoint(eager=False)
     )
     wl = W.partitionBy("_pid").orderBy(*order_by)
     local = ranged.withColumn("_lr", F.row_number().over(wl).cast("long"))
