@@ -10,9 +10,14 @@ express the same EXACT semantics as a range-partitioned prefix-sum
    contiguous rank range. The frame is ``localCheckpoint``-ed because
    ``spark_partition_id()`` is nondeterministic and feeds two
    consumers (the local rank window and the per-partition counts);
-   without the barrier each consumer re-runs RangePartitioner
-   sampling with its own seed and a boundary-straddling row can land
-   in different partitions per consumer — silently wrong offsets.
+   without the checkpoint Catalyst compiles the shared subtree TWICE
+   into independent range shuffles whose RangePartitioner sampling
+   uses different seeds, and a boundary-straddling row can land in
+   different partitions per consumer — silently wrong offsets. The
+   checkpoint is lazy (``eager=False``): both consumers then share
+   ONE RDD object and ONE partitioner, which is the actual
+   single-evaluation guarantee, without spending a separate job on
+   up-front materialization.
 2. ``row_number`` windows BY partition id — a parallel sort of
    contiguous ranges, never a single task.
 3. Per-partition counts (|partitions| rows) cumulative-sum into rank

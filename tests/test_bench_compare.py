@@ -180,3 +180,40 @@ def test_bench_history_salvages_truncated_round():
     expect = round(0.956 * old["q1_pricing_summary"] * 1.368 / 1.467, 3)
     assert r06["q1_pricing_summary"] == expect
     assert len(r06) > 40
+
+
+def test_current_headline_fits_stdout_budget():
+    """The driver's per-query record survives only while the slim line
+    carries the full queries dict. This fails the moment HEADLINE
+    growth would push the line into the drop-queries fallback — the
+    signal to shorten names or move more detail into BENCH_FULL.json
+    BEFORE a driver round loses its timings."""
+    out = {
+        "metric": "headline_queries_total_wall",
+        "value": 9999.999,
+        "unit": "sec",
+        "queries": {n: 123.456 for n in bench.HEADLINE},
+        "sf": 0.1,
+        "canary": {
+            "queries": {n: {"sec": 1.0, "r01_sec": 1.0}
+                        for n in bench.CANARY_R01},
+            "host_factor": 1.234,
+            "note": "x",
+        },
+        "normalized_total": 9999.999,
+        "compare": {
+            "against": "BENCH_r99.json",
+            "host_factor_old_median_method": 1.234,
+            "host_factor_old_as_recorded": 1.234,
+            "normalized_ratios": {n: 1.234 for n in bench.HEADLINE},
+            "regression_threshold": 1.5,
+            "regressions": [],
+            "note": "old timings salvaged from truncated driver tail",
+        },
+    }
+    line = bench.emit_bench_line(out)
+    parsed = json.loads(line)
+    assert "queries" in parsed, (
+        f"HEADLINE ({len(bench.HEADLINE)} queries) no longer fits the "
+        f"stdout budget ({len(line)} > {bench._STDOUT_LINE_BUDGET})"
+    )

@@ -326,6 +326,19 @@ def main() -> None:
         help="x1/x4, 3 representative operators, 1 run — the CI-shape "
         "profile `pytest -m sweep` drives",
     )
+    ap.add_argument(
+        "--ops",
+        nargs="+",
+        default=None,
+        help="sweep only these operators (e.g. to re-measure a row "
+        "whose timing was polluted by concurrent load); prints the "
+        "partial table but never overwrites --out unless given",
+    )
+    ap.add_argument(
+        "--keep-data",
+        action="store_true",
+        help="keep the amplified dirs for a follow-up targeted run",
+    )
     args = ap.parse_args()
     if args.quick:
         args.factors, args.runs = [1, 4], 1
@@ -333,7 +346,7 @@ def main() -> None:
     from dungbeetle_spark.session import get_spark
 
     spark = get_spark("scale_sweep")
-    ops = (
+    ops = args.ops or (
         ["dedup_exact", "dedup_ngram_jaccard", "pareto_revenue_share"]
         if args.quick
         else None
@@ -357,7 +370,8 @@ def main() -> None:
                 "when the main factor set skips past their cap, so every "
                 "row carries a measured exponent.\n\n" + table + "\n" + NOTES
             )
-    shutil.rmtree(WORK, ignore_errors=True)
+    if not args.keep_data:
+        shutil.rmtree(WORK, ignore_errors=True)
 
 
 if __name__ == "__main__":
