@@ -593,7 +593,11 @@ def pagerank_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     # One edge-side shuffle for the whole run: degree join + explicit
     # src partitioning, then checkpoint so neither is recomputed per
     # iteration.
-    edges_d = edges.join(deg, "src").repartition("src").localCheckpoint()
+    # lazy: one RDD shared by every iteration still evaluates once,
+    # without a separate up-front job per checkpoint
+    edges_d = (
+        edges.join(deg, "src").repartition("src").localCheckpoint(eager=False)
+    )
     n_iters = 2
     # Iteration 1: every rank is the uniform 1,000,000-micro prior, so
     # the rank "join" is a constant expression on the edge scan.
@@ -603,7 +607,7 @@ def pagerank_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy(F.col("dst").alias("node"))
         .agg((F.lit(150_000) + F.sum("w")).cast("long").alias("r"))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     for it in range(1, n_iters):
         ranks = (
@@ -617,7 +621,7 @@ def pagerank_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
             # lineage the next round would re-execute; the last
             # round's output flows straight to the consumer, saving
             # one materialization barrier.
-            ranks = ranks.localCheckpoint()
+            ranks = ranks.localCheckpoint(eager=False)
     return ranks.select(
         F.when(F.col("node") % 2 == 0, F.lit("customer"))
         .otherwise(F.lit("supplier"))

@@ -206,6 +206,13 @@ NOTES = """
   price of an adversarially dense key space, already reduced from 1.6
   by typing the candidate streams (substitution self-join +
   deletion-vs-raw).
+- `curriculum_buckets` / `rfm_segments` (~0.0-0.15): the r07
+  prefix-sum global-NTILE construction (ranks.global_ntile) is flat
+  at these sizes — the rank passes shuffle only the aggregated
+  doc/user frames, and the lazy checkpoint folds materialization
+  into the consuming action. The r06 form's single-task global
+  window is gone; cost is now range-shuffle-linear in the aggregated
+  frame, invisible under the 32-core floor.
 - `pagerank_trade_graph` (~0.5-0.75, host-load-sensitive): each
   amplified copy is a disjoint subgraph, so edges grow linearly and
   the per-iteration join/agg cost with them; the sub-linear exponent
