@@ -972,8 +972,9 @@ def triangle_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         # Materialize the (tiny) edge list once: it feeds three join
         # sides, and without the checkpoint Catalyst re-executes the
         # whole fact-scan + posting-list self-join per consumer — 9
-        # fact scans instead of 1.
-        .localCheckpoint()
+        # fact scans instead of 1. Lazy: the one shared RDD still
+        # evaluates once, inside the consuming action.
+        .localCheckpoint(eager=False)
     )
     e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
     tri = (
@@ -1139,8 +1140,9 @@ def frequent_item_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
         .distinct()
         # four consumers (total, part supports, both self-join sides):
-        # materialize once or the fact scan + distinct re-execute per use
-        .localCheckpoint()
+        # materialize once or the fact scan + distinct re-execute per
+        # use; lazy — one shared RDD, evaluated inside the action
+        .localCheckpoint(eager=False)
     )
     total = op.agg(F.countDistinct("o").alias("total"))
     part_supp = op.groupBy("p").agg(F.count(F.lit(1)).alias("sup"))

@@ -47,9 +47,9 @@ def connected_components(nodes: DataFrame, pairs: DataFrame) -> DataFrame:
     edges = (
         pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
         .union(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
-    labels = nodes.select("doc_id", F.col("doc_id").alias("component")).localCheckpoint()
+    labels = nodes.select("doc_id", F.col("doc_id").alias("component")).localCheckpoint(eager=False)
     for _ in range(_CC_MAX_ITERS):
         # (1) neighbor step: min label over incident edges
         prop = (
@@ -75,7 +75,9 @@ def connected_components(nodes: DataFrame, pairs: DataFrame) -> DataFrame:
                     F.col("component"), F.coalesce("h_comp", "component")
                 ).alias("component"),
             )
-            .localCheckpoint()
+            # lazy: the convergence count below is the action that
+            # materializes this round's labels
+            .localCheckpoint(eager=False)
         )
         changed = (
             jumped.join(
