@@ -212,5 +212,10 @@ class NetConnection:
         self._sock.close()
 
 
-def connect(host: str, port: int, timeout: float = 30.0) -> NetConnection:
-    return NetConnection(host, port, timeout)
+def connect(host: str, port: int | str, timeout: float | str = 30.0) -> NetConnection:
+    """DBAPI-style entry point. String-typed ``port``/``timeout`` are
+    accepted because the config layer's ``job_store_dbapi_options``
+    are TOML-string-typed (``job_store_dbapi =
+    "dungbeetle_spark.netdbapi:connect"`` +
+    ``job_store_dbapi_options = {host = "...", port = "6060"}``)."""
+    return NetConnection(host, int(port), float(timeout))

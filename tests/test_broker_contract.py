@@ -608,3 +608,33 @@ class TestDBAPIBrokerPostgresDialectSQL:
         upserts = [s for s, _a in log if "INSERT INTO db_jobs" in s]
         assert upserts and "ON CONFLICT (job_id) DO UPDATE" in upserts[-1]
         assert "%s" in upserts[-1] and "?" not in upserts[-1]
+
+
+def test_netdbapi_broker_reachable_from_config(tmp_path):
+    """The deployment loop: a TOML config naming
+    dungbeetle_spark.netdbapi:connect (with string-typed options, as
+    TOML delivers them) must yield a working cross-process JobStore
+    over the socket — create on one store, claim + complete on
+    another, exactly once."""
+    from dungbeetle_spark import netdbapi
+    from dungbeetle_spark.config import _dbapi_factory
+
+    server = netdbapi.serve(str(tmp_path / "cfg.db"))
+    try:
+        host, port = server.address
+        factory = _dbapi_factory(
+            "dungbeetle_spark.netdbapi:connect",
+            {"host": host, "port": str(port)},  # TOML string-typed
+        )
+        from dungbeetle_spark.broker import DBAPIBroker
+
+        a = JobStore(backend=DBAPIBroker(factory), recover="attach")
+        b = JobStore(backend=DBAPIBroker(factory), recover="attach")
+        a.create(JobRecord(job_id="cfg1", task="t", queue="q"))
+        rec = b.claim(["q"], "owner-b", lease=60.0)
+        assert rec is not None and rec.job_id == "cfg1"
+        assert a.claim(["q"], "owner-a", lease=60.0) is None  # exactly once
+        assert b.set_state("cfg1", SUCCESS)
+        assert a.get("cfg1").state == SUCCESS
+    finally:
+        server.stop()
