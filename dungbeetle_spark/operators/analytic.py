@@ -1494,10 +1494,11 @@ def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     pid-partitioned row_number, and a broadcast |partitions|-row
     offset table — three parallel sorts instead of three one-task
     sorts, identical output by the closed-form NTILE bucket map (the
-    user_id tiebreak makes every ordering unique). The passes run
-    from three threads against one checkpointed base (concurrent
-    Spark jobs), and scores rejoin user-keyed: |users|-row shuffles
-    of two-long pairs, linear at any scale."""
+    user_id tiebreak makes every ordering unique). The three passes
+    branch from one checkpointed base as independent stages of a
+    single action (the DAG scheduler overlaps them), and scores
+    rejoin user-keyed: |users|-row shuffles of two-long pairs,
+    linear at any scale."""
     e = _t(spark, sf_dir, "events")["events"]
     rfm = (
         e.filter(F.col("event_type") == "purchase")
@@ -1513,15 +1514,15 @@ def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     n_parts = max(spark.sparkContext.defaultParallelism, 8)
-    # One base materialization, then the three rank passes submitted
-    # CONCURRENTLY (Spark schedules jobs from separate threads in
-    # parallel): wall-clock is one barrier + the slowest pass instead
-    # of four sequential barriers. Each pass ranges only (user_id,
-    # metric) pairs; scores join back user-keyed.
-    base = rfm.localCheckpoint()
+    # One base materialization; the three rank passes are independent
+    # branches over it whose (lazy-checkpointed) range shuffles are
+    # independent stages of the ONE consuming action — Spark runs
+    # them concurrently from the DAG, no thread orchestration needed.
+    # Each pass ranges only (user_id, metric) pairs; scores join back
+    # user-keyed.
+    base = rfm.localCheckpoint(eager=False)
 
-    def _score(arg: tuple[str, str]) -> DataFrame:
-        out, metric = arg
+    def _score(out: str, metric: str) -> DataFrame:
         return global_ntile(
             base.select("user_id", metric),
             [F.desc(metric), F.asc("user_id")],
@@ -1530,21 +1531,10 @@ def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             n_parts,
         ).select("user_id", out)
 
-    from concurrent.futures import ThreadPoolExecutor
-
-    with ThreadPoolExecutor(max_workers=3) as pool:
-        r_s, f_s, m_s = pool.map(
-            _score,
-            [
-                ("r_score", "last_epoch_day"),
-                ("f_score", "frequency"),
-                ("m_score", "monetary_cents"),
-            ],
-        )
     scored = (
-        base.join(r_s, "user_id")
-        .join(f_s, "user_id")
-        .join(m_s, "user_id")
+        base.join(_score("r_score", "last_epoch_day"), "user_id")
+        .join(_score("f_score", "frequency"), "user_id")
+        .join(_score("m_score", "monetary_cents"), "user_id")
         .select(
             "user_id",
             "last_epoch_day",

@@ -981,6 +981,8 @@ def test_registry_wide_no_cartesian_and_no_fact_nlj(spark, sf):
         "dsir_importance_weights", "frequent_item_pairs",
         "hybrid_rrf_retrieval", "integrity_audit", "q11_important_parts",
         "timeseries_topk_similar_users",
+        # r07: the duplicate-cluster histogram's 1-row corpus total
+        "dedup_cluster_histogram",
     }
     unexpected = [q for q in bnlj if q not in known_scalar_broadcast]
     assert not unexpected, (
