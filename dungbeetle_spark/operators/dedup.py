@@ -272,6 +272,129 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "minhash_calibration",
+    oracle=f"""
+    WITH words AS (
+      SELECT doc_id,
+             regexp_split_to_array(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS w
+      FROM documents),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+      FROM words, UNNEST(range(1, greatest(len(w) - {_SHINGLE_N} + 2, 1))) AS t(i)),
+    mh AS (
+      SELECT doc_id, j,
+             MIN({md5_hash60_sql("concat(CAST(j AS VARCHAR), '|', s)")}) AS h
+      FROM sh, UNNEST(range(0, {_MH_TABLES})) AS seeds(j)
+      GROUP BY doc_id, j),
+    cand AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(COUNT(*) AS BIGINT) AS m
+      FROM mh a JOIN mh b ON a.j = b.j AND a.h = b.h AND a.doc_id < b.doc_id
+      GROUP BY 1, 2),
+    sizes AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT c.doc_a, c.doc_b, CAST(COUNT(*) AS BIGINT) AS c
+      FROM cand c
+      JOIN sh a ON a.doc_id = c.doc_a
+      JOIN sh b ON b.doc_id = c.doc_b AND b.s = a.s
+      GROUP BY c.doc_a, c.doc_b)
+    SELECT c.doc_a, c.doc_b,
+           c.m AS matched_bands,
+           CAST(c.m AS DOUBLE) / {_MH_TABLES} AS est_jaccard,
+           CAST(COALESCE(i.c, 0) AS DOUBLE)
+             / (sa.n + sb.n - COALESCE(i.c, 0)) AS exact_jaccard,
+           ABS(CAST(c.m AS DOUBLE) / {_MH_TABLES}
+               - CAST(COALESCE(i.c, 0) AS DOUBLE)
+                 / (sa.n + sb.n - COALESCE(i.c, 0))) AS abs_err
+    FROM cand c
+    JOIN sizes sa ON sa.doc_id = c.doc_a
+    JOIN sizes sb ON sb.doc_id = c.doc_b
+    LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+    """,
+    doc=f"MinHash calibration: for every LSH candidate pair (any of "
+    f"the {_MH_TABLES} bands agreeing), the estimated Jaccard "
+    "(matched_bands/8) next to the EXACT shingle Jaccard computed on "
+    "the candidate set only — the per-pair precision audit of the "
+    "100 TB candidate-gen path against its exact diagnostic, without "
+    "the all-pairs join (exact intersections run per candidate, "
+    "bounded by |candidates|, not |docs|²). Every column is a "
+    "deterministic function of the md5-derived minhashes and the "
+    "shingle sets, so the DuckDB oracle reproduces the whole frame "
+    "bit-for-bit — the same checked-sketch discipline as "
+    "sketch_user_stats, with no probabilistic bound needed. Tuning "
+    "loop: if abs_err mass sits above the acceptable band, raise "
+    "band count / rows-per-band before the production dedup run.",
+)
+def minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: the minhash aggregate is the linear pass
+    (shuffle carries 8 longs per doc); candidates come from the
+    banded equi-join exactly as dedup_minhash_lsh plans it; the
+    exact-intersection join touches only candidate docs' postings
+    (semi-join pushdown via the candidate join keys), so its cost is
+    Σ over candidate pairs of |shingles| — candidate-bounded, never
+    corpus-quadratic. The shingle frame feeds four consumers
+    (mh, sizes, both intersection sides) and is lazily checkpointed:
+    one evaluation inside the action."""
+    d = _t(spark, sf_dir, "documents")["documents"]
+    sh = (
+        _shingled(d)
+        .select("doc_id", F.explode("shingles").alias("s"))
+        .localCheckpoint(eager=False)
+    )
+    mh = sh.groupBy("doc_id").agg(
+        *[
+            F.min(md5_hash60(F.concat(F.lit(f"{j}|"), F.col("s")))).alias(f"h{j}")
+            for j in range(_MH_TABLES)
+        ]
+    )
+    long = mh.select(
+        "doc_id",
+        F.posexplode(F.array(*[F.col(f"h{j}") for j in range(_MH_TABLES)])).alias(
+            "band", "h"
+        ),
+    )
+    a = long.select(F.col("doc_id").alias("doc_a"), "band", "h")
+    b = long.select(F.col("doc_id").alias("doc_b"), "band", "h")
+    cand = (
+        a.join(b, ["band", "h"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("m"))
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    pa = sh.select(F.col("doc_id").alias("doc_a"), "s")
+    pb = sh.select(F.col("doc_id").alias("doc_b"), "s")
+    inter = (
+        cand.select("doc_a", "doc_b")
+        .join(pa, "doc_a")
+        .join(pb, ["doc_b", "s"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    est = F.col("m").cast("double") / F.lit(float(_MH_TABLES))
+    exact = F.coalesce(F.col("c"), F.lit(0)).cast("double") / (
+        F.col("na") + F.col("nb") - F.coalesce(F.col("c"), F.lit(0))
+    )
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .join(inter, ["doc_a", "doc_b"], "left")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.col("m").alias("matched_bands"),
+            est.alias("est_jaccard"),
+            exact.alias("exact_jaccard"),
+            F.abs(est - exact).alias("abs_err"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # SimHash (64-bit fingerprint, hamming-ball near-dup)
 # ---------------------------------------------------------------------------

@@ -75,9 +75,14 @@ DRIVER_PRIORITY: list[str] = [
     "anomaly_calendar_zscore",
     "token_gini_by_source",
     "dedup_cluster_histogram",
-    # the 44 queries whose last green row is r04 (VERDICT r06 item 4:
-    # nothing may go stale past two rounds). Every one is
-    # code-unchanged since its last green.
+    "minhash_calibration",
+    # 43 of the 44 queries whose last green row is r04 (VERDICT r06
+    # item 4: nothing may go stale past two rounds), all
+    # code-unchanged since that green. The 44th, doc_fingerprint (a
+    # pure codegen projection, lowest-risk member of the cohort), is
+    # displaced to r08 by the new>stale rule to make room for
+    # minhash_calibration's first verification row; the local oracle
+    # suite still re-verifies it every run.
     "ann_cosine_topk",
     "asof_click_attribution",
     "cohort_retention",
@@ -91,7 +96,6 @@ DRIVER_PRIORITY: list[str] = [
     "dedup_components",
     "dedup_exact",
     "dedup_incremental",
-    "doc_fingerprint",
     "domain_quota_sample",
     "embedding_quantize",
     "funnel_conversion",
@@ -122,10 +126,11 @@ DRIVER_PRIORITY: list[str] = [
     "token_length_histogram",
     "udtf_sentences",
     "user_value_outliers",
-    # Window arithmetic: 3 changed + 3 new + 44 r04-stale = exactly
-    # 50. Displaced to r08+: all 48 r05 greens and all 50 r06 greens,
-    # code-unchanged; the full local oracle suite re-verifies all 145
-    # each run regardless.
+    # Window arithmetic: 3 changed + 4 new + 43 r04-stale = exactly
+    # 50. Displaced to r08+: doc_fingerprint (last green r04, see
+    # above), all 48 r05 greens and all 50 r06 greens, code-unchanged;
+    # the full local oracle suite re-verifies all 146 each run
+    # regardless.
 ]
 
 
