@@ -174,6 +174,19 @@ def timings_from_compare_tail(tail: str, repo: str) -> dict[str, float]:
     return out
 
 
+# Deliberate speed-for-scale trades: a flagged regression whose cause
+# is a reviewed plan change, annotated so the compare block explains
+# itself instead of looking like an accident. Keyed by query name;
+# entries only attach when that query actually crosses the threshold.
+_KNOWN_REGRESSIONS = {
+    "curriculum_buckets": (
+        "r07 rework (VERDICT r06 item 3): doc-scale global NTILE -> "
+        "range-partitioned prefix-sum; ~0.4s fixed extra jobs at "
+        "sf0.1 buys removal of the Exchange SinglePartition task"
+    ),
+}
+
+
 def _compare_block(timings: dict[str, float], host_factor: float | None,
                    against_path: str) -> dict:
     """Normalized per-query ratios vs a prior BENCH_r*.json, with a
@@ -216,6 +229,10 @@ def _compare_block(timings: dict[str, float], host_factor: float | None,
         "regression_threshold": _REGRESSION_RATIO,
         "regressions": regressions,
     }
+    known = {n: _KNOWN_REGRESSIONS[n] for n in regressions
+             if n in _KNOWN_REGRESSIONS}
+    if known:
+        block["known_regressions"] = known
     if salvaged:
         block["note"] = "old timings salvaged from truncated driver tail"
     return block

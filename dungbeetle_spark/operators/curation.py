@@ -736,6 +736,13 @@ def curriculum_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
             F.coalesce("difficulty", F.lit(0).cast("long")).alias("difficulty"),
         )
+        # global_ntile's repartitionByRange samples its input in a
+        # separate job before the shuffle; without this barrier that
+        # sampling re-executes the whole token pipeline (explode + two
+        # shuffles) a second time. Lazy: materializes inside the first
+        # job that touches it, then both the sampler and the shuffle
+        # read the stored blocks.
+        .localCheckpoint(eager=False)
     )
     n_parts = max(spark.sparkContext.defaultParallelism, 8)
     return global_ntile(

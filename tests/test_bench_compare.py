@@ -217,3 +217,26 @@ def test_current_headline_fits_stdout_budget():
         f"HEADLINE ({len(bench.HEADLINE)} queries) no longer fits the "
         f"stdout budget ({len(line)} > {bench._STDOUT_LINE_BUDGET})"
     )
+
+
+def test_known_regression_annotation_attaches_only_when_flagged(tmp_path):
+    """A flagged regression listed in _KNOWN_REGRESSIONS carries its
+    one-line justification into the compare block (and from there into
+    the slim stdout line); unflagged or unknown queries attach
+    nothing."""
+    old_timings = {name: r01 for name, r01 in bench.CANARY_R01.items()}
+    old_timings["curriculum_buckets"] = 1.0
+    old_timings["other_regressed"] = 1.0
+    old = tmp_path / "BENCH_r98.json"
+    old.write_text(json.dumps({"queries": old_timings}))
+    new_timings = {name: r01 for name, r01 in bench.CANARY_R01.items()}
+    new_timings["curriculum_buckets"] = 2.0
+    new_timings["other_regressed"] = 2.0
+    hf = bench._median_host_factor(new_timings)
+    block = bench._compare_block(new_timings, hf, str(old))
+    assert set(block["regressions"]) == {"curriculum_buckets",
+                                         "other_regressed"}
+    assert list(block["known_regressions"]) == ["curriculum_buckets"]
+    # below-threshold run: no annotation even for a listed query
+    block2 = bench._compare_block(old_timings, 1.0, str(old))
+    assert "known_regressions" not in block2
