@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
-from dungbeetle_spark.functions.texts import md5_hash60_sql, norm_text
+from dungbeetle_spark.functions.texts import md5_hash60, md5_hash60_sql, norm_text
 from dungbeetle_spark.queries import _t, query
 from dungbeetle_spark.sources.catalog import fan_out
 
@@ -156,6 +156,209 @@ def decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_grams",
             "n_contaminated",
             (F.col("n_contaminated") > 0).alias("is_contaminated"),
+        )
+    )
+
+
+# -- bloom_decontamination --------------------------------------------------
+
+# Bloom parameters: m = 2^17 bits stored as 32-bit words in BIGINTs
+# (bit 31 is the widest shift either engine needs — no sign-bit games),
+# k = 4 md5-derived probe positions per gram. At the sf0.01 eval-gram
+# load (~2.5k grams) the per-gram false-positive rate is ~6e-6; the
+# fixture filter is CONSTANT-sized by design, so growing the corpus
+# raises the measured n_false_pos — which is the point of emitting it.
+_BLOOM_M = 131072
+_BLOOM_K = 4
+_BLOOM_WORD = 32
+
+
+@query(
+    "bloom_decontamination",
+    oracle=f"""
+    WITH seeded AS (
+        SELECT doc_id,
+               text || CASE WHEN doc_id % {_EVAL_MOD} = 0 OR doc_id % {_PLANT_MOD} = 0
+                            THEN ' benchmark passage k' || CAST(doc_id % 5 AS VARCHAR)
+                                 || ' alpha beta gamma delta epsilon zeta eta'
+                            ELSE '' END AS text
+        FROM documents
+    ),
+    toks AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                           x -> x <> '') AS t
+        FROM seeded
+    ),
+    grams AS (
+        SELECT DISTINCT doc_id, array_to_string(t[i : i + {_GRAM_N - 1}], ' ') AS gram
+        FROM toks, unnest(range(1, greatest(len(t) - {_GRAM_N - 1}, 0) + 1)) AS u(i)
+    ),
+    ev AS (SELECT DISTINCT gram FROM grams WHERE doc_id % {_EVAL_MOD} = 0),
+    bits AS (
+        SELECT DISTINCT
+               {md5_hash60_sql(f"CAST(j AS VARCHAR) || ':' || gram")} % {_BLOOM_M} AS pos
+        FROM ev, unnest(range(0, {_BLOOM_K})) AS s(j)
+    ),
+    blocks AS (
+        SELECT pos // {_BLOOM_WORD} AS block,
+               CAST(bit_or(1::BIGINT << CAST(pos % {_BLOOM_WORD} AS INTEGER))
+                    AS BIGINT) AS word
+        FROM bits GROUP BY 1
+    ),
+    train AS (SELECT doc_id, gram FROM grams WHERE doc_id % {_EVAL_MOD} <> 0),
+    probes AS (
+        SELECT t.doc_id, t.gram,
+               {md5_hash60_sql(f"CAST(j AS VARCHAR) || ':' || gram")} % {_BLOOM_M} AS pos
+        FROM train t, unnest(range(0, {_BLOOM_K})) AS s(j)
+    ),
+    phit AS (
+        SELECT p.doc_id, p.gram,
+               bool_and((COALESCE(b.word, 0)
+                         & (1::BIGINT << CAST(p.pos % {_BLOOM_WORD} AS INTEGER)))
+                        <> 0) AS bloom_hit
+        FROM probes p
+        LEFT JOIN blocks b ON b.block = p.pos // {_BLOOM_WORD}
+        GROUP BY 1, 2
+    ),
+    agg AS (
+        SELECT g.doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_grams,
+               CAST(SUM(CASE WHEN ph.bloom_hit THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_bloom_hits,
+               CAST(SUM(CASE WHEN g.gram IN (SELECT gram FROM ev)
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_exact_hits
+        FROM train g JOIN phit ph ON ph.doc_id = g.doc_id AND ph.gram = g.gram
+        GROUP BY 1
+    )
+    SELECT d.doc_id,
+           COALESCE(a.n_grams, 0) AS n_grams,
+           COALESCE(a.n_bloom_hits, 0) AS n_bloom_hits,
+           COALESCE(a.n_exact_hits, 0) AS n_exact_hits,
+           COALESCE(a.n_bloom_hits, 0) - COALESCE(a.n_exact_hits, 0)
+             AS n_false_pos,
+           COALESCE(a.n_bloom_hits, 0) > 0 AS bloom_contaminated,
+           COALESCE(a.n_exact_hits, 0) > 0 AS is_contaminated,
+           COALESCE(a.n_bloom_hits, 0) >= COALESCE(a.n_exact_hits, 0)
+             AS no_false_negatives
+    FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+    WHERE d.doc_id % {_EVAL_MOD} <> 0
+    """,
+    doc=f"Bloom-filter decontamination: the eval {_GRAM_N}-gram set "
+    f"compiles into a {_BLOOM_M}-bit Bloom filter ({_BLOOM_K} "
+    "md5-derived probes per gram, 32-bit words in BIGINT blocks); "
+    "every training document's grams are membership-tested against "
+    "the filter AND against the exact eval set, emitting per doc the "
+    "bloom hit count, the exact hit count, the false-positive "
+    "surplus, both contamination flags, and the structural "
+    "no-false-negatives guarantee (bloom ⊇ exact — the checked-"
+    "sketch discipline: the oracle recomputes every bit of the "
+    "filter, so the probabilistic structure is verified exactly).",
+)
+def bloom_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The decontamination shape that survives an eval set too large
+    to broadcast as raw grams: the filter is CONSTANT-sized (2^17
+    bits = 16 KB here) no matter how many benchmarks feed it, and
+    rides to every task as ONE broadcast map row — at
+    100 TB the corpus-side probe is a pure map-side projection
+    ({_BLOOM_K} md5s + {_BLOOM_K} map lookups per gram, all JVM
+    codegen, no explode and no per-gram re-aggregation), so the only
+    corpus-scale shuffle is the per-doc count rollup. The exact-twin
+    join stays only to measure the false-positive surplus; a
+    production run drops it and keeps the filter's one-sided
+    guarantee. Filter build: |eval grams| × {_BLOOM_K} positions →
+    ≤{_BLOOM_M // _BLOOM_WORD} (block, word) rows bit_or-folded with
+    map-side partials — the mergeable-sketch property, as SQL."""
+    d = _t(spark, sf_dir, "documents")["documents"]
+    seeded_text = F.concat(
+        F.col("text"),
+        F.when(
+            (F.col("doc_id") % _EVAL_MOD == 0) | (F.col("doc_id") % _PLANT_MOD == 0),
+            F.concat(
+                F.lit(" benchmark passage k"),
+                (F.col("doc_id") % 5).cast("string"),
+                F.lit(" alpha beta gamma delta epsilon zeta eta"),
+            ),
+        ).otherwise(F.lit("")),
+    )
+    toks = F.filter(
+        F.split(F.lower(seeded_text), r"[^a-z0-9]+"), lambda x: x != ""
+    )
+    per_doc = (
+        fan_out(d.select("doc_id", "text"))
+        .select("doc_id", toks.alias("t"))
+        .select("doc_id", F.explode_outer(word_ngrams("t", _GRAM_N)).alias("gram"))
+    )
+
+    def _pos(j: int, gram) -> "F.Column":
+        return md5_hash60(
+            F.concat(F.lit(f"{j}:"), gram)
+        ) % _BLOOM_M
+
+    ev = (
+        per_doc.filter(F.col("doc_id") % _EVAL_MOD == 0)
+        .select("gram")
+        .where(F.col("gram").isNotNull())
+        .distinct()
+    )
+    bits = ev.select(
+        F.explode(
+            F.array(*[_pos(j, F.col("gram")) for j in range(_BLOOM_K)])
+        ).alias("pos")
+    )
+    blocks = bits.groupBy(
+        F.expr(f"pos DIV {_BLOOM_WORD}").alias("block")
+    ).agg(
+        F.bit_or(
+            F.expr(f"shiftleft(1L, CAST(pos % {_BLOOM_WORD} AS INT))")
+        ).alias("word")
+    )
+    # the whole filter as ONE map row (≤4096 entries, ~64 KB):
+    # broadcast-crossed into the corpus so probing is a projection.
+    fm = blocks.groupBy().agg(
+        F.map_from_entries(F.collect_list(F.struct("block", "word"))).alias("fm")
+    )
+    train = per_doc.filter(F.col("doc_id") % _EVAL_MOD != 0)
+    ev_flag = ev.withColumn("hit", F.lit(1))
+    probed = train.crossJoin(F.broadcast(fm))
+    # _BLOOM_WORD = 32 = 2^5: block/bit split stays in integer bitwise
+    # ops (pos >> 5, pos & 31) — no float division anywhere. The k
+    # probe positions materialize as columns so SQL shiftleft can take
+    # the bit index as an expression (the PySpark wrapper only accepts
+    # a literal shift).
+    for j in range(_BLOOM_K):
+        probed = probed.withColumn(f"_p{j}", _pos(j, F.col("gram")))
+    hits = [
+        F.expr(
+            f"(coalesce(element_at(fm, shiftright(_p{j}, 5)), 0L)"
+            f" & shiftleft(1L, CAST((_p{j} & {_BLOOM_WORD - 1}) AS INT))) != 0L"
+        )
+        for j in range(_BLOOM_K)
+    ]
+    bloom_hit = hits[0]
+    for h in hits[1:]:
+        bloom_hit = bloom_hit & h
+    return (
+        probed.join(F.broadcast(ev_flag), "gram", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.col("gram")).alias("n_grams"),
+            F.count(
+                F.when(F.col("gram").isNotNull() & bloom_hit, 1)
+            ).alias("n_bloom_hits"),
+            F.count(F.when(F.col("hit").isNotNull(), 1)).alias("n_exact_hits"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_bloom_hits",
+            "n_exact_hits",
+            (F.col("n_bloom_hits") - F.col("n_exact_hits")).alias("n_false_pos"),
+            (F.col("n_bloom_hits") > 0).alias("bloom_contaminated"),
+            (F.col("n_exact_hits") > 0).alias("is_contaminated"),
+            (F.col("n_bloom_hits") >= F.col("n_exact_hits")).alias(
+                "no_false_negatives"
+            ),
         )
     )
 

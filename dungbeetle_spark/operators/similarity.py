@@ -762,6 +762,199 @@ def kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Product-quantization ANN (Jégou et al. 2011) — the compressed-domain
+# scale path: 64 float dims → _PQ_M 4-bit codes (256 bytes → 4), ADC
+# search never touches raw vectors.
+# ---------------------------------------------------------------------------
+
+_PQ_M = 8  # subspaces: 64 dims / 8 per subspace
+_PQ_SUB = _DIM // _PQ_M
+_PQ_K = 16  # codewords per subspace → 4-bit codes
+_PQ_TOPK = 10
+
+
+@query(
+    "ann_pq",
+    oracle=f"""
+    WITH mic AS (
+      SELECT vec_id,
+             list_transform(CAST(embedding AS DOUBLE[]),
+                            x -> CAST(floor((x + {_KM_OFFSET}) * {_KM_SCALE})
+                                      AS BIGINT)) AS m
+      FROM embeddings),
+    dims AS (
+      SELECT vec_id, i, m[i] AS v, (i - 1) // {_PQ_SUB} AS s
+      FROM mic, unnest(range(1, {_DIM + 1})) AS u(i)),
+    cb AS (
+      SELECT vec_id - {_N_QUERIES} AS cid, i, s, v
+      FROM dims WHERE vec_id >= {_N_QUERIES}
+                  AND vec_id < {_N_QUERIES + _PQ_K}),
+    enc_d AS (
+      SELECT d.vec_id, d.s, c.cid,
+             SUM((d.v - c.v) * (d.v - c.v)) AS d2
+      FROM dims d JOIN cb c ON c.i = d.i
+      WHERE d.vec_id >= {_N_QUERIES}
+      GROUP BY 1, 2, 3),
+    codes AS (
+      SELECT vec_id, s, cid FROM (
+        SELECT vec_id, s, cid,
+               ROW_NUMBER() OVER (PARTITION BY vec_id, s
+                                  ORDER BY d2, cid) AS rk
+        FROM enc_d) WHERE rk = 1),
+    lut AS (
+      SELECT q.vec_id AS query_id, c.s, c.cid,
+             SUM((q.v - c.v) * (q.v - c.v)) AS d2
+      FROM dims q JOIN cb c ON c.i = q.i
+      WHERE q.vec_id < {_N_QUERIES}
+      GROUP BY 1, 2, 3),
+    adc AS (
+      SELECT l.query_id, co.vec_id, SUM(l.d2) AS adc_d2
+      FROM codes co JOIN lut l ON l.s = co.s AND l.cid = co.cid
+      GROUP BY 1, 2),
+    topk AS (
+      SELECT query_id, vec_id, adc_d2,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY adc_d2, vec_id) AS pq_rank
+      FROM adc
+      QUALIFY pq_rank <= {_PQ_TOPK}),
+    exact AS (
+      SELECT t.query_id, t.vec_id,
+             SUM((q.v - d.v) * (q.v - d.v)) AS exact_d2
+      FROM topk t
+      JOIN dims q ON q.vec_id = t.query_id
+      JOIN dims d ON d.vec_id = t.vec_id AND d.i = q.i
+      GROUP BY 1, 2)
+    SELECT t.query_id, t.vec_id,
+           CAST(t.pq_rank AS BIGINT) AS pq_rank,
+           CAST(t.adc_d2 AS BIGINT) AS adc_d2,
+           CAST(e.exact_d2 AS BIGINT) AS exact_d2
+    FROM topk t
+    JOIN exact e ON e.query_id = t.query_id AND e.vec_id = t.vec_id
+    """,
+    doc=f"Product-quantization ANN (Jégou et al. 2011): {_PQ_M} "
+    f"subspaces × {_PQ_K} codewords (4-bit codes — 64 float dims "
+    "compress 64×), codebooks = the deterministic seed vectors "
+    f"(vec_id {_N_QUERIES}..{_N_QUERIES + _PQ_K - 1}), asymmetric "
+    f"distance (ADC) top-{_PQ_TOPK} per query from the per-query "
+    "subspace lookup tables, then an exact re-rank distance on the "
+    "surviving candidates. Micro-quantized int64 arithmetic end to "
+    "end (the kmeans_clusters discipline), so codes, ADC distances, "
+    "exact distances, and every tiebreak are bit-identical to the "
+    "DuckDB oracle's relational replay.",
+)
+def ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Completes the ANN family (brute/LSH/IVF/PQ) with the
+    compressed-domain path: at 100 TB the encode is ONE corpus scan
+    (codebooks ride the closure — {_PQ_M}×{_DIM} ints), and stored
+    codes are 4 bytes/vector, so the ADC sweep reads 64× less than
+    any raw-vector path. Per task: numpy encodes the Arrow batch,
+    accumulates ADC via the (|queries|×{_PQ_M}×{_PQ_K}) lookup table,
+    and prunes to the local top-k per query — the shuffle ships k
+    rows per (query, partition), exactly the ann_cosine_topk shape.
+    The exact re-rank joins only the ≤|queries|×k candidate rows back
+    to raw vectors (broadcast), JVM-side zip_with/aggregate int math.
+    Python here is the measured choice: an unrolled
+    {_PQ_K}×{_PQ_SUB}-term distance tree per subspace leaves
+    whole-stage codegen (same rationale as kmeans_clusters)."""
+    e = _t(spark, sf_dir, "embeddings")["embeddings"]
+    cbpd = (
+        e.filter(
+            (F.col("vec_id") >= _N_QUERIES)
+            & (F.col("vec_id") < _N_QUERIES + _PQ_K)
+        )
+        .select("vec_id", "embedding")
+        .toPandas()
+        .sort_values("vec_id")
+    )
+    cb = _km_quant(np.array(cbpd["embedding"].tolist(), dtype=np.float64))
+    qpd = (
+        e.filter(F.col("vec_id") < _N_QUERIES)
+        .select("vec_id", "embedding")
+        .toPandas()
+        .sort_values("vec_id")
+    )
+    qids = qpd["vec_id"].to_numpy(dtype=np.int64)
+    qm = _km_quant(np.array(qpd["embedding"].tolist(), dtype=np.float64))
+    # lut[q, s, c] = exact int64 d² between query q's subvector s and
+    # codeword c — (|queries| × _PQ_M × _PQ_K) longs, closure-sized.
+    diff = qm[:, None, :] - cb[None, :, :]  # (Q, K, DIM)
+    lut = (
+        (diff * diff)
+        .reshape(len(qm), _PQ_K, _PQ_M, _PQ_SUB)
+        .sum(axis=3)
+        .transpose(0, 2, 1)  # (Q, M, K)
+    )
+    k = _PQ_TOPK
+
+    def block(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            m = _km_quant(np.array(pdf["embedding"].tolist(), dtype=np.float64))
+            cids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            adc = np.zeros((len(qm), len(m)), dtype=np.int64)
+            for s in range(_PQ_M):
+                sub = m[:, s * _PQ_SUB : (s + 1) * _PQ_SUB]
+                csub = cb[:, s * _PQ_SUB : (s + 1) * _PQ_SUB]
+                d2 = ((sub[:, None, :] - csub[None, :, :]) ** 2).sum(axis=2)
+                # argmin's first-minimum rule = ties to lowest cid,
+                # matching the oracle's ORDER BY d2, cid
+                code_s = np.argmin(d2, axis=1)
+                adc += lut[:, s, code_s]
+            out_q, out_v, out_d = [], [], []
+            for qi in range(len(qm)):
+                row = adc[qi]
+                idx = np.arange(len(m))
+                if len(idx) > k:
+                    order = np.lexsort((cids, row))[:k]
+                    idx = order
+                out_q.extend([qids[qi]] * len(idx))
+                out_v.extend(cids[idx])
+                out_d.extend(row[idx])
+            if out_q:
+                yield pd.DataFrame(
+                    {"query_id": out_q, "vec_id": out_v, "adc_d2": out_d}
+                )
+
+    sims = fan_out(
+        e.filter(F.col("vec_id") >= _N_QUERIES).select("vec_id", "embedding")
+    ).mapInPandas(block, "query_id long, vec_id long, adc_d2 long")
+    w = W.partitionBy("query_id").orderBy(F.asc("adc_d2"), F.asc("vec_id"))
+    cand = (
+        sims.withColumn("pq_rank", F.row_number().over(w))
+        .filter(F.col("pq_rank") <= k)
+    )
+    quant = lambda c: F.transform(  # noqa: E731 — shared JVM twin of _km_quant
+        c,
+        lambda x: F.floor(
+            (x.cast("double") + F.lit(float(_KM_OFFSET)))
+            * F.lit(float(_KM_SCALE))
+        ).cast("long"),
+    )
+    qframe = (
+        e.filter(F.col("vec_id") < _N_QUERIES)
+        .select(F.col("vec_id").alias("query_id"), quant("embedding").alias("qv"))
+    )
+    cframe = e.select("vec_id", quant("embedding").alias("cv"))
+    exact = F.aggregate(
+        F.zip_with("qv", "cv", lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return (
+        F.broadcast(cand.join(F.broadcast(qframe), "query_id"))
+        .join(cframe, "vec_id")
+        .select(
+            "query_id",
+            "vec_id",
+            F.col("pq_rank").cast("long").alias("pq_rank"),
+            "adc_d2",
+            exact.alias("exact_d2"),
+        )
+    )
+
+
 _RRF_K = 60
 _RRF_LIST = 20  # fusion depth per modality
 _RRF_TOP = 5

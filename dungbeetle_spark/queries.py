@@ -76,13 +76,16 @@ DRIVER_PRIORITY: list[str] = [
     "token_gini_by_source",
     "dedup_cluster_histogram",
     "minhash_calibration",
-    # 43 of the 44 queries whose last green row is r04 (VERDICT r06
+    "ann_pq",
+    "bloom_decontamination",
+    # 41 of the 44 queries whose last green row is r04 (VERDICT r06
     # item 4: nothing may go stale past two rounds), all
-    # code-unchanged since that green. The 44th, doc_fingerprint (a
-    # pure codegen projection, lowest-risk member of the cohort), is
-    # displaced to r08 by the new>stale rule to make room for
-    # minhash_calibration's first verification row; the local oracle
-    # suite still re-verifies it every run.
+    # code-unchanged since that green. Three — doc_fingerprint,
+    # quality_score, lang_id (all pure codegen projections, the
+    # lowest-risk members of the cohort) — are displaced to r08 by
+    # the new>stale rule to make room for the six never-verified r07
+    # queries; the local oracle suite still re-verifies them every
+    # run.
     "ann_cosine_topk",
     "asof_click_attribution",
     "cohort_retention",
@@ -100,7 +103,6 @@ DRIVER_PRIORITY: list[str] = [
     "embedding_quantize",
     "funnel_conversion",
     "grouping_sets_sales",
-    "lang_id",
     "multimodal_features",
     "multimodal_frame_sample",
     "multimodal_resize",
@@ -113,7 +115,6 @@ DRIVER_PRIORITY: list[str] = [
     "q21_latest_shippers",
     "q8_market_share",
     "q9_product_profit",
-    "quality_score",
     "range_join_order_context",
     "sessionize_events",
     "streaming_distinct_daily",
@@ -126,11 +127,11 @@ DRIVER_PRIORITY: list[str] = [
     "token_length_histogram",
     "udtf_sentences",
     "user_value_outliers",
-    # Window arithmetic: 3 changed + 4 new + 43 r04-stale = exactly
-    # 50. Displaced to r08+: doc_fingerprint (last green r04, see
-    # above), all 48 r05 greens and all 50 r06 greens, code-unchanged;
-    # the full local oracle suite re-verifies all 146 each run
-    # regardless.
+    # Window arithmetic: 3 changed + 6 new + 41 r04-stale = exactly
+    # 50. Displaced to r08+: doc_fingerprint / quality_score / lang_id
+    # (last green r04, see above), all 48 r05 greens and all 50 r06
+    # greens, code-unchanged; the full local oracle suite re-verifies
+    # all 148 each run regardless.
 ]
 
 

@@ -983,6 +983,10 @@ def test_registry_wide_no_cartesian_and_no_fact_nlj(spark, sf):
         "timeseries_topk_similar_users",
         # r07: the duplicate-cluster histogram's 1-row corpus total
         "dedup_cluster_histogram",
+        # r07: the Bloom filter as ONE broadcast map row (<=4096
+        # entries, ~64 KB constant regardless of corpus size) crossed
+        # into the gram frame — probing is a pure projection
+        "bloom_decontamination",
     }
     unexpected = [q for q in bnlj if q not in known_scalar_broadcast]
     assert not unexpected, (
@@ -1045,3 +1049,32 @@ def test_cluster_histogram_bounded_aggs_after_components(spark, sf):
     # the total rides a 1-row broadcast (BNLJ over a scalar frame is
     # the documented benign class)
     assert "BroadcastNestedLoopJoin" in plan or has_broadcast_join(df)
+
+
+def test_ann_pq_candidate_rerank_broadcasts(spark, sf):
+    """PQ's exact re-rank touches ≤ |queries|×k candidate rows: both
+    the candidate frame and the query-vector frame must broadcast
+    onto the raw-vector scan — a sort-merge join here would shuffle
+    the corpus for a 100-row lookup. The ADC sweep itself is the
+    mapInPandas encode pass plus one window rank."""
+    df = _df(spark, sf, "ann_pq")
+    plan = formatted_plan(df)
+    assert has_broadcast_join(df)
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_bloom_probe_is_projection_no_gram_explosion(spark, sf):
+    """The Bloom probe must stay a map-side projection: the k=4 probe
+    positions are inline md5 expressions against the ONE broadcast
+    filter row — never an explode(positions) + join + per-gram
+    re-aggregation (which would shuffle 4× the gram stream). The only
+    corpus-scale aggregation keys are gram-build distinct and the
+    per-doc rollup."""
+    df = _df(spark, sf, "bloom_decontamination")
+    plan = formatted_plan(df)
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    # gram distinct (2-stage) + doc rollup + filter build aggs; the
+    # probe itself must add no exchange beyond these
+    assert shuffle_exchanges(df) <= 8

@@ -21,6 +21,8 @@ NEVER_VERIFIED: list[str] = [
     "token_gini_by_source",  # new in r07
     "dedup_cluster_histogram",  # new in r07
     "minhash_calibration",  # new in r07
+    "ann_pq",  # new in r07
+    "bloom_decontamination",  # new in r07
 ]
 
 # Operators whose code or oracle changed in round 7.
@@ -30,12 +32,13 @@ CHANGED_THIS_ROUND = [
     "sketch_user_stats",  # exact percentile split out of sketch aggregate
 ]
 
-# The r04-staleness debt paid this round (VERDICT r06 item 4): 43 of
+# The r04-staleness debt paid this round (VERDICT r06 item 4): 41 of
 # the 44 queries whose last green row was r04, all code-unchanged, all
-# in the r07 window so no green goes stale past two rounds. The 44th,
-# doc_fingerprint, is displaced to r08 by the new>stale rule (the four
-# NEVER_VERIFIED queries outrank a code-unchanged stale green); it
-# stays covered by the local oracle suite meanwhile.
+# in the r07 window so no green goes stale past two rounds. Three —
+# doc_fingerprint, quality_score, lang_id — are displaced to r08 by
+# the new>stale rule (the six NEVER_VERIFIED queries outrank a
+# code-unchanged stale green); they stay covered by the local oracle
+# suite meanwhile.
 ROTATED_IN_R07 = [
     "ann_cosine_topk",
     "asof_click_attribution",
@@ -54,7 +57,6 @@ ROTATED_IN_R07 = [
     "embedding_quantize",
     "funnel_conversion",
     "grouping_sets_sales",
-    "lang_id",
     "multimodal_features",
     "multimodal_frame_sample",
     "multimodal_resize",
@@ -67,7 +69,6 @@ ROTATED_IN_R07 = [
     "q21_latest_shippers",
     "q8_market_share",
     "q9_product_profit",
-    "quality_score",
     "range_join_order_context",
     "sessionize_events",
     "streaming_distinct_daily",
