@@ -86,9 +86,13 @@ HEADLINE = [
     "skipgram_pairs",
     "source_epoch_allocation",
     "sketch_user_stats",
-    # r07 additions: calendar-spine anomaly twin, corpus inequality audit
+    # r07 additions: calendar-spine anomaly twin, corpus inequality
+    # audit, sketch-precision calibration, PQ ANN, Bloom membership
     "anomaly_calendar_zscore",
     "token_gini_by_source",
+    "minhash_calibration",
+    "ann_pq",
+    "bloom_decontamination",
 ]
 
 # Host-drift canary (ADVICE r04: one hardcoded-anchor query is noisy

