@@ -93,6 +93,8 @@ HEADLINE = [
     "minhash_calibration",
     "ann_pq",
     "bloom_decontamination",
+    "dataset_mix_temperature",
+    "char_bigram_surprisal",
 ]
 
 # Host-drift canary (ADVICE r04: one hardcoded-anchor query is noisy

@@ -548,6 +548,113 @@ def dataset_mix_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -- dataset_mix_temperature ------------------------------------------------
+
+
+@query(
+    "dataset_mix_temperature",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, source,
+               CAST(len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                                    x -> x <> '')) AS BIGINT) AS n_tok
+        FROM documents
+    ),
+    counts AS (
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+               CAST(floor(sqrt(CAST(SUM(n_tok) AS DOUBLE))) AS BIGINT) AS w
+        FROM toks GROUP BY source
+    ),
+    tot AS (
+        SELECT CAST(SUM(n_tokens) AS BIGINT) AS tot_tokens,
+               CAST(SUM(w) AS BIGINT) AS tot_w,
+               MIN(CAST(n_tokens AS DOUBLE) / w) AS k
+        FROM counts
+    ),
+    rates AS (
+        SELECT c.source, c.n_docs, c.n_tokens,
+               c.n_tokens * 1000000 // t.tot_tokens AS natural_ppm,
+               c.w * 1000000 // t.tot_w AS temp_ppm,
+               CAST(floor(least(t.k * c.w / c.n_tokens, 1.0) * 65536)
+                    AS BIGINT) AS thr
+        FROM counts c, tot t
+    )
+    SELECT r.source, r.n_docs, r.n_tokens, r.natural_ppm, r.temp_ppm, r.thr,
+           CAST(COUNT(*) FILTER (WHERE
+                ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 4))::BIGINT
+                < r.thr) AS BIGINT) AS n_sampled
+    FROM rates r JOIN documents d ON d.source = r.source
+    GROUP BY 1, 2, 3, 4, 5, 6
+    """,
+    doc="Temperature-scaled source mixing (T=2, the multilingual-LM "
+    "standard): per-source sampling weights ∝ sqrt(token count) — "
+    "floor(sqrt()) keeps every weight an exact int64, so shares are "
+    "exact ppm via integer DIV and the whole audit is bit-stable "
+    "cross-engine. Emits per source: doc/token counts, the natural "
+    "share, the temperature share, the 16-bit md5 keep threshold "
+    "(binding source kept whole, same construction as "
+    "dataset_mix_weighted), and the realized sampled-doc count. "
+    "Downsampling only — the repeat/epoch side of the recipe lives "
+    "in source_epoch_allocation.",
+)
+def dataset_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: token counting is a map-side projection folded
+    into ONE source-keyed aggregate (|sources| output rows); the
+    weight/threshold table is catalog-sized and broadcasts back onto
+    the corpus for the membership count — the second corpus pass is a
+    scan + broadcast join + filtered count, no corpus shuffle
+    anywhere (the only exchanges carry |sources| rows). At 100 TB
+    both passes are embarrassingly parallel scans; the md5-threshold
+    membership means re-ingestion never flips a document's fate."""
+    d = _t(spark, sf_dir, "documents")["documents"]
+    n_tok = F.size(
+        F.filter(F.split(F.lower(F.col("text")), r"[^a-z0-9]+"), lambda x: x != "")
+    ).cast("long")
+    counts = (
+        fan_out(d.select("doc_id", "source", "text"))
+        .select("source", n_tok.alias("n_tok"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("n_tokens"),
+        )
+        .withColumn(
+            "w", F.floor(F.sqrt(F.col("n_tokens").cast("double"))).cast("long")
+        )
+    )
+    tot = counts.select(
+        F.sum("n_tokens").alias("tot_tokens"),
+        F.sum("w").alias("tot_w"),
+        F.min(F.col("n_tokens").cast("double") / F.col("w")).alias("k"),
+    )
+    rates = counts.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.expr("n_tokens * 1000000 DIV tot_tokens").alias("natural_ppm"),
+        F.expr("w * 1000000 DIV tot_w").alias("temp_ppm"),
+        F.floor(
+            F.least(F.col("k") * F.col("w") / F.col("n_tokens"), F.lit(1.0))
+            * 65536
+        )
+        .cast("long")
+        .alias("thr"),
+    )
+    prefix = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10
+    ).cast("long")
+    return (
+        d.select("doc_id", "source")
+        .join(F.broadcast(rates), "source")
+        .groupBy("source", "n_docs", "n_tokens", "natural_ppm", "temp_ppm", "thr")
+        .agg(
+            F.count(F.when(prefix < F.col("thr"), 1)).alias("n_sampled")
+        )
+    )
+
+
 # -- token_length_histogram -------------------------------------------------
 
 

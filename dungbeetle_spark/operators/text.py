@@ -755,3 +755,110 @@ def skipgram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return counted.orderBy(
         F.col("n").desc(), "w1", "w2"
     ).limit(_SKIP_TOP_K)
+
+
+# -- char_bigram_surprisal --------------------------------------------------
+
+
+@query(
+    "char_bigram_surprisal",
+    oracle="""
+    WITH nt AS (
+        SELECT doc_id,
+               trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
+        FROM documents
+    ),
+    bg AS (
+        SELECT doc_id, substr(t, i, 2) AS b
+        FROM nt, unnest(range(1, greatest(length(t), 1))) AS u(i)
+        WHERE length(t) >= 2
+    ),
+    model AS (
+        SELECT b, CAST(COUNT(*) AS BIGINT) AS cnt FROM bg GROUP BY b
+    ),
+    tot AS (
+        SELECT CAST(SUM(cnt) AS BIGINT) AS n,
+               CAST(length(bin(SUM(cnt))) - 1 AS BIGINT) AS log2_tot
+        FROM model
+    ),
+    scored AS (
+        SELECT g.doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+               CAST(SUM(t.log2_tot - (length(bin(m.cnt)) - 1)) AS BIGINT)
+                 AS total_bits
+        FROM bg g JOIN model m ON m.b = g.b CROSS JOIN tot t
+        GROUP BY g.doc_id
+    )
+    SELECT d.doc_id,
+           COALESCE(s.n_bigrams, 0) AS n_bigrams,
+           COALESCE(s.total_bits, 0) AS total_bits,
+           CASE WHEN COALESCE(s.n_bigrams, 0) = 0 THEN 0
+                ELSE s.total_bits * 1000 // s.n_bigrams END AS mean_millibits
+    FROM documents d LEFT JOIN scored s ON s.doc_id = d.doc_id
+    """,
+    doc="Corpus-trained character-bigram surprisal — the CCNet-style "
+    "perplexity-filter step with exact integer arithmetic: the model "
+    "is the corpus's own bigram frequency table, a document's "
+    "surprisal is Σ (⌊log2 N⌋ − ⌊log2 count(b)⌋) 'bits of surprise' "
+    "over its bigram instances (rare transitions cost more), and "
+    "⌊log2⌋ is computed as length(bin(n))−1 — an exact integer in "
+    "both engines, so scores match bit-for-bit with no libm log "
+    "anywhere. Emits per doc the bigram count, total bits, and "
+    "mean milli-bits (DIV-exact); high mean-surprisal docs are the "
+    "gibberish/boilerplate outliers a perplexity filter drops.",
+)
+def char_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two linear corpus passes, both embarrassingly parallel: (1)
+    train — the bigram explode folds into ONE map-side-combined
+    aggregate whose output is charset²-bounded (≤ a few thousand rows
+    at ANY corpus size — the model is constant-sized like the Bloom
+    filter); (2) score — re-derive bigrams, broadcast-join the model,
+    per-doc rollup (partial aggs shrink the shuffle to one row per
+    doc per partition). The intermediate exploded frame is never
+    materialized (recomputing beats writing a chars-scale frame at
+    100 TB). ⌊log2⌋ via bin()-string length keeps every score in
+    exact int64 — no floating point in the whole plan."""
+    d = _t(spark, sf_dir, "documents")["documents"]
+    nt = norm_text(F.col("text"))
+    # sequence(1, 0) is DESCENDING in Spark (the word_ngrams guard):
+    # docs shorter than one bigram must contribute an empty array.
+    bigrams = F.when(
+        F.length(nt) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.length(nt) - 1),
+            lambda i: nt.substr(i, F.lit(2)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    base = fan_out(d.select("doc_id", "text")).select(
+        "doc_id", F.explode_outer(bigrams).alias("b")
+    )
+    model = (
+        base.where(F.col("b").isNotNull())
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    tot = model.select(
+        (F.length(F.expr("bin(sum(cnt))")) - 1).cast("long").alias("log2_tot")
+    )
+    bits = (
+        F.col("log2_tot") - (F.length(F.expr("bin(cnt)")) - 1).cast("long")
+    )
+    scored = (
+        base.join(F.broadcast(model), "b", "left")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.col("b")).alias("n_bigrams"),
+            F.coalesce(
+                F.sum(F.when(F.col("b").isNotNull(), bits)), F.lit(0).cast("long")
+            ).alias("total_bits"),
+        )
+    )
+    return scored.select(
+        "doc_id",
+        "n_bigrams",
+        "total_bits",
+        F.when(F.col("n_bigrams") == 0, F.lit(0).cast("long"))
+        .otherwise(F.expr("total_bits * 1000 DIV n_bigrams"))
+        .alias("mean_millibits"),
+    )

@@ -78,12 +78,15 @@ DRIVER_PRIORITY: list[str] = [
     "minhash_calibration",
     "ann_pq",
     "bloom_decontamination",
-    # 41 of the 44 queries whose last green row is r04 (VERDICT r06
+    "dataset_mix_temperature",
+    "char_bigram_surprisal",
+    # 39 of the 44 queries whose last green row is r04 (VERDICT r06
     # item 4: nothing may go stale past two rounds), all
-    # code-unchanged since that green. Three — doc_fingerprint,
-    # quality_score, lang_id (all pure codegen projections, the
-    # lowest-risk members of the cohort) — are displaced to r08 by
-    # the new>stale rule to make room for the six never-verified r07
+    # code-unchanged since that green. Five — doc_fingerprint,
+    # quality_score, lang_id, token_count (pure codegen projections)
+    # and token_length_histogram (bounded-output audit), the
+    # lowest-risk members of the cohort — are displaced to r08 by the
+    # new>stale rule to make room for the eight never-verified r07
     # queries; the local oracle suite still re-verifies them every
     # run.
     "ann_cosine_topk",
@@ -123,15 +126,14 @@ DRIVER_PRIORITY: list[str] = [
     "streaming_stream_stream_join",
     "streaming_windowed_counts",
     "time_rollup_events",
-    "token_count",
-    "token_length_histogram",
     "udtf_sentences",
     "user_value_outliers",
-    # Window arithmetic: 3 changed + 6 new + 41 r04-stale = exactly
+    # Window arithmetic: 3 changed + 8 new + 39 r04-stale = exactly
     # 50. Displaced to r08+: doc_fingerprint / quality_score / lang_id
-    # (last green r04, see above), all 48 r05 greens and all 50 r06
-    # greens, code-unchanged; the full local oracle suite re-verifies
-    # all 148 each run regardless.
+    # / token_count / token_length_histogram (last green r04, see
+    # above), all 48 r05 greens and all 50 r06 greens, code-unchanged;
+    # the full local oracle suite re-verifies all 150 each run
+    # regardless.
 ]
 
 

@@ -987,6 +987,10 @@ def test_registry_wide_no_cartesian_and_no_fact_nlj(spark, sf):
         # entries, ~64 KB constant regardless of corpus size) crossed
         # into the gram frame — probing is a pure projection
         "bloom_decontamination",
+        # r07: 1-row totals frames (tot_tokens/tot_w; corpus log2
+        # total) crossed into catalog-sized or broadcast-joined frames
+        "dataset_mix_temperature",
+        "char_bigram_surprisal",
     }
     unexpected = [q for q in bnlj if q not in known_scalar_broadcast]
     assert not unexpected, (

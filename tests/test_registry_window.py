@@ -23,6 +23,8 @@ NEVER_VERIFIED: list[str] = [
     "minhash_calibration",  # new in r07
     "ann_pq",  # new in r07
     "bloom_decontamination",  # new in r07
+    "dataset_mix_temperature",  # new in r07
+    "char_bigram_surprisal",  # new in r07
 ]
 
 # Operators whose code or oracle changed in round 7.
@@ -32,13 +34,13 @@ CHANGED_THIS_ROUND = [
     "sketch_user_stats",  # exact percentile split out of sketch aggregate
 ]
 
-# The r04-staleness debt paid this round (VERDICT r06 item 4): 41 of
+# The r04-staleness debt paid this round (VERDICT r06 item 4): 39 of
 # the 44 queries whose last green row was r04, all code-unchanged, all
-# in the r07 window so no green goes stale past two rounds. Three —
-# doc_fingerprint, quality_score, lang_id — are displaced to r08 by
-# the new>stale rule (the six NEVER_VERIFIED queries outrank a
-# code-unchanged stale green); they stay covered by the local oracle
-# suite meanwhile.
+# in the r07 window so no green goes stale past two rounds. Five —
+# doc_fingerprint, quality_score, lang_id, token_count,
+# token_length_histogram — are displaced to r08 by the new>stale rule
+# (the eight NEVER_VERIFIED queries outrank a code-unchanged stale
+# green); they stay covered by the local oracle suite meanwhile.
 ROTATED_IN_R07 = [
     "ann_cosine_topk",
     "asof_click_attribution",
@@ -77,8 +79,6 @@ ROTATED_IN_R07 = [
     "streaming_stream_stream_join",
     "streaming_windowed_counts",
     "time_rollup_events",
-    "token_count",
-    "token_length_histogram",
     "udtf_sentences",
     "user_value_outliers",
 ]

@@ -54,6 +54,10 @@ SWEEP_OPS = [
     ("dedup_containment", 4),  # same Σ|posting|² join as jaccard
     # r07: the prefix-sum NTILE construction (3 chained passes)
     ("rfm_segments", None),  # range shuffles of the |users| frame: O(n)
+    # r07 additions
+    ("ann_pq", None),  # encode+ADC one scan, candidate-bounded rerank
+    ("bloom_decontamination", None),  # constant filter, probe O(grams)
+    ("minhash_calibration", 4),  # near-dup copies pair ×k² in bands
 ]
 
 # Sub-factor ladder for capped operators: when the requested factor
