@@ -360,3 +360,40 @@ def test_results_invariant_under_shuffle_partitioning(spark, sf_oracle, name):
         rows = spec.build(s, sf_oracle).collect()
         results.append(sorted(tuple(r) for r in rows))
     assert results[0] == results[1], f"{name}: partitioning changed values"
+
+
+@given(st.data())
+@settings(max_examples=8, deadline=None)
+def test_global_ntile_matches_spark_window_ntile(spark, data):
+    """The range-partitioned prefix-sum construction (ranks.global_ntile)
+    must equal Spark's own NTILE over an empty PARTITION BY for ANY
+    multiset of keys and any k — including N < k, heavy ties (broken
+    by the unique id), and k = 1. This is the exactness claim the
+    curriculum/RFM rework rides on."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from dungbeetle_spark.operators.ranks import global_ntile
+
+    n = data.draw(st.integers(1, 40))
+    k = data.draw(st.integers(1, 7))
+    keys = data.draw(
+        st.lists(st.integers(-5, 5), min_size=n, max_size=n)
+    )
+    df = spark.createDataFrame(
+        [(i, keys[i]) for i in range(n)], "id long, key long"
+    )
+    got = {
+        r.id: r.bucket
+        for r in global_ntile(
+            df, [F.asc("key"), F.asc("id")], k, "bucket", 4
+        ).collect()
+    }
+    want = {
+        r.id: r.bucket
+        for r in df.withColumn(
+            "bucket",
+            F.ntile(k).over(W.partitionBy().orderBy(F.asc("key"), F.asc("id"))),
+        ).collect()
+    }
+    assert got == want
