@@ -58,6 +58,7 @@ SWEEP_OPS = [
     ("ann_pq", None),  # encode+ADC one scan, candidate-bounded rerank
     ("bloom_decontamination", None),  # constant filter, probe O(grams)
     ("minhash_calibration", 4),  # near-dup copies pair ×k² in bands
+    ("char_bigram_surprisal", None),  # 2 scans, constant model: O(n)
 ]
 
 # Sub-factor ladder for capped operators: when the requested factor
@@ -240,6 +241,19 @@ NOTES = """
 - `join_skew_profile` deliberately reads un-offset `l_partkey`
   copies: per-key counts grow k-fold, which is exactly the skew the
   operator exists to measure; its own cost stays one aggregate pass.
+- r07 additions: `ann_pq` is one encode+ADC scan with a constant
+  query/codebook closure and a candidate-bounded re-rank — expect
+  flat-to-linear. `bloom_decontamination`'s filter is CONSTANT
+  (2^17 bits) while amplified eval grams grow ~k-fold, so the filter
+  saturates and the false-positive surplus rises with scale — the
+  probe itself stays one projection pass over grams.
+  `char_bigram_surprisal` is two linear scans against a
+  charset²-bounded model. `minhash_calibration` is capped at x4:
+  amplified copies are near-duplicates BY CONSTRUCTION (text differs
+  only in a version suffix), so LSH candidate pairs grow ~k² and the
+  candidate-bounded exact-intersection join grows with them — the
+  amplification manufactures the worst case the calibration exists
+  to price; organic corpora pair far more sparsely.
 """
 
 
