@@ -4,10 +4,18 @@ Images/audio/video are opaque ``binary`` columns with a typed metadata
 struct alongside — the standard lakehouse layout for multimodal
 training data. The Spark-side plumbing here is real and tested:
 schema, Arrow batch shape, ``mapInPandas`` partition-parallel UDF
-signature, and partition sizing. The *codec* step (actual JPEG/audio
-decode) is stubbed behind ``decode_stub`` because no image/audio
-libraries exist in this container — swap ``_decode_batch``'s body for
-pillow/torchaudio in production; nothing else changes.
+signature, and partition sizing. Two codec tiers:
+
+* **Real, no libraries (r07)**: 24-bit BMP and PCM16 WAV are parsed
+  for real in numpy/struct (``decode_bmp``/``decode_wav``) — header
+  validation, row strides, bottom-up flip, RIFF chunk walk — and the
+  matching encoders write spec-compliant bytes. Oracle-checked end to
+  end in ``multimodal_real_decode``.
+* **Compressed formats** (JPEG/MP4/compressed audio) are stubbed
+  behind ``decode_stub`` because no codec libraries exist in this
+  container — swap ``_decode_batch``'s body for pillow/torchaudio in
+  production; nothing else changes (pillow is auto-detected for the
+  resize path when present).
 
 Scale notes: ``mapInPandas`` streams Arrow batches (no per-row Python
 overhead); binary payloads never shuffle — feature extraction happens
@@ -323,3 +331,270 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return media.mapInPandas(_frame_sample_batch, schema=FRAME_SCHEMA).select(
         "media_id", "frame_idx"
     )
+
+
+# ---------------------------------------------------------------------------
+# REAL decode, zero codec libraries: BMP (24-bit) + WAV (PCM16) in
+# numpy/struct. Unlike the stub path above, nothing here is faked —
+# the encoder writes spec-compliant files (any image viewer opens the
+# BMPs) and the decoder parses headers, strides, chunk lists, and
+# bottom-up row order for real. The pixel/sample CONTENT is a
+# deterministic function of doc_id, which is what lets a DuckDB oracle
+# replay the decoded features bit-for-bit by enumerating the same
+# functions — the "checked codec" analog of the checked-sketch
+# discipline in sketch_user_stats.
+# ---------------------------------------------------------------------------
+
+REAL_DECODE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("media_type", T.StringType(), False),
+        T.StructField("width", T.IntegerType(), False),
+        T.StructField("height", T.IntegerType(), False),
+        T.StructField("mean_b_milli", T.LongType(), False),
+        T.StructField("mean_g_milli", T.LongType(), False),
+        T.StructField("mean_r_milli", T.LongType(), False),
+        T.StructField("n_samples", T.LongType(), False),
+        T.StructField("sum_abs", T.LongType(), False),
+        T.StructField("peak", T.LongType(), False),
+    ]
+)
+
+_WAV_RATE = 8000
+
+
+def _bmp_pixels(doc_id: int):
+    """The deterministic test-pattern: (h, w, 3) uint8 in IMAGE
+    coordinates (x left→right, y top→bottom, channels B,G,R as BMP
+    stores them). v(x,y,c) = (doc_id*31 + 7x + 13y + 97c) mod 256 —
+    the closed form the DuckDB oracle enumerates with range()."""
+    import numpy as np
+
+    w, h = 16 + doc_id % 8, 12 + doc_id % 6
+    x = np.arange(w, dtype=np.int64) * 7
+    y = np.arange(h, dtype=np.int64) * 13
+    c = np.arange(3, dtype=np.int64) * 97
+    v = (doc_id * 31 + x[None, :, None] + y[:, None, None] + c[None, None, :]) % 256
+    return v.astype("uint8")
+
+
+def _wav_samples(doc_id: int):
+    """PCM16 test tone: s(i) = (doc_id*131 + 17i) mod 4096 − 2048."""
+    import numpy as np
+
+    n = 64 + doc_id % 32
+    i = np.arange(n, dtype=np.int64)
+    return ((doc_id * 131 + i * 17) % 4096 - 2048).astype("<i2")
+
+
+def encode_bmp(pixels) -> bytes:
+    """Spec-compliant 24-bit uncompressed BMP: BITMAPFILEHEADER +
+    BITMAPINFOHEADER, rows bottom-up, each row padded to 4 bytes."""
+    import struct
+
+    import numpy as np
+
+    h, w, _ = pixels.shape
+    stride = (w * 3 + 3) // 4 * 4
+    rows = np.zeros((h, stride), dtype=np.uint8)
+    rows[:, : w * 3] = pixels[::-1].reshape(h, w * 3)  # bottom-up
+    data = rows.tobytes()
+    header = struct.pack("<2sIHHI", b"BM", 54 + len(data), 0, 0, 54) + struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(data), 2835, 2835, 0, 0
+    )
+    return header + data
+
+
+def encode_wav(samples) -> bytes:
+    """Spec-compliant RIFF/WAVE, one PCM16 mono 'fmt ' + 'data' chunk."""
+    import struct
+
+    data = samples.astype("<i2").tobytes()
+    return (
+        struct.pack("<4sI4s", b"RIFF", 36 + len(data), b"WAVE")
+        + struct.pack(
+            "<4sIHHIIHH", b"fmt ", 16, 1, 1, _WAV_RATE, _WAV_RATE * 2, 2, 16
+        )
+        + struct.pack("<4sI", b"data", len(data))
+        + data
+    )
+
+
+def decode_bmp(payload: bytes):
+    """Real BMP parse: magic, pixel offset, dims, bpp, row stride and
+    the bottom-up flip. Returns (h, w, 3) uint8 in image coordinates.
+    Raises ValueError on anything that isn't uncompressed 24-bit."""
+    import struct
+
+    import numpy as np
+
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP: bad magic")
+    (offset,) = struct.unpack_from("<I", payload, 10)
+    hdr_size, w, h = struct.unpack_from("<Iii", payload, 14)
+    planes, bpp = struct.unpack_from("<HH", payload, 26)
+    (compression,) = struct.unpack_from("<I", payload, 30)
+    if hdr_size < 40 or planes != 1 or bpp != 24 or compression != 0:
+        raise ValueError(f"unsupported BMP variant: bpp={bpp}")
+    if h <= 0:  # top-down BMPs store negative height; fixture is bottom-up
+        raise ValueError("top-down BMP not expected here")
+    stride = (w * 3 + 3) // 4 * 4
+    rows = np.frombuffer(payload, dtype=np.uint8, count=h * stride, offset=offset)
+    return rows.reshape(h, stride)[::-1, : w * 3].reshape(h, w, 3)
+
+
+def decode_wav(payload: bytes):
+    """Real RIFF chunk walk (not a fixed-offset grab: a compliant
+    reader must tolerate extra chunks before 'data'). Returns the
+    int16 sample array; ValueError on non-PCM16-mono."""
+    import struct
+
+    import numpy as np
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a WAV: bad RIFF/WAVE magic")
+    pos, fmt_ok, data = 12, False, None
+    while pos + 8 <= len(payload):
+        cid, clen = struct.unpack_from("<4sI", payload, pos)
+        body = payload[pos + 8 : pos + 8 + clen]
+        if cid == b"fmt ":
+            tag, ch, _rate, _br, _ba, bits = struct.unpack_from("<HHIIHH", body, 0)
+            if (tag, ch, bits) != (1, 1, 16):
+                raise ValueError(f"unsupported WAV: tag={tag} ch={ch} bits={bits}")
+            fmt_ok = True
+        elif cid == b"data":
+            data = body
+        pos += 8 + clen + (clen & 1)  # RIFF chunks are 2-byte aligned
+    if not fmt_ok or data is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    return np.frombuffer(data, dtype="<i2")
+
+
+def _encode_real_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """doc_id → real media bytes. Even ids become BMPs, odd ids WAVs."""
+    for pdf in batches:
+        payloads, types = [], []
+        for did in pdf["doc_id"]:
+            did = int(did)
+            if did % 2 == 0:
+                payloads.append(encode_bmp(_bmp_pixels(did)))
+                types.append("image/bmp")
+            else:
+                payloads.append(encode_wav(_wav_samples(did)))
+                types.append("audio/wav")
+        yield pd.DataFrame(
+            {
+                "media_id": pd.Series(pdf["doc_id"], dtype="int64"),
+                "payload": payloads,
+                "media_type": types,
+            }
+        )
+
+
+def _decode_real_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Real decode → integer-exact features. Non-applicable fields are
+    0 sentinels (not NULL) so every engine's comparator folds them
+    identically. Means are milli-units via integer floor division —
+    matches the oracle's `//` on positive ints exactly."""
+    out_cols = [f.name for f in REAL_DECODE_SCHEMA.fields]
+    for pdf in batches:
+        rows = []
+        for mid, payload, mtype in zip(
+            pdf["media_id"], pdf["payload"], pdf["media_type"]
+        ):
+            payload = bytes(payload)
+            if mtype == "image/bmp":
+                px = decode_bmp(payload)
+                h, w, _ = px.shape
+                n = w * h
+                sums = px.astype("int64").sum(axis=(0, 1))  # B, G, R
+                rows.append(
+                    (
+                        int(mid), mtype, w, h,
+                        int(sums[0]) * 1000 // n,
+                        int(sums[1]) * 1000 // n,
+                        int(sums[2]) * 1000 // n,
+                        0, 0, 0,
+                    )
+                )
+            else:
+                s = decode_wav(payload).astype("int64")
+                rows.append(
+                    (
+                        int(mid), mtype, 0, 0, 0, 0, 0,
+                        int(s.size), int(abs(s).sum()), int(abs(s).max()),
+                    )
+                )
+        yield pd.DataFrame(rows, columns=out_cols)
+
+
+@query(
+    "multimodal_real_decode",
+    oracle="""
+    WITH img AS (
+      SELECT doc_id, 16 + doc_id % 8 AS w, 12 + doc_id % 6 AS h
+      FROM documents WHERE doc_id % 2 = 0),
+    px AS (
+      SELECT doc_id, w, h,
+             CAST(SUM((doc_id*31 + x.i*7 + y.i*13) % 256) AS BIGINT) AS sum_b,
+             CAST(SUM((doc_id*31 + x.i*7 + y.i*13 + 97) % 256) AS BIGINT) AS sum_g,
+             CAST(SUM((doc_id*31 + x.i*7 + y.i*13 + 194) % 256) AS BIGINT) AS sum_r
+      FROM img, UNNEST(range(0, w)) AS x(i), UNNEST(range(0, h)) AS y(i)
+      GROUP BY 1, 2, 3),
+    aud AS (
+      SELECT doc_id, 64 + doc_id % 32 AS n FROM documents WHERE doc_id % 2 = 1),
+    smp AS (
+      SELECT doc_id, n,
+             CAST(SUM(ABS((doc_id*131 + t.i*17) % 4096 - 2048)) AS BIGINT) AS sum_abs,
+             CAST(MAX(ABS((doc_id*131 + t.i*17) % 4096 - 2048)) AS BIGINT) AS peak
+      FROM aud, UNNEST(range(0, n)) AS t(i)
+      GROUP BY 1, 2)
+    SELECT doc_id AS media_id, 'image/bmp' AS media_type,
+           CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+           CAST(sum_b * 1000 // (w*h) AS BIGINT) AS mean_b_milli,
+           CAST(sum_g * 1000 // (w*h) AS BIGINT) AS mean_g_milli,
+           CAST(sum_r * 1000 // (w*h) AS BIGINT) AS mean_r_milli,
+           CAST(0 AS BIGINT) AS n_samples,
+           CAST(0 AS BIGINT) AS sum_abs, CAST(0 AS BIGINT) AS peak
+    FROM px
+    UNION ALL
+    SELECT doc_id, 'audio/wav', 0, 0, 0, 0, 0,
+           CAST(n AS BIGINT), sum_abs, peak
+    FROM smp
+    """,
+    doc="REAL media decode with zero codec libraries: every document "
+    "becomes a spec-compliant 24-bit BMP (even doc_id) or PCM16-mono "
+    "WAV (odd doc_id) whose pixels/samples are a closed-form function "
+    "of doc_id; one mapInPandas pass writes the real file bytes "
+    "(headers, padded bottom-up BMP rows, RIFF chunks) and a second "
+    "genuinely parses them back (magic, strides, chunk walk, row "
+    "flip) into integer-exact features — per-channel mean in "
+    "milli-units for images, sample count / abs-sum / peak for audio. "
+    "The oracle replays the closed forms with range() enumeration, so "
+    "a single flipped channel, wrong stride pad, or off-by-one in the "
+    "bottom-up flip hash-fails. 0 (not NULL) marks fields of the "
+    "other media family. Upgrades the stubbed codec path: the "
+    "plumbing AND a real decoder are now both checked; only "
+    "compressed formats (JPEG etc.) still gate on pillow.",
+)
+def multimodal_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: encode and decode chain as two narrow mapInPandas
+    stages over the scan — no shuffle anywhere (PLANS.md row: 0
+    exchanges); payload bytes live only inside the pipeline between
+    the two Arrow passes and never move between executors. At 100 TB
+    the encode pass disappears (real corpora already store the bytes)
+    and the decode pass is the same scan-side pattern pillow/ffmpeg
+    would slot into, feature output ~70 bytes/row regardless of media
+    size."""
+    d = _t(spark, sf_dir, "documents")["documents"].select("doc_id")
+    media = d.mapInPandas(
+        _encode_real_batch,
+        schema=T.StructType(
+            [
+                T.StructField("media_id", T.LongType(), False),
+                T.StructField("payload", T.BinaryType(), False),
+                T.StructField("media_type", T.StringType(), False),
+            ]
+        ),
+    )
+    return media.mapInPandas(_decode_real_batch, schema=REAL_DECODE_SCHEMA)

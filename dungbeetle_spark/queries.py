@@ -80,21 +80,21 @@ DRIVER_PRIORITY: list[str] = [
     "bloom_decontamination",
     "dataset_mix_temperature",
     "char_bigram_surprisal",
-    # 39 of the 44 queries whose last green row is r04 (VERDICT r06
+    "multimodal_real_decode",
+    # 38 of the 44 queries whose last green row is r04 (VERDICT r06
     # item 4: nothing may go stale past two rounds), all
-    # code-unchanged since that green. Five — doc_fingerprint,
-    # quality_score, lang_id, token_count (pure codegen projections)
-    # and token_length_histogram (bounded-output audit), the
-    # lowest-risk members of the cohort — are displaced to r08 by the
-    # new>stale rule to make room for the eight never-verified r07
-    # queries; the local oracle suite still re-verifies them every
-    # run.
+    # code-unchanged since that green. Six — doc_fingerprint,
+    # quality_score, lang_id, token_count (pure codegen projections),
+    # token_length_histogram (bounded-output audit) and
+    # cube_order_stats (single-scan cube aggregate), the lowest-risk
+    # members of the cohort — are displaced to r08 by the new>stale
+    # rule to make room for the nine never-verified r07 queries; the
+    # local oracle suite still re-verifies them every run.
     "ann_cosine_topk",
     "asof_click_attribution",
     "cohort_retention",
     "corpus_clean",
     "countmin_sketch",
-    "cube_order_stats",
     "customer_set_ops",
     "customer_status_except_all",
     "dataset_mix_weighted",
@@ -128,12 +128,12 @@ DRIVER_PRIORITY: list[str] = [
     "time_rollup_events",
     "udtf_sentences",
     "user_value_outliers",
-    # Window arithmetic: 3 changed + 8 new + 39 r04-stale = exactly
+    # Window arithmetic: 3 changed + 9 new + 38 r04-stale = exactly
     # 50. Displaced to r08+: doc_fingerprint / quality_score / lang_id
-    # / token_count / token_length_histogram (last green r04, see
-    # above), all 48 r05 greens and all 50 r06 greens, code-unchanged;
-    # the full local oracle suite re-verifies all 150 each run
-    # regardless.
+    # / token_count / token_length_histogram / cube_order_stats (last
+    # green r04, see above), all 48 r05 greens and all 50 r06 greens,
+    # code-unchanged; the full local oracle suite re-verifies all 151
+    # each run regardless.
 ]
 
 
