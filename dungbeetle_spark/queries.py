@@ -60,80 +60,68 @@ def query(name: str, oracle: str | None = None, doc: str = ""):
 # least one green driver row. Names not listed follow in registration
 # order; unknown names here are an error (caught by tests).
 DRIVER_PRIORITY: list[str] = [
-    # -- r07 window ---------------------------------------------------
-    # changed this round -- MUST re-verify (rotation rule):
-    # curriculum_buckets + rfm_segments reworked onto the
-    # ranks.global_ntile prefix-sum construction (VERDICT r06 items
-    # 3/5 -- no more doc-scale Exchange SinglePartition windows);
-    # sketch_user_stats' exact-percentile twin moved into its own
-    # aggregate pass so the sketch aggregate is bounded-memory again
-    # (ADVICE r06).
-    "curriculum_buckets",
-    "rfm_segments",
-    "sketch_user_stats",
-    # new in r07 -- never verified
-    "anomaly_calendar_zscore",
-    "token_gini_by_source",
-    "dedup_cluster_histogram",
-    "minhash_calibration",
-    "ann_pq",
-    "bloom_decontamination",
-    "dataset_mix_temperature",
-    "char_bigram_surprisal",
-    "multimodal_real_decode",
-    # 38 of the 44 queries whose last green row is r04 (VERDICT r06
-    # item 4: nothing may go stale past two rounds), all
-    # code-unchanged since that green. Six — doc_fingerprint,
-    # quality_score, lang_id, token_count (pure codegen projections),
-    # token_length_histogram (bounded-output audit) and
-    # cube_order_stats (single-scan cube aggregate), the lowest-risk
-    # members of the cohort — are displaced to r08 by the new>stale
-    # rule to make room for the nine never-verified r07 queries; the
-    # local oracle suite still re-verifies them every run.
-    "ann_cosine_topk",
-    "asof_click_attribution",
-    "cohort_retention",
-    "corpus_clean",
-    "countmin_sketch",
-    "customer_set_ops",
-    "customer_status_except_all",
-    "dataset_mix_weighted",
-    "decontamination",
-    "dedup_components",
-    "dedup_exact",
-    "dedup_incremental",
-    "domain_quota_sample",
-    "embedding_quantize",
-    "funnel_conversion",
-    "grouping_sets_sales",
-    "multimodal_features",
-    "multimodal_frame_sample",
-    "multimodal_resize",
-    "pii_scrub_stats",
-    "q11_important_parts",
-    "q15_top_supplier",
-    "q16_part_supplier_variety",
-    "q17_small_quantity_revenue",
-    "q20_qualified_suppliers",
-    "q21_latest_shippers",
-    "q8_market_share",
-    "q9_product_profit",
-    "range_join_order_context",
-    "sessionize_events",
-    "streaming_distinct_daily",
-    "streaming_segment_volume",
-    "streaming_sessionize",
-    "streaming_stream_stream_join",
-    "streaming_windowed_counts",
-    "time_rollup_events",
-    "udtf_sentences",
-    "user_value_outliers",
-    # Window arithmetic: 3 changed + 9 new + 38 r04-stale = exactly
-    # 50. Displaced to r08+: doc_fingerprint / quality_score / lang_id
-    # / token_count / token_length_histogram / cube_order_stats (last
-    # green r04, see above), all 48 r05 greens and all 50 r06 greens,
-    # code-unchanged; the full local oracle suite re-verifies all 151
-    # each run regardless.
+    # -- r08 window ---------------------------------------------------
+    # Rotation rule: new/changed queries first, then stalest greens.
+    # Nothing changed code-wise at the start of r08, so the window is
+    # pure staleness repayment (VERDICT r07 item 3): the 6 queries
+    # whose last green driver row is r04 head the list, followed by
+    # the 44 oldest r05 greens. New r08 queries are inserted at the
+    # TOP of this list as they land, each displacing the last r05
+    # entry (displaced so far — none yet; remaining r05 cohort:
+    # user_value_trend, vocab_growth, zorder_layout_stats wait for
+    # r09 with the r06 cohort).
+    # last green r04:
+    "cube_order_stats",
+    "doc_fingerprint",
+    "lang_id",
+    "quality_score",
+    "token_count",
+    "token_length_histogram",
+    # last green r05 (oldest 44 of 47, alphabetical):
+    "ab_test_significance",
+    "activity_streaks",
+    "ann_ivf",
+    "ann_lsh_bucketed",
+    "anomaly_daily_zscore",
+    "bitmap_distinct_users",
+    "collated_event_type_counts",
+    "cross_source_overlap_matrix",
+    "dedup_canonical_keep",
+    "dedup_embedding_cosine",
+    "dedup_exact_substring",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dsir_importance_weights",
+    "event_transition_matrix",
+    "events_variant_stats",
+    "frequent_item_pairs",
+    "funnel_time_bounded",
+    "fuzzy_join_customers",
+    "hybrid_rrf_retrieval",
+    "incremental_agg_maintenance",
+    "integrity_audit",
+    "interevent_gap_histogram",
+    "join_cardinality_forecast",
+    "join_skew_profile",
+    "kmeans_clusters",
+    "lateral_topk_orders",
+    "listagg_nation_suppliers",
+    "multimodal_feature_stats",
+    "ordered_set_event_stats",
+    "pagerank_trade_graph",
+    "pareto_revenue_share",
+    "q12_shipping_delay",
+    "quality_filter_funnel",
+    "recursive_daily_spine",
+    "repetition_stats",
+    "scd2_user_type_history",
+    "semdedup",
+    "sequence_pack",
+    "source_lang_drift",
+    "streaming_quality_filter",
+    "timeseries_topk_similar_users",
+    "triangle_cohorts",
+    "unpivot_user_metrics",
 ]
 
 

@@ -16,71 +16,71 @@ DRIVER_WINDOW = 50
 
 # Every registry query is oracle-backed and has had at least one
 # driver row; "never verified" only holds brand-new queries now.
-NEVER_VERIFIED: list[str] = [
-    "anomaly_calendar_zscore",  # new in r07
-    "token_gini_by_source",  # new in r07
-    "dedup_cluster_histogram",  # new in r07
-    "minhash_calibration",  # new in r07
-    "ann_pq",  # new in r07
-    "bloom_decontamination",  # new in r07
-    "dataset_mix_temperature",  # new in r07
-    "char_bigram_surprisal",  # new in r07
-]
+# New r08 queries are appended here as they land (each must also be
+# inserted at the top of DRIVER_PRIORITY).
+NEVER_VERIFIED: list[str] = []
 
-# Operators whose code or oracle changed in round 7.
-CHANGED_THIS_ROUND = [
-    "curriculum_buckets",  # global NTILE -> ranks.global_ntile prefix-sum
-    "rfm_segments",  # three global NTILEs -> prefix-sum passes
-    "sketch_user_stats",  # exact percentile split out of sketch aggregate
-]
+# Operators whose code or oracle changed in round 8.
+CHANGED_THIS_ROUND: list[str] = []
 
-# The r04-staleness debt paid this round (VERDICT r06 item 4): 39 of
-# the 44 queries whose last green row was r04, all code-unchanged, all
-# in the r07 window so no green goes stale past two rounds. Five —
-# doc_fingerprint, quality_score, lang_id, token_count,
-# token_length_histogram — are displaced to r08 by the new>stale rule
-# (the eight NEVER_VERIFIED queries outrank a code-unchanged stale
-# green); they stay covered by the local oracle suite meanwhile.
-ROTATED_IN_R07 = [
-    "ann_cosine_topk",
-    "asof_click_attribution",
-    "cohort_retention",
-    "corpus_clean",
-    "countmin_sketch",
+# The r08 rotation (VERDICT r07 item 3): pure staleness repayment —
+# the 6 queries whose last green row is r04 (displaced from the r07
+# window by the new>stale rule) plus the 44 oldest r05 greens, all
+# code-unchanged. Three r05 greens (user_value_trend, vocab_growth,
+# zorder_layout_stats) wait at the front of the r09 queue and will be
+# displaced further if new r08 queries land; the local oracle suite
+# still re-verifies all of them every run.
+ROTATED_IN_R08 = [
     "cube_order_stats",
-    "customer_set_ops",
-    "customer_status_except_all",
-    "dataset_mix_weighted",
-    "decontamination",
-    "dedup_components",
-    "dedup_exact",
-    "dedup_incremental",
-    "domain_quota_sample",
-    "embedding_quantize",
-    "funnel_conversion",
-    "grouping_sets_sales",
-    "multimodal_features",
-    "multimodal_frame_sample",
-    "multimodal_resize",
-    "pii_scrub_stats",
-    "q11_important_parts",
-    "q15_top_supplier",
-    "q16_part_supplier_variety",
-    "q17_small_quantity_revenue",
-    "q20_qualified_suppliers",
-    "q21_latest_shippers",
-    "q8_market_share",
-    "q9_product_profit",
-    "range_join_order_context",
-    "sessionize_events",
-    "streaming_distinct_daily",
-    "streaming_segment_volume",
-    "streaming_sessionize",
-    "streaming_stream_stream_join",
-    "streaming_windowed_counts",
-    "time_rollup_events",
-    "udtf_sentences",
-    "user_value_outliers",
+    "doc_fingerprint",
+    "lang_id",
+    "quality_score",
+    "token_count",
+    "token_length_histogram",
+    "ab_test_significance",
+    "activity_streaks",
+    "ann_ivf",
+    "ann_lsh_bucketed",
+    "anomaly_daily_zscore",
+    "bitmap_distinct_users",
+    "collated_event_type_counts",
+    "cross_source_overlap_matrix",
+    "dedup_canonical_keep",
+    "dedup_embedding_cosine",
+    "dedup_exact_substring",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dsir_importance_weights",
+    "event_transition_matrix",
+    "events_variant_stats",
+    "frequent_item_pairs",
+    "funnel_time_bounded",
+    "fuzzy_join_customers",
+    "hybrid_rrf_retrieval",
+    "incremental_agg_maintenance",
+    "integrity_audit",
+    "interevent_gap_histogram",
+    "join_cardinality_forecast",
+    "join_skew_profile",
+    "kmeans_clusters",
+    "lateral_topk_orders",
+    "listagg_nation_suppliers",
+    "multimodal_feature_stats",
+    "ordered_set_event_stats",
+    "pagerank_trade_graph",
+    "pareto_revenue_share",
+    "q12_shipping_delay",
+    "quality_filter_funnel",
+    "recursive_daily_spine",
+    "repetition_stats",
+    "scd2_user_type_history",
+    "semdedup",
+    "sequence_pack",
+    "source_lang_drift",
+    "streaming_quality_filter",
+    "timeseries_topk_similar_users",
+    "triangle_cohorts",
+    "unpivot_user_metrics",
 ]
 
 
@@ -95,7 +95,7 @@ def test_window_covers_unverified_and_changed():
     window = list(registry())[:DRIVER_WINDOW]
     missing = [
         n
-        for n in NEVER_VERIFIED + CHANGED_THIS_ROUND + ROTATED_IN_R07
+        for n in NEVER_VERIFIED + CHANGED_THIS_ROUND + ROTATED_IN_R08
         if n not in window
     ]
     assert not missing, f"outside the driver's first-{DRIVER_WINDOW} window: {missing}"
