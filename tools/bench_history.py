@@ -51,6 +51,13 @@ def load_rounds(
         if "parsed" in data and isinstance(data["parsed"], dict):
             data = data["parsed"]
         q = data.get("queries") or {}
+        if not q:
+            # r08+ compact stdout form, or a parsed-null round with a
+            # pinned archive: timings live in the round's archived full
+            # record (bench.archive_full_records / hand-pinned r07)
+            full = bench._full_record_for(os.path.join(repo, fn), data)
+            if full:
+                q = full.get("queries") or {}
         if not q and isinstance(tail, str):
             q = timings_from_compare_tail(tail, repo)
             q.update(timings_from_tail(tail))  # direct values win
