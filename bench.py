@@ -104,6 +104,19 @@ HEADLINE = [
 # their ratios, so a real regression in any one anchor can't silently
 # skew the factor. The raw total stays the primary metric —
 # normalized_total is advisory context for cross-round comparison.
+# Host-canary anchors: five queries untouched since r01, whose median
+# time ratio vs the anchor values gives each run's host_factor.
+#
+# Re-anchored in r08 (VERDICT r07 item 7): the r01 anchor times dated
+# five rounds back on a host that drifted 1.37x -> 1.41x, so per-anchor
+# drift noise was accumulating around the median. The active basis is
+# now the r07-measured values (from the provenance-checked
+# BENCH_FULL_r07.json); the old r01 basis is kept below for the
+# record. Both old and new runs in any comparison are normalized with
+# the SAME basis (_median_host_factor is applied to both sides), so
+# the re-anchor rescales every host factor consistently and cannot
+# skew cross-round ratios; only the absolute host_factor /
+# normalized_total scale changes (r07-like host == 1.0 now).
 CANARY_R01 = {
     "q6_forecast_revenue": 0.201,
     "q14_promo_revenue": 0.328,
@@ -111,6 +124,17 @@ CANARY_R01 = {
     "text_stats": 0.249,
     "token_count": 0.225,
 }
+# r07 measured seconds for the same anchors; r01->r07 per-anchor
+# ratios 1.463 / 1.598 / 1.409 / 1.345 / 1.289 (median 1.409 — the
+# recorded r07 host_factor under the old basis).
+CANARY_R07 = {
+    "q6_forecast_revenue": 0.294,
+    "q14_promo_revenue": 0.524,
+    "order_priority_count": 0.734,
+    "text_stats": 0.335,
+    "token_count": 0.290,
+}
+CANARY_ANCHORS = CANARY_R07
 
 
 _REGRESSION_RATIO = 1.5  # normalized per-query ratio that flags
@@ -122,8 +146,8 @@ def _median_host_factor(timings: dict[str, float]) -> float | None:
     comparison never mixes canary methodologies (the r04-vs-r05
     confusion VERDICT r05 item 4 asks to prevent mechanically)."""
     ratios = sorted(
-        timings[name] / r01
-        for name, r01 in CANARY_R01.items()
+        timings[name] / anchor
+        for name, anchor in CANARY_ANCHORS.items()
         if timings.get(name)
     )
     return round(ratios[len(ratios) // 2], 3) if ratios else None
@@ -510,11 +534,17 @@ def main() -> None:
         "sf": sf,
         "canary": {
             "queries": {
-                name: {"sec": timings.get(name), "r01_sec": r01}
-                for name, r01 in CANARY_R01.items()
+                name: {
+                    "sec": timings.get(name),
+                    "anchor_sec": anchor,
+                    "r01_sec": CANARY_R01[name],
+                }
+                for name, anchor in CANARY_ANCHORS.items()
             },
             "host_factor": host_factor,
-            "note": "median ratio over r01-untouched anchors; advisory",
+            "basis": "r07",
+            "note": "median ratio over r01-untouched anchors, r07-"
+                    "measured basis (re-anchored r08); advisory",
         },
         "normalized_total": (
             round(total / host_factor, 3) if host_factor else None

@@ -16,16 +16,16 @@ import bench
 
 
 def test_median_host_factor_is_median_of_anchor_ratios():
-    timings = {name: r01 * 2.0 for name, r01 in bench.CANARY_R01.items()}
+    timings = {name: r01 * 2.0 for name, r01 in bench.CANARY_ANCHORS.items()}
     assert bench._median_host_factor(timings) == 2.0
     # a single regressed anchor cannot move the median
-    worst = next(iter(bench.CANARY_R01))
-    timings[worst] = bench.CANARY_R01[worst] * 50.0
+    worst = next(iter(bench.CANARY_ANCHORS))
+    timings[worst] = bench.CANARY_ANCHORS[worst] * 50.0
     assert bench._median_host_factor(timings) == 2.0
 
 
 def test_compare_block_flags_only_normalized_regressions(tmp_path):
-    old_timings = {name: r01 for name, r01 in bench.CANARY_R01.items()}
+    old_timings = {name: r01 for name, r01 in bench.CANARY_ANCHORS.items()}
     old_timings["steady_query"] = 1.0
     old_timings["regressed_query"] = 1.0
     old = tmp_path / "BENCH_r98.json"
@@ -35,7 +35,7 @@ def test_compare_block_flags_only_normalized_regressions(tmp_path):
     # new run: host uniformly 2x slower (anchors doubled). steady_query
     # doubles with the host (ratio 1.0); regressed_query is 4x raw =
     # 2x normalized -> flagged.
-    new_timings = {name: r01 * 2 for name, r01 in bench.CANARY_R01.items()}
+    new_timings = {name: r01 * 2 for name, r01 in bench.CANARY_ANCHORS.items()}
     new_timings["steady_query"] = 2.0
     new_timings["regressed_query"] = 4.0
     hf = bench._median_host_factor(new_timings)
@@ -62,16 +62,16 @@ def test_compare_block_unwraps_driver_recorded_shape(tmp_path):
     the comparison must read through the wrap (found live in r06: the
     first auto-compare against BENCH_r05.json silently produced zero
     ratios)."""
-    inner = {"queries": {n: r for n, r in bench.CANARY_R01.items()},
+    inner = {"queries": {n: r for n, r in bench.CANARY_ANCHORS.items()},
              "canary": {"host_factor": 1.0}}
     old = tmp_path / "BENCH_r99.json"
     old.write_text(json.dumps({"n": 5, "rc": 0, "tail": "...", "parsed": inner}))
-    new_timings = {n: r * 3 for n, r in bench.CANARY_R01.items()}
+    new_timings = {n: r * 3 for n, r in bench.CANARY_ANCHORS.items()}
     block = bench._compare_block(
         new_timings, bench._median_host_factor(new_timings), str(old)
     )
     assert block["host_factor_old_median_method"] == 1.0
-    assert len(block["normalized_ratios"]) == len(bench.CANARY_R01)
+    assert len(block["normalized_ratios"]) == len(bench.CANARY_ANCHORS)
     assert block["regressions"] == []
 
 
@@ -174,7 +174,7 @@ def test_archive_and_reload_full_record_roundtrip(tmp_path):
         "metric": "headline_queries_total_wall",
         "value": 42.5,
         "unit": "sec",
-        "queries": dict(bench.CANARY_R01),
+        "queries": dict(bench.CANARY_ANCHORS),
         "sf": 0.1,
         "canary": {"host_factor": 1.0},
         "normalized_total": 42.5,
@@ -198,13 +198,13 @@ def test_archive_and_reload_full_record_roundtrip(tmp_path):
     assert bench.archive_full_records(str(tmp_path)) == []
     # simulate the next round overwriting BENCH_FULL.json, then compare
     (tmp_path / "BENCH_FULL.json").write_text(json.dumps({"value": 1.0}))
-    new_timings = {n: r * 2 for n, r in bench.CANARY_R01.items()}
+    new_timings = {n: r * 2 for n, r in bench.CANARY_ANCHORS.items()}
     block = bench._compare_block(
         new_timings,
         bench._median_host_factor(new_timings),
         str(tmp_path / "BENCH_r98.json"),
     )
-    assert len(block["normalized_ratios"]) == len(bench.CANARY_R01)
+    assert len(block["normalized_ratios"]) == len(bench.CANARY_ANCHORS)
     assert block["regressions"] == []
     assert block["note"] == "old timings loaded from archived full record"
 
@@ -252,12 +252,12 @@ def test_known_regression_annotation_attaches_only_when_flagged(tmp_path):
     one-line justification into the compare block (and from there into
     the slim stdout line); unflagged or unknown queries attach
     nothing."""
-    old_timings = {name: r01 for name, r01 in bench.CANARY_R01.items()}
+    old_timings = {name: r01 for name, r01 in bench.CANARY_ANCHORS.items()}
     old_timings["curriculum_buckets"] = 1.0
     old_timings["other_regressed"] = 1.0
     old = tmp_path / "BENCH_r98.json"
     old.write_text(json.dumps({"queries": old_timings}))
-    new_timings = {name: r01 for name, r01 in bench.CANARY_R01.items()}
+    new_timings = {name: r01 for name, r01 in bench.CANARY_ANCHORS.items()}
     new_timings["curriculum_buckets"] = 2.0
     new_timings["other_regressed"] = 2.0
     hf = bench._median_host_factor(new_timings)
