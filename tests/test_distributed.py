@@ -627,3 +627,180 @@ path = "{results}"
             proc.kill()
         server.stop()
         core.stop()
+
+def test_worker_only_socket_broker_cancel_and_reclaim(spark, tmp_path):
+    """VERDICT r07 item 4: the full two-process topology with the
+    netdbapi TCP socket server as the ONLY store. Process A (HTTP +
+    producer) and a real ``--worker-only`` process B each reach the
+    broker exclusively through ``dungbeetle_spark.netdbapi:connect``
+    (B config-wired through the TOML seam, exactly as a served
+    Postgres would be). Exercised over the wire:
+
+    - delivery: B claims and executes A's job, A reads the results;
+    - cancel: A purges a job mid-stage, B's watcher interrupts its
+      Spark stage (proved by a conc-1 follow-up finishing fast) and
+      the terminal write cannot resurrect the purged row;
+    - crash-reclaim: B is SIGKILLed mid-job; its STARTED row (stale
+      heartbeat) is re-claimed by a live store over the same socket.
+    """
+    from dungbeetle_spark import netdbapi
+    from dungbeetle_spark.broker import DBAPIBroker
+    from dungbeetle_spark.client import Client
+    from dungbeetle_spark.http_api import Server
+
+    db = str(tmp_path / "net_jobs.db")
+    net = netdbapi.serve(db)
+    host, port = net.address
+    results = str(tmp_path / "results")
+    sqldir = tmp_path / "sql"
+    sqldir.mkdir()
+    (sqldir / "tasks.sql").write_text(
+        "-- name: slow_sleep\n"
+        "-- raw: 1\n"
+        "-- queue: solo\n"
+        "-- conc: 1\n"
+        "SELECT reflect('java.lang.Thread', 'sleep', 45000L) AS slept;\n"
+        "\n"
+        "-- name: quick_count\n"
+        "-- queue: solo\n"
+        "-- conc: 1\n"
+        "-- raw: 1\n"
+        "SELECT COUNT(*) AS n FROM events;\n"
+    )
+    cfg = tmp_path / "worker.toml"
+    cfg.write_text(
+        f"""
+sql_directory = "{sqldir}"
+
+[app]
+job_store_dbapi = "dungbeetle_spark.netdbapi:connect"
+job_store_dialect = "sqlite"
+
+[app.job_store_dbapi_options]
+host = "{host}"
+port = "{port}"
+
+[db.testdata]
+path = "/root/testdata/sf0.001"
+
+[results.default]
+path = "{results}"
+"""
+    )
+
+    core = Core(
+        spark,
+        jobstore_backend=DBAPIBroker(
+            lambda: netdbapi.connect(host, port), dialect="sqlite"
+        ),
+        distributed=True,
+        claim_queues=[],
+    )
+    core.add_source("testdata", "/root/testdata/sf0.001")
+    core.add_result_backend("default", results)
+    core.load_task_dirs([str(sqldir)])
+    core.start()
+    server = Server(core, "127.0.0.1", 0)
+    server.start()
+
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(
+        os.environ,
+        SPARK_GRAFT_CPUS="2",
+        SPARK_GRAFT_DRIVER_MEM="2g",
+        PYTHONPATH=repo_root
+        + (os.pathsep + os.environ["PYTHONPATH"] if os.environ.get("PYTHONPATH") else ""),
+    )
+    workdir = tmp_path / "workerproc"
+    workdir.mkdir()
+    proc = subprocess.Popen(
+        [sys.executable, "-m", "dungbeetle_spark", "--config", str(cfg), "--worker-only"],
+        cwd=str(workdir),
+        env=env,
+        stdout=subprocess.PIPE,
+        stderr=subprocess.STDOUT,
+    )
+    try:
+        client = Client(server.address, timeout=10)
+
+        # -- delivery over the socket ----------------------------------
+        client.post_job("quick_count", job_id="net_warmup")
+        try:
+            st = client.wait("net_warmup", timeout=150, poll=0.5)
+        except TimeoutError:
+            proc.kill()
+            out = (proc.communicate(timeout=10)[0] or b"").decode(errors="replace")
+            raise AssertionError(
+                f"worker never came up on the socket broker; output:\n{out[-3000:]}"
+            )
+        assert st["state"] == "SUCCESS" and st["count"] > 0
+        worker_owner = core.store.get("net_warmup").owner
+        assert worker_owner and f":{proc.pid}:" in worker_owner  # B ran it
+        assert core.read_result("net_warmup").count() == st["count"]
+
+        # -- cancel over the socket --------------------------------------
+        client.post_job("slow_sleep", job_id="net_doomed")
+        deadline = time.monotonic() + 60
+        while time.monotonic() < deadline:
+            rec = core.store.get("net_doomed")
+            if rec.state == "STARTED" and rec.owner == worker_owner:
+                break
+            time.sleep(0.1)
+        else:
+            raise AssertionError(f"worker never claimed: {core.store.get('net_doomed')}")
+        time.sleep(1.0)  # let the sleep stage actually start
+        t_cancel = time.monotonic()
+        client.delete_job("net_doomed", purge=True)
+        assert not core.store.exists("net_doomed")
+        # conc-1 queue: the follow-up's SUCCESS bounds the cancelled
+        # job's actual runtime from above.
+        client.post_job("quick_count", job_id="net_after_cancel")
+        st2 = client.wait("net_after_cancel", timeout=40, poll=0.5)
+        elapsed = time.monotonic() - t_cancel
+        assert st2["state"] == "SUCCESS", st2
+        assert elapsed < 35, (
+            f"follow-up took {elapsed:.1f}s — the 45s sleep was NOT interrupted"
+        )
+        assert not core.store.exists("net_doomed")  # no resurrect
+
+        # -- crash-reclaim over the socket -------------------------------
+        client.post_job("slow_sleep", job_id="net_orphaned")
+        deadline = time.monotonic() + 60
+        while time.monotonic() < deadline:
+            rec = core.store.get("net_orphaned")
+            if rec.state == "STARTED" and rec.owner == worker_owner:
+                break
+            time.sleep(0.1)
+        else:
+            raise AssertionError(f"worker never claimed: {core.store.get('net_orphaned')}")
+        proc.kill()  # SIGKILL: no goodbye, no more heartbeats
+        proc.wait(timeout=15)
+        rec = core.store.get("net_orphaned")
+        assert rec.state == "STARTED" and rec.owner == worker_owner
+        # A fresh store over the SAME socket reclaims once the lease
+        # (vs the dead worker's last heartbeat) has lapsed.
+        rescuer = JobStore(
+            backend=DBAPIBroker(
+                lambda: netdbapi.connect(host, port), dialect="sqlite"
+            ),
+            recover="attach",
+        )
+        got = rescuer.claim(
+            ["solo"], "rescuer", now=rec.heartbeat_at + 3600, lease=30
+        )
+        assert got is not None and got.job_id == "net_orphaned"
+        assert got.owner == "rescuer" and got.state == jobstore.STARTED
+        # the reclaimed job completes through the socket and A sees it
+        assert rescuer.set_state("net_orphaned", jobstore.SUCCESS, count=1)
+        assert core.job_status("net_orphaned")["state"] == jobstore.SUCCESS
+        rescuer.close()
+    finally:
+        if proc.poll() is None:
+            proc.terminate()
+            try:
+                proc.wait(timeout=15)
+            except subprocess.TimeoutExpired:
+                proc.kill()
+        server.stop()
+        core.stop()
+        net.stop()
