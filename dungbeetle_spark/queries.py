@@ -62,12 +62,17 @@ def query(name: str, oracle: str | None = None, doc: str = ""):
 DRIVER_PRIORITY: list[str] = [
     # -- r08 window ---------------------------------------------------
     # Rotation rule: new/changed queries first, then stalest greens.
-    # Nothing changed code-wise at the start of r08, so the window is
-    # pure staleness repayment (VERDICT r07 item 3): the 6 queries
-    # whose last green driver row is r04 head the list, followed by
-    # the 44 oldest r05 greens. New r08 queries are inserted at the
-    # TOP of this list as they land, each displacing the last r05
-    # entry (displaced so far — none yet; remaining r05 cohort:
+    # changed this round -- MUST re-verify:
+    # multimodal_real_decode's decode pass was refactored onto the
+    # shared media_features dispatcher (one feature contract for the
+    # BMP/WAV hand parsers and the pillow-gated compressed path,
+    # VERDICT r07 item 5).
+    "multimodal_real_decode",
+    # Then staleness repayment (VERDICT r07 item 3): the 6 queries
+    # whose last green driver row is r04, followed by the oldest r05
+    # greens. New/changed r08 queries are inserted at the TOP of this
+    # list as they land, each displacing the last r05 entry
+    # (displaced so far: unpivot_user_metrics; remaining r05 cohort:
     # user_value_trend, vocab_growth, zorder_layout_stats wait for
     # r09 with the r06 cohort).
     # last green r04:
@@ -121,7 +126,6 @@ DRIVER_PRIORITY: list[str] = [
     "streaming_quality_filter",
     "timeseries_topk_similar_users",
     "triangle_cohorts",
-    "unpivot_user_metrics",
 ]
 
 

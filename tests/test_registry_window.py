@@ -21,7 +21,11 @@ DRIVER_WINDOW = 50
 NEVER_VERIFIED: list[str] = []
 
 # Operators whose code or oracle changed in round 8.
-CHANGED_THIS_ROUND: list[str] = []
+CHANGED_THIS_ROUND: list[str] = [
+    # decode pass refactored onto the shared media_features dispatcher
+    # (one feature contract for BMP/WAV hand parsers + pillow path)
+    "multimodal_real_decode",
+]
 
 # The r08 rotation (VERDICT r07 item 3): pure staleness repayment —
 # the 6 queries whose last green row is r04 (displaced from the r07
@@ -80,7 +84,8 @@ ROTATED_IN_R08 = [
     "streaming_quality_filter",
     "timeseries_topk_similar_users",
     "triangle_cohorts",
-    "unpivot_user_metrics",
+    # unpivot_user_metrics: displaced to r09 by multimodal_real_decode
+    # (changed > stale)
 ]
 
 
