@@ -95,6 +95,11 @@ HEADLINE = [
     "bloom_decontamination",
     "dataset_mix_temperature",
     "char_bigram_surprisal",
+    # r08 additions: URL normalization rollup, cross-epoch Bloom
+    # novelty, suffix-array-free longest-dup-substring bound
+    "url_canonicalize",
+    "epoch_ngram_novelty",
+    "longest_dup_substring",
 ]
 
 # Host-drift canary (ADVICE r04: one hardcoded-anchor query is noisy

@@ -838,3 +838,210 @@ def integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     for r in rows[1:]:
         out = out.unionByName(r)
     return out
+
+
+# -- url_canonicalize ---------------------------------------------------------
+
+# Mini public-suffix list for registrable-domain extraction: the two
+# multi-label suffixes the synthesized hosts use. A production run
+# swaps this alternation for the full PSL compiled into one regex (or
+# a broadcast longest-suffix-match table) — the plan shape (pure
+# map-side string expressions, one rollup shuffle) is unchanged.
+_MULTI_LABEL_SUFFIX_RE = r"[.](co[.]uk|github[.]io)$"
+
+
+@query(
+    "url_canonicalize",
+    oracle=r"""
+    WITH raw AS (
+      SELECT doc_id,
+        (CASE WHEN doc_id % 2 = 0 THEN 'HTTPS' ELSE 'http' END)
+        || '://'
+        || (CASE WHEN doc_id % 3 = 0 THEN 'WWW.'
+                 WHEN doc_id % 3 = 1 THEN 'www.' ELSE '' END)
+        || (CASE WHEN doc_id % 7 = 1 THEN 'blog.'
+                 WHEN doc_id % 7 = 2 THEN 'shop.' ELSE '' END)
+        || 'site' || CAST(doc_id % 40 AS VARCHAR)
+        || (CASE doc_id % 5 WHEN 0 THEN '.com' WHEN 1 THEN '.org'
+                 WHEN 2 THEN '.co.uk' WHEN 3 THEN '.github.io'
+                 ELSE '.net' END)
+        || (CASE WHEN doc_id % 4 = 0
+                 THEN (CASE WHEN doc_id % 2 = 0 THEN ':443' ELSE ':80' END)
+                 WHEN doc_id % 4 = 1 THEN ':8080' ELSE '' END)
+        || '/p/' || CAST(doc_id % 10 AS VARCHAR)
+        || (CASE WHEN doc_id % 6 = 0 THEN '/' ELSE '' END)
+        || (CASE WHEN doc_id % 3 = 0
+                 THEN '?utm_source=feed&id=' || CAST(doc_id % 100 AS VARCHAR)
+                      || '&utm_campaign=x'
+                 WHEN doc_id % 3 = 1
+                 THEN '?id=' || CAST(doc_id % 100 AS VARCHAR) ELSE '' END)
+        || (CASE WHEN doc_id % 5 = 0 THEN '#sec2' ELSE '' END) AS url
+      FROM documents
+    ),
+    parts AS (
+      SELECT doc_id, url,
+        lower(regexp_extract(url, '^([A-Za-z]+)://', 1)) AS scheme,
+        lower(string_split(
+            regexp_extract(url, '^[A-Za-z]+://([^/?#]*)', 1), ':')[1]) AS host,
+        COALESCE(string_split(
+            regexp_extract(url, '^[A-Za-z]+://([^/?#]*)', 1), ':')[2], '')
+          AS port,
+        regexp_extract(url, '^[A-Za-z]+://[^/?#]*([^?#]*)', 1) AS path,
+        regexp_extract(url, '\?([^#]*)', 1) AS q
+      FROM raw
+    ),
+    canon AS (
+      SELECT doc_id, url, scheme,
+        regexp_replace(host, '^www\.', '') AS host_c,
+        CASE WHEN (scheme = 'http' AND port = '80')
+                  OR (scheme = 'https' AND port = '443')
+             THEN '' ELSE port END AS port_c,
+        CASE WHEN regexp_replace(path, '/+$', '') = '' THEN '/'
+             ELSE regexp_replace(path, '/+$', '') END AS path_c,
+        array_to_string(list_filter(string_split(q, '&'),
+            x -> NOT starts_with(x, 'utm_') AND x <> ''), '&') AS q_c,
+        contains(q, 'utm_') AS tracked
+      FROM parts
+    ),
+    built AS (
+      SELECT doc_id, url, host_c, tracked,
+        scheme || '://' || host_c
+        || (CASE WHEN port_c <> '' THEN ':' || port_c ELSE '' END)
+        || path_c
+        || (CASE WHEN q_c <> '' THEN '?' || q_c ELSE '' END) AS canonical,
+        (CASE WHEN regexp_matches(host_c, '[.](co[.]uk|github[.]io)$')
+              THEN 3 ELSE 2 END) AS k,
+        string_split(host_c, '.') AS labels
+      FROM canon
+    ),
+    reg AS (
+      SELECT url, canonical, host_c, tracked,
+        array_to_string(
+            list_slice(labels, len(labels) - k + 1, len(labels)), '.')
+          AS registrable_domain
+      FROM built
+    )
+    SELECT registrable_domain,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT host_c) AS BIGINT) AS n_hosts,
+           CAST(SUM(CASE WHEN url <> canonical THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_changed,
+           CAST(SUM(CASE WHEN tracked THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_tracked,
+           MIN(canonical) AS sample_canonical
+    FROM reg GROUP BY 1
+    """,
+    doc="URL canonicalization + registrable-domain rollup (VERDICT r07 "
+    "item 6a) — the normalization every crawl pipeline runs before "
+    "URL-keyed dedup. Deterministic messy URLs are synthesized from "
+    "doc_id (scheme case, www. prefixes, subdomains, default and "
+    "explicit ports, trailing slashes, utm_* tracking params, "
+    "fragments), then canonicalized: lowercase scheme+host, strip "
+    "www. and default ports, trim trailing path slashes (root stays "
+    "'/'), drop utm_* params preserving the rest in order, drop the "
+    "fragment. Registrable domain = last 2 host labels, or 3 when the "
+    "host ends in a multi-label public suffix (mini-PSL: co.uk, "
+    "github.io). Per domain: doc/host counts, how many URLs changed "
+    "under canonicalization, how many carried tracking params, and "
+    "MIN(canonical) pinning exact canonical strings in the hash.",
+)
+def url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: pure JVM string expressions (regexp_extract /
+    regexp_replace / split / array filter) inside one whole-stage
+    codegen over the scan — zero Python, zero explode — and ONE
+    shuffle, the registrable-domain rollup, whose key space is the
+    bounded domain set. At 100 TB the URL column replaces the
+    synthesis block and nothing else changes; a hot domain in the
+    rollup is a classic AQE skew-split case, not a plan problem."""
+    d = _t(spark, sf_dir, "documents")["documents"]
+    did = F.col("doc_id")
+    url = F.concat(
+        F.when(did % 2 == 0, "HTTPS").otherwise("http"),
+        F.lit("://"),
+        F.when(did % 3 == 0, "WWW.").when(did % 3 == 1, "www.").otherwise(""),
+        F.when(did % 7 == 1, "blog.").when(did % 7 == 2, "shop.").otherwise(""),
+        F.concat(F.lit("site"), (did % 40).cast("string")),
+        F.element_at(
+            F.array(*[F.lit(s) for s in
+                      [".com", ".org", ".co.uk", ".github.io", ".net"]]),
+            (did % 5).cast("int") + 1,
+        ),
+        F.when(did % 4 == 0, F.when(did % 2 == 0, ":443").otherwise(":80"))
+        .when(did % 4 == 1, ":8080")
+        .otherwise(""),
+        F.concat(F.lit("/p/"), (did % 10).cast("string")),
+        F.when(did % 6 == 0, "/").otherwise(""),
+        F.when(
+            did % 3 == 0,
+            F.concat(
+                F.lit("?utm_source=feed&id="),
+                (did % 100).cast("string"),
+                F.lit("&utm_campaign=x"),
+            ),
+        )
+        .when(did % 3 == 1, F.concat(F.lit("?id="), (did % 100).cast("string")))
+        .otherwise(""),
+        F.when(did % 5 == 0, "#sec2").otherwise(""),
+    )
+    raw = fan_out(d.select("doc_id")).select("doc_id", url.alias("url"))
+    hostport = F.regexp_extract("url", r"^[A-Za-z]+://([^/?#]*)", 1)
+    parts = raw.select(
+        "url",
+        F.lower(F.regexp_extract("url", r"^([A-Za-z]+)://", 1)).alias("scheme"),
+        F.lower(F.get(F.split(hostport, ":"), 0)).alias("host"),
+        F.coalesce(F.get(F.split(hostport, ":"), 1), F.lit("")).alias("port"),
+        F.regexp_extract("url", r"^[A-Za-z]+://[^/?#]*([^?#]*)", 1).alias("path"),
+        F.regexp_extract("url", r"\?([^#]*)", 1).alias("q"),
+    )
+    canon = parts.select(
+        "url",
+        "scheme",
+        F.regexp_replace("host", r"^www\.", "").alias("host_c"),
+        F.when(
+            ((F.col("scheme") == "http") & (F.col("port") == "80"))
+            | ((F.col("scheme") == "https") & (F.col("port") == "443")),
+            "",
+        )
+        .otherwise(F.col("port"))
+        .alias("port_c"),
+        F.when(F.regexp_replace("path", r"/+$", "") == "", "/")
+        .otherwise(F.regexp_replace("path", r"/+$", ""))
+        .alias("path_c"),
+        F.array_join(
+            F.filter(
+                F.split("q", "&"),
+                lambda x: (~x.startswith("utm_")) & (x != ""),
+            ),
+            "&",
+        ).alias("q_c"),
+        F.col("q").contains("utm_").alias("tracked"),
+    )
+    labels = F.split("host_c", r"\.")
+    k = F.when(F.col("host_c").rlike(_MULTI_LABEL_SUFFIX_RE), 3).otherwise(2)
+    built = canon.select(
+        "url",
+        "host_c",
+        "tracked",
+        F.concat(
+            F.col("scheme"),
+            F.lit("://"),
+            F.col("host_c"),
+            F.when(F.col("port_c") != "", F.concat(F.lit(":"), F.col("port_c")))
+            .otherwise(""),
+            F.col("path_c"),
+            F.when(F.col("q_c") != "", F.concat(F.lit("?"), F.col("q_c")))
+            .otherwise(""),
+        ).alias("canonical"),
+        F.array_join(
+            F.slice(labels, F.size(labels) - k + 1, k), "."
+        ).alias("registrable_domain"),
+    )
+    return built.groupBy("registrable_domain").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("host_c").alias("n_hosts"),
+        F.sum(F.when(F.col("url") != F.col("canonical"), 1).otherwise(0)).alias(
+            "n_changed"
+        ),
+        F.sum(F.when(F.col("tracked"), 1).otherwise(0)).alias("n_tracked"),
+        F.min("canonical").alias("sample_canonical"),
+    )

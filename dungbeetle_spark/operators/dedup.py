@@ -898,6 +898,124 @@ def dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("flagged", F.col("dup_permille") >= _SPAN_FLAG_PERMILLE)
 
 
+@query(
+    "longest_dup_substring",
+    oracle=f"""
+    WITH seeded AS (
+      SELECT doc_id,
+             text || CASE WHEN doc_id % {_SPAN_PLANT_MOD} = 0
+                          THEN '{_SPAN_PASSAGE}' ELSE '' END AS text
+      FROM documents),
+    wins AS (
+      SELECT doc_id, i, substr(text, CAST(i AS INTEGER), {_SPAN_L}) AS w
+      FROM seeded,
+           unnest(range(1, greatest(length(text) - {_SPAN_L - 1}, 0) + 1))
+             AS u(i)),
+    flags AS (
+      SELECT doc_id, i,
+             MIN(doc_id) OVER (PARTITION BY w)
+               <> MAX(doc_id) OVER (PARTITION BY w) AS dup
+      FROM wins),
+    runs AS (
+      SELECT doc_id,
+             i - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY i) AS grp
+      FROM flags WHERE dup),
+    rl AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS run_len
+      FROM runs GROUP BY doc_id, grp),
+    agg AS (
+      SELECT doc_id,
+             CAST(SUM(run_len) AS BIGINT) AS n_dup_windows,
+             CAST(MAX(run_len) AS BIGINT) AS max_run
+      FROM rl GROUP BY doc_id)
+    SELECT d.doc_id,
+           COALESCE(a.n_dup_windows, 0) AS n_dup_windows,
+           COALESCE(a.max_run + {_SPAN_L - 1}, 0) AS longest_dup_len,
+           COALESCE(a.max_run + {_SPAN_L - 1}, 0) >= {len(_SPAN_PASSAGE)}
+             AS has_long_span
+    FROM documents d LEFT JOIN agg a USING (doc_id)
+    """,
+    doc=f"Approximate longest-duplicated-substring audit, suffix-array "
+    "free (VERDICT r07 item 6c, extending dedup_exact_substring): a "
+    f"run of R consecutive duplicated {_SPAN_L}-char windows bounds "
+    f"the longest cross-doc duplicated substring by R+{_SPAN_L - 1} "
+    "chars — any true duplicated span of length M ≥ L yields M−L+1 "
+    "consecutive duplicated windows, so the reported length is an "
+    "UPPER bound that is TIGHT when the run comes from one contiguous "
+    "span (the planted boilerplate passage pins the tight case: its "
+    "docs report exactly the passage length). Per doc: duplicated "
+    "window count, the bound, and a flag at the planted-passage "
+    "length. Integer-only — hash-exact cross-engine.",
+)
+def longest_dup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: the same two data-parallel exchanges as
+    dedup_exact_substring — window over h (16-byte keys, never text)
+    to flag cross-doc duplicates, then a doc-keyed pass where the
+    gaps-and-islands run-length (position minus row_number) collapses
+    runs WITHOUT a self-join; both the islands window and the rollup
+    partition by doc_id, so no single-partition stage touches a
+    corpus-scale frame. Suffix arrays (Lee et al. 2021) find the true
+    longest span but need a global sort of every suffix; this bound
+    costs one corpus scan + two keyed shuffles and is exact on
+    contiguous spans — the audit that decides whether the heavy exact
+    pass is worth scheduling."""
+    d = _t(spark, sf_dir, "documents")["documents"]
+    seeded = fan_out(d.select("doc_id", "text")).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % _SPAN_PLANT_MOD == 0,
+            F.concat(F.col("text"), F.lit(_SPAN_PASSAGE)),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    wins = seeded.select(
+        "doc_id",
+        F.explode(
+            F.when(
+                F.length("text") >= _SPAN_L,
+                F.sequence(F.lit(1), F.length("text") - (_SPAN_L - 1)),
+            ).otherwise(F.array().cast("array<int>"))
+        ).alias("i"),
+        "text",
+    ).select(
+        "doc_id",
+        F.col("i").cast("long").alias("i"),
+        F.unhex(F.md5(F.expr(f"substring(text, i, {_SPAN_L})"))).alias("h"),
+    )
+    wh = W.partitionBy("h")
+    dups = (
+        wins.withColumn("dup", F.min("doc_id").over(wh) != F.max("doc_id").over(wh))
+        .filter(F.col("dup"))
+        .select("doc_id", "i")
+    )
+    # gaps-and-islands: consecutive positions share (i - row_number);
+    # row_number is INT in Spark — cast to long before the subtraction
+    # (the int32-shift trap class from OPERATORS.md).
+    iw = W.partitionBy("doc_id").orderBy("i")
+    runs = dups.select(
+        "doc_id",
+        (F.col("i") - F.row_number().over(iw).cast("long")).alias("grp"),
+    )
+    rl = runs.groupBy("doc_id", "grp").agg(F.count(F.lit(1)).alias("run_len"))
+    agg = rl.groupBy("doc_id").agg(
+        F.sum("run_len").alias("n_dup_windows"),
+        (F.max("run_len") + (_SPAN_L - 1)).alias("longest_dup_len"),
+    )
+    return (
+        d.select("doc_id")
+        .join(agg, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_dup_windows", F.lit(0)).alias("n_dup_windows"),
+            F.coalesce("longest_dup_len", F.lit(0)).alias("longest_dup_len"),
+            (
+                F.coalesce("longest_dup_len", F.lit(0)) >= len(_SPAN_PASSAGE)
+            ).alias("has_long_span"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # fuzzy entity matching — blocked edit-distance join (record linkage)
 # ---------------------------------------------------------------------------

@@ -363,6 +363,194 @@ def bloom_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -- epoch_ngram_novelty -----------------------------------------------------
+
+_EPOCHS = 3  # doc_id % 3 stands in for the training-epoch / snapshot id
+
+
+@query(
+    "epoch_ngram_novelty",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id % {_EPOCHS} AS epoch,
+               list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                           x -> x <> '') AS t
+        FROM documents
+    ),
+    grams AS (
+        SELECT DISTINCT epoch, array_to_string(t[i : i + {_GRAM_N - 1}], ' ') AS gram
+        FROM toks, unnest(range(1, greatest(len(t) - {_GRAM_N - 1}, 0) + 1)) AS u(i)
+    ),
+    bounds AS (SELECT unnest([1, 2]) AS b),
+    bits AS (
+        SELECT bo.b,
+               {md5_hash60_sql(f"CAST(j AS VARCHAR) || ':' || gram")} % {_BLOOM_M} AS pos
+        FROM bounds bo
+        JOIN grams g ON g.epoch < bo.b
+        CROSS JOIN unnest(range(0, {_BLOOM_K})) AS s(j)
+    ),
+    blocks AS (
+        SELECT b, pos // {_BLOOM_WORD} AS block,
+               CAST(bit_or(1::BIGINT << CAST(pos % {_BLOOM_WORD} AS INTEGER))
+                    AS BIGINT) AS word
+        FROM bits GROUP BY 1, 2
+    ),
+    probes AS (
+        SELECT g.epoch, g.gram,
+               {md5_hash60_sql(f"CAST(j AS VARCHAR) || ':' || gram")} % {_BLOOM_M} AS pos
+        FROM grams g, unnest(range(0, {_BLOOM_K})) AS s(j)
+        WHERE g.epoch > 0
+    ),
+    phit AS (
+        SELECT p.epoch, p.gram,
+               bool_and((COALESCE(b.word, 0)
+                         & (1::BIGINT << CAST(p.pos % {_BLOOM_WORD} AS INTEGER)))
+                        <> 0) AS bloom_seen
+        FROM probes p
+        LEFT JOIN blocks b ON b.b = p.epoch AND b.block = p.pos // {_BLOOM_WORD}
+        GROUP BY 1, 2
+    ),
+    prior AS (
+        SELECT DISTINCT bo.b AS epoch, g.gram
+        FROM bounds bo JOIN grams g ON g.epoch < bo.b
+    ),
+    later AS (
+        SELECT ph.epoch,
+               CAST(COUNT(*) AS BIGINT) AS n_grams,
+               CAST(SUM(CASE WHEN pr.gram IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_novel_exact,
+               CAST(SUM(CASE WHEN NOT ph.bloom_seen THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_novel_bloom
+        FROM phit ph
+        LEFT JOIN prior pr ON pr.epoch = ph.epoch AND pr.gram = ph.gram
+        GROUP BY 1
+    ),
+    first AS (
+        SELECT CAST(0 AS BIGINT) AS epoch,
+               CAST(COUNT(*) AS BIGINT) AS n_grams,
+               CAST(COUNT(*) AS BIGINT) AS n_novel_exact,
+               CAST(COUNT(*) AS BIGINT) AS n_novel_bloom
+        FROM grams WHERE epoch = 0
+    ),
+    uni AS (SELECT * FROM first UNION ALL SELECT * FROM later)
+    SELECT epoch, n_grams, n_novel_exact, n_novel_bloom,
+           n_novel_exact * 1000000 // n_grams AS novel_ppm,
+           n_novel_bloom <= n_novel_exact AS bloom_one_sided
+    FROM uni
+    """,
+    doc=f"Cross-epoch n-gram novelty (VERDICT r07 item 6b): how much of "
+    f"each training epoch's distinct {_GRAM_N}-gram set is NEW versus "
+    "everything already trained on (epoch = doc_id % 3 stands in for "
+    "the snapshot id). Prior-epoch membership is the bloom_"
+    "decontamination machinery verbatim: the union of earlier epochs' "
+    f"grams compiles into one {_BLOOM_M}-bit Bloom filter per epoch "
+    "boundary, probes are map-side, and the exact anti-join twin "
+    "measures the filter's one-sided error (a Bloom false positive "
+    "can only UNDERCOUNT novelty, pinned by bloom_one_sided = TRUE). "
+    "Integer ppm output — hash-exact cross-engine.",
+)
+def epoch_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: the per-epoch distinct-gram frame is built ONCE
+    (one corpus scan + one distinct shuffle) and lazily checkpointed —
+    five consumers (two filter builds, two probe sides, the epoch-0
+    baseline) branch from it inside one action, so Catalyst cannot
+    re-execute the explode+distinct per consumer. Each boundary's
+    filter is constant-sized (16 KB) regardless of how many epochs of
+    corpus feed it and rides to the probe side as ONE broadcast map
+    row; at 100 TB the novelty probe is map-side JVM projection over
+    the (epoch, gram) frame, and ONLY the exact-twin join (kept to
+    measure the FP surplus, droppable in production) touches the
+    prior gram set directly. Output is |epochs| rows."""
+    d = _t(spark, sf_dir, "documents")["documents"]
+    toks = F.filter(
+        F.split(F.lower(F.col("text")), r"[^a-z0-9]+"), lambda x: x != ""
+    )
+    grams = (
+        fan_out(d.select("doc_id", "text"))
+        .select((F.col("doc_id") % _EPOCHS).alias("epoch"), toks.alias("t"))
+        .select("epoch", F.explode(word_ngrams("t", _GRAM_N)).alias("gram"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+
+    def _pos(j: int) -> "F.Column":
+        return md5_hash60(F.concat(F.lit(f"{j}:"), F.col("gram"))) % _BLOOM_M
+
+    rows = []
+    for b in (1, 2):
+        prior = grams.filter(F.col("epoch") < b)
+        bits = prior.select(
+            F.explode(F.array(*[_pos(j) for j in range(_BLOOM_K)])).alias("pos")
+        )
+        fm = (
+            bits.groupBy(F.expr(f"pos DIV {_BLOOM_WORD}").alias("block"))
+            .agg(
+                F.bit_or(
+                    F.expr(f"shiftleft(1L, CAST(pos % {_BLOOM_WORD} AS INT))")
+                ).alias("word")
+            )
+            .groupBy()
+            .agg(
+                F.map_from_entries(
+                    F.collect_list(F.struct("block", "word"))
+                ).alias("fm")
+            )
+        )
+        probe = grams.filter(F.col("epoch") == b).crossJoin(F.broadcast(fm))
+        for j in range(_BLOOM_K):
+            probe = probe.withColumn(f"_p{j}", _pos(j))
+        seen = F.expr(
+            f"(coalesce(element_at(fm, shiftright(_p0, 5)), 0L)"
+            f" & shiftleft(1L, CAST((_p0 & {_BLOOM_WORD - 1}) AS INT))) != 0L"
+        )
+        for j in range(1, _BLOOM_K):
+            seen = seen & F.expr(
+                f"(coalesce(element_at(fm, shiftright(_p{j}, 5)), 0L)"
+                f" & shiftleft(1L, CAST((_p{j} & {_BLOOM_WORD - 1}) AS INT))) != 0L"
+            )
+        prior_g = prior.select("gram").distinct().withColumn("seen_x", F.lit(1))
+        rows.append(
+            probe.withColumn("bloom_seen", seen)
+            .join(F.broadcast(prior_g), "gram", "left")
+            .groupBy()
+            .agg(
+                F.lit(b).cast("long").alias("epoch"),
+                F.count(F.lit(1)).alias("n_grams"),
+                F.sum(
+                    F.when(F.col("seen_x").isNull(), 1).otherwise(0)
+                ).alias("n_novel_exact"),
+                F.sum(
+                    F.when(~F.col("bloom_seen"), 1).otherwise(0)
+                ).alias("n_novel_bloom"),
+            )
+            .select("epoch", "n_grams", "n_novel_exact", "n_novel_bloom")
+        )
+    first = (
+        grams.filter(F.col("epoch") == 0)
+        .groupBy()
+        .agg(
+            F.lit(0).cast("long").alias("epoch"),
+            F.count(F.lit(1)).alias("n_grams"),
+            F.count(F.lit(1)).alias("n_novel_exact"),
+            F.count(F.lit(1)).alias("n_novel_bloom"),
+        )
+        .select("epoch", "n_grams", "n_novel_exact", "n_novel_bloom")
+    )
+    uni = first
+    for r in rows:
+        uni = uni.unionByName(r)
+    return uni.select(
+        "epoch",
+        "n_grams",
+        "n_novel_exact",
+        "n_novel_bloom",
+        F.expr("n_novel_exact * 1000000 div n_grams").alias("novel_ppm"),
+        (F.col("n_novel_bloom") <= F.col("n_novel_exact")).alias(
+            "bloom_one_sided"
+        ),
+    )
+
+
 # -- countmin_sketch --------------------------------------------------------
 
 _CMS_DEPTH = 4

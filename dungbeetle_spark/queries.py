@@ -68,13 +68,19 @@ DRIVER_PRIORITY: list[str] = [
     # BMP/WAV hand parsers and the pillow-gated compressed path,
     # VERDICT r07 item 5).
     "multimodal_real_decode",
+    # new in r08 -- never verified (VERDICT r07 item 6):
+    "url_canonicalize",
+    "epoch_ngram_novelty",
+    "longest_dup_substring",
     # Then staleness repayment (VERDICT r07 item 3): the 6 queries
     # whose last green driver row is r04, followed by the oldest r05
     # greens. New/changed r08 queries are inserted at the TOP of this
     # list as they land, each displacing the last r05 entry
-    # (displaced so far: unpivot_user_metrics; remaining r05 cohort:
-    # user_value_trend, vocab_growth, zorder_layout_stats wait for
-    # r09 with the r06 cohort).
+    # (displaced so far: unpivot_user_metrics, streaming_quality_
+    # filter, timeseries_topk_similar_users, triangle_cohorts;
+    # remaining r05 cohort: those four + user_value_trend,
+    # vocab_growth, zorder_layout_stats wait for r09 with the r06
+    # cohort).
     # last green r04:
     "cube_order_stats",
     "doc_fingerprint",
@@ -123,9 +129,6 @@ DRIVER_PRIORITY: list[str] = [
     "semdedup",
     "sequence_pack",
     "source_lang_drift",
-    "streaming_quality_filter",
-    "timeseries_topk_similar_users",
-    "triangle_cohorts",
 ]
 
 

@@ -1082,3 +1082,65 @@ def test_bloom_probe_is_projection_no_gram_explosion(spark, sf):
     # gram distinct (2-stage) + doc rollup + filter build aggs; the
     # probe itself must add no exchange beyond these
     assert shuffle_exchanges(df) <= 8
+
+
+def test_url_canonicalize_is_pure_codegen_one_shuffle(spark, sf):
+    """url_canonicalize's docstring claims pure JVM string expressions
+    and a single rollup shuffle: no Python evaluation node of any
+    kind, no join, exactly the domain-rollup exchange (2-stage
+    partial agg), and a scan pruned to doc_id."""
+    df = _df(spark, sf, "url_canonicalize")
+    plan = formatted_plan(df)
+    assert "EvalPython" not in plan and "InPandas" not in plan
+    assert "Join" not in plan and "CartesianProduct" not in plan
+    # 3 exchanges: the fan_out fixture repartition, plus the two-stage
+    # countDistinct rewrite (partial keyed by (domain, host), final by
+    # domain) — Catalyst's optimal shape for mixing count(distinct)
+    # with plain aggregates; both aggregation exchanges carry partials.
+    # (SortAggregate here — min(string) keeps the buffer off the fast
+    # hash path — so check the partial_* functions in the formatted
+    # plan rather than has_partial_aggregate's HashAggregate pattern.)
+    assert shuffle_exchanges(df) <= 3
+    assert re.search(r"partial_(count|sum|min)", plan)
+    schemas = scan_schemas(df)
+    assert schemas and all(s.count(":") <= 1 for s in schemas), (
+        f"scan must read doc_id only: {schemas}"
+    )
+
+
+def test_epoch_novelty_filter_broadcasts_and_gram_frame_reused(spark, sf):
+    """epoch_ngram_novelty's scale claims: the distinct-gram frame is
+    checkpointed (ExistingRDD — built once, not re-derived per
+    consumer), every Bloom filter and the exact prior-gram twin reach
+    the probe side as broadcasts, and no corpus-scale frame crosses a
+    CartesianProduct (the only nested-loop joins are the 1-row filter
+    map rows)."""
+    from dungbeetle_spark.plans.inspect import single_partition_windows
+
+    df = _df(spark, sf, "epoch_ngram_novelty")
+    plan = formatted_plan(df)
+    assert "ExistingRDD" in plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastExchange") >= 4  # 2 filters + 2 exact twins
+    assert not single_partition_windows(plan)
+
+
+def test_longest_dup_substring_no_global_stage(spark, sf):
+    """longest_dup_substring extends dedup_exact_substring's shape:
+    the dup-flag window partitions by the 16-byte window hash and the
+    islands window by doc_id — neither may degrade to an Exchange
+    SinglePartition (the run-length idiom's classic failure is an
+    unpartitioned ORDER BY). Window text never shuffles: exchanges
+    carry h, not the 40-char substring."""
+    from dungbeetle_spark.plans.inspect import single_partition_windows
+
+    df = _df(spark, sf, "longest_dup_substring")
+    plan = formatted_plan(df)
+    assert not single_partition_windows(plan)
+    assert "CartesianProduct" not in plan
+    # exactly 3 exchanges: fan_out fixture repartition, the h-keyed
+    # dup-flag window, the doc_id-keyed islands window; BOTH rollups
+    # (doc_id+grp, doc_id) reuse the islands partitioning with no
+    # further shuffle.
+    assert shuffle_exchanges(df) <= 3

@@ -18,7 +18,11 @@ DRIVER_WINDOW = 50
 # driver row; "never verified" only holds brand-new queries now.
 # New r08 queries are appended here as they land (each must also be
 # inserted at the top of DRIVER_PRIORITY).
-NEVER_VERIFIED: list[str] = []
+NEVER_VERIFIED: list[str] = [
+    "url_canonicalize",  # new in r08
+    "epoch_ngram_novelty",  # new in r08
+    "longest_dup_substring",  # new in r08
+]
 
 # Operators whose code or oracle changed in round 8.
 CHANGED_THIS_ROUND: list[str] = [
@@ -81,11 +85,10 @@ ROTATED_IN_R08 = [
     "semdedup",
     "sequence_pack",
     "source_lang_drift",
-    "streaming_quality_filter",
-    "timeseries_topk_similar_users",
-    "triangle_cohorts",
-    # unpivot_user_metrics: displaced to r09 by multimodal_real_decode
-    # (changed > stale)
+    # displaced to r09 (new/changed > stale): unpivot_user_metrics by
+    # multimodal_real_decode; streaming_quality_filter /
+    # timeseries_topk_similar_users / triangle_cohorts by the three
+    # new r08 queries
 ]
 
 

@@ -57,8 +57,17 @@ SWEEP_OPS = [
     # r07 additions
     ("ann_pq", None),  # encode+ADC one scan, candidate-bounded rerank
     ("bloom_decontamination", None),  # constant filter, probe O(grams)
-    ("minhash_calibration", 4),  # near-dup copies pair ×k² in bands
+    # uncapped in r08 (VERDICT r07 item 8): the x32 row measures the
+    # candidate-bounded cost honestly — amplified copies are genuine
+    # near-dups (" v{k}" suffix), so candidates grow with TRUE
+    # near-dup density ×k², which is the operator's documented cost
+    # model, not an amplification artifact to dodge.
+    ("minhash_calibration", None),
     ("char_bigram_surprisal", None),  # 2 scans, constant model: O(n)
+    # r08 additions
+    ("url_canonicalize", None),  # map-side strings + 40-key rollup: O(n)
+    ("epoch_ngram_novelty", None),  # probe O(distinct grams), const filter
+    ("longest_dup_substring", None),  # same 2 keyed shuffles as substring
 ]
 
 # Sub-factor ladder for capped operators: when the requested factor
