@@ -346,12 +346,25 @@ def _mp_store(path: str) -> JobStore:
     )
 
 
-def _mp_drainer(path: str, out_path: str, owner: str, lease: float) -> None:
+def _mp_drainer(path: str, out_path: str, owner: str, lease: float,
+                gate_path: str | None = None) -> None:
     """Claim until the queue stays empty, completing each job; write
-    the claimed ids to out_path (one file per process)."""
+    the claimed ids to out_path (one file per process). With
+    ``gate_path`` set, announce readiness (out_path + '.ready') and
+    hold until the gate file appears — the start barrier that makes
+    the parallelism assertion deterministic (without it, host-timing
+    jitter occasionally lets the first-forked process drain all 60
+    jobs before a sibling finishes importing)."""
     import json
+    import os
 
     store = _mp_store(path)
+    if gate_path is not None:
+        with open(out_path + ".ready", "w") as f:
+            f.write(owner)
+        gate_deadline = time.time() + 30.0
+        while not os.path.exists(gate_path) and time.time() < gate_deadline:
+            time.sleep(0.002)
     claims: list[str] = []
     idle = 0
     deadline = time.time() + 30.0
@@ -364,6 +377,13 @@ def _mp_drainer(path: str, out_path: str, owner: str, lease: float) -> None:
         idle = 0
         claims.append(rec.job_id)
         store.set_state(rec.job_id, SUCCESS, owner="")
+        # Yield between jobs (same as the threaded contention test):
+        # without it, the claim+complete loop re-acquires the SQLite
+        # writer lock before any waiter wins it — a lock convoy that
+        # lets one process drain the whole queue. Real workers hold
+        # each claim for a query's runtime, so the convoy is a test
+        # artifact, not a broker property.
+        time.sleep(0.002)
     with open(out_path, "w") as f:
         json.dump(claims, f)
 
@@ -428,10 +448,21 @@ class TestDBAPIBrokerMultiProcessStress:
                           created_at=float(i))
             )
         outs = [tmp_path / f"claims_{k}.json" for k in range(self.N_PROCS)]
+        gate = str(tmp_path / "gate")
         procs = [
-            _spawn(_mp_drainer, (db, str(outs[k]), f"worker-{k}", 60.0))
+            _spawn(_mp_drainer, (db, str(outs[k]), f"worker-{k}", 60.0, gate))
             for k in range(self.N_PROCS)
         ]
+        # start barrier: open the gate only once every drainer is live,
+        # so all four race the queue from the same instant
+        deadline = time.time() + 30.0
+        while time.time() < deadline and not all(
+            (tmp_path / f"claims_{k}.json.ready").exists()
+            for k in range(self.N_PROCS)
+        ):
+            time.sleep(0.005)
+        with open(gate, "w") as f:
+            f.write("go")
         # cancel a spread of jobs while the drain races on
         cancelled = [f"j{i:03d}" for i in range(0, self.N_JOBS,
                                                 self.N_JOBS // self.N_CANCELS)]
