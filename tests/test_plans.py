@@ -991,6 +991,9 @@ def test_registry_wide_no_cartesian_and_no_fact_nlj(spark, sf):
         # total) crossed into catalog-sized or broadcast-joined frames
         "dataset_mix_temperature",
         "char_bigram_surprisal",
+        # r08: two 1-row Bloom-filter map rows (one per epoch
+        # boundary) broadcast-crossed into the probe side
+        "epoch_ngram_novelty",
     }
     unexpected = [q for q in bnlj if q not in known_scalar_broadcast]
     assert not unexpected, (
