@@ -100,6 +100,8 @@ HEADLINE = [
     "url_canonicalize",
     "epoch_ngram_novelty",
     "longest_dup_substring",
+    "winnowing_fingerprints",
+    "corpus_snapshot_diff",
 ]
 
 # Host-drift canary (ADVICE r04: one hardcoded-anchor query is noisy

@@ -460,3 +460,82 @@ def dedup_cluster_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
+
+
+@query(
+    "corpus_snapshot_diff",
+    oracle="""
+    WITH a AS (
+      SELECT doc_id, source, md5(text) AS h FROM documents
+    ),
+    b AS (
+      SELECT doc_id, source,
+             md5(CASE WHEN doc_id % 7 = 3 THEN text || ' rev2'
+                      ELSE text END) AS h
+      FROM documents WHERE doc_id % 11 <> 0
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id, source, md5('new ' || text) AS h
+      FROM documents WHERE doc_id % 13 = 0
+    ),
+    diff AS (
+      SELECT COALESCE(a.source, b.source) AS source,
+             CASE WHEN a.doc_id IS NULL THEN 'added'
+                  WHEN b.doc_id IS NULL THEN 'removed'
+                  WHEN a.h <> b.h THEN 'changed'
+                  ELSE 'unchanged' END AS status
+      FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id
+    )
+    SELECT source, status, CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM diff GROUP BY 1, 2
+    """,
+    doc="Corpus snapshot diff — the audit between two crawl/ingest "
+    "versions that decides what incremental dedup/training must "
+    "reprocess. Snapshot B is synthesized deterministically from A "
+    "(doc_id%11==0 removed, doc_id%7==3 edited, one added doc per "
+    "doc_id%13==0 seed at id+1,000,000); rows are compared by content "
+    "md5 so the join never carries text, and each doc lands in "
+    "exactly one of added/removed/changed/unchanged, rolled up per "
+    "source. Hash-exact: md5 + counts only.",
+)
+def corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: both snapshots project to (doc_id, source, md5) at
+    the scan — 16-byte digests, not documents — so the one shuffle
+    that matters, the doc_id-keyed full outer join, moves ~40
+    bytes/row no matter how large documents are; the per-(source,
+    status) rollup is bounded output. At 100 TB snapshot B is a real
+    second table scan instead of a synthesized branch and the plan is
+    unchanged; doc_id join keys are unique per side, so no skew."""
+    d = _t(spark, sf_dir, "documents")["documents"]
+    a = d.select("doc_id", "source", F.md5("text").alias("h"))
+    b_kept = d.filter(F.col("doc_id") % 11 != 0).select(
+        "doc_id",
+        "source",
+        F.md5(
+            F.when(
+                F.col("doc_id") % 7 == 3, F.concat(F.col("text"), F.lit(" rev2"))
+            ).otherwise(F.col("text"))
+        ).alias("h"),
+    )
+    b_added = d.filter(F.col("doc_id") % 13 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        "source",
+        F.md5(F.concat(F.lit("new "), F.col("text"))).alias("h"),
+    )
+    b = b_kept.unionByName(b_added)
+    diff = a.alias("a").join(
+        b.alias("b"), F.col("a.doc_id") == F.col("b.doc_id"), "full_outer"
+    )
+    status = (
+        F.when(F.col("a.doc_id").isNull(), "added")
+        .when(F.col("b.doc_id").isNull(), "removed")
+        .when(F.col("a.h") != F.col("b.h"), "changed")
+        .otherwise("unchanged")
+    )
+    return (
+        diff.select(
+            F.coalesce(F.col("a.source"), F.col("b.source")).alias("source"),
+            status.alias("status"),
+        )
+        .groupBy("source", "status")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )

@@ -72,15 +72,19 @@ DRIVER_PRIORITY: list[str] = [
     "url_canonicalize",
     "epoch_ngram_novelty",
     "longest_dup_substring",
+    # new in r08, continued -- winnowing (MOSS) fingerprints and the
+    # snapshot-version diff audit:
+    "winnowing_fingerprints",
+    "corpus_snapshot_diff",
     # Then staleness repayment (VERDICT r07 item 3): the 6 queries
     # whose last green driver row is r04, followed by the oldest r05
     # greens. New/changed r08 queries are inserted at the TOP of this
     # list as they land, each displacing the last r05 entry
     # (displaced so far: unpivot_user_metrics, streaming_quality_
-    # filter, timeseries_topk_similar_users, triangle_cohorts;
-    # remaining r05 cohort: those four + user_value_trend,
-    # vocab_growth, zorder_layout_stats wait for r09 with the r06
-    # cohort).
+    # filter, timeseries_topk_similar_users, triangle_cohorts,
+    # sequence_pack, source_lang_drift; remaining r05 cohort: those
+    # six + user_value_trend, vocab_growth, zorder_layout_stats wait
+    # for r09 with the r06 cohort).
     # last green r04:
     "cube_order_stats",
     "doc_fingerprint",
@@ -127,8 +131,6 @@ DRIVER_PRIORITY: list[str] = [
     "repetition_stats",
     "scd2_user_type_history",
     "semdedup",
-    "sequence_pack",
-    "source_lang_drift",
 ]
 
 

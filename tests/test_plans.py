@@ -1147,3 +1147,41 @@ def test_longest_dup_substring_no_global_stage(spark, sf):
     # (doc_id+grp, doc_id) reuse the islands partitioning with no
     # further shuffle.
     assert shuffle_exchanges(df) <= 3
+
+
+def test_winnowing_selection_streams_and_shuffles_hashes_only(spark, sf):
+    """winnowing_fingerprints' scale claims: the selection window is a
+    doc_id-keyed ROWS frame (no SinglePartition stage anywhere), the
+    cross-doc exchanges carry the 8-byte long hash rather than text or
+    k-gram strings, and the whole chain stays at the same exchange
+    count as dedup_exact_substring plus the selection window's."""
+    from dungbeetle_spark.plans.inspect import single_partition_windows
+
+    df = _df(spark, sf, "winnowing_fingerprints")
+    plan = formatted_plan(df)
+    assert not single_partition_windows(plan)
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan and "InPandas" not in plan
+    # fan_out + doc_id selection window + (doc_id, h) distinct +
+    # h-keyed dup window + rollup/join reuse = bounded
+    assert shuffle_exchanges(df) <= 5
+
+
+def test_snapshot_diff_joins_digests_not_text(spark, sf):
+    """corpus_snapshot_diff's one real shuffle is the doc_id-keyed
+    full outer join of (doc_id, source, md5) projections — the join
+    input schemas must not contain the text column, and the rollup
+    partial-aggregates."""
+    df = _df(spark, sf, "corpus_snapshot_diff")
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan and "InPandas" not in plan
+    # text is consumed scan-side by md5(); no exchange or join row
+    # carries it (Exchange/Join Input lines list only id/source/hash)
+    import re as _re
+
+    for m in _re.finditer(r"^\((\d+)\) (Exchange|SortMergeJoin|BroadcastHashJoin)", plan, _re.M):
+        block_start = plan.index(m.group(0))
+        block = plan[block_start : plan.find("\n\n", block_start)]
+        assert "text#" not in block, f"text crosses the wire: {block[:200]}"
+    assert has_partial_aggregate(df)

@@ -22,6 +22,8 @@ NEVER_VERIFIED: list[str] = [
     "url_canonicalize",  # new in r08
     "epoch_ngram_novelty",  # new in r08
     "longest_dup_substring",  # new in r08
+    "winnowing_fingerprints",  # new in r08
+    "corpus_snapshot_diff",  # new in r08
 ]
 
 # Operators whose code or oracle changed in round 8.
@@ -83,12 +85,10 @@ ROTATED_IN_R08 = [
     "repetition_stats",
     "scd2_user_type_history",
     "semdedup",
-    "sequence_pack",
-    "source_lang_drift",
     # displaced to r09 (new/changed > stale): unpivot_user_metrics by
     # multimodal_real_decode; streaming_quality_filter /
-    # timeseries_topk_similar_users / triangle_cohorts by the three
-    # new r08 queries
+    # timeseries_topk_similar_users / triangle_cohorts /
+    # sequence_pack / source_lang_drift by the five new r08 queries
 ]
 
 

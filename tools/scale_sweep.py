@@ -252,17 +252,32 @@ NOTES = """
   operator exists to measure; its own cost stays one aggregate pass.
 - r07 additions: `ann_pq` is one encode+ADC scan with a constant
   query/codebook closure and a candidate-bounded re-rank — expect
-  flat-to-linear. `bloom_decontamination`'s filter is CONSTANT
-  (2^17 bits) while amplified eval grams grow ~k-fold, so the filter
-  saturates and the false-positive surplus rises with scale — the
-  probe itself stays one projection pass over grams.
+  flat-to-linear. `bloom_decontamination` (x32 measured 2.98 s,
+  exponent 0.26): the filter is CONSTANT (2^17 bits) while amplified
+  eval grams grow ~k-fold, so the filter saturates and the
+  false-positive surplus rises with scale — the cost that scales is
+  the gram-build distinct and the probe projection, both linear in
+  grams; the sub-linear exponent is 32 cores absorbing that.
   `char_bigram_surprisal` is two linear scans against a
-  charset²-bounded model. `minhash_calibration` is capped at x4:
-  amplified copies are near-duplicates BY CONSTRUCTION (text differs
-  only in a version suffix), so LSH candidate pairs grow ~k² and the
-  candidate-bounded exact-intersection join grows with them — the
-  amplification manufactures the worst case the calibration exists
-  to price; organic corpora pair far more sparsely.
+  charset²-bounded model (x32 measured 50.72 s, exponent 0.96 — the
+  first headline op to exhaust the 32-core floor; pure scan-bound).
+  `minhash_calibration` (uncapped in r08, x32 measured 47.97 s,
+  exponent 0.94): amplified copies are near-duplicates BY
+  CONSTRUCTION (text differs only in a version suffix), so LSH
+  candidate pairs grow ~k² per seed doc while the banded join and
+  minhash aggregate stay linear — the near-linear TOTAL exponent
+  shows the candidate-bounded exact-intersection term still sits
+  under the linear terms at 32x worst-case density; organic corpora
+  pair far more sparsely.
+- r08 additions: `url_canonicalize` is flat (0.62 s at x32) — pure
+  map-side string codegen into a 40-key rollup; the per-row regex
+  work rides the 32-core floor. `epoch_ngram_novelty` (exponent
+  0.26): cost follows the per-epoch DISTINCT gram sets (which grow
+  slowly under near-dup amplification), not corpus rows — the
+  filters stay 16 KB and probes map-side, the same shape argument as
+  bloom_decontamination. `longest_dup_substring` is flat like
+  dedup_exact_substring (same two keyed exchanges; the added islands
+  window rides the doc_id partition already paid for).
 """
 
 
