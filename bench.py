@@ -102,6 +102,7 @@ HEADLINE = [
     "longest_dup_substring",
     "winnowing_fingerprints",
     "corpus_snapshot_diff",
+    "embedding_drift_by_epoch",
 ]
 
 # Host-drift canary (ADVICE r04: one hardcoded-anchor query is noisy

@@ -1114,3 +1114,122 @@ def hybrid_rrf_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rk").alias("rank"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# embedding drift across training epochs — integer-exact centroid cosine
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "embedding_drift_by_epoch",
+    oracle="""
+    WITH q AS (
+      SELECT vec_id % 3 AS epoch, label, i AS dim,
+             CAST(floor(1000 * CAST(embedding[i] AS DOUBLE) + 0.5)
+                  AS BIGINT) AS qv
+      FROM embeddings, unnest(range(1, len(embedding) + 1)) AS u(i)
+    ),
+    cent AS (
+      SELECT label, epoch, dim,
+             CAST(SUM(qv) AS BIGINT) AS s,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM q GROUP BY 1, 2, 3
+    ),
+    pairs AS (
+      SELECT a.label, a.epoch AS epoch_from, b.epoch AS epoch_to,
+             CAST(SUM(a.s * b.s) AS BIGINT) AS dot,
+             CAST(SUM(a.s * a.s) AS BIGINT) AS na2,
+             CAST(SUM(b.s * b.s) AS BIGINT) AS nb2,
+             MAX(a.n) AS n_from, MAX(b.n) AS n_to
+      FROM cent a JOIN cent b
+        ON a.label = b.label AND a.dim = b.dim AND b.epoch = a.epoch + 1
+      GROUP BY 1, 2, 3
+    )
+    SELECT label, epoch_from, epoch_to, n_from, n_to, dot, na2, nb2,
+           CASE WHEN dot >= 0 THEN 1 ELSE -1 END
+             * CAST(CAST(dot AS HUGEINT) * dot * 1000000 // na2 // nb2
+                    AS BIGINT) AS cos_sq_ppm_signed
+    FROM pairs
+    """,
+    doc="Embedding drift between training epochs (epoch = vec_id % 3), "
+    "per label: the signed squared cosine (ppm) between consecutive "
+    "epochs' centroid directions, computed ENTIRELY in integers — "
+    "each dim quantizes to milli-units with the cross-engine-stable "
+    "floor(1000x+0.5) idiom, centroids stay integer SUM vectors "
+    "(cosine of sums equals cosine of means, so no division until "
+    "the end), and cos² lands via DECIMAL(38,0)/HUGEINT exact floor "
+    "division. The audit that tells a pipeline its per-source "
+    "embedding distribution moved between snapshots and downstream "
+    "ANN indexes / semdedup thresholds need recalibration.",
+)
+def embedding_drift_by_epoch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: ONE corpus-scale stage — posexplode to (label,
+    epoch, dim, qv) and a partial-combining groupBy whose key space
+    is |labels|x|epochs|x|dims| (bounded) — so the shuffle moves at
+    most the centroid table regardless of corpus size. The tiny
+    centroid frame is lazily checkpointed before the consecutive-epoch
+    self-join (two consumers of one aggregate subtree — the
+    re-execution rule from ranks.py), and everything after it is
+    sub-kilobyte. Float enters only the per-dim quantization; every
+    aggregated/compared value is integer, so the result is hash-exact
+    cross-engine."""
+    e = _t(spark, sf_dir, "embeddings")["embeddings"]
+    exploded = fan_out(e.select("vec_id", "label", "embedding")).select(
+        (F.col("vec_id") % 3).alias("epoch"),
+        "label",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias(
+            "pos", "ev"
+        ),
+    )
+    cent = (
+        exploded.select(
+            "label",
+            "epoch",
+            (F.col("pos") + 1).alias("dim"),
+            F.floor(F.lit(1000) * F.col("ev") + F.lit(0.5))
+            .cast("long")
+            .alias("qv"),
+        )
+        .groupBy("label", "epoch", "dim")
+        .agg(F.sum("qv").alias("s"), F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=False)
+    )
+    a, b = cent.alias("a"), cent.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.label") == F.col("b.label"))
+            & (F.col("a.dim") == F.col("b.dim"))
+            & (F.col("b.epoch") == F.col("a.epoch") + 1),
+        )
+        .groupBy(
+            F.col("a.label").alias("label"),
+            F.col("a.epoch").alias("epoch_from"),
+            F.col("b.epoch").alias("epoch_to"),
+        )
+        .agg(
+            F.sum(F.col("a.s") * F.col("b.s")).alias("dot"),
+            F.sum(F.col("a.s") * F.col("a.s")).alias("na2"),
+            F.sum(F.col("b.s") * F.col("b.s")).alias("nb2"),
+            F.max("a.n").alias("n_from"),
+            F.max("b.n").alias("n_to"),
+        )
+    )
+    return pairs.select(
+        "label",
+        "epoch_from",
+        "epoch_to",
+        "n_from",
+        "n_to",
+        "dot",
+        "na2",
+        "nb2",
+        (
+            F.when(F.col("dot") >= 0, 1).otherwise(-1)
+            * F.expr(
+                "CAST(CAST(dot AS DECIMAL(19,0)) * CAST(dot AS DECIMAL(19,0))"
+                " * 1000000 AS DECIMAL(38,0)) DIV na2 DIV nb2"
+            )
+        ).alias("cos_sq_ppm_signed"),
+    )

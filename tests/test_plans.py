@@ -1185,3 +1185,21 @@ def test_snapshot_diff_joins_digests_not_text(spark, sf):
         block = plan[block_start : plan.find("\n\n", block_start)]
         assert "text#" not in block, f"text crosses the wire: {block[:200]}"
     assert has_partial_aggregate(df)
+
+
+def test_embedding_drift_shuffles_centroids_not_vectors(spark, sf):
+    """embedding_drift_by_epoch's one corpus-scale stage is the
+    posexplode + partial-combining centroid aggregate over a bounded
+    key space; the consecutive-epoch self-join must consume the
+    CHECKPOINTED centroid frame (ExistingRDD — not a re-execution of
+    the explode+agg per join side) and nothing downstream may
+    single-partition."""
+    from dungbeetle_spark.plans.inspect import single_partition_windows
+
+    df = _df(spark, sf, "embedding_drift_by_epoch")
+    plan = formatted_plan(df)
+    assert "ExistingRDD" in plan
+    assert "CartesianProduct" not in plan
+    assert not single_partition_windows(plan)
+    # only ONE scan: both join sides read the checkpointed centroids
+    assert len(re.findall(r"^\(\d+\) Scan parquet", plan, re.M)) <= 1
