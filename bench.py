@@ -103,6 +103,7 @@ HEADLINE = [
     "winnowing_fingerprints",
     "corpus_snapshot_diff",
     "embedding_drift_by_epoch",
+    "shard_plan",
 ]
 
 # Host-drift canary (ADVICE r04: one hardcoded-anchor query is noisy

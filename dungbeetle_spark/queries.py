@@ -77,15 +77,17 @@ DRIVER_PRIORITY: list[str] = [
     "winnowing_fingerprints",
     "corpus_snapshot_diff",
     "embedding_drift_by_epoch",
+    "shard_plan",
     # Then staleness repayment (VERDICT r07 item 3): the 6 queries
     # whose last green driver row is r04, followed by the oldest r05
     # greens. New/changed r08 queries are inserted at the TOP of this
     # list as they land, each displacing the last r05 entry
     # (displaced so far: unpivot_user_metrics, streaming_quality_
     # filter, timeseries_topk_similar_users, triangle_cohorts,
-    # sequence_pack, source_lang_drift, semdedup; remaining r05
-    # cohort: those seven + user_value_trend, vocab_growth,
-    # zorder_layout_stats wait for r09 with the r06 cohort).
+    # sequence_pack, source_lang_drift, semdedup,
+    # scd2_user_type_history; remaining r05 cohort: those eight +
+    # user_value_trend, vocab_growth, zorder_layout_stats wait for
+    # r09 with the r06 cohort).
     # last green r04:
     "cube_order_stats",
     "doc_fingerprint",
@@ -130,7 +132,6 @@ DRIVER_PRIORITY: list[str] = [
     "quality_filter_funnel",
     "recursive_daily_spine",
     "repetition_stats",
-    "scd2_user_type_history",
 ]
 
 

@@ -1203,3 +1203,27 @@ def test_embedding_drift_shuffles_centroids_not_vectors(spark, sf):
     assert not single_partition_windows(plan)
     # only ONE scan: both join sides read the checkpointed centroids
     assert len(re.findall(r"^\(\d+\) Scan parquet", plan, re.M)) <= 1
+
+
+def test_shard_plan_prefix_sum_never_single_partition(spark, sf):
+    """shard_plan's running size must ride the range-partitioned
+    prefix-sum construction (global_cumsum): checkpointed ranged frame
+    (ExistingRDD), the doc-scale cumulative window partitioned by pid,
+    offsets broadcast back — never the naive global ORDER BY window's
+    Exchange SinglePartition over document rows."""
+    from dungbeetle_spark.plans.inspect import single_partition_windows
+
+    df = _df(spark, sf, "shard_plan")
+    plan = formatted_plan(df)
+    assert "ExistingRDD" in plan
+    # at most the |partitions|-row offsets window is global (it rides
+    # a BroadcastExchange, never doc-scale data) — same allowance as
+    # the curriculum_buckets pin
+    assert len(single_partition_windows(plan)) <= 1
+    assert has_broadcast_join(df)
+    import re as _re
+
+    m = _re.search(
+        r"windowspecdefinition\(_pid#\d+", plan
+    )
+    assert m, "doc-scale running sum must partition by pid"
