@@ -104,6 +104,7 @@ HEADLINE = [
     "corpus_snapshot_diff",
     "embedding_drift_by_epoch",
     "shard_plan",
+    "quality_threshold_calibration",
 ]
 
 # Host-drift canary (ADVICE r04: one hardcoded-anchor query is noisy

@@ -219,18 +219,19 @@ def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _quality_cte_sql() -> str:
-    """CTE pair computing (doc_id, quality) over ``documents`` — the
+def _quality_cte_sql(src: str = "documents") -> str:
+    """CTE pair computing (doc_id, quality) over ``src`` — the
     single source of truth for the quality formula on the oracle side,
-    shared with the composed corpus_clean oracle (operators/pipeline.py)."""
-    return """
+    shared with the composed corpus_clean oracle (operators/pipeline.py)
+    and the junk-seeded quality_threshold_calibration oracle."""
+    return f"""
     q AS (
       SELECT doc_id,
              length(text) AS nc,
              CASE WHEN trim(text) = '' THEN 0
                   ELSE len(regexp_split_to_array(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ')) END AS nw,
              length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS np
-      FROM documents),
+      FROM {src}),
     scored AS (
       SELECT doc_id,
              (least(CAST(nw AS DOUBLE) / 100.0, 1.0) * 0.5
@@ -861,4 +862,134 @@ def char_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("n_bigrams") == 0, F.lit(0).cast("long"))
         .otherwise(F.expr("total_bits * 1000 DIV n_bigrams"))
         .alias("mean_millibits"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# quality-threshold calibration — precision/recall per cutoff
+# ---------------------------------------------------------------------------
+
+_JUNK_MOD = 9  # docs with doc_id % 9 == 0 are replaced by known junk
+
+
+@query(
+    "quality_threshold_calibration",
+    oracle=f"""
+    WITH seeded AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % {_JUNK_MOD} = 0
+                  THEN repeat('!? ', 5 + CAST(doc_id % 7 AS INTEGER))
+                  ELSE text END AS text,
+             doc_id % {_JUNK_MOD} = 0 AS is_bad
+      FROM documents),
+    {_quality_cte_sql("seeded")},
+    lv AS (
+      SELECT CAST(floor(s.quality * 1000 + 0.5) AS BIGINT) AS threshold_milli,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN d.is_bad THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_bad
+      FROM scored s JOIN seeded d USING (doc_id)
+      GROUP BY 1),
+    cum AS (
+      SELECT threshold_milli,
+             SUM(n) OVER (ORDER BY threshold_milli DESC
+                          ROWS UNBOUNDED PRECEDING) AS kept,
+             SUM(n_bad) OVER (ORDER BY threshold_milli DESC
+                              ROWS UNBOUNDED PRECEDING) AS kept_bad,
+             SUM(n) OVER () - SUM(n_bad) OVER () AS total_good
+      FROM lv)
+    SELECT threshold_milli,
+           CAST(kept AS BIGINT) AS n_kept,
+           CAST(kept_bad AS BIGINT) AS n_kept_bad,
+           CAST((kept - kept_bad) * 1000000 // kept AS BIGINT)
+             AS precision_ppm,
+           CAST((kept - kept_bad) * 1000000 // total_good AS BIGINT)
+             AS recall_ppm
+    FROM cum
+    """,
+    doc="Quality-threshold calibration curve: plant KNOWN junk on "
+    f"doc_id%{_JUNK_MOD}==0 (degenerate '!? ' repeats — high "
+    "punctuation density, so the rule score genuinely ranks it low; "
+    "nothing is circular), score the seeded corpus with the shared "
+    "quality formula, then for every distinct score level report the "
+    "keep-if-score>=threshold precision and recall against the "
+    "planted labels in exact ppm. The audit that picks a production "
+    "quality cutoff from data instead of folklore. Output is one row "
+    "per distinct score level (bounded: the rule score takes ~a dozen "
+    "values).",
+)
+def quality_threshold_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: one scan computes the score (same pure-codegen
+    expressions as quality_score) and the per-LEVEL aggregate is the
+    only corpus-scale shuffle (map-side partials onto <=~dozen keys);
+    the cumulative precision/recall windows then run on the bounded
+    per-level frame — a |score levels|-row global window, the
+    documented entity-bounded class, never doc-scale data."""
+    d = fan_out(_t(spark, sf_dir, "documents")["documents"])
+    seeded_text = F.when(
+        F.col("doc_id") % _JUNK_MOD == 0,
+        F.expr(f"repeat('!? ', 5 + CAST(doc_id % 7 AS INT))"),
+    ).otherwise(F.col("text"))
+    text = F.col("text")
+    squashed = F.regexp_replace(text, r"\s+", " ")
+    base = d.select(
+        "doc_id",
+        seeded_text.alias("text"),
+        (F.col("doc_id") % _JUNK_MOD == 0).alias("is_bad"),
+    ).select(
+        "is_bad",
+        F.length(text).alias("nc"),
+        F.when(F.trim(text) == "", F.lit(0))
+        .otherwise(F.size(F.split(F.trim(squashed), " ")))
+        .alias("nw"),
+        (
+            F.length(text) - F.length(F.regexp_replace(text, r"\p{Punct}", ""))
+        ).alias("np"),
+    )
+    nc, nw, np_ = F.col("nc"), F.col("nw"), F.col("np")
+    mean_wl = nc.cast("double") / nw
+    quality = (
+        F.least(nw.cast("double") / F.lit(100.0), F.lit(1.0)) * F.lit(0.5)
+        + F.when(
+            (nw > 0) & (mean_wl >= 3.0) & (mean_wl <= 12.0), F.lit(0.3)
+        ).otherwise(F.lit(0.0))
+        + F.when(
+            np_.cast("double") / F.greatest(nc, F.lit(1)) < 0.1, F.lit(0.2)
+        ).otherwise(F.lit(0.0))
+    )
+    lv = (
+        base.select(
+            F.floor(quality * 1000 + F.lit(0.5)).cast("long").alias(
+                "threshold_milli"
+            ),
+            "is_bad",
+        )
+        .groupBy("threshold_milli")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.when(F.col("is_bad"), 1).otherwise(0)).alias("n_bad"),
+        )
+    )
+    from pyspark.sql.window import Window as W
+
+    wd = W.orderBy(F.col("threshold_milli").desc()).rowsBetween(
+        W.unboundedPreceding, 0
+    )
+    wall = W.partitionBy()
+    cum = lv.select(
+        "threshold_milli",
+        F.sum("n").over(wd).alias("kept"),
+        F.sum("n_bad").over(wd).alias("kept_bad"),
+        (F.sum("n").over(wall) - F.sum("n_bad").over(wall)).alias(
+            "total_good"
+        ),
+    )
+    return cum.select(
+        "threshold_milli",
+        F.col("kept").alias("n_kept"),
+        F.col("kept_bad").alias("n_kept_bad"),
+        F.expr("(kept - kept_bad) * 1000000 DIV kept").alias("precision_ppm"),
+        F.expr("(kept - kept_bad) * 1000000 DIV total_good").alias(
+            "recall_ppm"
+        ),
     )

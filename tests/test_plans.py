@@ -1227,3 +1227,19 @@ def test_shard_plan_prefix_sum_never_single_partition(spark, sf):
         r"windowspecdefinition\(_pid#\d+", plan
     )
     assert m, "doc-scale running sum must partition by pid"
+
+
+def test_quality_calibration_levels_before_windows(spark, sf):
+    """quality_threshold_calibration: the only corpus-scale shuffle is
+    the per-score-level aggregate (map-side partials onto ~dozens of
+    keys); the cumulative precision/recall windows then run on the
+    bounded per-level frame — at most the two documented global
+    windows of the entity-bounded class, and no Python anywhere."""
+    from dungbeetle_spark.plans.inspect import single_partition_windows
+
+    df = _df(spark, sf, "quality_threshold_calibration")
+    plan = formatted_plan(df)
+    assert "EvalPython" not in plan and "InPandas" not in plan
+    assert "CartesianProduct" not in plan
+    assert has_partial_aggregate(df)
+    assert len(single_partition_windows(plan)) <= 2
