@@ -68,6 +68,11 @@ SWEEP_OPS = [
     ("url_canonicalize", None),  # map-side strings + 40-key rollup: O(n)
     ("epoch_ngram_novelty", None),  # probe O(distinct grams), const filter
     ("longest_dup_substring", None),  # same 2 keyed shuffles as substring
+    ("winnowing_fingerprints", None),  # ~2/(w+1) of positions shuffle
+    ("corpus_snapshot_diff", None),  # digest join O(n), unique keys
+    ("embedding_drift_by_epoch", None),  # bounded centroid agg: O(n·d)
+    ("shard_plan", None),  # range prefix-sum: O(n), keyed
+    ("quality_threshold_calibration", None),  # level agg O(n), ~95 keys
 ]
 
 # Sub-factor ladder for capped operators: when the requested factor
