@@ -24,6 +24,15 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--queue", default=None, help="default queue name")
     p.add_argument("--worker-concurrency", type=int, default=None)
     p.add_argument("--worker-only", action="store_true")
+    p.add_argument(
+        "--serve-store",
+        default=None,
+        metavar="HOST:PORT",
+        help="also serve the file job_store over TCP (netdbapi) so "
+        "worker machines can reach it via job_store_dbapi = "
+        "dungbeetle_spark.netdbapi:connect — the single-host broker "
+        "deployment without a database server",
+    )
     args = p.parse_args(argv)
 
     from dungbeetle_spark.config import build_core, load_config
@@ -41,6 +50,22 @@ def main(argv: list[str] | None = None) -> int:
         cfg.worker_only = True
 
     core = build_core(cfg)
+    store_server = None
+    if args.serve_store:
+        if not cfg.job_store:
+            p.error("--serve-store requires a file job_store in the config")
+        from dungbeetle_spark import netdbapi
+
+        host, _, port = args.serve_store.partition(":")
+        store_server = netdbapi.NetDBAPIServer(
+            cfg.job_store, host or "127.0.0.1", int(port or 0)
+        )
+        store_server.start()
+        print(
+            f"job_store served on {store_server.address} "
+            "(dungbeetle_spark.netdbapi:connect)",
+            file=sys.stderr,
+        )
     core.start()
     if cfg.worker_only:
         import threading
@@ -58,6 +83,8 @@ def main(argv: list[str] | None = None) -> int:
     except KeyboardInterrupt:
         server.stop()
         core.stop()
+        if store_server is not None:
+            store_server.stop()
     return 0
 
 

@@ -804,3 +804,95 @@ path = "{results}"
         server.stop()
         core.stop()
         net.stop()
+
+
+def test_serve_store_cli_flag_exposes_broker_over_tcp(tmp_path):
+    """`--serve-store HOST:PORT` on the main process serves its file
+    job_store via netdbapi, so remote workers can config-wire
+    job_store_dbapi = dungbeetle_spark.netdbapi:connect at it — the
+    documented single-host broker deployment. The test boots the CLI
+    (worker-only mode so no HTTP port is needed), waits for the
+    serve line, then drives the store over TCP from this process:
+    a job created here must be claimable, and its state visible,
+    through the served socket."""
+    from dungbeetle_spark import netdbapi
+    from dungbeetle_spark.broker import DBAPIBroker
+
+    db = str(tmp_path / "served.db")
+    sqldir = tmp_path / "sql"
+    sqldir.mkdir()
+    (sqldir / "tasks.sql").write_text(
+        "-- name: noop\n-- raw: 1\nSELECT 1 AS x;\n"
+    )
+    cfg = tmp_path / "cfg.toml"
+    cfg.write_text(
+        f"""
+sql_directory = "{sqldir}"
+
+[app]
+job_store = "{db}"
+
+[db.testdata]
+path = "/root/testdata/sf0.001"
+
+[results.default]
+path = "{tmp_path / "results"}"
+"""
+    )
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(
+        os.environ,
+        SPARK_GRAFT_CPUS="2",
+        SPARK_GRAFT_DRIVER_MEM="2g",
+        PYTHONPATH=repo_root
+        + (os.pathsep + os.environ["PYTHONPATH"] if os.environ.get("PYTHONPATH") else ""),
+    )
+    workdir = tmp_path / "proc"
+    workdir.mkdir()
+    proc = subprocess.Popen(
+        [
+            sys.executable, "-m", "dungbeetle_spark",
+            "--config", str(cfg),
+            "--worker-only",
+            "--serve-store", "127.0.0.1:0",
+        ],
+        cwd=str(workdir),
+        env=env,
+        stdout=subprocess.PIPE,
+        stderr=subprocess.STDOUT,
+        text=True,
+    )
+    try:
+        # the serve line prints BEFORE Spark boots, so this is quick
+        import re as _re
+
+        addr = None
+        deadline = time.monotonic() + 60
+        while time.monotonic() < deadline:
+            line = proc.stdout.readline()
+            if not line:
+                time.sleep(0.05)
+                continue
+            m = _re.search(r"job_store served on \('([^']+)', (\d+)\)", line)
+            if m:
+                addr = (m.group(1), int(m.group(2)))
+                break
+        assert addr, "serve line never appeared"
+        remote = JobStore(
+            backend=DBAPIBroker(
+                lambda: netdbapi.connect(*addr), dialect="sqlite"
+            ),
+            recover="attach",
+        )
+        remote.create(JobRecord(job_id="via_tcp", task="noop", queue="manual"))
+        got = remote.claim(["manual"], "tcp-worker")
+        assert got is not None and got.job_id == "via_tcp"
+        assert remote.set_state("via_tcp", jobstore.SUCCESS, count=1)
+        assert remote.get("via_tcp").state == jobstore.SUCCESS
+        remote.close()
+    finally:
+        proc.terminate()
+        try:
+            proc.wait(timeout=15)
+        except subprocess.TimeoutExpired:
+            proc.kill()
