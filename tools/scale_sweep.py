@@ -274,15 +274,23 @@ NOTES = """
   shows the candidate-bounded exact-intersection term still sits
   under the linear terms at 32x worst-case density; organic corpora
   pair far more sparsely.
-- r08 additions: `url_canonicalize` is flat (0.62 s at x32) — pure
+- r08 additions: `url_canonicalize` is flat (x32 ~0.6 s) — pure
   map-side string codegen into a 40-key rollup; the per-row regex
   work rides the 32-core floor. `epoch_ngram_novelty` (exponent
-  0.26): cost follows the per-epoch DISTINCT gram sets (which grow
+  ~0.26): cost follows the per-epoch DISTINCT gram sets (which grow
   slowly under near-dup amplification), not corpus rows — the
   filters stay 16 KB and probes map-side, the same shape argument as
   bloom_decontamination. `longest_dup_substring` is flat like
   dedup_exact_substring (same two keyed exchanges; the added islands
   window rides the doc_id partition already paid for).
+  `winnowing_fingerprints` flat: the winnow selects ~2/(w+1) of
+  positions scan-side, so the cross-doc shuffle is a fraction of
+  exact_substring's at the same corpus. `corpus_snapshot_diff` /
+  `shard_plan` / `quality_threshold_calibration` /
+  `embedding_drift_by_epoch` (exponents 0.00-0.07): digest-join,
+  range-prefix-sum, bounded-level aggregate, and bounded centroid
+  aggregate respectively — each shuffles keys or bounded frames,
+  never payloads, so x32 rides the core floor.
 """
 
 
