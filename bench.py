@@ -105,6 +105,7 @@ HEADLINE = [
     "embedding_drift_by_epoch",
     "shard_plan",
     "quality_threshold_calibration",
+    "ann_recall_calibration",
 ]
 
 # Host-drift canary (ADVICE r04: one hardcoded-anchor query is noisy

@@ -1233,3 +1233,96 @@ def embedding_drift_by_epoch(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("cos_sq_ppm_signed"),
     )
+
+
+# ---------------------------------------------------------------------------
+# ANN recall calibration — approx-vs-exact, per query
+# ---------------------------------------------------------------------------
+
+
+def _ann_recall_oracle() -> str:
+    """Compose the three individually-verified ANN oracles (exact
+    brute force, LSH-bucketed, IVF) into one recall report. Reusing
+    the registered oracle strings verbatim guarantees the calibration
+    measures exactly the operators it claims to measure — no drift
+    between a copy of the formula and the real one."""
+    from dungbeetle_spark.queries import _REGISTRY
+
+    exact = _REGISTRY["ann_cosine_topk"].oracle
+    lsh = _REGISTRY["ann_lsh_bucketed"].oracle
+    ivf = _REGISTRY["ann_ivf"].oracle
+    return f"""
+    WITH exact_r AS (SELECT query_id, neighbor_id FROM ({exact})),
+    lsh_r AS (SELECT query_id, neighbor_id FROM ({lsh})),
+    ivf_r AS (SELECT query_id, neighbor_id FROM ({ivf})),
+    base AS (
+      SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_exact
+      FROM exact_r GROUP BY query_id),
+    lh AS (
+      SELECT e.query_id, CAST(COUNT(*) AS BIGINT) AS hits
+      FROM exact_r e JOIN lsh_r a USING (query_id, neighbor_id)
+      GROUP BY e.query_id),
+    ih AS (
+      SELECT e.query_id, CAST(COUNT(*) AS BIGINT) AS hits
+      FROM exact_r e JOIN ivf_r a USING (query_id, neighbor_id)
+      GROUP BY e.query_id)
+    SELECT b.query_id, b.n_exact,
+           COALESCE(lh.hits, 0) AS lsh_hits,
+           COALESCE(lh.hits, 0) * 1000000 // b.n_exact AS lsh_recall_ppm,
+           COALESCE(ih.hits, 0) AS ivf_hits,
+           COALESCE(ih.hits, 0) * 1000000 // b.n_exact AS ivf_recall_ppm
+    FROM base b
+    LEFT JOIN lh ON lh.query_id = b.query_id
+    LEFT JOIN ih ON ih.query_id = b.query_id
+    """
+
+
+@query(
+    "ann_recall_calibration",
+    oracle=_ann_recall_oracle(),
+    doc=f"ANN recall calibration: per query vector, how much of the "
+    f"exact brute-force cosine top-{_TOP_K} each approximate index "
+    "recovers — LSH banding and IVF probing measured side by side in "
+    "exact ppm. The minhash_calibration discipline applied to the "
+    "similarity stack: the oracle REUSES the three registered ANN "
+    "oracle strings verbatim (composed as subqueries), so the report "
+    "provably measures the shipped operators, and the number that "
+    "decides bands/probes for a 100 TB index comes from data.",
+)
+def ann_recall_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: a diagnostic composition — the exact arm is the
+    bounded brute-force sweep (run on a sample in production), the
+    LSH/IVF arms are the shipped scale paths; each arm's plan is its
+    own operator's plan unchanged, and the recall joins/rollups act
+    on |queries| x k rows. Run cost is the sum of the three arms —
+    acceptable for a calibration pass, not a pipeline stage."""
+    exact = ann_cosine_topk(spark, sf_dir).select("query_id", "neighbor_id")
+    lsh = ann_lsh_bucketed(spark, sf_dir).select("query_id", "neighbor_id")
+    ivf = ann_ivf(spark, sf_dir).select("query_id", "neighbor_id")
+    base = exact.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_exact"))
+    lh = (
+        exact.join(lsh, ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("lsh_hits_raw"))
+    )
+    ih = (
+        exact.join(ivf, ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("ivf_hits_raw"))
+    )
+    return (
+        base.join(lh, "query_id", "left")
+        .join(ih, "query_id", "left")
+        .select(
+            "query_id",
+            "n_exact",
+            F.coalesce("lsh_hits_raw", F.lit(0)).alias("lsh_hits"),
+            F.expr(
+                "coalesce(lsh_hits_raw, 0) * 1000000 DIV n_exact"
+            ).alias("lsh_recall_ppm"),
+            F.coalesce("ivf_hits_raw", F.lit(0)).alias("ivf_hits"),
+            F.expr(
+                "coalesce(ivf_hits_raw, 0) * 1000000 DIV n_exact"
+            ).alias("ivf_recall_ppm"),
+        )
+    )

@@ -27,6 +27,7 @@ NEVER_VERIFIED: list[str] = [
     "embedding_drift_by_epoch",  # new in r08
     "shard_plan",  # new in r08
     "quality_threshold_calibration",  # new in r08
+    "ann_recall_calibration",  # new in r08
 ]
 
 # Operators whose code or oracle changed in round 8.
@@ -84,13 +85,12 @@ ROTATED_IN_R08 = [
     "pareto_revenue_share",
     "q12_shipping_delay",
     "quality_filter_funnel",
-    "recursive_daily_spine",
     # displaced to r09 (new/changed > stale): unpivot_user_metrics by
     # multimodal_real_decode; streaming_quality_filter /
     # timeseries_topk_similar_users / triangle_cohorts /
     # sequence_pack / source_lang_drift / semdedup /
-    # scd2_user_type_history / repetition_stats by the eight new r08
-    # queries
+    # scd2_user_type_history / repetition_stats /
+    # recursive_daily_spine by the nine new r08 queries
 ]
 
 
