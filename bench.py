@@ -106,6 +106,7 @@ HEADLINE = [
     "shard_plan",
     "quality_threshold_calibration",
     "ann_recall_calibration",
+    "length_matched_controls",
 ]
 
 # Host-drift canary (ADVICE r04: one hardcoded-anchor query is noisy

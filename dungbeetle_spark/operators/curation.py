@@ -1114,3 +1114,112 @@ def shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("doc_id").alias("last_doc"),
         (F.sum("n_chars") >= _SHARD_TARGET_CHARS).alias("at_target"),
     )
+
+
+# -- length_matched_controls --------------------------------------------------
+
+_CTRL_EVAL_MOD = 37  # same eval membership as decontamination
+
+
+@query(
+    "length_matched_controls",
+    oracle=f"""
+    WITH u AS (
+      SELECT doc_id, source, n_chars,
+             CASE WHEN doc_id % {_CTRL_EVAL_MOD} = 0 THEN 1 ELSE 0 END
+               AS is_eval
+      FROM documents
+    ),
+    seq AS (
+      SELECT *,
+             last_value(CASE WHEN is_eval = 0 THEN doc_id END IGNORE NULLS)
+               OVER (PARTITION BY source ORDER BY n_chars, is_eval, doc_id
+                     ROWS UNBOUNDED PRECEDING) AS prev_id,
+             last_value(CASE WHEN is_eval = 0 THEN n_chars END IGNORE NULLS)
+               OVER (PARTITION BY source ORDER BY n_chars, is_eval, doc_id
+                     ROWS UNBOUNDED PRECEDING) AS prev_len,
+             first_value(CASE WHEN is_eval = 0 THEN doc_id END IGNORE NULLS)
+               OVER (PARTITION BY source ORDER BY n_chars, is_eval, doc_id
+                     ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+               AS next_id,
+             first_value(CASE WHEN is_eval = 0 THEN n_chars END IGNORE NULLS)
+               OVER (PARTITION BY source ORDER BY n_chars, is_eval, doc_id
+                     ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+               AS next_len
+      FROM u
+    )
+    SELECT doc_id AS eval_doc, source, n_chars AS eval_len,
+           CASE WHEN next_id IS NULL THEN prev_id
+                WHEN prev_id IS NULL THEN next_id
+                WHEN (n_chars - prev_len) <= (next_len - n_chars)
+                  THEN prev_id
+                ELSE next_id END AS control_doc,
+           CASE WHEN next_id IS NULL THEN n_chars - prev_len
+                WHEN prev_id IS NULL THEN next_len - n_chars
+                WHEN (n_chars - prev_len) <= (next_len - n_chars)
+                  THEN n_chars - prev_len
+                ELSE next_len - n_chars END AS len_gap
+    FROM seq WHERE is_eval = 1
+    """,
+    doc="Length-matched control sampling: for every eval-split "
+    f"document (doc_id%{_CTRL_EVAL_MOD}==0, the decontamination "
+    "membership), pick the nearest-length NON-eval document from the "
+    "same source — the standard control-group construction for "
+    "contamination and memorization analyses, where the control must "
+    "match the eval doc's length distribution. Nearest on either "
+    "side via one sorted pass (no join): carry the last candidate "
+    "backward and the first candidate forward with IGNORE NULLS "
+    "window folds, then pick the closer (ties prefer the shorter "
+    "candidate; all orderings carry doc_id tiebreaks). Exact "
+    "integers throughout.",
+)
+def length_matched_controls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: ONE shuffle — the source-keyed sort window; both
+    directional carries and the final pick run in the same sorted
+    pass, so the whole operator is an as-of join on a non-time axis
+    expressed without materializing candidate pairs. Per-source data
+    skew is the only hotspot class (a giant source sorts in one
+    task's range chain) — the same profile as every source-keyed
+    window here."""
+    d = _t(spark, sf_dir, "documents")["documents"]
+    u = fan_out(d.select("doc_id", "source", "n_chars")).withColumn(
+        "is_eval",
+        F.when(F.col("doc_id") % _CTRL_EVAL_MOD == 0, 1).otherwise(0),
+    )
+    order = [F.col("n_chars"), F.col("is_eval"), F.col("doc_id")]
+    back = W.partitionBy("source").orderBy(*order).rowsBetween(
+        W.unboundedPreceding, 0
+    )
+    fwd = W.partitionBy("source").orderBy(*order).rowsBetween(
+        0, W.unboundedFollowing
+    )
+    cand_id = F.when(F.col("is_eval") == 0, F.col("doc_id"))
+    cand_len = F.when(F.col("is_eval") == 0, F.col("n_chars"))
+    seq = u.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        "is_eval",
+        F.last(cand_id, ignorenulls=True).over(back).alias("prev_id"),
+        F.last(cand_len, ignorenulls=True).over(back).alias("prev_len"),
+        F.first(cand_id, ignorenulls=True).over(fwd).alias("next_id"),
+        F.first(cand_len, ignorenulls=True).over(fwd).alias("next_len"),
+    )
+    prev_gap = F.col("n_chars") - F.col("prev_len")
+    next_gap = F.col("next_len") - F.col("n_chars")
+    pick_prev = prev_gap <= next_gap
+    return seq.filter(F.col("is_eval") == 1).select(
+        F.col("doc_id").alias("eval_doc"),
+        "source",
+        F.col("n_chars").alias("eval_len"),
+        F.when(F.col("next_id").isNull(), F.col("prev_id"))
+        .when(F.col("prev_id").isNull(), F.col("next_id"))
+        .when(pick_prev, F.col("prev_id"))
+        .otherwise(F.col("next_id"))
+        .alias("control_doc"),
+        F.when(F.col("next_id").isNull(), prev_gap)
+        .when(F.col("prev_id").isNull(), next_gap)
+        .when(pick_prev, prev_gap)
+        .otherwise(next_gap)
+        .alias("len_gap"),
+    )

@@ -80,6 +80,7 @@ DRIVER_PRIORITY: list[str] = [
     "shard_plan",
     "quality_threshold_calibration",
     "ann_recall_calibration",
+    "length_matched_controls",
     # Then staleness repayment (VERDICT r07 item 3): the 6 queries
     # whose last green driver row is r04, followed by the oldest r05
     # greens. New/changed r08 queries are inserted at the TOP of this
@@ -87,10 +88,10 @@ DRIVER_PRIORITY: list[str] = [
     # (displaced so far: unpivot_user_metrics, streaming_quality_
     # filter, timeseries_topk_similar_users, triangle_cohorts,
     # sequence_pack, source_lang_drift, semdedup,
-    # scd2_user_type_history, repetition_stats, recursive_daily_spine;
-    # remaining r05 cohort: those ten + user_value_trend,
-    # vocab_growth, zorder_layout_stats wait for r09 with the r06
-    # cohort).
+    # scd2_user_type_history, repetition_stats, recursive_daily_spine,
+    # quality_filter_funnel; remaining r05 cohort: those eleven +
+    # user_value_trend, vocab_growth, zorder_layout_stats wait for
+    # r09 with the r06 cohort).
     # last green r04:
     "cube_order_stats",
     "doc_fingerprint",
@@ -132,7 +133,6 @@ DRIVER_PRIORITY: list[str] = [
     "pagerank_trade_graph",
     "pareto_revenue_share",
     "q12_shipping_delay",
-    "quality_filter_funnel",
 ]
 
 

@@ -1243,3 +1243,19 @@ def test_quality_calibration_levels_before_windows(spark, sf):
     assert "CartesianProduct" not in plan
     assert has_partial_aggregate(df)
     assert len(single_partition_windows(plan)) <= 2
+
+
+def test_length_matched_controls_single_sort_no_join(spark, sf):
+    """length_matched_controls is an as-of join on the length axis
+    expressed as ONE source-keyed sorted pass: no join operator at
+    all, no Python, and no single-partition window — the directional
+    carries and the final pick share the same sort."""
+    from dungbeetle_spark.plans.inspect import single_partition_windows
+
+    df = _df(spark, sf, "length_matched_controls")
+    plan = formatted_plan(df)
+    assert "Join" not in plan and "CartesianProduct" not in plan
+    assert "EvalPython" not in plan and "InPandas" not in plan
+    assert not single_partition_windows(plan)
+    # fan_out spread + the one source-keyed window exchange
+    assert shuffle_exchanges(df) <= 2
