@@ -107,6 +107,7 @@ HEADLINE = [
     "quality_threshold_calibration",
     "ann_recall_calibration",
     "length_matched_controls",
+    "contamination_attribution",
 ]
 
 # Host-drift canary (ADVICE r04: one hardcoded-anchor query is noisy

@@ -1306,3 +1306,118 @@ def token_gini_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             " DIV (CAST(n AS DECIMAL(38,0)) * s0) AS BIGINT)"
         ).alias("gini_ppm"),
     )
+
+
+# -- contamination_attribution ------------------------------------------------
+
+
+@query(
+    "contamination_attribution",
+    oracle=f"""
+    WITH seeded AS (
+        SELECT doc_id, source,
+               text || CASE
+                 WHEN doc_id % {_EVAL_MOD} = 0
+                   THEN ' benchmark passage k' || CAST(doc_id % 5 AS VARCHAR)
+                        || ' alpha beta gamma delta epsilon zeta eta'
+                 WHEN doc_id % {_PLANT_MOD} = 0
+                   THEN ' benchmark passage k'
+                        || CAST((doc_id // {_PLANT_MOD}) % 5 AS VARCHAR)
+                        || ' alpha beta gamma delta epsilon zeta eta'
+                 ELSE '' END AS text
+        FROM documents
+    ),
+    toks AS (
+        SELECT doc_id, source,
+               list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                           x -> x <> '') AS t
+        FROM seeded
+    ),
+    grams AS (
+        SELECT DISTINCT doc_id, source,
+               array_to_string(t[i : i + {_GRAM_N - 1}], ' ') AS gram
+        FROM toks,
+             unnest(range(1, greatest(len(t) - {_GRAM_N - 1}, 0) + 1)) AS u(i)
+    ),
+    ev AS (
+        SELECT gram, MIN(doc_id % 5) AS benchmark_id
+        FROM grams WHERE doc_id % {_EVAL_MOD} = 0
+        GROUP BY gram HAVING COUNT(DISTINCT doc_id % 5) = 1
+    ),
+    hits AS (
+        SELECT e.benchmark_id, g.source, g.doc_id
+        FROM grams g JOIN ev e USING (gram)
+        WHERE g.doc_id % {_EVAL_MOD} <> 0
+    )
+    SELECT benchmark_id, source,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_contaminated_docs
+    FROM hits GROUP BY 1, 2
+    """,
+    doc="Contamination ATTRIBUTION: which benchmark leaked into which "
+    "source — the question decontamination's per-doc report can't "
+    "answer directly. Benchmark membership uses DISCRIMINATIVE "
+    f"{_GRAM_N}-grams only (grams appearing in exactly one "
+    "benchmark's eval set; shared grams like the common passage "
+    "filler attribute to nobody), and the training-side plants spread "
+    "across benchmarks ((doc_id DIV 10) % 5 — a fixture variant of "
+    "the decontamination seeding, documented in FIXTURES.md) so "
+    "every benchmark has attributable hits. Output: (benchmark, "
+    "source) contaminated-doc counts.",
+)
+def contamination_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: same as decontamination — the discriminative
+    gram→benchmark map is KBs at any corpus scale and broadcasts; the
+    corpus side is one distinct-gram pass and a broadcast-join rollup
+    keyed by (benchmark, source): bounded output, no corpus-side
+    fact-fact join. The discriminative filter (HAVING one distinct
+    benchmark) runs on the eval gram set only."""
+    d = _t(spark, sf_dir, "documents")["documents"]
+    plant = F.concat(
+        F.lit(" benchmark passage k"),
+        F.when(
+            F.col("doc_id") % _EVAL_MOD == 0, (F.col("doc_id") % 5)
+        )
+        .otherwise(
+            F.expr(f"(doc_id DIV {_PLANT_MOD}) % 5")
+        )
+        .cast("string"),
+        F.lit(" alpha beta gamma delta epsilon zeta eta"),
+    )
+    seeded_text = F.concat(
+        F.col("text"),
+        F.when(
+            (F.col("doc_id") % _EVAL_MOD == 0)
+            | (F.col("doc_id") % _PLANT_MOD == 0),
+            plant,
+        ).otherwise(F.lit("")),
+    )
+    toks = F.filter(
+        F.split(F.lower(seeded_text), r"[^a-z0-9]+"), lambda x: x != ""
+    )
+    grams = (
+        fan_out(d.select("doc_id", "source", "text"))
+        .select("doc_id", "source", toks.alias("t"))
+        .select(
+            "doc_id",
+            "source",
+            F.explode(word_ngrams("t", _GRAM_N)).alias("gram"),
+        )
+    )
+    ev = (
+        grams.filter(F.col("doc_id") % _EVAL_MOD == 0)
+        .select((F.col("doc_id") % 5).alias("benchmark_id"), "gram")
+        .distinct()
+        .groupBy("gram")
+        .agg(
+            F.min("benchmark_id").alias("benchmark_id"),
+            F.countDistinct("benchmark_id").alias("_nb"),
+        )
+        .filter(F.col("_nb") == 1)
+        .select("gram", "benchmark_id")
+    )
+    hits = grams.filter(F.col("doc_id") % _EVAL_MOD != 0).join(
+        F.broadcast(ev), "gram"
+    )
+    return hits.groupBy("benchmark_id", "source").agg(
+        F.countDistinct("doc_id").alias("n_contaminated_docs")
+    )

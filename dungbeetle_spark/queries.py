@@ -81,6 +81,7 @@ DRIVER_PRIORITY: list[str] = [
     "quality_threshold_calibration",
     "ann_recall_calibration",
     "length_matched_controls",
+    "contamination_attribution",
     # Then staleness repayment (VERDICT r07 item 3): the 6 queries
     # whose last green driver row is r04, followed by the oldest r05
     # greens. New/changed r08 queries are inserted at the TOP of this
@@ -89,9 +90,9 @@ DRIVER_PRIORITY: list[str] = [
     # filter, timeseries_topk_similar_users, triangle_cohorts,
     # sequence_pack, source_lang_drift, semdedup,
     # scd2_user_type_history, repetition_stats, recursive_daily_spine,
-    # quality_filter_funnel; remaining r05 cohort: those eleven +
-    # user_value_trend, vocab_growth, zorder_layout_stats wait for
-    # r09 with the r06 cohort).
+    # quality_filter_funnel, q12_shipping_delay; remaining r05
+    # cohort: those twelve + user_value_trend, vocab_growth,
+    # zorder_layout_stats wait for r09 with the r06 cohort).
     # last green r04:
     "cube_order_stats",
     "doc_fingerprint",
@@ -132,7 +133,6 @@ DRIVER_PRIORITY: list[str] = [
     "ordered_set_event_stats",
     "pagerank_trade_graph",
     "pareto_revenue_share",
-    "q12_shipping_delay",
 ]
 
 

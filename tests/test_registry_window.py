@@ -29,6 +29,7 @@ NEVER_VERIFIED: list[str] = [
     "quality_threshold_calibration",  # new in r08
     "ann_recall_calibration",  # new in r08
     "length_matched_controls",  # new in r08
+    "contamination_attribution",  # new in r08
 ]
 
 # Operators whose code or oracle changed in round 8.
@@ -84,14 +85,13 @@ ROTATED_IN_R08 = [
     "ordered_set_event_stats",
     "pagerank_trade_graph",
     "pareto_revenue_share",
-    "q12_shipping_delay",
     # displaced to r09 (new/changed > stale): unpivot_user_metrics by
     # multimodal_real_decode; streaming_quality_filter /
     # timeseries_topk_similar_users / triangle_cohorts /
     # sequence_pack / source_lang_drift / semdedup /
     # scd2_user_type_history / repetition_stats /
-    # recursive_daily_spine / quality_filter_funnel by the ten new
-    # r08 queries
+    # recursive_daily_spine / quality_filter_funnel /
+    # q12_shipping_delay by the eleven new r08 queries
 ]
 
 
