@@ -73,6 +73,9 @@ SWEEP_OPS = [
     ("embedding_drift_by_epoch", None),  # bounded centroid agg: O(n·d)
     ("shard_plan", None),  # range prefix-sum: O(n), keyed
     ("quality_threshold_calibration", None),  # level agg O(n), ~95 keys
+    ("ann_recall_calibration", None),  # 3 arms, each its own plan
+    ("length_matched_controls", None),  # one source-keyed sort pass
+    ("contamination_attribution", None),  # gram pass + broadcast map
 ]
 
 # Sub-factor ladder for capped operators: when the requested factor
