@@ -108,6 +108,12 @@ HEADLINE = [
     "ann_recall_calibration",
     "length_matched_controls",
     "contamination_attribution",
+    # r08 cleaning quartet: line-frequency boilerplate, script/
+    # mojibake profile, tokenizer fertility, packing-waste ladder
+    "boilerplate_lines",
+    "script_mix_profile",
+    "tokenizer_fertility",
+    "context_window_waste",
 ]
 
 # Host-drift canary (ADVICE r04: one hardcoded-anchor query is noisy

@@ -1223,3 +1223,230 @@ def length_matched_controls(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(next_gap)
         .alias("len_gap"),
     )
+
+
+# -- boilerplate_lines --------------------------------------------------------
+
+# Fixture gates for the synthesized line structure (FIXTURES.md):
+# coprime with the 20-way source assignment (doc_id % 20) so each gate
+# selects a ~uniform fraction WITHIN every source — a mod-2 or mod-4
+# gate would be all-or-nothing per source.
+_BP_SUB_MOD = 3  # "subscribe" line: ~1/3 of each source (boilerplate)
+_BP_PARTNER_MOD = 7  # "partner" line: ~1/7 of each source (below threshold)
+
+
+@query(
+    "boilerplate_lines",
+    oracle=f"""
+    WITH seeded AS (
+      SELECT doc_id, source,
+             text || chr(10) || 'copyright ' || source
+                  || ' all rights reserved'
+                  || CASE WHEN doc_id % {_BP_SUB_MOD} = 0
+                       THEN chr(10) || 'subscribe to the ' || source
+                            || ' newsletter' ELSE '' END
+                  || CASE WHEN doc_id % {_BP_PARTNER_MOD} = 0
+                       THEN chr(10) || 'visit our partner site today'
+                       ELSE '' END
+                  || chr(10) || 'promo code '
+                  || CAST(doc_id AS VARCHAR) AS t
+      FROM documents
+    ),
+    doc_lines AS (
+      SELECT source,
+             unnest(list_distinct(list_filter(
+               list_transform(string_split(t, chr(10)),
+                 x -> trim(regexp_replace(lower(x), '\\s+', ' ', 'g'))),
+               x -> x <> ''))) AS line
+      FROM seeded
+    ),
+    per_line AS (
+      SELECT source, line, COUNT(*) AS cnt_docs
+      FROM doc_lines GROUP BY 1, 2
+    ),
+    src AS (SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY 1)
+    SELECT p.source,
+           CAST(COUNT(*) AS BIGINT) AS n_distinct_lines,
+           CAST(COUNT(*) FILTER (WHERE cnt_docs * 4 >= n_docs)
+                AS BIGINT) AS n_boilerplate_lines,
+           CAST(COALESCE(SUM(cnt_docs)
+                  FILTER (WHERE cnt_docs * 4 >= n_docs), 0)
+                AS BIGINT) AS boilerplate_occurrences,
+           CAST(SUM(cnt_docs) AS BIGINT) AS total_occurrences,
+           CAST(CAST(COALESCE(SUM(cnt_docs * length(line))
+                       FILTER (WHERE cnt_docs * 4 >= n_docs), 0)
+                     AS HUGEINT) * 1000000
+                // CAST(SUM(cnt_docs * length(line)) AS HUGEINT)
+                AS BIGINT) AS boilerplate_char_ppm
+    FROM per_line p JOIN src USING (source)
+    GROUP BY p.source
+    """,
+    doc="Line-frequency boilerplate detection (the CCNet / web-corpus "
+    "cleaning pass): split each document into lines, normalize "
+    "(lower, squash whitespace), dedup per doc, and flag any line "
+    "appearing in >=25% of its source's documents as boilerplate. "
+    "The fixture appends a per-source copyright footer (every doc), "
+    f"a subscribe line (doc_id%{_BP_SUB_MOD}==0, ~33% — flagged), a "
+    f"partner plug (doc_id%{_BP_PARTNER_MOD}==0, ~14% — correctly "
+    "below threshold), and a unique promo line (never flagged); the "
+    "original text is one unique content line. Output per source: "
+    "distinct/boilerplate line counts, occurrence counts, and the "
+    "removable-character share in exact integer ppm.",
+)
+def boilerplate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: per-doc line dedup is MAP-SIDE (array_distinct on
+    the per-doc line array — no doc-keyed shuffle), so the only
+    corpus-scale exchange is the (source, line)-keyed count, which is
+    exactly the shuffle a 100 TB CCNet pass must pay and benefits
+    from map-side partial aggregation. The per-source doc-count frame
+    is |sources| rows and broadcast; the final per-source rollup
+    aggregates the already line-distinct frame onto |sources| keys
+    with map-side partials. Threshold math is integer (cnt*4 >=
+    n_docs), ppm via the exact DECIMAL DIV idiom."""
+    d = _t(spark, sf_dir, "documents")["documents"]
+    seeded = F.concat(
+        F.col("text"),
+        F.lit("\ncopyright "),
+        F.col("source"),
+        F.lit(" all rights reserved"),
+        F.when(
+            F.col("doc_id") % _BP_SUB_MOD == 0,
+            F.concat(
+                F.lit("\nsubscribe to the "),
+                F.col("source"),
+                F.lit(" newsletter"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % _BP_PARTNER_MOD == 0,
+            F.lit("\nvisit our partner site today"),
+        ).otherwise(F.lit("")),
+        F.lit("\npromo code "),
+        F.col("doc_id").cast("string"),
+    )
+    lines_arr = F.array_distinct(
+        F.filter(
+            F.transform(
+                F.split(seeded, "\n"),
+                lambda x: F.trim(F.regexp_replace(F.lower(x), r"\s+", " ")),
+            ),
+            lambda x: x != "",
+        )
+    )
+    per_line = (
+        fan_out(d.select("doc_id", "source", "text"))
+        .select("source", F.explode(lines_arr).alias("line"))
+        .groupBy("source", "line")
+        .agg(F.count("*").alias("cnt_docs"))
+    )
+    src = d.groupBy("source").agg(F.count("*").alias("n_docs"))
+    flagged = F.col("cnt_docs") * 4 >= F.col("n_docs")
+    line_chars = F.col("cnt_docs") * F.length("line")
+    return (
+        per_line.join(F.broadcast(src), "source")
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_distinct_lines"),
+            F.count(F.when(flagged, 1))
+            .cast("long")
+            .alias("n_boilerplate_lines"),
+            F.coalesce(F.sum(F.when(flagged, F.col("cnt_docs"))), F.lit(0))
+            .cast("long")
+            .alias("boilerplate_occurrences"),
+            F.sum("cnt_docs").cast("long").alias("total_occurrences"),
+            F.expr(
+                "CAST(CAST(COALESCE(SUM(CASE WHEN cnt_docs * 4 >= n_docs"
+                " THEN cnt_docs * length(line) END), 0) AS DECIMAL(38,0))"
+                " * 1000000 DIV CAST(SUM(cnt_docs * length(line))"
+                " AS DECIMAL(38,0)) AS BIGINT)"
+            ).alias("boilerplate_char_ppm"),
+        )
+    )
+
+
+# -- context_window_waste -----------------------------------------------------
+
+_CTX_LADDER = (32, 128, 512)
+
+
+@query(
+    "context_window_waste",
+    oracle=f"""
+    WITH per_doc AS (
+      SELECT source,
+             CASE WHEN trim(text) = '' THEN 0
+                  ELSE len(regexp_split_to_array(trim(text), '\\s+')) END
+               AS nt
+      FROM documents
+    ),
+    laddered AS (
+      SELECT source, nt, L
+      FROM per_doc, unnest([{", ".join(str(x) for x in _CTX_LADDER)}])
+           AS u(L)
+    )
+    SELECT source, CAST(L AS BIGINT) AS window_len,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) FILTER (WHERE nt > L) AS BIGINT)
+             AS docs_over_limit,
+           CAST(CAST(SUM(CASE WHEN nt > L THEN nt - L ELSE 0 END)
+                     AS HUGEINT) * 1000000
+                // CAST(SUM(nt) AS HUGEINT) AS BIGINT)
+             AS truncated_token_ppm,
+           CAST(CAST(SUM(L - least(nt, L)) AS HUGEINT) * 1000000
+                // CAST(COUNT(*) * L AS HUGEINT) AS BIGINT)
+             AS padding_ppm,
+           CAST((SUM(nt) + L - 1) // L AS BIGINT) AS windows_concat
+    FROM laddered GROUP BY source, L
+    """,
+    doc="Context-window packing-waste ladder: for each source and "
+    f"window length in {_CTX_LADDER}, audit the three packing "
+    "strategies a training pipeline chooses between — truncation "
+    "(tokens lost beyond L, as ppm of the corpus), one-doc-per-"
+    "window padding (pad tokens as ppm of window capacity), and "
+    "concat-and-chunk (window count = ceil(total/L), utilization "
+    "~100% at the cost of cross-doc attention). Token = whitespace "
+    "token (token_count's ws measure). The output is the cost table "
+    "that picks the window length and strategy for a data mix.",
+)
+def context_window_waste(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: the ladder is a 3-element literal array exploded
+    MAP-SIDE (no join — each doc row fans to |ladder| rows in the
+    same task), and the single shuffle is the
+    |sources|x|ladder|-key rollup with map-side partials. All
+    counters are integer sums; ratios use the DECIMAL DIV idiom
+    against HUGEINT-// DuckDB twins."""
+    d = fan_out(_t(spark, sf_dir, "documents")["documents"])
+    per_doc = d.select(
+        "source", word_count("text").cast("long").alias("nt")
+    ).select(
+        "source",
+        "nt",
+        F.explode(
+            F.array(*[F.lit(x) for x in _CTX_LADDER])
+        ).alias("L"),
+    )
+    nt, L = F.col("nt"), F.col("L")
+    return per_doc.groupBy("source", "L").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.count(F.when(nt > L, 1)).cast("long").alias("docs_over_limit"),
+        F.expr(
+            "CAST(CAST(SUM(CASE WHEN nt > L THEN nt - L ELSE 0 END)"
+            " AS DECIMAL(38,0)) * 1000000"
+            " DIV CAST(SUM(nt) AS DECIMAL(38,0)) AS BIGINT)"
+        ).alias("truncated_token_ppm"),
+        F.expr(
+            "CAST(CAST(SUM(L - LEAST(nt, L)) AS DECIMAL(38,0)) * 1000000"
+            " DIV CAST(COUNT(*) * L AS DECIMAL(38,0)) AS BIGINT)"
+        ).alias("padding_ppm"),
+        F.expr(
+            "CAST((SUM(nt) + L - 1) DIV L AS BIGINT)"
+        ).alias("windows_concat"),
+    ).select(
+        "source",
+        F.col("L").cast("long").alias("window_len"),
+        "n_docs",
+        "docs_over_limit",
+        "truncated_token_ppm",
+        "padding_ppm",
+        "windows_concat",
+    )

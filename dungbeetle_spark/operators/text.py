@@ -993,3 +993,230 @@ def quality_threshold_calibration(spark: SparkSession, sf_dir: str) -> DataFrame
             "recall_ppm"
         ),
     )
+
+
+# -- script_mix_profile -------------------------------------------------------
+
+# Fixture gates (FIXTURES.md): coprime with the 20-way source split so
+# each gate hits a ~uniform slice of every source. The appended runs
+# make every script class non-empty at any sf.
+_SCRIPT_CYR_MOD = 3  # Cyrillic run on ~1/3 of docs
+_SCRIPT_CJK_MOD = 7  # CJK run on ~1/7 of docs
+_SCRIPT_BAD_MOD = 11  # U+FFFD replacement chars: mojibake marker
+
+
+@query(
+    "script_mix_profile",
+    oracle=f"""
+    WITH seeded AS (
+      SELECT doc_id, source,
+             text
+               || CASE WHEN doc_id % {_SCRIPT_CYR_MOD} = 0
+                    THEN ' привет мир данные' ELSE '' END
+               || CASE WHEN doc_id % {_SCRIPT_CJK_MOD} = 0
+                    THEN ' 数据处理引擎' ELSE '' END
+               || CASE WHEN doc_id % {_SCRIPT_BAD_MOD} = 0
+                    THEN ' ��' ELSE '' END
+               || ' rev ' || CAST(doc_id % 100 AS VARCHAR) AS t
+      FROM documents
+    ),
+    cls AS (
+      SELECT source,
+             length(t) AS nc,
+             length(t) - length(regexp_replace(t, '[a-zA-Z]', '', 'g'))
+               AS n_latin,
+             length(t) - length(regexp_replace(t, '[Ѐ-ӿ]', '', 'g'))
+               AS n_cyr,
+             length(t) - length(regexp_replace(t, '[一-鿿]', '', 'g'))
+               AS n_cjk,
+             length(t) - length(regexp_replace(t, '[0-9]', '', 'g'))
+               AS n_digit,
+             length(t) - length(regexp_replace(t, '�', '', 'g'))
+               AS n_repl
+      FROM seeded
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(CAST(SUM(n_latin) AS HUGEINT) * 1000000
+                // CAST(SUM(nc) AS HUGEINT) AS BIGINT) AS latin_ppm,
+           CAST(CAST(SUM(n_cyr) AS HUGEINT) * 1000000
+                // CAST(SUM(nc) AS HUGEINT) AS BIGINT) AS cyrillic_ppm,
+           CAST(CAST(SUM(n_cjk) AS HUGEINT) * 1000000
+                // CAST(SUM(nc) AS HUGEINT) AS BIGINT) AS cjk_ppm,
+           CAST(CAST(SUM(n_digit) AS HUGEINT) * 1000000
+                // CAST(SUM(nc) AS HUGEINT) AS BIGINT) AS digit_ppm,
+           CAST(COUNT(*) FILTER (WHERE n_cyr > 0 AND n_cjk > 0)
+                AS BIGINT) AS mixed_script_docs,
+           CAST(COUNT(*) FILTER (WHERE n_repl > 0)
+                AS BIGINT) AS mojibake_docs
+    FROM cls GROUP BY source
+    """,
+    doc="Unicode script profiling — the encoding-health audit every "
+    "web-scale ingest runs before language ID: per-document character "
+    "counts by script class (Latin, Cyrillic, CJK, digit) plus U+FFFD "
+    "replacement-character detection (the universal mojibake "
+    "tombstone left by lossy transcoding), rolled up per source as "
+    "exact integer ppm of characters. The fixture appends script "
+    f"runs on coprime gates (Cyrillic doc%{_SCRIPT_CYR_MOD}, CJK "
+    f"doc%{_SCRIPT_CJK_MOD}, U+FFFD doc%{_SCRIPT_BAD_MOD}) so every "
+    "class and the mixed-script intersection are non-empty. "
+    "mixed_script_docs (Cyrillic AND CJK in one doc) is the "
+    "encoding-confusion flag a cleaning pass would route to "
+    "re-detection.",
+)
+def script_mix_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: pure codegen — one scan computes six
+    length-difference counters per row (each a character-class regex
+    strip, JVM-side, no UDF), and the only shuffle is the |sources|-
+    key rollup with map-side partials. The char-class counts use
+    length(t) - length(regexp_replace(t, class, '')): identical
+    semantics in Java regex and RE2 for literal BMP ranges, so the
+    oracle is exact. ppm math is the DECIMAL DIV idiom — no floats
+    anywhere."""
+    d = fan_out(_t(spark, sf_dir, "documents")["documents"])
+    t = F.concat(
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % _SCRIPT_CYR_MOD == 0,
+            F.lit(" привет мир данные"),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % _SCRIPT_CJK_MOD == 0, F.lit(" 数据处理引擎")
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % _SCRIPT_BAD_MOD == 0, F.lit(" ��")
+        ).otherwise(F.lit("")),
+        F.lit(" rev "),
+        (F.col("doc_id") % 100).cast("string"),
+    )
+
+    def _cls(pattern: str) -> F.Column:
+        return F.length(F.col("t")) - F.length(
+            F.regexp_replace(F.col("t"), pattern, "")
+        )
+
+    cls = d.select("source", t.alias("t")).select(
+        "source",
+        F.length("t").alias("nc"),
+        _cls(r"[a-zA-Z]").alias("n_latin"),
+        _cls("[Ѐ-ӿ]").alias("n_cyr"),
+        _cls("[一-鿿]").alias("n_cjk"),
+        _cls(r"[0-9]").alias("n_digit"),
+        _cls("�").alias("n_repl"),
+    )
+
+    def _ppm(col: str) -> F.Column:
+        return F.expr(
+            f"CAST(CAST(SUM({col}) AS DECIMAL(38,0)) * 1000000"
+            " DIV CAST(SUM(nc) AS DECIMAL(38,0)) AS BIGINT)"
+        )
+
+    return cls.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        _ppm("n_latin").alias("latin_ppm"),
+        _ppm("n_cyr").alias("cyrillic_ppm"),
+        _ppm("n_cjk").alias("cjk_ppm"),
+        _ppm("n_digit").alias("digit_ppm"),
+        F.count(F.when((F.col("n_cyr") > 0) & (F.col("n_cjk") > 0), 1))
+        .cast("long")
+        .alias("mixed_script_docs"),
+        F.count(F.when(F.col("n_repl") > 0, 1))
+        .cast("long")
+        .alias("mojibake_docs"),
+    )
+
+
+# -- tokenizer_fertility ------------------------------------------------------
+
+
+@query(
+    "tokenizer_fertility",
+    oracle="""
+    WITH seeded AS (
+      SELECT lang, source,
+             text || ' v' || CAST(doc_id % 10 AS VARCHAR) || '.'
+                  || CAST(doc_id % 7 AS VARCHAR)
+                  || CASE WHEN lang = 'zh' THEN ' 数据处理引擎'
+                          ELSE '' END AS t
+      FROM documents
+    ),
+    per_doc AS (
+      SELECT lang, source,
+             CASE WHEN trim(t) = '' THEN 0
+                  ELSE len(regexp_split_to_array(trim(t), '\\s+')) END
+               AS nw,
+             len(regexp_extract_all(t,
+                 '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]')) AS nt,
+             strlen(t) AS nb
+      FROM per_doc_src
+    ),
+    per_doc_src AS (SELECT * FROM seeded)
+    SELECT lang, source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(nw) AS BIGINT) AS ws_tokens,
+           CAST(SUM(nt) AS BIGINT) AS bpe_ish_tokens,
+           CAST(CAST(SUM(nt) AS HUGEINT) * 1000000
+                // CAST(SUM(nw) AS HUGEINT) AS BIGINT) AS fertility_ppm,
+           CAST(CAST(SUM(nb) AS HUGEINT) * 1000000
+                // CAST(SUM(nt) AS HUGEINT) AS BIGINT)
+             AS bytes_per_token_ppm
+    FROM per_doc GROUP BY 1, 2
+    """,
+    doc="Tokenizer fertility audit: tokens-per-word and "
+    "bytes-per-token by (lang, source) — the standard multilingual "
+    "capacity check (fertility >> 1 means the tokenizer fragments "
+    "that language; bytes/token tracks UTF-8 weight). Reuses "
+    "token_count's two tokenizations (whitespace words, BPE-ish "
+    "pre-tokenizer regex) and byte length, rolled up as exact "
+    "integer ppm. The fixture appends a version suffix (digits + "
+    "punctuation fragment under the BPE-ish regex) to every doc and "
+    "a CJK run to zh docs, so fertility genuinely varies by "
+    "language — zh > 1 token/word via char-level CJK splits, and "
+    "its bytes/token carries the 3-byte UTF-8 weight. A training mix would re-weight or re-train the "
+    "tokenizer where fertility_ppm spikes for a language.",
+)
+def tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: one scan, three pure-codegen counters per row
+    (whitespace split size, BPE-ish regex extract size, octet
+    length), one shuffle onto |langs|x|sources| keys with map-side
+    partials — the bounded-output rollup class. The ratio math is
+    the DECIMAL DIV idiom; DuckDB twin uses HUGEINT // so both sides
+    are exact integer floor."""
+    d = fan_out(_t(spark, sf_dir, "documents")["documents"])
+    t = F.concat(
+        F.col("text"),
+        F.lit(" v"),
+        (F.col("doc_id") % 10).cast("string"),
+        F.lit("."),
+        (F.col("doc_id") % 7).cast("string"),
+        F.when(F.col("lang") == "zh", F.lit(" 数据处理引擎")).otherwise(
+            F.lit("")
+        ),
+    )
+    seeded = d.select("lang", "source", t.alias("t"))
+    bpe = F.size(
+        F.regexp_extract_all(
+            "t", F.lit(r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"), 0
+        )
+    )
+    per_doc = seeded.select(
+        "lang",
+        "source",
+        word_count("t").cast("long").alias("nw"),
+        bpe.cast("long").alias("nt"),
+        F.octet_length("t").cast("long").alias("nb"),
+    )
+
+    def _ratio_ppm(num: str, den: str) -> F.Column:
+        return F.expr(
+            f"CAST(CAST(SUM({num}) AS DECIMAL(38,0)) * 1000000"
+            f" DIV CAST(SUM({den}) AS DECIMAL(38,0)) AS BIGINT)"
+        )
+
+    return per_doc.groupBy("lang", "source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("nw").cast("long").alias("ws_tokens"),
+        F.sum("nt").cast("long").alias("bpe_ish_tokens"),
+        _ratio_ppm("nt", "nw").alias("fertility_ppm"),
+        _ratio_ppm("nb", "nt").alias("bytes_per_token_ppm"),
+    )

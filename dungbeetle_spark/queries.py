@@ -82,6 +82,11 @@ DRIVER_PRIORITY: list[str] = [
     "ann_recall_calibration",
     "length_matched_controls",
     "contamination_attribution",
+    # new in r08, final batch -- the LLM-pipeline cleaning quartet:
+    "boilerplate_lines",
+    "script_mix_profile",
+    "tokenizer_fertility",
+    "context_window_waste",
     # Then staleness repayment (VERDICT r07 item 3): the 6 queries
     # whose last green driver row is r04, followed by the oldest r05
     # greens. New/changed r08 queries are inserted at the TOP of this
@@ -90,9 +95,11 @@ DRIVER_PRIORITY: list[str] = [
     # filter, timeseries_topk_similar_users, triangle_cohorts,
     # sequence_pack, source_lang_drift, semdedup,
     # scd2_user_type_history, repetition_stats, recursive_daily_spine,
-    # quality_filter_funnel, q12_shipping_delay; remaining r05
-    # cohort: those twelve + user_value_trend, vocab_growth,
-    # zorder_layout_stats wait for r09 with the r06 cohort).
+    # quality_filter_funnel, q12_shipping_delay, pareto_revenue_share,
+    # pagerank_trade_graph, ordered_set_event_stats,
+    # multimodal_feature_stats; remaining r05 cohort: those sixteen +
+    # user_value_trend, vocab_growth, zorder_layout_stats wait for
+    # r09 with the r06 cohort).
     # last green r04:
     "cube_order_stats",
     "doc_fingerprint",
@@ -100,7 +107,7 @@ DRIVER_PRIORITY: list[str] = [
     "quality_score",
     "token_count",
     "token_length_histogram",
-    # last green r05 (oldest 44 of 47, alphabetical):
+    # last green r05 (oldest 28 of 47, alphabetical):
     "ab_test_significance",
     "activity_streaks",
     "ann_ivf",
@@ -129,10 +136,6 @@ DRIVER_PRIORITY: list[str] = [
     "kmeans_clusters",
     "lateral_topk_orders",
     "listagg_nation_suppliers",
-    "multimodal_feature_stats",
-    "ordered_set_event_stats",
-    "pagerank_trade_graph",
-    "pareto_revenue_share",
 ]
 
 

@@ -1259,3 +1259,69 @@ def test_length_matched_controls_single_sort_no_join(spark, sf):
     assert not single_partition_windows(plan)
     # fan_out spread + the one source-keyed window exchange
     assert shuffle_exchanges(df) <= 2
+
+
+def test_boilerplate_lines_one_corpus_shuffle(spark, sf):
+    """boilerplate_lines: per-doc line dedup is map-side
+    (array_distinct before the explode — no doc-keyed exchange), the
+    (source, line) count is the single corpus-scale shuffle with a
+    map-side partial, the |sources| doc-count frame rides a
+    broadcast, and nothing leaves codegen."""
+    from dungbeetle_spark.plans.inspect import single_partition_windows
+
+    df = _df(spark, sf, "boilerplate_lines")
+    plan = formatted_plan(df)
+    assert "EvalPython" not in plan and "InPandas" not in plan
+    assert "CartesianProduct" not in plan
+    assert has_partial_aggregate(df)
+    assert has_broadcast_join(df)
+    assert not single_partition_windows(plan)
+    # fan_out spread + (source,line) count + |sources| rollup, plus
+    # the broadcast side's own |sources|-key aggregate exchange
+    # (20-row frame — not corpus-scale data)
+    assert shuffle_exchanges(df) <= 4
+
+
+def test_script_mix_profile_pure_codegen_rollup(spark, sf):
+    """script_mix_profile: six char-class counters per row, all
+    regexp_replace length-diffs inside codegen; the only exchange
+    beyond the fan_out spread is the |sources|-key rollup."""
+    from dungbeetle_spark.plans.inspect import single_partition_windows
+
+    df = _df(spark, sf, "script_mix_profile")
+    plan = formatted_plan(df)
+    assert "EvalPython" not in plan and "InPandas" not in plan
+    assert "Join" not in plan and "CartesianProduct" not in plan
+    assert has_partial_aggregate(df)
+    assert not single_partition_windows(plan)
+    assert shuffle_exchanges(df) <= 2
+
+
+def test_tokenizer_fertility_bounded_rollup(spark, sf):
+    """tokenizer_fertility: one scan, three codegen counters, one
+    shuffle onto the bounded (lang, source) key set."""
+    from dungbeetle_spark.plans.inspect import single_partition_windows
+
+    df = _df(spark, sf, "tokenizer_fertility")
+    plan = formatted_plan(df)
+    assert "EvalPython" not in plan and "InPandas" not in plan
+    assert "Join" not in plan and "CartesianProduct" not in plan
+    assert has_partial_aggregate(df)
+    assert not single_partition_windows(plan)
+    assert shuffle_exchanges(df) <= 2
+
+
+def test_context_window_waste_mapside_ladder(spark, sf):
+    """context_window_waste: the window-length ladder is a literal
+    array exploded map-side — NO join introduces it — and the single
+    shuffle is the (source, L) rollup."""
+    from dungbeetle_spark.plans.inspect import single_partition_windows
+
+    df = _df(spark, sf, "context_window_waste")
+    plan = formatted_plan(df)
+    assert "EvalPython" not in plan and "InPandas" not in plan
+    assert "Join" not in plan and "CartesianProduct" not in plan
+    assert "Generate" in plan  # the explode
+    assert has_partial_aggregate(df)
+    assert not single_partition_windows(plan)
+    assert shuffle_exchanges(df) <= 2

@@ -30,6 +30,10 @@ NEVER_VERIFIED: list[str] = [
     "ann_recall_calibration",  # new in r08
     "length_matched_controls",  # new in r08
     "contamination_attribution",  # new in r08
+    "boilerplate_lines",  # new in r08
+    "script_mix_profile",  # new in r08
+    "tokenizer_fertility",  # new in r08
+    "context_window_waste",  # new in r08
 ]
 
 # Operators whose code or oracle changed in round 8.
@@ -41,11 +45,12 @@ CHANGED_THIS_ROUND: list[str] = [
 
 # The r08 rotation (VERDICT r07 item 3): pure staleness repayment —
 # the 6 queries whose last green row is r04 (displaced from the r07
-# window by the new>stale rule) plus the 44 oldest r05 greens, all
-# code-unchanged. Three r05 greens (user_value_trend, vocab_growth,
-# zorder_layout_stats) wait at the front of the r09 queue and will be
-# displaced further if new r08 queries land; the local oracle suite
-# still re-verifies all of them every run.
+# window by the new>stale rule) plus the 28 oldest r05 greens, all
+# code-unchanged (the cohort shrank from 44 as the 15 late-r08
+# queries displaced its tail). user_value_trend, vocab_growth and
+# zorder_layout_stats wait at the front of the r09 queue with the
+# displaced names below; the local oracle suite still re-verifies
+# all of them every run.
 ROTATED_IN_R08 = [
     "cube_order_stats",
     "doc_fingerprint",
@@ -81,17 +86,17 @@ ROTATED_IN_R08 = [
     "kmeans_clusters",
     "lateral_topk_orders",
     "listagg_nation_suppliers",
-    "multimodal_feature_stats",
-    "ordered_set_event_stats",
-    "pagerank_trade_graph",
-    "pareto_revenue_share",
     # displaced to r09 (new/changed > stale): unpivot_user_metrics by
     # multimodal_real_decode; streaming_quality_filter /
     # timeseries_topk_similar_users / triangle_cohorts /
     # sequence_pack / source_lang_drift / semdedup /
     # scd2_user_type_history / repetition_stats /
     # recursive_daily_spine / quality_filter_funnel /
-    # q12_shipping_delay by the eleven new r08 queries
+    # q12_shipping_delay by the eleven mid-round r08 queries;
+    # pareto_revenue_share / pagerank_trade_graph /
+    # ordered_set_event_stats / multimodal_feature_stats by the
+    # cleaning quartet (boilerplate_lines, script_mix_profile,
+    # tokenizer_fertility, context_window_waste)
 ]
 
 

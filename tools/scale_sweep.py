@@ -76,6 +76,10 @@ SWEEP_OPS = [
     ("ann_recall_calibration", None),  # 3 arms, each its own plan
     ("length_matched_controls", None),  # one source-keyed sort pass
     ("contamination_attribution", None),  # gram pass + broadcast map
+    ("boilerplate_lines", None),  # one (source,line)-keyed count
+    ("script_mix_profile", None),  # pure codegen + |sources| rollup
+    ("tokenizer_fertility", None),  # one scan, bounded rollup
+    ("context_window_waste", None),  # map-side ladder explode
 ]
 
 # Sub-factor ladder for capped operators: when the requested factor
