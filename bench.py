@@ -114,6 +114,10 @@ HEADLINE = [
     "script_mix_profile",
     "tokenizer_fertility",
     "context_window_waste",
+    # r08 eval-hygiene pair: cross-split duplicate leakage, rare-token
+    # loss curve under the quality filter
+    "split_leakage_audit",
+    "rare_token_retention",
 ]
 
 # Host-drift canary (ADVICE r04: one hardcoded-anchor query is noisy

@@ -539,3 +539,234 @@ def corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("source", "status")
         .agg(F.count(F.lit(1)).alias("n_docs"))
     )
+
+
+# -- split_leakage_audit ------------------------------------------------------
+
+# Fixture (FIXTURES.md): planted cross-split duplicate groups. 17 is
+# coprime with both the 20-way source split and the 6 passage keys, so
+# each shared passage's copies spread across sources and land on both
+# sides of the content-blind md5(doc_id) split.
+_LEAK_MOD = 17
+_LEAK_KEYS = 6
+
+
+@query(
+    "split_leakage_audit",
+    oracle=f"""
+    WITH seeded AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % {_LEAK_MOD} = 0
+               THEN 'shared passage p'
+                    || CAST(doc_id % {_LEAK_KEYS} AS VARCHAR)
+                    || ' alpha beta gamma delta epsilon zeta'
+               ELSE text END AS text
+      FROM documents
+    ),
+    tagged AS (
+      SELECT doc_id,
+             md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+               AS content_hash,
+             CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cd'
+                  THEN 1 ELSE 0 END AS in_train
+      FROM seeded
+    )
+    SELECT content_hash,
+           CAST(SUM(in_train) AS BIGINT) AS n_train,
+           CAST(SUM(1 - in_train) AS BIGINT) AS n_test,
+           MIN(CASE WHEN in_train = 1 THEN doc_id END)
+             AS example_train_doc,
+           MIN(CASE WHEN in_train = 0 THEN doc_id END)
+             AS example_test_doc
+    FROM tagged
+    GROUP BY content_hash
+    HAVING SUM(in_train) > 0 AND SUM(1 - in_train) > 0
+    """,
+    doc="Train/test split LEAKAGE audit: the classic eval-hygiene "
+    "check that hash_split_train_test alone cannot make — a split "
+    "keyed on doc_id is content-blind, so duplicate content lands on "
+    "both sides. Groups documents by normalized-content md5 under "
+    "the same md5(doc_id)<'cd' split rule and reports every content "
+    "group with copies in BOTH splits (counts + example doc ids). "
+    f"The fixture replaces doc_id%{_LEAK_MOD}==0 docs with one of "
+    f"{_LEAK_KEYS} shared passages, planting leaky groups; all other "
+    "docs are content-unique and never appear. The fix this audit "
+    "motivates is splitting on content_md5 instead — dedup-then-"
+    "split, exactly what dedup_exact + hash_split compose to.",
+)
+def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: ONE corpus-scale shuffle — the content-hash
+    group-by with map-side partial counts/mins; the HAVING filter
+    prunes to the (tiny) leaky remainder before anything else
+    consumes it. Uniform md5 keys: no skew beyond the planted
+    duplicate groups themselves, the same profile dedup_exact
+    carries (dedup.py:50)."""
+    from dungbeetle_spark.functions.texts import content_md5
+    from dungbeetle_spark.sources.catalog import fan_out
+
+    d = fan_out(_t(spark, sf_dir, "documents")["documents"])
+    seeded = F.when(
+        F.col("doc_id") % _LEAK_MOD == 0,
+        F.concat(
+            F.lit("shared passage p"),
+            (F.col("doc_id") % _LEAK_KEYS).cast("string"),
+            F.lit(" alpha beta gamma delta epsilon zeta"),
+        ),
+    ).otherwise(F.col("text"))
+    in_train = F.when(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2) < "cd", 1
+    ).otherwise(0)
+    tagged = d.select(
+        "doc_id",
+        content_md5(seeded).alias("content_hash"),
+        in_train.alias("in_train"),
+    )
+    return (
+        tagged.groupBy("content_hash")
+        .agg(
+            F.sum("in_train").cast("long").alias("n_train"),
+            F.sum(1 - F.col("in_train")).cast("long").alias("n_test"),
+            F.min(
+                F.when(F.col("in_train") == 1, F.col("doc_id"))
+            ).alias("example_train_doc"),
+            F.min(
+                F.when(F.col("in_train") == 0, F.col("doc_id"))
+            ).alias("example_test_doc"),
+        )
+        .filter((F.col("n_train") > 0) & (F.col("n_test") > 0))
+    )
+
+
+# -- rare_token_retention -----------------------------------------------------
+
+# Fixture (FIXTURES.md): synthesized tail tokens per doc — the driver
+# corpus's ~31-word vocabulary has no rare tokens, so each doc
+# contributes one unique entity token (doc-freq 1), one of 97 topic
+# tokens (doc-freq ~n/97) and one of 13 theme tokens (doc-freq ~n/13),
+# modeling the long-tail entity distribution a real corpus has.
+_RTR_QUALITY_MIN = 0.78
+
+
+def _rare_token_retention_oracle() -> str:
+    # Reuses the shared quality CTE (single source of truth for the
+    # score formula, operators/text.py) like _corpus_clean_oracle.
+    from dungbeetle_spark.operators.text import _quality_cte_sql
+
+    return f"""
+    WITH {_quality_cte_sql()},
+    kept AS (
+      SELECT doc_id,
+             CASE WHEN quality >= {_RTR_QUALITY_MIN} THEN 1 ELSE 0 END
+               AS k
+      FROM scored),
+    toks AS (
+      SELECT d.doc_id,
+             unnest(list_distinct(list_concat(
+               string_split(d.text, ' '),
+               ['entity' || CAST(d.doc_id AS VARCHAR),
+                'topic' || CAST(d.doc_id % 97 AS VARCHAR),
+                'theme' || CAST(d.doc_id % 13 AS VARCHAR)]))) AS tok
+      FROM documents d),
+    df AS (
+      SELECT tok, COUNT(*) AS dfreq, SUM(k) AS kept_docs
+      FROM toks JOIN kept USING (doc_id) GROUP BY tok)
+    SELECT CAST(1 << (length(bin(dfreq)) - 1) AS BIGINT) AS df_bucket_lo,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(COUNT(*) FILTER (WHERE kept_docs > 0) AS BIGINT)
+             AS n_retained,
+           CAST(CAST(COUNT(*) FILTER (WHERE kept_docs > 0) AS HUGEINT)
+                * 1000000 // CAST(COUNT(*) AS HUGEINT) AS BIGINT)
+             AS retained_ppm
+    FROM df GROUP BY 1
+    """
+
+
+@query(
+    "rare_token_retention",
+    oracle=_rare_token_retention_oracle(),
+    doc="Rare-token retention audit — what a quality filter DESTROYS: "
+    "after dropping documents below the shared quality score's "
+    f"{_RTR_QUALITY_MIN} cutoff, what fraction of tokens in each "
+    "document-frequency bucket still appears in at least one kept "
+    "document? Buckets are powers of two on doc-frequency (bucket lo "
+    "= 1 << bitlen-1, exact integers both engines via bin()). The "
+    "fixture synthesizes the long tail (unique entity token per doc, "
+    "97 topic and 13 theme tokens). The df=1 bucket's retained_ppm "
+    "tracks the filter's document pass rate — rarer knowledge dies "
+    "first, the canonical tail-knowledge-loss curve motivating "
+    "quality-filter calibration (quality_threshold_calibration).",
+)
+def rare_token_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: kept-flag and the per-doc distinct token array are
+    computed in ONE map-side pass (no doc-keyed join — the quality
+    expression and the token list come from the same row), so the
+    only corpus-scale shuffle is the token-keyed doc-frequency
+    aggregate with map-side partials; the power-of-two re-bucket then
+    runs on the token-vocabulary frame onto ~log2(n_docs) keys. Same
+    single-shuffle profile as vocab_growth's frequency pass."""
+    from dungbeetle_spark.sources.catalog import fan_out
+
+    d = fan_out(_t(spark, sf_dir, "documents")["documents"])
+    text = F.col("text")
+    squashed = F.regexp_replace(text, r"\s+", " ")
+    nc = F.length(text)
+    nw = F.when(F.trim(text) == "", F.lit(0)).otherwise(
+        F.size(F.split(F.trim(squashed), " "))
+    )
+    np_ = F.length(text) - F.length(
+        F.regexp_replace(text, r"\p{Punct}", "")
+    )
+    mean_wl = nc.cast("double") / nw
+    quality = (
+        F.least(nw.cast("double") / F.lit(100.0), F.lit(1.0)) * F.lit(0.5)
+        + F.when(
+            (nw > 0) & (mean_wl >= 3.0) & (mean_wl <= 12.0), F.lit(0.3)
+        ).otherwise(F.lit(0.0))
+        + F.when(
+            np_.cast("double") / F.greatest(nc, F.lit(1)) < 0.1, F.lit(0.2)
+        ).otherwise(F.lit(0.0))
+    )
+    toks = F.array_distinct(
+        F.concat(
+            F.split(text, " "),
+            F.array(
+                F.concat(F.lit("entity"), F.col("doc_id").cast("string")),
+                F.concat(
+                    F.lit("topic"), (F.col("doc_id") % 97).cast("string")
+                ),
+                F.concat(
+                    F.lit("theme"), (F.col("doc_id") % 13).cast("string")
+                ),
+            ),
+        )
+    )
+    per_tok = (
+        d.select(
+            F.explode(toks).alias("tok"),
+            F.when(quality >= F.lit(_RTR_QUALITY_MIN), 1)
+            .otherwise(0)
+            .alias("k"),
+        )
+        .groupBy("tok")
+        .agg(F.count("*").alias("dfreq"), F.sum("k").alias("kept_docs"))
+    )
+    retained = F.count(F.when(F.col("kept_docs") > 0, 1))
+    return (
+        per_tok.withColumn(
+            "df_bucket_lo",
+            F.expr(
+                "CAST(shiftleft(1L, CAST(length(bin(dfreq)) AS INT) - 1)"
+                " AS BIGINT)"
+            ),
+        )
+        .groupBy("df_bucket_lo")
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            retained.cast("long").alias("n_retained"),
+            F.expr(
+                "CAST(CAST(COUNT(CASE WHEN kept_docs > 0 THEN 1 END)"
+                " AS DECIMAL(38,0)) * 1000000"
+                " DIV CAST(COUNT(*) AS DECIMAL(38,0)) AS BIGINT)"
+            ).alias("retained_ppm"),
+        )
+    )

@@ -87,6 +87,9 @@ DRIVER_PRIORITY: list[str] = [
     "script_mix_profile",
     "tokenizer_fertility",
     "context_window_waste",
+    # new in r08, eval-hygiene pair:
+    "split_leakage_audit",
+    "rare_token_retention",
     # Then staleness repayment (VERDICT r07 item 3): the 6 queries
     # whose last green driver row is r04, followed by the oldest r05
     # greens. New/changed r08 queries are inserted at the TOP of this
@@ -97,7 +100,8 @@ DRIVER_PRIORITY: list[str] = [
     # scd2_user_type_history, repetition_stats, recursive_daily_spine,
     # quality_filter_funnel, q12_shipping_delay, pareto_revenue_share,
     # pagerank_trade_graph, ordered_set_event_stats,
-    # multimodal_feature_stats; remaining r05 cohort: those sixteen +
+    # multimodal_feature_stats, listagg_nation_suppliers,
+    # lateral_topk_orders; remaining r05 cohort: those eighteen +
     # user_value_trend, vocab_growth, zorder_layout_stats wait for
     # r09 with the r06 cohort).
     # last green r04:
@@ -107,7 +111,7 @@ DRIVER_PRIORITY: list[str] = [
     "quality_score",
     "token_count",
     "token_length_histogram",
-    # last green r05 (oldest 28 of 47, alphabetical):
+    # last green r05 (oldest 26 of 47, alphabetical):
     "ab_test_significance",
     "activity_streaks",
     "ann_ivf",
@@ -134,8 +138,6 @@ DRIVER_PRIORITY: list[str] = [
     "join_cardinality_forecast",
     "join_skew_profile",
     "kmeans_clusters",
-    "lateral_topk_orders",
-    "listagg_nation_suppliers",
 ]
 
 

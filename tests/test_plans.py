@@ -1325,3 +1325,36 @@ def test_context_window_waste_mapside_ladder(spark, sf):
     assert has_partial_aggregate(df)
     assert not single_partition_windows(plan)
     assert shuffle_exchanges(df) <= 2
+
+
+def test_split_leakage_audit_single_hash_shuffle(spark, sf):
+    """split_leakage_audit: one content-md5 group-by with map-side
+    partial counts/mins is the only corpus-scale exchange; no join,
+    no window, no Python."""
+    from dungbeetle_spark.plans.inspect import single_partition_windows
+
+    df = _df(spark, sf, "split_leakage_audit")
+    plan = formatted_plan(df)
+    assert "EvalPython" not in plan and "InPandas" not in plan
+    assert "Join" not in plan and "CartesianProduct" not in plan
+    assert has_partial_aggregate(df)
+    assert not single_partition_windows(plan)
+    # fan_out spread + the content-hash aggregate
+    assert shuffle_exchanges(df) <= 2
+
+
+def test_rare_token_retention_two_bounded_shuffles(spark, sf):
+    """rare_token_retention: kept-flag and token array come from the
+    same row (no doc-keyed join); the token-keyed doc-frequency
+    aggregate is the corpus-scale shuffle and the power-of-two
+    re-bucket aggregates the vocabulary frame onto ~log2(n) keys."""
+    from dungbeetle_spark.plans.inspect import single_partition_windows
+
+    df = _df(spark, sf, "rare_token_retention")
+    plan = formatted_plan(df)
+    assert "EvalPython" not in plan and "InPandas" not in plan
+    assert "Join" not in plan and "CartesianProduct" not in plan
+    assert has_partial_aggregate(df)
+    assert not single_partition_windows(plan)
+    # fan_out spread + token df aggregate + bucket rollup
+    assert shuffle_exchanges(df) <= 3

@@ -34,6 +34,8 @@ NEVER_VERIFIED: list[str] = [
     "script_mix_profile",  # new in r08
     "tokenizer_fertility",  # new in r08
     "context_window_waste",  # new in r08
+    "split_leakage_audit",  # new in r08
+    "rare_token_retention",  # new in r08
 ]
 
 # Operators whose code or oracle changed in round 8.
@@ -45,8 +47,8 @@ CHANGED_THIS_ROUND: list[str] = [
 
 # The r08 rotation (VERDICT r07 item 3): pure staleness repayment —
 # the 6 queries whose last green row is r04 (displaced from the r07
-# window by the new>stale rule) plus the 28 oldest r05 greens, all
-# code-unchanged (the cohort shrank from 44 as the 15 late-r08
+# window by the new>stale rule) plus the 26 oldest r05 greens, all
+# code-unchanged (the cohort shrank from 44 as the 17 late-r08
 # queries displaced its tail). user_value_trend, vocab_growth and
 # zorder_layout_stats wait at the front of the r09 queue with the
 # displaced names below; the local oracle suite still re-verifies
@@ -84,8 +86,6 @@ ROTATED_IN_R08 = [
     "join_cardinality_forecast",
     "join_skew_profile",
     "kmeans_clusters",
-    "lateral_topk_orders",
-    "listagg_nation_suppliers",
     # displaced to r09 (new/changed > stale): unpivot_user_metrics by
     # multimodal_real_decode; streaming_quality_filter /
     # timeseries_topk_similar_users / triangle_cohorts /
@@ -96,7 +96,9 @@ ROTATED_IN_R08 = [
     # pareto_revenue_share / pagerank_trade_graph /
     # ordered_set_event_stats / multimodal_feature_stats by the
     # cleaning quartet (boilerplate_lines, script_mix_profile,
-    # tokenizer_fertility, context_window_waste)
+    # tokenizer_fertility, context_window_waste);
+    # listagg_nation_suppliers / lateral_topk_orders by the
+    # eval-hygiene pair (split_leakage_audit, rare_token_retention)
 ]
 
 

@@ -80,6 +80,8 @@ SWEEP_OPS = [
     ("script_mix_profile", None),  # pure codegen + |sources| rollup
     ("tokenizer_fertility", None),  # one scan, bounded rollup
     ("context_window_waste", None),  # map-side ladder explode
+    ("split_leakage_audit", None),  # one content-hash shuffle
+    ("rare_token_retention", None),  # one token-keyed df aggregate
 ]
 
 # Sub-factor ladder for capped operators: when the requested factor
