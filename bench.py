@@ -118,6 +118,11 @@ HEADLINE = [
     # loss curve under the quality filter
     "split_leakage_audit",
     "rare_token_retention",
+    # r08 ingest/curation trio: batch-vs-index near-dup, Zipf/hapax
+    # spectrum, contrastive hard-negative mining
+    "dedup_minhash_incremental",
+    "token_freq_spectrum",
+    "hard_negative_mining",
 ]
 
 # Host-drift canary (ADVICE r04: one hardcoded-anchor query is noisy

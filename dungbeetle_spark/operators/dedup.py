@@ -408,6 +408,160 @@ def minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# incremental MinHash-LSH (ingest batch vs corpus band index)
+# ---------------------------------------------------------------------------
+
+# Incremental-ingest split, shared with dedup_incremental below:
+# doc_id % 11 == 0 plays the "incoming batch" (~9% of the corpus); the
+# rest is the already-ingested corpus.
+_INC_MOD = 11
+_MHI_TPL_MOD = 9  # docs with doc_id % 9 == 0 join a near-dup template family
+_MHI_MIN_BANDS = 4  # near-dup decision: >= 4 of 8 bands agree (est J >= 0.5)
+# >= 2 * _SHINGLE_N words of stable text shared verbatim across the
+# family, so same-family shingle sets overlap almost completely and the
+# banded estimator fires deterministically (the corpus is synthetic —
+# natural near-dups at high Jaccard are rare at test scale).
+_MHI_TEMPLATE = (
+    "shared ingest template body with a long run of stable words that "
+    "recur verbatim across the whole near duplicate family so the "
+    "shingle sets overlap almost completely"
+)
+
+
+@query(
+    "dedup_minhash_incremental",
+    oracle=f"""
+    WITH seeded AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % {_MHI_TPL_MOD} = 0
+                  THEN '{_MHI_TEMPLATE}'
+                       || ' variant ' || CAST(doc_id % 4 AS VARCHAR)
+                       || ' tail ' || CAST(doc_id AS VARCHAR)
+                  ELSE text END AS text
+      FROM documents),
+    words AS (
+      SELECT doc_id,
+             regexp_split_to_array(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS w
+      FROM seeded),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+      FROM words, UNNEST(range(1, greatest(len(w) - {_SHINGLE_N} + 2, 1))) AS t(i)),
+    mh AS (
+      SELECT doc_id, j,
+             MIN({md5_hash60_sql("concat(CAST(j AS VARCHAR), '|', s)")}) AS h
+      FROM sh, UNNEST(range(0, {_MH_TABLES})) AS seeds(j)
+      GROUP BY doc_id, j),
+    m AS (
+      SELECT b.doc_id AS doc_id, c.doc_id AS cdoc,
+             CAST(COUNT(*) AS BIGINT) AS m
+      FROM mh b JOIN mh c ON b.j = c.j AND b.h = c.h
+      WHERE b.doc_id % {_INC_MOD} = 0 AND c.doc_id % {_INC_MOD} <> 0
+      GROUP BY 1, 2
+      HAVING COUNT(*) >= {_MHI_MIN_BANDS}),
+    best AS (
+      SELECT doc_id, cdoc, m,
+             ROW_NUMBER() OVER (PARTITION BY doc_id
+                                ORDER BY m DESC, cdoc) AS rk
+      FROM m)
+    SELECT d.doc_id,
+           b.cdoc AS dup_of,
+           COALESCE(b.m, 0) AS matched_bands,
+           CAST(COALESCE(b.m, 0) AS DOUBLE) / {_MH_TABLES} AS est_jaccard,
+           b.cdoc IS NOT NULL AS is_near_dup
+    FROM documents d
+    LEFT JOIN best b ON b.doc_id = d.doc_id AND b.rk = 1
+    WHERE d.doc_id % {_INC_MOD} = 0
+    """,
+    doc="Incremental MinHash-LSH — the ingest-time shape of NEAR-dup "
+    "detection (dedup_incremental is its exact-hash twin): an incoming "
+    f"batch (doc_id % {_INC_MOD} == 0) probes the corpus band index "
+    "instead of self-joining the corpus. Batch band rows broadcast; "
+    "the corpus index probes them map-side, so no corpus-scale pair "
+    f"shuffle exists. A batch doc is a near-dup when >= "
+    f"{_MHI_MIN_BANDS}/{_MH_TABLES} bands agree with some corpus doc "
+    "(est Jaccard >= 0.5); ties resolve to the lowest corpus doc_id. "
+    f"The fixture plants a template family (doc_id % {_MHI_TPL_MOD} "
+    "== 0, shared 27-word body + per-doc tail) spanning both sides so "
+    "matches are guaranteed and deterministic; every output value is "
+    "a pure function of md5-derived minhashes, so the DuckDB oracle "
+    "reproduces the frame bit-for-bit.",
+)
+def dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: the one corpus-scale exchange is the minhash
+    aggregate (map-side combine; the shuffle carries 8 longs per doc,
+    never shingle sets). The candidate join BROADCASTS the batch's
+    band rows (8 per batch doc — an ingest batch is MBs against a TB
+    corpus), so the corpus side probes map-side with zero pair-keyed
+    shuffle; the match frame, the best-match window, and the final
+    left join are all batch-bounded. At production scale the corpus
+    band index is precomputed once and stored DISTRIBUTE BY (band, h)
+    — ingest then recomputes minhashes for the batch only and this
+    query is a pure broadcast probe of the stored index; the band
+    frame is lazily checkpointed here because both sides derive from
+    one in-query pipeline."""
+    d = _t(spark, sf_dir, "documents")["documents"]
+    seeded = d.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % _MHI_TPL_MOD == 0,
+            F.concat(
+                F.lit(_MHI_TEMPLATE + " variant "),
+                (F.col("doc_id") % 4).cast("string"),
+                F.lit(" tail "),
+                F.col("doc_id").cast("string"),
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    sh = _shingled(seeded).select("doc_id", F.explode("shingles").alias("s"))
+    mh = sh.groupBy("doc_id").agg(
+        *[
+            F.min(md5_hash60(F.concat(F.lit(f"{j}|"), F.col("s")))).alias(f"h{j}")
+            for j in range(_MH_TABLES)
+        ]
+    )
+    bands = mh.select(
+        "doc_id",
+        F.posexplode(F.array(*[F.col(f"h{j}") for j in range(_MH_TABLES)])).alias(
+            "band", "h"
+        ),
+    ).localCheckpoint(eager=False)
+    batch = bands.filter(F.col("doc_id") % _INC_MOD == 0).select(
+        F.col("doc_id").alias("qdoc"), "band", "h"
+    )
+    corpus = bands.filter(F.col("doc_id") % _INC_MOD != 0).select(
+        F.col("doc_id").alias("cdoc"), "band", "h"
+    )
+    matches = (
+        corpus.join(F.broadcast(batch), ["band", "h"])
+        .groupBy("qdoc", "cdoc")
+        .agg(F.count(F.lit(1)).alias("m"))
+        .filter(F.col("m") >= _MHI_MIN_BANDS)
+    )
+    w = W.partitionBy("qdoc").orderBy(F.desc("m"), F.asc("cdoc"))
+    best = (
+        matches.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(F.col("qdoc").alias("doc_id"), F.col("cdoc"), F.col("m"))
+    )
+    # batch ids come from a doc_id-only parquet scan — column-pruned,
+    # no re-run of the shingle pipeline for the spine.
+    ids = d.filter(F.col("doc_id") % _INC_MOD == 0).select("doc_id")
+    return ids.join(best, "doc_id", "left").select(
+        "doc_id",
+        F.col("cdoc").alias("dup_of"),
+        F.coalesce(F.col("m"), F.lit(0)).cast("long").alias("matched_bands"),
+        (
+            F.coalesce(F.col("m"), F.lit(0)).cast("double")
+            / F.lit(float(_MH_TABLES))
+        ).alias("est_jaccard"),
+        F.col("cdoc").isNotNull().alias("is_near_dup"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # SimHash (64-bit fingerprint, hamming-ball near-dup)
 # ---------------------------------------------------------------------------
 
@@ -682,13 +836,12 @@ def _corpus_rows(spark: SparkSession, sf_dir: str) -> int:
 
 # -- dedup_incremental ------------------------------------------------------
 
-# Incremental-ingest split: doc_id % 11 == 0 plays the "incoming batch"
-# (~9% of the corpus); the rest is the already-ingested corpus. Docs
-# with doc_id % 25 == 0 are rewritten to one of five canonical bodies
-# on BOTH sides, so cross-side exact duplicates exist by construction
-# (the fixture corpus has no natural exact dupes — same seeding
-# pattern as pii_scrub_stats / decontamination).
-_INC_MOD = 11
+# Exact-dup seeding for the incremental split (_INC_MOD defined with
+# the minhash-incremental section above): docs with doc_id % 25 == 0
+# are rewritten to one of five canonical bodies on BOTH sides, so
+# cross-side exact duplicates exist by construction (the fixture
+# corpus has no natural exact dupes — same seeding pattern as
+# pii_scrub_stats / decontamination).
 _CANON_MOD = 25
 
 

@@ -1326,3 +1326,128 @@ def ann_recall_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("ivf_recall_ppm"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# hard-negative mining (contrastive-training pair generation)
+# ---------------------------------------------------------------------------
+
+_HN_POS_T = 0.25  # cosine >= this → positive pair (fixture top-k regime)
+_HN_NEG_LO = 0.10  # cosine in [lo, pos) → hard negative; below → easy, drop
+_HN_K = 8  # hard negatives kept per query
+
+
+@query(
+    "hard_negative_mining",
+    oracle=f"""
+    WITH planes AS (
+      SELECT j.j, d.d,
+             CAST({md5_hash60_sql("concat(CAST(j.j AS VARCHAR), '|', CAST(d.d AS VARCHAR))")} AS DOUBLE)
+               / 576460752303423488.0 - 1.0 AS v
+      FROM UNNEST(range(0, {_N_BANDS * _N_PLANES})) AS j(j),
+           UNNEST(range(0, {_DIM})) AS d(d)),
+    pvec AS (SELECT j, list(v ORDER BY d) AS pv FROM planes GROUP BY j),
+    dots AS (
+      SELECT e.vec_id,
+             CAST(p.j // {_N_PLANES} AS INT) AS band,
+             CAST(p.j % {_N_PLANES} AS INT) AS bit,
+             list_dot_product(CAST(e.embedding AS DOUBLE[]), p.pv) AS dot
+      FROM embeddings e CROSS JOIN pvec p),
+    sigs AS (
+      SELECT vec_id, band,
+             CAST(SUM(CASE WHEN dot >= 0 THEN (1 << bit) ELSE 0 END) AS INT)
+               AS bucket
+      FROM dots GROUP BY vec_id, band),
+    cands AS (
+      SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+      FROM sigs q JOIN sigs c ON q.band = c.band AND q.bucket = c.bucket
+      WHERE q.vec_id < {_N_QUERIES} AND q.vec_id <> c.vec_id),
+    scored AS (
+      SELECT cand.query_id, cand.neighbor_id,
+             list_cosine_similarity(CAST(qe.embedding AS DOUBLE[]),
+                                    CAST(ce.embedding AS DOUBLE[])) AS cs
+      FROM cands cand
+      JOIN embeddings qe ON qe.vec_id = cand.query_id
+      JOIN embeddings ce ON ce.vec_id = cand.neighbor_id),
+    labeled AS (
+      SELECT query_id, neighbor_id, cs,
+             CASE WHEN cs >= {_HN_POS_T} THEN 'positive'
+                  ELSE 'hard_negative' END AS label
+      FROM scored WHERE cs >= {_HN_NEG_LO}),
+    ranked AS (
+      SELECT query_id, neighbor_id, label, cs,
+             ROW_NUMBER() OVER (PARTITION BY query_id, label
+                                ORDER BY cs DESC, neighbor_id) AS rank
+      FROM labeled)
+    SELECT query_id, label, neighbor_id, rank, round(cs, 6) AS cos_sim
+    FROM ranked
+    WHERE label = 'positive' OR rank <= {_HN_K}
+    """,
+    doc="Hard-negative mining for contrastive training (retrieval / "
+    "embedding models): per anchor query, LSH-bucketed candidates "
+    f"split into positives (cosine >= {_HN_POS_T}) and HARD negatives "
+    f"(cosine in [{_HN_NEG_LO}, {_HN_POS_T}) — similar enough to be "
+    f"informative, top-{_HN_K} kept); easy negatives (below "
+    f"{_HN_NEG_LO}) are dropped, which is the point — random "
+    "negatives are nearly free gradient-wise, bucket-mates near the "
+    "decision boundary are what trains the model. Candidate gen is "
+    "the same (band, bucket) equi-join as ann_lsh_bucketed (never "
+    "corpus^2); cosine is the bit-exact dimension-sequential fold, so "
+    "the DuckDB oracle reproduces labels, ranks and scores exactly.",
+)
+def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: identical plan skeleton to ann_lsh_bucketed — the
+    anchor (query) side is sampled training anchors, broadcast; the
+    corpus probes map-side on (band, bucket). For FULL-corpus mining
+    (every doc an anchor) drop the broadcast and let the (band,
+    bucket) equi-join shuffle both sides on bucket keys — still
+    linear in corpus size times bucket occupancy, never all-pairs.
+    The per-(query, label) rank window partitions on anchors —
+    bounded by the anchor sample, not the corpus."""
+    e = fan_out(_t(spark, sf_dir, "embeddings")["embeddings"])
+    signed = _signatures(e, _DIM)
+    buckets = signed.select(
+        "vec_id", "embedding", F.posexplode("sigs").alias("band", "bucket")
+    )
+    q = buckets.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        "band",
+        "bucket",
+    )
+    c = buckets.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("c_emb"),
+        "band",
+        "bucket",
+    )
+    cands = (
+        c.join(F.broadcast(q), ["band", "bucket"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "q_emb", "neighbor_id", "c_emb")
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    from dungbeetle_spark.functions.vectors import pair_cosine_udf
+
+    cos = pair_cosine_udf(_DIM)(F.col("q_emb"), F.col("c_emb"))
+    scored = cands.select("query_id", "neighbor_id", cos.alias("cs")).filter(
+        F.col("cs") >= _HN_NEG_LO
+    )
+    label = F.when(F.col("cs") >= _HN_POS_T, F.lit("positive")).otherwise(
+        F.lit("hard_negative")
+    )
+    w = W.partitionBy("query_id", "label").orderBy(
+        F.desc("cs"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("label", label)
+        .withColumn("rank", F.row_number().over(w))
+        .filter((F.col("label") == "positive") | (F.col("rank") <= _HN_K))
+        .select(
+            "query_id",
+            "label",
+            "neighbor_id",
+            "rank",
+            F.round("cs", 6).alias("cos_sim"),
+        )
+    )

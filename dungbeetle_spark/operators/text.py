@@ -1220,3 +1220,100 @@ def tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
         _ratio_ppm("nt", "nw").alias("fertility_ppm"),
         _ratio_ppm("nb", "nt").alias("bytes_per_token_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# token frequency spectrum (Zipf / hapax naturalness audit)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "token_freq_spectrum",
+    oracle="""
+    WITH tok AS (
+      SELECT source, UNNEST(regexp_split_to_array(
+               trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS w
+      FROM documents
+      WHERE trim(text) <> ''),
+    tf AS (
+      SELECT source, w, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM tok GROUP BY source, w),
+    spec AS (
+      SELECT source, CAST(FLOOR(LOG2(cnt)) AS INT) AS freq_bucket,
+             CAST(COUNT(*) AS BIGINT) AS n_types,
+             CAST(SUM(cnt) AS BIGINT) AS n_tokens
+      FROM tf GROUP BY 1, 2),
+    tot AS (
+      SELECT source, SUM(n_types) AS v, SUM(n_tokens) AS t
+      FROM spec GROUP BY source)
+    SELECT s.source, s.freq_bucket, s.n_types, s.n_tokens,
+           CAST(CAST(s.n_types AS HUGEINT) * 1000000
+                // CAST(tot.v AS HUGEINT) AS BIGINT) AS type_ppm,
+           CAST(CAST(s.n_tokens AS HUGEINT) * 1000000
+                // CAST(tot.t AS HUGEINT) AS BIGINT) AS token_ppm
+    FROM spec s JOIN tot ON tot.source = s.source
+    """,
+    doc="Token frequency-of-frequencies spectrum per source — the "
+    "Zipf/Heaps naturalness audit for a training corpus: types and "
+    "token mass per doubling bucket floor(log2(count)). Natural text "
+    "puts ~40-60% of types in bucket 0 (hapax legomena); OCR noise "
+    "explodes bucket 0, templated/spam corpora collapse the spectrum "
+    "into high buckets. Complements vocab_growth (Heaps curve over "
+    "epochs) and rare_token_retention (filter impact): this is the "
+    "single-snapshot shape of the frequency distribution itself. "
+    "Shares are the exact DECIMAL-division ppm idiom; floor(log2) is "
+    "cross-engine safe because log2(n) lands exactly on an integer "
+    "only at powers of two, where both libms are exact.",
+)
+def token_freq_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: ONE corpus-scale shuffle — the (source, token)
+    count, with map-side partial aggregation (the classic word-count
+    reduction). The spectrum rollup aggregates the |vocab|-sized
+    frame onto (source, bucket) keys (~20 buckets per source), and
+    the per-source totals frame is |sources| x ~20 rows, broadcast
+    back; the spectrum frame is lazily checkpointed so its two
+    consumers share ONE corpus pass. No windows, no UDFs — the whole
+    plan is codegen'd hash-aggregate over hash-aggregate."""
+    d = _t(spark, sf_dir, "documents")["documents"]
+    tok = (
+        fan_out(d.select("source", "text"))
+        .filter(F.trim(F.col("text")) != "")
+        .select(
+            "source",
+            F.explode(F.split(norm_text(F.col("text")), " ")).alias("w"),
+        )
+    )
+    tf = tok.groupBy("source", "w").agg(F.count(F.lit(1)).alias("cnt"))
+    # The spectrum frame feeds two consumers (the per-source totals
+    # and the final join); without a barrier the whole corpus
+    # pipeline runs twice (Spark 4.1 exchange reuse does not fire
+    # across the differing aggregates). It is |sources| x ~20 rows —
+    # lazily checkpointing it costs nothing and halves the corpus
+    # passes.
+    spec = (
+        tf.groupBy(
+            "source",
+            F.floor(F.log2("cnt")).cast("int").alias("freq_bucket"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_types"),
+            F.sum("cnt").cast("long").alias("n_tokens"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    tot = spec.groupBy("source").agg(
+        F.sum("n_types").alias("v"), F.sum("n_tokens").alias("t")
+    )
+    joined = spec.join(F.broadcast(tot), "source")
+    ppm = lambda num, den: F.expr(  # noqa: E731 — exact integer ppm
+        f"CAST(CAST({num} AS DECIMAL(38,0)) * 1000000"
+        f" DIV CAST({den} AS DECIMAL(38,0)) AS BIGINT)"
+    )
+    return joined.select(
+        "source",
+        "freq_bucket",
+        "n_types",
+        "n_tokens",
+        ppm("n_types", "v").alias("type_ppm"),
+        ppm("n_tokens", "t").alias("token_ppm"),
+    )

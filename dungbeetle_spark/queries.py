@@ -90,6 +90,11 @@ DRIVER_PRIORITY: list[str] = [
     # new in r08, eval-hygiene pair:
     "split_leakage_audit",
     "rare_token_retention",
+    # new in r08, ingest/curation trio -- incremental near-dup, the
+    # Zipf/hapax spectrum audit, contrastive hard-negative mining:
+    "dedup_minhash_incremental",
+    "token_freq_spectrum",
+    "hard_negative_mining",
     # Then staleness repayment (VERDICT r07 item 3): the 6 queries
     # whose last green driver row is r04, followed by the oldest r05
     # greens. New/changed r08 queries are inserted at the TOP of this
@@ -101,9 +106,10 @@ DRIVER_PRIORITY: list[str] = [
     # quality_filter_funnel, q12_shipping_delay, pareto_revenue_share,
     # pagerank_trade_graph, ordered_set_event_stats,
     # multimodal_feature_stats, listagg_nation_suppliers,
-    # lateral_topk_orders; remaining r05 cohort: those eighteen +
-    # user_value_trend, vocab_growth, zorder_layout_stats wait for
-    # r09 with the r06 cohort).
+    # lateral_topk_orders, join_cardinality_forecast,
+    # join_skew_profile, kmeans_clusters; remaining r05 cohort: those
+    # twenty-one + user_value_trend, vocab_growth, zorder_layout_stats
+    # wait for r09 with the r06 cohort).
     # last green r04:
     "cube_order_stats",
     "doc_fingerprint",
@@ -111,7 +117,7 @@ DRIVER_PRIORITY: list[str] = [
     "quality_score",
     "token_count",
     "token_length_histogram",
-    # last green r05 (oldest 26 of 47, alphabetical):
+    # last green r05 (oldest 23 of 47, alphabetical):
     "ab_test_significance",
     "activity_streaks",
     "ann_ivf",
@@ -135,9 +141,6 @@ DRIVER_PRIORITY: list[str] = [
     "incremental_agg_maintenance",
     "integrity_audit",
     "interevent_gap_histogram",
-    "join_cardinality_forecast",
-    "join_skew_profile",
-    "kmeans_clusters",
 ]
 
 

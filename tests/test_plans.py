@@ -1358,3 +1358,55 @@ def test_rare_token_retention_two_bounded_shuffles(spark, sf):
     assert not single_partition_windows(plan)
     # fan_out spread + token df aggregate + bucket rollup
     assert shuffle_exchanges(df) <= 3
+
+
+def test_minhash_incremental_broadcasts_batch_no_band_shuffle(spark, sf):
+    """dedup_minhash_incremental: the batch band rows BROADCAST, so
+    the corpus side probes map-side — no (band, h)-keyed exchange may
+    exist (a pair shuffle there is the all-pairs cost the incremental
+    shape exists to avoid). The match aggregate and best-match window
+    key on batch docs only (batch-bounded)."""
+    df = _df(spark, sf, "dedup_minhash_incremental")
+    plan = formatted_plan(df)
+    assert has_broadcast_join(df), "batch band rows must broadcast"
+    assert "CartesianProduct" not in plan
+    assert not re.search(r"hashpartitioning\(band", plan), (
+        "candidate join must not shuffle on (band, h)"
+    )
+    # checkpointed band frame: both sides consume the materialized RDD
+    assert "Scan ExistingRDD" in plan
+
+
+def test_token_freq_spectrum_single_corpus_pass(spark, sf):
+    """token_freq_spectrum: pure hash-aggregate ladder — no joins at
+    corpus scale (the totals join is a |sources|-row broadcast), no
+    windows, no Python; the checkpointed spectrum frame keeps the
+    corpus pipeline to ONE pass for both consumers."""
+    from dungbeetle_spark.plans.inspect import single_partition_windows
+
+    df = _df(spark, sf, "token_freq_spectrum")
+    plan = formatted_plan(df)
+    assert "EvalPython" not in plan and "InPandas" not in plan
+    assert has_broadcast_join(df), "totals frame must broadcast"
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+    assert has_partial_aggregate(df)
+    assert not single_partition_windows(plan)
+    # the corpus tokenize+count pipeline must not re-run per
+    # consumer: both sides of the totals join read the checkpointed
+    # spectrum frame (ExistingRDD), so no parquet scan survives in
+    # the final plan
+    assert "Scan parquet" not in plan, "consumers must read the checkpoint"
+    assert "Scan ExistingRDD" in plan
+
+
+def test_hard_negative_mining_broadcasts_anchors(spark, sf):
+    """hard_negative_mining: anchor (query) side broadcasts onto the
+    corpus bucket rows — same skeleton as ann_lsh_bucketed; the rank
+    window partitions on (anchor, label), bounded by the anchor
+    sample. No corpus^2 join shape may appear."""
+    df = _df(spark, sf, "hard_negative_mining")
+    plan = formatted_plan(df)
+    assert has_broadcast_join(df), "anchor bucket rows must broadcast"
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "SortMergeJoin" not in plan

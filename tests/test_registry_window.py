@@ -36,6 +36,9 @@ NEVER_VERIFIED: list[str] = [
     "context_window_waste",  # new in r08
     "split_leakage_audit",  # new in r08
     "rare_token_retention",  # new in r08
+    "dedup_minhash_incremental",  # new in r08
+    "token_freq_spectrum",  # new in r08
+    "hard_negative_mining",  # new in r08
 ]
 
 # Operators whose code or oracle changed in round 8.
@@ -47,8 +50,8 @@ CHANGED_THIS_ROUND: list[str] = [
 
 # The r08 rotation (VERDICT r07 item 3): pure staleness repayment —
 # the 6 queries whose last green row is r04 (displaced from the r07
-# window by the new>stale rule) plus the 26 oldest r05 greens, all
-# code-unchanged (the cohort shrank from 44 as the 17 late-r08
+# window by the new>stale rule) plus the 23 oldest r05 greens, all
+# code-unchanged (the cohort shrank from 44 as the 20 late-r08
 # queries displaced its tail). user_value_trend, vocab_growth and
 # zorder_layout_stats wait at the front of the r09 queue with the
 # displaced names below; the local oracle suite still re-verifies
@@ -83,9 +86,6 @@ ROTATED_IN_R08 = [
     "incremental_agg_maintenance",
     "integrity_audit",
     "interevent_gap_histogram",
-    "join_cardinality_forecast",
-    "join_skew_profile",
-    "kmeans_clusters",
     # displaced to r09 (new/changed > stale): unpivot_user_metrics by
     # multimodal_real_decode; streaming_quality_filter /
     # timeseries_topk_similar_users / triangle_cohorts /
@@ -98,7 +98,10 @@ ROTATED_IN_R08 = [
     # cleaning quartet (boilerplate_lines, script_mix_profile,
     # tokenizer_fertility, context_window_waste);
     # listagg_nation_suppliers / lateral_topk_orders by the
-    # eval-hygiene pair (split_leakage_audit, rare_token_retention)
+    # eval-hygiene pair (split_leakage_audit, rare_token_retention);
+    # join_cardinality_forecast / join_skew_profile / kmeans_clusters
+    # by the ingest/curation trio (dedup_minhash_incremental,
+    # token_freq_spectrum, hard_negative_mining)
 ]
 
 
