@@ -82,6 +82,10 @@ SWEEP_OPS = [
     ("context_window_waste", None),  # map-side ladder explode
     ("split_leakage_audit", None),  # one content-hash shuffle
     ("rare_token_retention", None),  # one token-keyed df aggregate
+    # r08 ingest/curation trio
+    ("dedup_minhash_incremental", None),  # minhash agg O(n), bcast probe
+    ("token_freq_spectrum", None),  # word-count shuffle + tiny rollup
+    ("hard_negative_mining", None),  # sig UDF O(n·d), bcast anchors
 ]
 
 # Sub-factor ladder for capped operators: when the requested factor
