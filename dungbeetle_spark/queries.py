@@ -95,6 +95,8 @@ DRIVER_PRIORITY: list[str] = [
     "dedup_minhash_incremental",
     "token_freq_spectrum",
     "hard_negative_mining",
+    # new in r08 -- the streaming twin of the incremental gate:
+    "streaming_minhash_ingest_gate",
     # Then staleness repayment (VERDICT r07 item 3): the 6 queries
     # whose last green driver row is r04, followed by the oldest r05
     # greens. New/changed r08 queries are inserted at the TOP of this
@@ -107,9 +109,10 @@ DRIVER_PRIORITY: list[str] = [
     # pagerank_trade_graph, ordered_set_event_stats,
     # multimodal_feature_stats, listagg_nation_suppliers,
     # lateral_topk_orders, join_cardinality_forecast,
-    # join_skew_profile, kmeans_clusters; remaining r05 cohort: those
-    # twenty-one + user_value_trend, vocab_growth, zorder_layout_stats
-    # wait for r09 with the r06 cohort).
+    # join_skew_profile, kmeans_clusters, interevent_gap_histogram;
+    # remaining r05 cohort: those twenty-two + user_value_trend,
+    # vocab_growth, zorder_layout_stats wait for r09 with the r06
+    # cohort).
     # last green r04:
     "cube_order_stats",
     "doc_fingerprint",
@@ -117,7 +120,7 @@ DRIVER_PRIORITY: list[str] = [
     "quality_score",
     "token_count",
     "token_length_histogram",
-    # last green r05 (oldest 23 of 47, alphabetical):
+    # last green r05 (oldest 22 of 47, alphabetical):
     "ab_test_significance",
     "activity_streaks",
     "ann_ivf",
@@ -140,7 +143,6 @@ DRIVER_PRIORITY: list[str] = [
     "hybrid_rrf_retrieval",
     "incremental_agg_maintenance",
     "integrity_audit",
-    "interevent_gap_histogram",
 ]
 
 

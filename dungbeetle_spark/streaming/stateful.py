@@ -1,6 +1,7 @@
-"""Stateful / joined Structured Streaming operators over ``events``.
+"""Stateful / joined Structured Streaming operators over ``events``
+(plus the document-stream minhash ingest gate at the end).
 
-Three north-star streaming shapes the reference lacks entirely
+North-star streaming shapes the reference lacks entirely
 (SURVEY.md §2 Part B notes streaming is absent from the reference):
 
 - **streaming_sessionize** — custom per-key stateful operator via
@@ -256,3 +257,163 @@ def streaming_distinct_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", "event_type", "event_date")
     )
     return drain_to_df(deduped, "stream_distinct", "append")
+
+
+@query(
+    "streaming_minhash_ingest_gate",
+    oracle="""
+    WITH seeded AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 9 = 0
+                  THEN 'shared ingest template body with a long run of stable words that recur verbatim across the whole near duplicate family so the shingle sets overlap almost completely'
+                       || ' variant ' || CAST(doc_id % 4 AS VARCHAR)
+                       || ' tail ' || CAST(doc_id AS VARCHAR)
+                  ELSE text END AS text
+      FROM documents),
+    words AS (
+      SELECT doc_id,
+             regexp_split_to_array(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS w
+      FROM seeded),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+      FROM words, UNNEST(range(1, greatest(len(w) - 3 + 2, 1))) AS t(i)),
+    mh AS (
+      SELECT doc_id, j,
+             MIN(CAST(concat('0x', substr(md5(concat(CAST(j AS VARCHAR), '|', s)), 1, 15)) AS BIGINT)) AS h
+      FROM sh, UNNEST(range(0, 8)) AS seeds(j)
+      GROUP BY doc_id, j)
+    SELECT DISTINCT b.doc_id
+    FROM mh b JOIN mh c ON b.j = c.j AND b.h = c.h
+    WHERE b.doc_id % 11 = 0 AND c.doc_id % 11 <> 0
+    """,
+    doc="Streaming near-dup INGEST GATE — the stream twin of "
+    "dedup_minhash_incremental's candidate stage: incoming documents "
+    "(the doc_id % 11 ingest split, same planted template family) "
+    "minhash per-row in ONE Arrow batch pass, then LEFT-SEMI "
+    "stream-static join against the corpus band index; any band "
+    "agreement flags the doc as a near-dup candidate at ingest time. "
+    "Multiple band hits collapse via dropDuplicatesWithinWatermark "
+    "on a synthetic arrival timestamp, so gate state stays bounded "
+    "on an unbounded stream. Candidates then take the expensive "
+    "confirm (band-count / exact Jaccard) batch-side on the tiny "
+    "flagged set — the standard two-tier production gate. The drained "
+    "stream equals the batch candidate set, checked against the same "
+    "DuckDB minhash oracle.",
+)
+def streaming_minhash_ingest_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: the per-row minhash is map-side (one Python/Arrow
+    round-trip per micro-batch, no expression re-inlining of the
+    shingle pipeline); the stream side shuffles only its (band, h)
+    key rows for the semi-join against the corpus index — 8 longs per
+    incoming doc. The static index here is recomputed from the corpus
+    inside the query (self-contained fixture); production materializes
+    it once, DISTRIBUTE BY (band, h), and the gate is then a pure
+    probe whose per-batch cost is linear in the BATCH, independent of
+    corpus size. The within-watermark dedup keys on doc_id with a
+    1-hour horizon over the synthetic arrival time, so dedup state is
+    bounded by the in-horizon doc count, never stream length."""
+    from dungbeetle_spark.functions.texts import md5_hash60, norm_text
+    from dungbeetle_spark.operators.dedup import (
+        _INC_MOD,
+        _MH_TABLES,
+        _MHI_TEMPLATE,
+        _MHI_TPL_MOD,
+        _SHINGLE_N,
+        _shingled,
+    )
+    from dungbeetle_spark.streaming.source import stream_table
+    import hashlib
+
+    def _seed(df: DataFrame) -> DataFrame:
+        return df.select(
+            "doc_id",
+            F.when(
+                F.col("doc_id") % _MHI_TPL_MOD == 0,
+                F.concat(
+                    F.lit(_MHI_TEMPLATE + " variant "),
+                    (F.col("doc_id") % 4).cast("string"),
+                    F.lit(" tail "),
+                    F.col("doc_id").cast("string"),
+                ),
+            )
+            .otherwise(F.col("text"))
+            .alias("text"),
+        )
+
+    n, k = _SHINGLE_N, _MH_TABLES
+
+    @F.pandas_udf("array<long>")
+    def minhash_bands(nt: pd.Series) -> pd.Series:
+        # one Arrow pass: shingle + all k seeded minhashes per row;
+        # identical hash contract to the batch op (md5_hash60 of
+        # "j|shingle" over distinct word n-grams of normalized text)
+        out = []
+        for t in nt:
+            w = t.split(" ")
+            if len(w) < n:
+                out.append(None)
+                continue
+            grams = set(" ".join(w[i : i + n]) for i in range(len(w) - n + 1))
+            out.append(
+                [
+                    min(
+                        int(
+                            hashlib.md5(f"{j}|{s}".encode()).hexdigest()[:15],
+                            16,
+                        )
+                        for s in grams
+                    )
+                    for j in range(k)
+                ]
+            )
+        return pd.Series(out)
+
+    incoming = _seed(
+        stream_table(spark, sf_dir, "documents").filter(
+            F.col("doc_id") % _INC_MOD == 0
+        )
+    ).select(
+        "doc_id",
+        # deterministic synthetic arrival time: the fixture has no
+        # ingest timestamp; production uses the real one
+        F.timestamp_seconds(F.lit(1700000000) + F.col("doc_id") % 3600).alias(
+            "ingest_ts"
+        ),
+        F.posexplode(minhash_bands(norm_text(F.col("text")))).alias("band", "h"),
+    )
+
+    # corpus band index, built batch-side ON THE STREAM'S SESSION
+    # (joining frames from two sessions is undefined behavior)
+    sess = incoming.sparkSession
+    corpus = _seed(
+        _t(sess, sf_dir, "documents")["documents"].filter(
+            F.col("doc_id") % _INC_MOD != 0
+        )
+    )
+    sh = _shingled(corpus).select("doc_id", F.explode("shingles").alias("s"))
+    index = (
+        sh.groupBy("doc_id")
+        .agg(
+            *[
+                F.min(md5_hash60(F.concat(F.lit(f"{j}|"), F.col("s")))).alias(
+                    f"h{j}"
+                )
+                for j in range(k)
+            ]
+        )
+        .select(
+            F.posexplode(
+                F.array(*[F.col(f"h{j}") for j in range(k)])
+            ).alias("band", "h")
+        )
+        .distinct()
+    )
+
+    flagged = (
+        incoming.join(index, ["band", "h"], "left_semi")
+        .withWatermark("ingest_ts", "1 hour")
+        .dropDuplicatesWithinWatermark(["doc_id"])
+        .select("doc_id")
+    )
+    return drain_to_df(flagged, "stream_minhash_gate", "append")

@@ -39,6 +39,7 @@ NEVER_VERIFIED: list[str] = [
     "dedup_minhash_incremental",  # new in r08
     "token_freq_spectrum",  # new in r08
     "hard_negative_mining",  # new in r08
+    "streaming_minhash_ingest_gate",  # new in r08
 ]
 
 # Operators whose code or oracle changed in round 8.
@@ -50,8 +51,8 @@ CHANGED_THIS_ROUND: list[str] = [
 
 # The r08 rotation (VERDICT r07 item 3): pure staleness repayment —
 # the 6 queries whose last green row is r04 (displaced from the r07
-# window by the new>stale rule) plus the 23 oldest r05 greens, all
-# code-unchanged (the cohort shrank from 44 as the 20 late-r08
+# window by the new>stale rule) plus the 22 oldest r05 greens, all
+# code-unchanged (the cohort shrank from 44 as the 21 late-r08
 # queries displaced its tail). user_value_trend, vocab_growth and
 # zorder_layout_stats wait at the front of the r09 queue with the
 # displaced names below; the local oracle suite still re-verifies
@@ -85,7 +86,6 @@ ROTATED_IN_R08 = [
     "hybrid_rrf_retrieval",
     "incremental_agg_maintenance",
     "integrity_audit",
-    "interevent_gap_histogram",
     # displaced to r09 (new/changed > stale): unpivot_user_metrics by
     # multimodal_real_decode; streaming_quality_filter /
     # timeseries_topk_similar_users / triangle_cohorts /
@@ -101,7 +101,8 @@ ROTATED_IN_R08 = [
     # eval-hygiene pair (split_leakage_audit, rare_token_retention);
     # join_cardinality_forecast / join_skew_profile / kmeans_clusters
     # by the ingest/curation trio (dedup_minhash_incremental,
-    # token_freq_spectrum, hard_negative_mining)
+    # token_freq_spectrum, hard_negative_mining);
+    # interevent_gap_histogram by streaming_minhash_ingest_gate
 ]
 
 
