@@ -123,6 +123,10 @@ HEADLINE = [
     "dedup_minhash_incremental",
     "token_freq_spectrum",
     "hard_negative_mining",
+    # r08 curation pair: paragraph-level exact dedup, leave-one-out
+    # centroid embedding outlier filter
+    "paragraph_dedup",
+    "embedding_outlier_prune",
 ]
 
 # Host-drift canary (ADVICE r04: one hardcoded-anchor query is noisy

@@ -1651,3 +1651,92 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("containment_ppm") >= _CONTAIN_T_PPM)
     )
+
+
+# ---------------------------------------------------------------------------
+# paragraph-level exact dedup (C4/RefinedWeb line dedup)
+# ---------------------------------------------------------------------------
+
+_PARA_W = 20  # words per paragraph chunk (fixture; production: real \n\n splits)
+
+
+@query(
+    "paragraph_dedup",
+    oracle=f"""
+    WITH words AS (
+      SELECT doc_id, source,
+             regexp_split_to_array(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS w
+      FROM documents),
+    paras AS (
+      SELECT doc_id, source, i AS para_idx,
+             md5(array_to_string(w[i*{_PARA_W}+1 : i*{_PARA_W}+{_PARA_W}], ' ')) AS ph
+      FROM words,
+           UNNEST(range(0, CAST(ceil(len(w)/{_PARA_W}.0) AS BIGINT))) AS t(i)),
+    keep AS (
+      SELECT doc_id, source, para_idx, ph,
+             ROW_NUMBER() OVER (PARTITION BY ph ORDER BY doc_id, para_idx)
+               AS rn
+      FROM paras)
+    SELECT source,
+           COUNT(DISTINCT doc_id) AS n_docs,
+           COUNT(*) AS n_paras,
+           CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS kept_paras,
+           CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) * 1000000
+                // COUNT(*) AS BIGINT) AS retained_ppm
+    FROM keep GROUP BY source
+    """,
+    doc="Paragraph-level exact dedup (the C4 / RefinedWeb 'line "
+    "dedup' pass): documents split into paragraphs, each paragraph "
+    "md5-keyed, and only the globally FIRST occurrence (lowest "
+    "(doc_id, para_idx)) survives — repeated boilerplate paragraphs "
+    "are dropped from every later document while the documents "
+    "themselves survive, the complement of whole-doc dedup_exact. "
+    f"The synthetic corpus has no newlines, so fixed {_PARA_W}-word "
+    "chunks stand in for real paragraph boundaries (FIXTURES.md); "
+    "production swaps the chunker for split(text, '\\n\\n') without "
+    "touching the dataflow. Emits per-source retained-paragraph "
+    "counts in exact integer ppm.",
+)
+def paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: one posexplode (narrow) to paragraph grain, ONE
+    hash shuffle on the paragraph md5 for the keep-first window
+    (uniform key, tiny groups — no skew by construction), then a
+    map-side-combined rollup to the bounded |sources| frame. The
+    paragraph text itself never shuffles — only its 32-byte hash —
+    so the shuffle payload is grain-count × ~50 bytes regardless of
+    paragraph length. At 100 TB this is the same single-shuffle
+    budget as dedup_exact at ~15× the row grain; the keep-first
+    window's per-hash groups are duplicate cardinality (almost
+    always 1-5 rows), never fact-scale partitions."""
+    d = _t(spark, sf_dir, "documents")["documents"]
+    w = d.select("doc_id", "source", F.split(norm_text("text"), " ").alias("w"))
+    n_chunks = F.ceil(F.size("w") / F.lit(_PARA_W)).cast("int")
+    paras = w.select(
+        "doc_id",
+        "source",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), n_chunks - 1),
+                lambda i: F.md5(
+                    F.array_join(
+                        F.slice("w", i * _PARA_W + 1, _PARA_W), " "
+                    )
+                ),
+            )
+        ).alias("para_idx", "ph"),
+    )
+    rn = F.row_number().over(
+        W.partitionBy("ph").orderBy("doc_id", "para_idx")
+    )
+    keep = paras.select(
+        "doc_id", "source", "ph", (rn == 1).cast("int").alias("is_first")
+    )
+    return keep.groupBy("source").agg(
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.count(F.lit(1)).alias("n_paras"),
+        F.sum("is_first").cast("long").alias("kept_paras"),
+        F.expr(
+            "CAST(sum(is_first) * 1000000 DIV count(1) AS BIGINT)"
+        ).alias("retained_ppm"),
+    )

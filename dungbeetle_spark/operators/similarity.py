@@ -1451,3 +1451,167 @@ def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("cs", 6).alias("cos_sim"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# embedding outlier pruning — leave-one-out centroid cosine filter
+# ---------------------------------------------------------------------------
+
+_OUT_Q = 1_000_000  # quantization scale: float -> round(x * 1e6) BIGINT
+_OUT_P = 0.1  # per-group prune fraction (percentile_disc fence)
+
+
+@query(
+    "embedding_outlier_prune",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id, label,
+             list_transform(CAST(embedding AS DOUBLE[]),
+                            x -> CAST(round(x * {_OUT_Q}) AS BIGINT)) AS qx
+      FROM embeddings),
+    long AS (
+      SELECT vec_id, label, qx[d] AS qd, d
+      FROM q, UNNEST(generate_series(1, len(qx))) AS t(d)),
+    sums AS (
+      SELECT label, d, CAST(SUM(qd) AS BIGINT) AS sd
+      FROM long GROUP BY label, d),
+    counts AS (SELECT label, COUNT(*) AS n FROM q GROUP BY label),
+    cc AS (SELECT label, CAST(SUM(sd * sd) AS BIGINT) AS c2
+           FROM sums GROUP BY label),
+    dots AS (
+      SELECT l.vec_id, l.label,
+             CAST(SUM(l.qd * l.qd) AS BIGINT) AS a2,
+             CAST(SUM(l.qd * s.sd) AS BIGINT) AS b
+      FROM long l JOIN sums s ON s.label = l.label AND s.d = l.d
+      GROUP BY l.vec_id, l.label),
+    scored AS (
+      SELECT dots.vec_id, dots.label, n,
+             round((b - a2) / (sqrt(CAST(a2 AS DOUBLE)) *
+                    sqrt(CAST(c2 - 2*b + a2 AS DOUBLE))), 6) AS loo_cos
+      FROM dots JOIN cc USING (label) JOIN counts USING (label)),
+    thr AS (
+      SELECT label,
+             CAST(percentile_disc({_OUT_P}) WITHIN GROUP (ORDER BY loo_cos)
+                  AS DOUBLE) AS p10_cos
+      FROM scored GROUP BY label)
+    SELECT s.label, CAST(MAX(n) AS BIGINT) AS n_members,
+           MIN(loo_cos) AS worst_cos,
+           round(CAST(SUM(CAST(round(loo_cos * 1000000) AS BIGINT)) AS DOUBLE)
+                 / (MAX(n) * 1000000.0), 6) AS mean_cos,
+           MAX(p10_cos) AS p10_cos,
+           CAST(SUM(CASE WHEN loo_cos < p10_cos THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_pruned
+    FROM scored s JOIN thr USING (label)
+    GROUP BY s.label
+    """,
+    doc="Embedding outlier pruning (the CLIP-score / centroid-distance "
+    "filter of LAION- and DataComp-style curation): each vector is "
+    "scored by cosine to its group's LEAVE-ONE-OUT mean centroid, and "
+    f"the bottom percentile_disc({_OUT_P}) fence per group marks the "
+    "prune set. Hash-exact cross-engine WITHOUT any float-sum order "
+    "dependence: cosine-to-mean equals cosine-to-SUM (the 1/n "
+    "cancels), vectors quantize to round(x*1e6) BIGINTs, the group "
+    "sum vector S is an order-free integer aggregate, and the "
+    "leave-one-out target is simply S - x (still exact integers) — "
+    "so loo_cos = (x·S - x·x) / (|x| · |S - x|) is a deterministic "
+    "double expression over exact integer dots in both engines.",
+)
+def embedding_outlier_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: two passes over the corpus, zero fact-scale joins.
+    Pass 1 posexplodes to (label, dim) grain and map-side-combines
+    into the |labels|×dim integer sum table (the shuffle moves only
+    the combined partials). Pass 2 re-scans embeddings and broadcast-
+    joins the reassembled sum VECTORS (|labels| rows), computing both
+    integer dots JVM-side with zip_with/aggregate folds — no Python,
+    no window, no per-row shuffle. The only fact-keyed shuffles left
+    are the two |labels|-keyed exact-percentile/rollup aggregates
+    (mergeable map-side; label cardinality is bounded). Integer-range
+    note: x·S grows with group size n; at n ≳ 1.4e9 per group drop
+    _OUT_Q to 1e4 or promote the S-dot to DECIMAL(38,0) — the algebra
+    is unchanged."""
+    e = fan_out(_t(spark, sf_dir, "embeddings")["embeddings"])
+    q = e.select(
+        "vec_id",
+        "label",
+        F.expr(
+            f"transform(embedding, x -> "
+            f"CAST(round(CAST(x AS DOUBLE) * {_OUT_Q}) AS BIGINT))"
+        ).alias("qx"),
+    )
+    # One exploded pass yields BOTH the per-(label,dim) integer sums
+    # and the member count (every member contributes exactly one row
+    # per dim, so count(*) at any dim IS n) — no separate counts scan.
+    long = q.select("label", F.posexplode("qx").alias("d", "qd"))
+    sums = long.groupBy("label", "d").agg(
+        F.sum("qd").alias("sd"), F.count(F.lit(1)).alias("cnt")
+    )
+    side = sums.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("d", "sd"))),
+            lambda s: s["sd"],
+        ).alias("sv"),
+        F.sum(F.col("sd") * F.col("sd")).alias("c2"),
+        F.max("cnt").alias("n"),
+    )  # |labels| rows
+    zero = F.lit(0).cast("long")
+    a2 = F.aggregate("qx", zero, lambda acc, x: acc + x * x)
+    b = F.aggregate(
+        F.zip_with("qx", "sv", lambda x, s: x * s), zero, lambda acc, x: acc + x
+    )
+    scored = (
+        q.join(F.broadcast(side), "label")
+        .select(
+            "vec_id",
+            "label",
+            "n",
+            a2.alias("a2"),
+            b.alias("b"),
+            "c2",
+        )
+        .select(
+            "vec_id",
+            "label",
+            "n",
+            F.round(
+                (F.col("b") - F.col("a2"))
+                / (
+                    F.sqrt(F.col("a2").cast("double"))
+                    * F.sqrt((F.col("c2") - 2 * F.col("b") + F.col("a2")).cast("double"))
+                ),
+                6,
+            ).alias("loo_cos"),
+        )
+        # Narrow (4 cols) and consumed twice (percentile fence + final
+        # rollup): lazily checkpoint so the scan→explode→sum→score
+        # pipeline runs ONCE, not once per consumer.
+        .localCheckpoint(eager=False)
+    )
+    scored.createOrReplaceTempView("_emb_outlier_scored")
+    thr = spark.sql(
+        f"""
+        SELECT label,
+               CAST(percentile_disc({_OUT_P}) WITHIN GROUP (ORDER BY loo_cos)
+                    AS DOUBLE) AS p10_cos
+        FROM _emb_outlier_scored GROUP BY label
+        """
+    )
+    return (
+        scored.join(F.broadcast(thr), "label")
+        .groupBy("label")
+        .agg(
+            F.max("n").cast("long").alias("n_members"),
+            F.min("loo_cos").alias("worst_cos"),
+            F.round(
+                F.sum(F.round(F.col("loo_cos") * 1000000).cast("long"))
+                .cast("double")
+                / (F.max("n") * 1000000.0),
+                6,
+            ).alias("mean_cos"),
+            F.max("p10_cos").alias("p10_cos"),
+            F.sum(
+                F.when(F.col("loo_cos") < F.col("p10_cos"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_pruned"),
+        )
+    )

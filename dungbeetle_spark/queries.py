@@ -97,6 +97,10 @@ DRIVER_PRIORITY: list[str] = [
     "hard_negative_mining",
     # new in r08 -- the streaming twin of the incremental gate:
     "streaming_minhash_ingest_gate",
+    # new in r08 -- the curation pair: paragraph-level exact dedup and
+    # the leave-one-out centroid embedding outlier filter:
+    "paragraph_dedup",
+    "embedding_outlier_prune",
     # Then staleness repayment (VERDICT r07 item 3): the 6 queries
     # whose last green driver row is r04, followed by the oldest r05
     # greens. New/changed r08 queries are inserted at the TOP of this
@@ -110,7 +114,9 @@ DRIVER_PRIORITY: list[str] = [
     # multimodal_feature_stats, listagg_nation_suppliers,
     # lateral_topk_orders, join_cardinality_forecast,
     # join_skew_profile, kmeans_clusters, interevent_gap_histogram;
-    # remaining r05 cohort: those twenty-two + user_value_trend,
+    # incremental_agg_maintenance / integrity_audit by the curation
+    # pair (paragraph_dedup, embedding_outlier_prune);
+    # remaining r05 cohort: the displaced names + user_value_trend,
     # vocab_growth, zorder_layout_stats wait for r09 with the r06
     # cohort).
     # last green r04:
@@ -120,7 +126,7 @@ DRIVER_PRIORITY: list[str] = [
     "quality_score",
     "token_count",
     "token_length_histogram",
-    # last green r05 (oldest 22 of 47, alphabetical):
+    # last green r05 (oldest 20 of 47, alphabetical):
     "ab_test_significance",
     "activity_streaks",
     "ann_ivf",
@@ -141,8 +147,6 @@ DRIVER_PRIORITY: list[str] = [
     "funnel_time_bounded",
     "fuzzy_join_customers",
     "hybrid_rrf_retrieval",
-    "incremental_agg_maintenance",
-    "integrity_audit",
 ]
 
 

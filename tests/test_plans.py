@@ -1410,3 +1410,47 @@ def test_hard_negative_mining_broadcasts_anchors(spark, sf):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_paragraph_dedup_hash_only_shuffle(spark, sf):
+    """paragraph_dedup: the keep-first window shuffles PARAGRAPH
+    HASHES, never paragraph text — after the posexplode projection
+    the only columns alive are (doc_id, source, para_idx, ph). One
+    hash shuffle for the window + the bounded per-source rollup; no
+    joins, no Python, column-pruned scan (doc_id/text/source only)."""
+    from dungbeetle_spark.plans.inspect import single_partition_windows
+
+    df = _df(spark, sf, "paragraph_dedup")
+    plan = formatted_plan(df)
+    assert "EvalPython" not in plan and "InPandas" not in plan
+    assert "Join" not in plan, "paragraph dedup must not join"
+    assert shuffle_exchanges(df) <= 3
+    assert has_partial_aggregate(df)
+    assert not single_partition_windows(plan)
+    schemas = scan_schemas(df)
+    assert len(schemas) == 1 and "n_chars" not in schemas[0]
+    # the window input must carry the md5 hash, not the word array
+    m = re.search(r"Window\nInput \[\d+\]: \[([^\]]*)\]", plan)
+    assert m and "ph#" in m.group(1) and "w#" not in m.group(1)
+
+
+def test_embedding_outlier_prune_single_pipeline_no_rescan(spark, sf):
+    """embedding_outlier_prune: the scored frame is lazily
+    checkpointed, so the scan→posexplode→integer-sum→score pipeline
+    runs ONCE and both consumers (percentile fence + final rollup)
+    read the materialized narrow frame; the sum-vector side rides a
+    BroadcastExchange (|labels| rows). No Python anywhere — the
+    quantized dots are zip_with/aggregate JVM folds."""
+    from dungbeetle_spark.plans.inspect import single_partition_windows
+
+    df = _df(spark, sf, "embedding_outlier_prune")
+    plan = formatted_plan(df)
+    assert "EvalPython" not in plan and "InPandas" not in plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    assert has_broadcast_join(df), "percentile fence frame must broadcast"
+    assert has_partial_aggregate(df)
+    assert not single_partition_windows(plan)
+    assert "Scan parquet" not in plan, "consumers must read the checkpoint"
+    assert "Scan ExistingRDD" in plan
+    assert shuffle_exchanges(df) <= 2

@@ -40,6 +40,8 @@ NEVER_VERIFIED: list[str] = [
     "token_freq_spectrum",  # new in r08
     "hard_negative_mining",  # new in r08
     "streaming_minhash_ingest_gate",  # new in r08
+    "paragraph_dedup",  # new in r08
+    "embedding_outlier_prune",  # new in r08
 ]
 
 # Operators whose code or oracle changed in round 8.
@@ -84,8 +86,6 @@ ROTATED_IN_R08 = [
     "funnel_time_bounded",
     "fuzzy_join_customers",
     "hybrid_rrf_retrieval",
-    "incremental_agg_maintenance",
-    "integrity_audit",
     # displaced to r09 (new/changed > stale): unpivot_user_metrics by
     # multimodal_real_decode; streaming_quality_filter /
     # timeseries_topk_similar_users / triangle_cohorts /
@@ -102,7 +102,9 @@ ROTATED_IN_R08 = [
     # join_cardinality_forecast / join_skew_profile / kmeans_clusters
     # by the ingest/curation trio (dedup_minhash_incremental,
     # token_freq_spectrum, hard_negative_mining);
-    # interevent_gap_histogram by streaming_minhash_ingest_gate
+    # interevent_gap_histogram by streaming_minhash_ingest_gate;
+    # incremental_agg_maintenance / integrity_audit by the curation
+    # pair (paragraph_dedup, embedding_outlier_prune)
 ]
 
 
