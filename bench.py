@@ -127,6 +127,8 @@ HEADLINE = [
     # centroid embedding outlier filter
     "paragraph_dedup",
     "embedding_outlier_prune",
+    # r08: DoReMi-style per-source distributional-distance audit
+    "kl_divergence_by_source",
 ]
 
 # Host-drift canary (ADVICE r04: one hardcoded-anchor query is noisy

@@ -1421,3 +1421,121 @@ def contamination_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hits.groupBy("benchmark_id", "source").agg(
         F.countDistinct("doc_id").alias("n_contaminated_docs")
     )
+
+
+# ---------------------------------------------------------------------------
+# per-source distributional distance (DoReMi-style domain KL audit)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "kl_divergence_by_source",
+    oracle="""
+    WITH words AS (
+      SELECT source, unnest(regexp_split_to_array(
+               trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))
+                 || ' mark_' || source, ' ')) AS word
+      FROM documents),
+    sw AS (
+      SELECT source, word, CAST(COUNT(*) AS BIGINT) AS c
+      FROM words GROUP BY source, word),
+    wt AS (SELECT word, CAST(SUM(c) AS BIGINT) AS cw FROM sw GROUP BY word),
+    s AS (SELECT source, CAST(SUM(c) AS BIGINT) AS ns,
+                 CAST(COUNT(*) AS BIGINT) AS nd
+          FROM sw GROUP BY source),
+    n AS (SELECT CAST(SUM(ns) AS BIGINT) AS nn FROM s),
+    contrib AS (
+      SELECT sw.source, sw.word, s.ns, s.nd,
+             sw.c * CAST((length(bin(sw.c * n.nn)) - 1)
+                    - (length(bin(s.ns * wt.cw)) - 1) AS BIGINT) AS contrib
+      FROM sw JOIN wt USING (word) JOIN s USING (source) CROSS JOIN n),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY source
+                                   ORDER BY contrib DESC, word) AS rn
+      FROM contrib)
+    SELECT source,
+           MAX(ns) AS n_tokens,
+           MAX(nd) AS n_distinct_words,
+           round(CAST(SUM(contrib) AS DOUBLE) / MAX(ns), 6) AS kl_bits,
+           MAX(CASE WHEN rn = 1 THEN word END) AS top_word,
+           MAX(CASE WHEN rn = 1 THEN contrib END) AS top_word_contrib
+    FROM ranked GROUP BY source
+    """,
+    doc="Per-source distributional distance from the corpus unigram "
+    "distribution — the DoReMi / domain-reweighting diagnostic: which "
+    "sources' token distributions diverge most (and which single word "
+    "drives it). KL(p_s || q) = Σ p log2(p/q) computed in the exact "
+    "integer floor-log2 idiom of char_bigram_surprisal: each word's "
+    "log2(p/q) = log2(c·N) − log2(ns·cw) floors to "
+    "length(bin(·))−1 (an exact BIGINT), the count-weighted sum is an "
+    "order-free integer aggregate, and only the final per-token "
+    "normalization divides — so the oracle is hash-exact. The floored "
+    "log makes this a banded KL estimate (±1 bit per term), which is "
+    "the documented trade for cross-engine integer exactness.",
+)
+def kl_divergence_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: ONE corpus tokenize pass builds the (source, word)
+    count frame (hash shuffle with map-side combine — the corpus's
+    text never moves, only combined partials), lazily checkpointed and
+    reused by all three consumers (corpus word totals, per-source
+    totals, the scoring join). The scoring join is vocab-keyed
+    (sw ⋈ wt on word) — vocabulary grain, not corpus grain; the
+    per-source totals broadcast (|sources| rows) and the corpus total
+    is the whitelisted 1-row crossJoin class. The top-word window
+    partitions on source over the vocab frame (bounded by |vocab|,
+    a diagnostic output, never corpus-scale rows). Integer-range note:
+    the floor-log products c·N and ns·cw must stay under 2^63; past
+    ~3e9 corpus tokens promote them to DECIMAL(38,0) with a
+    floor(log2(CAST AS DOUBLE)) fallback — the algebra is unchanged."""
+    d = _t(spark, sf_dir, "documents")["documents"]
+    # In-query fixture (FIXTURES.md): the base corpus's ~31-word vocab
+    # is near-uniform across sources, so every floored log collapses
+    # to the same band; one planted per-source marker token per doc
+    # gives each source a genuinely divergent term to surface.
+    words = d.select(
+        "source",
+        F.explode(
+            F.split(
+                F.concat(norm_text("text"), F.lit(" mark_"), F.col("source")),
+                " ",
+            )
+        ).alias("word"),
+    )
+    sw = (
+        words.groupBy("source", "word")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=False)
+    )
+    wt = sw.groupBy("word").agg(F.sum("c").alias("cw"))
+    s = sw.groupBy("source").agg(
+        F.sum("c").alias("ns"), F.count(F.lit(1)).alias("nd")
+    )
+    n = s.agg(F.sum("ns").alias("nn"))
+    ilog2 = lambda col: (F.length(F.expr(f"bin({col})")) - 1).cast("long")
+    contrib_col = (
+        F.col("c") * (ilog2("c * nn") - ilog2("ns * cw"))
+    ).alias("contrib")
+    contrib = (
+        sw.join(wt, "word")
+        .join(F.broadcast(s), "source")
+        .crossJoin(F.broadcast(n))
+        .select("source", "word", "ns", "nd", contrib_col)
+    )
+    rn = F.row_number().over(
+        W.partitionBy("source").orderBy(F.desc("contrib"), F.asc("word"))
+    )
+    return (
+        contrib.withColumn("rn", rn)
+        .groupBy("source")
+        .agg(
+            F.max("ns").alias("n_tokens"),
+            F.max("nd").alias("n_distinct_words"),
+            F.round(
+                F.sum("contrib").cast("double") / F.max("ns"), 6
+            ).alias("kl_bits"),
+            F.max(F.when(F.col("rn") == 1, F.col("word"))).alias("top_word"),
+            F.max(F.when(F.col("rn") == 1, F.col("contrib"))).alias(
+                "top_word_contrib"
+            ),
+        )
+    )

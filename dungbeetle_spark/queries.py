@@ -101,6 +101,8 @@ DRIVER_PRIORITY: list[str] = [
     # the leave-one-out centroid embedding outlier filter:
     "paragraph_dedup",
     "embedding_outlier_prune",
+    # new in r08 -- the DoReMi-style per-source distributional audit:
+    "kl_divergence_by_source",
     # Then staleness repayment (VERDICT r07 item 3): the 6 queries
     # whose last green driver row is r04, followed by the oldest r05
     # greens. New/changed r08 queries are inserted at the TOP of this
@@ -116,6 +118,7 @@ DRIVER_PRIORITY: list[str] = [
     # join_skew_profile, kmeans_clusters, interevent_gap_histogram;
     # incremental_agg_maintenance / integrity_audit by the curation
     # pair (paragraph_dedup, embedding_outlier_prune);
+    # hybrid_rrf_retrieval by kl_divergence_by_source;
     # remaining r05 cohort: the displaced names + user_value_trend,
     # vocab_growth, zorder_layout_stats wait for r09 with the r06
     # cohort).
@@ -126,7 +129,7 @@ DRIVER_PRIORITY: list[str] = [
     "quality_score",
     "token_count",
     "token_length_histogram",
-    # last green r05 (oldest 20 of 47, alphabetical):
+    # last green r05 (oldest 19 of 47, alphabetical):
     "ab_test_significance",
     "activity_streaks",
     "ann_ivf",
@@ -146,7 +149,6 @@ DRIVER_PRIORITY: list[str] = [
     "frequent_item_pairs",
     "funnel_time_bounded",
     "fuzzy_join_customers",
-    "hybrid_rrf_retrieval",
 ]
 
 

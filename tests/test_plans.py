@@ -1454,3 +1454,23 @@ def test_embedding_outlier_prune_single_pipeline_no_rescan(spark, sf):
     assert "Scan parquet" not in plan, "consumers must read the checkpoint"
     assert "Scan ExistingRDD" in plan
     assert shuffle_exchanges(df) <= 2
+
+
+def test_kl_divergence_single_corpus_pass_vocab_join(spark, sf):
+    """kl_divergence_by_source: the tokenize→(source,word)-count
+    pipeline runs ONCE (lazily checkpointed, three consumers); the
+    scoring join is VOCAB-keyed, the per-source totals broadcast, the
+    corpus total is the whitelisted 1-row crossJoin class, and the
+    top-word window partitions on source over the vocab frame. No
+    Python, no corpus rescan."""
+    from dungbeetle_spark.plans.inspect import single_partition_windows
+
+    df = _df(spark, sf, "kl_divergence_by_source")
+    plan = formatted_plan(df)
+    assert "EvalPython" not in plan and "InPandas" not in plan
+    assert "CartesianProduct" not in plan
+    assert has_broadcast_join(df)
+    assert has_partial_aggregate(df)
+    assert not single_partition_windows(plan)
+    assert "Scan parquet" not in plan, "consumers must read the checkpoint"
+    assert "Scan ExistingRDD" in plan

@@ -86,6 +86,10 @@ SWEEP_OPS = [
     ("dedup_minhash_incremental", None),  # minhash agg O(n), bcast probe
     ("token_freq_spectrum", None),  # word-count shuffle + tiny rollup
     ("hard_negative_mining", None),  # sig UDF O(n·d), bcast anchors
+    # r08 curation pair
+    ("paragraph_dedup", None),  # one paragraph-hash shuffle: O(paras)
+    ("embedding_outlier_prune", None),  # 2 scans, bcast sums: O(n·d)
+    ("kl_divergence_by_source", None),  # 1 corpus pass, vocab-keyed join
 ]
 
 # Sub-factor ladder for capped operators: when the requested factor
