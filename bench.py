@@ -129,6 +129,8 @@ HEADLINE = [
     "embedding_outlier_prune",
     # r08: DoReMi-style per-source distributional-distance audit
     "kl_divergence_by_source",
+    # r08: floor-log2 PMI collocation extraction
+    "pmi_collocations",
 ]
 
 # Host-drift canary (ADVICE r04: one hardcoded-anchor query is noisy

@@ -1317,3 +1317,136 @@ def token_freq_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
         ppm("n_types", "v").alias("type_ppm"),
         ppm("n_tokens", "t").alias("token_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# PMI collocations — corpus-level word-association extraction
+# ---------------------------------------------------------------------------
+
+_PMI_MIN_SUPPORT = 5  # minimum adjacent-bigram count to score
+_PMI_TOP_K = 50
+
+
+@query(
+    "pmi_collocations",
+    oracle=f"""
+    WITH words AS (
+      SELECT doc_id,
+             regexp_split_to_array(
+               trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))
+                 || CASE WHEN doc_id % 4 = 0
+                         THEN ' pair_alpha pair_beta' ELSE '' END,
+               ' ') AS w
+      FROM documents),
+    uni AS (
+      SELECT u.word, CAST(COUNT(*) AS BIGINT) AS c
+      FROM words, UNNEST(w) AS u(word) GROUP BY u.word),
+    n1 AS (SELECT CAST(SUM(c) AS BIGINT) AS nw FROM uni),
+    bi AS (
+      SELECT w[i] AS a, w[i+1] AS b, CAST(COUNT(*) AS BIGINT) AS cab
+      FROM words, UNNEST(range(1, len(w))) AS t(i)
+      GROUP BY w[i], w[i+1]),
+    nb AS (SELECT CAST(SUM(cab) AS BIGINT) AS np FROM bi),
+    scored AS (
+      SELECT bi.a, bi.b, bi.cab, ua.c AS ca, ub.c AS cb,
+             CAST((length(bin(bi.cab * n1.nw * n1.nw)) - 1)
+                  - (length(bin(nb.np * ua.c * ub.c)) - 1) AS BIGINT)
+               AS pmi_bits
+      FROM bi JOIN uni ua ON ua.word = bi.a
+              JOIN uni ub ON ub.word = bi.b
+              CROSS JOIN n1 CROSS JOIN nb
+      WHERE bi.cab >= {_PMI_MIN_SUPPORT})
+    SELECT a, b, cab, ca, cb, pmi_bits
+    FROM scored
+    ORDER BY pmi_bits DESC, cab DESC, a, b
+    LIMIT {_PMI_TOP_K}
+    """,
+    doc="Top collocations by pointwise mutual information — the "
+    "classic corpus-association extractor (phrase mining, tokenizer "
+    "merge candidates, stopword diagnostics). PMI(a,b) = "
+    "log2(c_ab·N1² / (N_pairs·c_a·c_b)) in the exact floor-log2 "
+    "integer idiom (length(bin(·))−1 over BIGINT products), so the "
+    "score is an order-free integer and the oracle is hash-exact; "
+    "ties break on (support DESC, a, b). A planted adjacent pair "
+    "('pair_alpha pair_beta' on doc_id % 4 == 0, FIXTURES.md) gives "
+    "the random-soup fixture corpus one guaranteed true collocation "
+    "that must rank first.",
+)
+def pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: ONE tokenize pass is shared (lazily checkpointed
+    word arrays would still be corpus-scale, so instead the unigram
+    and bigram COUNT frames — vocabulary-grain — are what live
+    twice); each is one hash shuffle with map-side combine. Scoring
+    joins are vocab-keyed (bigram frame ⋈ unigram counts twice); the
+    two 1-row totals ride the whitelisted scalar crossJoin class.
+    The global top-k compiles to TakeOrderedAndProject (per-partition
+    heads, never a full sort). Integer-range note: c_ab·N1² must stay
+    under 2^63 — past ~3e9 corpus tokens, rescale both log arguments
+    by the same power of two (shift counts right) or promote to
+    DECIMAL(38,0) with a double-floor fallback; the ranking is
+    unchanged."""
+    d = _t(spark, sf_dir, "documents")["documents"]
+    # In-query fixture (FIXTURES.md): plant one true collocation.
+    text_w = F.concat(
+        norm_text("text"),
+        F.when(
+            F.col("doc_id") % 4 == 0, F.lit(" pair_alpha pair_beta")
+        ).otherwise(F.lit("")),
+    )
+    w = d.select(F.split(text_w, " ").alias("w"))
+    uni = (
+        w.select(F.explode("w").alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    bi = (
+        w.select(
+            F.explode(
+                # Guarded: sequence(1, 0) is DESCENDING in Spark (the
+                # word_ngrams pitfall) — a 1-word doc must yield an
+                # EMPTY pair array, matching DuckDB's empty range().
+                F.when(
+                    F.size("w") >= 2,
+                    F.expr(
+                        "transform(sequence(1, size(w) - 1), "
+                        "i -> struct(w[i-1] AS a, w[i] AS b))"
+                    ),
+                ).otherwise(
+                    F.expr(
+                        "CAST(array() AS array<struct<a: string, b: string>>)"
+                    )
+                )
+            ).alias("p")
+        )
+        .select("p.a", "p.b")
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("cab"))
+        .filter(F.col("cab") >= _PMI_MIN_SUPPORT)
+    )
+    n1 = uni.agg(F.sum("c").alias("nw"))
+    # N_pairs must count ALL bigrams (including below-support ones):
+    # derive it from the unigram frame — every doc of L words emits
+    # L-1 pairs, so N_pairs = N1 - n_docs.
+    ndocs = d.agg(F.count(F.lit(1)).alias("nd"))
+    ilog2 = lambda e: (F.length(F.expr(f"bin({e})")) - 1).cast("long")
+    ua = uni.select(F.col("word").alias("a"), F.col("c").alias("ca"))
+    ub = uni.select(F.col("word").alias("b"), F.col("c").alias("cb"))
+    scored = (
+        bi.join(ua, "a")
+        .join(ub, "b")
+        .crossJoin(F.broadcast(n1))
+        .crossJoin(F.broadcast(ndocs))
+        .select(
+            "a",
+            "b",
+            "cab",
+            "ca",
+            "cb",
+            (ilog2("cab * nw * nw") - ilog2("(nw - nd) * ca * cb")).alias(
+                "pmi_bits"
+            ),
+        )
+    )
+    return scored.orderBy(
+        F.desc("pmi_bits"), F.desc("cab"), "a", "b"
+    ).limit(_PMI_TOP_K)

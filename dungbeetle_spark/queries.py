@@ -103,6 +103,8 @@ DRIVER_PRIORITY: list[str] = [
     "embedding_outlier_prune",
     # new in r08 -- the DoReMi-style per-source distributional audit:
     "kl_divergence_by_source",
+    # new in r08 -- floor-log2 PMI collocation extraction:
+    "pmi_collocations",
     # Then staleness repayment (VERDICT r07 item 3): the 6 queries
     # whose last green driver row is r04, followed by the oldest r05
     # greens. New/changed r08 queries are inserted at the TOP of this
@@ -119,6 +121,7 @@ DRIVER_PRIORITY: list[str] = [
     # incremental_agg_maintenance / integrity_audit by the curation
     # pair (paragraph_dedup, embedding_outlier_prune);
     # hybrid_rrf_retrieval by kl_divergence_by_source;
+    # fuzzy_join_customers by pmi_collocations;
     # remaining r05 cohort: the displaced names + user_value_trend,
     # vocab_growth, zorder_layout_stats wait for r09 with the r06
     # cohort).
@@ -129,7 +132,7 @@ DRIVER_PRIORITY: list[str] = [
     "quality_score",
     "token_count",
     "token_length_histogram",
-    # last green r05 (oldest 19 of 47, alphabetical):
+    # last green r05 (oldest 18 of 47, alphabetical):
     "ab_test_significance",
     "activity_streaks",
     "ann_ivf",
@@ -148,7 +151,6 @@ DRIVER_PRIORITY: list[str] = [
     "events_variant_stats",
     "frequent_item_pairs",
     "funnel_time_bounded",
-    "fuzzy_join_customers",
 ]
 
 

@@ -1474,3 +1474,21 @@ def test_kl_divergence_single_corpus_pass_vocab_join(spark, sf):
     assert not single_partition_windows(plan)
     assert "Scan parquet" not in plan, "consumers must read the checkpoint"
     assert "Scan ExistingRDD" in plan
+
+
+def test_pmi_collocations_vocab_joins_and_topk_heads(spark, sf):
+    """pmi_collocations: unigram and bigram count frames are
+    vocabulary-grain hash aggregates with map-side combine; scoring
+    joins are vocab-keyed; the two corpus totals ride the whitelisted
+    1-row crossJoin class; the global top-k compiles to
+    TakeOrderedAndProject (per-partition heads), never a full sort.
+    No Python."""
+    from dungbeetle_spark.plans.inspect import single_partition_windows
+
+    df = _df(spark, sf, "pmi_collocations")
+    plan = formatted_plan(df)
+    assert "EvalPython" not in plan and "InPandas" not in plan
+    assert "CartesianProduct" not in plan
+    assert has_partial_aggregate(df)
+    assert not single_partition_windows(plan)
+    assert "TakeOrderedAndProject" in plan, "top-k must not full-sort"

@@ -43,6 +43,7 @@ NEVER_VERIFIED: list[str] = [
     "paragraph_dedup",  # new in r08
     "embedding_outlier_prune",  # new in r08
     "kl_divergence_by_source",  # new in r08
+    "pmi_collocations",  # new in r08
 ]
 
 # Operators whose code or oracle changed in round 8.
@@ -85,7 +86,6 @@ ROTATED_IN_R08 = [
     "events_variant_stats",
     "frequent_item_pairs",
     "funnel_time_bounded",
-    "fuzzy_join_customers",
     # displaced to r09 (new/changed > stale): unpivot_user_metrics by
     # multimodal_real_decode; streaming_quality_filter /
     # timeseries_topk_similar_users / triangle_cohorts /
@@ -105,7 +105,8 @@ ROTATED_IN_R08 = [
     # interevent_gap_histogram by streaming_minhash_ingest_gate;
     # incremental_agg_maintenance / integrity_audit by the curation
     # pair (paragraph_dedup, embedding_outlier_prune);
-    # hybrid_rrf_retrieval by kl_divergence_by_source
+    # hybrid_rrf_retrieval by kl_divergence_by_source;
+    # fuzzy_join_customers by pmi_collocations
 ]
 
 
