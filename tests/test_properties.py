@@ -397,3 +397,85 @@ def test_global_ntile_matches_spark_window_ntile(spark, data):
         ).collect()
     }
     assert got == want
+
+
+@given(st.data())
+@settings(max_examples=25, deadline=None)
+def test_loo_centroid_integer_identity_matches_float_cosine(data):
+    """embedding_outlier_prune's algebraic foundation: with quantized
+    integer vectors qx and the group integer sum S, the operator's
+    loo_cos = (x·S − x·x) / (|x|·|S − x|) must equal the NAIVE float
+    cosine between x and the leave-one-out mean ((S − x) / (n−1)) —
+    the 1/(n−1) cancels exactly, which is why no float ever needs to
+    be summed across rows in either engine. Property-checked on
+    arbitrary integer vectors, not just the fixture."""
+    import math
+
+    dim = data.draw(st.integers(2, 16))
+    n = data.draw(st.integers(3, 8))
+    vecs = data.draw(
+        st.lists(
+            st.lists(st.integers(-1000, 1000), min_size=dim, max_size=dim),
+            min_size=n,
+            max_size=n,
+        )
+    )
+    # skip degenerate zero vectors / zero LOO sums (the operator's
+    # fixture vectors are nonzero floats; guard mirrors sqrt(0))
+    S = [sum(v[d] for v in vecs) for d in range(dim)]
+    for x in vecs:
+        a2 = sum(xi * xi for xi in x)
+        b = sum(xi * si for xi, si in zip(x, S))
+        c2 = sum(si * si for si in S)
+        loo2 = c2 - 2 * b + a2
+        if a2 == 0 or loo2 == 0:
+            continue
+        got = (b - a2) / (math.sqrt(a2) * math.sqrt(loo2))
+        loo_mean = [(si - xi) / (n - 1) for xi, si in zip(x, S)]
+        na = math.sqrt(sum(xi * xi for xi in x))
+        nm = math.sqrt(sum(m * m for m in loo_mean))
+        want = sum(xi * m for xi, m in zip(x, loo_mean)) / (na * nm)
+        assert abs(got - want) < 1e-9
+
+
+@given(st.data())
+@settings(max_examples=25, deadline=None)
+def test_floor_log2_kl_band_within_one_bit_of_true_kl(data):
+    """kl_divergence_by_source's banded-KL claim: the floor-log2
+    estimate Σ c·(⌊log2(c·N)⌋−⌊log2(ns·cw)⌋)/ns differs from true
+    KL = Σ (c/ns)·log2(c·N/(ns·cw)) by strictly less than 1 bit —
+    each term's floored difference lies in (true−1, true+1) and the
+    weights sum to 1. Checked on arbitrary positive count tables."""
+    import math
+
+    n_words = data.draw(st.integers(1, 12))
+    n_sources = data.draw(st.integers(1, 4))
+    counts = data.draw(
+        st.lists(
+            st.lists(st.integers(0, 50), min_size=n_words, max_size=n_words),
+            min_size=n_sources,
+            max_size=n_sources,
+        )
+    )
+    cw = [sum(counts[s][w] for s in range(n_sources)) for w in range(n_words)]
+    N = sum(cw)
+    if N == 0:
+        return
+    for s in range(n_sources):
+        ns = sum(counts[s])
+        if ns == 0:
+            continue
+        banded = (
+            sum(
+                c * ((c * N).bit_length() - 1 - ((ns * cw[w]).bit_length() - 1))
+                for w, c in enumerate(counts[s])
+                if c > 0
+            )
+            / ns
+        )
+        true = sum(
+            (c / ns) * math.log2(c * N / (ns * cw[w]))
+            for w, c in enumerate(counts[s])
+            if c > 0
+        )
+        assert abs(banded - true) < 1.0
