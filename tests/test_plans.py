@@ -994,6 +994,10 @@ def test_registry_wide_no_cartesian_and_no_fact_nlj(spark, sf):
         # r08: two 1-row Bloom-filter map rows (one per epoch
         # boundary) broadcast-crossed into the probe side
         "epoch_ngram_novelty",
+        # r08: 1-row corpus-total frames (token total N1; N1 + n_docs)
+        # broadcast-crossed into the vocab-grain scoring joins
+        "kl_divergence_by_source",
+        "pmi_collocations",
     }
     unexpected = [q for q in bnlj if q not in known_scalar_broadcast]
     assert not unexpected, (
