@@ -131,6 +131,8 @@ HEADLINE = [
     "kl_divergence_by_source",
     # r08: floor-log2 PMI collocation extraction
     "pmi_collocations",
+    # r08: within-doc code-switching segmentation
+    "lang_segments",
 ]
 
 # Host-drift canary (ADVICE r04: one hardcoded-anchor query is noisy

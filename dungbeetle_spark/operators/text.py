@@ -15,6 +15,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
 
 from dungbeetle_spark.functions.texts import content_md5, norm_text, word_count
 from dungbeetle_spark.queries import _t, query
@@ -1450,3 +1451,173 @@ def pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.orderBy(
         F.desc("pmi_bits"), F.desc("cab"), "a", "b"
     ).limit(_PMI_TOP_K)
+
+
+# ---------------------------------------------------------------------------
+# lang_segments — within-doc code-switching segmentation
+# ---------------------------------------------------------------------------
+
+_SEG_W = 30  # words per language-vote window
+_SEG_PLANT = (
+    " der x und x die x ist x nicht x der x und x die x ist x nicht"
+)
+
+
+def _seg_vote_sql(wt: str) -> str:
+    """Window-grain language vote: the same fixed-precedence strict-'>'
+    argmax as _lang_guess_sql, zero markers → 'und'."""
+    score = {
+        lang: "(" + " + ".join(_occurrences_sql(wt, m) for m in markers) + ")"
+        for lang, markers in _LANG_MARKERS.items()
+    }
+    return f"""
+      CASE
+        WHEN {score['de']} > 0
+             AND {score['de']} >= greatest({score['fr']}, {score['es']}, {score['en']})
+          THEN 'de'
+        WHEN {score['fr']} > 0
+             AND {score['fr']} > {score['de']}
+             AND {score['fr']} >= greatest({score['es']}, {score['en']})
+          THEN 'fr'
+        WHEN {score['es']} > 0
+             AND {score['es']} > greatest({score['de']}, {score['fr']})
+             AND {score['es']} >= {score['en']}
+          THEN 'es'
+        WHEN {score['en']} > 0
+             AND {score['en']} > greatest({score['de']}, {score['fr']}, {score['es']})
+          THEN 'en'
+        ELSE 'und'
+      END
+    """
+
+
+@query(
+    "lang_segments",
+    oracle=f"""
+    WITH words AS (
+      SELECT doc_id, source,
+             regexp_split_to_array(
+               trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))
+                 || CASE WHEN doc_id % 7 = 0 THEN '{_SEG_PLANT}' ELSE '' END,
+               ' ') AS w
+      FROM documents),
+    win AS (
+      SELECT doc_id, source, i AS win_idx,
+             ' ' || array_to_string(w[i*{_SEG_W}+1 : i*{_SEG_W}+{_SEG_W}], ' ') || ' ' AS wt
+      FROM words,
+           UNNEST(range(0, CAST(ceil(len(w)/{_SEG_W}.0) AS BIGINT))) AS t(i)),
+    voted AS (
+      SELECT doc_id, source, win_idx, {_seg_vote_sql('wt')} AS vote
+      FROM win),
+    flagged AS (
+      SELECT doc_id, source, vote,
+             CASE WHEN vote IS DISTINCT FROM
+                       lag(vote) OVER (PARTITION BY doc_id ORDER BY win_idx)
+                  THEN 1 ELSE 0 END AS boundary
+      FROM voted),
+    per_doc AS (
+      SELECT doc_id, source,
+             CAST(COUNT(*) AS BIGINT) AS n_windows,
+             CAST(SUM(boundary) AS BIGINT) AS n_segments,
+             CASE WHEN COUNT(DISTINCT CASE WHEN vote <> 'und' THEN vote END) > 1
+                  THEN 1 ELSE 0 END AS mixed
+      FROM flagged GROUP BY doc_id, source)
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(mixed) AS BIGINT) AS mixed_docs,
+           CAST(SUM(n_windows) AS BIGINT) AS total_windows,
+           CAST(SUM(n_segments) AS BIGINT) AS total_segments,
+           CAST(MAX(n_segments) AS BIGINT) AS max_segments
+    FROM per_doc GROUP BY source
+    """,
+    doc="Within-document code-switching segmentation — the pass that "
+    "splits mixed-language documents before language-specific "
+    f"processing: {_SEG_W}-word windows each get the lang_id marker "
+    "vote (same fixed-precedence strict-'>' argmax; zero markers → "
+    "'und'), and segment boundaries are vote changes between "
+    "consecutive windows (LAG per doc). A planted German marker run "
+    "on doc_id % 7 == 0 (coprime with the 20-way source split; "
+    "markers isolated by filler so the non-overlapping replace-count "
+    "sees each one; FIXTURES.md) makes every seventh document mixed. A doc is 'mixed' only when "
+    "TWO DISTINCT real languages vote ('und' windows never qualify). "
+    "Per-source rollup: docs, mixed docs, window/segment totals, max "
+    "segments.",
+)
+def lang_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: windowing is a narrow posexplode (window TEXT is
+    materialized once per window, scores are replace-length deltas in
+    codegen — no regex per marker, no Python); the only corpus-scale
+    shuffle is the per-doc LAG window, hash-keyed on doc_id (uniform,
+    tiny groups — a doc's windows), followed by the map-side-combined
+    per-doc and |sources| rollups. Window-grain CJK is handled at the
+    doc level by lang_id; this operator votes on the Latin marker
+    families only."""
+    d = _t(spark, sf_dir, "documents")["documents"]
+    planted = F.concat(
+        norm_text("text"),
+        F.when(F.col("doc_id") % 7 == 0, F.lit(_SEG_PLANT)).otherwise(
+            F.lit("")
+        ),
+    )
+    w = d.select("doc_id", "source", F.split(planted, " ").alias("w"))
+    n_win = F.ceil(F.size("w") / F.lit(_SEG_W)).cast("int")
+    win = w.select(
+        "doc_id",
+        "source",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), n_win - 1),
+                lambda i: F.concat(
+                    F.lit(" "),
+                    F.array_join(F.slice("w", i * _SEG_W + 1, _SEG_W), " "),
+                    F.lit(" "),
+                ),
+            )
+        ).alias("win_idx", "wt"),
+    )
+    wt = F.col("wt")
+    scores = win.select(
+        "doc_id",
+        "source",
+        "win_idx",
+        *[
+            sum(
+                (_occurrences(wt, m) for m in markers), start=F.lit(0.0)
+            ).alias(f"s_{lang}")
+            for lang, markers in _LANG_MARKERS.items()
+        ],
+    )
+    best, best_score = F.lit("und"), F.lit(0.0)
+    for lang in ("de", "fr", "es", "en"):
+        s = F.col(f"s_{lang}")
+        cond = s > best_score
+        best = F.when(cond, F.lit(lang)).otherwise(best)
+        best_score = F.when(cond, s).otherwise(best_score)
+    voted = scores.select("doc_id", "source", "win_idx", best.alias("vote"))
+    lag = F.lag("vote").over(W.partitionBy("doc_id").orderBy("win_idx"))
+    flagged = voted.select(
+        "doc_id",
+        "source",
+        "vote",
+        F.when(~F.col("vote").eqNullSafe(lag), 1).otherwise(0).alias("boundary"),
+    )
+    per_doc = flagged.groupBy("doc_id", "source").agg(
+        F.count(F.lit(1)).alias("n_windows"),
+        F.sum("boundary").alias("n_segments"),
+        F.when(
+            F.countDistinct(
+                F.when(F.col("vote") != "und", F.col("vote"))
+            )
+            > 1,
+            1,
+        )
+        .otherwise(0)
+        .alias("mixed"),
+    )
+    return per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("mixed").cast("long").alias("mixed_docs"),
+        F.sum("n_windows").cast("long").alias("total_windows"),
+        F.sum("n_segments").cast("long").alias("total_segments"),
+        F.max("n_segments").cast("long").alias("max_segments"),
+    )

@@ -105,6 +105,8 @@ DRIVER_PRIORITY: list[str] = [
     "kl_divergence_by_source",
     # new in r08 -- floor-log2 PMI collocation extraction:
     "pmi_collocations",
+    # new in r08 -- within-doc code-switching segmentation:
+    "lang_segments",
     # Then staleness repayment (VERDICT r07 item 3): the 6 queries
     # whose last green driver row is r04, followed by the oldest r05
     # greens. New/changed r08 queries are inserted at the TOP of this
@@ -122,6 +124,7 @@ DRIVER_PRIORITY: list[str] = [
     # pair (paragraph_dedup, embedding_outlier_prune);
     # hybrid_rrf_retrieval by kl_divergence_by_source;
     # fuzzy_join_customers by pmi_collocations;
+    # funnel_time_bounded by lang_segments;
     # remaining r05 cohort: the displaced names + user_value_trend,
     # vocab_growth, zorder_layout_stats wait for r09 with the r06
     # cohort).
@@ -132,7 +135,7 @@ DRIVER_PRIORITY: list[str] = [
     "quality_score",
     "token_count",
     "token_length_histogram",
-    # last green r05 (oldest 18 of 47, alphabetical):
+    # last green r05 (oldest 17 of 47, alphabetical):
     "ab_test_significance",
     "activity_streaks",
     "ann_ivf",
@@ -150,7 +153,6 @@ DRIVER_PRIORITY: list[str] = [
     "event_transition_matrix",
     "events_variant_stats",
     "frequent_item_pairs",
-    "funnel_time_bounded",
 ]
 
 

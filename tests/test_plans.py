@@ -1496,3 +1496,22 @@ def test_pmi_collocations_vocab_joins_and_topk_heads(spark, sf):
     assert has_partial_aggregate(df)
     assert not single_partition_windows(plan)
     assert "TakeOrderedAndProject" in plan, "top-k must not full-sort"
+
+
+def test_lang_segments_no_joins_doc_keyed_lag(spark, sf):
+    """lang_segments: windowing is a narrow posexplode, marker scores
+    are replace-length deltas in codegen (no regex per marker, no
+    Python), and the ONLY corpus-scale shuffle is the doc_id-keyed
+    LAG window (uniform key, per-doc groups) before map-side-combined
+    rollups. No joins anywhere."""
+    from dungbeetle_spark.plans.inspect import single_partition_windows
+
+    df = _df(spark, sf, "lang_segments")
+    plan = formatted_plan(df)
+    assert "EvalPython" not in plan and "InPandas" not in plan
+    assert "Join" not in plan, "lang_segments must not join"
+    assert has_partial_aggregate(df)
+    assert not single_partition_windows(plan)
+    # the lag window partitions by doc_id, never globally
+    m = re.search(r"windowspecdefinition\(doc_id#\d+", plan)
+    assert m, "lag window must partition by doc_id"

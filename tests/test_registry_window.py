@@ -44,6 +44,7 @@ NEVER_VERIFIED: list[str] = [
     "embedding_outlier_prune",  # new in r08
     "kl_divergence_by_source",  # new in r08
     "pmi_collocations",  # new in r08
+    "lang_segments",  # new in r08
 ]
 
 # Operators whose code or oracle changed in round 8.
@@ -85,7 +86,6 @@ ROTATED_IN_R08 = [
     "event_transition_matrix",
     "events_variant_stats",
     "frequent_item_pairs",
-    "funnel_time_bounded",
     # displaced to r09 (new/changed > stale): unpivot_user_metrics by
     # multimodal_real_decode; streaming_quality_filter /
     # timeseries_topk_similar_users / triangle_cohorts /
@@ -106,7 +106,8 @@ ROTATED_IN_R08 = [
     # incremental_agg_maintenance / integrity_audit by the curation
     # pair (paragraph_dedup, embedding_outlier_prune);
     # hybrid_rrf_retrieval by kl_divergence_by_source;
-    # fuzzy_join_customers by pmi_collocations
+    # fuzzy_join_customers by pmi_collocations;
+    # funnel_time_bounded by lang_segments
 ]
 
 

@@ -91,6 +91,7 @@ SWEEP_OPS = [
     ("embedding_outlier_prune", None),  # 2 scans, bcast sums: O(n·d)
     ("kl_divergence_by_source", None),  # 1 corpus pass, vocab-keyed join
     ("pmi_collocations", None),  # 2 count shuffles, vocab joins, top-k
+    ("lang_segments", None),  # windowed votes + doc-keyed lag: O(n)
 ]
 
 # Sub-factor ladder for capped operators: when the requested factor
