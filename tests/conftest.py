@@ -8,7 +8,10 @@ import pytest
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 SF_SMOKE = "/root/testdata/sf0.001"
-SF_ORACLE = "/root/testdata/sf0.01"
+# Default oracle scale matches the driver's CORRECTNESS gate (sf0.01).
+# Override to stress every oracle at a larger scale, e.g.:
+#   SPARK_GRAFT_ORACLE_SF=/root/testdata/sf0.1 pytest tests/test_queries_oracle.py
+SF_ORACLE = os.environ.get("SPARK_GRAFT_ORACLE_SF", "/root/testdata/sf0.01")
 
 
 @pytest.fixture(scope="session")
