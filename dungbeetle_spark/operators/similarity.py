@@ -1296,7 +1296,16 @@ def ann_recall_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     own operator's plan unchanged, and the recall joins/rollups act
     on |queries| x k rows. Run cost is the sum of the three arms —
     acceptable for a calibration pass, not a pipeline stage."""
-    exact = ann_cosine_topk(spark, sf_dir).select("query_id", "neighbor_id")
+    # The exact arm feeds three consumers (the per-query denominator
+    # and both hit joins); without a barrier Spark re-runs the full
+    # brute-force sweep for each.  localCheckpoint(eager=False) cuts
+    # that to one materialization — |queries| x k rows, trivially
+    # small — the same lazy-barrier discipline as minhash_calibration.
+    exact = (
+        ann_cosine_topk(spark, sf_dir)
+        .select("query_id", "neighbor_id")
+        .localCheckpoint(eager=False)
+    )
     lsh = ann_lsh_bucketed(spark, sf_dir).select("query_id", "neighbor_id")
     ivf = ann_ivf(spark, sf_dir).select("query_id", "neighbor_id")
     base = exact.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_exact"))
