@@ -133,6 +133,10 @@ HEADLINE = [
     "pmi_collocations",
     # r08: within-doc code-switching segmentation
     "lang_segments",
+    # r08: perceptual-hash image near-dup over the real decode path
+    "image_phash_dedup",
+    # r08: the audio twin — frame energy/ZCR fingerprint near-dup
+    "audio_fingerprint_dedup",
 ]
 
 # Host-drift canary (ADVICE r04: one hardcoded-anchor query is noisy

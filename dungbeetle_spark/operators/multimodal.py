@@ -31,6 +31,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+from pyspark.sql.window import Window as W
 
 from dungbeetle_spark.queries import _t, query
 
@@ -637,3 +638,316 @@ def multimodal_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return media.mapInPandas(_decode_real_batch, schema=REAL_DECODE_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# image perceptual-hash near-dup (aHash + banded candidate join)
+# ---------------------------------------------------------------------------
+
+_PHASH_GRID = 8  # aHash cell grid → 64-bit signature
+_PHASH_BANDS = 4  # 4 bands x 16 bits: pigeonhole-complete for hamming <= 3
+_PHASH_BAND_BITS = 16
+_PHASH_HAMMING_T = 6  # near-dup threshold (of 64); > 3 found best-effort
+
+
+def ahash_bands(px) -> list[int]:
+    """64-bit average-hash of a decoded (h, w, 3) BGR uint8 image,
+    returned as 4 x 16-bit band integers (bit k of band b = cell
+    16b+k; cells row-major, cell = (y*8//h)*8 + (x*8//w)).
+
+    Integer-exact by construction: luma = 299R + 587G + 114B kept as
+    an int (no /1000), and the cell-vs-global mean comparison is the
+    cross-multiplied ``cell_sum * n_pixels >= total_sum * cell_count``
+    — no division anywhere, so the DuckDB oracle reproduces every bit.
+    Bands (never the full 64-bit value) are what ship: the signed-bit
+    problem of a 64-bit hash disappears and the bands ARE the LSH
+    join keys."""
+    import numpy as np
+
+    h, w, _ = px.shape
+    g = px.astype(np.int64) @ np.array([114, 587, 299], dtype=np.int64)  # B,G,R
+    cell = (
+        (np.arange(h, dtype=np.int64) * _PHASH_GRID // h)[:, None] * _PHASH_GRID
+        + (np.arange(w, dtype=np.int64) * _PHASH_GRID // w)[None, :]
+    )
+    n_cells = _PHASH_GRID * _PHASH_GRID
+    sums = np.zeros(n_cells, np.int64)
+    cnts = np.zeros(n_cells, np.int64)
+    np.add.at(sums, cell, g)
+    np.add.at(cnts, cell, 1)
+    bits = sums * (w * h) >= int(g.sum()) * cnts
+    return [
+        int(
+            sum(
+                1 << k
+                for k in range(_PHASH_BAND_BITS)
+                if bits[b * _PHASH_BAND_BITS + k]
+            )
+        )
+        for b in range(_PHASH_BANDS)
+    ]
+
+
+def _phash_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """doc_id → aHash bands via the REAL codec path: encode a
+    spec-compliant BMP, parse it back with decode_bmp, pool to the
+    8x8 grid. One fused Arrow pass — payload bytes never leave the
+    batch (at 100 TB the encode disappears and decode_bmp swaps for
+    pillow; the band contract is unchanged)."""
+    for pdf in batches:
+        ids, bands = [], []
+        for did in pdf["doc_id"]:
+            did = int(did)
+            ids.append(did)
+            bands.append(ahash_bands(decode_bmp(encode_bmp(_bmp_pixels(did)))))
+        yield pd.DataFrame({"media_id": pd.Series(ids, dtype="int64"), "bands": bands})
+
+
+@query(
+    "image_phash_dedup",
+    oracle=f"""
+    WITH img AS (
+      SELECT doc_id, 16 + doc_id % 8 AS w, 12 + doc_id % 6 AS h
+      FROM documents WHERE doc_id % 2 = 0),
+    px AS (
+      SELECT doc_id, w, h,
+             (y.i * {_PHASH_GRID} // h) * {_PHASH_GRID}
+               + (x.i * {_PHASH_GRID} // w) AS cell,
+             299 * ((doc_id*31 + x.i*7 + y.i*13 + 194) % 256)
+           + 587 * ((doc_id*31 + x.i*7 + y.i*13 + 97) % 256)
+           + 114 * ((doc_id*31 + x.i*7 + y.i*13) % 256) AS g
+      FROM img, UNNEST(range(0, w)) AS x(i), UNNEST(range(0, h)) AS y(i)),
+    cells AS (
+      SELECT doc_id, w, h, cell, SUM(g) AS s, COUNT(*) AS c
+      FROM px GROUP BY 1, 2, 3, 4),
+    tot AS (SELECT doc_id, SUM(g) AS ts FROM px GROUP BY 1),
+    bands AS (
+      SELECT c.doc_id AS media_id,
+             CAST(c.cell // {_PHASH_BAND_BITS} AS INT) AS band,
+             CAST(SUM(CASE WHEN c.s * (c.w * c.h) >= t.ts * c.c
+                           THEN 1 << (c.cell % {_PHASH_BAND_BITS})
+                           ELSE 0 END) AS BIGINT) AS val
+      FROM cells c JOIN tot t USING (doc_id)
+      GROUP BY 1, 2),
+    reps AS (SELECT band, val, MIN(media_id) AS rep_id FROM bands GROUP BY 1, 2),
+    pairs AS (
+      SELECT DISTINCT b.media_id, r.rep_id
+      FROM bands b JOIN reps r USING (band, val)
+      WHERE r.rep_id < b.media_id),
+    ham AS (
+      SELECT p.media_id, p.rep_id,
+             CAST(SUM(bit_count(xor(mb.val, rb.val))) AS INT) AS hamming
+      FROM pairs p
+      JOIN bands mb ON mb.media_id = p.media_id
+      JOIN bands rb ON rb.media_id = p.rep_id AND rb.band = mb.band
+      GROUP BY 1, 2),
+    best AS (
+      SELECT media_id, rep_id AS canonical_id, hamming,
+             ROW_NUMBER() OVER (PARTITION BY media_id
+                                ORDER BY hamming, rep_id) AS rn
+      FROM ham WHERE hamming <= {_PHASH_HAMMING_T})
+    SELECT media_id, canonical_id, hamming FROM best WHERE rn = 1
+    """,
+    doc="Image near-dup by perceptual hash — the multimodal face of "
+    "the dedup stack (LAION-style image dedup): every image is REALLY "
+    "decoded (decode_bmp: header, stride, bottom-up flip), average-"
+    f"hashed on an {_PHASH_GRID}x{_PHASH_GRID} luma grid into a 64-bit "
+    f"signature shipped as {_PHASH_BANDS} x {_PHASH_BAND_BITS}-bit "
+    "bands, and near-dups surface through the same banded equi-join "
+    "discipline as dedup_simhash — pigeonhole-complete for hamming "
+    f"<= {_PHASH_BANDS - 1}, best-effort to the {_PHASH_HAMMING_T} "
+    "threshold. Members canonicalize to the min-id bucket "
+    "representative (<= 4 verify pairs per image — linear, never "
+    "bucket^2). Luma and the cell-vs-global mean test are division-"
+    "free integers, so the oracle rebuilds every band bit-exactly "
+    "from the closed-form pixels and the report hash-fails on a "
+    "single wrong stride, flip, or pooling boundary.",
+)
+def image_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: one fused Arrow pass over the image scan emits 4
+    small band ints per image (payload bytes never shuffle); the
+    (band, val) groupBy and join move |images| x 4 compact rows; the
+    verify join is member-vs-representative, at most 4 candidate
+    pairs per image, NOT bucket-quadratic; the final window
+    partitions on media_id. At 100 TB every frame past the decode is
+    O(images), and hot buckets (near-constant images) cost bucket
+    size, not bucket size squared."""
+    d = (
+        _t(spark, sf_dir, "documents")["documents"]
+        .select("doc_id")
+        .filter(F.col("doc_id") % 2 == 0)
+    )
+    sigs = d.mapInPandas(
+        _phash_batch, schema="media_id long, bands array<long>"
+    ).localCheckpoint(eager=False)  # three consumers in _banded_canonical
+    return _banded_canonical(sigs, _PHASH_HAMMING_T)
+
+
+def _banded_canonical(sigs: DataFrame, hamming_t: int) -> DataFrame:
+    """Banded near-dup canonicalization shared by the perceptual-hash
+    operators: ``sigs`` is (media_id, bands array<long>) where each
+    band is the LSH join key for one signature slice. Members pair
+    only with each bucket's min-id representative (≤ |bands| verify
+    pairs per item — linear, never bucket²); verified pairs keep the
+    (hamming, rep_id)-min canonical. The caller localCheckpoints
+    ``sigs`` — it is consumed three times below."""
+    bands = sigs.select("media_id", F.posexplode("bands").alias("band", "val"))
+    reps = bands.groupBy("band", "val").agg(F.min("media_id").alias("rep_id"))
+    pairs = (
+        bands.join(reps, ["band", "val"])
+        .filter(F.col("rep_id") < F.col("media_id"))
+        .select("media_id", "rep_id")
+        .distinct()
+    )
+    ham = (
+        pairs.join(
+            sigs.select("media_id", F.col("bands").alias("m_bands")), "media_id"
+        )
+        .join(
+            sigs.select(
+                F.col("media_id").alias("rep_id"), F.col("bands").alias("r_bands")
+            ),
+            "rep_id",
+        )
+        .select(
+            "media_id",
+            "rep_id",
+            F.expr(
+                "CAST(aggregate(zip_with(m_bands, r_bands,"
+                " (x, y) -> bit_count(x ^ y)), 0, (acc, v) -> acc + v) AS INT)"
+            ).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= F.lit(hamming_t))
+    )
+    rn = F.row_number().over(W.partitionBy("media_id").orderBy("hamming", "rep_id"))
+    return (
+        ham.withColumn("rn", rn)
+        .filter(F.col("rn") == 1)
+        .select("media_id", F.col("rep_id").alias("canonical_id"), "hamming")
+    )
+
+
+# ---------------------------------------------------------------------------
+# audio fingerprint near-dup (frame energy/zero-crossing profile)
+# ---------------------------------------------------------------------------
+
+_AFP_FRAMES = 16  # frames per clip → one 16-bit band per profile
+_AFP_HAMMING_T = 4  # near-dup threshold (of 32 bits)
+
+
+def audio_fp_bands(s) -> list[int]:
+    """32-bit audio fingerprint of a decoded int16 sample array,
+    returned as 2 x 16-bit bands: band 0 profiles per-frame energy
+    (sum |s|) vs the clip mean, band 1 profiles per-frame
+    zero-crossings vs the clip mean — the classic band-energy /
+    ZCR fingerprint shape, integer-exact (cross-multiplied means,
+    no division) so the DuckDB oracle rebuilds every bit. Frame of
+    sample t is ``t * 16 // n``; a zero-crossing at t means
+    sign(s_t) != sign(s_{t-1}) with sign = (s >= 0)."""
+    import numpy as np
+
+    s = np.asarray(s, dtype=np.int64)
+    n = int(s.size)
+    frame = np.arange(n, dtype=np.int64) * _AFP_FRAMES // n
+    a = np.abs(s)
+    zc = np.zeros(n, np.int64)
+    zc[1:] = ((s[1:] >= 0) != (s[:-1] >= 0)).astype(np.int64)
+    e = np.zeros(_AFP_FRAMES, np.int64)
+    z = np.zeros(_AFP_FRAMES, np.int64)
+    c = np.zeros(_AFP_FRAMES, np.int64)
+    np.add.at(e, frame, a)
+    np.add.at(z, frame, zc)
+    np.add.at(c, frame, 1)
+    te, tz = int(a.sum()), int(zc.sum())
+    b0 = sum(1 << f for f in range(_AFP_FRAMES) if int(e[f]) * n >= te * int(c[f]))
+    b1 = sum(1 << f for f in range(_AFP_FRAMES) if int(z[f]) * n >= tz * int(c[f]))
+    return [int(b0), int(b1)]
+
+
+def _audio_fp_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """doc_id → fingerprint bands via the REAL codec path: encode a
+    spec-compliant WAV, chunk-walk it back with decode_wav, profile
+    the frames. One fused Arrow pass, payload bytes never shuffle."""
+    for pdf in batches:
+        ids, bands = [], []
+        for did in pdf["doc_id"]:
+            did = int(did)
+            ids.append(did)
+            bands.append(audio_fp_bands(decode_wav(encode_wav(_wav_samples(did)))))
+        yield pd.DataFrame({"media_id": pd.Series(ids, dtype="int64"), "bands": bands})
+
+
+@query(
+    "audio_fingerprint_dedup",
+    oracle=f"""
+    WITH aud AS (
+      SELECT doc_id, 64 + doc_id % 32 AS n
+      FROM documents WHERE doc_id % 2 = 1),
+    smp AS (
+      SELECT doc_id, n, t.i AS t,
+             ABS((doc_id*131 + t.i*17) % 4096 - 2048) AS a,
+             CASE WHEN t.i > 0 AND
+                  (((doc_id*131 + t.i*17) % 4096 - 2048 >= 0)
+                   <> ((doc_id*131 + (t.i-1)*17) % 4096 - 2048 >= 0))
+                  THEN 1 ELSE 0 END AS zc,
+             t.i * {_AFP_FRAMES} // n AS frame
+      FROM aud, UNNEST(range(0, n)) AS t(i)),
+    frames AS (
+      SELECT doc_id, n, frame,
+             SUM(a) AS e, SUM(zc) AS z, COUNT(*) AS c
+      FROM smp GROUP BY 1, 2, 3),
+    tot AS (SELECT doc_id, SUM(a) AS te, SUM(zc) AS tz FROM smp GROUP BY 1),
+    bands AS (
+      SELECT f.doc_id AS media_id, CAST(b.b AS INT) AS band,
+             CAST(SUM(CASE WHEN (b.b = 0 AND f.e * f.n >= t.te * f.c)
+                            OR  (b.b = 1 AND f.z * f.n >= t.tz * f.c)
+                           THEN 1 << f.frame ELSE 0 END) AS BIGINT) AS val
+      FROM frames f JOIN tot t USING (doc_id), UNNEST([0, 1]) AS b(b)
+      GROUP BY 1, 2),
+    reps AS (SELECT band, val, MIN(media_id) AS rep_id FROM bands GROUP BY 1, 2),
+    pairs AS (
+      SELECT DISTINCT b.media_id, r.rep_id
+      FROM bands b JOIN reps r USING (band, val)
+      WHERE r.rep_id < b.media_id),
+    ham AS (
+      SELECT p.media_id, p.rep_id,
+             CAST(SUM(bit_count(xor(mb.val, rb.val))) AS INT) AS hamming
+      FROM pairs p
+      JOIN bands mb ON mb.media_id = p.media_id
+      JOIN bands rb ON rb.media_id = p.rep_id AND rb.band = mb.band
+      GROUP BY 1, 2),
+    best AS (
+      SELECT media_id, rep_id AS canonical_id, hamming,
+             ROW_NUMBER() OVER (PARTITION BY media_id
+                                ORDER BY hamming, rep_id) AS rn
+      FROM ham WHERE hamming <= {_AFP_HAMMING_T})
+    SELECT media_id, canonical_id, hamming FROM best WHERE rn = 1
+    """,
+    doc="Audio near-dup by frame fingerprint — completes the "
+    "multimodal dedup pair next to image_phash_dedup: every clip is "
+    "REALLY decoded (decode_wav: RIFF chunk walk, PCM16 parse), "
+    f"profiled into {_AFP_FRAMES} frames whose energy and "
+    "zero-crossing rates vs the clip mean form a 32-bit fingerprint "
+    "shipped as 2 x 16-bit bands, and near-dups surface through the "
+    "same banded equi-join + min-id representative canonicalization "
+    "(shared _banded_canonical — one skeleton, two modalities). "
+    "Integer cross-multiplied mean tests keep every bit "
+    "oracle-reproducible from the closed-form samples; a wrong chunk "
+    "walk, frame boundary, or sign convention hash-fails.",
+)
+def audio_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: identical to image_phash_dedup — one fused Arrow
+    pass over the audio scan emits 2 small band ints per clip
+    (payload bytes never shuffle), then the shared banded-canonical
+    skeleton: (band, val) groupBy/join over |clips| x 2 compact rows,
+    <= 2 verify pairs per clip, final window on media_id. Everything
+    past the decode is O(clips) at any corpus size."""
+    d = (
+        _t(spark, sf_dir, "documents")["documents"]
+        .select("doc_id")
+        .filter(F.col("doc_id") % 2 == 1)
+    )
+    sigs = d.mapInPandas(
+        _audio_fp_batch, schema="media_id long, bands array<long>"
+    ).localCheckpoint(eager=False)  # three consumers in _banded_canonical
+    return _banded_canonical(sigs, _AFP_HAMMING_T)

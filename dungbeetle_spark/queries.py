@@ -107,6 +107,12 @@ DRIVER_PRIORITY: list[str] = [
     "pmi_collocations",
     # new in r08 -- within-doc code-switching segmentation:
     "lang_segments",
+    # new in r08 -- perceptual-hash image near-dup over the real
+    # decode path (banded aHash, min-id canonicalization):
+    "image_phash_dedup",
+    # new in r08 -- the audio twin: frame energy/ZCR fingerprint over
+    # the real WAV decode path, same banded-canonical skeleton:
+    "audio_fingerprint_dedup",
     # Then staleness repayment (VERDICT r07 item 3): the 6 queries
     # whose last green driver row is r04, followed by the oldest r05
     # greens. New/changed r08 queries are inserted at the TOP of this
@@ -125,6 +131,8 @@ DRIVER_PRIORITY: list[str] = [
     # hybrid_rrf_retrieval by kl_divergence_by_source;
     # fuzzy_join_customers by pmi_collocations;
     # funnel_time_bounded by lang_segments;
+    # frequent_item_pairs by image_phash_dedup;
+    # events_variant_stats by audio_fingerprint_dedup;
     # remaining r05 cohort: the displaced names + user_value_trend,
     # vocab_growth, zorder_layout_stats wait for r09 with the r06
     # cohort).
@@ -151,8 +159,6 @@ DRIVER_PRIORITY: list[str] = [
     "dedup_simhash",
     "dsir_importance_weights",
     "event_transition_matrix",
-    "events_variant_stats",
-    "frequent_item_pairs",
 ]
 
 

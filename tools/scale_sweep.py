@@ -92,6 +92,8 @@ SWEEP_OPS = [
     ("kl_divergence_by_source", None),  # 1 corpus pass, vocab-keyed join
     ("pmi_collocations", None),  # 2 count shuffles, vocab joins, top-k
     ("lang_segments", None),  # windowed votes + doc-keyed lag: O(n)
+    ("image_phash_dedup", None),  # decode UDF O(n·px), <=4 verify pairs/img
+    ("audio_fingerprint_dedup", None),  # decode UDF O(n·smp), <=2 pairs/clip
 ]
 
 # Sub-factor ladder for capped operators: when the requested factor
