@@ -137,6 +137,8 @@ HEADLINE = [
     "image_phash_dedup",
     # r08: the audio twin — frame energy/ZCR fingerprint near-dup
     "audio_fingerprint_dedup",
+    # r08: interleave-quality audit of the shuffled training order
+    "shard_interleave_audit",
 ]
 
 # Host-drift canary (ADVICE r04: one hardcoded-anchor query is noisy

@@ -113,6 +113,9 @@ DRIVER_PRIORITY: list[str] = [
     # new in r08 -- the audio twin: frame energy/ZCR fingerprint over
     # the real WAV decode path, same banded-canonical skeleton:
     "audio_fingerprint_dedup",
+    # new in r08 -- interleave-quality audit of the shuffled training
+    # order (observed vs exact-permutation same-source adjacency):
+    "shard_interleave_audit",
     # Then staleness repayment (VERDICT r07 item 3): the 6 queries
     # whose last green driver row is r04, followed by the oldest r05
     # greens. New/changed r08 queries are inserted at the TOP of this
@@ -133,6 +136,7 @@ DRIVER_PRIORITY: list[str] = [
     # funnel_time_bounded by lang_segments;
     # frequent_item_pairs by image_phash_dedup;
     # events_variant_stats by audio_fingerprint_dedup;
+    # event_transition_matrix by shard_interleave_audit;
     # remaining r05 cohort: the displaced names + user_value_trend,
     # vocab_growth, zorder_layout_stats wait for r09 with the r06
     # cohort).
@@ -158,7 +162,6 @@ DRIVER_PRIORITY: list[str] = [
     "dedup_minhash_lsh",
     "dedup_simhash",
     "dsir_importance_weights",
-    "event_transition_matrix",
 ]
 
 

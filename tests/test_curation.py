@@ -209,3 +209,43 @@ def test_chunking_covers_all_tokens(spark, sf_oracle):
     ).collect()[0]
     assert agg.tok >= corpus_tokens
     assert agg.docs == docs.count()
+
+
+def test_shard_interleave_audit_invariants_and_expectation(spark, sf_oracle):
+    """Audit-math invariants plus an independent recompute of the
+    permutation expectation: every doc lands in exactly one shard,
+    ppm fields stay in [0, 1e6], max_run <= n_docs, and the expected
+    same-source adjacency equals sum(n_s*(n_s-1))/(n*(n-1)) recomputed
+    in Python from the shard's source histogram."""
+    from collections import Counter
+
+    from dungbeetle_spark.operators.curation import (
+        _ILV_SHIFT,
+        shard_interleave_audit,
+    )
+    from dungbeetle_spark.functions.texts import md5_hash60
+
+    rows = {r.shard_id: r for r in shard_interleave_audit(spark, sf_oracle).collect()}
+    assert rows, "audit should produce shard rows"
+    docs = (
+        load_tables(spark, sf_oracle)["documents"]
+        .select(
+            "source",
+            md5_hash60(F.concat(F.lit("shuffle|"), F.col("doc_id").cast("string")))
+            .alias("okey"),
+        )
+        .withColumn("shard_id", F.expr(f"okey DIV {_ILV_SHIFT}"))
+        .collect()
+    )
+    hist: dict[int, Counter] = {}
+    for r in docs:
+        hist.setdefault(r.shard_id, Counter())[r.source] += 1
+    assert sum(c.total() for c in hist.values()) == len(docs)
+    for sid, r in rows.items():
+        n = r.n_docs
+        assert r.max_run <= n and 0 <= r.obs_same_ppm <= 1_000_000
+        assert 0 <= r.exp_same_ppm <= 1_000_000
+        c = hist[sid]
+        assert c.total() == n
+        expect = sum(v * (v - 1) for v in c.values()) * 1_000_000 // (n * (n - 1))
+        assert r.exp_same_ppm == expect

@@ -94,6 +94,7 @@ SWEEP_OPS = [
     ("lang_segments", None),  # windowed votes + doc-keyed lag: O(n)
     ("image_phash_dedup", None),  # decode UDF O(n·px), <=4 verify pairs/img
     ("audio_fingerprint_dedup", None),  # decode UDF O(n·smp), <=2 pairs/clip
+    ("shard_interleave_audit", None),  # shard-partitioned windows: O(n)
 ]
 
 # Sub-factor ladder for capped operators: when the requested factor
