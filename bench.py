@@ -139,6 +139,8 @@ HEADLINE = [
     "audio_fingerprint_dedup",
     # r08: interleave-quality audit of the shuffled training order
     "shard_interleave_audit",
+    # r08: explicit mergeable HLL register table (daily → ALL rollup)
+    "hll_register_sketch",
 ]
 
 # Host-drift canary (ADVICE r04: one hardcoded-anchor query is noisy

@@ -1539,3 +1539,139 @@ def kl_divergence_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# -- hll_register_sketch ------------------------------------------------------
+
+_HLL_M = 256  # registers (b=8): std error 1.04/sqrt(m) ~ 6.5%
+_HLL_WBITS = 52  # md5_hash60 leaves 52 bits after the register index
+_HLL_RHO_MAX = _HLL_WBITS + 1  # rho when the remaining bits are all zero
+
+
+@query(
+    "hll_register_sketch",
+    oracle=f"""
+    WITH h AS (
+      SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+             {md5_hash60_sql("CAST(user_id AS VARCHAR)")} AS hv
+      FROM events
+    ),
+    rho AS (
+      SELECT day,
+             CAST(hv % {_HLL_M} AS INT) AS register,
+             CASE WHEN hv // {_HLL_M} = 0 THEN {_HLL_RHO_MAX}
+                  ELSE bit_count(((hv // {_HLL_M}) & -(hv // {_HLL_M})) - 1) + 1
+             END AS r
+      FROM h
+    ),
+    regs AS (
+      SELECT day AS scope, register, MAX(r) AS rho
+      FROM rho GROUP BY 1, 2
+    ),
+    merged AS (
+      SELECT 'ALL' AS scope, register, MAX(rho) AS rho
+      FROM regs GROUP BY 2
+    ),
+    allregs AS (SELECT * FROM regs UNION ALL SELECT * FROM merged),
+    folded AS (
+      SELECT scope,
+             CAST(COUNT(*) AS BIGINT) AS n_occupied,
+             CAST(SUM(1::BIGINT << ({_HLL_RHO_MAX} - rho)) AS BIGINT)
+               AS sum_inv_occupied,
+             CAST(MAX(rho) AS INT) AS max_rho
+      FROM allregs GROUP BY 1
+    ),
+    exact AS (
+      SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS scope,
+             CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users
+      FROM events GROUP BY 1
+      UNION ALL
+      SELECT 'ALL', CAST(COUNT(DISTINCT user_id) AS BIGINT) FROM events
+    )
+    SELECT f.scope, f.n_occupied,
+           f.sum_inv_occupied
+             + ({_HLL_M} - f.n_occupied) * (1::BIGINT << {_HLL_RHO_MAX})
+             AS sum_inv_scaled,
+           f.max_rho, e.exact_users
+    FROM folded f JOIN exact e USING (scope)
+    """,
+    doc=f"Explicit HyperLogLog register table ({_HLL_M} registers, "
+    "trailing-zero rho from the 60-bit md5 hash) — the PERSISTABLE "
+    "mergeable cardinality sketch next to the engine-internal HLL of "
+    "sketch_user_stats (whose registers can't leave the JVM) and the "
+    "exact bitmaps of bitmap_distinct_users. Emits per-day "
+    "registers folded to integer sufficient statistics (occupied "
+    "count, sum of 2^(53-rho) — the harmonic-mean denominator, exact "
+    "in int64) plus an 'ALL' scope built by max-merging the per-day "
+    "registers — the merge operation itself oracle-checked, which is "
+    "the property that lets 100 TB daily sketches roll up to monthly "
+    "cardinality without rescanning. Exact distinct twins ride "
+    "alongside; the float estimate is derived OUTSIDE the engines "
+    "(tests.test_mixing) so every hashed column stays integer.",
+)
+def hll_register_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: rho is a map-side md5+bit-trick projection; the
+    (day, register) groupBy partial-combines into at most
+    |days| x m cells regardless of corpus size — the textbook
+    bounded-memory mergeable property, same as countmin_sketch. The
+    'ALL' merge re-aggregates the cell table (tiny), and the exact
+    twins are the diagnostic arm the sketch replaces at scale."""
+    e = _t(spark, sf_dir, "events")["events"]
+    hv = md5_hash60(F.col("user_id").cast("string"))
+    rho = (
+        e.select(
+            F.col("ts").cast("date").cast("string").alias("day"), hv.alias("hv")
+        )
+        .withColumn("register", (F.col("hv") % _HLL_M).cast("int"))
+        .withColumn(
+            "r",
+            F.expr(
+                f"CASE WHEN hv DIV {_HLL_M} = 0 THEN {_HLL_RHO_MAX}"
+                f" ELSE bit_count(((hv DIV {_HLL_M}) & -(hv DIV {_HLL_M})) - 1) + 1"
+                " END"
+            ),
+        )
+        .drop("hv")
+    )
+    regs = (
+        rho.groupBy(F.col("day").alias("scope"), "register")
+        .agg(F.max("r").alias("rho"))
+        .localCheckpoint(eager=False)  # reused by the ALL merge below
+    )
+    merged = regs.groupBy("register").agg(F.max("rho").alias("rho")).select(
+        F.lit("ALL").alias("scope"), "register", "rho"
+    )
+    folded = (
+        regs.unionByName(merged)
+        .groupBy("scope")
+        .agg(
+            F.count(F.lit(1)).alias("n_occupied"),
+            F.sum(
+                F.expr(f"shiftleft(1L, CAST({_HLL_RHO_MAX} - rho AS INT))")
+            ).alias("sum_inv_occupied"),
+            F.max("rho").cast("int").alias("max_rho"),
+        )
+    )
+    exact = (
+        e.select(F.col("ts").cast("date").cast("string").alias("day"), "user_id")
+        .distinct()
+        .groupBy(F.col("day").alias("scope"))
+        .agg(F.count(F.lit(1)).alias("exact_users"))
+        .unionByName(
+            e.select("user_id")
+            .distinct()
+            .agg(F.count(F.lit(1)).alias("exact_users"))
+            .select(F.lit("ALL").alias("scope"), "exact_users")
+        )
+    )
+    return folded.join(exact, "scope").select(
+        "scope",
+        "n_occupied",
+        (
+            F.col("sum_inv_occupied")
+            + (F.lit(_HLL_M) - F.col("n_occupied"))
+            * F.lit(1 << _HLL_RHO_MAX).cast("long")
+        ).alias("sum_inv_scaled"),
+        "max_rho",
+        "exact_users",
+    )

@@ -116,6 +116,9 @@ DRIVER_PRIORITY: list[str] = [
     # new in r08 -- interleave-quality audit of the shuffled training
     # order (observed vs exact-permutation same-source adjacency):
     "shard_interleave_audit",
+    # new in r08 -- explicit HLL register table: per-day cardinality
+    # sketches max-merged to the 'ALL' rollup, integer-exact cells:
+    "hll_register_sketch",
     # Then staleness repayment (VERDICT r07 item 3): the 6 queries
     # whose last green driver row is r04, followed by the oldest r05
     # greens. New/changed r08 queries are inserted at the TOP of this
@@ -137,6 +140,7 @@ DRIVER_PRIORITY: list[str] = [
     # frequent_item_pairs by image_phash_dedup;
     # events_variant_stats by audio_fingerprint_dedup;
     # event_transition_matrix by shard_interleave_audit;
+    # dsir_importance_weights by hll_register_sketch;
     # remaining r05 cohort: the displaced names + user_value_trend,
     # vocab_growth, zorder_layout_stats wait for r09 with the r06
     # cohort).
@@ -161,7 +165,6 @@ DRIVER_PRIORITY: list[str] = [
     "dedup_exact_substring",
     "dedup_minhash_lsh",
     "dedup_simhash",
-    "dsir_importance_weights",
 ]
 
 

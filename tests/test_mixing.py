@@ -184,3 +184,41 @@ def test_embedding_quantize_error_bound(spark, sf_oracle):
             r.max_abs_err,
             r.max_abs / 254,
         )
+
+
+def test_hll_register_sketch_estimate_accuracy(spark, sf_oracle):
+    """Derive the HLL estimate from the integer sufficient statistics
+    the operator emits (harmonic mean via sum_inv_scaled / 2^53, with
+    the standard linear-counting small-range correction) and pin it
+    within 12% of the exact twin for every scope — plus the merge
+    property: the 'ALL' row's register stats must dominate every
+    daily row (max-merge can only raise rho, never lower)."""
+    import math
+
+    from dungbeetle_spark.operators.mixing import (
+        _HLL_M,
+        _HLL_RHO_MAX,
+        hll_register_sketch,
+    )
+
+    rows = {r.scope: r for r in hll_register_sketch(spark, sf_oracle).collect()}
+    assert "ALL" in rows and len(rows) > 2
+    for r in rows.values():
+        s = r.sum_inv_scaled / float(1 << _HLL_RHO_MAX)
+        est = 0.7213 / (1 + 1.079 / _HLL_M) * _HLL_M * _HLL_M / s
+        zeros = _HLL_M - r.n_occupied
+        if est < 2.5 * _HLL_M and zeros > 0:
+            est = _HLL_M * math.log(_HLL_M / zeros)
+        assert abs(est - r.exact_users) <= 0.12 * r.exact_users, (
+            r.scope,
+            est,
+            r.exact_users,
+        )
+    allr = rows["ALL"]
+    for scope, r in rows.items():
+        if scope == "ALL":
+            continue
+        # more occupied registers and higher max rho than any single day
+        assert allr.n_occupied >= r.n_occupied
+        assert allr.max_rho >= r.max_rho
+        assert allr.exact_users >= r.exact_users

@@ -48,6 +48,7 @@ NEVER_VERIFIED: list[str] = [
     "image_phash_dedup",  # new in r08
     "audio_fingerprint_dedup",  # new in r08
     "shard_interleave_audit",  # new in r08
+    "hll_register_sketch",  # new in r08
 ]
 
 # Operators whose code or oracle changed in round 8.
@@ -59,8 +60,8 @@ CHANGED_THIS_ROUND: list[str] = [
 
 # The r08 rotation (VERDICT r07 item 3): pure staleness repayment —
 # the 6 queries whose last green row is r04 (displaced from the r07
-# window by the new>stale rule) plus the 14 oldest r05 greens, all
-# code-unchanged (the cohort shrank from 44 as the 24 late-r08
+# window by the new>stale rule) plus the 13 oldest r05 greens, all
+# code-unchanged (the cohort shrank from 44 as the 25 late-r08
 # queries displaced its tail). user_value_trend, vocab_growth and
 # zorder_layout_stats wait at the front of the r09 queue with the
 # displaced names below; the local oracle suite still re-verifies
@@ -85,7 +86,6 @@ ROTATED_IN_R08 = [
     "dedup_exact_substring",
     "dedup_minhash_lsh",
     "dedup_simhash",
-    "dsir_importance_weights",
     # displaced to r09 (new/changed > stale): unpivot_user_metrics by
     # multimodal_real_decode; streaming_quality_filter /
     # timeseries_topk_similar_users / triangle_cohorts /
@@ -110,7 +110,8 @@ ROTATED_IN_R08 = [
     # funnel_time_bounded by lang_segments;
     # frequent_item_pairs by image_phash_dedup;
     # events_variant_stats by audio_fingerprint_dedup;
-    # event_transition_matrix by shard_interleave_audit
+    # event_transition_matrix by shard_interleave_audit;
+    # dsir_importance_weights by hll_register_sketch
 ]
 
 

@@ -95,6 +95,7 @@ SWEEP_OPS = [
     ("image_phash_dedup", None),  # decode UDF O(n·px), <=4 verify pairs/img
     ("audio_fingerprint_dedup", None),  # decode UDF O(n·smp), <=2 pairs/clip
     ("shard_interleave_audit", None),  # shard-partitioned windows: O(n)
+    ("hll_register_sketch", None),  # map-side combine to |days| x m cells
 ]
 
 # Sub-factor ladder for capped operators: when the requested factor
