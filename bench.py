@@ -141,6 +141,10 @@ HEADLINE = [
     "shard_interleave_audit",
     # r08: explicit mergeable HLL register table (daily → ALL rollup)
     "hll_register_sketch",
+    # r08: template/form-letter shape clustering
+    "template_spam_clusters",
+    # r08: pagination-split reassembly (provable planted recall)
+    "split_doc_stitch",
 ]
 
 # Host-drift canary (ADVICE r04: one hardcoded-anchor query is noisy

@@ -1740,3 +1740,97 @@ def paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(sum(is_first) * 1000000 DIV count(1) AS BIGINT)"
         ).alias("retained_ppm"),
     )
+
+
+# -- split_doc_stitch ---------------------------------------------------------
+
+_STITCH_K = 4  # boundary-overlap window (tokens)
+_STITCH_MIN_TOKENS = 16  # docs shorter than this are not split
+
+
+@query(
+    "split_doc_stitch",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
+      FROM documents
+    ),
+    elig AS (
+      SELECT doc_id, t, len(t) AS n
+      FROM toks WHERE len(t) >= {_STITCH_MIN_TOKENS}
+    ),
+    parts AS (
+      SELECT doc_id * 2 AS part_id, t[1 : (n // 2) + {_STITCH_K}] AS p
+      FROM elig
+      UNION ALL
+      SELECT doc_id * 2 + 1, t[(n // 2) + 1 : n] FROM elig
+    ),
+    hs AS (
+      SELECT part_id,
+             md5(array_to_string(p[1 : {_STITCH_K}], ' ')) AS head_h,
+             md5(array_to_string(p[-{_STITCH_K} :], ' ')) AS tail_h
+      FROM parts
+    )
+    SELECT a.part_id AS left_part, b.part_id AS right_part,
+           (a.part_id % 2 = 0 AND b.part_id = a.part_id + 1) AS is_planted
+    FROM hs a JOIN hs b ON a.tail_h = b.head_h AND a.part_id <> b.part_id
+    """,
+    doc="Split-document reassembly (pagination stitching): web crawls "
+    "routinely deliver one logical document as page-1/page-2 records "
+    "whose boundary region repeats (the trailing paragraph re-served "
+    "as the next page's header). The operator plants that exact "
+    f"structure in-query — every doc with >= {_STITCH_MIN_TOKENS} "
+    f"tokens splits into two parts sharing a {_STITCH_K}-token "
+    "overlap — then recovers continuations by joining tail-window "
+    "hashes to head-window hashes, so recall is PROVABLE: every "
+    "planted (left, right) pair must reappear flagged is_planted "
+    "(pinned in tests), and any extra rows are real coincidental "
+    "boundary collisions the audit should surface. At 100 TB the "
+    "same join runs on the raw page records with an occupancy cap "
+    "on hot boundary hashes (boilerplate endings).",
+)
+def split_doc_stitch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: token slicing and both window hashes are map-side
+    projections (two narrow passes over the doc scan via one union);
+    the stitch is ONE equi-join on the boundary hash — linear in
+    pages times boundary-hash occupancy, never pages². No windows,
+    no global ordering."""
+    k, mn = _STITCH_K, _STITCH_MIN_TOKENS
+    d = _t(spark, sf_dir, "documents")["documents"]
+    elig = (
+        d.select(
+            "doc_id",
+            F.split(F.trim(F.lower(F.col("text"))), r"\s+").alias("t"),
+        )
+        .withColumn("n", F.size("t"))
+        .filter(F.col("n") >= mn)
+    )
+    left = elig.select(
+        (F.col("doc_id") * 2).alias("part_id"),
+        F.expr(f"slice(t, 1, (n DIV 2) + {k})").alias("p"),
+    )
+    right = elig.select(
+        (F.col("doc_id") * 2 + 1).alias("part_id"),
+        F.expr(f"slice(t, (n DIV 2) + 1, n - (n DIV 2))").alias("p"),
+    )
+    hs = left.unionByName(right).select(
+        "part_id",
+        F.md5(F.array_join(F.expr(f"slice(p, 1, {k})"), " ")).alias("head_h"),
+        F.md5(
+            F.array_join(F.expr(f"slice(p, size(p) - {k} + 1, {k})"), " ")
+        ).alias("tail_h"),
+    )
+    a = hs.select(F.col("part_id").alias("left_part"), "tail_h")
+    b = hs.select(F.col("part_id").alias("right_part"), "head_h")
+    return (
+        a.join(b, a.tail_h == b.head_h)
+        .filter(F.col("left_part") != F.col("right_part"))
+        .select(
+            "left_part",
+            "right_part",
+            (
+                (F.col("left_part") % 2 == 0)
+                & (F.col("right_part") == F.col("left_part") + 1)
+            ).alias("is_planted"),
+        )
+    )

@@ -1548,6 +1548,60 @@ _HLL_WBITS = 52  # md5_hash60 leaves 52 bits after the register index
 _HLL_RHO_MAX = _HLL_WBITS + 1  # rho when the remaining bits are all zero
 
 
+def hll_partial(df: DataFrame) -> DataFrame:
+    """Per-(day, register) max-rho partial sketch from a frame with
+    (day STRING, user_id) columns — the map-side-combinable unit both
+    the batch operator and the streaming MV merge build from. rho is
+    the trailing-zero rank of the hash bits above the register index
+    (bit_count((w & -w) - 1) + 1, uniform bits so rank distribution
+    matches the textbook leading-zero form)."""
+    hv = md5_hash60(F.col("user_id").cast("string"))
+    return (
+        df.select("day", hv.alias("hv"))
+        .withColumn("register", (F.col("hv") % _HLL_M).cast("int"))
+        .withColumn(
+            "r",
+            F.expr(
+                f"CASE WHEN hv DIV {_HLL_M} = 0 THEN {_HLL_RHO_MAX}"
+                f" ELSE bit_count(((hv DIV {_HLL_M}) & -(hv DIV {_HLL_M})) - 1) + 1"
+                " END"
+            ),
+        )
+        .groupBy(F.col("day").alias("scope"), "register")
+        .agg(F.max("r").alias("rho"))
+    )
+
+
+def hll_fold(regs: DataFrame) -> DataFrame:
+    """Fold a (scope, register, rho) register table — plus the 'ALL'
+    max-merge across scopes — into per-scope integer sufficient
+    statistics (occupied count, sum of 2^(53-rho), max rho)."""
+    merged = regs.groupBy("register").agg(F.max("rho").alias("rho")).select(
+        F.lit("ALL").alias("scope"), "register", "rho"
+    )
+    folded = (
+        regs.unionByName(merged)
+        .groupBy("scope")
+        .agg(
+            F.count(F.lit(1)).alias("n_occupied"),
+            F.sum(
+                F.expr(f"shiftleft(1L, CAST({_HLL_RHO_MAX} - rho AS INT))")
+            ).alias("sum_inv_occupied"),
+            F.max("rho").cast("int").alias("max_rho"),
+        )
+    )
+    return folded.select(
+        "scope",
+        "n_occupied",
+        (
+            F.col("sum_inv_occupied")
+            + (F.lit(_HLL_M) - F.col("n_occupied"))
+            * F.lit(1 << _HLL_RHO_MAX).cast("long")
+        ).alias("sum_inv_scaled"),
+        "max_rho",
+    )
+
+
 @query(
     "hll_register_sketch",
     oracle=f"""
@@ -1617,41 +1671,10 @@ def hll_register_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     'ALL' merge re-aggregates the cell table (tiny), and the exact
     twins are the diagnostic arm the sketch replaces at scale."""
     e = _t(spark, sf_dir, "events")["events"]
-    hv = md5_hash60(F.col("user_id").cast("string"))
-    rho = (
-        e.select(
-            F.col("ts").cast("date").cast("string").alias("day"), hv.alias("hv")
-        )
-        .withColumn("register", (F.col("hv") % _HLL_M).cast("int"))
-        .withColumn(
-            "r",
-            F.expr(
-                f"CASE WHEN hv DIV {_HLL_M} = 0 THEN {_HLL_RHO_MAX}"
-                f" ELSE bit_count(((hv DIV {_HLL_M}) & -(hv DIV {_HLL_M})) - 1) + 1"
-                " END"
-            ),
-        )
-        .drop("hv")
-    )
-    regs = (
-        rho.groupBy(F.col("day").alias("scope"), "register")
-        .agg(F.max("r").alias("rho"))
-        .localCheckpoint(eager=False)  # reused by the ALL merge below
-    )
-    merged = regs.groupBy("register").agg(F.max("rho").alias("rho")).select(
-        F.lit("ALL").alias("scope"), "register", "rho"
-    )
-    folded = (
-        regs.unionByName(merged)
-        .groupBy("scope")
-        .agg(
-            F.count(F.lit(1)).alias("n_occupied"),
-            F.sum(
-                F.expr(f"shiftleft(1L, CAST({_HLL_RHO_MAX} - rho AS INT))")
-            ).alias("sum_inv_occupied"),
-            F.max("rho").cast("int").alias("max_rho"),
-        )
-    )
+    regs = hll_partial(
+        e.select(F.col("ts").cast("date").cast("string").alias("day"), "user_id")
+    ).localCheckpoint(eager=False)  # reused by the ALL merge in hll_fold
+    folded = hll_fold(regs)
     exact = (
         e.select(F.col("ts").cast("date").cast("string").alias("day"), "user_id")
         .distinct()
@@ -1665,13 +1688,5 @@ def hll_register_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return folded.join(exact, "scope").select(
-        "scope",
-        "n_occupied",
-        (
-            F.col("sum_inv_occupied")
-            + (F.lit(_HLL_M) - F.col("n_occupied"))
-            * F.lit(1 << _HLL_RHO_MAX).cast("long")
-        ).alias("sum_inv_scaled"),
-        "max_rho",
-        "exact_users",
+        "scope", "n_occupied", "sum_inv_scaled", "max_rho", "exact_users"
     )

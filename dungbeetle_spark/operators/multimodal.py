@@ -776,6 +776,13 @@ def image_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         _t(spark, sf_dir, "documents")["documents"]
         .select("doc_id")
         .filter(F.col("doc_id") % 2 == 0)
+        # decouple decode parallelism from the file layout: the UDF
+        # dominates the query and its input is ONLY the 8-byte id (a
+        # single-row-group parquet otherwise serializes the whole
+        # decode onto one task — measured 1.7x at sf0.1). Real
+        # payload tables skip this: their scan is many-filed and the
+        # bytes must NOT shuffle.
+        .repartition(spark.sparkContext.defaultParallelism)
     )
     sigs = d.mapInPandas(
         _phash_batch, schema="media_id long, bands array<long>"
@@ -946,6 +953,10 @@ def audio_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         _t(spark, sf_dir, "documents")["documents"]
         .select("doc_id")
         .filter(F.col("doc_id") % 2 == 1)
+        # no repartition here, unlike image_phash_dedup: the WAV
+        # profile (<=95 samples) is ~10x cheaper than the BMP decode,
+        # and at this scale the id shuffle + 32-way scheduling costs
+        # more than the serialized decode saves (measured 1.2s -> 1.5s)
     )
     sigs = d.mapInPandas(
         _audio_fp_batch, schema="media_id long, bands array<long>"

@@ -1621,3 +1621,67 @@ def lang_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_segments").cast("long").alias("total_segments"),
         F.max("n_segments").cast("long").alias("max_segments"),
     )
+
+
+# -- template_spam_clusters ---------------------------------------------------
+
+
+@query(
+    "template_spam_clusters",
+    oracle="""
+    WITH shaped AS (
+      SELECT doc_id, source,
+             md5(regexp_replace(regexp_replace(text, '[0-9]+', '#', 'g'),
+                                '[A-Za-z]+', 'w', 'g')) AS shape,
+             md5(text) AS th
+      FROM documents
+    )
+    SELECT shape,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT th) AS BIGINT) AS n_variants,
+           CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+           CAST(MIN(doc_id) AS BIGINT) AS min_doc_id
+    FROM shaped
+    GROUP BY shape
+    HAVING COUNT(*) >= 2 AND COUNT(DISTINCT th) >= 2
+    """,
+    doc="Template/form-letter detection — the near-dup class MinHash "
+    "misses when slot values dominate the shingles: every document "
+    "collapses to its SHAPE (digit runs → '#', letter runs → 'w', "
+    "punctuation and whitespace kept verbatim), and shapes with >= 2 "
+    "docs AND >= 2 distinct texts are template clusters — same "
+    "skeleton, different slot fillings (machine-generated spam, "
+    "boilerplate mail, scraped listing pages). Identical-text groups "
+    "are deliberately excluded (n_variants >= 2): those are plain "
+    "exact dups, dedup_exact's job. Pure JVM regex + one md5-keyed "
+    "aggregate; the oracle replays the same two regex passes.",
+)
+def template_spam_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: shape and text hashes are map-side projections;
+    ONE groupBy(shape) shuffle moving (shape, th, source, doc_id)
+    compact rows; output bounded by the number of template clusters.
+    At 100 TB this is the cheap screen that routes template families
+    to slot-aware dedup instead of burning minhash bands on them."""
+    d = _t(spark, sf_dir, "documents")["documents"]
+    shaped = d.select(
+        "doc_id",
+        "source",
+        F.md5(
+            F.regexp_replace(
+                F.regexp_replace(F.col("text"), "[0-9]+", "#"),
+                "[A-Za-z]+",
+                "w",
+            )
+        ).alias("shape"),
+        F.md5("text").alias("th"),
+    )
+    return (
+        shaped.groupBy("shape")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("th").alias("n_variants"),
+            F.countDistinct("source").alias("n_sources"),
+            F.min("doc_id").alias("min_doc_id"),
+        )
+        .filter((F.col("n_docs") >= 2) & (F.col("n_variants") >= 2))
+    )

@@ -119,6 +119,15 @@ DRIVER_PRIORITY: list[str] = [
     # new in r08 -- explicit HLL register table: per-day cardinality
     # sketches max-merged to the 'ALL' rollup, integer-exact cells:
     "hll_register_sketch",
+    # new in r08 -- template/form-letter cluster detection (shape
+    # collapse: the near-dup class slot values hide from minhash):
+    "template_spam_clusters",
+    # new in r08 -- pagination-split reassembly with provable recall
+    # (planted overlap splits, boundary-hash stitch join):
+    "split_doc_stitch",
+    # new in r08 -- streaming twin of the HLL sketch: foreachBatch
+    # max-merge of per-batch partial registers into the snapshot MV:
+    "streaming_hll_registers",
     # Then staleness repayment (VERDICT r07 item 3): the 6 queries
     # whose last green driver row is r04, followed by the oldest r05
     # greens. New/changed r08 queries are inserted at the TOP of this
@@ -141,6 +150,9 @@ DRIVER_PRIORITY: list[str] = [
     # events_variant_stats by audio_fingerprint_dedup;
     # event_transition_matrix by shard_interleave_audit;
     # dsir_importance_weights by hll_register_sketch;
+    # dedup_simhash by template_spam_clusters;
+    # dedup_minhash_lsh by split_doc_stitch;
+    # dedup_exact_substring by streaming_hll_registers;
     # remaining r05 cohort: the displaced names + user_value_trend,
     # vocab_growth, zorder_layout_stats wait for r09 with the r06
     # cohort).
@@ -162,9 +174,6 @@ DRIVER_PRIORITY: list[str] = [
     "cross_source_overlap_matrix",
     "dedup_canonical_keep",
     "dedup_embedding_cosine",
-    "dedup_exact_substring",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
 ]
 
 

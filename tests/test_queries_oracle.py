@@ -201,3 +201,61 @@ def test_simhash_banded_recall_is_total(spark):
     }
     assert exact, "hollow test: planted corpus produced no near-dup pairs"
     assert banded == exact  # recall AND precision both total
+
+
+def test_split_doc_stitch_full_recall(spark, sf_oracle):
+    """Every planted pagination split must be recovered: planted rows
+    == docs with >= _STITCH_MIN_TOKENS tokens, each exactly
+    (2*doc_id, 2*doc_id+1)."""
+    from pyspark.sql import functions as F
+
+    from dungbeetle_spark.operators.dedup import (
+        _STITCH_MIN_TOKENS,
+        split_doc_stitch,
+    )
+    from dungbeetle_spark.sources.catalog import load_tables
+
+    eligible = (
+        load_tables(spark, sf_oracle)["documents"]
+        .select(F.size(F.split(F.trim(F.lower("text")), r"\s+")).alias("n"))
+        .filter(F.col("n") >= _STITCH_MIN_TOKENS)
+        .count()
+    )
+    planted = (
+        split_doc_stitch(spark, sf_oracle)
+        .filter("is_planted")
+        .distinct()
+        .count()
+    )
+    assert planted == eligible
+
+
+def test_template_spam_clusters_are_real_templates(spark, sf_oracle):
+    """Each reported cluster: >= 2 docs, >= 2 distinct texts, and the
+    shape really is shared — recomputing the shape of the min_doc_id
+    member reproduces the cluster key."""
+    from pyspark.sql import functions as F
+
+    from dungbeetle_spark.operators.text import template_spam_clusters
+    from dungbeetle_spark.sources.catalog import load_tables
+
+    clusters = template_spam_clusters(spark, sf_oracle).collect()
+    assert clusters, "fixture should contain template clusters"
+    shapes = {
+        r.doc_id: r.shape
+        for r in load_tables(spark, sf_oracle)["documents"]
+        .select(
+            "doc_id",
+            F.md5(
+                F.regexp_replace(
+                    F.regexp_replace(F.col("text"), "[0-9]+", "#"),
+                    "[A-Za-z]+",
+                    "w",
+                )
+            ).alias("shape"),
+        )
+        .collect()
+    }
+    for c in clusters:
+        assert c.n_docs >= 2 and c.n_variants >= 2
+        assert shapes[c.min_doc_id] == c.shape

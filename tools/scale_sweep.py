@@ -96,6 +96,8 @@ SWEEP_OPS = [
     ("audio_fingerprint_dedup", None),  # decode UDF O(n·smp), <=2 pairs/clip
     ("shard_interleave_audit", None),  # shard-partitioned windows: O(n)
     ("hll_register_sketch", None),  # map-side combine to |days| x m cells
+    ("template_spam_clusters", None),  # one shape-keyed shuffle: O(n)
+    ("split_doc_stitch", None),  # boundary-hash equi-join: O(pages)
 ]
 
 # Sub-factor ladder for capped operators: when the requested factor
