@@ -1685,3 +1685,175 @@ def template_spam_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter((F.col("n_docs") >= 2) & (F.col("n_variants") >= 2))
     )
+
+
+# -- bpe_merge_ranks ----------------------------------------------------------
+
+_BPE_MERGES = 6  # merge rounds learned (top-K of the merge table)
+
+
+@query(
+    "bpe_merge_ranks",
+    oracle="""
+    WITH wf AS (
+      SELECT word, CAST(COUNT(*) AS BIGINT) AS freq
+      FROM (SELECT unnest(list_filter(
+                string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> ''))
+              AS word FROM documents)
+      GROUP BY word HAVING length(word) >= 2
+    ),
+    w0 AS (
+      SELECT word, freq,
+             ' ' || regexp_replace(word, '(.)', '\\1 ', 'g') AS sym
+      FROM wf
+    ),
+    p1 AS (
+      SELECT syms[j] || ' ' || syms[j+1] AS pair,
+             CAST(SUM(freq) AS BIGINT) AS cnt
+      FROM (SELECT freq, string_split(trim(sym), ' ') AS syms FROM w0),
+           unnest(range(1, len(syms))) AS u(j)
+      GROUP BY 1
+    ),
+    b1 AS (SELECT pair, cnt FROM p1 ORDER BY cnt DESC, pair LIMIT 1),
+    w1 AS (
+      SELECT w.word, w.freq,
+             replace(w.sym, ' ' || b.pair || ' ',
+                     ' ' || replace(b.pair, ' ', '') || ' ') AS sym
+      FROM w0 w, b1 b
+    ),
+    p2 AS (
+      SELECT syms[j] || ' ' || syms[j+1] AS pair,
+             CAST(SUM(freq) AS BIGINT) AS cnt
+      FROM (SELECT freq, string_split(trim(sym), ' ') AS syms FROM w1),
+           unnest(range(1, len(syms))) AS u(j)
+      GROUP BY 1
+    ),
+    b2 AS (SELECT pair, cnt FROM p2 ORDER BY cnt DESC, pair LIMIT 1),
+    w2 AS (
+      SELECT w.word, w.freq,
+             replace(w.sym, ' ' || b.pair || ' ',
+                     ' ' || replace(b.pair, ' ', '') || ' ') AS sym
+      FROM w1 w, b2 b
+    ),
+    p3 AS (
+      SELECT syms[j] || ' ' || syms[j+1] AS pair,
+             CAST(SUM(freq) AS BIGINT) AS cnt
+      FROM (SELECT freq, string_split(trim(sym), ' ') AS syms FROM w2),
+           unnest(range(1, len(syms))) AS u(j)
+      GROUP BY 1
+    ),
+    b3 AS (SELECT pair, cnt FROM p3 ORDER BY cnt DESC, pair LIMIT 1),
+    w3 AS (
+      SELECT w.word, w.freq,
+             replace(w.sym, ' ' || b.pair || ' ',
+                     ' ' || replace(b.pair, ' ', '') || ' ') AS sym
+      FROM w2 w, b3 b
+    ),
+    p4 AS (
+      SELECT syms[j] || ' ' || syms[j+1] AS pair,
+             CAST(SUM(freq) AS BIGINT) AS cnt
+      FROM (SELECT freq, string_split(trim(sym), ' ') AS syms FROM w3),
+           unnest(range(1, len(syms))) AS u(j)
+      GROUP BY 1
+    ),
+    b4 AS (SELECT pair, cnt FROM p4 ORDER BY cnt DESC, pair LIMIT 1),
+    w4 AS (
+      SELECT w.word, w.freq,
+             replace(w.sym, ' ' || b.pair || ' ',
+                     ' ' || replace(b.pair, ' ', '') || ' ') AS sym
+      FROM w3 w, b4 b
+    ),
+    p5 AS (
+      SELECT syms[j] || ' ' || syms[j+1] AS pair,
+             CAST(SUM(freq) AS BIGINT) AS cnt
+      FROM (SELECT freq, string_split(trim(sym), ' ') AS syms FROM w4),
+           unnest(range(1, len(syms))) AS u(j)
+      GROUP BY 1
+    ),
+    b5 AS (SELECT pair, cnt FROM p5 ORDER BY cnt DESC, pair LIMIT 1),
+    w5 AS (
+      SELECT w.word, w.freq,
+             replace(w.sym, ' ' || b.pair || ' ',
+                     ' ' || replace(b.pair, ' ', '') || ' ') AS sym
+      FROM w4 w, b5 b
+    ),
+    p6 AS (
+      SELECT syms[j] || ' ' || syms[j+1] AS pair,
+             CAST(SUM(freq) AS BIGINT) AS cnt
+      FROM (SELECT freq, string_split(trim(sym), ' ') AS syms FROM w5),
+           unnest(range(1, len(syms))) AS u(j)
+      GROUP BY 1
+    ),
+    b6 AS (SELECT pair, cnt FROM p6 ORDER BY cnt DESC, pair LIMIT 1)
+    SELECT 1 AS rank, pair, replace(pair, ' ', '') AS merged, cnt FROM b1
+    UNION ALL SELECT 2 AS rank, pair, replace(pair, ' ', '') AS merged, cnt FROM b2
+    UNION ALL SELECT 3 AS rank, pair, replace(pair, ' ', '') AS merged, cnt FROM b3
+    UNION ALL SELECT 4 AS rank, pair, replace(pair, ' ', '') AS merged, cnt FROM b4
+    UNION ALL SELECT 5 AS rank, pair, replace(pair, ' ', '') AS merged, cnt FROM b5
+    UNION ALL SELECT 6 AS rank, pair, replace(pair, ' ', '') AS merged, cnt FROM b6
+    """,
+    doc="Distributed BPE tokenizer training, the first "
+    f"{_BPE_MERGES} merge rounds: corpus word frequencies drive the "
+    "classic loop — count adjacent symbol pairs (weighted by word "
+    "freq), merge the most frequent pair everywhere, repeat — exactly "
+    "how production tokenizers are learned over TB corpora (pair "
+    "counting is the distributed step; the argmax is one tiny row). "
+    "Merge application is ONE space-anchored left-to-right "
+    "non-overlapping replace per round — deterministic and verified "
+    "byte-identical between Spark and DuckDB (runs of a repeated "
+    "symbol under-merge alternately versus tokenizer-greedy; both "
+    "engines agree, and merge RANKS — the deliverable — are "
+    "unaffected at rank 1..K). Ties break on pair text, so the whole "
+    "merge table is hash-exact; the oracle unrolls the loop as "
+    f"{_BPE_MERGES} CTE layers, kmeans-style.",
+)
+def bpe_merge_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: each round is one map-side-combinable pair-count
+    shuffle over the word-frequency table (VOCABULARY-grain, not
+    corpus-grain — the corpus is scanned once to build wf) plus a
+    1-row argmax collect (the same bounded driver step as the kmeans
+    seed/centroid collects). The merge rewrite is a map-side string
+    replace. K rounds = K small shuffles; at 100 TB the wf build
+    dominates and everything after runs on |vocab| rows."""
+    d = _t(spark, sf_dir, "documents")["documents"]
+    toks = F.explode(
+        F.filter(F.split(F.lower(F.col("text")), r"[^a-z0-9]+"), lambda x: x != "")
+    ).alias("word")
+    wf = (
+        fan_out(d.select("text"))
+        .select(toks)
+        .filter(F.length("word") >= 2)
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .withColumn(
+            "sym", F.concat(F.lit(" "), F.regexp_replace("word", "(.)", "$1 "))
+        )
+        .localCheckpoint(eager=False)  # K pair-count consumers below
+    )
+    pair_expr = (
+        "CASE WHEN size(syms) > 1 THEN"
+        " transform(sequence(1, size(syms) - 1),"
+        " j -> concat(element_at(syms, j), ' ', element_at(syms, j + 1)))"
+        " ELSE CAST(array() AS ARRAY<STRING>) END"
+    )
+    merges = []
+    cur = wf
+    for rank in range(1, _BPE_MERGES + 1):
+        counts = (
+            cur.select("freq", F.split(F.trim("sym"), " ").alias("syms"))
+            .select("freq", F.explode(F.expr(pair_expr)).alias("pair"))
+            .groupBy("pair")
+            .agg(F.sum("freq").alias("cnt"))
+        )
+        best = counts.orderBy(F.desc("cnt"), F.asc("pair")).limit(1).collect()[0]
+        merges.append((rank, best["pair"], best["pair"].replace(" ", ""), best["cnt"]))
+        if rank < _BPE_MERGES:
+            # pair text is [a-z0-9 ] only (token alphabet), safe to inline
+            pat = f" {best['pair']} "
+            rep = f" {best['pair'].replace(' ', '')} "
+            cur = cur.withColumn(
+                "sym", F.expr(f"replace(sym, '{pat}', '{rep}')")
+            ).localCheckpoint(eager=False)
+    return spark.createDataFrame(
+        merges, "rank int, pair string, merged string, cnt bigint"
+    )
