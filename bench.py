@@ -145,6 +145,8 @@ HEADLINE = [
     "template_spam_clusters",
     # r08: pagination-split reassembly (provable planted recall)
     "split_doc_stitch",
+    # r08: distributed BPE tokenizer training (first-K merge ranks)
+    "bpe_merge_ranks",
 ]
 
 # Host-drift canary (ADVICE r04: one hardcoded-anchor query is noisy

@@ -128,6 +128,9 @@ DRIVER_PRIORITY: list[str] = [
     # new in r08 -- streaming twin of the HLL sketch: foreachBatch
     # max-merge of per-batch partial registers into the snapshot MV:
     "streaming_hll_registers",
+    # new in r08 -- distributed BPE tokenizer training (first-K merge
+    # ranks; pair-count shuffles at vocabulary grain):
+    "bpe_merge_ranks",
     # Then staleness repayment (VERDICT r07 item 3): the 6 queries
     # whose last green driver row is r04, followed by the oldest r05
     # greens. New/changed r08 queries are inserted at the TOP of this
@@ -153,6 +156,7 @@ DRIVER_PRIORITY: list[str] = [
     # dedup_simhash by template_spam_clusters;
     # dedup_minhash_lsh by split_doc_stitch;
     # dedup_exact_substring by streaming_hll_registers;
+    # dedup_embedding_cosine by bpe_merge_ranks;
     # remaining r05 cohort: the displaced names + user_value_trend,
     # vocab_growth, zorder_layout_stats wait for r09 with the r06
     # cohort).
@@ -173,7 +177,6 @@ DRIVER_PRIORITY: list[str] = [
     "collated_event_type_counts",
     "cross_source_overlap_matrix",
     "dedup_canonical_keep",
-    "dedup_embedding_cosine",
 ]
 
 

@@ -259,3 +259,39 @@ def test_template_spam_clusters_are_real_templates(spark, sf_oracle):
     for c in clusters:
         assert c.n_docs >= 2 and c.n_variants >= 2
         assert shapes[c.min_doc_id] == c.shape
+
+
+def test_bpe_merge_ranks_matches_python_reference(spark, sf_oracle):
+    """Brute-force the whole merge loop in Python over the collected
+    word-frequency table (vocabulary is small at the oracle SF) using
+    the SAME space-anchored left-to-right replace semantics, and pin
+    the full merge table."""
+    import re
+    from collections import Counter
+
+    from dungbeetle_spark.operators.text import _BPE_MERGES, bpe_merge_ranks
+    from dungbeetle_spark.sources.catalog import load_tables
+
+    docs = load_tables(spark, sf_oracle)["documents"].select("text").collect()
+    wf = Counter()
+    for r in docs:
+        for w in re.split(r"[^a-z0-9]+", r.text.lower()):
+            if len(w) >= 2:
+                wf[w] += 1
+    syms = {w: " " + "".join(c + " " for c in w) for w in wf}
+    expect = []
+    for rank in range(1, _BPE_MERGES + 1):
+        pairs = Counter()
+        for w, freq in wf.items():
+            parts = syms[w].split()
+            for a, b in zip(parts, parts[1:]):
+                pairs[f"{a} {b}"] += freq
+        pair, cnt = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        expect.append((rank, pair, pair.replace(" ", ""), cnt))
+        pat, rep = f" {pair} ", f" {pair.replace(' ', '')} "
+        syms = {w: s.replace(pat, rep) for w, s in syms.items()}
+    got = [
+        (r.rank, r.pair, r.merged, r.cnt)
+        for r in bpe_merge_ranks(spark, sf_oracle).orderBy("rank").collect()
+    ]
+    assert got == expect

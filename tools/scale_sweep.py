@@ -98,6 +98,7 @@ SWEEP_OPS = [
     ("hll_register_sketch", None),  # map-side combine to |days| x m cells
     ("template_spam_clusters", None),  # one shape-keyed shuffle: O(n)
     ("split_doc_stitch", None),  # boundary-hash equi-join: O(pages)
+    ("bpe_merge_ranks", None),  # K vocab-grain pair-count shuffles
 ]
 
 # Sub-factor ladder for capped operators: when the requested factor
