@@ -147,6 +147,8 @@ HEADLINE = [
     "split_doc_stitch",
     # r08: distributed BPE tokenizer training (first-K merge ranks)
     "bpe_merge_ranks",
+    # r08: LSH banding planner (measured candidates + exact S-curve)
+    "lsh_band_planner",
 ]
 
 # Host-drift canary (ADVICE r04: one hardcoded-anchor query is noisy

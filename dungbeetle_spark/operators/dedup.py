@@ -1834,3 +1834,204 @@ def split_doc_stitch(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("is_planted"),
         )
     )
+
+
+# -- lsh_band_planner ---------------------------------------------------------
+
+_PLAN_H = 16  # minhash functions shared by every banding config
+_PLAN_CONFIGS = [(16, 1), (8, 2), (4, 4), (2, 8)]  # (bands, rows/band)
+
+
+def _detect_ppm(s_num: int, s_den: int, b: int, r: int) -> int:
+    """P(candidate | Jaccard = s_num/s_den) = 1 - (1 - s^r)^b in exact
+    integer ppm. With s rational the whole S-curve is rational, so no
+    float pow (libm pow is not cross-engine bit-stable) ever runs; the
+    same Python-computed literals are inlined into the Spark plan and
+    the oracle SQL — the MEASURED candidate counts are what the oracle
+    independently recomputes."""
+    x, y = s_num**r, s_den**r
+    miss, den = (y - x) ** b, y**b
+    return (den - miss) * 1_000_000 // den
+
+
+@query(
+    "lsh_band_planner",
+    oracle="""
+    WITH words AS (
+      SELECT doc_id,
+             regexp_split_to_array(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS w
+      FROM documents),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+      FROM words, UNNEST(range(1, greatest(len(w) - 1, 1))) AS t(i)),
+    hashed AS (
+      SELECT doc_id, seeds.j AS j,
+             CAST(concat('0x', substr(md5(CAST(seeds.j AS VARCHAR) || '|' || s), 1, 15)) AS BIGINT) AS h
+      FROM sh, UNNEST(range(0, 16)) AS seeds(j)),
+    mh AS (
+      SELECT doc_id,
+             MIN(CASE WHEN j = 0 THEN h END) AS h0,
+             MIN(CASE WHEN j = 1 THEN h END) AS h1,
+             MIN(CASE WHEN j = 2 THEN h END) AS h2,
+             MIN(CASE WHEN j = 3 THEN h END) AS h3,
+             MIN(CASE WHEN j = 4 THEN h END) AS h4,
+             MIN(CASE WHEN j = 5 THEN h END) AS h5,
+             MIN(CASE WHEN j = 6 THEN h END) AS h6,
+             MIN(CASE WHEN j = 7 THEN h END) AS h7,
+             MIN(CASE WHEN j = 8 THEN h END) AS h8,
+             MIN(CASE WHEN j = 9 THEN h END) AS h9,
+             MIN(CASE WHEN j = 10 THEN h END) AS h10,
+             MIN(CASE WHEN j = 11 THEN h END) AS h11,
+             MIN(CASE WHEN j = 12 THEN h END) AS h12,
+             MIN(CASE WHEN j = 13 THEN h END) AS h13,
+             MIN(CASE WHEN j = 14 THEN h END) AS h14,
+             MIN(CASE WHEN j = 15 THEN h END) AS h15
+      FROM (SELECT doc_id, j, MIN(h) AS h FROM hashed GROUP BY doc_id, j)
+      GROUP BY doc_id),
+    k16x1 AS (
+      SELECT doc_id, 0 AS band, CAST(h0 AS VARCHAR) AS key FROM mh
+      UNION ALL SELECT doc_id, 1 AS band, CAST(h1 AS VARCHAR) AS key FROM mh
+      UNION ALL SELECT doc_id, 2 AS band, CAST(h2 AS VARCHAR) AS key FROM mh
+      UNION ALL SELECT doc_id, 3 AS band, CAST(h3 AS VARCHAR) AS key FROM mh
+      UNION ALL SELECT doc_id, 4 AS band, CAST(h4 AS VARCHAR) AS key FROM mh
+      UNION ALL SELECT doc_id, 5 AS band, CAST(h5 AS VARCHAR) AS key FROM mh
+      UNION ALL SELECT doc_id, 6 AS band, CAST(h6 AS VARCHAR) AS key FROM mh
+      UNION ALL SELECT doc_id, 7 AS band, CAST(h7 AS VARCHAR) AS key FROM mh
+      UNION ALL SELECT doc_id, 8 AS band, CAST(h8 AS VARCHAR) AS key FROM mh
+      UNION ALL SELECT doc_id, 9 AS band, CAST(h9 AS VARCHAR) AS key FROM mh
+      UNION ALL SELECT doc_id, 10 AS band, CAST(h10 AS VARCHAR) AS key FROM mh
+      UNION ALL SELECT doc_id, 11 AS band, CAST(h11 AS VARCHAR) AS key FROM mh
+      UNION ALL SELECT doc_id, 12 AS band, CAST(h12 AS VARCHAR) AS key FROM mh
+      UNION ALL SELECT doc_id, 13 AS band, CAST(h13 AS VARCHAR) AS key FROM mh
+      UNION ALL SELECT doc_id, 14 AS band, CAST(h14 AS VARCHAR) AS key FROM mh
+      UNION ALL SELECT doc_id, 15 AS band, CAST(h15 AS VARCHAR) AS key FROM mh
+    ),
+    c16x1 AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n FROM (
+        SELECT DISTINCT a.doc_id AS da, x.doc_id AS db
+        FROM k16x1 a JOIN k16x1 x
+          ON a.band = x.band AND a.key = x.key AND a.doc_id < x.doc_id)
+    ),
+    k8x2 AS (
+      SELECT doc_id, 0 AS band, CAST(h0 AS VARCHAR) || '|' || CAST(h1 AS VARCHAR) AS key FROM mh
+      UNION ALL SELECT doc_id, 1 AS band, CAST(h2 AS VARCHAR) || '|' || CAST(h3 AS VARCHAR) AS key FROM mh
+      UNION ALL SELECT doc_id, 2 AS band, CAST(h4 AS VARCHAR) || '|' || CAST(h5 AS VARCHAR) AS key FROM mh
+      UNION ALL SELECT doc_id, 3 AS band, CAST(h6 AS VARCHAR) || '|' || CAST(h7 AS VARCHAR) AS key FROM mh
+      UNION ALL SELECT doc_id, 4 AS band, CAST(h8 AS VARCHAR) || '|' || CAST(h9 AS VARCHAR) AS key FROM mh
+      UNION ALL SELECT doc_id, 5 AS band, CAST(h10 AS VARCHAR) || '|' || CAST(h11 AS VARCHAR) AS key FROM mh
+      UNION ALL SELECT doc_id, 6 AS band, CAST(h12 AS VARCHAR) || '|' || CAST(h13 AS VARCHAR) AS key FROM mh
+      UNION ALL SELECT doc_id, 7 AS band, CAST(h14 AS VARCHAR) || '|' || CAST(h15 AS VARCHAR) AS key FROM mh
+    ),
+    c8x2 AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n FROM (
+        SELECT DISTINCT a.doc_id AS da, x.doc_id AS db
+        FROM k8x2 a JOIN k8x2 x
+          ON a.band = x.band AND a.key = x.key AND a.doc_id < x.doc_id)
+    ),
+    k4x4 AS (
+      SELECT doc_id, 0 AS band, CAST(h0 AS VARCHAR) || '|' || CAST(h1 AS VARCHAR) || '|' || CAST(h2 AS VARCHAR) || '|' || CAST(h3 AS VARCHAR) AS key FROM mh
+      UNION ALL SELECT doc_id, 1 AS band, CAST(h4 AS VARCHAR) || '|' || CAST(h5 AS VARCHAR) || '|' || CAST(h6 AS VARCHAR) || '|' || CAST(h7 AS VARCHAR) AS key FROM mh
+      UNION ALL SELECT doc_id, 2 AS band, CAST(h8 AS VARCHAR) || '|' || CAST(h9 AS VARCHAR) || '|' || CAST(h10 AS VARCHAR) || '|' || CAST(h11 AS VARCHAR) AS key FROM mh
+      UNION ALL SELECT doc_id, 3 AS band, CAST(h12 AS VARCHAR) || '|' || CAST(h13 AS VARCHAR) || '|' || CAST(h14 AS VARCHAR) || '|' || CAST(h15 AS VARCHAR) AS key FROM mh
+    ),
+    c4x4 AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n FROM (
+        SELECT DISTINCT a.doc_id AS da, x.doc_id AS db
+        FROM k4x4 a JOIN k4x4 x
+          ON a.band = x.band AND a.key = x.key AND a.doc_id < x.doc_id)
+    ),
+    k2x8 AS (
+      SELECT doc_id, 0 AS band, CAST(h0 AS VARCHAR) || '|' || CAST(h1 AS VARCHAR) || '|' || CAST(h2 AS VARCHAR) || '|' || CAST(h3 AS VARCHAR) || '|' || CAST(h4 AS VARCHAR) || '|' || CAST(h5 AS VARCHAR) || '|' || CAST(h6 AS VARCHAR) || '|' || CAST(h7 AS VARCHAR) AS key FROM mh
+      UNION ALL SELECT doc_id, 1 AS band, CAST(h8 AS VARCHAR) || '|' || CAST(h9 AS VARCHAR) || '|' || CAST(h10 AS VARCHAR) || '|' || CAST(h11 AS VARCHAR) || '|' || CAST(h12 AS VARCHAR) || '|' || CAST(h13 AS VARCHAR) || '|' || CAST(h14 AS VARCHAR) || '|' || CAST(h15 AS VARCHAR) AS key FROM mh
+    ),
+    c2x8 AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n FROM (
+        SELECT DISTINCT a.doc_id AS da, x.doc_id AS db
+        FROM k2x8 a JOIN k2x8 x
+          ON a.band = x.band AND a.key = x.key AND a.doc_id < x.doc_id)
+    )
+    SELECT 16 AS bands, 1 AS rows_per_band,
+           (SELECT n FROM c16x1) AS n_candidate_pairs,
+           CAST(999984 AS BIGINT) AS p_detect_50_ppm,
+           CAST(999999 AS BIGINT) AS p_detect_80_ppm
+    UNION ALL SELECT 8 AS bands, 2 AS rows_per_band,
+           (SELECT n FROM c8x2) AS n_candidate_pairs,
+           CAST(899887 AS BIGINT) AS p_detect_50_ppm,
+           CAST(999717 AS BIGINT) AS p_detect_80_ppm
+    UNION ALL SELECT 4 AS bands, 4 AS rows_per_band,
+           (SELECT n FROM c4x4) AS n_candidate_pairs,
+           CAST(227523 AS BIGINT) AS p_detect_50_ppm,
+           CAST(878497 AS BIGINT) AS p_detect_80_ppm
+    UNION ALL SELECT 2 AS bands, 8 AS rows_per_band,
+           (SELECT n FROM c2x8) AS n_candidate_pairs,
+           CAST(7797 AS BIGINT) AS p_detect_50_ppm,
+           CAST(307396 AS BIGINT) AS p_detect_80_ppm
+    """,
+    doc="LSH banding-parameter planner: ONE shared 16-minhash "
+    "signature table feeds every (bands x rows/band) layout a 100 TB "
+    "dedup could deploy — (16,1) high-recall through (2,8) "
+    "high-precision — and each config reports its MEASURED candidate "
+    "pair count on this corpus next to the ANALYTIC S-curve detection "
+    "probability at Jaccard 0.5 and 0.8 (exact integer ppm — the "
+    "rational-s closed form, no float pow). The decision artifact for "
+    "choosing dedup_minhash_lsh parameters from data rather than "
+    "folklore: candidates measure the FP bill, the S-curve the recall "
+    "floor.",
+)
+def lsh_band_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: the signature build is the dedup_minhash_lsh
+    aggregate with 16 seeds (map-side combine, 16 longs per doc) and
+    is localCheckpointed ONCE; each config then explodes |docs| x b
+    compact (band, key) rows and self-joins on the bucket key —
+    linear in corpus times bucket occupancy per config, never
+    corpus^2. Output is |configs| rows."""
+    d = _t(spark, sf_dir, "documents")["documents"]
+    sh = _shingled(d).select("doc_id", F.explode("shingles").alias("s"))
+    mh = sh.groupBy("doc_id").agg(
+        *[
+            F.min(md5_hash60(F.concat(F.lit(f"{j}|"), F.col("s")))).alias(f"h{j}")
+            for j in range(_PLAN_H)
+        ]
+    ).localCheckpoint(eager=False)  # one signature pass, |configs| consumers
+    results = None
+    for b, r in _PLAN_CONFIGS:
+        keyed = mh.select(
+            "doc_id",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(band).alias("band"),
+                            F.concat_ws(
+                                "|",
+                                *[
+                                    F.col(f"h{band * r + j}").cast("string")
+                                    for j in range(r)
+                                ],
+                            ).alias("key"),
+                        )
+                        for band in range(b)
+                    ]
+                )
+            ).alias("bk"),
+        ).select("doc_id", "bk.band", "bk.key")
+        a = keyed.select(F.col("doc_id").alias("da"), "band", "key")
+        x = keyed.select(F.col("doc_id").alias("db"), "band", "key")
+        pairs = (
+            a.join(x, ["band", "key"])
+            .filter(F.col("da") < F.col("db"))
+            .select("da", "db")
+            .distinct()
+            .groupBy()
+            .agg(F.count(F.lit(1)).alias("n_candidate_pairs"))
+            .select(
+                F.lit(b).alias("bands"),
+                F.lit(r).alias("rows_per_band"),
+                "n_candidate_pairs",
+                F.lit(_detect_ppm(1, 2, b, r)).cast("long").alias("p_detect_50_ppm"),
+                F.lit(_detect_ppm(4, 5, b, r)).cast("long").alias("p_detect_80_ppm"),
+            )
+        )
+        results = pairs if results is None else results.unionByName(pairs)
+    return results

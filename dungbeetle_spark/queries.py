@@ -131,6 +131,9 @@ DRIVER_PRIORITY: list[str] = [
     # new in r08 -- distributed BPE tokenizer training (first-K merge
     # ranks; pair-count shuffles at vocabulary grain):
     "bpe_merge_ranks",
+    # new in r08 -- LSH banding planner: measured candidate counts +
+    # exact-rational S-curve per (bands x rows) layout:
+    "lsh_band_planner",
     # Then staleness repayment (VERDICT r07 item 3): the 6 queries
     # whose last green driver row is r04, followed by the oldest r05
     # greens. New/changed r08 queries are inserted at the TOP of this
@@ -157,6 +160,7 @@ DRIVER_PRIORITY: list[str] = [
     # dedup_minhash_lsh by split_doc_stitch;
     # dedup_exact_substring by streaming_hll_registers;
     # dedup_embedding_cosine by bpe_merge_ranks;
+    # dedup_canonical_keep by lsh_band_planner;
     # remaining r05 cohort: the displaced names + user_value_trend,
     # vocab_growth, zorder_layout_stats wait for r09 with the r06
     # cohort).
@@ -176,7 +180,6 @@ DRIVER_PRIORITY: list[str] = [
     "bitmap_distinct_users",
     "collated_event_type_counts",
     "cross_source_overlap_matrix",
-    "dedup_canonical_keep",
 ]
 
 

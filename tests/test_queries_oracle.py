@@ -295,3 +295,32 @@ def test_bpe_merge_ranks_matches_python_reference(spark, sf_oracle):
         for r in bpe_merge_ranks(spark, sf_oracle).orderBy("rank").collect()
     ]
     assert got == expect
+
+
+def test_lsh_band_planner_scurve_and_monotonicity(spark, sf_oracle):
+    """The analytic S-curve obeys its closed form and the measured
+    candidate counts are monotone: more bands with fewer rows per
+    band can only produce MORE candidate pairs (OR-amplification),
+    and detection probability at any Jaccard level rises with bands."""
+    from dungbeetle_spark.operators.dedup import (
+        _PLAN_CONFIGS,
+        _detect_ppm,
+        lsh_band_planner,
+    )
+
+    rows = {
+        (r.bands, r.rows_per_band): r
+        for r in lsh_band_planner(spark, sf_oracle).collect()
+    }
+    assert set(rows) == set(_PLAN_CONFIGS)
+    for (b, r), row in rows.items():
+        assert row.p_detect_50_ppm == _detect_ppm(1, 2, b, r)
+        assert row.p_detect_80_ppm == _detect_ppm(4, 5, b, r)
+        # closed form sanity: (1 - (1 - s^r)^b) for s=0.5, r=1, b=16
+        if (b, r) == (16, 1):
+            assert row.p_detect_50_ppm == (2**16 - 1) * 1_000_000 // 2**16
+    ordered = sorted(rows.values(), key=lambda x: x.rows_per_band)
+    for prev, nxt in zip(ordered, ordered[1:]):
+        assert prev.n_candidate_pairs >= nxt.n_candidate_pairs
+        assert prev.p_detect_50_ppm >= nxt.p_detect_50_ppm
+        assert prev.p_detect_80_ppm >= nxt.p_detect_80_ppm

@@ -99,6 +99,7 @@ SWEEP_OPS = [
     ("template_spam_clusters", None),  # one shape-keyed shuffle: O(n)
     ("split_doc_stitch", None),  # boundary-hash equi-join: O(pages)
     ("bpe_merge_ranks", None),  # K vocab-grain pair-count shuffles
+    ("lsh_band_planner", None),  # 1 signature pass + 4 bucket joins
 ]
 
 # Sub-factor ladder for capped operators: when the requested factor
