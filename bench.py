@@ -149,6 +149,8 @@ HEADLINE = [
     "bpe_merge_ranks",
     # r08: LSH banding planner (measured candidates + exact S-curve)
     "lsh_band_planner",
+    # r08: shadow audit of a quality-gate revision
+    "quality_gate_shadow_audit",
 ]
 
 # Host-drift canary (ADVICE r04: one hardcoded-anchor query is noisy

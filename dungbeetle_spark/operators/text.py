@@ -1857,3 +1857,171 @@ def bpe_merge_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         merges, "rank int, pair string, merged string, cnt bigint"
     )
+
+
+# -- quality_gate_shadow_audit ------------------------------------------------
+
+# The v2 candidate rule set under shadow evaluation: tightened length
+# band + a new digit-density rule. v1 IS the deployed funnel above
+# (same _QF_* constants), so the audit provably diffs the live gate.
+_QF2_MIN_WORDS = 30
+_QF2_MAX_CHARS = 480
+_QF2_WL_LO = 4900
+_QF2_WL_HI = 5800
+_QF2_MAX_DIGIT_PERMILLE = 300
+
+
+@query(
+    "quality_gate_shadow_audit",
+    oracle=f"""
+    WITH s AS (
+      SELECT doc_id, source, lang, length(text) AS nc,
+             CASE WHEN trim(text) = '' THEN 0
+                  ELSE len(regexp_split_to_array(
+                         trim(regexp_replace(text, '\\s+', ' ', 'g')), ' '))
+                  END AS nw,
+             len(list_filter(
+                   list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                               x -> x <> ''),
+                   x -> x IN {str(_QF_STOPWORDS)})) AS stp,
+             length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))
+               AS nd
+      FROM documents),
+    v AS (
+      SELECT source,
+             CASE WHEN nw < {_QF_MIN_WORDS} THEN 'too_short'
+                  WHEN nc > {_QF_MAX_CHARS} THEN 'too_long'
+                  WHEN nc * 1000 // nw < {_QF_WL_LO}
+                       OR nc * 1000 // nw > {_QF_WL_HI} THEN 'word_length'
+                  WHEN lang = 'en' AND stp < {_QF_MIN_STOP} THEN 'low_stopword'
+                  ELSE 'kept' END AS r1,
+             CASE WHEN nw < {_QF2_MIN_WORDS} THEN 'too_short'
+                  WHEN nc > {_QF2_MAX_CHARS} THEN 'too_long'
+                  WHEN nd * 1000 // nc > {_QF2_MAX_DIGIT_PERMILLE}
+                    THEN 'too_numeric'
+                  WHEN nc * 1000 // nw < {_QF2_WL_LO}
+                       OR nc * 1000 // nw > {_QF2_WL_HI} THEN 'word_length'
+                  WHEN lang = 'en' AND stp < {_QF_MIN_STOP} THEN 'low_stopword'
+                  ELSE 'kept' END AS r2
+      FROM s),
+    agg AS (
+      SELECT source,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(CASE WHEN r1 = 'kept' THEN 1 ELSE 0 END) AS BIGINT)
+               AS kept_v1,
+             CAST(SUM(CASE WHEN r2 = 'kept' THEN 1 ELSE 0 END) AS BIGINT)
+               AS kept_v2,
+             CAST(SUM(CASE WHEN r1 = 'kept' AND r2 = 'kept' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS kept_both,
+             CAST(SUM(CASE WHEN r1 = 'kept' AND r2 <> 'kept' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS tightened,
+             CAST(SUM(CASE WHEN r1 <> 'kept' AND r2 = 'kept' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS loosened
+      FROM v GROUP BY source),
+    newr AS (
+      SELECT source, r2 AS top_new_reason,
+             ROW_NUMBER() OVER (PARTITION BY source
+                                ORDER BY COUNT(*) DESC, r2) AS rk
+      FROM v WHERE r1 = 'kept' AND r2 <> 'kept'
+      GROUP BY source, r2)
+    SELECT a.source, a.n_docs, a.kept_v1, a.kept_v2, a.kept_both,
+           a.tightened, a.loosened,
+           (a.tightened + a.loosened) * 1000000 // a.n_docs AS flip_ppm,
+           COALESCE(n.top_new_reason, 'none') AS top_new_reason
+    FROM agg a LEFT JOIN newr n ON n.source = a.source AND n.rk = 1
+    """,
+    doc="Shadow deployment audit for a quality-gate revision: v1 is "
+    "the DEPLOYED funnel (same constants as quality_filter_funnel, so "
+    "the diff is against the live rule set), v2 the candidate — "
+    "tightened word/char bands plus a new digit-density rule. One "
+    "pass computes both verdicts per doc; the rollup reports, per "
+    "source, the keep/flip confusion (kept_both / tightened / "
+    "loosened / flip ppm) and the dominant NEW drop reason — exactly "
+    "what a data team reviews before flipping a filter on a 100 TB "
+    "corpus, where a 2% unexpected flip rate is billions of docs.",
+)
+def quality_gate_shadow_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: both rule chains are codegen CASE columns over ONE
+    narrow projected-stats scan (no second corpus pass for v2); the
+    confusion rollup is one groupBy(source) with map-side combine and
+    the top-new-reason window runs on the |sources| x |reasons| frame.
+    No UDFs, no joins against fact data."""
+    text = F.col("text")
+    squashed = F.regexp_replace(text, r"\s+", " ")
+    toks = F.filter(F.split(F.lower(text), r"[^a-z0-9]+"), lambda x: x != "")
+    d = fan_out(_t(spark, sf_dir, "documents")["documents"])
+    stats = d.select(
+        "source",
+        "lang",
+        F.length(text).alias("nc"),
+        F.when(F.trim(text) == "", F.lit(0))
+        .otherwise(F.size(F.split(F.trim(squashed), " ")))
+        .alias("nw"),
+        F.size(F.filter(toks, lambda x: x.isin(*_QF_STOPWORDS))).alias("stp"),
+        (
+            F.length(text) - F.length(F.regexp_replace(text, "[0-9]", ""))
+        ).alias("nd"),
+    )
+    nc, nw, stp, nd = F.col("nc"), F.col("nw"), F.col("stp"), F.col("nd")
+    wl = F.expr("nc * 1000 div nw")
+    r1 = (
+        F.when(nw < _QF_MIN_WORDS, "too_short")
+        .when(nc > _QF_MAX_CHARS, "too_long")
+        .when((wl < _QF_WL_LO) | (wl > _QF_WL_HI), "word_length")
+        .when((F.col("lang") == "en") & (stp < _QF_MIN_STOP), "low_stopword")
+        .otherwise("kept")
+    )
+    r2 = (
+        F.when(nw < _QF2_MIN_WORDS, "too_short")
+        .when(nc > _QF2_MAX_CHARS, "too_long")
+        .when(F.expr("nd * 1000 div nc") > _QF2_MAX_DIGIT_PERMILLE, "too_numeric")
+        .when((wl < _QF2_WL_LO) | (wl > _QF2_WL_HI), "word_length")
+        .when((F.col("lang") == "en") & (stp < _QF_MIN_STOP), "low_stopword")
+        .otherwise("kept")
+    )
+    v = stats.select("source", r1.alias("r1"), r2.alias("r2")).localCheckpoint(
+        eager=False
+    )  # two consumers: confusion rollup + new-reason mode
+    agg = v.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.when(F.col("r1") == "kept", 1).otherwise(0)).alias("kept_v1"),
+        F.sum(F.when(F.col("r2") == "kept", 1).otherwise(0)).alias("kept_v2"),
+        F.sum(
+            F.when((F.col("r1") == "kept") & (F.col("r2") == "kept"), 1).otherwise(0)
+        ).alias("kept_both"),
+        F.sum(
+            F.when((F.col("r1") == "kept") & (F.col("r2") != "kept"), 1).otherwise(0)
+        ).alias("tightened"),
+        F.sum(
+            F.when((F.col("r1") != "kept") & (F.col("r2") == "kept"), 1).otherwise(0)
+        ).alias("loosened"),
+    )
+    newr = (
+        v.filter((F.col("r1") == "kept") & (F.col("r2") != "kept"))
+        .groupBy("source", "r2")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                W.partitionBy("source").orderBy(F.desc("c"), F.asc("r2"))
+            ),
+        )
+        .filter(F.col("rk") == 1)
+        .select("source", F.col("r2").alias("top_new_reason"))
+    )
+    return (
+        agg.join(newr, "source", "left")
+        .select(
+            "source",
+            "n_docs",
+            "kept_v1",
+            "kept_v2",
+            "kept_both",
+            "tightened",
+            "loosened",
+            F.expr("(tightened + loosened) * 1000000 DIV n_docs").alias(
+                "flip_ppm"
+            ),
+            F.coalesce("top_new_reason", F.lit("none")).alias("top_new_reason"),
+        )
+    )

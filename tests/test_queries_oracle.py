@@ -324,3 +324,33 @@ def test_lsh_band_planner_scurve_and_monotonicity(spark, sf_oracle):
         assert prev.n_candidate_pairs >= nxt.n_candidate_pairs
         assert prev.p_detect_50_ppm >= nxt.p_detect_50_ppm
         assert prev.p_detect_80_ppm >= nxt.p_detect_80_ppm
+
+
+def test_quality_gate_shadow_v1_matches_deployed_funnel(spark, sf_oracle):
+    """The audit's v1 keep counts must equal the DEPLOYED funnel's —
+    if the shadow audit drifts from quality_filter_funnel the diff is
+    meaningless."""
+    from pyspark.sql import functions as F
+
+    from dungbeetle_spark.operators.text import (
+        quality_filter_funnel,
+        quality_gate_shadow_audit,
+    )
+    from dungbeetle_spark.sources.catalog import load_tables
+
+    docs = load_tables(spark, sf_oracle)["documents"].select("doc_id", "source")
+    funnel_kept = dict(
+        quality_filter_funnel(spark, sf_oracle)
+        .join(docs, "doc_id")
+        .filter("keep")
+        .groupBy("source")
+        .count()
+        .collect()
+    )
+    audit = {
+        r.source: r for r in quality_gate_shadow_audit(spark, sf_oracle).collect()
+    }
+    for source, r in audit.items():
+        assert r.kept_v1 == funnel_kept.get(source, 0)
+        assert r.kept_both == r.kept_v1 - r.tightened
+        assert r.kept_v2 == r.kept_both + r.loosened

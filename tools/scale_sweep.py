@@ -100,6 +100,7 @@ SWEEP_OPS = [
     ("split_doc_stitch", None),  # boundary-hash equi-join: O(pages)
     ("bpe_merge_ranks", None),  # K vocab-grain pair-count shuffles
     ("lsh_band_planner", None),  # 1 signature pass + 4 bucket joins
+    ("quality_gate_shadow_audit", None),  # 1 codegen scan + src rollup
 ]
 
 # Sub-factor ladder for capped operators: when the requested factor
