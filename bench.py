@@ -151,6 +151,8 @@ HEADLINE = [
     "lsh_band_planner",
     # r08: shadow audit of a quality-gate revision
     "quality_gate_shadow_audit",
+    # r08: BPE train-then-apply per-source compression audit
+    "bpe_compression_by_source",
 ]
 
 # Host-drift canary (ADVICE r04: one hardcoded-anchor query is noisy

@@ -1815,6 +1815,18 @@ def bpe_merge_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
     seed/centroid collects). The merge rewrite is a map-side string
     replace. K rounds = K small shuffles; at 100 TB the wf build
     dominates and everything after runs on |vocab| rows."""
+    merges = _bpe_learn(spark, sf_dir)
+    return spark.createDataFrame(
+        merges, "rank int, pair string, merged string, cnt bigint"
+    )
+
+
+def _bpe_learn(spark: SparkSession, sf_dir: str) -> list[tuple]:
+    """Run the merge-learning loop over the corpus word-frequency
+    table; returns [(rank, pair, merged, cnt), ...] — shared by
+    bpe_merge_ranks (the merge table) and bpe_compression_by_source
+    (which re-applies the merges). Length-1 words carry no pairs and
+    are excluded from the learning frame."""
     d = _t(spark, sf_dir, "documents")["documents"]
     toks = F.explode(
         F.filter(F.split(F.lower(F.col("text")), r"[^a-z0-9]+"), lambda x: x != "")
@@ -1854,9 +1866,7 @@ def bpe_merge_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
             cur = cur.withColumn(
                 "sym", F.expr(f"replace(sym, '{pat}', '{rep}')")
             ).localCheckpoint(eager=False)
-    return spark.createDataFrame(
-        merges, "rank int, pair string, merged string, cnt bigint"
-    )
+    return merges
 
 
 # -- quality_gate_shadow_audit ------------------------------------------------
@@ -2023,5 +2033,224 @@ def quality_gate_shadow_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "flip_ppm"
             ),
             F.coalesce("top_new_reason", F.lit("none")).alias("top_new_reason"),
+        )
+    )
+
+
+# -- bpe_compression_by_source ------------------------------------------------
+
+
+@query(
+    "bpe_compression_by_source",
+    oracle="""
+    WITH wf AS (
+      SELECT word, CAST(COUNT(*) AS BIGINT) AS freq
+      FROM (SELECT unnest(list_filter(
+                string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> ''))
+              AS word FROM documents)
+      GROUP BY word HAVING length(word) >= 2
+    ),
+    w0 AS (
+      SELECT word, freq,
+             ' ' || regexp_replace(word, '(.)', '\\1 ', 'g') AS sym
+      FROM wf
+    ),
+    p1 AS (
+      SELECT syms[j] || ' ' || syms[j+1] AS pair,
+             CAST(SUM(freq) AS BIGINT) AS cnt
+      FROM (SELECT freq, string_split(trim(sym), ' ') AS syms FROM w0),
+           unnest(range(1, len(syms))) AS u(j)
+      GROUP BY 1
+    ),
+    b1 AS (SELECT pair, cnt FROM p1 ORDER BY cnt DESC, pair LIMIT 1),
+    w1 AS (
+      SELECT w.word, w.freq,
+             replace(w.sym, ' ' || b.pair || ' ',
+                     ' ' || replace(b.pair, ' ', '') || ' ') AS sym
+      FROM w0 w, b1 b
+    ),
+    p2 AS (
+      SELECT syms[j] || ' ' || syms[j+1] AS pair,
+             CAST(SUM(freq) AS BIGINT) AS cnt
+      FROM (SELECT freq, string_split(trim(sym), ' ') AS syms FROM w1),
+           unnest(range(1, len(syms))) AS u(j)
+      GROUP BY 1
+    ),
+    b2 AS (SELECT pair, cnt FROM p2 ORDER BY cnt DESC, pair LIMIT 1),
+    w2 AS (
+      SELECT w.word, w.freq,
+             replace(w.sym, ' ' || b.pair || ' ',
+                     ' ' || replace(b.pair, ' ', '') || ' ') AS sym
+      FROM w1 w, b2 b
+    ),
+    p3 AS (
+      SELECT syms[j] || ' ' || syms[j+1] AS pair,
+             CAST(SUM(freq) AS BIGINT) AS cnt
+      FROM (SELECT freq, string_split(trim(sym), ' ') AS syms FROM w2),
+           unnest(range(1, len(syms))) AS u(j)
+      GROUP BY 1
+    ),
+    b3 AS (SELECT pair, cnt FROM p3 ORDER BY cnt DESC, pair LIMIT 1),
+    w3 AS (
+      SELECT w.word, w.freq,
+             replace(w.sym, ' ' || b.pair || ' ',
+                     ' ' || replace(b.pair, ' ', '') || ' ') AS sym
+      FROM w2 w, b3 b
+    ),
+    p4 AS (
+      SELECT syms[j] || ' ' || syms[j+1] AS pair,
+             CAST(SUM(freq) AS BIGINT) AS cnt
+      FROM (SELECT freq, string_split(trim(sym), ' ') AS syms FROM w3),
+           unnest(range(1, len(syms))) AS u(j)
+      GROUP BY 1
+    ),
+    b4 AS (SELECT pair, cnt FROM p4 ORDER BY cnt DESC, pair LIMIT 1),
+    w4 AS (
+      SELECT w.word, w.freq,
+             replace(w.sym, ' ' || b.pair || ' ',
+                     ' ' || replace(b.pair, ' ', '') || ' ') AS sym
+      FROM w3 w, b4 b
+    ),
+    p5 AS (
+      SELECT syms[j] || ' ' || syms[j+1] AS pair,
+             CAST(SUM(freq) AS BIGINT) AS cnt
+      FROM (SELECT freq, string_split(trim(sym), ' ') AS syms FROM w4),
+           unnest(range(1, len(syms))) AS u(j)
+      GROUP BY 1
+    ),
+    b5 AS (SELECT pair, cnt FROM p5 ORDER BY cnt DESC, pair LIMIT 1),
+    w5 AS (
+      SELECT w.word, w.freq,
+             replace(w.sym, ' ' || b.pair || ' ',
+                     ' ' || replace(b.pair, ' ', '') || ' ') AS sym
+      FROM w4 w, b5 b
+    ),
+    p6 AS (
+      SELECT syms[j] || ' ' || syms[j+1] AS pair,
+             CAST(SUM(freq) AS BIGINT) AS cnt
+      FROM (SELECT freq, string_split(trim(sym), ' ') AS syms FROM w5),
+           unnest(range(1, len(syms))) AS u(j)
+      GROUP BY 1
+    ),
+    b6 AS (SELECT pair, cnt FROM p6 ORDER BY cnt DESC, pair LIMIT 1),
+    occ AS (
+      SELECT source, word, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM (SELECT source,
+                   unnest(list_filter(
+                       string_split_regex(lower(text), '[^a-z0-9]+'),
+                       x -> x <> '')) AS word
+            FROM documents)
+      GROUP BY 1, 2
+    ),
+    v0 AS (
+      SELECT word, ' ' || regexp_replace(word, '(.)', '\\1 ', 'g') AS sym
+      FROM (SELECT DISTINCT word FROM occ)
+    ),
+    v1 AS (
+      SELECT v.word,
+             replace(v.sym, ' ' || b.pair || ' ',
+                     ' ' || replace(b.pair, ' ', '') || ' ') AS sym
+      FROM v0 v, b1 b
+    ),
+    v2 AS (
+      SELECT v.word,
+             replace(v.sym, ' ' || b.pair || ' ',
+                     ' ' || replace(b.pair, ' ', '') || ' ') AS sym
+      FROM v1 v, b2 b
+    ),
+    v3 AS (
+      SELECT v.word,
+             replace(v.sym, ' ' || b.pair || ' ',
+                     ' ' || replace(b.pair, ' ', '') || ' ') AS sym
+      FROM v2 v, b3 b
+    ),
+    v4 AS (
+      SELECT v.word,
+             replace(v.sym, ' ' || b.pair || ' ',
+                     ' ' || replace(b.pair, ' ', '') || ' ') AS sym
+      FROM v3 v, b4 b
+    ),
+    v5 AS (
+      SELECT v.word,
+             replace(v.sym, ' ' || b.pair || ' ',
+                     ' ' || replace(b.pair, ' ', '') || ' ') AS sym
+      FROM v4 v, b5 b
+    ),
+    v6 AS (
+      SELECT v.word,
+             replace(v.sym, ' ' || b.pair || ' ',
+                     ' ' || replace(b.pair, ' ', '') || ' ') AS sym
+      FROM v5 v, b6 b
+    ),
+    vt AS (
+      SELECT word, CAST(len(string_split(trim(sym), ' ')) AS BIGINT) AS n_syms
+      FROM v6
+    )
+    SELECT o.source,
+           CAST(SUM(o.cnt) AS BIGINT) AS n_words,
+           CAST(SUM(o.cnt * length(o.word)) AS BIGINT) AS n_chars,
+           CAST(SUM(o.cnt * t.n_syms) AS BIGINT) AS n_tokens,
+           SUM(o.cnt * length(o.word)) * 1000000 // SUM(o.cnt * t.n_syms)
+             AS chars_per_token_ppm,
+           SUM(o.cnt * t.n_syms) * 1000000 // SUM(o.cnt)
+             AS fertility_ppm
+    FROM occ o JOIN vt t USING (word)
+    GROUP BY o.source
+    """,
+    doc="Train-then-apply for the distributed BPE pipeline: the "
+    f"corpus-level merge table ({_BPE_MERGES} rounds, identical to "
+    "bpe_merge_ranks) is applied back to EVERY source's tokens, and "
+    "each source reports its resulting chars-per-token and "
+    "tokens-per-word (fertility) in exact integer ppm — the number "
+    "that tells a data team which domains the shared tokenizer "
+    "under-serves (code-ish or non-English sources compress worse "
+    "under merges learned on the majority domain). Application runs "
+    "on the DISTINCT vocabulary, never per occurrence; the oracle "
+    "replays learning AND application as unrolled CTE chains.",
+)
+def bpe_compression_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: learning is _bpe_learn (vocabulary-grain rounds);
+    application is the same K map-side replaces over the DISTINCT
+    word list plus one hash join of (source, word) counts against the
+    |vocab|-row token-length table; the rollup groups on source with
+    map-side combine. Corpus is scanned twice (wf and occ) — both
+    single passes; everything between runs at vocabulary grain."""
+    merges = _bpe_learn(spark, sf_dir)
+    d = _t(spark, sf_dir, "documents")["documents"]
+    toks = F.explode(
+        F.filter(F.split(F.lower(F.col("text")), r"[^a-z0-9]+"), lambda x: x != "")
+    ).alias("word")
+    occ = (
+        fan_out(d.select("source", "text"))
+        .select("source", toks)
+        .groupBy("source", "word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint(eager=False)  # vocab derivation + final join
+    )
+    vocab = occ.select("word").distinct().withColumn(
+        "sym", F.concat(F.lit(" "), F.regexp_replace("word", "(.)", "$1 "))
+    )
+    for _rank, pair, merged, _cnt in merges:
+        vocab = vocab.withColumn(
+            "sym", F.expr(f"replace(sym, ' {pair} ', ' {merged} ')")
+        )
+    vt = vocab.select(
+        "word", F.size(F.split(F.trim("sym"), " ")).cast("long").alias("n_syms")
+    )
+    return (
+        occ.join(vt, "word")
+        .groupBy("source")
+        .agg(
+            F.sum("cnt").alias("n_words"),
+            F.sum(F.col("cnt") * F.length("word")).alias("n_chars"),
+            F.sum(F.col("cnt") * F.col("n_syms")).alias("n_tokens"),
+        )
+        .select(
+            "source",
+            "n_words",
+            "n_chars",
+            "n_tokens",
+            F.expr("n_chars * 1000000 DIV n_tokens").alias("chars_per_token_ppm"),
+            F.expr("n_tokens * 1000000 DIV n_words").alias("fertility_ppm"),
         )
     )

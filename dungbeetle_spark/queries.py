@@ -137,6 +137,9 @@ DRIVER_PRIORITY: list[str] = [
     # new in r08 -- shadow audit of a quality-gate revision (v1 = the
     # deployed funnel constants, v2 candidate; flip confusion/source):
     "quality_gate_shadow_audit",
+    # new in r08 -- BPE train-then-apply: per-source compression /
+    # fertility under the corpus-learned merge table:
+    "bpe_compression_by_source",
     # Then staleness repayment (VERDICT r07 item 3): the 6 queries
     # whose last green driver row is r04, followed by the oldest r05
     # greens. New/changed r08 queries are inserted at the TOP of this
@@ -165,6 +168,7 @@ DRIVER_PRIORITY: list[str] = [
     # dedup_embedding_cosine by bpe_merge_ranks;
     # dedup_canonical_keep by lsh_band_planner;
     # cross_source_overlap_matrix by quality_gate_shadow_audit;
+    # collated_event_type_counts by bpe_compression_by_source;
     # remaining r05 cohort: the displaced names + user_value_trend,
     # vocab_growth, zorder_layout_stats wait for r09 with the r06
     # cohort).
@@ -182,7 +186,6 @@ DRIVER_PRIORITY: list[str] = [
     "ann_lsh_bucketed",
     "anomaly_daily_zscore",
     "bitmap_distinct_users",
-    "collated_event_type_counts",
 ]
 
 

@@ -354,3 +354,47 @@ def test_quality_gate_shadow_v1_matches_deployed_funnel(spark, sf_oracle):
         assert r.kept_v1 == funnel_kept.get(source, 0)
         assert r.kept_both == r.kept_v1 - r.tightened
         assert r.kept_v2 == r.kept_both + r.loosened
+
+
+def test_bpe_compression_applies_the_learned_merges(spark, sf_oracle):
+    """Cross-op consistency: applying the bpe_merge_ranks table to a
+    word by hand (same replace chain) reproduces the per-word token
+    counts the compression rollup is built from — checked through the
+    aggregate: recompute one source's n_tokens in Python."""
+    from collections import Counter
+    import re
+
+    from dungbeetle_spark.operators.text import (
+        bpe_compression_by_source,
+        bpe_merge_ranks,
+    )
+    from dungbeetle_spark.sources.catalog import load_tables
+
+    merges = [
+        (r.pair, r.merged)
+        for r in bpe_merge_ranks(spark, sf_oracle).orderBy("rank").collect()
+    ]
+    docs = (
+        load_tables(spark, sf_oracle)["documents"]
+        .select("source", "text")
+        .collect()
+    )
+    src = docs[0].source
+    occ = Counter()
+    for r in docs:
+        if r.source != src:
+            continue
+        for w in re.split(r"[^a-z0-9]+", r.text.lower()):
+            if w:
+                occ[w] += 1
+    n_tokens = 0
+    for w, cnt in occ.items():
+        sym = " " + "".join(c + " " for c in w)
+        for pair, merged in merges:
+            sym = sym.replace(f" {pair} ", f" {merged} ")
+        n_tokens += cnt * len(sym.split())
+    row = {
+        r.source: r for r in bpe_compression_by_source(spark, sf_oracle).collect()
+    }[src]
+    assert row.n_tokens == n_tokens
+    assert row.n_words == sum(occ.values())

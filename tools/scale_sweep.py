@@ -101,6 +101,7 @@ SWEEP_OPS = [
     ("bpe_merge_ranks", None),  # K vocab-grain pair-count shuffles
     ("lsh_band_planner", None),  # 1 signature pass + 4 bucket joins
     ("quality_gate_shadow_audit", None),  # 1 codegen scan + src rollup
+    ("bpe_compression_by_source", None),  # learn + vocab-grain apply
 ]
 
 # Sub-factor ladder for capped operators: when the requested factor
