@@ -153,6 +153,8 @@ HEADLINE = [
     "quality_gate_shadow_audit",
     # r08: BPE train-then-apply per-source compression audit
     "bpe_compression_by_source",
+    # r08: pairwise source cross-entropy (domain similarity) matrix
+    "cross_source_ce_matrix",
 ]
 
 # Host-drift canary (ADVICE r04: one hardcoded-anchor query is noisy

@@ -1690,3 +1690,145 @@ def hll_register_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return folded.join(exact, "scope").select(
         "scope", "n_occupied", "sum_inv_scaled", "max_rho", "exact_users"
     )
+
+
+# -- cross_source_ce_matrix ---------------------------------------------------
+
+
+@query(
+    "cross_source_ce_matrix",
+    oracle="""
+    WITH words AS (
+      SELECT source, unnest(regexp_split_to_array(
+               trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))
+                 || ' mark_' || source, ' ')) AS word
+      FROM documents),
+    sw AS (
+      SELECT source, word, CAST(COUNT(*) AS BIGINT) AS c
+      FROM words GROUP BY source, word),
+    s AS (SELECT source, CAST(SUM(c) AS BIGINT) AS ns FROM sw GROUP BY source),
+    v AS (SELECT CAST(COUNT(DISTINCT word) AS BIGINT) AS vv FROM sw),
+    cross_term AS (
+      SELECT t.source AS t_source, m.source AS model_source,
+             CAST(SUM(t.c * (length(bin(m.c + 1)) - 1)) AS BIGINT) AS dot
+      FROM sw t JOIN sw m USING (word)
+      GROUP BY 1, 2),
+    grid AS (
+      SELECT st.source AS t_source, sm.source AS model_source,
+             st.ns AS nt,
+             CAST(length(bin(sm.ns + v.vv)) - 1 AS BIGINT) AS fl_den
+      FROM s st CROSS JOIN s sm CROSS JOIN v),
+    ce AS (
+      SELECT g.t_source, g.model_source, g.nt,
+             g.fl_den * g.nt - COALESCE(ct.dot, 0) AS ce_sum
+      FROM grid g
+      LEFT JOIN cross_term ct
+        ON ct.t_source = g.t_source AND ct.model_source = g.model_source),
+    ranked AS (
+      SELECT t_source, model_source, nt AS n_tokens,
+             round(CAST(ce_sum AS DOUBLE) / nt, 6) AS ce_bits,
+             t_source = model_source AS is_self,
+             ROW_NUMBER() OVER (PARTITION BY t_source
+                                ORDER BY CASE WHEN t_source = model_source
+                                              THEN 0 ELSE 1 END,
+                                         ce_sum, model_source) AS rnk
+      FROM ce)
+    SELECT t_source, model_source, n_tokens, ce_bits, is_self,
+           CAST(rnk AS INT) AS rnk
+    FROM ranked
+    """,
+    doc="Pairwise domain-similarity matrix: every source scored under "
+    "every other source's add-1-smoothed unigram model, cross-entropy "
+    "in the exact integer floor-log2 idiom (kl_divergence_by_source's "
+    "banded-bits discipline; smoothing makes unseen words cost "
+    "floor(log2(Ns+V)) bits and — the key identity — seen-nowhere "
+    "terms drop out because floor(log2(0+1)) = 0, so the ONLY "
+    "corpus-derived join is word-keyed). rnk orders each row's models "
+    "self-first then by ascending CE: rnk=2 is the nearest foreign "
+    "domain — the DoReMi/DSIR-style signal for which sources can "
+    "donate training weight to which.",
+)
+def cross_source_ce_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: ONE tokenize pass builds the (source, word) count
+    frame (map-side combine), lazily checkpointed for its three
+    consumers; the cross term is a word-keyed self-join at vocabulary
+    grain (never corpus grain) whose output is |sources|² rows; the
+    totals grid is a crossJoin of two |sources|-row frames plus the
+    whitelisted 1-row vocab scalar. The rank window partitions the
+    |sources|²-row matrix."""
+    d = _t(spark, sf_dir, "documents")["documents"]
+    words = fan_out(d.select("source", "text")).select(
+        "source",
+        F.explode(
+            F.split(
+                F.concat(
+                    F.trim(F.regexp_replace(F.lower("text"), r"\s+", " ")),
+                    F.lit(" mark_"),
+                    F.col("source"),
+                ),
+                " ",
+            )
+        ).alias("word"),
+    )
+    sw = (
+        words.groupBy("source", "word")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=False)  # totals + both self-join sides
+    )
+    s = sw.groupBy("source").agg(F.sum("c").alias("ns"))
+    v = sw.select(F.countDistinct("word").alias("vv"))
+    cross_term = (
+        sw.alias("t")
+        .join(sw.alias("m"), "word")
+        .groupBy(
+            F.col("t.source").alias("t_source"),
+            F.col("m.source").alias("model_source"),
+        )
+        .agg(
+            F.sum(
+                F.col("t.c") * (F.length(F.bin(F.col("m.c") + 1)) - 1)
+            ).alias("dot")
+        )
+    )
+    grid = (
+        s.alias("st")
+        .crossJoin(s.alias("sm"))
+        .crossJoin(F.broadcast(v))
+        .select(
+            F.col("st.source").alias("t_source"),
+            F.col("sm.source").alias("model_source"),
+            F.col("st.ns").alias("nt"),
+            (F.length(F.bin(F.col("sm.ns") + F.col("vv"))) - 1)
+            .cast("long")
+            .alias("fl_den"),
+        )
+    )
+    ce = (
+        grid.join(cross_term, ["t_source", "model_source"], "left")
+        .select(
+            "t_source",
+            "model_source",
+            F.col("nt").alias("n_tokens"),
+            (
+                F.col("fl_den") * F.col("nt")
+                - F.coalesce("dot", F.lit(0).cast("long"))
+            ).alias("ce_sum"),
+        )
+    )
+    rnk = F.row_number().over(
+        W.partitionBy("t_source").orderBy(
+            F.when(F.col("t_source") == F.col("model_source"), 0).otherwise(1),
+            "ce_sum",
+            "model_source",
+        )
+    )
+    return ce.select(
+        "t_source",
+        "model_source",
+        "n_tokens",
+        F.round(F.col("ce_sum").cast("double") / F.col("n_tokens"), 6).alias(
+            "ce_bits"
+        ),
+        (F.col("t_source") == F.col("model_source")).alias("is_self"),
+        rnk.cast("int").alias("rnk"),
+    )

@@ -222,3 +222,30 @@ def test_hll_register_sketch_estimate_accuracy(spark, sf_oracle):
         assert allr.n_occupied >= r.n_occupied
         assert allr.max_rho >= r.max_rho
         assert allr.exact_users >= r.exact_users
+
+
+def test_cross_source_ce_matrix_properties(spark, sf_oracle):
+    """Matrix invariants: full |sources|^2 coverage, self rows ranked
+    first, and Gibbs'-style sanity within the estimate's documented
+    band — flooring each term to whole bits (and add-1 smoothing with
+    source-dependent denominators) can displace the row minimum from
+    the self model by at most the 1-bit-per-token band, so self-CE
+    must sit within 1.0 bit of its row's minimum."""
+    from collections import defaultdict
+
+    from dungbeetle_spark.operators.mixing import cross_source_ce_matrix
+
+    rows = cross_source_ce_matrix(spark, sf_oracle).collect()
+    by_t = defaultdict(list)
+    for r in rows:
+        by_t[r.t_source].append(r)
+    n = len(by_t)
+    assert len(rows) == n * n
+    for t, rr in by_t.items():
+        assert len(rr) == n
+        self_rows = [r for r in rr if r.is_self]
+        assert len(self_rows) == 1 and self_rows[0].rnk == 1
+        assert (
+            self_rows[0].ce_bits
+            <= min(r.ce_bits for r in rr if not r.is_self) + 1.0
+        )

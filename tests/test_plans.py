@@ -998,6 +998,11 @@ def test_registry_wide_no_cartesian_and_no_fact_nlj(spark, sf):
         # broadcast-crossed into the vocab-grain scoring joins
         "kl_divergence_by_source",
         "pmi_collocations",
+        # r08: the |sources| x |sources| totals grid (two catalog-
+        # bounded ~20-row frames crossed, plus the 1-row vocab-size
+        # scalar) — bounded by domain count, never fact data; the
+        # corpus-derived work is the word-keyed self-join
+        "cross_source_ce_matrix",
     }
     unexpected = [q for q in bnlj if q not in known_scalar_broadcast]
     assert not unexpected, (

@@ -56,6 +56,7 @@ NEVER_VERIFIED: list[str] = [
     "lsh_band_planner",  # new in r08
     "quality_gate_shadow_audit",  # new in r08
     "bpe_compression_by_source",  # new in r08
+    "cross_source_ce_matrix",  # new in r08
 ]
 
 # Operators whose code or oracle changed in round 8.
@@ -67,8 +68,8 @@ CHANGED_THIS_ROUND: list[str] = [
 
 # The r08 rotation (VERDICT r07 item 3): pure staleness repayment —
 # the 6 queries whose last green row is r04 (displaced from the r07
-# window by the new>stale rule) plus the 6 oldest r05 greens, all
-# code-unchanged (the cohort shrank from 44 as the 32 late-r08
+# window by the new>stale rule) plus the 5 oldest r05 greens, all
+# code-unchanged (the cohort shrank from 44 as the 33 late-r08
 # queries displaced its tail). user_value_trend, vocab_growth and
 # zorder_layout_stats wait at the front of the r09 queue with the
 # displaced names below; the local oracle suite still re-verifies
@@ -85,7 +86,6 @@ ROTATED_IN_R08 = [
     "ann_ivf",
     "ann_lsh_bucketed",
     "anomaly_daily_zscore",
-    "bitmap_distinct_users",
     # displaced to r09 (new/changed > stale): unpivot_user_metrics by
     # multimodal_real_decode; streaming_quality_filter /
     # timeseries_topk_similar_users / triangle_cohorts /
@@ -118,7 +118,8 @@ ROTATED_IN_R08 = [
     # dedup_embedding_cosine by bpe_merge_ranks;
     # dedup_canonical_keep by lsh_band_planner;
     # cross_source_overlap_matrix by quality_gate_shadow_audit;
-    # collated_event_type_counts by bpe_compression_by_source
+    # collated_event_type_counts by bpe_compression_by_source;
+    # bitmap_distinct_users by cross_source_ce_matrix
 ]
 
 

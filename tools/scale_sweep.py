@@ -102,6 +102,7 @@ SWEEP_OPS = [
     ("lsh_band_planner", None),  # 1 signature pass + 4 bucket joins
     ("quality_gate_shadow_audit", None),  # 1 codegen scan + src rollup
     ("bpe_compression_by_source", None),  # learn + vocab-grain apply
+    ("cross_source_ce_matrix", None),  # word-keyed self-join: vocab grain
 ]
 
 # Sub-factor ladder for capped operators: when the requested factor
