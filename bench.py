@@ -155,6 +155,8 @@ HEADLINE = [
     "bpe_compression_by_source",
     # r08: pairwise source cross-entropy (domain similarity) matrix
     "cross_source_ce_matrix",
+    # r08: composed end-to-end per-doc ingest fate manifest
+    "corpus_fate_manifest",
 ]
 
 # Host-drift canary (ADVICE r04: one hardcoded-anchor query is noisy

@@ -770,3 +770,197 @@ def rare_token_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("retained_ppm"),
         )
     )
+
+
+# -- corpus_fate_manifest -----------------------------------------------------
+
+
+def _fate_oracle() -> str:
+    from dungbeetle_spark.operators.mixing import _EVAL_MOD, _GRAM_N, _PLANT_MOD
+    from dungbeetle_spark.operators.text import (
+        _QF_MAX_CHARS,
+        _QF_MIN_STOP,
+        _QF_MIN_WORDS,
+        _QF_STOPWORDS,
+        _QF_WL_HI,
+        _QF_WL_LO,
+    )
+
+    return f"""
+    WITH q AS (
+      SELECT doc_id, lang, length(text) AS nc,
+             CASE WHEN trim(text) = '' THEN 0
+                  ELSE len(regexp_split_to_array(
+                         trim(regexp_replace(text, '\\s+', ' ', 'g')), ' '))
+                  END AS nw,
+             len(list_filter(
+                   list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                               x -> x <> ''),
+                   x -> x IN {str(_QF_STOPWORDS)})) AS stp
+      FROM documents),
+    verdict AS (
+      SELECT doc_id,
+             CASE WHEN nw < {_QF_MIN_WORDS} THEN 'too_short'
+                  WHEN nc > {_QF_MAX_CHARS} THEN 'too_long'
+                  WHEN nc * 1000 // nw < {_QF_WL_LO}
+                       OR nc * 1000 // nw > {_QF_WL_HI} THEN 'word_length'
+                  WHEN lang = 'en' AND stp < {_QF_MIN_STOP} THEN 'low_stopword'
+                  ELSE 'kept' END AS reason
+      FROM q),
+    flags AS (
+      SELECT d.doc_id, v.reason,
+             d.doc_id % {_EVAL_MOD} = 0 AS is_eval,
+             md5(trim(regexp_replace(lower(d.text), '\\s+', ' ', 'g'))) AS h
+      FROM documents d JOIN verdict v USING (doc_id)),
+    surv1 AS (SELECT * FROM flags WHERE NOT is_eval AND reason = 'kept'),
+    canon AS (SELECT h, MIN(doc_id) AS dup_of FROM surv1 GROUP BY h),
+    s1 AS (SELECT f.doc_id, c.dup_of FROM surv1 f JOIN canon c USING (h)),
+    surv2 AS (SELECT doc_id FROM s1 WHERE doc_id = dup_of),
+    seeded AS (
+      SELECT doc_id,
+             text || CASE WHEN doc_id % {_EVAL_MOD} = 0
+                            OR doc_id % {_PLANT_MOD} = 0
+                          THEN ' benchmark passage k'
+                               || CAST(doc_id % 5 AS VARCHAR)
+                               || ' alpha beta gamma delta epsilon zeta eta'
+                          ELSE '' END AS text
+      FROM documents),
+    toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                         x -> x <> '') AS t
+      FROM seeded),
+    grams AS (
+      SELECT DISTINCT doc_id,
+             array_to_string(t[i : i + {_GRAM_N - 1}], ' ') AS gram
+      FROM toks,
+           unnest(range(1, greatest(len(t) - {_GRAM_N - 1}, 0) + 1)) AS u(i)),
+    ev AS (SELECT DISTINCT gram FROM grams WHERE doc_id % {_EVAL_MOD} = 0),
+    cont AS (
+      SELECT g.doc_id,
+             CAST(SUM(CASE WHEN gram IN (SELECT gram FROM ev)
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_cont
+      FROM grams g JOIN surv2 USING (doc_id)
+      GROUP BY 1)
+    SELECT d.doc_id,
+           CASE WHEN d.doc_id % {_EVAL_MOD} = 0 THEN 'eval_holdout'
+                WHEN v.reason <> 'kept' THEN 'dropped_quality'
+                WHEN s1.doc_id <> s1.dup_of THEN 'dropped_duplicate'
+                WHEN COALESCE(c.n_cont, 0) > 0 THEN 'dropped_contaminated'
+                ELSE 'kept' END AS fate,
+           v.reason AS quality_reason,
+           CAST(COALESCE(s1.dup_of, -1) AS BIGINT) AS canonical_id,
+           CAST(COALESCE(c.n_cont, 0) AS BIGINT) AS n_contaminated
+    FROM documents d
+    JOIN verdict v USING (doc_id)
+    LEFT JOIN s1 ON s1.doc_id = d.doc_id
+    LEFT JOIN cont c ON c.doc_id = d.doc_id
+    """
+
+
+@query(
+    "corpus_fate_manifest",
+    oracle=_fate_oracle(),
+    doc="The composed ingest decision — what ACTUALLY happens to each "
+    "document when the pipeline runs end to end: eval holdout carved "
+    "out first, then the deployed quality funnel (same constants as "
+    "quality_filter_funnel), then exact dedup among survivors "
+    "(keep-first on the content md5, canonical_id recorded), then "
+    "benchmark decontamination among canonicals (same eval gram set "
+    "as decontamination) — one fate per doc with the stage that "
+    "sealed it and its evidence (quality reason / canonical id / "
+    "contaminated-gram count). The per-document provenance manifest "
+    "a 100 TB curation run ships alongside the corpus so every "
+    "exclusion is auditable and reproducible.",
+)
+def corpus_fate_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: stage composition adds NO new shuffle classes —
+    quality verdicts are one codegen scan; dedup is the md5-keyed
+    aggregate + hash join back; contamination is the broadcast
+    eval-gram membership restricted to canonical survivors (the
+    gram explode never runs for docs already dropped — the filter
+    pushes ahead of the expensive stage, which is the point of
+    staging); the final assembly is doc_id-keyed joins. Every stage's
+    semantics is pinned equal to its standalone operator by the
+    composed oracle."""
+    from dungbeetle_spark.functions.texts import content_md5
+    from dungbeetle_spark.operators.mixing import (
+        _EVAL_MOD,
+        _GRAM_N,
+        _PLANT_MOD,
+        word_ngrams,
+    )
+    from dungbeetle_spark.operators.text import funnel_verdicts
+    from dungbeetle_spark.sources.catalog import fan_out
+
+    d = _t(spark, sf_dir, "documents")["documents"]
+    verdicts = funnel_verdicts(fan_out(d)).select("doc_id", "reason")
+    flags = (
+        d.select("doc_id", "text")
+        .join(verdicts, "doc_id")
+        .select(
+            "doc_id",
+            "text",
+            "reason",
+            (F.col("doc_id") % _EVAL_MOD == 0).alias("is_eval"),
+            content_md5("text").alias("h"),
+        )
+        .localCheckpoint(eager=False)  # survivor chain + final assembly
+    )
+    surv1 = flags.filter(~F.col("is_eval") & (F.col("reason") == "kept"))
+    canon = surv1.groupBy("h").agg(F.min("doc_id").alias("dup_of"))
+    s1 = surv1.join(canon, "h").select("doc_id", "dup_of")
+    surv2 = s1.filter(F.col("doc_id") == F.col("dup_of")).select("doc_id")
+    seeded_text = F.concat(
+        F.col("text"),
+        F.when(
+            (F.col("doc_id") % _EVAL_MOD == 0)
+            | (F.col("doc_id") % _PLANT_MOD == 0),
+            F.concat(
+                F.lit(" benchmark passage k"),
+                (F.col("doc_id") % 5).cast("string"),
+                F.lit(" alpha beta gamma delta epsilon zeta eta"),
+            ),
+        ).otherwise(F.lit("")),
+    )
+    toks = F.filter(
+        F.split(F.lower(seeded_text), r"[^a-z0-9]+"), lambda x: x != ""
+    )
+    grams = (
+        fan_out(d.select("doc_id", "text"))
+        .select("doc_id", toks.alias("t"))
+        .select("doc_id", F.explode_outer(word_ngrams("t", _GRAM_N)).alias("gram"))
+    )
+    ev = (
+        grams.filter(F.col("doc_id") % _EVAL_MOD == 0)
+        .select("gram")
+        .where(F.col("gram").isNotNull())
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    cont = (
+        grams.join(surv2, "doc_id")  # gram work only for canonicals
+        .join(F.broadcast(ev), "gram", "left")
+        .groupBy("doc_id")
+        .agg(F.count(F.when(F.col("hit").isNotNull(), 1)).alias("n_cont"))
+    )
+    fate = (
+        F.when(F.col("is_eval"), "eval_holdout")
+        .when(F.col("reason") != "kept", "dropped_quality")
+        .when(F.col("dup_of").isNotNull() & (F.col("doc_id") != F.col("dup_of")),
+              "dropped_duplicate")
+        .when(F.coalesce("n_cont", F.lit(0)) > 0, "dropped_contaminated")
+        .otherwise("kept")
+    )
+    return (
+        flags.select("doc_id", "reason", "is_eval")
+        .join(s1, "doc_id", "left")
+        .join(cont, "doc_id", "left")
+        .select(
+            "doc_id",
+            fate.alias("fate"),
+            F.col("reason").alias("quality_reason"),
+            F.coalesce("dup_of", F.lit(-1)).cast("long").alias("canonical_id"),
+            F.coalesce("n_cont", F.lit(0)).cast("long").alias("n_contaminated"),
+        )
+    )

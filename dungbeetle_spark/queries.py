@@ -143,6 +143,9 @@ DRIVER_PRIORITY: list[str] = [
     # new in r08 -- pairwise domain-similarity matrix: every source
     # scored under every source's smoothed unigram model (floored bits):
     "cross_source_ce_matrix",
+    # new in r08 -- the composed end-to-end ingest decision per doc
+    # (eval carve-out -> quality -> dedup -> decontamination):
+    "corpus_fate_manifest",
     # Then staleness repayment (VERDICT r07 item 3): the 6 queries
     # whose last green driver row is r04, followed by the oldest r05
     # greens. New/changed r08 queries are inserted at the TOP of this
@@ -173,6 +176,7 @@ DRIVER_PRIORITY: list[str] = [
     # cross_source_overlap_matrix by quality_gate_shadow_audit;
     # collated_event_type_counts by bpe_compression_by_source;
     # bitmap_distinct_users by cross_source_ce_matrix;
+    # anomaly_daily_zscore by corpus_fate_manifest;
     # remaining r05 cohort: the displaced names + user_value_trend,
     # vocab_growth, zorder_layout_stats wait for r09 with the r06
     # cohort).
@@ -188,7 +192,6 @@ DRIVER_PRIORITY: list[str] = [
     "activity_streaks",
     "ann_ivf",
     "ann_lsh_bucketed",
-    "anomaly_daily_zscore",
 ]
 
 

@@ -103,6 +103,7 @@ SWEEP_OPS = [
     ("quality_gate_shadow_audit", None),  # 1 codegen scan + src rollup
     ("bpe_compression_by_source", None),  # learn + vocab-grain apply
     ("cross_source_ce_matrix", None),  # word-keyed self-join: vocab grain
+    ("corpus_fate_manifest", None),  # staged scans, md5 agg, bcast grams
 ]
 
 # Sub-factor ladder for capped operators: when the requested factor
