@@ -1520,3 +1520,88 @@ def test_lang_segments_no_joins_doc_keyed_lag(spark, sf):
     # the lag window partitions by doc_id, never globally
     m = re.search(r"windowspecdefinition\(doc_id#\d+", plan)
     assert m, "lag window must partition by doc_id"
+
+
+# -- r08-late operator plan pins ---------------------------------------------
+
+
+def test_image_phash_checkpoint_barrier_and_linear_verify(spark, sf):
+    """image_phash_dedup: the fused Arrow decode pass sits BEHIND the
+    lazy checkpoint, so the final plan reads the signature frame as
+    checkpointed-RDD scans (three consumers, one materialization —
+    re-running the decode per consumer would show MapInPandas here
+    instead), candidates come from the (band, val) equi-join, and no
+    nested loop or cartesian appears."""
+    df = _df(spark, sf, "image_phash_dedup")
+    plan = formatted_plan(df)
+    assert "MapInPandas" not in plan and "ArrowEvalPython" not in plan, plan
+    assert "Scan ExistingRDD" in plan, plan  # the checkpointed sigs
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_audio_fingerprint_checkpoint_barrier(spark, sf):
+    """audio_fingerprint_dedup: same contract as the image twin — the
+    Arrow pass materializes once behind the checkpoint; banded
+    equi-join; no NLJ."""
+    df = _df(spark, sf, "audio_fingerprint_dedup")
+    plan = formatted_plan(df)
+    assert "MapInPandas" not in plan and "ArrowEvalPython" not in plan, plan
+    assert "Scan ExistingRDD" in plan, plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_interleave_audit_windows_all_shard_partitioned(spark, sf):
+    """shard_interleave_audit: every window partitions on shard_id —
+    no Exchange SinglePartition may touch the doc-scale frame."""
+    from dungbeetle_spark.plans.inspect import single_partition_windows
+
+    df = _df(spark, sf, "shard_interleave_audit")
+    plan = formatted_plan(df)
+    assert not single_partition_windows(plan), plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_hll_register_sketch_partial_combines(spark, sf):
+    """hll_register_sketch: the register aggregate must partial-combine
+    map-side (the bounded-memory mergeable claim), and the only joins
+    are against the |days|+1-scope exact twins."""
+    df = _df(spark, sf, "hll_register_sketch")
+    assert has_partial_aggregate(df)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_split_doc_stitch_single_boundary_join(spark, sf):
+    """split_doc_stitch: exactly one join (the boundary-hash equi-join)
+    and no window — reassembly is linear in pages."""
+    df = _df(spark, sf, "split_doc_stitch")
+    plan = formatted_plan(df)
+    joins = re.findall(r"^\(\d+\) \w*Join\w*", plan, re.M)
+    assert len(joins) == 1, joins
+    assert not re.findall(r"^\(\d+\) Window", plan, re.M)
+    assert "CartesianProduct" not in plan
+
+
+def test_template_clusters_single_shuffle_aggregate(spark, sf):
+    """template_spam_clusters: one shape-keyed aggregate with map-side
+    combine; no joins at all."""
+    df = _df(spark, sf, "template_spam_clusters")
+    assert has_partial_aggregate(df)
+    plan = formatted_plan(df)
+    assert not re.findall(r"^\(\d+\) \w*Join\w*", plan, re.M)
+
+
+def test_ce_matrix_corpus_join_is_word_keyed(spark, sf):
+    """cross_source_ce_matrix: the corpus-derived join is the word-
+    keyed self-join (hash/sort-merge, never nested-loop on fact data);
+    the only BNLJs are the catalog-bounded totals grid and the 1-row
+    vocab scalar (whitelisted in the registry-wide guard)."""
+    df = _df(spark, sf, "cross_source_ce_matrix")
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    # the word join must be a real equi-join
+    assert re.findall(r"SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin", plan)
