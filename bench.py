@@ -157,6 +157,8 @@ HEADLINE = [
     "cross_source_ce_matrix",
     # r08: composed end-to-end per-doc ingest fate manifest
     "corpus_fate_manifest",
+    # r08: provided-label vs detector language QA audit
+    "lang_label_noise_audit",
 ]
 
 # Host-drift canary (ADVICE r04: one hardcoded-anchor query is noisy

@@ -2254,3 +2254,97 @@ def bpe_compression_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("n_tokens * 1000000 DIV n_words").alias("fertility_ppm"),
         )
     )
+
+
+# -- lang_label_noise_audit ---------------------------------------------------
+
+
+@query(
+    "lang_label_noise_audit",
+    oracle=f"""
+    WITH g AS (
+      SELECT doc_id, source, lang AS labeled_lang,
+             {_lang_guess_sql()} AS guessed_lang
+      FROM documents),
+    agg AS (
+      SELECT source, labeled_lang,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(CASE WHEN guessed_lang = labeled_lang
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_agree
+      FROM g GROUP BY 1, 2),
+    mis AS (
+      SELECT source, labeled_lang, guessed_lang AS top_mislabel,
+             ROW_NUMBER() OVER (PARTITION BY source, labeled_lang
+                                ORDER BY COUNT(*) DESC, guessed_lang) AS rk
+      FROM g WHERE guessed_lang <> labeled_lang
+      GROUP BY source, labeled_lang, guessed_lang)
+    SELECT a.source, a.labeled_lang, a.n_docs, a.n_agree,
+           (a.n_docs - a.n_agree) * 1000000 // a.n_docs AS disagree_ppm,
+           COALESCE(m.top_mislabel, 'none') AS top_mislabel
+    FROM agg a
+    LEFT JOIN mis m ON m.source = a.source
+                   AND m.labeled_lang = a.labeled_lang AND m.rk = 1
+    """,
+    doc="Label-noise QA for the provided language labels: the shipped "
+    "lang_id heuristic re-detects every document and each (source, "
+    "labeled_lang) cell reports its disagreement rate in integer ppm "
+    "plus the dominant conflicting detection — the audit that catches "
+    "a crawler feeding mislabeled or code-switched text into one "
+    "source before per-language mixing weights (dataset_mix_weighted) "
+    "amplify the error across a 100 TB corpus. Provided labels vs "
+    "detector is the standard label-QA cross-check; disagreement "
+    "localized to one source means bad metadata, spread evenly means "
+    "a weak detector.",
+)
+def lang_label_noise_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: the detector is the same scan-parallel codegen
+    marker vote as lang_id (no UDFs); both rollups group on (source,
+    labeled_lang) with map-side combine, and the mislabel-mode window
+    runs on the |sources| x |langs|^2 cell frame — catalog-bounded,
+    never corpus rows."""
+    base = _t(spark, sf_dir, "documents")["documents"]
+    d = fan_out(base)
+    g = (
+        _lang_scores(d)
+        .select(
+            "doc_id",
+            F.col("lang").alias("labeled_lang"),
+            _lang_guess_spark().alias("guessed_lang"),
+        )
+        .join(base.select("doc_id", "source"), "doc_id")
+        .localCheckpoint(eager=False)  # agreement rollup + mislabel mode
+    )
+    agg = g.groupBy("source", "labeled_lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(
+            F.when(F.col("guessed_lang") == F.col("labeled_lang"), 1).otherwise(0)
+        ).alias("n_agree"),
+    )
+    mis = (
+        g.filter(F.col("guessed_lang") != F.col("labeled_lang"))
+        .groupBy("source", "labeled_lang", "guessed_lang")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                W.partitionBy("source", "labeled_lang").orderBy(
+                    F.desc("c"), F.asc("guessed_lang")
+                )
+            ),
+        )
+        .filter(F.col("rk") == 1)
+        .select("source", "labeled_lang", F.col("guessed_lang").alias("top_mislabel"))
+    )
+    return (
+        agg.join(mis, ["source", "labeled_lang"], "left")
+        .select(
+            "source",
+            "labeled_lang",
+            "n_docs",
+            "n_agree",
+            F.expr("(n_docs - n_agree) * 1000000 DIV n_docs").alias(
+                "disagree_ppm"
+            ),
+            F.coalesce("top_mislabel", F.lit("none")).alias("top_mislabel"),
+        )
+    )

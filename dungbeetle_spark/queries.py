@@ -146,6 +146,9 @@ DRIVER_PRIORITY: list[str] = [
     # new in r08 -- the composed end-to-end ingest decision per doc
     # (eval carve-out -> quality -> dedup -> decontamination):
     "corpus_fate_manifest",
+    # new in r08 -- label-noise QA: provided lang labels vs the
+    # shipped detector, disagreement ppm + dominant conflict per cell:
+    "lang_label_noise_audit",
     # Then staleness repayment (VERDICT r07 item 3): the 6 queries
     # whose last green driver row is r04, followed by the oldest r05
     # greens. New/changed r08 queries are inserted at the TOP of this
@@ -177,6 +180,7 @@ DRIVER_PRIORITY: list[str] = [
     # collated_event_type_counts by bpe_compression_by_source;
     # bitmap_distinct_users by cross_source_ce_matrix;
     # anomaly_daily_zscore by corpus_fate_manifest;
+    # ann_lsh_bucketed by lang_label_noise_audit;
     # remaining r05 cohort: the displaced names + user_value_trend,
     # vocab_growth, zorder_layout_stats wait for r09 with the r06
     # cohort).
@@ -191,7 +195,6 @@ DRIVER_PRIORITY: list[str] = [
     "ab_test_significance",
     "activity_streaks",
     "ann_ivf",
-    "ann_lsh_bucketed",
 ]
 
 

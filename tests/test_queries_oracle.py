@@ -437,3 +437,35 @@ def test_corpus_fate_manifest_consistent_with_standalone_ops(spark, sf_oracle):
             assert cont[did] and r.n_contaminated > 0
         if r.fate == "kept":
             assert not cont.get(did, False)
+
+
+def test_lang_label_noise_audit_consistent_with_lang_id(spark, sf_oracle):
+    """The audit's agreement counts must equal a direct rollup of the
+    shipped lang_id detector's output — same heuristic, same cells."""
+    from collections import Counter
+
+    from dungbeetle_spark.operators.text import (
+        lang_id,
+        lang_label_noise_audit,
+    )
+    from dungbeetle_spark.sources.catalog import load_tables
+
+    src = {
+        r.doc_id: r.source
+        for r in load_tables(spark, sf_oracle)["documents"]
+        .select("doc_id", "source")
+        .collect()
+    }
+    n, agree = Counter(), Counter()
+    for r in lang_id(spark, sf_oracle).collect():
+        cell = (src[r.doc_id], r.labeled_lang)
+        n[cell] += 1
+        if r.guessed_lang == r.labeled_lang:
+            agree[cell] += 1
+    audit = lang_label_noise_audit(spark, sf_oracle).collect()
+    assert len(audit) == len(n)
+    for r in audit:
+        cell = (r.source, r.labeled_lang)
+        assert (r.n_docs, r.n_agree) == (n[cell], agree[cell])
+        if r.n_agree == r.n_docs:
+            assert r.top_mislabel == "none"

@@ -58,6 +58,7 @@ NEVER_VERIFIED: list[str] = [
     "bpe_compression_by_source",  # new in r08
     "cross_source_ce_matrix",  # new in r08
     "corpus_fate_manifest",  # new in r08
+    "lang_label_noise_audit",  # new in r08
 ]
 
 # Operators whose code or oracle changed in round 8.
@@ -69,8 +70,8 @@ CHANGED_THIS_ROUND: list[str] = [
 
 # The r08 rotation (VERDICT r07 item 3): pure staleness repayment —
 # the 6 queries whose last green row is r04 (displaced from the r07
-# window by the new>stale rule) plus the 4 oldest r05 greens, all
-# code-unchanged (the cohort shrank from 44 as the 34 late-r08
+# window by the new>stale rule) plus the 3 oldest r05 greens, all
+# code-unchanged (the cohort shrank from 44 as the 35 late-r08
 # queries displaced its tail). user_value_trend, vocab_growth and
 # zorder_layout_stats wait at the front of the r09 queue with the
 # displaced names below; the local oracle suite still re-verifies
@@ -85,7 +86,6 @@ ROTATED_IN_R08 = [
     "ab_test_significance",
     "activity_streaks",
     "ann_ivf",
-    "ann_lsh_bucketed",
     # displaced to r09 (new/changed > stale): unpivot_user_metrics by
     # multimodal_real_decode; streaming_quality_filter /
     # timeseries_topk_similar_users / triangle_cohorts /
@@ -120,7 +120,8 @@ ROTATED_IN_R08 = [
     # cross_source_overlap_matrix by quality_gate_shadow_audit;
     # collated_event_type_counts by bpe_compression_by_source;
     # bitmap_distinct_users by cross_source_ce_matrix;
-    # anomaly_daily_zscore by corpus_fate_manifest
+    # anomaly_daily_zscore by corpus_fate_manifest;
+    # ann_lsh_bucketed by lang_label_noise_audit
 ]
 
 

@@ -104,6 +104,7 @@ SWEEP_OPS = [
     ("bpe_compression_by_source", None),  # learn + vocab-grain apply
     ("cross_source_ce_matrix", None),  # word-keyed self-join: vocab grain
     ("corpus_fate_manifest", None),  # staged scans, md5 agg, bcast grams
+    ("lang_label_noise_audit", None),  # codegen detector + cell rollups
 ]
 
 # Sub-factor ladder for capped operators: when the requested factor
