@@ -1064,7 +1064,7 @@ _SHARD_TARGET_CHARS = 8192  # target payload per exported shard
     ),
     assign AS (
       SELECT doc_id, n_chars,
-             cum_before // {_SHARD_TARGET_CHARS} AS shard_id
+             CAST(cum_before // {_SHARD_TARGET_CHARS} AS BIGINT) AS shard_id
       FROM c
     )
     SELECT shard_id,
@@ -1503,11 +1503,11 @@ _ILV_SHIFT = 2**60 // _ILV_SHARDS  # order keys are 60-bit md5 prefixes
     )
     SELECT p.shard_id, p.n_docs, p.same_adj,
            p.same_adj * 1000000 // (p.n_docs - 1) AS obs_same_ppm,
-           e.pairs_same * 1000000 // (p.n_docs * (p.n_docs - 1))
-             AS exp_same_ppm,
-           p.same_adj * 1000000 // (p.n_docs - 1)
+           CAST(e.pairs_same * 1000000 // (p.n_docs * (p.n_docs - 1))
+             AS BIGINT) AS exp_same_ppm,
+           CAST(p.same_adj * 1000000 // (p.n_docs - 1)
              - e.pairs_same * 1000000 // (p.n_docs * (p.n_docs - 1))
-             AS excess_ppm,
+             AS BIGINT) AS excess_ppm,
            CAST((SELECT MAX(len) FROM run_len r
                  WHERE r.shard_id = p.shard_id) AS BIGINT) AS max_run
     FROM per_shard p JOIN expected e USING (shard_id)

@@ -2190,10 +2190,10 @@ def quality_gate_shadow_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(SUM(o.cnt) AS BIGINT) AS n_words,
            CAST(SUM(o.cnt * length(o.word)) AS BIGINT) AS n_chars,
            CAST(SUM(o.cnt * t.n_syms) AS BIGINT) AS n_tokens,
-           SUM(o.cnt * length(o.word)) * 1000000 // SUM(o.cnt * t.n_syms)
-             AS chars_per_token_ppm,
-           SUM(o.cnt * t.n_syms) * 1000000 // SUM(o.cnt)
-             AS fertility_ppm
+           CAST(SUM(o.cnt * length(o.word)) * 1000000
+             // SUM(o.cnt * t.n_syms) AS BIGINT) AS chars_per_token_ppm,
+           CAST(SUM(o.cnt * t.n_syms) * 1000000 // SUM(o.cnt)
+             AS BIGINT) AS fertility_ppm
     FROM occ o JOIN vt t USING (word)
     GROUP BY o.source
     """,

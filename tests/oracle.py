@@ -57,6 +57,15 @@ def compare(spark_df, con: duckdb.DuckDBPyConnection, oracle: str) -> int:
     s_rows = [tuple(r) for r in spark_df.collect()]
     rel = con.sql(oracle)
     d_cols = [c.lower() for c in rel.columns]
+    # The driver's hasher canonicalizes HUGEINT (int128) through a
+    # different path than BIGINT and hash-mismatches even on equal
+    # values (the r08 shard_plan/bpe_compression class). Any oracle
+    # emitting HUGEINT must CAST(... AS BIGINT) explicitly.
+    hugeint = [c for c, t in zip(rel.columns, rel.types) if str(t) == "HUGEINT"]
+    assert not hugeint, (
+        f"oracle emits HUGEINT columns {hugeint}; wrap in CAST(... AS BIGINT) "
+        "— the driver's hasher canonicalizes int128 differently than int64"
+    )
     d_rows = rel.fetchall()
     assert sorted(s_cols) == sorted(d_cols), f"columns differ: {s_cols} vs {d_cols}"
     assert len(s_rows) == len(d_rows), f"row count differs: {len(s_rows)} vs {len(d_rows)}"
