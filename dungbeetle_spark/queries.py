@@ -20,6 +20,9 @@ bit-stable; everything else is).
 
 from __future__ import annotations
 
+import json
+import os
+import re
 from collections.abc import Callable
 from dataclasses import dataclass
 
@@ -53,155 +56,87 @@ def query(name: str, oracle: str | None = None, doc: str = ""):
 
 
 # The driver's CORRECTNESS harness verifies the FIRST 50 registry
-# entries per round (registration order). This list pins which queries
-# occupy that window: queries that have never had a driver row, then
-# queries whose code changed this round, then queries verified only
-# once (r01), so that over rounds every oracle-backed query earns at
-# least one green driver row. Names not listed follow in registration
-# order; unknown names here are an error (caught by tests).
-DRIVER_PRIORITY: list[str] = [
-    # -- r08 window ---------------------------------------------------
-    # Rotation rule: new/changed queries first, then stalest greens.
-    # changed this round -- MUST re-verify:
-    # multimodal_real_decode's decode pass was refactored onto the
-    # shared media_features dispatcher (one feature contract for the
-    # BMP/WAV hand parsers and the pillow-gated compressed path,
-    # VERDICT r07 item 5).
-    "multimodal_real_decode",
-    # new in r08 -- never verified (VERDICT r07 item 6):
-    "url_canonicalize",
-    "epoch_ngram_novelty",
-    "longest_dup_substring",
-    # new in r08, continued -- winnowing (MOSS) fingerprints and the
-    # snapshot-version diff audit:
-    "winnowing_fingerprints",
-    "corpus_snapshot_diff",
-    "embedding_drift_by_epoch",
+# entries per round (registration order). Since r09 that window is
+# COMPUTED, not hand-rotated: ``NEW_OR_CHANGED`` below is the only
+# hand-maintained list (queries added this round, or whose Spark code
+# or oracle SQL materially changed), and ``driver_priority()`` ranks
+# everything else from the recorded CORRECTNESS_r*.json driver rows —
+# never-green first, then oldest-green, name as the tie-break. Adding
+# or changing a query therefore touches exactly this one list; the
+# stale-repayment rotation happens by construction every round.
+NEW_OR_CHANGED: list[str] = [
+    # r09: oracle SQL changed — the three r08 driver-hash-red queries
+    # whose DuckDB oracles emitted HUGEINT columns, now CAST to BIGINT
+    # (value-correct all along; the driver hasher canonicalizes int128
+    # differently than int64).
     "shard_plan",
-    "quality_threshold_calibration",
-    "ann_recall_calibration",
-    "length_matched_controls",
-    "contamination_attribution",
-    # new in r08, final batch -- the LLM-pipeline cleaning quartet:
-    "boilerplate_lines",
-    "script_mix_profile",
-    "tokenizer_fertility",
-    "context_window_waste",
-    # new in r08, eval-hygiene pair:
-    "split_leakage_audit",
-    "rare_token_retention",
-    # new in r08, ingest/curation trio -- incremental near-dup, the
-    # Zipf/hapax spectrum audit, contrastive hard-negative mining:
-    "dedup_minhash_incremental",
-    "token_freq_spectrum",
-    "hard_negative_mining",
-    # new in r08 -- the streaming twin of the incremental gate:
-    "streaming_minhash_ingest_gate",
-    # new in r08 -- the curation pair: paragraph-level exact dedup and
-    # the leave-one-out centroid embedding outlier filter:
-    "paragraph_dedup",
-    "embedding_outlier_prune",
-    # new in r08 -- the DoReMi-style per-source distributional audit:
-    "kl_divergence_by_source",
-    # new in r08 -- floor-log2 PMI collocation extraction:
-    "pmi_collocations",
-    # new in r08 -- within-doc code-switching segmentation:
-    "lang_segments",
-    # new in r08 -- perceptual-hash image near-dup over the real
-    # decode path (banded aHash, min-id canonicalization):
-    "image_phash_dedup",
-    # new in r08 -- the audio twin: frame energy/ZCR fingerprint over
-    # the real WAV decode path, same banded-canonical skeleton:
-    "audio_fingerprint_dedup",
-    # new in r08 -- interleave-quality audit of the shuffled training
-    # order (observed vs exact-permutation same-source adjacency):
     "shard_interleave_audit",
-    # new in r08 -- explicit HLL register table: per-day cardinality
-    # sketches max-merged to the 'ALL' rollup, integer-exact cells:
-    "hll_register_sketch",
-    # new in r08 -- template/form-letter cluster detection (shape
-    # collapse: the near-dup class slot values hide from minhash):
-    "template_spam_clusters",
-    # new in r08 -- pagination-split reassembly with provable recall
-    # (planted overlap splits, boundary-hash stitch join):
-    "split_doc_stitch",
-    # new in r08 -- streaming twin of the HLL sketch: foreachBatch
-    # max-merge of per-batch partial registers into the snapshot MV:
-    "streaming_hll_registers",
-    # new in r08 -- distributed BPE tokenizer training (first-K merge
-    # ranks; pair-count shuffles at vocabulary grain):
-    "bpe_merge_ranks",
-    # new in r08 -- LSH banding planner: measured candidate counts +
-    # exact-rational S-curve per (bands x rows) layout:
-    "lsh_band_planner",
-    # new in r08 -- shadow audit of a quality-gate revision (v1 = the
-    # deployed funnel constants, v2 candidate; flip confusion/source):
-    "quality_gate_shadow_audit",
-    # new in r08 -- BPE train-then-apply: per-source compression /
-    # fertility under the corpus-learned merge table:
     "bpe_compression_by_source",
-    # new in r08 -- pairwise domain-similarity matrix: every source
-    # scored under every source's smoothed unigram model (floored bits):
-    "cross_source_ce_matrix",
-    # new in r08 -- the composed end-to-end ingest decision per doc
-    # (eval carve-out -> quality -> dedup -> decontamination):
-    "corpus_fate_manifest",
-    # new in r08 -- label-noise QA: provided lang labels vs the
-    # shipped detector, disagreement ppm + dominant conflict per cell:
-    "lang_label_noise_audit",
-    # Then staleness repayment (VERDICT r07 item 3): the 6 queries
-    # whose last green driver row is r04, followed by the oldest r05
-    # greens. New/changed r08 queries are inserted at the TOP of this
-    # list as they land, each displacing the last r05 entry
-    # (displaced so far: unpivot_user_metrics, streaming_quality_
-    # filter, timeseries_topk_similar_users, triangle_cohorts,
-    # sequence_pack, source_lang_drift, semdedup,
-    # scd2_user_type_history, repetition_stats, recursive_daily_spine,
-    # quality_filter_funnel, q12_shipping_delay, pareto_revenue_share,
-    # pagerank_trade_graph, ordered_set_event_stats,
-    # multimodal_feature_stats, listagg_nation_suppliers,
-    # lateral_topk_orders, join_cardinality_forecast,
-    # join_skew_profile, kmeans_clusters, interevent_gap_histogram;
-    # incremental_agg_maintenance / integrity_audit by the curation
-    # pair (paragraph_dedup, embedding_outlier_prune);
-    # hybrid_rrf_retrieval by kl_divergence_by_source;
-    # fuzzy_join_customers by pmi_collocations;
-    # funnel_time_bounded by lang_segments;
-    # frequent_item_pairs by image_phash_dedup;
-    # events_variant_stats by audio_fingerprint_dedup;
-    # event_transition_matrix by shard_interleave_audit;
-    # dsir_importance_weights by hll_register_sketch;
-    # dedup_simhash by template_spam_clusters;
-    # dedup_minhash_lsh by split_doc_stitch;
-    # dedup_exact_substring by streaming_hll_registers;
-    # dedup_embedding_cosine by bpe_merge_ranks;
-    # dedup_canonical_keep by lsh_band_planner;
-    # cross_source_overlap_matrix by quality_gate_shadow_audit;
-    # collated_event_type_counts by bpe_compression_by_source;
-    # bitmap_distinct_users by cross_source_ce_matrix;
-    # anomaly_daily_zscore by corpus_fate_manifest;
-    # ann_lsh_bucketed by lang_label_noise_audit;
-    # remaining r05 cohort: the displaced names + user_value_trend,
-    # vocab_growth, zorder_layout_stats wait for r09 with the r06
-    # cohort).
-    # last green r04:
-    "cube_order_stats",
-    "doc_fingerprint",
-    "lang_id",
-    "quality_score",
-    "token_count",
-    "token_length_histogram",
-    # last green r05 (oldest 17 of 47, alphabetical):
-    "ab_test_significance",
-    "activity_streaks",
-    "ann_ivf",
 ]
 
 
-def registry() -> dict[str, QuerySpec]:
-    """All registered specs (imports operator modules for side effects),
-    ordered DRIVER_PRIORITY-first so the driver's 50-entry correctness
-    window lands on the queries that most need a verification row."""
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _green_rows(path: str) -> set[str]:
+    """Names with a full (rows+schema+hash) green row in one recorded
+    CORRECTNESS_r*.json driver artifact."""
+    with open(path) as f:
+        data = json.load(f)
+    return {
+        name
+        for name, row in data.items()
+        if isinstance(row, dict)
+        and row.get("rows_match")
+        and row.get("schema_match")
+        and row.get("hash_match")
+    }
+
+
+def last_green_by_query(
+    names: list[str] | None = None, repo: str = _REPO_ROOT
+) -> dict[str, int | None]:
+    """query -> latest round with a full hash-green driver row (None =
+    never driver-verified green). Single source of truth for the
+    window rotation: ``driver_priority()``, ``tools/window_rotation.py``
+    and ``tests/test_registry_window.py`` all read this."""
+    if names is None:
+        _import_operator_modules()
+        names = list(_REGISTRY)
+    rounds: dict[int, set[str]] = {}
+    for fn in os.listdir(repo):
+        m = re.fullmatch(r"CORRECTNESS_r(\d+)\.json", fn)
+        if m:
+            rounds[int(m.group(1))] = _green_rows(os.path.join(repo, fn))
+    last: dict[str, int | None] = {name: None for name in names}
+    for rnd in sorted(rounds):
+        for name in rounds[rnd]:
+            if name in last:
+                last[name] = rnd
+    return last
+
+
+def driver_priority() -> list[str]:
+    """The full registry ordering: NEW_OR_CHANGED first (hand order),
+    then every other query ranked stalest-first from the recorded
+    driver rows. Deterministic given the artifact files; with no
+    artifacts present (fresh clone) it degrades to NEW_OR_CHANGED +
+    alphabetical."""
+    _import_operator_modules()
+    unknown = [n for n in NEW_OR_CHANGED if n not in _REGISTRY]
+    if unknown:
+        raise ValueError(f"NEW_OR_CHANGED names not in registry: {unknown}")
+    last = last_green_by_query()
+    head = list(dict.fromkeys(NEW_OR_CHANGED))
+    rest = sorted(
+        (n for n in _REGISTRY if n not in set(head)),
+        key=lambda n: (last[n] is not None, last[n] or 0, n),
+    )
+    return head + rest
+
+
+def _import_operator_modules() -> None:
+    """Import every operator module for its @query side effects."""
     import dungbeetle_spark.operators.analytic  # noqa: F401
     import dungbeetle_spark.operators.curation  # noqa: F401
     import dungbeetle_spark.operators.dedup  # noqa: F401
@@ -218,18 +153,13 @@ def registry() -> dict[str, QuerySpec]:
     import dungbeetle_spark.streaming.upsert  # noqa: F401
     import dungbeetle_spark.streaming.windows  # noqa: F401
 
-    ordered: dict[str, QuerySpec] = {}
-    for name in DRIVER_PRIORITY:
-        spec = _REGISTRY.get(name)
-        if spec is not None:
-            ordered[name] = spec
-    # Remainder sorted by name: raw registration order depends on which
-    # module a caller happened to import first, and the driver's
-    # 50-entry window must not move with import accidents.
-    for name in sorted(_REGISTRY):
-        if name not in ordered:
-            ordered[name] = _REGISTRY[name]
-    return ordered
+
+def registry() -> dict[str, QuerySpec]:
+    """All registered specs, ordered by ``driver_priority()`` so the
+    driver's 50-entry correctness window lands on the queries that
+    most need a verification row."""
+    _import_operator_modules()
+    return {name: _REGISTRY[name] for name in driver_priority()}
 
 
 def _t(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:

@@ -1,11 +1,11 @@
 """Driver-window rotation report.
 
-Reads every recorded CORRECTNESS_r*.json and computes, per registry
-query, the most recent round with a fully green driver row (rows +
-schema + hash). Prints the staleness ranking the next round's
-DRIVER_PRIORITY rotation should follow: never-verified first, then
-oldest-green — with the standing rule that new/changed queries always
-take window slots before stale re-verifies.
+Since r09 the rotation itself is computed inside the registry
+(``queries.driver_priority()`` — NEW_OR_CHANGED first, then
+stalest-green from the recorded CORRECTNESS_r*.json rows); this tool
+is now a pure report over that single source of truth: it prints the
+last-green distribution and the exact window the driver will verify
+next round.
 
 Usage: python tools/window_rotation.py [--window 50]
 """
@@ -13,46 +13,16 @@ Usage: python tools/window_rotation.py [--window 50]
 from __future__ import annotations
 
 import argparse
-import json
 import os
-import re
 import sys
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
-REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-
-
-def green_rows(path: str) -> set[str]:
-    with open(path) as f:
-        data = json.load(f)
-    out = set()
-    for name, row in data.items():
-        if not isinstance(row, dict):
-            continue
-        if row.get("rows_match") and row.get("schema_match") and row.get(
-            "hash_match"
-        ):
-            out.add(name)
-    return out
-
-
-def last_green_by_query(repo: str = REPO) -> dict[str, int | None]:
-    """query -> latest round with a full hash-green driver row (None =
-    never driver-verified green)."""
-    rounds: dict[int, set[str]] = {}
-    for fn in os.listdir(repo):
-        m = re.fullmatch(r"CORRECTNESS_r(\d+)\.json", fn)
-        if m:
-            rounds[int(m.group(1))] = green_rows(os.path.join(repo, fn))
-    from dungbeetle_spark.queries import registry
-
-    last: dict[str, int | None] = {name: None for name in registry()}
-    for rnd in sorted(rounds):
-        for name in rounds[rnd]:
-            if name in last:
-                last[name] = rnd
-    return last
+from dungbeetle_spark.queries import (  # noqa: E402
+    NEW_OR_CHANGED,
+    driver_priority,
+    last_green_by_query,
+)
 
 
 def main() -> None:
@@ -67,15 +37,12 @@ def main() -> None:
     for rnd in sorted(by_round, key=lambda r: (r is not None, r)):
         label = "never" if rnd is None else f"r{rnd:02d}"
         print(f"  {label}: {len(by_round[rnd])}")
-    ranked = sorted(
-        last, key=lambda n: (last[n] is not None, last[n] or 0, n)
-    )
-    print(f"\nnext-window suggestion (staleness top {args.window};")
-    print("new/changed queries must still displace from the front):")
-    for name in ranked[: args.window]:
+    print(f"\ncomputed driver window (first {args.window} of registry):")
+    for name in driver_priority()[: args.window]:
         rnd = last[name]
         label = "never" if rnd is None else f"r{rnd:02d}"
-        print(f"  {label}  {name}")
+        tag = "  [new/changed]" if name in NEW_OR_CHANGED else ""
+        print(f"  {label}  {name}{tag}")
 
 
 if __name__ == "__main__":
