@@ -1857,7 +1857,13 @@ def _bpe_learn(spark: SparkSession, sf_dir: str) -> list[tuple]:
             .groupBy("pair")
             .agg(F.sum("freq").alias("cnt"))
         )
-        best = counts.orderBy(F.desc("cnt"), F.asc("pair")).limit(1).collect()[0]
+        rows = counts.orderBy(F.desc("cnt"), F.asc("pair")).limit(1).collect()
+        if not rows:
+            # Degenerate corpus: no word of length >= 2 survives, so
+            # there is no pair to merge — stop with the merges learned
+            # so far rather than raising an opaque IndexError.
+            break
+        best = rows[0]
         merges.append((rank, best["pair"], best["pair"].replace(" ", ""), best["cnt"]))
         if rank < _BPE_MERGES:
             # pair text is [a-z0-9 ] only (token alphabet), safe to inline
