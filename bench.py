@@ -203,6 +203,16 @@ CANARY_ANCHORS = CANARY_R07
 
 _REGRESSION_RATIO = 1.5  # normalized per-query ratio that flags
 
+# Sub-second queries are scheduler-noise-dominated at sf0.1 (38 of 101
+# headline queries ran <0.6 s in r08; two of the three regression
+# flags across r07/r08 were interference artifacts on this class).
+# Queries under this normalized floor on BOTH sides of a comparison
+# are exempt from the per-query 1.5x guard and instead guarded as ONE
+# pooled total, where the noise averages out (VERDICT r08 item 7). A
+# genuine blow-up of a tiny query (0.3 s -> 2 s) still lands above the
+# floor on the new side, so it keeps its individual flag.
+_NOISE_FLOOR_SEC = 0.6
+
 
 def _median_host_factor(timings: dict[str, float]) -> float | None:
     """host_factor under the r05+ median method, from any run's
@@ -311,15 +321,24 @@ def _compare_block(timings: dict[str, float], host_factor: float | None,
         salvaged = bool(old_timings)
     old_factor = _median_host_factor(old_timings)
     ratios: dict[str, float] = {}
+    pooled: list[str] = []
+    pool_new = pool_old = 0.0
     for name, new_sec in timings.items():
         old_sec = old_timings.get(name)
         if not old_sec or not old_factor or not host_factor:
             continue
-        ratios[name] = round(
-            (new_sec / host_factor) / (old_sec / old_factor), 3
-        )
+        new_norm, old_norm = new_sec / host_factor, old_sec / old_factor
+        ratios[name] = round(new_norm / old_norm, 3)
+        if max(new_norm, old_norm) < _NOISE_FLOOR_SEC:
+            pooled.append(name)
+            pool_new += new_norm
+            pool_old += old_norm
     regressions = sorted(
-        (name for name, r in ratios.items() if r > _REGRESSION_RATIO),
+        (
+            name
+            for name, r in ratios.items()
+            if r > _REGRESSION_RATIO and name not in set(pooled)
+        ),
         key=lambda n: -ratios[n],
     )
     block = {
@@ -331,6 +350,18 @@ def _compare_block(timings: dict[str, float], host_factor: float | None,
         "normalized_ratios": ratios,
         "regression_threshold": _REGRESSION_RATIO,
         "regressions": regressions,
+        "noise_floor_sec": _NOISE_FLOOR_SEC,
+        "subsecond_pool": {
+            "n": len(pooled),
+            "new_norm_sec": round(pool_new, 3),
+            "old_norm_sec": round(pool_old, 3),
+            "ratio": (
+                round(pool_new / pool_old, 3) if pool_old else None
+            ),
+            "regressed": bool(
+                pool_old and pool_new / pool_old > _REGRESSION_RATIO
+            ),
+        },
     }
     known = {n: _KNOWN_REGRESSIONS[n] for n in regressions
              if n in _KNOWN_REGRESSIONS}
@@ -449,7 +480,7 @@ def archive_full_records(repo_dir: str) -> list[str]:
 _STDOUT_LINE_BUDGET = 1600
 
 
-def emit_bench_line(out: dict) -> str:
+def emit_bench_line(out: dict, full_name: str = "BENCH_FULL.json") -> str:
     """Serialize the bench result for stdout — ALWAYS the compact form.
 
     The per-query dict, per-query compare ratios, and canary anchor
@@ -463,14 +494,17 @@ def emit_bench_line(out: dict) -> str:
     """
     slim = dict(out)
     slim["n_queries"] = len(slim.get("queries") or {})
-    slim["queries_file"] = "BENCH_FULL.json"
+    slim["queries_file"] = full_name
     slim.pop("queries", None)
+    slim.pop("query_spread_stddev", None)
     cmp_full = slim.pop("compare", None)
     if cmp_full is not None:
         ratios = cmp_full.get("normalized_ratios") or {}
         vals = sorted(ratios.values())
         slim["compare"] = {
-            k: v for k, v in cmp_full.items() if k != "normalized_ratios"
+            k: v
+            for k, v in cmp_full.items()
+            if k not in ("normalized_ratios", "regression_checks")
         }
         slim["compare"]["n_compared"] = len(vals)
         if vals:
@@ -484,7 +518,7 @@ def emit_bench_line(out: dict) -> str:
     if len(line) <= _STDOUT_LINE_BUDGET:
         return line
     slim.pop("compare", None)
-    slim["compare_file"] = "BENCH_FULL.json"
+    slim["compare_file"] = full_name
     return json.dumps(slim)
 
 
@@ -560,6 +594,14 @@ def main() -> None:
             ).save()
             runs[name].append(time.perf_counter() - t0)
     timings = {name: round(min(ts), 3) for name, ts in runs.items()}
+    # Repeat-run spread (population stddev of the 3 interleaved
+    # samples): the per-round record of which queries sit in scheduler
+    # noise — recorded once in BENCH_FULL (VERDICT r08 item 7).
+    import statistics
+
+    spread = {
+        name: round(statistics.pstdev(ts), 3) for name, ts in runs.items()
+    }
 
     total = round(sum(timings.values()), 3)
     host_factor = _median_host_factor(timings)
@@ -590,6 +632,46 @@ def main() -> None:
             compare = {"against": os.path.basename(against),
                        "error": str(ex)[:200]}
 
+    # Self-verifying regression guard (VERDICT r08 item 3): both
+    # guard flags across r07/r08 (char_bigram_surprisal, dedup_exact)
+    # were batch-interference artifacts that an isolated re-run
+    # cleared. Any flagged query is re-timed alone — 3 consecutive
+    # runs with nothing else on the session — and only a flag the
+    # isolated minimum CONFIRMS stays in `regressions`; both numbers
+    # are recorded either way. The re-run stays in-session
+    # deliberately: a fresh JVM would re-pay codegen/JIT warmup and
+    # bias toward false confirmation.
+    if compare and compare.get("regressions"):
+        checks: dict[str, dict] = {}
+        confirmed: list[str] = []
+        for name in compare["regressions"]:
+            iso: list[float] = []
+            for _ in range(3):
+                t0 = time.perf_counter()
+                specs[name].build(spark, sf_dir).write.mode(
+                    "overwrite"
+                ).format("noop").save()
+                iso.append(time.perf_counter() - t0)
+            isolated = round(min(iso), 3)
+            batch = timings[name]
+            batch_ratio = compare["normalized_ratios"][name]
+            # ratio is linear in new_sec, so rescale instead of
+            # re-deriving old_sec/old_factor
+            iso_ratio = round(batch_ratio * min(isolated, batch) / batch, 3)
+            is_real = iso_ratio > _REGRESSION_RATIO
+            checks[name] = {
+                "batch_sec": batch,
+                "isolated_sec": isolated,
+                "batch_ratio": batch_ratio,
+                "isolated_ratio": iso_ratio,
+                "confirmed": is_real,
+            }
+            if is_real:
+                confirmed.append(name)
+        compare["flagged_batch"] = compare["regressions"]
+        compare["regression_checks"] = checks
+        compare["regressions"] = confirmed
+
     out = {
         "metric": "headline_queries_total_wall",
         "value": total,
@@ -613,6 +695,7 @@ def main() -> None:
         "normalized_total": (
             round(total / host_factor, 3) if host_factor else None
         ),
+        "query_spread_stddev": spread,
     }
     if compare is not None:
         out["compare"] = compare
@@ -621,15 +704,19 @@ def main() -> None:
     # to a file — the driver's stdout capture is bounded (~4 KB: the
     # r06 run's single 4.3 KB line was cut mid-line, BENCH_r06.json
     # "parsed": null), so stdout gets exactly one slim line kept under
-    # that cap by emit_bench_line's progressive size guard.
+    # that cap by emit_bench_line's progressive size guard. A
+    # SPARK_GRAFT_BENCH_QUERIES subset run writes a sidecar instead:
+    # clobbering the only full record of the last complete run with a
+    # 3-query iteration file broke the r08 cross-round compare once.
+    full_name = "BENCH_FULL_SUBSET.json" if subset else "BENCH_FULL.json"
     try:
-        with open(os.path.join(repo_dir, "BENCH_FULL.json"), "w") as f:
+        with open(os.path.join(repo_dir, full_name), "w") as f:
             json.dump(out, f, indent=1)
             f.write("\n")
     except OSError as ex:
         print(f"warning: could not write BENCH_FULL.json: {ex}",
               file=sys.stderr)
-    print(emit_bench_line(out))
+    print(emit_bench_line(out, full_name))
 
 
 if __name__ == "__main__":

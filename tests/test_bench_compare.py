@@ -268,3 +268,82 @@ def test_known_regression_annotation_attaches_only_when_flagged(tmp_path):
     # below-threshold run: no annotation even for a listed query
     block2 = bench._compare_block(old_timings, 1.0, str(old))
     assert "known_regressions" not in block2
+
+
+def test_subsecond_queries_pool_instead_of_flagging(tmp_path):
+    """A query under the noise floor on both sides is exempt from the
+    per-query 1.5x guard even at a 2x ratio (scheduler noise class,
+    VERDICT r08 item 7); its time lands in the pooled figure. A tiny
+    query that blows up PAST the floor still flags individually."""
+    old_timings = {name: r for name, r in bench.CANARY_ANCHORS.items()}
+    old_timings["tiny_noisy"] = 0.2      # 0.2 -> 0.4: both < floor
+    old_timings["tiny_blowup"] = 0.3     # 0.3 -> 2.0: new side > floor
+    old_timings["steady_query"] = 1.0
+    old = tmp_path / "BENCH_r98.json"
+    old.write_text(json.dumps({"queries": old_timings, "canary": {}}))
+    new_timings = {name: r for name, r in bench.CANARY_ANCHORS.items()}
+    new_timings["tiny_noisy"] = 0.4
+    new_timings["tiny_blowup"] = 2.0
+    new_timings["steady_query"] = 1.0
+    hf = bench._median_host_factor(new_timings)  # 1.0: anchors unchanged
+    block = bench._compare_block(new_timings, hf, str(old))
+    assert block["normalized_ratios"]["tiny_noisy"] == 2.0
+    assert "tiny_noisy" not in block["regressions"]
+    assert "tiny_blowup" in block["regressions"]
+    pool = block["subsecond_pool"]
+    assert pool["n"] >= 1 and pool["ratio"] is not None
+    assert block["noise_floor_sec"] == bench._NOISE_FLOOR_SEC
+
+
+def test_subsecond_pool_regression_flag(tmp_path):
+    """If the pooled sub-second total itself crosses the threshold,
+    the pool carries its own regressed flag — broad slowdowns of the
+    noise class are still caught, just not query-by-query."""
+    old_timings = dict(bench.CANARY_ANCHORS)
+    new_timings = dict(bench.CANARY_ANCHORS)
+    for i in range(10):
+        old_timings[f"tiny_{i}"] = 0.2
+        new_timings[f"tiny_{i}"] = 0.45  # 2.25x each, all under floor
+    old = tmp_path / "BENCH_r98.json"
+    old.write_text(json.dumps({"queries": old_timings, "canary": {}}))
+    hf = bench._median_host_factor(new_timings)
+    block = bench._compare_block(new_timings, hf, str(old))
+    assert block["regressions"] == []
+    assert block["subsecond_pool"]["regressed"] is True
+
+
+def test_emit_bench_line_drops_bulk_fields():
+    """query_spread_stddev and per-flag regression_checks belong to
+    BENCH_FULL only; the stdout line must stay under the capture
+    budget with them stripped."""
+    out = {
+        "metric": "headline_queries_total_wall",
+        "value": 1.0,
+        "unit": "sec",
+        "queries": {f"q{i}": 0.1 for i in range(120)},
+        "query_spread_stddev": {f"q{i}": 0.01 for i in range(120)},
+        "sf": 0.1,
+        "canary": {"host_factor": 1.0},
+        "normalized_total": 1.0,
+        "compare": {
+            "against": "BENCH_r08.json",
+            "normalized_ratios": {f"q{i}": 1.0 for i in range(120)},
+            "regressions": ["q1"],
+            "flagged_batch": ["q1", "q2"],
+            "regression_checks": {
+                "q1": {"batch_sec": 1, "isolated_sec": 1,
+                       "batch_ratio": 2.0, "isolated_ratio": 2.0,
+                       "confirmed": True},
+            },
+            "subsecond_pool": {"n": 3, "new_norm_sec": 1.0,
+                               "old_norm_sec": 1.0, "ratio": 1.0,
+                               "regressed": False},
+        },
+    }
+    line = bench.emit_bench_line(out)
+    assert len(line) <= bench._STDOUT_LINE_BUDGET
+    parsed = json.loads(line)
+    assert "query_spread_stddev" not in parsed
+    assert "regression_checks" not in parsed.get("compare", {})
+    assert parsed["compare"]["regressions"] == ["q1"]
+    assert parsed["compare"]["subsecond_pool"]["n"] == 3
