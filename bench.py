@@ -159,6 +159,8 @@ HEADLINE = [
     "corpus_fate_manifest",
     # r08: provided-label vs detector language QA audit
     "lang_label_noise_audit",
+    # r09: duplicated-span removal rewrite (repaired text + audit)
+    "dedup_span_repair",
 ]
 
 # Host-drift canary (ADVICE r04: one hardcoded-anchor query is noisy

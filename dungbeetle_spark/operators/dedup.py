@@ -1052,6 +1052,207 @@ def dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dedup_span_repair",
+    oracle=f"""
+    WITH seeded AS (
+      SELECT doc_id,
+             text || CASE WHEN doc_id % {_SPAN_PLANT_MOD} = 0
+                          THEN '{_SPAN_PASSAGE}' ELSE '' END AS text
+      FROM documents),
+    wins AS (
+      SELECT doc_id, i, substr(text, CAST(i AS INT), {_SPAN_L}) AS w
+      FROM seeded,
+           unnest(range(1, greatest(length(text) - {_SPAN_L - 1}, 0) + 1))
+             AS u(i)),
+    marked AS (
+      SELECT doc_id, i,
+             MIN(doc_id) OVER (PARTITION BY w) AS d_min,
+             MAX(doc_id) OVER (PARTITION BY w) AS d_max,
+             ROW_NUMBER() OVER (PARTITION BY w ORDER BY doc_id, i) AS rn
+      FROM wins),
+    rem AS (
+      SELECT doc_id, i FROM marked WHERE d_min <> d_max AND rn > 1),
+    isl AS (
+      SELECT doc_id, i,
+             CASE WHEN i > COALESCE(MAX(i + {_SPAN_L - 1}) OVER (
+                    PARTITION BY doc_id ORDER BY i
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                  -{_SPAN_L}) + 1
+                  THEN 1 ELSE 0 END AS new_isl
+      FROM rem),
+    isl2 AS (
+      SELECT doc_id, i,
+             SUM(new_isl) OVER (PARTITION BY doc_id ORDER BY i) AS isl_id
+      FROM isl),
+    spans AS (
+      SELECT doc_id, isl_id, MIN(i) AS s, MAX(i) + {_SPAN_L - 1} AS e
+      FROM isl2 GROUP BY 1, 2),
+    gap_src AS (
+      SELECT doc_id,
+             COALESCE(LAG(e) OVER (PARTITION BY doc_id ORDER BY s), 0) + 1
+               AS gs,
+             s - 1 AS ge
+      FROM spans
+      UNION ALL
+      SELECT sp.doc_id, MAX(sp.e) + 1 AS gs, MAX(length(sd.text)) AS ge
+      FROM spans sp JOIN seeded sd USING (doc_id)
+      GROUP BY sp.doc_id),
+    rep AS (
+      SELECT g.doc_id,
+             string_agg(substr(d.text, CAST(g.gs AS INT),
+                               CAST(g.ge - g.gs + 1 AS INT)),
+                        '' ORDER BY g.gs) AS repaired
+      FROM gap_src g JOIN seeded d USING (doc_id)
+      WHERE g.ge >= g.gs
+      GROUP BY g.doc_id),
+    audit AS (
+      SELECT doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_spans_removed,
+             CAST(SUM(e - s + 1) AS BIGINT) AS chars_removed
+      FROM spans GROUP BY doc_id)
+    SELECT d.doc_id,
+           CAST(length(d.text) AS BIGINT) AS orig_len,
+           COALESCE(a.n_spans_removed, CAST(0 AS BIGINT))
+             AS n_spans_removed,
+           COALESCE(a.chars_removed, CAST(0 AS BIGINT)) AS chars_removed,
+           COALESCE(r.repaired,
+                    CASE WHEN a.doc_id IS NOT NULL THEN '' ELSE d.text END)
+             AS repaired_text,
+           CAST(length(COALESCE(r.repaired,
+                    CASE WHEN a.doc_id IS NOT NULL THEN '' ELSE d.text END))
+             AS BIGINT) AS repaired_len
+    FROM seeded d
+    LEFT JOIN audit a USING (doc_id)
+    LEFT JOIN rep r USING (doc_id)
+    """,
+    doc="Span REPAIR — the rewrite dedup_exact_substring only reports "
+    "(Lee et al. 2021's actual transformation, arXiv:2107.06499 §3): "
+    f"every duplicated {_SPAN_L}-char window occurrence except the "
+    "global canonical one (first by (doc_id, position)) is marked for "
+    "removal, overlapping/adjacent removals merge into maximal spans "
+    "(gaps-and-islands), and each document is emitted with those "
+    "spans cut out: repaired_text plus the removed-char audit. Same "
+    "planted passage as the detector, so every doc_id%"
+    f"{_SPAN_PLANT_MOD}==0 doc except the first provably loses the "
+    "boilerplate while the first keeps it.",
+)
+def dedup_span_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One corpus-scale window pass, no self-join: positions shuffle
+    once on the 16-byte window md5 (dup + canonical flags come from
+    min/max and row_number over the same h partition — one exchange,
+    one sort), and everything downstream runs at removal-position
+    grain, which is only the duplicated fraction of the corpus. The
+    island merge and span rollup share one doc_id partitioning; the
+    repaired text is rebuilt JVM-side with a single higher-order
+    aggregate over the per-doc sorted span array — no UDF, no
+    second pass over the corpus text. At 100 TB the h shuffle is the
+    same volume the detector already pays (16-byte keys + int
+    positions, never text); repair adds only doc-grain work. The
+    DuckDB oracle replays the span arithmetic independently and
+    rebuilds the text via ordered gap concatenation — byte-identical
+    output pins the reconstruction exactly."""
+    from pyspark.sql.window import Window as W
+
+    d = _t(spark, sf_dir, "documents")["documents"]
+    seeded = fan_out(d.select("doc_id", "text")).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % _SPAN_PLANT_MOD == 0,
+            F.concat(F.col("text"), F.lit(_SPAN_PASSAGE)),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    wins = seeded.select(
+        "doc_id",
+        F.explode(
+            F.when(
+                F.length("text") >= _SPAN_L,
+                F.transform(
+                    F.sequence(F.lit(1), F.length("text") - (_SPAN_L - 1)),
+                    lambda i: F.struct(
+                        i.cast("long").alias("i"),
+                        F.unhex(
+                            F.md5(
+                                F.substring(F.col("text"), i, F.lit(_SPAN_L))
+                            )
+                        ).alias("h"),
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<struct<i:bigint,h:binary>>"))
+        ).alias("p"),
+    ).select("doc_id", F.col("p.i").alias("i"), F.col("p.h").alias("h"))
+    wh = W.partitionBy("h")
+    who = W.partitionBy("h").orderBy("doc_id", "i")
+    rem = (
+        wins.select(
+            "doc_id",
+            "i",
+            (F.min("doc_id").over(wh) != F.max("doc_id").over(wh)).alias(
+                "dup"
+            ),
+            F.row_number().over(who).alias("rn"),
+        )
+        .filter("dup AND rn > 1")
+        .select("doc_id", "i")
+    )
+    wdoc = W.partitionBy("doc_id").orderBy("i")
+    prev_end = F.max(F.col("i") + (_SPAN_L - 1)).over(
+        wdoc.rowsBetween(W.unboundedPreceding, -1)
+    )
+    spans = (
+        rem.withColumn(
+            "new_isl",
+            (F.col("i") > F.coalesce(prev_end, F.lit(-_SPAN_L)) + 1).cast(
+                "int"
+            ),
+        )
+        .withColumn("isl_id", F.sum("new_isl").over(wdoc))
+        .groupBy("doc_id", "isl_id")
+        .agg(
+            F.min("i").alias("s"),
+            (F.max("i") + (_SPAN_L - 1)).alias("e"),
+        )
+    )
+    per_doc = spans.groupBy("doc_id").agg(
+        F.sort_array(F.collect_list(F.struct("s", "e"))).alias("spans"),
+        F.count(F.lit(1)).alias("n_spans_removed"),
+        F.sum(F.col("e") - F.col("s") + 1).alias("chars_removed"),
+    )
+    # fold the sorted spans once: cut [s, e], keep the gaps — a pure
+    # JVM higher-order aggregate, no second corpus pass
+    repair_expr = """
+    aggregate(
+      spans,
+      struct(CAST(1 AS BIGINT) AS pos, CAST('' AS STRING) AS acc),
+      (st, sp) -> struct(
+        CAST(sp.e + 1 AS BIGINT) AS pos,
+        concat(st.acc, substring(text, CAST(st.pos AS INT),
+                                 CAST(sp.s - st.pos AS INT)))),
+      st -> concat(st.acc,
+                   substring(text, CAST(st.pos AS INT),
+                             greatest(CAST(length(text) - st.pos + 1 AS INT),
+                                      0)))
+    )
+    """
+    repaired = F.when(F.col("spans").isNull(), F.col("text")).otherwise(
+        F.expr(repair_expr)
+    )
+    return seeded.join(per_doc, "doc_id", "left").select(
+        "doc_id",
+        F.length("text").cast("long").alias("orig_len"),
+        F.coalesce("n_spans_removed", F.lit(0)).cast("long").alias(
+            "n_spans_removed"
+        ),
+        F.coalesce("chars_removed", F.lit(0)).cast("long").alias(
+            "chars_removed"
+        ),
+        repaired.alias("repaired_text"),
+        F.length(repaired).cast("long").alias("repaired_len"),
+    )
+
+
+@query(
     "longest_dup_substring",
     oracle=f"""
     WITH seeded AS (

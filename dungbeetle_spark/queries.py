@@ -72,6 +72,9 @@ NEW_OR_CHANGED: list[str] = [
     "shard_plan",
     "shard_interleave_audit",
     "bpe_compression_by_source",
+    # r09 new: the span REWRITE the substring detector only reports
+    # (Lee et al. 2021's actual transformation)
+    "dedup_span_repair",
 ]
 
 

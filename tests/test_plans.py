@@ -1605,3 +1605,22 @@ def test_ce_matrix_corpus_join_is_word_keyed(spark, sf):
     assert "CartesianProduct" not in plan
     # the word join must be a real equi-join
     assert re.findall(r"SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin", plan)
+
+
+def test_span_repair_one_corpus_pass_no_similarity_join(spark, sf):
+    """dedup_span_repair (VERDICT r08 item 4): position rows shuffle
+    ONCE on the 16-byte window md5 (two Window nodes share that one
+    exchange: min/max dup test + the canonical row_number); the island
+    merge and span rollup run at removal-position grain on a doc_id
+    partitioning; the repaired text is rebuilt by a higher-order
+    aggregate, so there is no second Generate over the corpus and the
+    only join is the doc-keyed repair join. No cartesian, no
+    single-partition window."""
+    df = _df(spark, sf, "dedup_span_repair")
+    plan = formatted_plan(df)
+    assert len(re.findall(r"^\(\d+\) Generate", plan, re.M)) == 1
+    joins = re.findall(r"^\(\d+\) \w*Join\w*", plan, re.M)
+    assert len(joins) == 1 and "Cartesian" not in joins[0], joins
+    assert len(re.findall(r"^\(\d+\) Window", plan, re.M)) == 4
+    assert shuffle_exchanges(df) <= 5  # fan_out + h + doc windows + rollup
+    assert "SinglePartition" not in plan
