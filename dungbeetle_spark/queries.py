@@ -75,6 +75,9 @@ NEW_OR_CHANGED: list[str] = [
     # r09 new: the span REWRITE the substring detector only reports
     # (Lee et al. 2021's actual transformation)
     "dedup_span_repair",
+    # r09 new: streaming twin of the composed per-doc ingest fate
+    # decision (quality -> dedup probe -> decontamination)
+    "streaming_corpus_fate_gate",
 ]
 
 

@@ -103,7 +103,12 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stream
 
 
-def drain_to_df(agg: DataFrame, name: str, output_mode: str) -> DataFrame:
+def drain_to_df(
+    agg: DataFrame,
+    name: str,
+    output_mode: str,
+    transform=None,
+) -> DataFrame:
     """Run a streaming DataFrame to completion; return the result as a
     batch DataFrame over parquet.
 
@@ -148,6 +153,14 @@ def drain_to_df(agg: DataFrame, name: str, output_mode: str) -> DataFrame:
     append = output_mode != "complete"
 
     def write_batch(bdf: DataFrame, _batch_id: int) -> None:
+        # foreachBatch hands over a plain batch DataFrame, so an
+        # optional per-batch transform may use full batch semantics —
+        # stream-static joins, per-batch aggregation — that the
+        # streaming planner would reject or force state onto. This is
+        # the standard production shape for ingest gates probing
+        # materialized reference state.
+        if transform is not None:
+            bdf = transform(bdf)
         bdf.write.mode("append" if append else "overwrite").parquet(data_dir)
 
     with tempfile.TemporaryDirectory(prefix="dungbeetle_ckpt_") as ckpt:
@@ -160,7 +173,8 @@ def drain_to_df(agg: DataFrame, name: str, output_mode: str) -> DataFrame:
         )
         q.awaitTermination()
     if not os.path.isdir(data_dir):  # no batch produced rows
-        return spark.createDataFrame([], agg.schema)
+        empty = spark.createDataFrame([], agg.schema)
+        return transform(empty) if transform is not None else empty
     return spark.read.parquet(data_dir)
 
 

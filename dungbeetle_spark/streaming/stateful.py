@@ -417,3 +417,151 @@ def streaming_minhash_ingest_gate(spark: SparkSession, sf_dir: str) -> DataFrame
         .select("doc_id")
     )
     return drain_to_df(flagged, "stream_minhash_gate", "append")
+
+
+from dungbeetle_spark.operators.pipeline import _fate_oracle
+
+
+@query(
+    "streaming_corpus_fate_gate",
+    oracle=_fate_oracle(),  # the batch manifest's oracle, verbatim
+    doc="The streaming twin of corpus_fate_manifest — the composed "
+    "fate decision an ingest SERVICE actually runs per arriving "
+    "document: stateless quality funnel, dedup probe against the "
+    "materialized corpus canonical map (content-md5 -> keeper), then "
+    "benchmark decontamination against the static eval-gram set, all "
+    "inside one foreachBatch stream-static pipeline. The drained "
+    "stream equals the batch manifest row-for-row on the same "
+    "documents, checked against the identical composed oracle "
+    "(VERDICT r08 item 5).",
+)
+def streaming_corpus_fate_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: the reference state is materialized ONCE on the
+    static side — the canonical map (one 16-byte h + keeper id per
+    quality-surviving distinct content) and the eval-gram set — and
+    every micro-batch then does only batch-local work: a codegen
+    verdict scan, an h-keyed probe join, and the gram explode for the
+    batch's canonical survivors only (the quality/dedup filters run
+    AHEAD of the expensive gram stage, same as the batch manifest).
+    Per-batch cost is linear in the BATCH, independent of corpus
+    size; no streaming state store at all, so nothing grows with
+    stream length. In production the canonical map lives bucketed by
+    h and the eval grams ship as a broadcast Bloom filter
+    (bloom_decontamination is the drop-in) — here both stay exact so
+    the drained stream is provably equal to corpus_fate_manifest.
+    foreachBatch carries the batch semantics (per-batch joins and
+    aggregation) that append-mode streaming would otherwise force
+    state onto."""
+    from dungbeetle_spark.functions.texts import content_md5
+    from dungbeetle_spark.operators.mixing import (
+        _EVAL_MOD,
+        _GRAM_N,
+        _PLANT_MOD,
+        word_ngrams,
+    )
+    from dungbeetle_spark.operators.text import funnel_verdicts
+    from dungbeetle_spark.sources.catalog import fan_out
+    from dungbeetle_spark.streaming.source import stream_table
+
+    stream = stream_table(spark, sf_dir, "documents")
+
+    # Static reference state, built batch-side ON THE STREAM'S SESSION
+    # and materialized once (production maintains these as tables; the
+    # self-contained fixture recomputes them, same as the minhash gate)
+    sess = stream.sparkSession
+    d = _t(sess, sf_dir, "documents")["documents"]
+    verdicts = funnel_verdicts(fan_out(d)).select("doc_id", "reason")
+    surv1 = (
+        d.select("doc_id", "text")
+        .join(verdicts, "doc_id")
+        .filter((F.col("doc_id") % _EVAL_MOD != 0) & (F.col("reason") == "kept"))
+        .select("doc_id", content_md5("text").alias("h"))
+    )
+    canon = (
+        surv1.groupBy("h").agg(F.min("doc_id").alias("dup_of")).localCheckpoint()
+    )
+
+    def _seeded_toks(df: DataFrame):
+        seeded = F.concat(
+            F.col("text"),
+            F.when(
+                (F.col("doc_id") % _EVAL_MOD == 0)
+                | (F.col("doc_id") % _PLANT_MOD == 0),
+                F.concat(
+                    F.lit(" benchmark passage k"),
+                    (F.col("doc_id") % 5).cast("string"),
+                    F.lit(" alpha beta gamma delta epsilon zeta eta"),
+                ),
+            ).otherwise(F.lit("")),
+        )
+        return df.select(
+            "doc_id",
+            F.filter(
+                F.split(F.lower(seeded), r"[^a-z0-9]+"), lambda x: x != ""
+            ).alias("t"),
+        )
+
+    ev = (
+        _seeded_toks(fan_out(d.select("doc_id", "text")))
+        .filter(F.col("doc_id") % _EVAL_MOD == 0)
+        .select(F.explode_outer(word_ngrams("t", _GRAM_N)).alias("gram"))
+        .where(F.col("gram").isNotNull())
+        .distinct()
+        .withColumn("hit", F.lit(1))
+        .localCheckpoint()
+    )
+
+    def gate_batch(bdf: DataFrame) -> DataFrame:
+        v = funnel_verdicts(bdf).select("doc_id", "reason")
+        fl = (
+            bdf.select("doc_id", "text")
+            .join(v, "doc_id")
+            .select(
+                "doc_id",
+                "text",
+                "reason",
+                (F.col("doc_id") % _EVAL_MOD == 0).alias("is_eval"),
+                content_md5("text").alias("h"),
+            )
+        )
+        # dedup probe: only quality-surviving non-eval docs consult the
+        # canonical map (their h is in it by construction)
+        probed = fl.join(canon, "h", "left").withColumn(
+            "dup_of",
+            F.when(
+                ~F.col("is_eval") & (F.col("reason") == "kept"), F.col("dup_of")
+            ),
+        )
+        canonical = probed.filter(F.col("doc_id") == F.col("dup_of"))
+        cont = (
+            _seeded_toks(canonical)
+            .select("doc_id", F.explode_outer(word_ngrams("t", _GRAM_N)).alias("gram"))
+            .join(F.broadcast(ev), "gram", "left")
+            .groupBy("doc_id")
+            .agg(F.count(F.when(F.col("hit").isNotNull(), 1)).alias("n_cont"))
+        )
+        fate = (
+            F.when(F.col("is_eval"), "eval_holdout")
+            .when(F.col("reason") != "kept", "dropped_quality")
+            .when(
+                F.col("dup_of").isNotNull()
+                & (F.col("doc_id") != F.col("dup_of")),
+                "dropped_duplicate",
+            )
+            .when(F.coalesce("n_cont", F.lit(0)) > 0, "dropped_contaminated")
+            .otherwise("kept")
+        )
+        return probed.join(cont, "doc_id", "left").select(
+            "doc_id",
+            fate.alias("fate"),
+            F.col("reason").alias("quality_reason"),
+            F.coalesce("dup_of", F.lit(-1)).cast("long").alias("canonical_id"),
+            F.coalesce("n_cont", F.lit(0)).cast("long").alias("n_contaminated"),
+        )
+
+    return drain_to_df(
+        stream.select("doc_id", "text", "lang"),
+        "stream_fate_gate",
+        "append",
+        transform=gate_batch,
+    )

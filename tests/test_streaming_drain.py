@@ -85,3 +85,20 @@ def test_mv_merge_survives_sums_past_decimal18(spark):
     assert total == Decimal(str(big)) * 3
     # and the snapshot schema is the documented uniform width
     assert dict(snapshot.dtypes)["value_dec"] == "decimal(38,2)"
+
+
+def test_fate_gate_stream_equals_batch_manifest(spark, sf_oracle):
+    """The drained streaming fate gate must equal corpus_fate_manifest
+    row-for-row on the same documents (VERDICT r08 item 5): the
+    static reference state (canonical map, eval grams) plus per-batch
+    stream-static probing reproduces the batch composition exactly —
+    not just oracle-equal, Spark-vs-Spark equal."""
+    from dungbeetle_spark.queries import registry
+
+    specs = registry()
+    batch = specs["corpus_fate_manifest"].build(spark, sf_oracle)
+    stream = specs["streaming_corpus_fate_gate"].build(spark, sf_oracle)
+    assert sorted(batch.columns) == sorted(stream.columns)
+    b = sorted(map(tuple, batch.select(*sorted(batch.columns)).collect()))
+    s = sorted(map(tuple, stream.select(*sorted(batch.columns)).collect()))
+    assert b == s
