@@ -896,3 +896,120 @@ path = "{tmp_path / "results"}"
             proc.wait(timeout=15)
         except subprocess.TimeoutExpired:
             proc.kill()
+
+
+def test_full_registry_load_50_job_group_across_4_queues(spark, tmp_path):
+    """VERDICT r08 item 8: the job layer under the full registry. All
+    191+ registry queries register as callable tasks spread over 4
+    queues (per-task queue callbacks, reference core.go:418-444), a
+    50-job group fans out across those queues against the shared
+    SQLite broker, and while that backlog drains under contention the
+    test exercises pending-listing order, single-flight rejection,
+    pending-cancel, running-cancel with stage interruption, and the
+    final group aggregate: every member SUCCESS with its row count."""
+    from dungbeetle_spark.queries import registry
+
+    sf = "/root/testdata/sf0.001"
+    specs = registry()
+    db = str(tmp_path / "jobs.db")
+    results = str(tmp_path / "results")
+    queues = ["q_a", "q_b", "q_c", "q_d"]
+
+    core = Core(spark, jobstore_path=db, distributed=True)
+    core.add_source("testdata", sf)
+    core.add_result_backend("default", results)
+    for i, (name, spec) in enumerate(specs.items()):
+        core.register_callable_task(
+            f"task_{name}",
+            (lambda s: lambda sess, args: s.build(sess, sf))(spec),
+            queue=queues[i % len(queues)],
+            conc=2,
+        )
+    core.register_task(
+        Task(
+            name="slow_sleeper",
+            stmt="SELECT reflect('java.lang.Thread', 'sleep', 30000L) AS slept",
+            raw_stmt="",
+            queue="q_slow",
+            conc=1,
+        )
+    )
+    assert len(core.tasks) >= 192
+    core.start()
+    try:
+        # cheap, fast registry tasks only — the group exercises queue
+        # contention, not heavy queries
+        cheap = [
+            "profit_summary",
+            "profit_entries",
+            "token_count",
+            "lang_id",
+            "quality_score",
+            "doc_fingerprint",
+            "text_stats",
+            "order_priority_count",
+            "q6_forecast_revenue",
+            "q14_promo_revenue",
+            "user_activity_stats",
+            "dedup_exact",
+        ]
+        assert all(n in specs for n in cheap)
+        members = [
+            (f"task_{cheap[i % len(cheap)]}", JobReq(job_id=f"load_{i:02d}"))
+            for i in range(50)
+        ]
+        # occupy q_slow first so cancel targets exist under contention
+        running = core.new_job("slow_sleeper", JobReq(job_id="slow_running"))
+        parked = core.new_job("slow_sleeper", JobReq(job_id="slow_parked"))
+        group_id, resps = core.new_job_group("load_group", members)
+        assert len(resps) == 50
+
+        # single-flight holds while the group is in flight
+        with pytest.raises(SingleFlightError):
+            core.new_job("task_profit_summary", JobReq(job_id="load_00"))
+
+        # the conc-1 queue serializes: the second sleeper is parked in
+        # the broker, and the pending listing is oldest-first
+        deadline = time.monotonic() + 30
+        while time.monotonic() < deadline:
+            if core.job_status("slow_running")["state"] == jobstore.STARTED:
+                break
+            time.sleep(0.05)
+        assert core.job_status("slow_running")["state"] == jobstore.STARTED
+        pend = core.pending_jobs("q_slow")
+        assert [p["job_id"] for p in pend] == ["slow_parked"]
+
+        # cancel the parked job (never ran), then the running one
+        # (stage interrupt); both rows purge
+        core.cancel_job("slow_parked")
+        core.cancel_job("slow_running")
+        assert not core.store.exists("slow_parked")
+        assert not core.store.exists("slow_running")
+        # the freed conc-1 queue finishes a follow-up well under the
+        # 30 s sleep horizon — the running stage really was interrupted
+        t0 = time.monotonic()
+        follow = core.new_job("task_token_count", JobReq(queue="q_slow"))
+        st = _wait(core, follow.job_id, timeout=120)
+        assert st["state"] == jobstore.SUCCESS
+        assert time.monotonic() - t0 < 30
+
+        # drain the whole group: every member SUCCESS with a count
+        deadline = time.monotonic() + 420
+        while time.monotonic() < deadline:
+            if core.store.group_state(group_id) == jobstore.SUCCESS:
+                break
+            time.sleep(0.5)
+        gs = core.group_status(group_id)
+        assert gs["state"] == jobstore.SUCCESS
+        assert len(gs["jobs"]) == 50
+        assert all(j["state"] == jobstore.SUCCESS for j in gs["jobs"])
+        assert all(j["error"] is None or j["error"] == "" for j in gs["jobs"])
+        assert all(j["count"] >= 0 for j in gs["jobs"])
+        assert sum(j["count"] for j in gs["jobs"]) > 0
+        # results are readable through the job layer, and the stored
+        # count matches the materialized rows
+        out = core.read_result("load_00")
+        assert out.count() == core.job_status("load_00")["count"]
+        assert out.columns
+    finally:
+        core.stop()
