@@ -376,6 +376,43 @@ def _compare_block(timings: dict[str, float], host_factor: float | None,
     return block
 
 
+def confirm_regressions(
+    compare: dict, timings: dict[str, float], isolated_min
+) -> None:
+    """Self-verifying regression guard (VERDICT r08 item 3): both
+    guard flags across r07/r08 (char_bigram_surprisal, dedup_exact)
+    were batch-interference artifacts that an isolated re-run cleared.
+    Any flagged query is re-timed alone — ``isolated_min(name)`` runs
+    it with nothing else on the session — and only a flag the isolated
+    minimum CONFIRMS stays in ``regressions``; both numbers are
+    recorded either way in ``regression_checks``. The re-run stays
+    in-session deliberately: a fresh JVM would re-pay codegen/JIT
+    warmup and bias toward false confirmation. Mutates ``compare`` in
+    place."""
+    checks: dict[str, dict] = {}
+    confirmed: list[str] = []
+    for name in compare["regressions"]:
+        isolated = isolated_min(name)
+        batch = timings[name]
+        batch_ratio = compare["normalized_ratios"][name]
+        # ratio is linear in new_sec, so rescale instead of
+        # re-deriving old_sec/old_factor
+        iso_ratio = round(batch_ratio * min(isolated, batch) / batch, 3)
+        is_real = iso_ratio > _REGRESSION_RATIO
+        checks[name] = {
+            "batch_sec": batch,
+            "isolated_sec": isolated,
+            "batch_ratio": batch_ratio,
+            "isolated_ratio": iso_ratio,
+            "confirmed": is_real,
+        }
+        if is_real:
+            confirmed.append(name)
+    compare["flagged_batch"] = compare["regressions"]
+    compare["regression_checks"] = checks
+    compare["regressions"] = confirmed
+
+
 def _round_of(bench_path: str) -> str | None:
     """The round's digit string, padding preserved: the driver writes
     BENCH_r07.json, so the archive must be BENCH_FULL_r07.json."""
@@ -634,19 +671,9 @@ def main() -> None:
             compare = {"against": os.path.basename(against),
                        "error": str(ex)[:200]}
 
-    # Self-verifying regression guard (VERDICT r08 item 3): both
-    # guard flags across r07/r08 (char_bigram_surprisal, dedup_exact)
-    # were batch-interference artifacts that an isolated re-run
-    # cleared. Any flagged query is re-timed alone — 3 consecutive
-    # runs with nothing else on the session — and only a flag the
-    # isolated minimum CONFIRMS stays in `regressions`; both numbers
-    # are recorded either way. The re-run stays in-session
-    # deliberately: a fresh JVM would re-pay codegen/JIT warmup and
-    # bias toward false confirmation.
     if compare and compare.get("regressions"):
-        checks: dict[str, dict] = {}
-        confirmed: list[str] = []
-        for name in compare["regressions"]:
+
+        def _isolated_min(name: str) -> float:
             iso: list[float] = []
             for _ in range(3):
                 t0 = time.perf_counter()
@@ -654,25 +681,9 @@ def main() -> None:
                     "overwrite"
                 ).format("noop").save()
                 iso.append(time.perf_counter() - t0)
-            isolated = round(min(iso), 3)
-            batch = timings[name]
-            batch_ratio = compare["normalized_ratios"][name]
-            # ratio is linear in new_sec, so rescale instead of
-            # re-deriving old_sec/old_factor
-            iso_ratio = round(batch_ratio * min(isolated, batch) / batch, 3)
-            is_real = iso_ratio > _REGRESSION_RATIO
-            checks[name] = {
-                "batch_sec": batch,
-                "isolated_sec": isolated,
-                "batch_ratio": batch_ratio,
-                "isolated_ratio": iso_ratio,
-                "confirmed": is_real,
-            }
-            if is_real:
-                confirmed.append(name)
-        compare["flagged_batch"] = compare["regressions"]
-        compare["regression_checks"] = checks
-        compare["regressions"] = confirmed
+            return round(min(iso), 3)
+
+        confirm_regressions(compare, timings, _isolated_min)
 
     out = {
         "metric": "headline_queries_total_wall",

@@ -347,3 +347,27 @@ def test_emit_bench_line_drops_bulk_fields():
     assert "regression_checks" not in parsed.get("compare", {})
     assert parsed["compare"]["regressions"] == ["q1"]
     assert parsed["compare"]["subsecond_pool"]["n"] == 3
+
+
+def test_confirm_regressions_clears_interference_keeps_real():
+    """The isolated re-run demotes a batch-interference flag (isolated
+    time back at baseline) and confirms a real one (isolated time
+    still slow); both carry {batch_sec, isolated_sec} either way."""
+    compare = {
+        "normalized_ratios": {"noisy": 2.0, "real": 2.0},
+        "regressions": ["noisy", "real"],
+    }
+    timings = {"noisy": 2.0, "real": 2.0}
+    iso = {"noisy": 0.9, "real": 1.9}  # noisy re-runs fast, real stays slow
+    bench.confirm_regressions(compare, timings, lambda n: iso[n])
+    assert compare["flagged_batch"] == ["noisy", "real"]
+    assert compare["regressions"] == ["real"]
+    checks = compare["regression_checks"]
+    assert checks["noisy"]["confirmed"] is False
+    assert checks["noisy"]["isolated_ratio"] == 0.9  # 2.0 * 0.9/2.0
+    assert checks["real"]["confirmed"] is True
+    assert all(
+        {"batch_sec", "isolated_sec", "batch_ratio", "isolated_ratio"}
+        <= set(c)
+        for c in checks.values()
+    )
