@@ -105,6 +105,8 @@ SWEEP_OPS = [
     ("cross_source_ce_matrix", None),  # word-keyed self-join: vocab grain
     ("corpus_fate_manifest", None),  # staged scans, md5 agg, bcast grams
     ("lang_label_noise_audit", None),  # codegen detector + cell rollups
+    # r09 addition
+    ("dedup_span_repair", None),  # same h shuffle as substring + doc-grain repair
 ]
 
 # Sub-factor ladder for capped operators: when the requested factor
@@ -374,7 +376,13 @@ def run_sweep(
             best = math.inf
             for _ in range(runs):
                 t0 = time.monotonic()
-                specs[name].build(spark, dirs[f]).count()
+                # noop write, same as bench.py: count() lets Catalyst
+                # prune final projections (e.g. dedup_span_repair's
+                # repaired-text rebuild never ran, measuring a flat
+                # exponent for an op whose whole point is that column)
+                specs[name].build(spark, dirs[f]).write.mode(
+                    "overwrite"
+                ).format("noop").save()
                 best = min(best, time.monotonic() - t0)
             results[name][f] = best
             print(f"{name} x{f}: {best:.2f}s", flush=True)
