@@ -161,6 +161,9 @@ HEADLINE = [
     "lang_label_noise_audit",
     # r09: duplicated-span removal rewrite (repaired text + audit)
     "dedup_span_repair",
+    # r09: composed export manifest (fate-kept -> shuffled shards ->
+    # order-sensitive per-shard digest chain)
+    "shard_export_manifest",
 ]
 
 # Host-drift canary (ADVICE r04: one hardcoded-anchor query is noisy

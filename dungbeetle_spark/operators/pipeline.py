@@ -964,3 +964,96 @@ def corpus_fate_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("n_cont", F.lit(0)).cast("long").alias("n_contaminated"),
         )
     )
+
+
+# -- shard_export_manifest ----------------------------------------------------
+
+def _export_oracle() -> str:
+    from dungbeetle_spark.functions.texts import md5_hash60_sql
+    from dungbeetle_spark.operators.curation import _ILV_SHIFT
+
+    okey = md5_hash60_sql("concat('shuffle|', CAST(d.doc_id AS VARCHAR))")
+    return f"""
+    WITH fate AS (
+      SELECT * FROM ({_fate_oracle()}) f
+    ),
+    kept AS (SELECT doc_id FROM fate WHERE fate = 'kept'),
+    ord AS (
+      SELECT d.doc_id,
+             length(d.text) AS n_chars,
+             md5(d.text) AS dh,
+             {okey} AS okey
+      FROM documents d JOIN kept USING (doc_id)
+    ),
+    seq AS (SELECT *, okey // {_ILV_SHIFT} AS shard_id FROM ord)
+    SELECT shard_id,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(MIN(doc_id) AS BIGINT) AS first_doc,
+           CAST(MAX(doc_id) AS BIGINT) AS last_doc,
+           md5(string_agg(dh, '' ORDER BY okey, doc_id)) AS content_digest
+    FROM seq GROUP BY shard_id
+    """
+
+
+@query(
+    "shard_export_manifest",
+    oracle=_export_oracle(),
+    doc="The EXPORT artifact the pipeline actually ships: fate-kept "
+    "documents only (the full composed manifest decides membership), "
+    "sequenced by the reproducible md5 shuffle key (the same order "
+    "shard_interleave_audit scores), cut into hash-range shards, and "
+    "each shard summarized with counts, char volume, id range, and an "
+    "ORDER-SENSITIVE content digest (md5 of the concatenated per-doc "
+    "text digests in shard order) — re-exporting the corpus must "
+    "reproduce every digest byte-identically, which is what makes a "
+    "100 TB training run auditable end to end.",
+)
+def shard_export_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: membership comes from the composed fate plan
+    (unchanged — its own plan pins hold); the export adds one
+    doc-keyed semi-join, map-side md5 projections, and a SINGLE
+    shard-keyed aggregate. The digest chain needs per-shard order, so
+    each shard collects its (okey, doc_id, digest) structs — bounded
+    by shard size, a production parameter, never corpus size — and
+    folds them JVM-side (array_sort + array_join + md5). No global
+    ordering, no window over the corpus: shards are hash ranges of
+    the shuffle key, embarrassingly parallel like the interleave
+    audit. The DuckDB oracle replays the digest chain with ordered
+    string_agg over the identical key."""
+    from dungbeetle_spark.functions.texts import md5_hash60
+    from dungbeetle_spark.operators.curation import _ILV_SHIFT
+
+    kept = (
+        corpus_fate_manifest(spark, sf_dir)
+        .filter(F.col("fate") == "kept")
+        .select("doc_id")
+    )
+    d = _t(spark, sf_dir, "documents")["documents"].select("doc_id", "text")
+    seq = (
+        d.join(kept, "doc_id")
+        .select(
+            "doc_id",
+            F.length("text").cast("long").alias("n_chars"),
+            F.md5("text").alias("dh"),
+            md5_hash60(
+                F.concat(F.lit("shuffle|"), F.col("doc_id").cast("string"))
+            ).alias("okey"),
+        )
+        .withColumn("shard_id", F.expr(f"okey DIV {_ILV_SHIFT}"))
+    )
+    return seq.groupBy("shard_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("okey", "doc_id", "dh"))),
+                    lambda x: x["dh"],
+                ),
+                "",
+            )
+        ).alias("content_digest"),
+    )

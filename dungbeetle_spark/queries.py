@@ -78,6 +78,10 @@ NEW_OR_CHANGED: list[str] = [
     # r09 new: streaming twin of the composed per-doc ingest fate
     # decision (quality -> dedup probe -> decontamination)
     "streaming_corpus_fate_gate",
+    # r09 new: the shipped export artifact — fate-kept docs in
+    # reproducible shuffle order, hash-range shards, per-shard
+    # order-sensitive content digest
+    "shard_export_manifest",
 ]
 
 

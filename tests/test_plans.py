@@ -1624,3 +1624,20 @@ def test_span_repair_one_corpus_pass_no_similarity_join(spark, sf):
     assert len(re.findall(r"^\(\d+\) Window", plan, re.M)) == 4
     assert shuffle_exchanges(df) <= 5  # fan_out + h + doc windows + rollup
     assert "SinglePartition" not in plan
+
+
+def test_export_manifest_no_cartesian_no_global_order(spark, sf):
+    """shard_export_manifest: the composed fate plan decides
+    membership (its own pins hold elsewhere); the export layer itself
+    adds only a doc-keyed semi-join, map-side md5 projections and ONE
+    shard-keyed aggregate — shards are hash ranges of the shuffle
+    key, so there is no window at all, no global sort, no cartesian,
+    no single-partition exchange."""
+    df = _df(spark, sf, "shard_export_manifest")
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "SinglePartition" not in plan
+    assert len(re.findall(r"^\(\d+\) Window", plan, re.M)) == 0
+    # composition bound: the fate plan's shuffles plus the export agg;
+    # growth here means a stage stopped reusing the fate partitioning
+    assert shuffle_exchanges(df) <= 13

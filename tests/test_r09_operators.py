@@ -40,3 +40,23 @@ def test_span_repair_audit_identities(spark, sf_oracle):
     untouched = [r for r in rows if r.n_spans_removed == 0]
     assert untouched and all(r.chars_removed == 0 for r in untouched)
     assert any(r.n_spans_removed > 0 for r in rows)
+
+
+def test_export_manifest_reproducible_and_membership_exact(spark, sf_oracle):
+    """The export digest chain is deterministic (a rebuild reproduces
+    every shard digest byte-identically), membership is exactly the
+    fate manifest's kept set, and every kept doc lands in exactly one
+    shard."""
+    a = SPECS["shard_export_manifest"].build(spark, sf_oracle).collect()
+    b = SPECS["shard_export_manifest"].build(spark, sf_oracle).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    kept = (
+        SPECS["corpus_fate_manifest"]
+        .build(spark, sf_oracle)
+        .filter("fate = 'kept'")
+        .count()
+    )
+    assert sum(r.n_docs for r in a) == kept > 0
+    digests = [r.content_digest for r in a]
+    assert all(len(h) == 32 for h in digests)
+    assert len(set(digests)) == len(digests)  # no two shards collide

@@ -105,8 +105,9 @@ SWEEP_OPS = [
     ("cross_source_ce_matrix", None),  # word-keyed self-join: vocab grain
     ("corpus_fate_manifest", None),  # staged scans, md5 agg, bcast grams
     ("lang_label_noise_audit", None),  # codegen detector + cell rollups
-    # r09 addition
+    # r09 additions
     ("dedup_span_repair", None),  # same h shuffle as substring + doc-grain repair
+    ("shard_export_manifest", None),  # fate plan + one shard-keyed digest agg
 ]
 
 # Sub-factor ladder for capped operators: when the requested factor
