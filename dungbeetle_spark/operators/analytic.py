@@ -1346,14 +1346,25 @@ def pareto_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("r").cast("double").alias("revenue"),
             # integer-cent arithmetic: decimal floor-division semantics
             # differ between engines by 1 ulp; BIGINT DIV is exact in
-            # both. cents*1e6 overflows int64 past ~9e10 dollars of
-            # cumulative revenue -- widen to DECIMAL(38,0) at that scale
+            # both. The ppm multiply runs as TWO-STEP long division
+            # (x1000 twice) because cents*1e6 overflows int64 past
+            # ~9e10 dollars of cumulative revenue -- the r09 x32 sweep
+            # hit exactly that. floor(c*1e6/g) ==
+            # floor(c*1e3/g)*1e3 + floor((c*1e3 % g)*1e3/g) exactly,
+            # and every intermediate stays under 2^63 until ~$92T
+            # cumulative (widen to DECIMAL(38,0) past that).
             F.expr(
-                "CAST(CAST((local_cum + offset) * 100 AS BIGINT) * 1000000"
+                "CAST((CAST((local_cum + offset) * 100 AS BIGINT) * 1000"
+                " DIV CAST(grand * 100 AS BIGINT)) * 1000"
+                " + (CAST((local_cum + offset) * 100 AS BIGINT) * 1000"
+                " % CAST(grand * 100 AS BIGINT)) * 1000"
                 " DIV CAST(grand * 100 AS BIGINT) AS BIGINT)"
             ).alias("cum_share_ppm"),
             F.expr(
-                "CAST((local_cum + offset) * 100 AS BIGINT) * 1000000"
+                "(CAST((local_cum + offset) * 100 AS BIGINT) * 1000"
+                " DIV CAST(grand * 100 AS BIGINT)) * 1000"
+                " + (CAST((local_cum + offset) * 100 AS BIGINT) * 1000"
+                " % CAST(grand * 100 AS BIGINT)) * 1000"
                 " DIV CAST(grand * 100 AS BIGINT) <= 800000"
             ).alias("in_top80"),
         )

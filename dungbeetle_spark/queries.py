@@ -82,6 +82,11 @@ NEW_OR_CHANGED: list[str] = [
     # reproducible shuffle order, hash-range shards, per-shard
     # order-sensitive content digest
     "shard_export_manifest",
+    # r09 changed: ppm arithmetic reworked to two-step long division —
+    # the x32 sweep (under honest noop materialization) overflowed the
+    # old cents*1e6 int64 intermediate. Also r05-stale, so it costs no
+    # extra window slot.
+    "pareto_revenue_share",
 ]
 
 
