@@ -1177,10 +1177,18 @@ def length_matched_controls(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scale shape: ONE shuffle — the source-keyed sort window; both
     directional carries and the final pick run in the same sorted
     pass, so the whole operator is an as-of join on a non-time axis
-    expressed without materializing candidate pairs. Per-source data
-    skew is the only hotspot class (a giant source sorts in one
-    task's range chain) — the same profile as every source-keyed
-    window here."""
+    expressed without materializing candidate pairs. The forward
+    carry runs as last(ignorenulls) over the REVERSED total order
+    with a running [unboundedPreceding, 0] frame — semantically
+    identical to first() over [0, unboundedFollowing], but that frame
+    is re-aggregated from scratch per row in WindowExec (quadratic in
+    partition size: the r09 honest-materialization sweep measured the
+    old shape superlinear at exponent 1.17, 22 s at x32 vs 0.45 s for
+    this one; at 100 TB per-source partitions it is a scale-killer).
+    Running frames advance incrementally, so both carries are
+    O(n log n) sort + O(n) pass. Per-source data skew is the only
+    hotspot class (a giant source sorts in one task's range chain) —
+    the same profile as every source-keyed window here."""
     d = _t(spark, sf_dir, "documents")["documents"]
     u = fan_out(d.select("doc_id", "source", "n_chars")).withColumn(
         "is_eval",
@@ -1190,9 +1198,9 @@ def length_matched_controls(spark: SparkSession, sf_dir: str) -> DataFrame:
     back = W.partitionBy("source").orderBy(*order).rowsBetween(
         W.unboundedPreceding, 0
     )
-    fwd = W.partitionBy("source").orderBy(*order).rowsBetween(
-        0, W.unboundedFollowing
-    )
+    fwd_rev = W.partitionBy("source").orderBy(
+        F.desc("n_chars"), F.desc("is_eval"), F.desc("doc_id")
+    ).rowsBetween(W.unboundedPreceding, 0)
     cand_id = F.when(F.col("is_eval") == 0, F.col("doc_id"))
     cand_len = F.when(F.col("is_eval") == 0, F.col("n_chars"))
     seq = u.select(
@@ -1202,8 +1210,8 @@ def length_matched_controls(spark: SparkSession, sf_dir: str) -> DataFrame:
         "is_eval",
         F.last(cand_id, ignorenulls=True).over(back).alias("prev_id"),
         F.last(cand_len, ignorenulls=True).over(back).alias("prev_len"),
-        F.first(cand_id, ignorenulls=True).over(fwd).alias("next_id"),
-        F.first(cand_len, ignorenulls=True).over(fwd).alias("next_len"),
+        F.last(cand_id, ignorenulls=True).over(fwd_rev).alias("next_id"),
+        F.last(cand_len, ignorenulls=True).over(fwd_rev).alias("next_len"),
     )
     prev_gap = F.col("n_chars") - F.col("prev_len")
     next_gap = F.col("next_len") - F.col("n_chars")

@@ -87,6 +87,11 @@ NEW_OR_CHANGED: list[str] = [
     # old cents*1e6 int64 intermediate. Also r05-stale, so it costs no
     # extra window slot.
     "pareto_revenue_share",
+    # r09 changed: forward nearest-candidate carry rewritten from a
+    # first() over [current, unboundedFollowing] frame (re-aggregated
+    # per row — quadratic in partition size, sweep exponent 1.17) to
+    # last() over the reversed order with a running frame (0.06).
+    "length_matched_controls",
 ]
 
 

@@ -1268,6 +1268,12 @@ def test_length_matched_controls_single_sort_no_join(spark, sf):
     assert not single_partition_windows(plan)
     # fan_out spread + the one source-keyed window exchange
     assert shuffle_exchanges(df) <= 2
+    # r09: the forward carry must NOT use an unboundedFollowing frame
+    # — WindowExec re-aggregates that frame per row (quadratic in
+    # partition size; the honest sweep measured exponent 1.17 before
+    # the reversed-running rewrite). The formatted plan prints the
+    # frame spec as `unboundedfollowing$()`.
+    assert "unboundedfollowing" not in plan.lower()
 
 
 def test_boilerplate_lines_one_corpus_shuffle(spark, sf):

@@ -290,25 +290,34 @@ NOTES = """
 - `join_skew_profile` deliberately reads un-offset `l_partkey`
   copies: per-key counts grow k-fold, which is exactly the skew the
   operator exists to measure; its own cost stays one aggregate pass.
+- **Method change (r09): the sweep materializes with the noop sink,
+  not `.count()`.** count() let Catalyst prune output projections and
+  even whole unreferenced aggregate expressions, so operators whose
+  cost lives in their output columns under-measured — sometimes
+  drastically. Rows measured before r09 are not comparable; the
+  whole table was re-measured. The switch immediately surfaced (and
+  got fixed) two real findings: an int64 overflow in
+  `pareto_revenue_share`'s ppm arithmetic at x32 (now two-step long
+  division) and a quadratic window frame in
+  `length_matched_controls` (below).
 - r07 additions: `ann_pq` is one encode+ADC scan with a constant
-  query/codebook closure and a candidate-bounded re-rank — expect
-  flat-to-linear. `bloom_decontamination` (x32 measured 2.98 s,
-  exponent 0.26): the filter is CONSTANT (2^17 bits) while amplified
-  eval grams grow ~k-fold, so the filter saturates and the
-  false-positive surplus rises with scale — the cost that scales is
-  the gram-build distinct and the probe projection, both linear in
-  grams; the sub-linear exponent is 32 cores absorbing that.
-  `char_bigram_surprisal` is two linear scans against a
-  charset²-bounded model (x32 measured 50.72 s, exponent 0.96 — the
-  first headline op to exhaust the 32-core floor; pure scan-bound).
-  `minhash_calibration` (uncapped in r08, x32 measured 47.97 s,
-  exponent 0.94): amplified copies are near-duplicates BY
-  CONSTRUCTION (text differs only in a version suffix), so LSH
-  candidate pairs grow ~k² per seed doc while the banded join and
-  minhash aggregate stay linear — the near-linear TOTAL exponent
-  shows the candidate-bounded exact-intersection term still sits
-  under the linear terms at 32x worst-case density; organic corpora
-  pair far more sparsely.
+  query/codebook closure and a candidate-bounded re-rank — measured
+  flat. `bloom_decontamination` (x32 5.94 s, exponent 0.42): the
+  filter is CONSTANT (2^17 bits) while amplified eval grams grow
+  ~k-fold — the cost that scales is the gram-build distinct and the
+  probe projection, both linear in grams; sub-linear is 32 cores
+  absorbing that. `char_bigram_surprisal` is two linear scans
+  against a charset²-bounded model (x32 36.98 s, exponent 0.84;
+  scan-bound). `minhash_calibration` (x32 481.6 s, exponent 1.50 —
+  the table's one superlinear uncapped row, and a deliberate one):
+  amplified copies are near-duplicates BY CONSTRUCTION (text differs
+  only in a version suffix), so LSH candidate pairs grow ~k² per
+  seed doc and the candidate-bounded exact-intersection work grows
+  with them — under count() that work was pruned and the row read
+  0.94; the honest number measures the operator's documented cost
+  model at worst-case density. Organic corpora pair far more
+  sparsely, and the op is a parameter-calibration diagnostic run on
+  a sample, not a per-ingest pass.
 - r08 additions: `url_canonicalize` is flat (x32 ~0.6 s) — pure
   map-side string codegen into a 40-key rollup; the per-row regex
   work rides the 32-core floor. `epoch_ngram_novelty` (exponent
@@ -318,14 +327,35 @@ NOTES = """
   bloom_decontamination. `longest_dup_substring` is flat like
   dedup_exact_substring (same two keyed exchanges; the added islands
   window rides the doc_id partition already paid for).
-  `winnowing_fingerprints` flat: the winnow selects ~2/(w+1) of
+  `winnowing_fingerprints` (0.57): the winnow selects ~2/(w+1) of
   positions scan-side, so the cross-doc shuffle is a fraction of
   exact_substring's at the same corpus. `corpus_snapshot_diff` /
   `shard_plan` / `quality_threshold_calibration` /
-  `embedding_drift_by_epoch` (exponents 0.00-0.07): digest-join,
+  `embedding_drift_by_epoch` (exponents ~0.0-0.2): digest-join,
   range-prefix-sum, bounded-level aggregate, and bounded centroid
   aggregate respectively — each shuffles keys or bounded frames,
   never payloads, so x32 rides the core floor.
+  `length_matched_controls` (0.06 after the r09 fix): the forward
+  nearest-candidate carry originally ran first(ignorenulls) over a
+  [current, unboundedFollowing] frame — WindowExec re-aggregates
+  that frame from scratch per row (quadratic in partition size;
+  measured exponent 1.17 and 22 s at x32 the first time the honest
+  sweep executed it). Rewritten as last(ignorenulls) over the
+  REVERSED total order with a running frame: semantically identical,
+  incremental, 0.74 s at x32. Moral: unboundedFollowing frames with
+  aggregate functions do not scale — reverse the sort instead.
+  `lsh_band_planner` (0.92): per-config bucket joins are linear in
+  band-bucket occupancy, which tracks corpus size — by design.
+  `kl_divergence_by_source` (0.45): the vocab-keyed join grows with
+  the amplified version-suffix vocabulary (each copy mints new
+  tokens), not with rows.
+- r09 additions: `dedup_span_repair` (0.71): the h-keyed window pass
+  is the same volume the substring detector pays (0.73 here), and
+  the repair adds only removal-grain islands plus the per-doc
+  higher-order rebuild — the two rows moving together is the design.
+  `shard_export_manifest` (0.44): the composed fate plan dominates
+  (0.41 alone); the export layer's digest aggregate adds a roughly
+  constant increment on top.
 """
 
 
@@ -471,7 +501,10 @@ def main() -> None:
                 "size. Capped operators (exact similarity joins and the "
                 "shared-partkey pair ops) sweep their own x1/x2/x4 ladder "
                 "when the main factor set skips past their cap, so every "
-                "row carries a measured exponent.\n\n" + table + "\n" + NOTES
+                "row carries a measured exponent. Since r09 every timing "
+                "materializes the full output through the noop sink "
+                "(count() pruned output projections and under-measured "
+                "several operators).\n\n" + table + "\n" + NOTES
             )
     if not args.keep_data:
         shutil.rmtree(WORK, ignore_errors=True)
