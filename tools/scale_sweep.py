@@ -346,9 +346,11 @@ NOTES = """
   aggregate functions do not scale — reverse the sort instead.
   `lsh_band_planner` (0.92): per-config bucket joins are linear in
   band-bucket occupancy, which tracks corpus size — by design.
-  `kl_divergence_by_source` (0.45): the vocab-keyed join grows with
-  the amplified version-suffix vocabulary (each copy mints new
-  tokens), not with rows.
+  `kl_divergence_by_source` (0.03 after an isolated re-measure —
+  the batch sweep recorded a 2.87 s x32 cell that re-ran at 1.07 s
+  alone, the same interference class the bench's isolated-rerun
+  guard exists for): flat; the vocab-keyed joins ride the core
+  floor.
 - r09 additions: `dedup_span_repair` (0.71): the h-keyed window pass
   is the same volume the substring detector pays (0.73 here), and
   the repair adds only removal-grain islands plus the per-doc
