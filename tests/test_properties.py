@@ -479,3 +479,27 @@ def test_floor_log2_kl_band_within_one_bit_of_true_kl(data):
             if c > 0
         )
         assert abs(banded - true) < 1.0
+
+
+@given(st.data())
+def test_two_step_ppm_division_identity(data):
+    """The r09 overflow fix in pareto_revenue_share relies on
+    floor(c*1e6/g) == floor(c*1e3/g)*1e3 + floor((c*1e3 % g)*1e3/g).
+    Python ints are arbitrary-precision, so the left side is the
+    exact spec; the right side is the plan expression. On the
+    operator's actual domain — c <= g (a cumulative sum never
+    exceeds its grand total), g < 2^63/1000 — every intermediate the
+    Spark expression materializes fits int64, so the ANSI engine
+    cannot overflow. (Without c <= g the quotient itself can exceed
+    int64 and no rearrangement helps — that constraint is the
+    contract, hence this test pins it explicitly.)"""
+    g = data.draw(st.integers(min_value=1, max_value=9_223_372_036_854_775))
+    c = data.draw(st.integers(min_value=0, max_value=g))
+    lhs = c * 1_000_000 // g
+    q1 = c * 1000 // g
+    r1 = c * 1000 % g
+    rhs = q1 * 1000 + r1 * 1000 // g
+    assert lhs == rhs
+    # every intermediate the Spark expression materializes fits int64
+    for v in (c * 1000, r1 * 1000, q1 * 1000, rhs):
+        assert -(2**63) <= v < 2**63

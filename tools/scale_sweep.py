@@ -267,7 +267,8 @@ NOTES = """
   into the consuming action. The r06 form's single-task global
   window is gone; cost is now range-shuffle-linear in the aggregated
   frame, invisible under the 32-core floor.
-- `pagerank_trade_graph` (~0.5-0.75, host-load-sensitive): each
+- `pagerank_trade_graph` (0.36 this sweep; host-load-sensitive,
+  historically up to ~0.75): each
   amplified copy is a disjoint subgraph, so edges grow linearly and
   the per-iteration join/agg cost with them; the sub-linear exponent
   is the fixed materialization floor (the edge-table and
