@@ -1647,3 +1647,36 @@ def test_export_manifest_no_cartesian_no_global_order(spark, sf):
     # composition bound: the fate plan's shuffles plus the export agg;
     # growth here means a stage stopped reusing the fate partitioning
     assert shuffle_exchanges(df) <= 13
+
+
+def test_top_cost_diagnostics_no_cartesian_no_global_window(spark, sf):
+    """Plan pins for the most expensive headline queries that predate
+    per-query pins (r09 coverage sweep): none may plan a cartesian
+    product, a single-partition window, or a Python operator outside
+    the documented Arrow class, and their shuffle counts are bounded
+    so a composition change can't silently multiply exchanges."""
+    from dungbeetle_spark.plans.inspect import single_partition_windows
+
+    bounds = {
+        # composed 3-arm ANN calibration: exact arm materializes once
+        # behind a lazy barrier; the Arrow sig/encode UDFs are the
+        # documented Python class
+        "ann_recall_calibration": (9, True),
+        # banded candidates + candidate-bounded exact intersections
+        "minhash_calibration": (6, False),
+        # edge-linear power iteration (plan of the final frame)
+        "pagerank_trade_graph": (5, False),
+        # one checkpointed signature pass + per-config bucket joins
+        "lsh_band_planner": (10, False),
+        # staged fate composition: verdict scan + md5 agg + gram stage
+        "corpus_fate_manifest": (13, False),
+    }
+    for name, (max_shuffles, py_ok) in bounds.items():
+        df = _df(spark, sf, name)
+        plan = formatted_plan(df)
+        assert "CartesianProduct" not in plan, name
+        assert not single_partition_windows(plan), name
+        if not py_ok:
+            assert "InPandas" not in plan and "EvalPython" not in plan, name
+        assert shuffle_exchanges(df) <= max_shuffles, (
+            name, shuffle_exchanges(df))
