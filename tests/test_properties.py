@@ -503,3 +503,43 @@ def test_two_step_ppm_division_identity(data):
     # every intermediate the Spark expression materializes fits int64
     for v in (c * 1000, r1 * 1000, q1 * 1000, rhs):
         assert -(2**63) <= v < 2**63
+
+
+@given(st.data())
+@settings(max_examples=8, deadline=None)
+def test_global_cumsum_matches_spark_window_sum(spark, data):
+    """ranks.global_cumsum (the construction shard_plan and the
+    export manifest ride) must equal Spark's own SUM over the global
+    ORDER BY window — inclusive AND exclusive frames — for any
+    multiset of values, including negatives, ties (broken by the
+    unique id) and n_parts larger than the row count."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from dungbeetle_spark.operators.ranks import global_cumsum
+
+    n = data.draw(st.integers(1, 40))
+    vals = data.draw(st.lists(st.integers(-9, 9), min_size=n, max_size=n))
+    n_parts = data.draw(st.integers(1, 6))
+    exclusive = data.draw(st.booleans())
+    df = spark.createDataFrame(
+        [(i, vals[i]) for i in range(n)], "id long, v long"
+    )
+    got = {
+        r.id: r.c
+        for r in global_cumsum(
+            df, [F.asc("v"), F.asc("id")], "v", "c", n_parts,
+            exclusive=exclusive,
+        ).collect()
+    }
+    hi = -1 if exclusive else 0
+    w = W.orderBy(F.asc("v"), F.asc("id")).rowsBetween(
+        W.unboundedPreceding, hi
+    )
+    want = {
+        r.id: r.c
+        for r in df.select(
+            "id", F.coalesce(F.sum("v").over(w), F.lit(0)).alias("c")
+        ).collect()
+    }
+    assert got == want
