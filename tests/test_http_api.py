@@ -251,3 +251,28 @@ def test_explain_endpoint(client):
     assert "partial" in out["plan"].lower()  # HashAggregate(partial)
     with pytest.raises(ClientError):
         client._do("GET", "/tasks/no_such_task/explain")
+
+
+def test_registry_callable_task_served_over_http(server, client, sf_smoke):
+    """A registry operator registered as a callable task is servable
+    through the full HTTP surface exactly like a SQL task: it lists,
+    enqueues, reaches SUCCESS with a row count, and its materialized
+    result reads back through the core — the 'switch to this engine
+    and serve your pipeline ops over the same API' story, end to end."""
+    from dungbeetle_spark.queries import registry
+
+    core = server.httpd.RequestHandlerClass.core
+    spec = registry()["token_count"]
+    core.register_callable_task(
+        "op_token_count",
+        lambda sess, args: spec.build(sess, sf_smoke),
+        queue="registry_ops",
+    )
+    assert "op_token_count" in client.get_tasks()
+    resp = client.post_job("op_token_count", job_id="http_reg1")
+    assert resp["queue"] == "registry_ops"
+    st = _poll(client, "http_reg1")
+    assert st["state"] == "SUCCESS"
+    out = core.read_result("http_reg1")
+    assert st["count"] == out.count() > 0
+    assert "doc_id" in out.columns
