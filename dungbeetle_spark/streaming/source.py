@@ -178,10 +178,19 @@ def drain_to_df(
     return spark.read.parquet(data_dir)
 
 
-def stream_table(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+def stream_table(
+    spark: SparkSession,
+    sf_dir: str,
+    table: str,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
     """Any fixture table as an unbounded file-source DataFrame (no
     timestamp normalization — use :func:`stream_events` for ``events``).
-    Bound to the tuned streaming clone like every other stream here."""
+    Bound to the tuned streaming clone like every other stream here.
+    ``max_files_per_trigger`` splits a multi-file table directory into
+    that many files per micro-batch — the tests use it to prove
+    stream-static operators are batch-local-correct across REAL batch
+    boundaries, not just on the fixture's single-batch drain."""
     sess = streaming_session(spark)
     key = f"{sf_dir}:{table}"
     with _DIR_LOCK:
@@ -191,4 +200,14 @@ def stream_table(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
             os.symlink(f"{sf_dir}/{table}.parquet", f"{src_dir}/{table}.parquet")
             _SRC_DIRS[key] = src_dir
     schema = sess.read.parquet(f"{sf_dir}/{table}.parquet").schema
-    return sess.readStream.schema(schema).parquet(src_dir)
+    reader = sess.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        # recursiveFileLookup: when the fixture "file" is actually a
+        # multi-split table DIRECTORY (how the multi-batch tests force
+        # several micro-batches), the file source must descend into it
+        # — without this the listing sees zero files and the drain
+        # silently produces no batches at all.
+        reader = reader.option(
+            "maxFilesPerTrigger", max_files_per_trigger
+        ).option("recursiveFileLookup", "true")
+    return reader.parquet(src_dir)

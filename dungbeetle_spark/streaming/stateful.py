@@ -422,6 +422,127 @@ def streaming_minhash_ingest_gate(spark: SparkSession, sf_dir: str) -> DataFrame
 from dungbeetle_spark.operators.pipeline import _fate_oracle
 
 
+def fate_gate_reference(sess: SparkSession, sf_dir: str):
+    """The gate's static reference state, materialized once: the
+    corpus canonical map (content-md5 -> keeper among quality-
+    surviving non-eval docs) and the distinct eval-gram set.
+    Production maintains these as tables; the self-contained fixture
+    recomputes them, same as the minhash gate."""
+    from dungbeetle_spark.functions.texts import content_md5
+    from dungbeetle_spark.operators.mixing import _EVAL_MOD, _GRAM_N, word_ngrams
+    from dungbeetle_spark.operators.text import funnel_verdicts
+    from dungbeetle_spark.queries import _t
+    from dungbeetle_spark.sources.catalog import fan_out
+
+    d = _t(sess, sf_dir, "documents")["documents"]
+    verdicts = funnel_verdicts(fan_out(d)).select("doc_id", "reason")
+    surv1 = (
+        d.select("doc_id", "text")
+        .join(verdicts, "doc_id")
+        .filter((F.col("doc_id") % _EVAL_MOD != 0) & (F.col("reason") == "kept"))
+        .select("doc_id", content_md5("text").alias("h"))
+    )
+    canon = (
+        surv1.groupBy("h").agg(F.min("doc_id").alias("dup_of")).localCheckpoint()
+    )
+    ev = (
+        _fate_seeded_toks(fan_out(d.select("doc_id", "text")))
+        .filter(F.col("doc_id") % _EVAL_MOD == 0)
+        .select(F.explode_outer(word_ngrams("t", _GRAM_N)).alias("gram"))
+        .where(F.col("gram").isNotNull())
+        .distinct()
+        .withColumn("hit", F.lit(1))
+        .localCheckpoint()
+    )
+    return canon, ev
+
+
+def _fate_seeded_toks(df: DataFrame) -> DataFrame:
+    from dungbeetle_spark.operators.mixing import _EVAL_MOD, _PLANT_MOD
+
+    seeded = F.concat(
+        F.col("text"),
+        F.when(
+            (F.col("doc_id") % _EVAL_MOD == 0)
+            | (F.col("doc_id") % _PLANT_MOD == 0),
+            F.concat(
+                F.lit(" benchmark passage k"),
+                (F.col("doc_id") % 5).cast("string"),
+                F.lit(" alpha beta gamma delta epsilon zeta eta"),
+            ),
+        ).otherwise(F.lit("")),
+    )
+    return df.select(
+        "doc_id",
+        F.filter(
+            F.split(F.lower(seeded), r"[^a-z0-9]+"), lambda x: x != ""
+        ).alias("t"),
+    )
+
+
+def make_fate_gate_batch(canon: DataFrame, ev: DataFrame):
+    """The per-micro-batch fate decision, given materialized reference
+    state — batch-local by construction, so the drained stream equals
+    the batch manifest regardless of how the input splits into
+    micro-batches (pinned by the multi-batch drain test)."""
+    from dungbeetle_spark.functions.texts import content_md5
+    from dungbeetle_spark.operators.mixing import _EVAL_MOD, _GRAM_N, word_ngrams
+    from dungbeetle_spark.operators.text import funnel_verdicts
+
+    def gate_batch(bdf: DataFrame) -> DataFrame:
+        v = funnel_verdicts(bdf).select("doc_id", "reason")
+        fl = (
+            bdf.select("doc_id", "text")
+            .join(v, "doc_id")
+            .select(
+                "doc_id",
+                "text",
+                "reason",
+                (F.col("doc_id") % _EVAL_MOD == 0).alias("is_eval"),
+                content_md5("text").alias("h"),
+            )
+        )
+        # dedup probe: only quality-surviving non-eval docs consult the
+        # canonical map (their h is in it by construction)
+        probed = fl.join(canon, "h", "left").withColumn(
+            "dup_of",
+            F.when(
+                ~F.col("is_eval") & (F.col("reason") == "kept"), F.col("dup_of")
+            ),
+        )
+        canonical = probed.filter(F.col("doc_id") == F.col("dup_of"))
+        cont = (
+            _fate_seeded_toks(canonical)
+            .select(
+                "doc_id",
+                F.explode_outer(word_ngrams("t", _GRAM_N)).alias("gram"),
+            )
+            .join(F.broadcast(ev), "gram", "left")
+            .groupBy("doc_id")
+            .agg(F.count(F.when(F.col("hit").isNotNull(), 1)).alias("n_cont"))
+        )
+        fate = (
+            F.when(F.col("is_eval"), "eval_holdout")
+            .when(F.col("reason") != "kept", "dropped_quality")
+            .when(
+                F.col("dup_of").isNotNull()
+                & (F.col("doc_id") != F.col("dup_of")),
+                "dropped_duplicate",
+            )
+            .when(F.coalesce("n_cont", F.lit(0)) > 0, "dropped_contaminated")
+            .otherwise("kept")
+        )
+        return probed.join(cont, "doc_id", "left").select(
+            "doc_id",
+            fate.alias("fate"),
+            F.col("reason").alias("quality_reason"),
+            F.coalesce("dup_of", F.lit(-1)).cast("long").alias("canonical_id"),
+            F.coalesce("n_cont", F.lit(0)).cast("long").alias("n_contaminated"),
+        )
+
+    return gate_batch
+
+
 @query(
     "streaming_corpus_fate_gate",
     oracle=_fate_oracle(),  # the batch manifest's oracle, verbatim
@@ -452,116 +573,14 @@ def streaming_corpus_fate_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     foreachBatch carries the batch semantics (per-batch joins and
     aggregation) that append-mode streaming would otherwise force
     state onto."""
-    from dungbeetle_spark.functions.texts import content_md5
-    from dungbeetle_spark.operators.mixing import (
-        _EVAL_MOD,
-        _GRAM_N,
-        _PLANT_MOD,
-        word_ngrams,
-    )
-    from dungbeetle_spark.operators.text import funnel_verdicts
-    from dungbeetle_spark.sources.catalog import fan_out
     from dungbeetle_spark.streaming.source import stream_table
 
     stream = stream_table(spark, sf_dir, "documents")
-
     # Static reference state, built batch-side ON THE STREAM'S SESSION
-    # and materialized once (production maintains these as tables; the
-    # self-contained fixture recomputes them, same as the minhash gate)
-    sess = stream.sparkSession
-    d = _t(sess, sf_dir, "documents")["documents"]
-    verdicts = funnel_verdicts(fan_out(d)).select("doc_id", "reason")
-    surv1 = (
-        d.select("doc_id", "text")
-        .join(verdicts, "doc_id")
-        .filter((F.col("doc_id") % _EVAL_MOD != 0) & (F.col("reason") == "kept"))
-        .select("doc_id", content_md5("text").alias("h"))
-    )
-    canon = (
-        surv1.groupBy("h").agg(F.min("doc_id").alias("dup_of")).localCheckpoint()
-    )
-
-    def _seeded_toks(df: DataFrame):
-        seeded = F.concat(
-            F.col("text"),
-            F.when(
-                (F.col("doc_id") % _EVAL_MOD == 0)
-                | (F.col("doc_id") % _PLANT_MOD == 0),
-                F.concat(
-                    F.lit(" benchmark passage k"),
-                    (F.col("doc_id") % 5).cast("string"),
-                    F.lit(" alpha beta gamma delta epsilon zeta eta"),
-                ),
-            ).otherwise(F.lit("")),
-        )
-        return df.select(
-            "doc_id",
-            F.filter(
-                F.split(F.lower(seeded), r"[^a-z0-9]+"), lambda x: x != ""
-            ).alias("t"),
-        )
-
-    ev = (
-        _seeded_toks(fan_out(d.select("doc_id", "text")))
-        .filter(F.col("doc_id") % _EVAL_MOD == 0)
-        .select(F.explode_outer(word_ngrams("t", _GRAM_N)).alias("gram"))
-        .where(F.col("gram").isNotNull())
-        .distinct()
-        .withColumn("hit", F.lit(1))
-        .localCheckpoint()
-    )
-
-    def gate_batch(bdf: DataFrame) -> DataFrame:
-        v = funnel_verdicts(bdf).select("doc_id", "reason")
-        fl = (
-            bdf.select("doc_id", "text")
-            .join(v, "doc_id")
-            .select(
-                "doc_id",
-                "text",
-                "reason",
-                (F.col("doc_id") % _EVAL_MOD == 0).alias("is_eval"),
-                content_md5("text").alias("h"),
-            )
-        )
-        # dedup probe: only quality-surviving non-eval docs consult the
-        # canonical map (their h is in it by construction)
-        probed = fl.join(canon, "h", "left").withColumn(
-            "dup_of",
-            F.when(
-                ~F.col("is_eval") & (F.col("reason") == "kept"), F.col("dup_of")
-            ),
-        )
-        canonical = probed.filter(F.col("doc_id") == F.col("dup_of"))
-        cont = (
-            _seeded_toks(canonical)
-            .select("doc_id", F.explode_outer(word_ngrams("t", _GRAM_N)).alias("gram"))
-            .join(F.broadcast(ev), "gram", "left")
-            .groupBy("doc_id")
-            .agg(F.count(F.when(F.col("hit").isNotNull(), 1)).alias("n_cont"))
-        )
-        fate = (
-            F.when(F.col("is_eval"), "eval_holdout")
-            .when(F.col("reason") != "kept", "dropped_quality")
-            .when(
-                F.col("dup_of").isNotNull()
-                & (F.col("doc_id") != F.col("dup_of")),
-                "dropped_duplicate",
-            )
-            .when(F.coalesce("n_cont", F.lit(0)) > 0, "dropped_contaminated")
-            .otherwise("kept")
-        )
-        return probed.join(cont, "doc_id", "left").select(
-            "doc_id",
-            fate.alias("fate"),
-            F.col("reason").alias("quality_reason"),
-            F.coalesce("dup_of", F.lit(-1)).cast("long").alias("canonical_id"),
-            F.coalesce("n_cont", F.lit(0)).cast("long").alias("n_contaminated"),
-        )
-
+    canon, ev = fate_gate_reference(stream.sparkSession, sf_dir)
     return drain_to_df(
         stream.select("doc_id", "text", "lang"),
         "stream_fate_gate",
         "append",
-        transform=gate_batch,
+        transform=make_fate_gate_batch(canon, ev),
     )

@@ -102,3 +102,47 @@ def test_fate_gate_stream_equals_batch_manifest(spark, sf_oracle):
     b = sorted(map(tuple, batch.select(*sorted(batch.columns)).collect()))
     s = sorted(map(tuple, stream.select(*sorted(batch.columns)).collect()))
     assert b == s
+
+
+def test_fate_gate_multi_batch_drain_equals_batch(spark, sf_oracle, tmp_path):
+    """The gate's batch-local claim under REAL micro-batch boundaries:
+    the corpus is rewritten as 4 parquet splits and streamed with
+    maxFilesPerTrigger=1, so the drain provably runs >= 4 separate
+    foreachBatch invocations, each probing the same materialized
+    reference state — and the accumulated output still equals the
+    batch manifest row-for-row. The single-file fixture drains in one
+    batch, which would leave cross-batch correctness untested."""
+    from dungbeetle_spark.queries import registry
+    from dungbeetle_spark.sources.catalog import load_tables
+    from dungbeetle_spark.streaming.source import drain_to_df, stream_table
+    from dungbeetle_spark.streaming.stateful import (
+        fate_gate_reference,
+        make_fate_gate_batch,
+    )
+
+    src = tmp_path / "mbsf"
+    src.mkdir()
+    d = load_tables(spark, sf_oracle, ["documents"])["documents"]
+    d.repartition(4).write.parquet(str(src / "documents.parquet"))
+
+    stream = stream_table(spark, str(src), "documents", max_files_per_trigger=1)
+    canon, ev = fate_gate_reference(stream.sparkSession, str(src))
+    gate = make_fate_gate_batch(canon, ev)
+    n_batches = []
+
+    def counting_gate(bdf):
+        n_batches.append(1)
+        return gate(bdf)
+
+    drained = drain_to_df(
+        stream.select("doc_id", "text", "lang"),
+        "mb_fate_gate",
+        "append",
+        transform=counting_gate,
+    )
+    assert len(n_batches) >= 4, f"stream did not split: {len(n_batches)} batch(es)"
+    batch = registry()["corpus_fate_manifest"].build(spark, str(src))
+    cols = sorted(batch.columns)
+    b = sorted(map(tuple, batch.select(*cols).collect()))
+    s = sorted(map(tuple, drained.select(*cols).collect()))
+    assert b == s
