@@ -60,3 +60,79 @@ def test_export_manifest_reproducible_and_membership_exact(spark, sf_oracle):
     digests = [r.content_digest for r in a]
     assert all(len(h) == 32 for h in digests)
     assert len(set(digests)) == len(digests)  # no two shards collide
+
+
+def test_span_repair_matches_bruteforce_on_random_corpora(spark, tmp_path):
+    """Third independent implementation, random inputs: tiny corpora
+    built from a shared passage pool (guaranteed cross-doc 40-char
+    repeats at random offsets) are repaired by a direct Python
+    transcription of the spec — every duplicated window occurrence
+    except the global (doc_id, position)-first one marked, marks
+    merged into maximal spans (adjacent merge), spans cut — and the
+    operator must agree doc-for-doc on repaired text, span count and
+    chars removed. Catches island-merge off-by-ones the planted
+    fixture can't reach."""
+    import random
+
+    from dungbeetle_spark.operators.dedup import _SPAN_L, _SPAN_PASSAGE
+
+    def brute(docs):
+        seeded = {
+            i: t + (_SPAN_PASSAGE if i % 7 == 0 else "")
+            for i, t in docs.items()
+        }
+        occ = {}
+        for i in sorted(seeded):
+            t = seeded[i]
+            for p in range(1, len(t) - _SPAN_L + 2):
+                occ.setdefault(t[p - 1 : p - 1 + _SPAN_L], []).append((i, p))
+        removal = {i: [] for i in seeded}
+        for w, lst in occ.items():
+            if len({d for d, _ in lst}) >= 2:
+                for d, p in sorted(lst)[1:]:
+                    removal[d].append(p)
+        out = {}
+        for i, t in seeded.items():
+            spans = []
+            for p in sorted(removal[i]):
+                if spans and p <= spans[-1][1] + 1:
+                    spans[-1][1] = max(spans[-1][1], p + _SPAN_L - 1)
+                else:
+                    spans.append([p, p + _SPAN_L - 1])
+            kept, pos = [], 1
+            for s, e in spans:
+                kept.append(t[pos - 1 : s - 1])
+                pos = e + 1
+            kept.append(t[pos - 1 :])
+            out[i] = (
+                "".join(kept),
+                len(spans),
+                sum(e - s + 1 for s, e in spans),
+            )
+        return out
+
+    from dungbeetle_spark.queries import registry
+
+    spec = registry()["dedup_span_repair"]
+    rng = random.Random(90210)
+    for case in range(4):
+        pool = [
+            "".join(rng.choice("ab ") for _ in range(rng.randint(42, 55)))
+            for _ in range(3)
+        ]
+        docs = {}
+        for i in range(rng.randint(4, 9)):
+            parts = [rng.choice(pool) for _ in range(rng.randint(1, 3))]
+            suffix = "".join(rng.choice("xyz") for _ in range(rng.randint(0, 30)))
+            docs[i] = "".join(parts) + suffix
+        d = tmp_path / f"case{case}"
+        d.mkdir()
+        spark.createDataFrame(
+            [(i, t) for i, t in docs.items()], "doc_id long, text string"
+        ).coalesce(1).write.parquet(str(d / "documents.parquet"))
+        got = {
+            r.doc_id: (r.repaired_text, r.n_spans_removed, r.chars_removed)
+            for r in spec.build(spark, str(d)).collect()
+        }
+        want = brute(docs)
+        assert got == want, f"case {case}: {got} != {want}"
