@@ -341,6 +341,13 @@ INVARIANCE_QUERIES = [
     "pareto_revenue_share",
     "incremental_agg_maintenance",
     "source_lang_drift",
+    # r09: the export digest chain is an ORDER-SENSITIVE md5 fold per
+    # shard — partition-count invariance proves the per-shard sort
+    # (not any accidental partition order) defines it; span repair's
+    # island merge and text rebuild must likewise be pure functions of
+    # the data
+    "shard_export_manifest",
+    "dedup_span_repair",
 ]
 
 
