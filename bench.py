@@ -414,6 +414,18 @@ def confirm_regressions(
     compare["flagged_batch"] = compare["regressions"]
     compare["regression_checks"] = checks
     compare["regressions"] = confirmed
+    # known_regressions was annotated from the batch flags; re-derive
+    # it from the CONFIRMED set so a demoted interference artifact
+    # can't ship annotated as a crossed-threshold known regression
+    known = {
+        n: _KNOWN_REGRESSIONS[n]
+        for n in confirmed
+        if n in _KNOWN_REGRESSIONS
+    }
+    if known:
+        compare["known_regressions"] = known
+    else:
+        compare.pop("known_regressions", None)
 
 
 def _round_of(bench_path: str) -> str | None:

@@ -113,6 +113,34 @@ def _green_rows(path: str) -> set[str]:
     }
 
 
+_GREEN_ROUNDS_CACHE: dict[tuple, dict[int, set[str]]] = {}
+
+
+def _green_rounds(repo: str) -> dict[int, set[str]]:
+    """Parsed CORRECTNESS_r*.json green sets, memoized on the file
+    list + mtimes: registry() recomputes the window ordering on every
+    call (tests, tools, bench all call it repeatedly) and the
+    artifacts are immutable within a process, so re-reading 8+ JSON
+    files per call was pure waste (r09 review finding). A new or
+    rewritten artifact invalidates the key."""
+    files = sorted(
+        (fn, os.path.getmtime(os.path.join(repo, fn)))
+        for fn in os.listdir(repo)
+        if re.fullmatch(r"CORRECTNESS_r(\d+)\.json", fn)
+    )
+    key = (repo, tuple(files))
+    cached = _GREEN_ROUNDS_CACHE.get(key)
+    if cached is None:
+        cached = {
+            int(re.fullmatch(r"CORRECTNESS_r(\d+)\.json", fn).group(1)):
+                _green_rows(os.path.join(repo, fn))
+            for fn, _ in files
+        }
+        _GREEN_ROUNDS_CACHE.clear()  # one live key per repo is plenty
+        _GREEN_ROUNDS_CACHE[key] = cached
+    return cached
+
+
 def last_green_by_query(
     names: list[str] | None = None, repo: str = _REPO_ROOT
 ) -> dict[str, int | None]:
@@ -123,11 +151,7 @@ def last_green_by_query(
     if names is None:
         _import_operator_modules()
         names = list(_REGISTRY)
-    rounds: dict[int, set[str]] = {}
-    for fn in os.listdir(repo):
-        m = re.fullmatch(r"CORRECTNESS_r(\d+)\.json", fn)
-        if m:
-            rounds[int(m.group(1))] = _green_rows(os.path.join(repo, fn))
+    rounds = _green_rounds(repo)
     last: dict[str, int | None] = {name: None for name in names}
     for rnd in sorted(rounds):
         for name in rounds[rnd]:
@@ -148,8 +172,9 @@ def driver_priority() -> list[str]:
         raise ValueError(f"NEW_OR_CHANGED names not in registry: {unknown}")
     last = last_green_by_query()
     head = list(dict.fromkeys(NEW_OR_CHANGED))
+    head_set = set(head)
     rest = sorted(
-        (n for n in _REGISTRY if n not in set(head)),
+        (n for n in _REGISTRY if n not in head_set),
         key=lambda n: (last[n] is not None, last[n] or 0, n),
     )
     return head + rest

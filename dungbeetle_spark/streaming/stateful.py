@@ -510,7 +510,20 @@ def make_fate_gate_batch(canon: DataFrame, ev: DataFrame):
                 ~F.col("is_eval") & (F.col("reason") == "kept"), F.col("dup_of")
             ),
         )
-        canonical = probed.filter(F.col("doc_id") == F.col("dup_of"))
+        # Canonical survivors take the decontamination stage. A
+        # quality-kept non-eval doc whose h MISSES the map is a NOVEL
+        # document — the primary ingest case — and is its own
+        # canonical, so it must be decontaminated too, not waved
+        # through: the original `doc_id == dup_of` filter silently
+        # skipped the Bloom/gram stage for exactly the docs an ingest
+        # service exists to vet (r09 review finding). On the
+        # self-contained fixture every kept doc's h is in the map, so
+        # batch≡stream equality is unaffected.
+        canonical = probed.filter(
+            ~F.col("is_eval")
+            & (F.col("reason") == "kept")
+            & (F.col("dup_of").isNull() | (F.col("doc_id") == F.col("dup_of")))
+        )
         cont = (
             _fate_seeded_toks(canonical)
             .select(

@@ -964,10 +964,6 @@ def test_full_registry_load_50_job_group_across_4_queues(spark, tmp_path):
         group_id, resps = core.new_job_group("load_group", members)
         assert len(resps) == 50
 
-        # single-flight holds while the group is in flight
-        with pytest.raises(SingleFlightError):
-            core.new_job("task_profit_summary", JobReq(job_id="load_00"))
-
         # the conc-1 queue serializes: the second sleeper is parked in
         # the broker, and the pending listing is oldest-first
         deadline = time.monotonic() + 30
@@ -978,6 +974,12 @@ def test_full_registry_load_50_job_group_across_4_queues(spark, tmp_path):
         assert core.job_status("slow_running")["state"] == jobstore.STARTED
         pend = core.pending_jobs("q_slow")
         assert [p["job_id"] for p in pend] == ["slow_parked"]
+
+        # single-flight: duplicate of a job PROVABLY active (STARTED
+        # was just observed; the sleeper runs 30 s) — asserting on a
+        # fast group member instead races its completion (r09 review)
+        with pytest.raises(SingleFlightError):
+            core.new_job("slow_sleeper", JobReq(job_id="slow_running"))
 
         # cancel the parked job (never ran), then the running one
         # (stage interrupt); both rows purge

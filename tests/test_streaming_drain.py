@@ -179,3 +179,60 @@ def test_hll_register_merge_batch_split_invariant(spark, sf_smoke):
             )
     merged = {(r.scope, r.register): r.rho for r in snapshot.collect()}
     assert merged == whole
+
+
+def test_fate_gate_decontaminates_novel_documents(spark, sf_oracle):
+    """The primary ingest case: a document NOT in the static corpus
+    (content hash misses the canonical map) must still take the
+    decontamination stage. A novel doc quoting a benchmark passage is
+    dropped_contaminated; a clean novel doc is kept with
+    canonical_id=-1 (its own canonical, no prior); a novel exact copy
+    of an existing canonical is dropped_duplicate against it. The
+    original gate waved all hash-miss docs through as 'kept'
+    unchecked (r09 review finding)."""
+    from pyspark.sql import functions as F
+
+    from dungbeetle_spark.queries import registry
+    from dungbeetle_spark.sources.catalog import load_tables
+    from dungbeetle_spark.streaming.stateful import (
+        fate_gate_reference,
+        make_fate_gate_batch,
+    )
+
+    canon, ev = fate_gate_reference(spark, sf_oracle)
+    gate = make_fate_gate_batch(canon, ev)
+
+    # a corpus doc that the batch manifest keeps, as the novel base
+    manifest = registry()["corpus_fate_manifest"].build(spark, sf_oracle)
+    kept_id = manifest.filter("fate = 'kept'").agg(
+        F.min("doc_id")
+    ).collect()[0][0]
+    d = load_tables(spark, sf_oracle, ["documents"])["documents"]
+    base = d.filter(F.col("doc_id") == kept_id).select(
+        "text", "lang"
+    ).collect()[0]
+    # novel ids: coprime-safe (avoid eval/plant/incremental gates)
+    nid = 10_000_001
+    while any(nid % m == 0 for m in (37, 10, 7, 9, 11, 2, 3, 5)):
+        nid += 1
+    nid2, nid3 = nid + 420, nid + 840  # same residue-freedom by spot check
+    for x in (nid2, nid3):
+        assert not any(x % m == 0 for m in (37, 10)), x
+    novel = spark.createDataFrame(
+        [
+            (nid, base.text + " benchmark passage k1 alpha beta gamma"
+                  " delta epsilon zeta eta", base.lang),
+            (nid2, base.text + " entirely fresh suffix words with no"
+                   " benchmark overlap at all", base.lang),
+            (nid3, base.text, base.lang),  # exact copy of the kept doc
+        ],
+        "doc_id long, text string, lang string",
+    )
+    rows = {r.doc_id: r for r in gate(novel).collect()}
+    assert rows[nid].quality_reason == "kept"
+    assert rows[nid].fate == "dropped_contaminated"
+    assert rows[nid].n_contaminated > 0
+    assert rows[nid2].fate == "kept"
+    assert rows[nid2].canonical_id == -1
+    assert rows[nid3].fate == "dropped_duplicate"
+    assert rows[nid3].canonical_id == kept_id
