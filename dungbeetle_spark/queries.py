@@ -65,33 +65,16 @@ def query(name: str, oracle: str | None = None, doc: str = ""):
 # or changing a query therefore touches exactly this one list; the
 # stale-repayment rotation happens by construction every round.
 NEW_OR_CHANGED: list[str] = [
-    # r09: oracle SQL changed — the three r08 driver-hash-red queries
-    # whose DuckDB oracles emitted HUGEINT columns, now CAST to BIGINT
-    # (value-correct all along; the driver hasher canonicalizes int128
-    # differently than int64).
-    "shard_plan",
-    "shard_interleave_audit",
-    "bpe_compression_by_source",
-    # r09 new: the span REWRITE the substring detector only reports
-    # (Lee et al. 2021's actual transformation)
-    "dedup_span_repair",
-    # r09 new: streaming twin of the composed per-doc ingest fate
-    # decision (quality -> dedup probe -> decontamination)
-    "streaming_corpus_fate_gate",
-    # r09 new: the shipped export artifact — fate-kept docs in
-    # reproducible shuffle order, hash-range shards, per-shard
-    # order-sensitive content digest
-    "shard_export_manifest",
-    # r09 changed: ppm arithmetic reworked to two-step long division —
-    # the x32 sweep (under honest noop materialization) overflowed the
-    # old cents*1e6 int64 intermediate. Also r05-stale, so it costs no
-    # extra window slot.
-    "pareto_revenue_share",
-    # r09 changed: forward nearest-candidate carry rewritten from a
-    # first() over [current, unboundedFollowing] frame (re-aggregated
-    # per row — quadratic in partition size, sweep exponent 1.17) to
-    # last() over the reversed order with a running frame (0.06).
-    "length_matched_controls",
+    # r10 budget note: the stale tail entering this round is exactly
+    # 49 (zorder_layout_stats r05 + the 48-query r06 cohort) against a
+    # 50-slot window, so r10 carries at most ONE fresh-green entry
+    # here without pushing an r06 query to r11 (VERDICT r09 item 2).
+    #
+    # r10 changed: banded LSH candidate generation gained the
+    # band-bucket density cap (VERDICT r09 item 3); dedup_minhash_lsh
+    # surfaces the truncated_buckets audit and its oracle models the
+    # cap, so it must re-verify.
+    "dedup_minhash_lsh",
 ]
 
 
