@@ -73,7 +73,15 @@ NEW_OR_CHANGED: list[str] = [
     # r10 changed: banded LSH candidate generation gained the
     # band-bucket density cap (VERDICT r09 item 3); dedup_minhash_lsh
     # surfaces the truncated_buckets audit and its oracle models the
-    # cap, so it must re-verify.
+    # cap, so it must re-verify. minhash_calibration adopted the SAME
+    # shared capped path (code + oracle changed in lockstep) but is
+    # deliberately NOT listed: the cap is a no-op below bucket size 32
+    # and organic band buckets measure 6 at sf0.01 / 19 at sf0.1, so
+    # its driver-observable output is bit-identical to its recorded
+    # green — re-listing it would evict an r06-stale query from the
+    # exactly-full window for a guaranteed-identical result.
+    # tests/test_r10_operators.py pins both operators oracle-green
+    # WITH truncation active on a planted mega-cluster.
     "dedup_minhash_lsh",
 ]
 
