@@ -775,7 +775,11 @@ def rare_token_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
 # -- corpus_fate_manifest -----------------------------------------------------
 
 
-def _fate_oracle() -> str:
+def _fate_oracle(src: str = "documents") -> str:
+    """The composed fate pipeline as SQL over corpus relation ``src``
+    (default: the documents table — renders byte-identical to the
+    pre-r10 oracle; shard_export_diff replays it over the evolved
+    snapshot CTE as well)."""
     from dungbeetle_spark.operators.mixing import _EVAL_MOD, _GRAM_N, _PLANT_MOD
     from dungbeetle_spark.operators.text import (
         _QF_MAX_CHARS,
@@ -797,7 +801,7 @@ def _fate_oracle() -> str:
                    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
                                x -> x <> ''),
                    x -> x IN {str(_QF_STOPWORDS)})) AS stp
-      FROM documents),
+      FROM {src}),
     verdict AS (
       SELECT doc_id,
              CASE WHEN nw < {_QF_MIN_WORDS} THEN 'too_short'
@@ -811,7 +815,7 @@ def _fate_oracle() -> str:
       SELECT d.doc_id, v.reason,
              d.doc_id % {_EVAL_MOD} = 0 AS is_eval,
              md5(trim(regexp_replace(lower(d.text), '\\s+', ' ', 'g'))) AS h
-      FROM documents d JOIN verdict v USING (doc_id)),
+      FROM {src} d JOIN verdict v USING (doc_id)),
     surv1 AS (SELECT * FROM flags WHERE NOT is_eval AND reason = 'kept'),
     canon AS (SELECT h, MIN(doc_id) AS dup_of FROM surv1 GROUP BY h),
     s1 AS (SELECT f.doc_id, c.dup_of FROM surv1 f JOIN canon c USING (h)),
@@ -824,7 +828,7 @@ def _fate_oracle() -> str:
                                || CAST(doc_id % 5 AS VARCHAR)
                                || ' alpha beta gamma delta epsilon zeta eta'
                           ELSE '' END AS text
-      FROM documents),
+      FROM {src}),
     toks AS (
       SELECT doc_id,
              list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
@@ -851,7 +855,7 @@ def _fate_oracle() -> str:
            v.reason AS quality_reason,
            CAST(COALESCE(s1.dup_of, -1) AS BIGINT) AS canonical_id,
            CAST(COALESCE(c.n_cont, 0) AS BIGINT) AS n_contaminated
-    FROM documents d
+    FROM {src} d
     JOIN verdict v USING (doc_id)
     LEFT JOIN s1 ON s1.doc_id = d.doc_id
     LEFT JOIN cont c ON c.doc_id = d.doc_id
@@ -883,6 +887,14 @@ def corpus_fate_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     staging); the final assembly is doc_id-keyed joins. Every stage's
     semantics is pinned equal to its standalone operator by the
     composed oracle."""
+    return _fate_frame(_t(spark, sf_dir, "documents")["documents"])
+
+
+def _fate_frame(d: DataFrame) -> DataFrame:
+    """The composed fate pipeline over an arbitrary documents frame
+    (doc_id, text, lang, ...) — extracted r10 so shard_export_diff can
+    replay it over the evolved corpus snapshot as well; called with
+    the loaded table it is corpus_fate_manifest, unchanged."""
     from dungbeetle_spark.functions.texts import content_md5
     from dungbeetle_spark.operators.mixing import (
         _EVAL_MOD,
@@ -893,7 +905,6 @@ def corpus_fate_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dungbeetle_spark.operators.text import funnel_verdicts
     from dungbeetle_spark.sources.catalog import fan_out
 
-    d = _t(spark, sf_dir, "documents")["documents"]
     verdicts = funnel_verdicts(fan_out(d)).select("doc_id", "reason")
     flags = (
         d.select("doc_id", "text")
@@ -968,14 +979,14 @@ def corpus_fate_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # -- shard_export_manifest ----------------------------------------------------
 
-def _export_oracle() -> str:
+def _export_oracle(src: str = "documents") -> str:
     from dungbeetle_spark.functions.texts import md5_hash60_sql
     from dungbeetle_spark.operators.curation import _ILV_SHIFT
 
     okey = md5_hash60_sql("concat('shuffle|', CAST(d.doc_id AS VARCHAR))")
     return f"""
     WITH fate AS (
-      SELECT * FROM ({_fate_oracle()}) f
+      SELECT * FROM ({_fate_oracle(src)}) f
     ),
     kept AS (SELECT doc_id FROM fate WHERE fate = 'kept'),
     ord AS (
@@ -983,7 +994,7 @@ def _export_oracle() -> str:
              length(d.text) AS n_chars,
              md5(d.text) AS dh,
              {okey} AS okey
-      FROM documents d JOIN kept USING (doc_id)
+      FROM {src} d JOIN kept USING (doc_id)
     ),
     seq AS (SELECT *, okey // {_ILV_SHIFT} AS shard_id FROM ord)
     SELECT shard_id,
@@ -1021,17 +1032,21 @@ def shard_export_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     the shuffle key, embarrassingly parallel like the interleave
     audit. The DuckDB oracle replays the digest chain with ordered
     string_agg over the identical key."""
+    return _export_frame(_t(spark, sf_dir, "documents")["documents"])
+
+
+def _export_frame(d: DataFrame) -> DataFrame:
+    """shard_export_manifest's export pipeline over an arbitrary
+    documents frame — extracted r10 for shard_export_diff's two-
+    snapshot replay; with the loaded table it is shard_export_manifest
+    unchanged."""
     from dungbeetle_spark.functions.texts import md5_hash60
     from dungbeetle_spark.operators.curation import _ILV_SHIFT
 
-    kept = (
-        corpus_fate_manifest(spark, sf_dir)
-        .filter(F.col("fate") == "kept")
-        .select("doc_id")
-    )
-    d = _t(spark, sf_dir, "documents")["documents"].select("doc_id", "text")
+    kept = _fate_frame(d).filter(F.col("fate") == "kept").select("doc_id")
     seq = (
-        d.join(kept, "doc_id")
+        d.select("doc_id", "text")
+        .join(kept, "doc_id")
         .select(
             "doc_id",
             F.length("text").cast("long").alias("n_chars"),
@@ -1056,4 +1071,106 @@ def shard_export_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "",
             )
         ).alias("content_digest"),
+    )
+
+
+# -- shard_export_diff --------------------------------------------------------
+
+# The evolved-corpus convention shared with corpus_snapshot_diff
+# (doc_id % 11 == 0 removed, % 7 == 3 edited with a ' rev2' suffix,
+# one added doc per % 13 == 0 seed at id + 1,000,000). At production
+# scale "previous" is last round's shipped manifest table and
+# "current" is this round's corpus — here both replay from one
+# documents table so the whole diff is a pure, oracle-checkable
+# function of it.
+_EVOLVED_DOCS_SQL = """
+    newdocs AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 7 = 3 THEN text || ' rev2'
+                  ELSE text END AS text,
+             lang, source
+      FROM documents WHERE doc_id % 11 <> 0
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id, 'new ' || text AS text,
+             lang, source
+      FROM documents WHERE doc_id % 13 = 0)"""
+
+
+def _evolved_docs(d: DataFrame) -> DataFrame:
+    """Spark twin of ``_EVOLVED_DOCS_SQL``."""
+    base = d.filter(F.col("doc_id") % 11 != 0).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 7 == 3, F.concat(F.col("text"), F.lit(" rev2"))
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+        "lang",
+        "source",
+    )
+    added = d.filter(F.col("doc_id") % 13 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.concat(F.lit("new "), F.col("text")).alias("text"),
+        "lang",
+        "source",
+    )
+    return base.unionByName(added)
+
+
+@query(
+    "shard_export_diff",
+    oracle=f"""
+    WITH {_EVOLVED_DOCS_SQL},
+    prev AS (SELECT * FROM ({_export_oracle("documents")}) p),
+    curr AS (SELECT * FROM ({_export_oracle("newdocs")}) c)
+    SELECT COALESCE(p.shard_id, c.shard_id) AS shard_id,
+           CASE WHEN p.shard_id IS NULL THEN 'new'
+                WHEN c.shard_id IS NULL THEN 'retired'
+                WHEN p.content_digest <> c.content_digest THEN 'rewrite'
+                ELSE 'unchanged' END AS decision,
+           p.n_docs AS prev_n_docs,
+           c.n_docs AS curr_n_docs,
+           p.content_digest AS prev_digest,
+           c.content_digest AS curr_digest
+    FROM prev p FULL OUTER JOIN curr c ON p.shard_id = c.shard_id
+    """,
+    doc="Incremental re-export planning (VERDICT r09 item 4) — the "
+    "operator a 100 TB pipeline runs AFTER shard_export_manifest: "
+    "replay the export digest chains for the previous corpus snapshot "
+    "and the current one (evolved per the corpus_snapshot_diff "
+    "convention: removals, ' rev2' edits, added docs), full-outer-join "
+    "per shard_id, and decide unchanged / rewrite / new / retired by "
+    "digest-chain comparison — a re-export then rewrites ONLY dirty "
+    "shards. Because the digest is order-sensitive over the "
+    "reproducible shuffle key, 'unchanged' is a byte-level guarantee "
+    "(identical membership, order, and doc bytes), not a heuristic; "
+    "both digests ride in the output so the decision is auditable.",
+)
+def shard_export_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: two export replays (each inherits
+    shard_export_manifest's pins — fate plan + one shard-keyed
+    aggregate, per-shard bounded digest folds) plus ONE join keyed by
+    shard_id — cardinality = shard count, a production parameter
+    (thousands), so the diff itself is a driver-scale join no matter
+    the corpus size. In the warehouse deployment `prev` is read from
+    the shipped manifest table instead of recomputed; the decision
+    logic is this exact full-outer comparison."""
+    d = _t(spark, sf_dir, "documents")["documents"]
+    prev = _export_frame(d).alias("p")
+    curr = _export_frame(_evolved_docs(d)).alias("c")
+    decision = (
+        F.when(F.col("p.shard_id").isNull(), "new")
+        .when(F.col("c.shard_id").isNull(), "retired")
+        .when(F.col("p.content_digest") != F.col("c.content_digest"), "rewrite")
+        .otherwise("unchanged")
+    )
+    return prev.join(
+        curr, F.col("p.shard_id") == F.col("c.shard_id"), "full_outer"
+    ).select(
+        F.coalesce("p.shard_id", "c.shard_id").alias("shard_id"),
+        decision.alias("decision"),
+        F.col("p.n_docs").alias("prev_n_docs"),
+        F.col("c.n_docs").alias("curr_n_docs"),
+        F.col("p.content_digest").alias("prev_digest"),
+        F.col("c.content_digest").alias("curr_digest"),
     )

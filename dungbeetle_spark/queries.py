@@ -83,6 +83,11 @@ NEW_OR_CHANGED: list[str] = [
     # tests/test_r10_operators.py pins both operators oracle-green
     # WITH truncation active on a planted mega-cluster.
     "dedup_minhash_lsh",
+    # r10 new: incremental re-export planning — per-shard
+    # unchanged/rewrite/new/retired decisions by digest-chain
+    # comparison against the previous snapshot's manifest (VERDICT
+    # r09 item 4).
+    "shard_export_diff",
 ]
 
 

@@ -126,3 +126,70 @@ def test_capped_operator_stays_oracle_green_under_truncation(
         df = SPECS[name].build(spark, mega_cluster_dir)
         assert compare(df, con, SPECS[name].oracle) > 0
     con.close()
+
+
+# -- shard_export_diff --------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def diff_rows(spark, sf_oracle):
+    return SPECS["shard_export_diff"].build(spark, sf_oracle).collect()
+
+
+def test_export_diff_decisions_follow_digests(diff_rows):
+    """Each decision must be exactly the digest/presence comparison it
+    claims — 'unchanged' is a byte-level digest-equality guarantee."""
+    assert len(diff_rows) > 0
+    for r in diff_rows:
+        if r.decision == "unchanged":
+            assert r.prev_digest == r.curr_digest
+            assert r.prev_n_docs == r.curr_n_docs
+        elif r.decision == "rewrite":
+            assert r.prev_digest != r.curr_digest
+        elif r.decision == "new":
+            assert r.prev_digest is None and r.prev_n_docs is None
+            assert r.curr_digest is not None
+        elif r.decision == "retired":
+            assert r.curr_digest is None and r.curr_n_docs is None
+            assert r.prev_digest is not None
+        else:
+            raise AssertionError(f"unknown decision {r.decision!r}")
+    mix = {r.decision for r in diff_rows}
+    assert {"unchanged", "rewrite"} <= mix, f"degenerate fixture: {mix}"
+
+
+def test_export_diff_prev_side_is_the_manifest(spark, sf_oracle, diff_rows):
+    """The diff's previous side must equal shard_export_manifest on
+    the same corpus — the artifact a production run would read back."""
+    manifest = {
+        r.shard_id: (r.n_docs, r.content_digest)
+        for r in SPECS["shard_export_manifest"].build(spark, sf_oracle).collect()
+    }
+    prev = {
+        r.shard_id: (r.prev_n_docs, r.prev_digest)
+        for r in diff_rows
+        if r.decision != "new"
+    }
+    assert prev == manifest
+
+
+def test_export_diff_new_and_retired_on_sparse_corpus(
+    spark, tmp_path_factory
+):
+    """With a corpus small enough that shards sit empty on one side,
+    the new/retired arms must fire (sf0.01 keeps every shard occupied,
+    so this is the only coverage those branches get)."""
+    src = "/root/testdata/sf0.001"
+    out = tmp_path_factory.mktemp("sparse_export")
+    import duckdb as _duck
+
+    con = _duck.connect()
+    con.execute(
+        f"""COPY (SELECT * FROM read_parquet('{src}/documents.parquet')
+                  WHERE doc_id < 60)
+            TO '{out}/documents.parquet' (FORMAT PARQUET)"""
+    )
+    con.close()
+    rows = SPECS["shard_export_diff"].build(spark, str(out)).collect()
+    mix = {r.decision for r in rows}
+    assert "new" in mix or "retired" in mix, f"sparse corpus mix: {mix}"
