@@ -164,6 +164,29 @@ HEADLINE = [
     # r09: composed export manifest (fate-kept -> shuffled shards ->
     # order-sensitive per-shard digest chain)
     "shard_export_manifest",
+    # r10: incremental re-export planning (two export replays + a
+    # shard-keyed full outer diff)
+    "shard_export_diff",
+]
+
+# Streaming drain bench (VERDICT r09 item 5): none of the 10 streaming
+# operators appear in HEADLINE because their cost is a synchronous
+# availableNow DRAIN inside build() — the batch noop timing pattern
+# works, but the number measures trigger scheduling + state store +
+# sink I/O, a different regression surface (foreachBatch, watermark
+# finalization) the batch guard can't see. They get their own section
+# with the same min-of-3 / host-normalized / 1.5x guard.
+STREAMING = [
+    "streaming_windowed_counts",
+    "streaming_sessionize",
+    "streaming_segment_volume",
+    "streaming_stream_stream_join",
+    "streaming_distinct_daily",
+    "streaming_quality_filter",
+    "streaming_incremental_mv",
+    "streaming_hll_registers",
+    "streaming_minhash_ingest_gate",
+    "streaming_corpus_fate_gate",
 ]
 
 # Host-drift canary (ADVICE r04: one hardcoded-anchor query is noisy
@@ -217,6 +240,16 @@ _REGRESSION_RATIO = 1.5  # normalized per-query ratio that flags
 # genuine blow-up of a tiny query (0.3 s -> 2 s) still lands above the
 # floor on the new side, so it keeps its individual flag.
 _NOISE_FLOOR_SEC = 0.6
+
+# ADVICE r09: the pool average can dilute a single genuine sub-floor
+# regression (0.1 s -> 0.55 s is 5.5x but moves the ~38-member pool
+# ratio barely). Pooled members are therefore ALSO flagged
+# individually when their absolute normalized delta exceeds
+# _POOL_ABS_DELTA_SEC or their ratio exceeds the looser
+# _POOL_RATIO_CAP — flagged members rejoin `regressions` and get the
+# isolated-rerun confirmation like any other flag.
+_POOL_ABS_DELTA_SEC = 0.3
+_POOL_RATIO_CAP = 3.0
 
 
 def _median_host_factor(timings: dict[str, float]) -> float | None:
@@ -296,6 +329,72 @@ _KNOWN_REGRESSIONS = {
 }
 
 
+def _ratio_guard(
+    timings: dict[str, float],
+    host_factor: float | None,
+    old_timings: dict[str, float],
+    old_factor: float | None,
+) -> dict:
+    """The normalized per-query regression guard, shared by the batch
+    compare and the streaming-drain compare: ratios after dividing out
+    each run's own median host factor, a 1.5x flag per query, the
+    sub-second noise pool, and (ADVICE r09) individual flags for
+    pooled members whose absolute delta or looser ratio cap betrays a
+    real regression hiding under the floor."""
+    ratios: dict[str, float] = {}
+    pool_members: dict[str, tuple[float, float]] = {}
+    pool_new = pool_old = 0.0
+    for name, new_sec in timings.items():
+        old_sec = old_timings.get(name)
+        if not old_sec or not old_factor or not host_factor:
+            continue
+        new_norm, old_norm = new_sec / host_factor, old_sec / old_factor
+        ratios[name] = round(new_norm / old_norm, 3)
+        if max(new_norm, old_norm) < _NOISE_FLOOR_SEC:
+            pool_members[name] = (new_norm, old_norm)
+            pool_new += new_norm
+            pool_old += old_norm
+    pool_flagged = sorted(
+        (
+            name
+            for name, (nn, on) in pool_members.items()
+            if nn - on > _POOL_ABS_DELTA_SEC or nn / on > _POOL_RATIO_CAP
+        ),
+        key=lambda n: -ratios[n],
+    )
+    regressions = sorted(
+        (
+            name
+            for name, r in ratios.items()
+            if r > _REGRESSION_RATIO and name not in pool_members
+        ),
+        key=lambda n: -ratios[n],
+    )
+    # pooled-but-flagged members rejoin the individually-guarded set
+    # (and the isolated-rerun confirmation downstream)
+    regressions += [n for n in pool_flagged if n not in regressions]
+    return {
+        "normalized_ratios": ratios,
+        "regression_threshold": _REGRESSION_RATIO,
+        "regressions": regressions,
+        "noise_floor_sec": _NOISE_FLOOR_SEC,
+        "subsecond_pool": {
+            "n": len(pool_members),
+            "new_norm_sec": round(pool_new, 3),
+            "old_norm_sec": round(pool_old, 3),
+            "ratio": (
+                round(pool_new / pool_old, 3) if pool_old else None
+            ),
+            "regressed": bool(
+                pool_old and pool_new / pool_old > _REGRESSION_RATIO
+            ),
+            "member_abs_delta_sec": _POOL_ABS_DELTA_SEC,
+            "member_ratio_cap": _POOL_RATIO_CAP,
+            "flagged_members": pool_flagged,
+        },
+    }
+
+
 def _compare_block(timings: dict[str, float], host_factor: float | None,
                    against_path: str) -> dict:
     """Normalized per-query ratios vs a prior BENCH_r*.json, with a
@@ -325,50 +424,15 @@ def _compare_block(timings: dict[str, float], host_factor: float | None,
         old_timings.update(timings_from_tail(tail))  # direct values win
         salvaged = bool(old_timings)
     old_factor = _median_host_factor(old_timings)
-    ratios: dict[str, float] = {}
-    pooled: list[str] = []
-    pool_new = pool_old = 0.0
-    for name, new_sec in timings.items():
-        old_sec = old_timings.get(name)
-        if not old_sec or not old_factor or not host_factor:
-            continue
-        new_norm, old_norm = new_sec / host_factor, old_sec / old_factor
-        ratios[name] = round(new_norm / old_norm, 3)
-        if max(new_norm, old_norm) < _NOISE_FLOOR_SEC:
-            pooled.append(name)
-            pool_new += new_norm
-            pool_old += old_norm
-    regressions = sorted(
-        (
-            name
-            for name, r in ratios.items()
-            if r > _REGRESSION_RATIO and name not in set(pooled)
-        ),
-        key=lambda n: -ratios[n],
-    )
     block = {
         "against": os.path.basename(against_path),
         "host_factor_old_median_method": old_factor,
         "host_factor_old_as_recorded": old.get("canary", {}).get(
             "host_factor"
         ),
-        "normalized_ratios": ratios,
-        "regression_threshold": _REGRESSION_RATIO,
-        "regressions": regressions,
-        "noise_floor_sec": _NOISE_FLOOR_SEC,
-        "subsecond_pool": {
-            "n": len(pooled),
-            "new_norm_sec": round(pool_new, 3),
-            "old_norm_sec": round(pool_old, 3),
-            "ratio": (
-                round(pool_new / pool_old, 3) if pool_old else None
-            ),
-            "regressed": bool(
-                pool_old and pool_new / pool_old > _REGRESSION_RATIO
-            ),
-        },
     }
-    known = {n: _KNOWN_REGRESSIONS[n] for n in regressions
+    block.update(_ratio_guard(timings, host_factor, old_timings, old_factor))
+    known = {n: _KNOWN_REGRESSIONS[n] for n in block["regressions"]
              if n in _KNOWN_REGRESSIONS}
     if known:
         block["known_regressions"] = known
@@ -426,6 +490,35 @@ def confirm_regressions(
         compare["known_regressions"] = known
     else:
         compare.pop("known_regressions", None)
+
+
+def _streaming_compare(
+    timings: dict[str, float],
+    host_factor: float | None,
+    against_path: str,
+) -> dict | None:
+    """Cross-round guard for the streaming-drain section. The prior
+    per-op drain times live in the full record (BENCH_FULL_r{N}.json /
+    fingerprint-matched BENCH_FULL.json); the old host factor comes
+    from the prior BATCH canary — host drift is a host property, and
+    the streaming ops have no r01 anchors of their own."""
+    try:
+        with open(against_path) as f:
+            old = json.load(f)
+    except (OSError, json.JSONDecodeError):
+        return None
+    if isinstance(old, dict) and isinstance(old.get("parsed"), dict):
+        old = old["parsed"]
+    full = old if old.get("streaming") else _full_record_for(against_path, old)
+    old_stream = ((full or {}).get("streaming") or {}).get("queries") or {}
+    block = {"against": os.path.basename(against_path)}
+    if not old_stream:
+        block["note"] = "no streaming section in prior record"
+        return block
+    old_factor = _median_host_factor(full.get("queries") or {})
+    block["host_factor_old_median_method"] = old_factor
+    block.update(_ratio_guard(timings, host_factor, old_stream, old_factor))
+    return block
 
 
 def _round_of(bench_path: str) -> str | None:
@@ -568,6 +661,21 @@ def emit_bench_line(out: dict, full_name: str = "BENCH_FULL.json") -> str:
         "host_factor": canary.get("host_factor"),
         "note": "median ratio over r01 anchors; detail in BENCH_FULL.json",
     }
+    s_full = slim.pop("streaming", None)
+    if s_full is not None:
+        s_slim = {
+            "total": s_full.get("total"),
+            "n": len(s_full.get("queries") or {}),
+        }
+        s_cmp = s_full.get("compare")
+        if isinstance(s_cmp, dict):
+            s_slim["regressions"] = s_cmp.get("regressions")
+            s_ratios = sorted((s_cmp.get("normalized_ratios") or {}).values())
+            if s_ratios:
+                s_slim["median_ratio"] = s_ratios[len(s_ratios) // 2]
+            if s_cmp.get("note"):
+                s_slim["note"] = s_cmp["note"]
+        slim["streaming"] = s_slim
     line = json.dumps(slim)
     if len(line) <= _STDOUT_LINE_BUDGET:
         return line
@@ -597,13 +705,15 @@ def main() -> None:
     # times only that comma-separated subset (full headline when unset —
     # the driver never sets it).
     headline = HEADLINE
+    streaming_ops = STREAMING
     subset = os.environ.get("SPARK_GRAFT_BENCH_QUERIES", "")
     if subset:
         chosen = [q.strip() for q in subset.split(",") if q.strip()]
-        unknown = [q for q in chosen if q not in HEADLINE]
+        unknown = [q for q in chosen if q not in HEADLINE + STREAMING]
         if unknown:
-            raise SystemExit(f"not in HEADLINE: {unknown}")
-        headline = chosen
+            raise SystemExit(f"not in HEADLINE or STREAMING: {unknown}")
+        headline = [q for q in chosen if q in HEADLINE]
+        streaming_ops = [q for q in chosen if q in STREAMING]
 
     from dungbeetle_spark.queries import registry
     from dungbeetle_spark.session import get_spark
@@ -686,19 +796,52 @@ def main() -> None:
             compare = {"against": os.path.basename(against),
                        "error": str(ex)[:200]}
 
-    if compare and compare.get("regressions"):
+    def _isolated_min(name: str) -> float:
+        iso: list[float] = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            specs[name].build(spark, sf_dir).write.mode(
+                "overwrite"
+            ).format("noop").save()
+            iso.append(time.perf_counter() - t0)
+        return round(min(iso), 3)
 
-        def _isolated_min(name: str) -> float:
-            iso: list[float] = []
-            for _ in range(3):
+    if compare and compare.get("regressions"):
+        confirm_regressions(compare, timings, _isolated_min)
+
+    # Streaming drain section (VERDICT r09 item 5): each op's build()
+    # runs a synchronous availableNow drain to parquet; the noop save
+    # of the returned batch frame adds only the drained-result read.
+    streaming: dict | None = None
+    if streaming_ops:
+        s_runs: dict[str, list[float]] = {name: [] for name in streaming_ops}
+        for _ in range(3):
+            for name in streaming_ops:
                 t0 = time.perf_counter()
                 specs[name].build(spark, sf_dir).write.mode(
                     "overwrite"
                 ).format("noop").save()
-                iso.append(time.perf_counter() - t0)
-            return round(min(iso), 3)
-
-        confirm_regressions(compare, timings, _isolated_min)
+                s_runs[name].append(time.perf_counter() - t0)
+        s_timings = {name: round(min(ts), 3) for name, ts in s_runs.items()}
+        streaming = {
+            "metric": "streaming_drain_wall",
+            "queries": s_timings,
+            "total": round(sum(s_timings.values()), 3),
+            "spread_stddev": {
+                name: round(statistics.pstdev(ts), 3)
+                for name, ts in s_runs.items()
+            },
+        }
+        if against and os.path.exists(against):
+            try:
+                s_cmp = _streaming_compare(s_timings, host_factor, against)
+            except Exception as ex:
+                s_cmp = {"against": os.path.basename(against),
+                         "error": str(ex)[:200]}
+            if s_cmp is not None:
+                if s_cmp.get("regressions"):
+                    confirm_regressions(s_cmp, s_timings, _isolated_min)
+                streaming["compare"] = s_cmp
 
     out = {
         "metric": "headline_queries_total_wall",
@@ -727,6 +870,8 @@ def main() -> None:
     }
     if compare is not None:
         out["compare"] = compare
+    if streaming is not None:
+        out["streaming"] = streaming
 
     # Full record (per-query compare ratios, canary anchor detail) goes
     # to a file — the driver's stdout capture is bounded (~4 KB: the

@@ -371,3 +371,81 @@ def test_confirm_regressions_clears_interference_keeps_real():
         <= set(c)
         for c in checks.values()
     )
+
+
+def test_pooled_member_with_large_abs_delta_flags_individually(tmp_path):
+    """ADVICE r09: a genuine sub-floor regression (0.1 -> 0.55 s,
+    5.5x) must not hide in the ~38-member pool average — members past
+    the absolute-delta floor (or the looser ratio cap) rejoin the
+    individually-flagged set."""
+    old_timings = {name: a for name, a in bench.CANARY_ANCHORS.items()}
+    old_timings["tiny_blown"] = 0.1
+    old_timings["tiny_noisy"] = 0.10
+    old = tmp_path / "BENCH_r98.json"
+    old.write_text(json.dumps({"queries": old_timings}))
+    new_timings = dict(bench.CANARY_ANCHORS)  # host factor 1.0
+    new_timings["tiny_blown"] = 0.55   # +0.45s abs, 5.5x — must flag
+    new_timings["tiny_noisy"] = 0.17   # +0.07s, 1.7x — pool noise
+    hf = bench._median_host_factor(new_timings)
+    block = bench._compare_block(new_timings, hf, str(old))
+    pool = block["subsecond_pool"]
+    assert "tiny_blown" in pool["flagged_members"]
+    assert "tiny_blown" in block["regressions"]
+    assert "tiny_noisy" not in pool["flagged_members"]
+    assert "tiny_noisy" not in block["regressions"]
+
+
+def test_streaming_compare_reads_prior_full_record(tmp_path):
+    """The streaming guard normalizes with the prior BATCH canary and
+    compares against the prior full record's streaming section."""
+    old_batch = dict(bench.CANARY_ANCHORS)  # old host factor 1.0
+    rec = {
+        "value": 12.3,
+        "sf": 0.1,
+        "queries": old_batch,
+        "streaming": {"queries": {"streaming_sessionize": 2.0,
+                                  "streaming_hll_registers": 1.0}},
+    }
+    old = tmp_path / "BENCH_r98.json"
+    old.write_text(json.dumps(rec))
+    new = {"streaming_sessionize": 4.0,   # 2x normalized -> flag
+           "streaming_hll_registers": 1.05}
+    block = bench._streaming_compare(new, 1.0, str(old))
+    assert block["host_factor_old_median_method"] == 1.0
+    assert block["normalized_ratios"]["streaming_sessionize"] == 2.0
+    assert block["regressions"] == ["streaming_sessionize"]
+    assert "streaming_hll_registers" not in block["regressions"]
+
+
+def test_streaming_compare_notes_missing_prior_section(tmp_path):
+    old = tmp_path / "BENCH_r98.json"
+    old.write_text(json.dumps({"value": 1.0, "sf": 0.1, "queries": {}}))
+    block = bench._streaming_compare({"streaming_sessionize": 2.0}, 1.0, str(old))
+    assert block["note"] == "no streaming section in prior record"
+    assert "regressions" not in block
+
+
+def test_emit_bench_line_carries_slim_streaming_section():
+    out = {
+        "metric": "headline_queries_total_wall",
+        "value": 10.0,
+        "unit": "sec",
+        "queries": {"q1_pricing_summary": 10.0},
+        "sf": 0.1,
+        "canary": {"host_factor": 1.0},
+        "streaming": {
+            "queries": {"streaming_sessionize": 2.0},
+            "total": 2.0,
+            "compare": {
+                "normalized_ratios": {"streaming_sessionize": 1.1},
+                "regressions": [],
+            },
+        },
+    }
+    line = bench.emit_bench_line(out)
+    assert len(line) <= bench._STDOUT_LINE_BUDGET
+    parsed = json.loads(line)
+    assert parsed["streaming"] == {
+        "total": 2.0, "n": 1, "regressions": [], "median_ratio": 1.1,
+    }
+    assert "queries" not in parsed["streaming"]
