@@ -59,6 +59,36 @@ _PLANT_MOD = 10
 _GRAM_N = 5
 
 
+def fate_seeded_toks(df: DataFrame) -> DataFrame:
+    """(doc_id, text, ...) → (doc_id, t: array<string>): the
+    benchmark-passage seeding + tokenizer contract, in ONE place.
+
+    decontamination, bloom_decontamination, corpus_fate_manifest and
+    the streaming fate gate all depend on this exact expression; the
+    batch≡stream equality streaming_corpus_fate_gate claims holds only
+    while every consumer tokenizes identically, so the expression
+    lives here once instead of four inline copies (ADVICE r09). The
+    DuckDB oracles carry the same contract as the seeded/toks CTEs."""
+    seeded = F.concat(
+        F.col("text"),
+        F.when(
+            (F.col("doc_id") % _EVAL_MOD == 0)
+            | (F.col("doc_id") % _PLANT_MOD == 0),
+            F.concat(
+                F.lit(" benchmark passage k"),
+                (F.col("doc_id") % 5).cast("string"),
+                F.lit(" alpha beta gamma delta epsilon zeta eta"),
+            ),
+        ).otherwise(F.lit("")),
+    )
+    return df.select(
+        "doc_id",
+        F.filter(
+            F.split(F.lower(seeded), r"[^a-z0-9]+"), lambda x: x != ""
+        ).alias("t"),
+    )
+
+
 @query(
     "decontamination",
     oracle=f"""
@@ -116,26 +146,12 @@ def decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     token array inside codegen; no Python anywhere.
     """
     d = _t(spark, sf_dir, "documents")["documents"]
-    seeded_text = F.concat(
-        F.col("text"),
-        F.when(
-            (F.col("doc_id") % _EVAL_MOD == 0) | (F.col("doc_id") % _PLANT_MOD == 0),
-            F.concat(
-                F.lit(" benchmark passage k"),
-                (F.col("doc_id") % 5).cast("string"),
-                F.lit(" alpha beta gamma delta epsilon zeta eta"),
-            ),
-        ).otherwise(F.lit("")),
-    )
-    toks = F.filter(
-        F.split(F.lower(seeded_text), r"[^a-z0-9]+"), lambda x: x != ""
-    )
     # fan_out before the gram construction: tokenize + slice + join is
     # the CPU-bound step, and the local single-row-group fixture would
     # otherwise run it on one task (no-op on a real multi-split scan).
-    per_doc = fan_out(d.select("doc_id", "text")).select(
-        "doc_id", toks.alias("t")
-    ).select("doc_id", F.explode_outer(word_ngrams("t", _GRAM_N)).alias("gram"))
+    per_doc = fate_seeded_toks(fan_out(d.select("doc_id", "text"))).select(
+        "doc_id", F.explode_outer(word_ngrams("t", _GRAM_N)).alias("gram")
+    )
     ev = (
         per_doc.filter(F.col("doc_id") % _EVAL_MOD == 0)
         .select("gram")
@@ -270,24 +286,8 @@ def bloom_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     ≤{_BLOOM_M // _BLOOM_WORD} (block, word) rows bit_or-folded with
     map-side partials — the mergeable-sketch property, as SQL."""
     d = _t(spark, sf_dir, "documents")["documents"]
-    seeded_text = F.concat(
-        F.col("text"),
-        F.when(
-            (F.col("doc_id") % _EVAL_MOD == 0) | (F.col("doc_id") % _PLANT_MOD == 0),
-            F.concat(
-                F.lit(" benchmark passage k"),
-                (F.col("doc_id") % 5).cast("string"),
-                F.lit(" alpha beta gamma delta epsilon zeta eta"),
-            ),
-        ).otherwise(F.lit("")),
-    )
-    toks = F.filter(
-        F.split(F.lower(seeded_text), r"[^a-z0-9]+"), lambda x: x != ""
-    )
-    per_doc = (
-        fan_out(d.select("doc_id", "text"))
-        .select("doc_id", toks.alias("t"))
-        .select("doc_id", F.explode_outer(word_ngrams("t", _GRAM_N)).alias("gram"))
+    per_doc = fate_seeded_toks(fan_out(d.select("doc_id", "text"))).select(
+        "doc_id", F.explode_outer(word_ngrams("t", _GRAM_N)).alias("gram")
     )
 
     def _pos(j: int, gram) -> "F.Column":

@@ -899,7 +899,7 @@ def _fate_frame(d: DataFrame) -> DataFrame:
     from dungbeetle_spark.operators.mixing import (
         _EVAL_MOD,
         _GRAM_N,
-        _PLANT_MOD,
+        fate_seeded_toks,
         word_ngrams,
     )
     from dungbeetle_spark.operators.text import funnel_verdicts
@@ -922,25 +922,8 @@ def _fate_frame(d: DataFrame) -> DataFrame:
     canon = surv1.groupBy("h").agg(F.min("doc_id").alias("dup_of"))
     s1 = surv1.join(canon, "h").select("doc_id", "dup_of")
     surv2 = s1.filter(F.col("doc_id") == F.col("dup_of")).select("doc_id")
-    seeded_text = F.concat(
-        F.col("text"),
-        F.when(
-            (F.col("doc_id") % _EVAL_MOD == 0)
-            | (F.col("doc_id") % _PLANT_MOD == 0),
-            F.concat(
-                F.lit(" benchmark passage k"),
-                (F.col("doc_id") % 5).cast("string"),
-                F.lit(" alpha beta gamma delta epsilon zeta eta"),
-            ),
-        ).otherwise(F.lit("")),
-    )
-    toks = F.filter(
-        F.split(F.lower(seeded_text), r"[^a-z0-9]+"), lambda x: x != ""
-    )
-    grams = (
-        fan_out(d.select("doc_id", "text"))
-        .select("doc_id", toks.alias("t"))
-        .select("doc_id", F.explode_outer(word_ngrams("t", _GRAM_N)).alias("gram"))
+    grams = fate_seeded_toks(fan_out(d.select("doc_id", "text"))).select(
+        "doc_id", F.explode_outer(word_ngrams("t", _GRAM_N)).alias("gram")
     )
     ev = (
         grams.filter(F.col("doc_id") % _EVAL_MOD == 0)

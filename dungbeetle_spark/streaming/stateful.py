@@ -457,27 +457,11 @@ def fate_gate_reference(sess: SparkSession, sf_dir: str):
     return canon, ev
 
 
-def _fate_seeded_toks(df: DataFrame) -> DataFrame:
-    from dungbeetle_spark.operators.mixing import _EVAL_MOD, _PLANT_MOD
-
-    seeded = F.concat(
-        F.col("text"),
-        F.when(
-            (F.col("doc_id") % _EVAL_MOD == 0)
-            | (F.col("doc_id") % _PLANT_MOD == 0),
-            F.concat(
-                F.lit(" benchmark passage k"),
-                (F.col("doc_id") % 5).cast("string"),
-                F.lit(" alpha beta gamma delta epsilon zeta eta"),
-            ),
-        ).otherwise(F.lit("")),
-    )
-    return df.select(
-        "doc_id",
-        F.filter(
-            F.split(F.lower(seeded), r"[^a-z0-9]+"), lambda x: x != ""
-        ).alias("t"),
-    )
+# The seeding/tokenizer contract is shared with the batch manifest —
+# one expression in operators.mixing.fate_seeded_toks (ADVICE r09: an
+# inline copy here could drift and silently break the batch≡stream
+# equality this module's gates claim).
+from dungbeetle_spark.operators.mixing import fate_seeded_toks as _fate_seeded_toks
 
 
 def make_fate_gate_batch(canon: DataFrame, ev: DataFrame):
@@ -545,11 +529,22 @@ def make_fate_gate_batch(canon: DataFrame, ev: DataFrame):
             .when(F.coalesce("n_cont", F.lit(0)) > 0, "dropped_contaminated")
             .otherwise("kept")
         )
+        # canonical_id: a quality-kept non-eval doc whose h misses the
+        # map is NOVEL and is its own canonical (coalesce to doc_id),
+        # matching the batch manifest where every kept doc records
+        # itself; -1 stays the sentinel only for docs that never reach
+        # the dedup stage (eval holdout / quality-dropped), same as
+        # batch (ADVICE r09 — the fixture never exercises a miss, so
+        # the novel-doc unit test pins this arm).
+        canonical_id = F.when(
+            ~F.col("is_eval") & (F.col("reason") == "kept"),
+            F.coalesce("dup_of", "doc_id"),
+        ).otherwise(F.lit(-1))
         return probed.join(cont, "doc_id", "left").select(
             "doc_id",
             fate.alias("fate"),
             F.col("reason").alias("quality_reason"),
-            F.coalesce("dup_of", F.lit(-1)).cast("long").alias("canonical_id"),
+            canonical_id.cast("long").alias("canonical_id"),
             F.coalesce("n_cont", F.lit(0)).cast("long").alias("n_contaminated"),
         )
 

@@ -193,3 +193,65 @@ def test_export_diff_new_and_retired_on_sparse_corpus(
     rows = SPECS["shard_export_diff"].build(spark, str(out)).collect()
     mix = {r.decision for r in rows}
     assert "new" in mix or "retired" in mix, f"sparse corpus mix: {mix}"
+
+
+# -- streaming fate gate: novel-document canonical_id (ADVICE r09) -----------
+
+
+def test_fate_gate_novel_doc_is_its_own_canonical(spark):
+    """A quality-kept non-eval doc whose content hash MISSES the
+    canonical map (the primary ingest path) must record itself as
+    canonical — matching the batch manifest's convention for kept
+    docs — and must still pass through decontamination. The driver
+    fixture never exercises a miss, so this is the only pin on that
+    arm."""
+    from dungbeetle_spark.operators.pipeline import corpus_fate_manifest
+    from dungbeetle_spark.queries import _t
+    from dungbeetle_spark.streaming.stateful import (
+        fate_gate_reference,
+        make_fate_gate_batch,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    kept_ids = {
+        r.doc_id
+        for r in corpus_fate_manifest(spark, sf).filter("fate = 'kept'").collect()
+    }
+    docs = {
+        r.doc_id: r.text
+        for r in _t(spark, sf, "documents")["documents"].collect()
+    }
+    base = next(
+        t for i, t in sorted(docs.items())
+        if i in kept_ids and len(set(t.split(" ")[:2])) == 2
+    )
+    # swap the first two words: same length/stats (quality verdict
+    # unchanged), different md5 (novel content)
+    w = base.split(" ")
+    novel_text = " ".join([w[1], w[0]] + w[2:])
+    assert novel_text != base and len(novel_text) == len(base)
+    novel_id = 777_778  # not % 37 == 0, not % 10 == 0: unseeded, non-eval
+    batch = spark.createDataFrame(
+        [(novel_id, novel_text, "en")], "doc_id long, text string, lang string"
+    )
+    canon, ev = fate_gate_reference(spark, sf)
+    [row] = make_fate_gate_batch(canon, ev)(batch).collect()
+    assert row.quality_reason == "kept"
+    assert row.canonical_id == novel_id, row
+    assert row.fate == "kept" and row.n_contaminated == 0
+
+    # and a novel doc CARRYING an eval passage must be caught by the
+    # decontamination stage while still recording itself as canonical
+    # (swapped words + appended passage keeps doc 1 inside the quality
+    # band — verified, not assumed: the assert below is unconditional)
+    poisoned = novel_text + (
+        " benchmark passage k0 alpha beta gamma delta epsilon zeta eta"
+    )
+    batch2 = spark.createDataFrame(
+        [(novel_id, poisoned, "en")], "doc_id long, text string, lang string"
+    )
+    [row2] = make_fate_gate_batch(canon, ev)(batch2).collect()
+    assert row2.quality_reason == "kept", row2
+    assert row2.fate == "dropped_contaminated"
+    assert row2.n_contaminated > 0
+    assert row2.canonical_id == novel_id

@@ -185,8 +185,9 @@ def test_fate_gate_decontaminates_novel_documents(spark, sf_oracle):
     """The primary ingest case: a document NOT in the static corpus
     (content hash misses the canonical map) must still take the
     decontamination stage. A novel doc quoting a benchmark passage is
-    dropped_contaminated; a clean novel doc is kept with
-    canonical_id=-1 (its own canonical, no prior); a novel exact copy
+    dropped_contaminated; a clean novel doc is kept recording ITSELF
+    as canonical (r10, matching the batch manifest's convention for
+    kept docs — ADVICE r09); a novel exact copy
     of an existing canonical is dropped_duplicate against it. The
     original gate waved all hash-miss docs through as 'kept'
     unchecked (r09 review finding)."""
@@ -233,6 +234,6 @@ def test_fate_gate_decontaminates_novel_documents(spark, sf_oracle):
     assert rows[nid].fate == "dropped_contaminated"
     assert rows[nid].n_contaminated > 0
     assert rows[nid2].fate == "kept"
-    assert rows[nid2].canonical_id == -1
+    assert rows[nid2].canonical_id == nid2
     assert rows[nid3].fate == "dropped_duplicate"
     assert rows[nid3].canonical_id == kept_id
