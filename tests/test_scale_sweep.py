@@ -62,3 +62,89 @@ def test_amplified_cache_requires_completion_sentinel(tmp_path, monkeypatch):
     # a completed dir (sentinel present) short-circuits without Spark
     (partial / "_AMPLIFIED").write_text("complete\n")
     assert scale_sweep.build_amplified(None, 4) == str(partial)
+
+
+def test_parse_prior_exponents_both_formats(tmp_path):
+    import scale_sweep
+
+    old = tmp_path / "old.md"
+    old.write_text(
+        "# SCALING\n\n"
+        "| operator | x1 (s) | x32 (s) | exponent |\n"
+        "|---|---|---|---|\n"
+        "| `dedup_exact` | 0.53 | 0.50 | -0.01 |\n"
+        "| `minhash_calibration` | 2.40 | 481.60 | 1.50 |\n"
+    )
+    assert scale_sweep.parse_prior_exponents(str(old)) == {
+        "dedup_exact": -0.01,
+        "minhash_calibration": 1.50,
+    }
+    new = tmp_path / "new.md"
+    new.write_text(
+        "| operator | x1 (s) | x32 (s) | exponent | isolated |\n"
+        "|---|---|---|---|---|\n"
+        "| `dedup_exact` | 0.53 | 0.50 | -0.01 |  |\n"
+        "| `kl_divergence_by_source` | 0.9 | 1.0 | 0.03 | true (batch exp 0.45) |\n"
+    )
+    assert scale_sweep.parse_prior_exponents(str(new)) == {
+        "dedup_exact": -0.01,
+        "kl_divergence_by_source": 0.03,
+    }
+    assert scale_sweep.parse_prior_exponents(str(tmp_path / "nope.md")) == {}
+
+
+def test_isolated_remeasure_fires_only_on_exponent_jump(monkeypatch):
+    """An op whose exponent jumped >= 0.3 re-measures alone (per-cell
+    min merged, marker returned); stable ops are untouched."""
+    import scale_sweep
+
+    # batch results: jumped op reads exp 1.0 (1.0 -> 32.0 over x32);
+    # stable op reads its prior exponent.
+    results = {
+        "dedup_exact": {1: 0.5, 32: 0.55},
+        "kmeans_clusters": {1: 1.0, 32: 32.0},
+    }
+    prior = {"dedup_exact": 0.0, "kmeans_clusters": 0.0}
+
+    calls = []
+
+    def fake_time_cell(spark, spec, sf_dir, runs):
+        calls.append(sf_dir)
+        return 1.2  # isolated: x32 re-reads near-flat
+
+    monkeypatch.setattr(scale_sweep, "_time_cell", fake_time_cell)
+    monkeypatch.setattr(
+        scale_sweep, "build_amplified", lambda spark, f: f"{scale_sweep.WORK}/x{f}"
+    )
+
+    class FakeRegistry(dict):
+        def __missing__(self, k):
+            return object()
+
+    import dungbeetle_spark.queries as q
+
+    monkeypatch.setattr(q, "registry", lambda: FakeRegistry())
+    iso = scale_sweep.apply_isolated_remeasure(
+        None, results, [1, 32], prior, runs=1
+    )
+    assert set(iso) == {"kmeans_clusters"}
+    assert iso["kmeans_clusters"]["batch_exponent"] == 1.0
+    # per-cell min: x1 keeps the batch 1.0 (< 1.2), x32 takes 1.2
+    assert results["kmeans_clusters"] == {1: 1.0, 32: 1.2}
+    assert results["dedup_exact"] == {1: 0.5, 32: 0.55}  # untouched
+    assert iso["kmeans_clusters"]["isolated_exponent"] == round(
+        scale_sweep.exponent({1: 1.0, 32: 1.2}), 2
+    )
+
+
+def test_render_table_marks_isolated_rows():
+    import scale_sweep
+
+    table = scale_sweep.render_table(
+        {"dedup_exact": {1: 0.5, 32: 0.6}},
+        [1, 32],
+        {"dedup_exact": {"batch_exponent": 0.9, "isolated_exponent": 0.1,
+                         "prior_exponent": 0.0}},
+    )
+    assert "| isolated |" in table.splitlines()[0]
+    assert "true (batch exp 0.90)" in table

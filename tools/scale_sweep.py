@@ -108,6 +108,11 @@ SWEEP_OPS = [
     # r09 additions
     ("dedup_span_repair", None),  # same h shuffle as substring + doc-grain repair
     ("shard_export_manifest", None),  # fate plan + one shard-keyed digest agg
+    # r10 additions: amplified copies are near-dups by construction, so
+    # the x32 corpus IS the worst-case band-bucket density the r10 cap
+    # exists for — these two rows are the cap's scale evidence
+    ("dedup_minhash_lsh", None),  # capped band join: linear at any density
+    ("shard_export_diff", None),  # two export replays + shard-keyed diff
 ]
 
 # Sub-factor ladder for capped operators: when the requested factor
@@ -309,16 +314,16 @@ NOTES = """
   probe projection, both linear in grams; sub-linear is 32 cores
   absorbing that. `char_bigram_surprisal` is two linear scans
   against a charset²-bounded model (x32 36.98 s, exponent 0.84;
-  scan-bound). `minhash_calibration` (x32 481.6 s, exponent 1.50 —
-  the table's one superlinear uncapped row, and a deliberate one):
-  amplified copies are near-duplicates BY CONSTRUCTION (text differs
-  only in a version suffix), so LSH candidate pairs grow ~k² per
-  seed doc and the candidate-bounded exact-intersection work grows
-  with them — under count() that work was pruned and the row read
-  0.94; the honest number measures the operator's documented cost
-  model at worst-case density. Organic corpora pair far more
-  sparsely, and the op is a parameter-calibration diagnostic run on
-  a sample, not a per-ingest pass.
+  scan-bound). `minhash_calibration` (x32 20.1 s, exponent 0.54 —
+  was 481.6 s / exponent 1.50 in r09): amplified copies are
+  near-duplicates BY CONSTRUCTION (text differs only in a version
+  suffix), so band buckets grow ~k-fold and the uncapped all-pairs
+  emission grew candidate pairs ~k² per seed doc — the honest
+  worst-case-density measurement that motivated VERDICT r09 item 3.
+  The r10 band-bucket density cap (buckets > 32 degrade to
+  leader-star emission; see operators/dedup.py:_capped_band_pairs)
+  bounds per-bucket output linearly, and this row is the cap's scale
+  evidence: the SAME worst-case density now sweeps at 0.54.
 - r08 additions: `url_canonicalize` is flat (x32 ~0.6 s) — pure
   map-side string codegen into a 40-key rollup; the per-row regex
   work rides the 32-core floor. `epoch_ngram_novelty` (exponent
@@ -352,13 +357,32 @@ NOTES = """
   alone, the same interference class the bench's isolated-rerun
   guard exists for): flat; the vocab-keyed joins ride the core
   floor.
+- **Method change (r10): cross-round exponent-jump guard.** Any
+  operator whose batch-sweep exponent rises >= 0.3 over the prior
+  committed table re-measures its whole ladder ALONE after the batch
+  (the r09 `kl_divergence_by_source` interference artifact — 2.87 s
+  in-batch, 1.07 s alone — done by hand then, mechanical now); the
+  per-cell minimum is recorded and the row carries `true (batch exp
+  N)` in the `isolated` column so a re-measure is visible, not
+  silent.
 - r09 additions: `dedup_span_repair` (0.71): the h-keyed window pass
   is the same volume the substring detector pays (0.73 here), and
   the repair adds only removal-grain islands plus the per-doc
   higher-order rebuild — the two rows moving together is the design.
-  `shard_export_manifest` (0.44): the composed fate plan dominates
-  (0.41 alone); the export layer's digest aggregate adds a roughly
-  constant increment on top.
+  `shard_export_manifest` (0.34, re-measured r10 after the
+  frame-helper refactor): the composed fate plan dominates; the
+  export layer's digest aggregate adds a roughly constant increment
+  on top.
+- r10 additions: `dedup_minhash_lsh` (x32 4.70 s, exponent 0.24)
+  joins the table because the amplified corpus is exactly the
+  mega-cluster density its new bucket cap exists for: every organic
+  band bucket gains ~k near-dup copies, the cap trips corpus-wide,
+  and the banded join stays linear (star pairs) instead of emitting
+  k² candidates — measured bounded at the worst case, with
+  truncated_buckets > 0 auditing the trade. `shard_export_diff`
+  (0.31): two export replays (each the manifest's own shape) plus a
+  shard_id-keyed full outer join whose cardinality is the shard
+  count, not the corpus.
 """
 
 
@@ -371,6 +395,21 @@ def _op_factors(cap: int | None, factors: list[int]) -> list[int]:
     if cap is not None and len(use) < 2:
         use = sorted({f for f in CAPPED_LADDER if f <= cap})
     return use
+
+
+def _time_cell(spark, spec, sf_dir: str, runs: int) -> float:
+    best = math.inf
+    for _ in range(runs):
+        t0 = time.monotonic()
+        # noop write, same as bench.py: count() lets Catalyst
+        # prune final projections (e.g. dedup_span_repair's
+        # repaired-text rebuild never ran, measuring a flat
+        # exponent for an op whose whole point is that column)
+        spec.build(spark, sf_dir).write.mode("overwrite").format(
+            "noop"
+        ).save()
+        best = min(best, time.monotonic() - t0)
+    return best
 
 
 def run_sweep(
@@ -407,20 +446,94 @@ def run_sweep(
     for name, cap in chosen:
         results[name] = {}
         for f in _op_factors(cap, factors):
-            best = math.inf
-            for _ in range(runs):
-                t0 = time.monotonic()
-                # noop write, same as bench.py: count() lets Catalyst
-                # prune final projections (e.g. dedup_span_repair's
-                # repaired-text rebuild never ran, measuring a flat
-                # exponent for an op whose whole point is that column)
-                specs[name].build(spark, dirs[f]).write.mode(
-                    "overwrite"
-                ).format("noop").save()
-                best = min(best, time.monotonic() - t0)
+            best = _time_cell(spark, specs[name], dirs[f], runs)
             results[name][f] = best
             print(f"{name} x{f}: {best:.2f}s", flush=True)
     return results
+
+
+# Cross-round exponent-jump guard (VERDICT r09 item 6): the r09 sweep
+# hand-re-measured one interference artifact (kl_divergence_by_source:
+# batch 2.87 s x32, 1.07 s alone). Any operator whose exponent rose by
+# >= _EXP_JUMP vs the prior SCALING.md re-measures its whole ladder
+# AFTER the batch (temporally isolated from the 67-op sequence whose
+# shuffles/page-cache churn pollute neighbors), per-cell min merged.
+_EXP_JUMP = 0.3
+
+
+def parse_prior_exponents(path: str) -> dict[str, float]:
+    """{op: exponent} from an existing SCALING.md table (either the
+    pre-r10 format or the current one with the trailing isolated
+    column). Missing/unparseable file -> {} (no guard, fresh table)."""
+    import re
+
+    try:
+        with open(path) as fh:
+            text = fh.read()
+    except OSError:
+        return {}
+    exps: dict[str, float] = {}
+    header_cols: list[str] | None = None
+    for line in text.splitlines():
+        if not line.startswith("|"):
+            continue
+        cells = [c.strip() for c in line.strip().strip("|").split("|")]
+        if header_cols is None:
+            if "exponent" in cells:
+                header_cols = cells
+            continue
+        m = re.fullmatch(r"`(\w+)`", cells[0])
+        if not m or len(cells) != len(header_cols):
+            continue
+        try:
+            exps[m.group(1)] = float(cells[header_cols.index("exponent")])
+        except (ValueError, IndexError):
+            continue
+    return exps
+
+
+def apply_isolated_remeasure(
+    spark,
+    results: dict[str, dict[int, float]],
+    factors: list[int],
+    prior: dict[str, float],
+    runs: int = 2,
+) -> dict[str, dict]:
+    """Re-measure (alone, post-batch) every op whose batch exponent
+    jumped >= _EXP_JUMP over the prior round's recorded exponent.
+    Mutates ``results`` with the per-cell min and returns
+    {op: {prior, batch, isolated exponents}} for the report marker."""
+    from dungbeetle_spark.queries import registry
+
+    caps = dict(SWEEP_OPS)
+    flagged = [
+        name
+        for name in results
+        if name in prior
+        and not math.isnan(exponent(results[name]))
+        and exponent(results[name]) - prior[name] >= _EXP_JUMP
+    ]
+    if not flagged:
+        return {}
+    specs = registry()
+    isolated: dict[str, dict] = {}
+    for name in flagged:
+        batch_exp = exponent(results[name])
+        merged: dict[int, float] = {}
+        for f in _op_factors(caps.get(name), factors):
+            sf_dir = f"{WORK}/x{f}"
+            if not os.path.exists(f"{sf_dir}/_AMPLIFIED"):
+                sf_dir = build_amplified(spark, f)
+            best = _time_cell(spark, specs[name], sf_dir, runs)
+            merged[f] = min(results[name].get(f, math.inf), best)
+            print(f"[isolated] {name} x{f}: {best:.2f}s", flush=True)
+        results[name] = merged
+        isolated[name] = {
+            "prior_exponent": round(prior[name], 2),
+            "batch_exponent": round(batch_exp, 2),
+            "isolated_exponent": round(exponent(merged), 2),
+        }
+    return isolated
 
 
 def exponent(r: dict[int, float]) -> float:
@@ -432,21 +545,29 @@ def exponent(r: dict[int, float]) -> float:
 
 
 def render_table(
-    results: dict[str, dict[int, float]], factors: list[int]
+    results: dict[str, dict[int, float]],
+    factors: list[int],
+    isolated: dict[str, dict] | None = None,
 ) -> str:
+    isolated = isolated or {}
     all_fs = sorted({f for r in results.values() for f in r} | set(factors))
     lines = [
         "| operator | " + " | ".join(f"x{f} (s)" for f in all_fs)
-        + " | exponent |",
-        "|---|" + "---|" * (len(all_fs) + 1),
+        + " | exponent | isolated |",
+        "|---|" + "---|" * (len(all_fs) + 2),
     ]
     for name, _cap in SWEEP_OPS:
         if name not in results:
             continue
         r = results[name]
         cells = [f"{r[f]:.2f}" if f in r else "—" for f in all_fs]
+        iso = isolated.get(name)
+        iso_cell = (
+            f"true (batch exp {iso['batch_exponent']:.2f})" if iso else ""
+        )
         lines.append(
-            f"| `{name}` | " + " | ".join(cells) + f" | {exponent(r):.2f} |"
+            f"| `{name}` | " + " | ".join(cells)
+            + f" | {exponent(r):.2f} | {iso_cell} |"
         )
     return "\n".join(lines)
 
@@ -488,7 +609,20 @@ def main() -> None:
         else None
     )
     results = run_sweep(spark, args.factors, runs=args.runs, ops=ops)
-    table = render_table(results, args.factors)
+    # exponent-jump guard vs the committed table (or --out if it
+    # already exists): flagged ops re-measure alone post-batch and
+    # their rows carry the isolated marker (VERDICT r09 item 6)
+    prior_path = args.out if args.out and os.path.exists(args.out) else (
+        os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "SCALING.md")
+    )
+    prior = parse_prior_exponents(prior_path)
+    isolated = apply_isolated_remeasure(
+        spark, results, args.factors, prior, runs=args.runs
+    )
+    if isolated:
+        print(f"isolated re-measures: {isolated}", flush=True)
+    table = render_table(results, args.factors, isolated)
     print(table)
     if args.out:
         with open(args.out, "w") as fh:
