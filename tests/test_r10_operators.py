@@ -19,6 +19,8 @@ import shutil
 
 import duckdb
 import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
 
 from dungbeetle_spark.operators.dedup import _LSH_BUCKET_CAP, _MH_TABLES
 from dungbeetle_spark.queries import registry
@@ -255,3 +257,83 @@ def test_fate_gate_novel_doc_is_its_own_canonical(spark):
     assert row2.fate == "dropped_contaminated"
     assert row2.n_contaminated > 0
     assert row2.canonical_id == novel_id
+
+
+# -- _capped_band_pairs: full functional property (hypothesis) ---------------
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(0, 19),  # doc_id
+            st.integers(0, 2),  # band
+            st.integers(0, 3),  # bucket hash within band
+        ),
+        min_size=1,
+        max_size=50,
+        unique=True,
+    )
+)
+def test_capped_pairs_match_brute_force_on_random_buckets(spark, rows):
+    """The exact contract of ``_capped_band_pairs`` on arbitrary band
+    assignments, with a tiny cap so both arms fire: per bucket, the
+    emitted pairs are the full clique when bn <= cap and the
+    min-doc_id leader star otherwise; m counts emitting bands; and the
+    capped pair graph has the SAME connected components as the
+    uncapped all-pairs graph (the semantic property dedup components
+    depend on). The planted-mega-cluster tests cover the operator
+    end-to-end; this pins the shared helper itself on shapes no
+    fixture plants (several oversized buckets, overlapping membership,
+    singleton buckets)."""
+    from collections import defaultdict
+
+    from dungbeetle_spark.operators.dedup import _capped_band_pairs
+
+    cap = 3
+    buckets = defaultdict(set)
+    for doc, band, h in rows:
+        buckets[(band, h)].add(doc)
+
+    expected = defaultdict(int)  # (a, b) -> m
+    uncapped_edges = set()
+    for members in buckets.values():
+        ms = sorted(members)
+        uncapped_edges.update(
+            (a, b) for i, a in enumerate(ms) for b in ms[i + 1:]
+        )
+        if len(ms) <= cap:
+            emitted = [(a, b) for i, a in enumerate(ms) for b in ms[i + 1:]]
+        else:
+            emitted = [(ms[0], b) for b in ms[1:]]  # leader star
+        for e in emitted:
+            expected[e] += 1
+
+    long = spark.createDataFrame(
+        [(d, b, h) for d, b, h in rows], "doc_id long, band int, h long"
+    )
+    pairs, audit = _capped_band_pairs(long, cap=cap)
+    got = {(r.doc_a, r.doc_b): r.m for r in pairs.collect()}
+    assert got == dict(expected)
+    [a] = audit.collect()
+    assert a.truncated_buckets == sum(
+        1 for m in buckets.values() if len(m) > cap
+    )
+
+    # component equality vs the uncapped clique graph
+    def comps(edges, nodes):
+        parent = {n: n for n in nodes}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for x, y in edges:
+            parent[find(x)] = find(y)
+        return {frozenset(n for n in nodes if find(n) == r)
+                for r in {find(n) for n in nodes}}
+
+    nodes = {d for d, _, _ in rows}
+    assert comps(set(expected), nodes) == comps(uncapped_edges, nodes)
