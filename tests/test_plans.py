@@ -1003,6 +1003,10 @@ def test_registry_wide_no_cartesian_and_no_fact_nlj(spark, sf):
         # scalar) — bounded by domain count, never fact data; the
         # corpus-derived work is the word-keyed self-join
         "cross_source_ce_matrix",
+        # r10: the 1-row truncated_buckets audit frame the density cap
+        # surfaces, broadcast-crossed onto the capped pair output
+        # (operator docstring: "The 1-row audit frame broadcasts")
+        "dedup_minhash_lsh",
     }
     unexpected = [q for q in bnlj if q not in known_scalar_broadcast]
     assert not unexpected, (
