@@ -272,8 +272,10 @@ NOTES = """
   into the consuming action. The r06 form's single-task global
   window is gone; cost is now range-shuffle-linear in the aggregated
   frame, invisible under the 32-core floor.
-- `pagerank_trade_graph` (0.36 this sweep; host-load-sensitive,
-  historically up to ~0.75): each
+- `pagerank_trade_graph` (0.48 this sweep, recorded from an isolated
+  re-measure after the cross-round jump guard fired on a batch
+  reading of 0.67 — see the Method change bullet below;
+  host-load-sensitive, historically 0.36–0.75): each
   amplified copy is a disjoint subgraph, so edges grow linearly and
   the per-iteration join/agg cost with them; the sub-linear exponent
   is the fixed materialization floor (the edge-table and
@@ -313,8 +315,8 @@ NOTES = """
   ~k-fold — the cost that scales is the gram-build distinct and the
   probe projection, both linear in grams; sub-linear is 32 cores
   absorbing that. `char_bigram_surprisal` is two linear scans
-  against a charset²-bounded model (x32 36.98 s, exponent 0.84;
-  scan-bound). `minhash_calibration` (x32 20.1 s, exponent 0.54 —
+  against a charset²-bounded model (x32 33.7 s, exponent 0.86;
+  scan-bound). `minhash_calibration` (x32 17.2 s, exponent 0.60 —
   was 481.6 s / exponent 1.50 in r09): amplified copies are
   near-duplicates BY CONSTRUCTION (text differs only in a version
   suffix), so band buckets grow ~k-fold and the uncapped all-pairs
@@ -323,7 +325,8 @@ NOTES = """
   The r10 band-bucket density cap (buckets > 32 degrade to
   leader-star emission; see operators/dedup.py:_capped_band_pairs)
   bounds per-bucket output linearly, and this row is the cap's scale
-  evidence: the SAME worst-case density now sweeps at 0.54.
+  evidence: the SAME worst-case density now sweeps at 0.54–0.60
+  (targeted post-cap run / this full sweep).
 - r08 additions: `url_canonicalize` is flat (x32 ~0.6 s) — pure
   map-side string codegen into a 40-key rollup; the per-row regex
   work rides the 32-core floor. `epoch_ngram_novelty` (exponent
@@ -365,22 +368,22 @@ NOTES = """
   per-cell minimum is recorded and the row carries `true (batch exp
   N)` in the `isolated` column so a re-measure is visible, not
   silent.
-- r09 additions: `dedup_span_repair` (0.71): the h-keyed window pass
-  is the same volume the substring detector pays (0.73 here), and
+- r09 additions: `dedup_span_repair` (0.73): the h-keyed window pass
+  is the same volume the substring detector pays (0.57 this sweep;
+  the pair has ranged 0.57–0.73 across rounds, moving together), and
   the repair adds only removal-grain islands plus the per-doc
-  higher-order rebuild — the two rows moving together is the design.
-  `shard_export_manifest` (0.34, re-measured r10 after the
-  frame-helper refactor): the composed fate plan dominates; the
-  export layer's digest aggregate adds a roughly constant increment
-  on top.
-- r10 additions: `dedup_minhash_lsh` (x32 4.70 s, exponent 0.24)
+  higher-order rebuild.
+  `shard_export_manifest` (0.45; 0.34 in the targeted post-refactor
+  run): the composed fate plan dominates; the export layer's digest
+  aggregate adds a roughly constant increment on top.
+- r10 additions: `dedup_minhash_lsh` (x32 4.32 s, exponent 0.41)
   joins the table because the amplified corpus is exactly the
   mega-cluster density its new bucket cap exists for: every organic
   band bucket gains ~k near-dup copies, the cap trips corpus-wide,
   and the banded join stays linear (star pairs) instead of emitting
   k² candidates — measured bounded at the worst case, with
   truncated_buckets > 0 auditing the trade. `shard_export_diff`
-  (0.31): two export replays (each the manifest's own shape) plus a
+  (0.36): two export replays (each the manifest's own shape) plus a
   shard_id-keyed full outer join whose cardinality is the shard
   count, not the corpus.
 """
