@@ -148,3 +148,34 @@ def test_render_table_marks_isolated_rows():
     )
     assert "| isolated |" in table.splitlines()[0]
     assert "true (batch exp 0.90)" in table
+
+
+def test_convexity_flags_accelerating_rows_only():
+    import scale_sweep
+
+    results = {
+        # flat: endpoint and segments agree — not listed
+        "dedup_exact": {1: 0.5, 10: 0.55, 32: 0.6},
+        # accelerating: flat to x10, superlinear into x32 — listed
+        "lsh_band_planner": {1: 2.0, 10: 4.0, 32: 40.0},
+        # decelerating superlinear start — not listed (top segment low)
+        "kmeans_clusters": {1: 1.0, 10: 30.0, 32: 31.0},
+        # two cells only: no segment comparison possible — skipped
+        "dedup_ngram_jaccard": {1: 1.0, 4: 16.0},
+    }
+    out = scale_sweep.render_convexity(results)
+    assert "`lsh_band_planner`" in out
+    assert "dedup_exact" not in out
+    assert "kmeans_clusters" not in out
+    assert "dedup_ngram_jaccard" not in out
+    # per-segment numbers rendered for the flagged row
+    lo = scale_sweep.segment_exponents(results["lsh_band_planner"])[0][2]
+    hi = scale_sweep.segment_exponents(results["lsh_band_planner"])[-1][2]
+    assert f"1→10: {lo:.2f}" in out and f"10→32: {hi:.2f}" in out
+    assert hi > 1.9  # 10x time over ~3.2x data
+
+    # the all-clear is explicit, not silence
+    clear = scale_sweep.render_convexity(
+        {"dedup_exact": {1: 0.5, 10: 0.55, 32: 0.6}}
+    )
+    assert "none this sweep" in clear

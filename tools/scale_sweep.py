@@ -376,6 +376,29 @@ NOTES = """
   `shard_export_manifest` (0.45; 0.34 in the targeted post-refactor
   run): the composed fate plan dominates; the export layer's digest
   aggregate adds a roughly constant increment on top.
+- **Convexity readings (r10, expected shapes all):** the generated
+  line under the table flags rows whose top factor segment
+  accelerates past their endpoint exponent. This sweep:
+  `dedup_containment` (1.38 over x2→x4) is the capped posting-pair
+  diagnostic — planted near-dups densify the postings it pairs on,
+  the documented quadratic-class cost its x4 cap exists for.
+  `lsh_band_planner` (1.26) reports each config's exact DISTINCT
+  candidate-pair count, and a k-copy planted cluster truly produces
+  ~C(k,2) candidates under the high-recall configs — the measured
+  quantity is itself quadratic in cluster density, so the cost
+  follows the output semantics (unlike `dedup_minhash_lsh`, which
+  needs the pairs only for dedup connectivity and therefore caps);
+  a production planner runs on a corpus sample.
+  `dedup_minhash_incremental` (1.10) probes each new doc against its
+  band buckets: planted density means every new doc really has ~k
+  prior near-dup matches to verify — candidate-bounded, linear per
+  probe (batch x bucket join, never bucket²).
+  `dedup_exact_substring` / `longest_dup_substring` /
+  `cross_source_overlap_matrix` (0.92–0.98) converge toward
+  linear-in-duplicated-grams as planted copies dominate the posting
+  mass — the documented cost model, not an emerging blowup.
+  `pagerank_trade_graph`'s segment spread rides the load
+  sensitivity its isolated marker records.
 - r10 additions: `dedup_minhash_lsh` (x32 4.32 s, exponent 0.41)
   joins the table because the amplified corpus is exactly the
   mega-cluster density its new bucket cap exists for: every organic
@@ -547,6 +570,58 @@ def exponent(r: dict[int, float]) -> float:
     return math.log(r[hi] / r[lo]) / math.log(hi / lo)
 
 
+# Convexity flag: the endpoint exponent averages over the whole factor
+# range, so an operator that is flat to x10 and accelerates into x32
+# can still print a modest number (r10: lsh_band_planner reads 0.84
+# end-to-end but 1.26 over its top segment). Flag any row whose LAST
+# per-segment exponent both exceeds the FIRST by >= _CONVEX_DELTA and
+# is itself >= _CONVEX_HI — acceleration at the top of the ladder is
+# the shape that predicts trouble at the next 10x, and it must be
+# visible in the report, not discoverable only by recomputing segments
+# by hand.
+_CONVEX_DELTA = 0.35
+_CONVEX_HI = 0.75
+
+
+def segment_exponents(r: dict[int, float]) -> list[tuple[int, int, float]]:
+    """Per-adjacent-segment exponents [(f_lo, f_hi, exp), ...]."""
+    fs = sorted(r)
+    return [
+        (
+            fs[i],
+            fs[i + 1],
+            math.log(r[fs[i + 1]] / r[fs[i]]) / math.log(fs[i + 1] / fs[i]),
+        )
+        for i in range(len(fs) - 1)
+    ]
+
+
+def render_convexity(results: dict[str, dict[int, float]]) -> str:
+    """One generated paragraph listing accelerating rows (or an
+    explicit all-clear), appended between the table and NOTES."""
+    flagged = []
+    for name, _cap in SWEEP_OPS:
+        r = results.get(name)
+        if not r or len(r) < 3:
+            continue
+        segs = segment_exponents(r)
+        lo, hi = segs[0][2], segs[-1][2]
+        if hi - lo >= _CONVEX_DELTA and hi >= _CONVEX_HI:
+            flagged.append(
+                f"`{name}` ({segs[0][0]}→{segs[0][1]}: {lo:.2f}, "
+                f"{segs[-1][0]}→{segs[-1][1]}: {hi:.2f})"
+            )
+    head = (
+        "\nConvexity (per-segment exponents; a row is listed when its "
+        f"top segment exceeds its first by >= {_CONVEX_DELTA} and is "
+        f">= {_CONVEX_HI} — acceleration the endpoint exponent "
+        "averages away): "
+    )
+    if not flagged:
+        return head + "none this sweep.\n"
+    return head + "; ".join(flagged) + ". See Notes for why each is expected.\n"
+
+
 def render_table(
     results: dict[str, dict[int, float]],
     factors: list[int],
@@ -626,6 +701,7 @@ def main() -> None:
     if isolated:
         print(f"isolated re-measures: {isolated}", flush=True)
     table = render_table(results, args.factors, isolated)
+    table += "\n" + render_convexity(results)
     print(table)
     if args.out:
         with open(args.out, "w") as fh:
