@@ -341,6 +341,17 @@ def _ratio_guard(
     sub-second noise pool, and (ADVICE r09) individual flags for
     pooled members whose absolute delta or looser ratio cap betrays a
     real regression hiding under the floor."""
+    if not host_factor or not old_factor:
+        # without both host factors every query below would be skipped
+        # and the block would read as a clean all-clear (r10 review
+        # finding: a streaming-only SPARK_GRAFT_BENCH_QUERIES subset
+        # has no batch timings, hence no host factor). Say so instead.
+        return {
+            "note": "comparison unavailable: missing host factor "
+            f"(new={host_factor}, old={old_factor})",
+            "normalized_ratios": {},
+            "regressions": None,
+        }
     ratios: dict[str, float] = {}
     pool_members: dict[str, tuple[float, float]] = {}
     pool_new = pool_old = 0.0
@@ -509,7 +520,17 @@ def _streaming_compare(
         return None
     if isinstance(old, dict) and isinstance(old.get("parsed"), dict):
         old = old["parsed"]
-    full = old if old.get("streaming") else _full_record_for(against_path, old)
+    # the prior record counts only if its streaming section carries the
+    # per-op drain times: a driver-recorded slim line has streaming =
+    # {total, n, ...} with 'queries' stripped by emit_bench_line, and
+    # taking it at face value would skip the archived full record and
+    # self-disable this guard from the first slim round onward (r10
+    # review finding)
+    full = (
+        old
+        if (old.get("streaming") or {}).get("queries")
+        else _full_record_for(against_path, old)
+    )
     old_stream = ((full or {}).get("streaming") or {}).get("queries") or {}
     block = {"against": os.path.basename(against_path)}
     if not old_stream:

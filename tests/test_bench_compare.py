@@ -449,3 +449,45 @@ def test_emit_bench_line_carries_slim_streaming_section():
         "total": 2.0, "n": 1, "regressions": [], "median_ratio": 1.1,
     }
     assert "queries" not in parsed["streaming"]
+
+
+def test_streaming_compare_slim_prior_falls_through_to_archive(tmp_path):
+    """A driver-recorded slim line carries streaming WITHOUT 'queries'
+    (emit_bench_line strips them); the guard must still reach the
+    round's archived full record instead of self-disabling from the
+    first slim round onward (r10 review finding)."""
+    old_batch = dict(bench.CANARY_ANCHORS)
+    slim = {
+        "value": 12.3,
+        "sf": 0.1,
+        "queries": old_batch,
+        "streaming": {"total": 3.0, "n": 2},  # no 'queries' — slim form
+    }
+    (tmp_path / "BENCH_r98.json").write_text(json.dumps(slim))
+    full = dict(slim)
+    full["streaming"] = {
+        "queries": {"streaming_sessionize": 2.0, "streaming_hll_registers": 1.0}
+    }
+    (tmp_path / "BENCH_FULL_r98.json").write_text(json.dumps(full))
+    block = bench._streaming_compare(
+        {"streaming_sessionize": 4.0, "streaming_hll_registers": 1.05},
+        1.0,
+        str(tmp_path / "BENCH_r98.json"),
+    )
+    assert block.get("note") != "no streaming section in prior record"
+    assert block["normalized_ratios"]["streaming_sessionize"] == 2.0
+    assert block["regressions"] == ["streaming_sessionize"]
+
+
+def test_ratio_guard_missing_host_factor_is_not_an_all_clear():
+    """No host factor (e.g. a streaming-only SPARK_GRAFT_BENCH_QUERIES
+    subset: no batch timings to derive one) must read as 'comparison
+    unavailable', not as zero regressions (r10 review finding)."""
+    for new_hf, old_hf in ((None, 1.0), (1.0, None), (None, None)):
+        block = bench._ratio_guard(
+            {"streaming_sessionize": 9.0}, new_hf,
+            {"streaming_sessionize": 1.0}, old_hf,
+        )
+        assert block["regressions"] is None
+        assert "comparison unavailable" in block["note"]
+        assert block["normalized_ratios"] == {}
