@@ -316,9 +316,12 @@ def _capped_pairs_sql(pairs_cte: str, cap: int = _LSH_BUCKET_CAP) -> str:
       GROUP BY doc_id, j),
     {_capped_pairs_sql("matches")},
     trunc AS (
+      -- from the SAME sized CTE _capped_pairs_sql splices in, so the
+      -- bucket-size definition the cap filters on and the one the
+      -- audit counts can never drift apart (r10 review finding)
       SELECT CAST(COUNT(*) AS BIGINT) AS truncated_buckets
-      FROM (SELECT j, h FROM mh GROUP BY j, h
-            HAVING COUNT(*) > {_LSH_BUCKET_CAP}) t)
+      FROM (SELECT DISTINCT j, h FROM sized
+            WHERE bn > {_LSH_BUCKET_CAP}) t)
     SELECT doc_a, doc_b,
            CAST(1 AS DOUBLE) - CAST(m AS DOUBLE) / {_MH_TABLES} AS jaccard_dist,
            truncated_buckets

@@ -67,8 +67,11 @@ def query(name: str, oracle: str | None = None, doc: str = ""):
 NEW_OR_CHANGED: list[str] = [
     # r10 budget note: the stale tail entering this round is exactly
     # 49 (zorder_layout_stats r05 + the 48-query r06 cohort) against a
-    # 50-slot window, so r10 carries at most ONE fresh-green entry
-    # here without pushing an r06 query to r11 (VERDICT r09 item 2).
+    # 50-slot window. The two entries below therefore displace ONE
+    # r06-stale query to r11 — a deliberate trade (both entries are
+    # driver-visibly changed/new and MUST re-verify; VERDICT r09
+    # item 2 budgeted <= 2 for exactly this reason), and the displaced
+    # query self-heals next round when the tail is 1.
     #
     # r10 changed: banded LSH candidate generation gained the
     # band-bucket density cap (VERDICT r09 item 3); dedup_minhash_lsh
