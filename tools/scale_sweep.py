@@ -406,7 +406,9 @@ NOTES = """
   and the banded join stays linear (star pairs) instead of emitting
   k² candidates — measured bounded at the worst case, with
   truncated_buckets > 0 auditing the trade. `shard_export_diff`
-  (0.36): two export replays (each the manifest's own shape) plus a
+  (0.32, re-measured after the synthetic-id collision fix — the
+  amplified corpus previously doubled ~1/13 of evolved doc_ids): two
+  export replays (each the manifest's own shape) plus a
   shard_id-keyed full outer join whose cardinality is the shard
   count, not the corpus.
 """
