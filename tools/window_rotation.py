@@ -37,12 +37,26 @@ def main() -> None:
     for rnd in sorted(by_round, key=lambda r: (r is not None, r)):
         label = "never" if rnd is None else f"r{rnd:02d}"
         print(f"  {label}: {len(by_round[rnd])}")
+    order = driver_priority()
     print(f"\ncomputed driver window (first {args.window} of registry):")
-    for name in driver_priority()[: args.window]:
+    for name in order[: args.window]:
         rnd = last[name]
         label = "never" if rnd is None else f"r{rnd:02d}"
         tag = "  [new/changed]" if name in NEW_OR_CHANGED else ""
         print(f"  {label}  {name}{tag}")
+    # Transparency for the stale-repayment budget: each NEW_OR_CHANGED
+    # entry inside the window displaces exactly one queue position, so
+    # the first k post-window entries (k = fresh entries used) are the
+    # queries whose repayment slips one round because of this round's
+    # additions.
+    k = sum(1 for n in order[: args.window] if n in NEW_OR_CHANGED)
+    if k:
+        print(f"\ndisplaced to next round by the {k} new/changed entr"
+              f"{'y' if k == 1 else 'ies'}:")
+        for name in order[args.window: args.window + k]:
+            rnd = last[name]
+            label = "never" if rnd is None else f"r{rnd:02d}"
+            print(f"  {label}  {name}")
 
 
 if __name__ == "__main__":
