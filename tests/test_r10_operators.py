@@ -337,3 +337,46 @@ def test_capped_pairs_match_brute_force_on_random_buckets(spark, rows):
 
     nodes = {d for d, _, _ in rows}
     assert comps(set(expected), nodes) == comps(uncapped_edges, nodes)
+
+
+# -- export digests: physical-layout independence -----------------------------
+
+
+def test_export_digests_invariant_to_physical_layout(spark, tmp_path_factory):
+    """shard_export_manifest's digest chains claim a REPRODUCIBLE
+    export: the same corpus must produce byte-identical shard digests
+    regardless of how the parquet happens to be laid out (row order,
+    file count, row-group boundaries) — at 100 TB the previous
+    snapshot's layout never matches the re-export's. The r09
+    reproducibility test rebuilds from the SAME file, so layout
+    independence was unpinned. Here the corpus is rewritten as three
+    part-files in md5-shuffled row order and every output row must
+    match the original exactly."""
+    import duckdb as _duck
+
+    src = "/root/testdata/sf0.001"
+    sf_dir = tmp_path_factory.mktemp("layout")
+    out = sf_dir / "documents.parquet"
+    out.mkdir()
+    con = _duck.connect()
+    for i in range(3):
+        con.execute(
+            f"""COPY (
+                  SELECT * FROM (
+                    SELECT *, ROW_NUMBER() OVER (
+                      ORDER BY md5(CAST(doc_id AS VARCHAR))) AS rn
+                    FROM read_parquet('{src}/documents.parquet'))
+                  WHERE rn % 3 = {i}
+                  ORDER BY md5(CAST(doc_id + 7 AS VARCHAR)))
+                TO '{out}/part{i}.parquet' (FORMAT PARQUET)"""
+        )
+    con.close()
+
+    def rows(sf_dir):
+        return sorted(
+            (r.shard_id, r.n_docs, r.content_digest)
+            for r in SPECS["shard_export_manifest"].build(spark, sf_dir).collect()
+        )
+
+    original, relaid = rows(src), rows(str(sf_dir))
+    assert original == relaid
