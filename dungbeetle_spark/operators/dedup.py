@@ -2271,12 +2271,20 @@ def _detect_ppm(s_num: int, s_den: int, b: int, r: int) -> int:
     "floor.",
 )
 def lsh_band_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Scale shape: the signature build is the dedup_minhash_lsh
-    aggregate with 16 seeds (map-side combine, 16 longs per doc) and
-    is localCheckpointed ONCE; each config then explodes |docs| x b
-    compact (band, key) rows and self-joins on the bucket key —
-    linear in corpus times bucket occupancy per config, never
-    corpus^2. Output is |configs| rows."""
+    """Scale shape (r10 rewrite): every config's bands partition the
+    SAME 16 hashes into consecutive runs, so candidate sets are
+    NESTED — a pair agreeing on some (b, r) band agrees on each of
+    that band's single hashes, hence is a (16, 1) candidate. The plan
+    therefore runs ONE bucket self-join (the (16, 1) one, which
+    dominated anyway) and folds the matching hash indices into a
+    per-pair bitmask with a map-side-combinable bit_or; all four
+    configs' memberships are then pure bitwise predicates on that
+    mask inside one aggregate — replacing four self-joins + four
+    pair-distincts (the r09 form shuffled each near-dup pair up to
+    30x across the config ladder). Candidate volume itself is the
+    operator's output semantics (exact distinct pair counts), so the
+    quadratic-at-planted-density term remains by definition; see
+    SCALING.md notes."""
     d = _t(spark, sf_dir, "documents")["documents"]
     sh = _shingled(d).select("doc_id", F.explode("shingles").alias("s"))
     mh = sh.groupBy("doc_id").agg(
@@ -2284,45 +2292,65 @@ def lsh_band_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min(md5_hash60(F.concat(F.lit(f"{j}|"), F.col("s")))).alias(f"h{j}")
             for j in range(_PLAN_H)
         ]
-    ).localCheckpoint(eager=False)  # one signature pass, |configs| consumers
-    results = None
-    for b, r in _PLAN_CONFIGS:
-        keyed = mh.select(
-            "doc_id",
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(band).alias("band"),
-                            F.concat_ws(
-                                "|",
-                                *[
-                                    F.col(f"h{band * r + j}").cast("string")
-                                    for j in range(r)
-                                ],
-                            ).alias("key"),
-                        )
-                        for band in range(b)
-                    ]
-                )
-            ).alias("bk"),
-        ).select("doc_id", "bk.band", "bk.key")
-        a = keyed.select(F.col("doc_id").alias("da"), "band", "key")
-        x = keyed.select(F.col("doc_id").alias("db"), "band", "key")
-        pairs = (
-            a.join(x, ["band", "key"])
-            .filter(F.col("da") < F.col("db"))
-            .select("da", "db")
-            .distinct()
-            .groupBy()
-            .agg(F.count(F.lit(1)).alias("n_candidate_pairs"))
-            .select(
-                F.lit(b).alias("bands"),
-                F.lit(r).alias("rows_per_band"),
-                "n_candidate_pairs",
-                F.lit(_detect_ppm(1, 2, b, r)).cast("long").alias("p_detect_50_ppm"),
-                F.lit(_detect_ppm(4, 5, b, r)).cast("long").alias("p_detect_80_ppm"),
-            )
+    ).localCheckpoint(eager=False)  # one signature pass, 3 consumers
+    long = mh.select(
+        "doc_id",
+        F.posexplode(
+            F.array(*[F.col(f"h{j}") for j in range(_PLAN_H)])
+        ).alias("j", "h"),
+    )
+    # the (j, h)-keyed self-join emits one row per pair per MATCHING
+    # single hash, so folding j into a bitmask (map-side-combinable
+    # bit_or) captures exactly which of the 16 minhashes agree — and
+    # every config's membership is a pure bitwise predicate on that
+    # mask; no signature columns ever cross a shuffle.
+    paired = (
+        long.select(F.col("doc_id").alias("da"), "j", "h")
+        .join(long.select(F.col("doc_id").alias("db"), "j", "h"), ["j", "h"])
+        .filter(F.col("da") < F.col("db"))
+        .groupBy("da", "db")
+        .agg(
+            F.bit_or(
+                F.expr("shiftleft(CAST(1 AS BIGINT), j)")
+            ).alias("jmask")
         )
-        results = pairs if results is None else results.unionByName(pairs)
-    return results
+    )
+
+    def member(b: int, r: int) -> "F.Column":
+        m = None
+        for band in range(b):
+            band_mask = ((1 << r) - 1) << (band * r)
+            hit = (
+                F.col("jmask").bitwiseAND(F.lit(band_mask)) == F.lit(band_mask)
+            )
+            m = hit if m is None else (m | hit)
+        return m
+
+    one = paired.agg(
+        *[
+            F.coalesce(F.sum(member(b, r).cast("long")), F.lit(0))
+            .cast("long")
+            .alias(f"n_{b}x{r}")
+            for b, r in _PLAN_CONFIGS
+        ]
+    )
+    return one.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("bands"),
+                        F.lit(r).alias("rows_per_band"),
+                        F.col(f"n_{b}x{r}").alias("n_candidate_pairs"),
+                        F.lit(_detect_ppm(1, 2, b, r))
+                        .cast("long")
+                        .alias("p_detect_50_ppm"),
+                        F.lit(_detect_ppm(4, 5, b, r))
+                        .cast("long")
+                        .alias("p_detect_80_ppm"),
+                    )
+                    for b, r in _PLAN_CONFIGS
+                ]
+            )
+        ).alias("c")
+    ).select("c.*")

@@ -353,8 +353,11 @@ NOTES = """
   REVERSED total order with a running frame: semantically identical,
   incremental, 0.74 s at x32. Moral: unboundedFollowing frames with
   aggregate functions do not scale — reverse the sort instead.
-  `lsh_band_planner` (0.92): per-config bucket joins are linear in
-  band-bucket occupancy, which tracks corpus size — by design.
+  `lsh_band_planner` (0.93 at the r10 re-measure): the (16, 1)
+  bucket join is linear in band-bucket occupancy, which tracks
+  corpus size — by design; since the r10 rewrite the three coarser
+  configs are bitwise predicates over a per-pair matched-hash
+  bitmask instead of their own self-joins (see the convexity bullet).
   `kl_divergence_by_source` (0.03 after an isolated re-measure —
   the batch sweep recorded a 2.87 s x32 cell that re-ran at 1.07 s
   alone, the same interference class the bench's isolated-rerun
@@ -382,13 +385,23 @@ NOTES = """
   `dedup_containment` (1.38 over x2→x4) is the capped posting-pair
   diagnostic — planted near-dups densify the postings it pairs on,
   the documented quadratic-class cost its x4 cap exists for.
-  `lsh_band_planner` (1.26) reports each config's exact DISTINCT
-  candidate-pair count, and a k-copy planted cluster truly produces
-  ~C(k,2) candidates under the high-recall configs — the measured
-  quantity is itself quadratic in cluster density, so the cost
-  follows the output semantics (unlike `dedup_minhash_lsh`, which
-  needs the pairs only for dedup connectivity and therefore caps);
-  a production planner runs on a corpus sample.
+  `lsh_band_planner` (1.63 top segment, re-measured alone after the
+  r10 rewrite; the pre-rewrite committed row read 35.6 s / 0.84 off
+  a favorable in-batch x32 cell — the same code re-measured 50.8 s
+  isolated) reports each config's exact DISTINCT candidate-pair
+  count, and a k-copy planted cluster truly produces ~C(k,2)
+  candidates under the high-recall configs — the measured quantity
+  is itself quadratic in cluster density, so the cost follows the
+  output semantics (unlike `dedup_minhash_lsh`, which needs the
+  pairs only for dedup connectivity and therefore caps); a
+  production planner runs on a corpus sample. The r10 rewrite
+  exploits the configs' NESTED candidate sets: one (16, 1) bucket
+  join folds matching hash indices into a map-side-combinable
+  bitmask and all four memberships become bitwise predicates —
+  replacing four self-joins/distincts and halving shuffled candidate
+  rows (30·C -> 16·C); single-box wall time is unchanged (shuffles
+  are memory-local here), the saving is network bytes on a real
+  cluster.
   `dedup_minhash_incremental` (1.10) probes each new doc against its
   band buckets: planted density means every new doc really has ~k
   prior near-dup matches to verify — candidate-bounded, linear per
