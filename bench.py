@@ -357,7 +357,7 @@ def _ratio_guard(
     pool_new = pool_old = 0.0
     for name, new_sec in timings.items():
         old_sec = old_timings.get(name)
-        if not old_sec or not old_factor or not host_factor:
+        if not old_sec:  # both factors guaranteed by the guard above
             continue
         new_norm, old_norm = new_sec / host_factor, old_sec / old_factor
         ratios[name] = round(new_norm / old_norm, 3)
@@ -443,7 +443,9 @@ def _compare_block(timings: dict[str, float], host_factor: float | None,
         ),
     }
     block.update(_ratio_guard(timings, host_factor, old_timings, old_factor))
-    known = {n: _KNOWN_REGRESSIONS[n] for n in block["regressions"]
+    # regressions is None when the guard declared comparison
+    # unavailable (missing host factor) — not an empty all-clear
+    known = {n: _KNOWN_REGRESSIONS[n] for n in block["regressions"] or ()
              if n in _KNOWN_REGRESSIONS}
     if known:
         block["known_regressions"] = known

@@ -474,7 +474,7 @@ def dedup_cluster_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
                       ELSE text END) AS h
       FROM documents WHERE doc_id % 11 <> 0
       UNION ALL
-      SELECT -(doc_id + 1) AS doc_id, source, md5('new ' || text) AS h
+      SELECT -(doc_id + 2) AS doc_id, source, md5('new ' || text) AS h
       FROM documents WHERE doc_id % 13 = 0
     ),
     diff AS (
@@ -492,9 +492,10 @@ def dedup_cluster_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     "versions that decides what incremental dedup/training must "
     "reprocess. Snapshot B is synthesized deterministically from A "
     "(doc_id%11==0 removed, doc_id%7==3 edited, one added doc per "
-    "doc_id%13==0 seed at the collision-free id -(doc_id+1) — corpus "
-    "ids are non-negative at every scale, so the strictly negative "
-    "synthetic id is never a real one); rows are compared by content "
+    "doc_id%13==0 seed at the collision-free id -(doc_id+2) — corpus "
+    "ids are non-negative at every scale, so the <= -2 synthetic id "
+    "is never a real one nor the -1 fate sentinel); rows are "
+    "compared by content "
     "md5 so the join never carries text, and each doc lands in "
     "exactly one of added/removed/changed/unchanged, rolled up per "
     "source. Hash-exact: md5 + counts only.",
@@ -519,7 +520,7 @@ def corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("h"),
     )
     b_added = d.filter(F.col("doc_id") % 13 == 0).select(
-        (-(F.col("doc_id") + 1)).alias("doc_id"),
+        (-(F.col("doc_id") + 2)).alias("doc_id"),
         "source",
         F.md5(F.concat(F.lit("new "), F.col("text"))).alias("h"),
     )
@@ -1063,9 +1064,11 @@ def _export_frame(d: DataFrame) -> DataFrame:
 
 # The evolved-corpus convention shared with corpus_snapshot_diff
 # (doc_id % 11 == 0 removed, % 7 == 3 edited with a ' rev2' suffix,
-# one added doc per % 13 == 0 seed at id -(doc_id + 1): corpus ids
-# are non-negative at every scale, so the strictly negative seed can
-# NEVER collide with a real id — the previous +1,000,000 scheme collided with the scale
+# one added doc per % 13 == 0 seed at id -(doc_id + 2): corpus ids
+# are non-negative at every scale, so the <= -2 seed can NEVER
+# collide with a real id, nor with the fate frame's canonical_id
+# sentinel -1 (the doc_id=0 seed would land exactly there under
+# -(doc_id + 1), r10 review finding) — the previous +1,000,000 scheme collided with the scale
 # sweep's per-copy k*1,000,000 id offsets, planting duplicate doc_ids
 # in the very corpus the sweep timed, r10 review finding). At
 # production scale "previous" is last round's shipped manifest table
@@ -1080,7 +1083,7 @@ _EVOLVED_DOCS_SQL = """
              lang, source
       FROM documents WHERE doc_id % 11 <> 0
       UNION ALL
-      SELECT -(doc_id + 1) AS doc_id, 'new ' || text AS text,
+      SELECT -(doc_id + 2) AS doc_id, 'new ' || text AS text,
              lang, source
       FROM documents WHERE doc_id % 13 = 0)"""
 
@@ -1098,7 +1101,7 @@ def _evolved_docs(d: DataFrame) -> DataFrame:
         "source",
     )
     added = d.filter(F.col("doc_id") % 13 == 0).select(
-        (-(F.col("doc_id") + 1)).alias("doc_id"),
+        (-(F.col("doc_id") + 2)).alias("doc_id"),
         F.concat(F.lit("new "), F.col("text")).alias("text"),
         "lang",
         "source",

@@ -491,3 +491,17 @@ def test_ratio_guard_missing_host_factor_is_not_an_all_clear():
         assert block["regressions"] is None
         assert "comparison unavailable" in block["note"]
         assert block["normalized_ratios"] == {}
+
+
+def test_compare_block_survives_missing_host_factor(tmp_path):
+    """_compare_block must surface the 'comparison unavailable' note —
+    not TypeError on regressions=None swallowed into an error block
+    (r10 review finding: the _ratio_guard early return was tested, its
+    caller was not)."""
+    old_batch = dict(bench.CANARY_ANCHORS)
+    old = tmp_path / "BENCH_r97.json"
+    old.write_text(json.dumps({"value": 1.0, "sf": 0.1, "queries": old_batch}))
+    block = bench._compare_block({"q1_pricing_summary": 2.0}, None, str(old))
+    assert block["regressions"] is None
+    assert "comparison unavailable" in block["note"]
+    assert "error" not in block

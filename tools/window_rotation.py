@@ -44,16 +44,22 @@ def main() -> None:
         label = "never" if rnd is None else f"r{rnd:02d}"
         tag = "  [new/changed]" if name in NEW_OR_CHANGED else ""
         print(f"  {label}  {name}{tag}")
-    # Transparency for the stale-repayment budget: each NEW_OR_CHANGED
-    # entry inside the window displaces exactly one queue position, so
-    # the first k post-window entries (k = fresh entries used) are the
-    # queries whose repayment slips one round because of this round's
-    # additions.
-    k = sum(1 for n in order[: args.window] if n in NEW_OR_CHANGED)
-    if k:
-        print(f"\ndisplaced to next round by the {k} new/changed entr"
-              f"{'y' if k == 1 else 'ies'}:")
-        for name in order[args.window: args.window + k]:
+    # Transparency for the stale-repayment budget: the queries whose
+    # re-verification slips a round are exactly those that a pure
+    # staleness-only ordering (no NEW_OR_CHANGED head) would have put
+    # in the window but the actual ordering does not. Counting head
+    # entries over-counts: a NEW_OR_CHANGED query that is itself
+    # never-green would be in the window on staleness alone and
+    # displaces nothing (r10 review finding).
+    natural = sorted(
+        last, key=lambda n: (last[n] is not None, last[n] or 0, n)
+    )[: args.window]
+    actual = set(order[: args.window])
+    displaced = [n for n in natural if n not in actual]
+    if displaced:
+        print(f"\ndisplaced to next round by this round's new/changed "
+              f"entries ({len(displaced)}):")
+        for name in displaced:
             rnd = last[name]
             label = "never" if rnd is None else f"r{rnd:02d}"
             print(f"  {label}  {name}")
