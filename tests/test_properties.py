@@ -550,3 +550,24 @@ def test_global_cumsum_matches_spark_window_sum(spark, data):
         ).collect()
     }
     assert got == want
+
+
+def test_connected_components_converges_on_high_diameter_chain(spark):
+    """The hypothesis graphs above stay tiny (n <= 12), so the
+    pointer-jump half of the algorithm is never stressed: a neighbor
+    step alone needs O(diameter) rounds and a 300-node path would blow
+    the 20-round cap without it. O(log d) convergence means a path
+    graph this long must label every node with the chain head well
+    inside the cap."""
+    from dungbeetle_spark.operators.pipeline import connected_components
+
+    n = 300
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "doc_a long, doc_b long"
+    )
+    got = {
+        r.doc_id: r.component
+        for r in connected_components(nodes, pairs).collect()
+    }
+    assert got == {i: 0 for i in range(n)}
