@@ -66,4 +66,9 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    try:
+        main()
+    except BrokenPipeError:  # report piped into head/less and closed
+        import os
+
+        os.dup2(os.open(os.devnull, os.O_WRONLY), 1)
