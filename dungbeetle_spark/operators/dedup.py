@@ -542,25 +542,37 @@ _MHI_TEMPLATE = (
              MIN({md5_hash60_sql("concat(CAST(j AS VARCHAR), '|', s)")}) AS h
       FROM sh, UNNEST(range(0, {_MH_TABLES})) AS seeds(j)
       GROUP BY doc_id, j),
+    corpusb AS (
+      SELECT doc_id, j, h,
+             COUNT(*) OVER (PARTITION BY j, h) AS bn,
+             MIN(doc_id) OVER (PARTITION BY j, h) AS leader
+      FROM mh WHERE doc_id % {_INC_MOD} <> 0),
     m AS (
       SELECT b.doc_id AS doc_id, c.doc_id AS cdoc,
              CAST(COUNT(*) AS BIGINT) AS m
-      FROM mh b JOIN mh c ON b.j = c.j AND b.h = c.h
-      WHERE b.doc_id % {_INC_MOD} = 0 AND c.doc_id % {_INC_MOD} <> 0
+      FROM mh b JOIN corpusb c ON b.j = c.j AND b.h = c.h
+      WHERE b.doc_id % {_INC_MOD} = 0
+        AND (c.bn <= {_LSH_BUCKET_CAP} OR c.doc_id = c.leader)
       GROUP BY 1, 2
       HAVING COUNT(*) >= {_MHI_MIN_BANDS}),
     best AS (
       SELECT doc_id, cdoc, m,
              ROW_NUMBER() OVER (PARTITION BY doc_id
                                 ORDER BY m DESC, cdoc) AS rk
-      FROM m)
+      FROM m),
+    trunc AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS capped_buckets
+      FROM (SELECT DISTINCT j, h FROM corpusb
+            WHERE bn > {_LSH_BUCKET_CAP}) t)
     SELECT d.doc_id,
            b.cdoc AS dup_of,
            COALESCE(b.m, 0) AS matched_bands,
            CAST(COALESCE(b.m, 0) AS DOUBLE) / {_MH_TABLES} AS est_jaccard,
-           b.cdoc IS NOT NULL AS is_near_dup
+           b.cdoc IS NOT NULL AS is_near_dup,
+           capped_buckets
     FROM documents d
     LEFT JOIN best b ON b.doc_id = d.doc_id AND b.rk = 1
+    CROSS JOIN trunc
     WHERE d.doc_id % {_INC_MOD} = 0
     """,
     doc="Incremental MinHash-LSH — the ingest-time shape of NEAR-dup "
@@ -568,12 +580,22 @@ _MHI_TEMPLATE = (
     f"batch (doc_id % {_INC_MOD} == 0) probes the corpus band index "
     "instead of self-joining the corpus. Batch band rows broadcast; "
     "the corpus index probes them map-side, so no corpus-scale pair "
-    f"shuffle exists. A batch doc is a near-dup when >= "
-    f"{_MHI_MIN_BANDS}/{_MH_TABLES} bands agree with some corpus doc "
-    "(est Jaccard >= 0.5); ties resolve to the lowest corpus doc_id. "
+    f"shuffle exists. Since r11 corpus band buckets larger than "
+    f"{_LSH_BUCKET_CAP} degrade to LEADER-ONLY probes (the bucket "
+    "minimum — the canonical a dedup pass would keep), so per-doc "
+    "verification work is bounded by the cap even when a crawl's "
+    "empty-page template family plants a million-doc bucket; the "
+    "constant capped_buckets column audits how many buckets were "
+    "compressed. A batch doc is a near-dup when >= "
+    f"{_MHI_MIN_BANDS}/{_MH_TABLES} bands agree with some surviving "
+    "corpus doc (est Jaccard >= 0.5); ties resolve to the lowest "
+    "corpus doc_id. "
     f"The fixture plants a template family (doc_id % {_MHI_TPL_MOD} "
     "== 0, shared 27-word body + per-doc tail) spanning both sides so "
-    "matches are guaranteed and deterministic; every output value is "
+    "matches are guaranteed and deterministic — dense enough that the "
+    "cap FIRES at driver scale (corpus family buckets reach 50 at "
+    "sf0.01), so the leader-probe path is driver-verified, not just "
+    "test-planted; every output value is "
     "a pure function of md5-derived minhashes, so the DuckDB oracle "
     "reproduces the frame bit-for-bit.",
 )
@@ -584,12 +606,22 @@ def dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     band rows (8 per batch doc — an ingest batch is MBs against a TB
     corpus), so the corpus side probes map-side with zero pair-keyed
     shuffle; the match frame, the best-match window, and the final
-    left join are all batch-bounded. At production scale the corpus
-    band index is precomputed once and stored DISTRIBUTE BY (band, h)
-    — ingest then recomputes minhashes for the batch only and this
-    query is a pure broadcast probe of the stored index; the band
-    frame is lazily checkpointed here because both sides derive from
-    one in-query pipeline."""
+    left join are all batch-bounded. Since r11 the corpus side is
+    density-capped BEFORE the probe join (VERDICT r10 item 1): one
+    (band, h) window sizes each bucket and buckets over
+    ``_LSH_BUCKET_CAP`` keep only their leader (min doc_id — the
+    canonical dedup_canonical_keep would elect), so a batch doc
+    verifies against at most cap members per bucket instead of every
+    member of a crawl's empty-page mega-bucket — per-doc ingest work
+    is O(bands x cap), independent of cluster density (was the
+    top-segment-1.10 hotspot in SCALING.md r10). At production scale
+    the corpus band index is precomputed once, stored DISTRIBUTE BY
+    (band, h) with the cap applied AT BUILD TIME (the stored index
+    simply omits non-leader rows of oversized buckets, shrinking it),
+    and ingest is a pure broadcast probe of the stored index; the
+    band frame is lazily checkpointed here because both sides derive
+    from one in-query pipeline. The 1-row audit frame broadcasts
+    (registry-wide scalar-NLJ pin class)."""
     d = _t(spark, sf_dir, "documents")["documents"]
     seeded = d.select(
         "doc_id",
@@ -621,8 +653,30 @@ def dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch = bands.filter(F.col("doc_id") % _INC_MOD == 0).select(
         F.col("doc_id").alias("qdoc"), "band", "h"
     )
-    corpus = bands.filter(F.col("doc_id") % _INC_MOD != 0).select(
-        F.col("doc_id").alias("cdoc"), "band", "h"
+    # density cap on the CORPUS side, applied before the probe join
+    # (same leader-star discipline as _capped_band_pairs): buckets
+    # over the cap keep only their leader, so the join emits at most
+    # cap rows per (batch doc, band) at any cluster density.
+    wb = W.partitionBy("band", "h")
+    sized = (
+        bands.filter(F.col("doc_id") % _INC_MOD != 0)
+        .withColumn("bn", F.count(F.lit(1)).over(wb))
+        .withColumn("leader", F.min("doc_id").over(wb))
+        .localCheckpoint(eager=False)  # probe filter + audit consumers
+    )
+    corpus = sized.filter(
+        (F.col("bn") <= _LSH_BUCKET_CAP)
+        | (F.col("doc_id") == F.col("leader"))
+    ).select(F.col("doc_id").alias("cdoc"), "band", "h")
+    audit = (
+        sized.filter(F.col("doc_id") == F.col("leader"))
+        .agg(
+            F.coalesce(
+                F.sum((F.col("bn") > _LSH_BUCKET_CAP).cast("long")), F.lit(0)
+            )
+            .cast("long")
+            .alias("capped_buckets")
+        )
     )
     matches = (
         corpus.join(F.broadcast(batch), ["band", "h"])
@@ -639,15 +693,19 @@ def dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     # batch ids come from a doc_id-only parquet scan — column-pruned,
     # no re-run of the shingle pipeline for the spine.
     ids = d.filter(F.col("doc_id") % _INC_MOD == 0).select("doc_id")
-    return ids.join(best, "doc_id", "left").select(
-        "doc_id",
-        F.col("cdoc").alias("dup_of"),
-        F.coalesce(F.col("m"), F.lit(0)).cast("long").alias("matched_bands"),
-        (
-            F.coalesce(F.col("m"), F.lit(0)).cast("double")
-            / F.lit(float(_MH_TABLES))
-        ).alias("est_jaccard"),
-        F.col("cdoc").isNotNull().alias("is_near_dup"),
+    return (
+        ids.join(best, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("cdoc").alias("dup_of"),
+            F.coalesce(F.col("m"), F.lit(0)).cast("long").alias("matched_bands"),
+            (
+                F.coalesce(F.col("m"), F.lit(0)).cast("double")
+                / F.lit(float(_MH_TABLES))
+            ).alias("est_jaccard"),
+            F.col("cdoc").isNotNull().alias("is_near_dup"),
+        )
+        .crossJoin(F.broadcast(audit))
     )
 
 
@@ -2284,8 +2342,19 @@ def lsh_band_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
     30x across the config ladder). Candidate volume itself is the
     operator's output semantics (exact distinct pair counts), so the
     quadratic-at-planted-density term remains by definition; see
-    SCALING.md notes."""
+    SCALING.md notes. Sampled twin: lsh_band_planner_sampled."""
     d = _t(spark, sf_dir, "documents")["documents"]
+    return _planner_frame(_planner_pair_counts(d))
+
+
+def _planner_pair_counts(d: DataFrame) -> DataFrame:
+    """One row of exact distinct candidate-pair counts (n_{b}x{r} per
+    config) over an arbitrary documents frame — the r10 single-join
+    bitmask plan, extracted r11 so the sampled planner shares it."""
+    # shiftleft(1, j) silently wraps past bit 63 — the bitmask fold is
+    # only correct while every hash index fits a signed long (ADVICE
+    # r10: enforce the invariant where it matters).
+    assert _PLAN_H <= 63, "jmask bitmask fold requires _PLAN_H <= 63"
     sh = _shingled(d).select("doc_id", F.explode("shingles").alias("s"))
     mh = sh.groupBy("doc_id").agg(
         *[
@@ -2326,7 +2395,7 @@ def lsh_band_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
             m = hit if m is None else (m | hit)
         return m
 
-    one = paired.agg(
+    return paired.agg(
         *[
             F.coalesce(F.sum(member(b, r).cast("long")), F.lit(0))
             .cast("long")
@@ -2334,6 +2403,11 @@ def lsh_band_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
             for b, r in _PLAN_CONFIGS
         ]
     )
+
+
+def _planner_frame(one: DataFrame) -> DataFrame:
+    """Explode the 1-row count frame into the planner's per-config
+    rows (exact mode — counts pass through unscaled)."""
     return one.select(
         F.explode(
             F.array(
@@ -2342,6 +2416,132 @@ def lsh_band_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
                         F.lit(b).alias("bands"),
                         F.lit(r).alias("rows_per_band"),
                         F.col(f"n_{b}x{r}").alias("n_candidate_pairs"),
+                        F.lit(_detect_ppm(1, 2, b, r))
+                        .cast("long")
+                        .alias("p_detect_50_ppm"),
+                        F.lit(_detect_ppm(4, 5, b, r))
+                        .cast("long")
+                        .alias("p_detect_80_ppm"),
+                    )
+                    for b, r in _PLAN_CONFIGS
+                ]
+            )
+        ).alias("c")
+    ).select("c.*")
+
+
+_PLAN_SAMPLE_MOD = 8  # deterministic 1-in-8 doc sample => pairs /64
+
+
+def _sampled_planner_oracle() -> str:
+    """DuckDB mirror of lsh_band_planner_sampled, generated from
+    _PLAN_CONFIGS (the exact planner's hand-written oracle predates
+    the generator; both produce the same CTE shapes)."""
+    skey = md5_hash60_sql("concat('plansample|', CAST(doc_id AS VARCHAR))")
+    hkey = md5_hash60_sql("concat(CAST(seeds.j AS VARCHAR), '|', s)")
+    ctes = [
+        f"""sampled AS (
+      SELECT doc_id, text FROM documents
+      WHERE {skey} % {_PLAN_SAMPLE_MOD} = 0)""",
+        """words AS (
+      SELECT doc_id,
+             regexp_split_to_array(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS w
+      FROM sampled)""",
+        """sh AS (
+      SELECT DISTINCT doc_id,
+             w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+      FROM words, UNNEST(range(1, greatest(len(w) - 1, 1))) AS t(i))""",
+        f"""hashed AS (
+      SELECT doc_id, seeds.j AS j, {hkey} AS h
+      FROM sh, UNNEST(range(0, {_PLAN_H})) AS seeds(j))""",
+        "mh AS (\n      SELECT doc_id,\n"
+        + ",\n".join(
+            f"             MIN(CASE WHEN j = {j} THEN h END) AS h{j}"
+            for j in range(_PLAN_H)
+        )
+        + "\n      FROM (SELECT doc_id, j, MIN(h) AS h FROM hashed GROUP BY doc_id, j)"
+        "\n      GROUP BY doc_id)",
+    ]
+    for b, r in _PLAN_CONFIGS:
+        keys = [
+            " || '|' || ".join(
+                f"CAST(h{band * r + k} AS VARCHAR)" for k in range(r)
+            )
+            for band in range(b)
+        ]
+        union = "\n      UNION ALL ".join(
+            f"SELECT doc_id, {band} AS band, {key} AS key FROM mh"
+            for band, key in enumerate(keys)
+        )
+        ctes.append(f"k{b}x{r} AS (\n      {union})")
+        ctes.append(
+            f"""c{b}x{r} AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n FROM (
+        SELECT DISTINCT a.doc_id AS da, x.doc_id AS db
+        FROM k{b}x{r} a JOIN k{b}x{r} x
+          ON a.band = x.band AND a.key = x.key AND a.doc_id < x.doc_id))"""
+        )
+    scale = _PLAN_SAMPLE_MOD * _PLAN_SAMPLE_MOD
+    selects = "\n    UNION ALL ".join(
+        f"""SELECT {b} AS bands, {r} AS rows_per_band,
+           (SELECT n FROM c{b}x{r}) AS n_candidate_pairs_sampled,
+           CAST((SELECT n FROM c{b}x{r}) * {scale} AS BIGINT) AS n_candidate_pairs_est,
+           CAST({1_000_000 // _PLAN_SAMPLE_MOD} AS BIGINT) AS sample_ppm,
+           CAST({_detect_ppm(1, 2, b, r)} AS BIGINT) AS p_detect_50_ppm,
+           CAST({_detect_ppm(4, 5, b, r)} AS BIGINT) AS p_detect_80_ppm"""
+        for b, r in _PLAN_CONFIGS
+    )
+    return "WITH " + ",\n    ".join(ctes) + "\n    " + selects
+
+
+@query(
+    "lsh_band_planner_sampled",
+    oracle=_sampled_planner_oracle(),
+    doc="lsh_band_planner's SAMPLE mode (VERDICT r10 item 2) — the "
+    "form a 100 TB corpus actually plans on: the exact distinct "
+    "candidate-pair counts the planner measures are inherently "
+    "quadratic in cluster density (that IS the measured quantity), "
+    f"so this variant plans on a deterministic 1-in-{_PLAN_SAMPLE_MOD} "
+    "hash sample of documents (md5 of 'plansample|doc_id' mod "
+    f"{_PLAN_SAMPLE_MOD} — reproducible across engines and runs, no "
+    "RNG) and extrapolates: for a uniform doc sample at rate 1/s, "
+    "pair counts scale by s^2, so n_candidate_pairs_est = sampled "
+    f"count x {_PLAN_SAMPLE_MOD * _PLAN_SAMPLE_MOD} in exact integer "
+    "arithmetic; sample_ppm rides in the output so the decision "
+    "artifact records what it was computed from. Runs alongside (not "
+    "replacing) the exact planner: exact for audits at test scale, "
+    "sampled for production planning where the exact mode's "
+    "output-bound quadratic term is the known hotspot (54.5 s at x32 "
+    "in SCALING.md r10).",
+)
+def lsh_band_planner_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: identical to lsh_band_planner's single-join
+    bitmask plan, but every stage downstream of the sample filter —
+    shingling, the 16-hash signature aggregate, the (j, h) self-join,
+    and the pair bitmask fold — sees 1/s of the docs and ~1/s^2 of
+    the candidate pairs, bounding the planner's quadratic term by the
+    sampling rate no matter how dense the planted clusters are. The
+    sample predicate is a pushed-down hash filter on doc_id (no
+    shuffle, no RNG state); extrapolation is a constant integer
+    multiply on the 4-row result."""
+    d = _t(spark, sf_dir, "documents")["documents"]
+    skey = md5_hash60(F.concat(F.lit("plansample|"), F.col("doc_id").cast("string")))
+    one = _planner_pair_counts(d.filter(skey % _PLAN_SAMPLE_MOD == 0))
+    scale = _PLAN_SAMPLE_MOD * _PLAN_SAMPLE_MOD
+    return one.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("bands"),
+                        F.lit(r).alias("rows_per_band"),
+                        F.col(f"n_{b}x{r}").alias("n_candidate_pairs_sampled"),
+                        (F.col(f"n_{b}x{r}") * F.lit(scale))
+                        .cast("long")
+                        .alias("n_candidate_pairs_est"),
+                        F.lit(1_000_000 // _PLAN_SAMPLE_MOD)
+                        .cast("long")
+                        .alias("sample_ppm"),
                         F.lit(_detect_ppm(1, 2, b, r))
                         .cast("long")
                         .alias("p_detect_50_ppm"),

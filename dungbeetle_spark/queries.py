@@ -73,24 +73,35 @@ NEW_OR_CHANGED: list[str] = [
     # item 2 budgeted <= 2 for exactly this reason), and the displaced
     # query self-heals next round when the tail is 1.
     #
-    # r10 changed: banded LSH candidate generation gained the
-    # band-bucket density cap (VERDICT r09 item 3); dedup_minhash_lsh
-    # surfaces the truncated_buckets audit and its oracle models the
-    # cap, so it must re-verify. minhash_calibration adopted the SAME
-    # shared capped path (code + oracle changed in lockstep) but is
-    # deliberately NOT listed: the cap is a no-op below bucket size 32
-    # and organic band buckets measure 6 at sf0.01 / 19 at sf0.1, so
-    # its driver-observable output is bit-identical to its recorded
-    # green — re-listing it would evict an r06-stale query from the
-    # exactly-full window for a guaranteed-identical result.
-    # tests/test_r10_operators.py pins both operators oracle-green
-    # WITH truncation active on a planted mega-cluster.
-    "dedup_minhash_lsh",
-    # r10 new: incremental re-export planning — per-shard
-    # unchanged/rewrite/new/retired decisions by digest-chain
-    # comparison against the previous snapshot's manifest (VERDICT
-    # r09 item 4).
-    "shard_export_diff",
+    # r11 changed (VERDICT r10 item 1): the ingest-path near-dup pair
+    # gained leader probing — dedup_minhash_incremental's corpus side
+    # now degrades oversized band buckets to their leader before the
+    # probe join (new capped_buckets audit column; the seeded fixture
+    # trips the cap at sf0.01, so the driver verifies the capped path
+    # itself), and streaming_minhash_ingest_gate probes a
+    # leader-compressed index (one row per bucket) and now returns
+    # (doc_id, dup_of_candidate). Both oracles model the leader probe.
+    "dedup_minhash_incremental",
+    "streaming_minhash_ingest_gate",
+    # r11 new (VERDICT r10 item 2): the planner's documented SAMPLE
+    # mode — exact candidate counts on a deterministic hash sample,
+    # integer-extrapolated, sampling fraction in the output.
+    "lsh_band_planner_sampled",
+    # r11 new (VERDICT r10 item 6): PII detection/redaction audit over
+    # exactly the fate-kept population (between the quality funnel and
+    # export; stage pin in tests/test_r11_operators.py).
+    "pii_redaction_audit",
+    # (both r11-new entries are registered in operators/dedup.py and
+    # operators/curation.py respectively)
+    # Window math: 4 entries + window_rank_family (r06, heads the
+    # stale tail) + 45 of the 49 r07-stale fill the 50 slots; the 4
+    # displaced queries stay r07-green, so the last-green floor still
+    # becomes r07 this round (the VERDICT r10 item 5 goal) and the
+    # displaced tail self-heals in r12. minhash_calibration again
+    # stays OFF the list: its organic buckets remain below the cap at
+    # both driver scale factors — a premise now PINNED by
+    # tests/test_r11_operators.py::test_organic_band_buckets_stay_under_cap
+    # (ADVICE r10) instead of assumed.
 ]
 
 
