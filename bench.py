@@ -167,6 +167,11 @@ HEADLINE = [
     # r10: incremental re-export planning (two export replays + a
     # shard-keyed full outer diff)
     "shard_export_diff",
+    # r11: the planner's production SAMPLE mode (1-in-8 hash sample,
+    # integer-extrapolated counts)
+    "lsh_band_planner_sampled",
+    # r11: PII detection/redaction audit over the fate-kept population
+    "pii_redaction_audit",
 ]
 
 # Streaming drain bench (VERDICT r09 item 5): none of the 10 streaming
@@ -737,6 +742,14 @@ def main() -> None:
             raise SystemExit(f"not in HEADLINE or STREAMING: {unknown}")
         headline = [q for q in chosen if q in HEADLINE]
         streaming_ops = [q for q in chosen if q in STREAMING]
+    # ADVICE r10: the 10 streaming drains (3x each, with sink +
+    # checkpoint I/O) materially lengthen a batch-only iteration loop;
+    # SPARK_GRAFT_BENCH_STREAMING=0 skips them while keeping the FULL
+    # batch headline (the subset env above can't express that without
+    # enumerating every batch query). The driver never sets it, so
+    # driver-recorded rounds always carry the streaming section.
+    if os.environ.get("SPARK_GRAFT_BENCH_STREAMING", "1") == "0":
+        streaming_ops = []
 
     from dungbeetle_spark.queries import registry
     from dungbeetle_spark.session import get_spark
@@ -904,7 +917,11 @@ def main() -> None:
     # SPARK_GRAFT_BENCH_QUERIES subset run writes a sidecar instead:
     # clobbering the only full record of the last complete run with a
     # 3-query iteration file broke the r08 cross-round compare once.
-    full_name = "BENCH_FULL_SUBSET.json" if subset else "BENCH_FULL.json"
+    # A streaming-skipped run is also partial: letting it clobber
+    # BENCH_FULL.json would strip the streaming section the next
+    # cross-round streaming compare reads.
+    partial = bool(subset) or not streaming_ops
+    full_name = "BENCH_FULL_SUBSET.json" if partial else "BENCH_FULL.json"
     try:
         with open(os.path.join(repo_dir, full_name), "w") as f:
             json.dump(out, f, indent=1)

@@ -279,11 +279,18 @@ def _capped_band_pairs(
     return pairs, audit
 
 
-def _capped_pairs_sql(pairs_cte: str, cap: int = _LSH_BUCKET_CAP) -> str:
-    """DuckDB mirror of ``_capped_band_pairs`` as two CTE bodies
-    (``sized`` + ``<pairs_cte>``), to splice after an ``mh(doc_id, j,
-    h)`` CTE. Same leader-star degradation, same doc_id ordering."""
-    return f"""
+def _capped_pairs_sql(
+    pairs_cte: str, cap: int = _LSH_BUCKET_CAP, trunc_cte: str | None = None
+) -> str:
+    """DuckDB mirror of ``_capped_band_pairs`` as CTE bodies
+    (``sized`` + ``<pairs_cte>`` [+ ``<trunc_cte>``]), to splice after
+    an ``mh(doc_id, j, h)`` CTE. Same leader-star degradation, same
+    doc_id ordering. When ``trunc_cte`` is named, the truncation audit
+    is emitted HERE from the same ``cap`` parameter the filter uses,
+    so filter and audit can never disagree about the threshold for
+    any caller (ADVICE r10: the lsh oracle previously hardcoded the
+    default cap in its own trunc CTE)."""
+    sql = f"""
     sized AS (
       SELECT doc_id, j, h,
              COUNT(*) OVER (PARTITION BY j, h) AS bn,
@@ -296,6 +303,13 @@ def _capped_pairs_sql(pairs_cte: str, cap: int = _LSH_BUCKET_CAP) -> str:
       JOIN mh b ON a.j = b.j AND a.h = b.h AND a.doc_id < b.doc_id
       WHERE a.bn <= {cap} OR a.doc_id = a.leader
       GROUP BY 1, 2)"""
+    if trunc_cte is not None:
+        sql += f""",
+    {trunc_cte} AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS truncated_buckets
+      FROM (SELECT DISTINCT j, h FROM sized
+            WHERE bn > {cap}) t)"""
+    return sql
 
 
 @query(
@@ -314,14 +328,7 @@ def _capped_pairs_sql(pairs_cte: str, cap: int = _LSH_BUCKET_CAP) -> str:
              MIN({md5_hash60_sql("concat(CAST(j AS VARCHAR), '|', s)")}) AS h
       FROM sh, UNNEST(range(0, {_MH_TABLES})) AS seeds(j)
       GROUP BY doc_id, j),
-    {_capped_pairs_sql("matches")},
-    trunc AS (
-      -- from the SAME sized CTE _capped_pairs_sql splices in, so the
-      -- bucket-size definition the cap filters on and the one the
-      -- audit counts can never drift apart (r10 review finding)
-      SELECT CAST(COUNT(*) AS BIGINT) AS truncated_buckets
-      FROM (SELECT DISTINCT j, h FROM sized
-            WHERE bn > {_LSH_BUCKET_CAP}) t)
+    {_capped_pairs_sql("matches", trunc_cte="trunc")}
     SELECT doc_a, doc_b,
            CAST(1 AS DOUBLE) - CAST(m AS DOUBLE) / {_MH_TABLES} AS jaccard_dist,
            truncated_buckets

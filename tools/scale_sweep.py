@@ -100,6 +100,9 @@ SWEEP_OPS = [
     ("split_doc_stitch", None),  # boundary-hash equi-join: O(pages)
     ("bpe_merge_ranks", None),  # K vocab-grain pair-count shuffles
     ("lsh_band_planner", None),  # 1 signature pass + 4 bucket joins
+    # r11: the planner's SAMPLE mode — the quadratic candidate term
+    # bounded by the 1-in-8 sample (pairs / 64)
+    ("lsh_band_planner_sampled", None),
     ("quality_gate_shadow_audit", None),  # 1 codegen scan + src rollup
     ("bpe_compression_by_source", None),  # learn + vocab-grain apply
     ("cross_source_ce_matrix", None),  # word-keyed self-join: vocab grain
@@ -113,6 +116,8 @@ SWEEP_OPS = [
     # exists for — these two rows are the cap's scale evidence
     ("dedup_minhash_lsh", None),  # capped band join: linear at any density
     ("shard_export_diff", None),  # two export replays + shard-keyed diff
+    # r11 addition: fate plan + one regex codegen scan + source rollup
+    ("pii_redaction_audit", None),
 ]
 
 # Sub-factor ladder for capped operators: when the requested factor
@@ -442,10 +447,11 @@ def _time_cell(spark, spec, sf_dir: str, runs: int) -> float:
     best = math.inf
     for _ in range(runs):
         t0 = time.monotonic()
-        # noop write, same as bench.py: count() lets Catalyst
-        # prune final projections (e.g. dedup_span_repair's
-        # repaired-text rebuild never ran, measuring a flat
-        # exponent for an op whose whole point is that column)
+        # noop write, same as bench.py — count() would let Catalyst
+        # prune final projections (before the r09 switch,
+        # dedup_span_repair's repaired-text rebuild never ran under
+        # count(), measuring a flat exponent for an op whose whole
+        # point is that column)
         spec.build(spark, sf_dir).write.mode("overwrite").format(
             "noop"
         ).save()
