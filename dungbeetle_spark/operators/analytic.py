@@ -305,23 +305,30 @@ def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _t(spark, sf_dir, "embeddings")["embeddings"]
     emb = F.col("embedding").cast("array<double>")
     m = F.array_max(F.transform(emb, lambda x: F.abs(x)))
-    q = lambda x: F.floor(F.lit(127) * x / F.col("m") + F.lit(0.5))  # noqa: E731
+    # The per-row scale m must reach the per-element lambdas through
+    # zip_with ARGUMENTS (array_repeat, evaluated once per row), not a
+    # col("m") reference inside the lambda body: projection collapse
+    # inlines the aliased array_max there and re-runs the O(dim) max
+    # per ELEMENT — O(dim^2) per row at real embedding widths (see
+    # word_ngrams). Expression trees per element are unchanged
+    # ((127*x)/m, (q*m)/127 — same associativity), so every double is
+    # bit-identical to the previous form.
+    mm = F.array_repeat(F.col("m"), F.size("e"))
+    qd = F.zip_with(
+        "e", mm, lambda x, mv: F.floor(F.lit(127) * x / mv + F.lit(0.5))
+    )
+    deq = F.zip_with(qd, mm, lambda q, mv: q * mv / F.lit(127))
     return (
         e.select("vec_id", emb.alias("e"), m.alias("m"))
         .filter(F.col("m") > 0)
         .select(
             "vec_id",
             F.col("m").alias("max_abs"),
-            F.size(
-                F.filter(F.col("e"), lambda x: F.abs(q(x)) >= 127)
-            )
+            F.size(F.filter(qd, lambda q: F.abs(q) >= 127))
             .cast("long")
             .alias("n_saturated"),
             F.array_max(
-                F.transform(
-                    F.col("e"),
-                    lambda x: F.abs(x - q(x) * F.col("m") / F.lit(127)),
-                )
+                F.zip_with("e", deq, lambda x, dq: F.abs(x - dq))
             ).alias("max_abs_err"),
         )
     )

@@ -32,6 +32,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
+from dungbeetle_spark.functions.arrays import hof_let
 from dungbeetle_spark.functions.texts import (
     content_md5,
     content_md5_sql,
@@ -1164,18 +1165,26 @@ def dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # windows as 16-byte md5 keys: the explode happens scan-side, the
     # shuffle (groupBy h) carries binary(16), never the text.
+    # hof_let binds the seeded text as a lambda variable: the window
+    # lambda must not reference the aliased CASE+concat seeding
+    # (projection collapse would re-run the whole-doc concat per
+    # WINDOW position, O(len^2) per doc — see functions/arrays.py).
+    # The md5 per window is the operator's inherent work and stays.
     wins = seeded.select(
         "doc_id",
         F.explode(
-            F.when(
-                F.length("text") >= _SPAN_L,
-                F.transform(
-                    F.sequence(F.lit(1), F.length("text") - (_SPAN_L - 1)),
-                    lambda i: F.unhex(
-                        F.md5(F.substring(F.col("text"), i, F.lit(_SPAN_L)))
+            hof_let(
+                F.col("text"),
+                lambda t: F.when(
+                    F.length(t) >= _SPAN_L,
+                    F.transform(
+                        F.sequence(F.lit(1), F.length(t) - (_SPAN_L - 1)),
+                        lambda i: F.unhex(
+                            F.md5(F.substring(t, i, F.lit(_SPAN_L)))
+                        ),
                     ),
-                ),
-            ).otherwise(F.array().cast("array<binary>"))
+                ).otherwise(F.array().cast("array<binary>")),
+            )
         ).alias("h"),
     )
     wh = W.partitionBy("h")
@@ -1321,20 +1330,25 @@ def dedup_span_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
     wins = seeded.select(
         "doc_id",
         F.explode(
-            F.when(
-                F.length("text") >= _SPAN_L,
-                F.transform(
-                    F.sequence(F.lit(1), F.length("text") - (_SPAN_L - 1)),
-                    lambda i: F.struct(
-                        i.cast("long").alias("i"),
-                        F.unhex(
-                            F.md5(
-                                F.substring(F.col("text"), i, F.lit(_SPAN_L))
-                            )
-                        ).alias("h"),
+            # hof_let: same per-window alias-re-eval guard as
+            # dedup_exact_substring (see functions/arrays.py)
+            hof_let(
+                F.col("text"),
+                lambda t: F.when(
+                    F.length(t) >= _SPAN_L,
+                    F.transform(
+                        F.sequence(F.lit(1), F.length(t) - (_SPAN_L - 1)),
+                        lambda i: F.struct(
+                            i.cast("long").alias("i"),
+                            F.unhex(
+                                F.md5(F.substring(t, i, F.lit(_SPAN_L)))
+                            ).alias("h"),
+                        ),
                     ),
+                ).otherwise(
+                    F.array().cast("array<struct<i:bigint,h:binary>>")
                 ),
-            ).otherwise(F.array().cast("array<struct<i:bigint,h:binary>>"))
+            )
         ).alias("p"),
     ).select("doc_id", F.col("p.i").alias("i"), F.col("p.h").alias("h"))
     wh = W.partitionBy("h")
@@ -1844,18 +1858,23 @@ def cross_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.col("text"))
         .alias("text"),
     )
+    # hof_let: same per-window alias-re-eval guard as
+    # dedup_exact_substring (see functions/arrays.py)
     wins = seeded.select(
         "source",
         F.explode(
-            F.when(
-                F.length("text") >= _SPAN_L,
-                F.transform(
-                    F.sequence(F.lit(1), F.length("text") - (_SPAN_L - 1)),
-                    lambda i: F.unhex(
-                        F.md5(F.substring(F.col("text"), i, F.lit(_SPAN_L)))
+            hof_let(
+                F.col("text"),
+                lambda t: F.when(
+                    F.length(t) >= _SPAN_L,
+                    F.transform(
+                        F.sequence(F.lit(1), F.length(t) - (_SPAN_L - 1)),
+                        lambda i: F.unhex(
+                            F.md5(F.substring(t, i, F.lit(_SPAN_L)))
+                        ),
                     ),
-                ),
-            ).otherwise(F.array().cast("array<binary>"))
+                ).otherwise(F.array().cast("array<binary>")),
+            )
         ).alias("h"),
     )
     sets = (
@@ -2067,20 +2086,26 @@ def paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     always 1-5 rows), never fact-scale partitions."""
     d = _t(spark, sf_dir, "documents")["documents"]
     w = d.select("doc_id", "source", F.split(norm_text("text"), " ").alias("w"))
-    n_chunks = F.ceil(F.size("w") / F.lit(_PARA_W)).cast("int")
+    # hof_let binds the tokenized array as a lambda variable: the
+    # chunk lambda below must not reference the aliased split
+    # (projection collapse would re-run norm+split per CHUNK — see
+    # functions/arrays.py; measured 8x on this pass at sf0.1, output
+    # byte-identical).
+    chunks = hof_let(
+        F.col("w"),
+        lambda warr: F.transform(
+            F.sequence(
+                F.lit(0), F.ceil(F.size(warr) / F.lit(_PARA_W)).cast("int") - 1
+            ),
+            lambda i: F.md5(
+                F.array_join(F.slice(warr, i * _PARA_W + 1, _PARA_W), " ")
+            ),
+        ),
+    )
     paras = w.select(
         "doc_id",
         "source",
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), n_chunks - 1),
-                lambda i: F.md5(
-                    F.array_join(
-                        F.slice("w", i * _PARA_W + 1, _PARA_W), " "
-                    )
-                ),
-            )
-        ).alias("para_idx", "ph"),
+        F.posexplode(chunks).alias("para_idx", "ph"),
     )
     rn = F.row_number().over(
         W.partitionBy("ph").orderBy("doc_id", "para_idx")

@@ -31,21 +31,28 @@ from dungbeetle_spark.sources.catalog import fan_out
 
 def word_ngrams(token_array, n: int):
     """Distinct word n-grams of a token-array column, as one JVM
-    expression. Guarded for short inputs: ``sequence(1, 0)`` is
-    DESCENDING ``[1, 0]`` in Spark and the resulting ``slice(t, 0,
-    n)`` throws at runtime — a document shorter than one gram must
-    yield an EMPTY array (matching DuckDB's empty ``range()``), not a
-    crash."""
+    expression, built as a zip_with fold over n shifted slices.
+
+    NOT ``transform(sequence(...), i -> slice(t, i, n))``: higher-order
+    lambdas evaluate interpreted per ELEMENT, and after Catalyst's
+    projection collapse a ``t`` that aliases a tokenize expression is
+    inlined INTO the lambda body — the whole-document regex split then
+    re-runs once per gram position, O(len^2) per doc. Here ``t`` is
+    referenced only in the zip_with ARGUMENTS (evaluated once per row
+    per shift) and the lambdas touch nothing but their element
+    variables: measured ~5x on the sf0.1 token-bigram pass, output
+    byte-identical (r11). Short inputs yield an EMPTY array via the
+    ``greatest(..., 0)`` slice-length guard (matching DuckDB's empty
+    ``range()``), preserving the old ``when(size >= n)`` contract."""
     t = F.col(token_array) if isinstance(token_array, str) else token_array
-    return F.when(
-        F.size(t) >= n,
-        F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(1), F.size(t) - (n - 1)),
-                lambda i: F.array_join(F.slice(t, i, n), " "),
-            )
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    m = F.greatest(F.size(t) - (n - 1), F.lit(0))
+    g = F.slice(t, 1, m)
+    for k in range(1, n):
+        g = F.zip_with(
+            g, F.slice(t, k + 1, m),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        )
+    return F.array_distinct(g)
 
 # -- decontamination --------------------------------------------------------
 
@@ -960,18 +967,21 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     tdf = fan_out(d.select("doc_id", "lang", "text")).select(
         "doc_id", "lang", toks.alias("t")
     )
-    gram = F.transform(
-        F.sequence(F.lit(1), F.size("t") - 1),
-        lambda i: F.concat(
-            F.element_at(F.col("t"), i), F.lit(" "), F.element_at(F.col("t"), i + 1)
-        ),
+    # zip_with over shifted slices, not transform(sequence, element_at):
+    # the lambda must not reference the aliased tokenize (projection
+    # collapse inlines it, re-running the split per ELEMENT — see
+    # word_ngrams). The slice-length guard also subsumes the old
+    # size >= 2 branch: short docs yield empty arrays naturally.
+    m1 = F.greatest(F.size("t") - 1, F.lit(0))
+    gram = F.zip_with(
+        F.slice("t", 1, m1),
+        F.slice("t", 2, m1),
+        lambda a, b: F.concat(a, F.lit(" "), b),
     )
     grams = tdf.select(
         "doc_id",
         "lang",
-        F.explode(
-            F.when(F.size("t") >= 2, gram).otherwise(F.array().cast("array<string>"))
-        ).alias("g"),
+        F.explode(gram).alias("g"),
     ).select("doc_id", "lang", (md5_hash60(F.col("g")) % _DSIR_B).alias("b"))
     # Raw + target bucket counts in ONE conditional aggregate (a
     # separate r/tc/tot trio re-evaluated the tokenize+explode subtree

@@ -375,17 +375,19 @@ def vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     single-partition window never sees gram- or doc-scale data."""
     d = _t(spark, sf_dir, "documents")["documents"]
     t = F.split(norm_text(F.col("text")), " ")
-    gram = F.transform(
-        F.sequence(F.lit(1), F.size("t") - 1),
-        lambda i: F.concat(
-            F.element_at(F.col("t"), i), F.lit(" "), F.element_at(F.col("t"), i + 1)
-        ),
+    # zip_with over shifted slices (see word_ngrams: a lambda that
+    # references the aliased tokenize re-runs it per element after
+    # projection collapse); the slice-length guard subsumes the old
+    # size >= 2 branch.
+    m1 = F.greatest(F.size("t") - 1, F.lit(0))
+    gram = F.zip_with(
+        F.slice("t", 1, m1),
+        F.slice("t", 2, m1),
+        lambda a, b: F.concat(a, F.lit(" "), b),
     )
     grams = d.select("doc_id", t.alias("t")).select(
         "doc_id",
-        F.explode(
-            F.when(F.size("t") >= 2, gram).otherwise(F.array().cast("array<string>"))
-        ).alias("g"),
+        F.explode(gram).alias("g"),
     )
     first_seen = grams.groupBy("g").agg(F.min("doc_id").alias("first_doc"))
     per_bucket = (

@@ -421,19 +421,23 @@ def repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def grams(k: int):
+        # zip_with fold over k shifted slices (see word_ngrams: a
+        # lambda referencing the aliased split re-runs norm+split per
+        # gram position); the outer transform's lambda touches only
+        # its own element, so the struct wrap stays per-element cheap.
+        # The slice-length guard subsumes the old size >= k branch.
         w = F.col("w")
-        return F.when(
-            F.size(w) >= k,
-            F.transform(
-                # sequence is DESCENDING when end < start (Spark 4);
-                # the size guard above keeps it ascending
-                F.sequence(F.lit(0), F.size(w) - F.lit(k)),
-                lambda i: F.struct(
-                    F.lit(k).alias("k"),
-                    F.concat_ws(" ", F.slice(w, i + 1, k)).alias("g"),
-                ),
-            ),
-        ).otherwise(F.array().cast("array<struct<k:int,g:string>>"))
+        m = F.greatest(F.size(w) - (k - 1), F.lit(0))
+        g = F.slice(w, 1, m)
+        for j in range(1, k):
+            g = F.zip_with(
+                g, F.slice(w, j + 1, m),
+                lambda a, b: F.concat(a, F.lit(" "), b),
+            )
+        return F.transform(
+            g,
+            lambda s: F.struct(F.lit(k).alias("k"), s.alias("g")),
+        )
 
     exploded = base.select(
         "doc_id",
@@ -735,16 +739,15 @@ def skipgram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = d.select(t.alias("t"))
 
     def _pairs_at(dist: int):
-        return F.when(
-            F.size("t") > dist,
-            F.transform(
-                F.sequence(F.lit(1), F.size("t") - dist),
-                lambda i: F.struct(
-                    F.element_at(F.col("t"), i).alias("w1"),
-                    F.element_at(F.col("t"), i + dist).alias("w2"),
-                ),
-            ),
-        ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+        # zip_with over shifted slices (see word_ngrams: a lambda
+        # referencing the aliased tokenize re-runs it per element);
+        # the slice-length guard subsumes the old size > dist branch
+        m = F.greatest(F.size("t") - dist, F.lit(0))
+        return F.zip_with(
+            F.slice("t", 1, m),
+            F.slice("t", 1 + dist, m),
+            lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+        )
 
     pairs = toks.select(
         F.explode(F.concat(_pairs_at(1), _pairs_at(2))).alias("p")
@@ -822,15 +825,24 @@ def char_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact int64 — no floating point in the whole plan."""
     d = _t(spark, sf_dir, "documents")["documents"]
     nt = norm_text(F.col("text"))
-    # sequence(1, 0) is DESCENDING in Spark (the word_ngrams guard):
-    # docs shorter than one bigram must contribute an empty array.
-    bigrams = F.when(
-        F.length(nt) >= 2,
-        F.transform(
-            F.sequence(F.lit(1), F.length(nt) - 1),
-            lambda i: nt.substr(i, F.lit(2)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    # zip_with over the pre-split char array, NOT transform(sequence,
+    # i -> nt.substr(i, 2)): higher-order lambdas evaluate interpreted
+    # per ELEMENT, so any non-lambda subexpression in the body — here
+    # the whole-document regex normalize inside substr — re-runs once
+    # per character, turning the bigram build O(len^2) per doc. With
+    # zip_with the normalize runs per ROW (as a HOF argument) and the
+    # lambda touches only its element variables: measured 12.6 s ->
+    # 1.05 s for the corpus bigram-count pass at sf0.1, byte-identical
+    # output (r11). Edge cases: split('', '') = [''] and a 1-char doc
+    # both give size-1 arrays, so n = 0 yields the same empty bigram
+    # array the old length-guard produced.
+    chars = F.split(nt, "")
+    n_pairs = F.greatest(F.size(chars) - 1, F.lit(0))
+    bigrams = F.zip_with(
+        F.slice(chars, 1, n_pairs),
+        F.slice(chars, 2, n_pairs),
+        lambda a, b: F.concat(a, b),
+    )
     base = fan_out(d.select("doc_id", "text")).select(
         "doc_id", F.explode_outer(bigrams).alias("b")
     )
@@ -1559,21 +1571,29 @@ def lang_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("")
         ),
     )
+    from dungbeetle_spark.functions.arrays import hof_let
+
     w = d.select("doc_id", "source", F.split(planted, " ").alias("w"))
-    n_win = F.ceil(F.size("w") / F.lit(_SEG_W)).cast("int")
+    # hof_let: the window lambda must not reference the aliased split
+    # (projection collapse would re-run normalize+plant+split per
+    # WINDOW — see functions/arrays.py).
+    windows = hof_let(
+        F.col("w"),
+        lambda warr: F.transform(
+            F.sequence(
+                F.lit(0), F.ceil(F.size(warr) / F.lit(_SEG_W)).cast("int") - 1
+            ),
+            lambda i: F.concat(
+                F.lit(" "),
+                F.array_join(F.slice(warr, i * _SEG_W + 1, _SEG_W), " "),
+                F.lit(" "),
+            ),
+        ),
+    )
     win = w.select(
         "doc_id",
         "source",
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), n_win - 1),
-                lambda i: F.concat(
-                    F.lit(" "),
-                    F.array_join(F.slice("w", i * _SEG_W + 1, _SEG_W), " "),
-                    F.lit(" "),
-                ),
-            )
-        ).alias("win_idx", "wt"),
+        F.posexplode(windows).alias("win_idx", "wt"),
     )
     wt = F.col("wt")
     scores = win.select(

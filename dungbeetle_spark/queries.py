@@ -93,6 +93,18 @@ NEW_OR_CHANGED: list[str] = [
     "pii_redaction_audit",
     # (both r11-new entries are registered in operators/dedup.py and
     # operators/curation.py respectively)
+    # DELIBERATELY OFF this list (r11): the HOF-lambda re-evaluation
+    # fixes (word_ngrams zip_with fold, hof_let window binding, the
+    # zip_with bigram/pair builders) across char_bigram_surprisal,
+    # dedup_exact_substring, dedup_span_repair, longest-path family,
+    # cross_source_overlap_matrix, paragraph_dedup, lang_segments,
+    # dsir_importance_weights, vocab_growth, skipgram_pairs,
+    # repetition_stats, embedding_quantize, and every word_ngrams
+    # consumer are plan-only: outputs proven byte-identical by the
+    # oracle suite and direct old-vs-new frame equality on the sf0.1
+    # corpus, so re-listing them would burn stale-repayment slots for
+    # guaranteed-identical results (the r10 minhash_calibration rule).
+    #
     # Window math: 4 entries + window_rank_family (r06, heads the
     # stale tail) + 45 of the 49 r07-stale fill the 50 slots; the 4
     # displaced queries stay r07-green, so the last-green floor still
