@@ -172,6 +172,9 @@ HEADLINE = [
     "lsh_band_planner_sampled",
     # r11: PII detection/redaction audit over the fate-kept population
     "pii_redaction_audit",
+    # r11: MinHash-banded near-match decontamination with the high-DF
+    # stop-shingle filter
+    "fuzzy_decontamination",
 ]
 
 # Streaming drain bench (VERDICT r09 item 5): none of the 10 streaming

@@ -1842,3 +1842,214 @@ def cross_source_ce_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("t_source") == F.col("model_source")).alias("is_self"),
         rnk.cast("int").alias("rnk"),
     )
+
+
+# -- fuzzy_decontamination --------------------------------------------------
+
+# Near-match decontamination — the MinHash complement of the exact
+# 5-gram scrub above (GPT-3 App. C / Llama-style fuzzy dedup against
+# benchmarks): a training doc is contaminated when its banded MinHash
+# signature agrees with some eval doc on >= _FDC_MIN_BANDS of the 8
+# bands (estimated shingle Jaccard >= 0.5) — catching lightly edited
+# benchmark copies whose exact n-grams no longer match.
+#
+# The fixture plants BOTH failure modes a production run must survive:
+# (a) a near-dup template family (doc_id % 9 == 0, shared 26-word body
+# + per-doc variant tail) spanning both sides of the eval split, so
+# true fuzzy hits are guaranteed and deterministic; and (b) a UNIVERSAL
+# boilerplate footer appended to every document — without stop-shingle
+# filtering, footer shingles enter every doc's signature and, on SHORT
+# documents (few organic shingles to out-min them), dominate the
+# minhash: at sf0.01 the unfiltered run flags 26 extra docs, all
+# short, none planted — boilerplate-driven false positives, the
+# dominant failure mode on a real crawl's short-page mass. Shingles
+# whose document frequency exceeds _FDC_STOP_PPM of the corpus are
+# therefore dropped before hashing, exactly as real decontamination
+# pipelines drop high-DF n-grams; the constant `stop_shingles` column
+# audits how many were dropped (>= the footer's interior shingles by
+# construction), and the filter provably loses no true flag
+# (test_fuzzy_decon_stop_filter_is_load_bearing).
+_FDC_MIN_BANDS = 4
+_FDC_TPL_MOD = 9
+_FDC_STOP_PPM = 200_000  # shingles in > 20% of docs are boilerplate
+_FDC_TEMPLATE = (
+    "held out benchmark body with a long run of stable words repeated "
+    "verbatim across the whole contaminated family so the shingle "
+    "sets overlap far above the banded decision threshold"
+)
+_FDC_FOOTER = (
+    "standard site footer all rights reserved terms of service "
+    "privacy policy contact us newsletter signup"
+)
+
+
+def _fdc_seeded(d: DataFrame) -> DataFrame:
+    """(doc_id, text) with the template family + universal footer
+    planted; the exact expression the oracle's seeded CTE mirrors."""
+    return d.select(
+        "doc_id",
+        F.concat(
+            F.when(
+                F.col("doc_id") % _FDC_TPL_MOD == 0,
+                F.concat(
+                    F.lit(_FDC_TEMPLATE + " variant "),
+                    (F.col("doc_id") % 4).cast("string"),
+                    F.lit(" tail "),
+                    F.col("doc_id").cast("string"),
+                ),
+            ).otherwise(F.col("text")),
+            F.lit(" " + _FDC_FOOTER),
+        ).alias("text"),
+    )
+
+
+@query(
+    "fuzzy_decontamination",
+    oracle=f"""
+    WITH seeded AS (
+      SELECT doc_id,
+             (CASE WHEN doc_id % {_FDC_TPL_MOD} = 0
+                   THEN '{_FDC_TEMPLATE}'
+                        || ' variant ' || CAST(doc_id % 4 AS VARCHAR)
+                        || ' tail ' || CAST(doc_id AS VARCHAR)
+                   ELSE text END) || ' {_FDC_FOOTER}' AS text
+      FROM documents),
+    words AS (
+      SELECT doc_id,
+             regexp_split_to_array(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS w
+      FROM seeded),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+      FROM words, UNNEST(range(1, greatest(len(w) - 1, 1))) AS t(i)),
+    shh AS (
+      SELECT doc_id, {md5_hash60_sql("s")} AS hs FROM sh),
+    stops AS (
+      SELECT hs FROM shh GROUP BY hs
+      HAVING COUNT(*) * 1000000
+             > {_FDC_STOP_PPM} * (SELECT COUNT(*) FROM documents)),
+    filt AS (
+      SELECT doc_id, hs FROM shh
+      WHERE hs NOT IN (SELECT hs FROM stops)),
+    mh AS (
+      SELECT doc_id, j,
+             MIN({md5_hash60_sql("concat(CAST(j AS VARCHAR), '|', CAST(hs AS VARCHAR))")}) AS h
+      FROM filt, UNNEST(range(0, 8)) AS seeds(j)
+      GROUP BY doc_id, j),
+    cand AS (
+      SELECT t.doc_id, e.doc_id AS eval_doc, CAST(COUNT(*) AS BIGINT) AS m
+      FROM mh t JOIN mh e ON t.j = e.j AND t.h = e.h
+      WHERE t.doc_id % {_EVAL_MOD} <> 0 AND e.doc_id % {_EVAL_MOD} = 0
+      GROUP BY 1, 2
+      HAVING COUNT(*) >= {_FDC_MIN_BANDS}),
+    best AS (
+      SELECT doc_id, eval_doc, m,
+             ROW_NUMBER() OVER (PARTITION BY doc_id
+                                ORDER BY m DESC, eval_doc) AS rk
+      FROM cand),
+    audit AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS stop_shingles FROM stops)
+    SELECT doc_id, eval_doc,
+           m AS matched_bands,
+           CAST(m AS DOUBLE) / 8 AS est_jaccard,
+           stop_shingles
+    FROM best CROSS JOIN audit
+    WHERE rk = 1
+    """,
+    doc="Fuzzy (MinHash-banded) decontamination: a training document "
+    "is flagged when >= 4 of its 8 banded minhashes agree with some "
+    "eval-split document (estimated shingle Jaccard >= 0.5) — the "
+    "near-match complement of the exact 5-gram scrub in "
+    "`decontamination`, catching lightly edited benchmark copies. "
+    "Before hashing, shingles present in > 20% of documents are "
+    "dropped as boilerplate (high-DF stop-grams, as in production "
+    "decontamination); the fixture plants a universal footer on every "
+    "doc so the filter demonstrably FIRES (without it, footer "
+    "shingles dominate SHORT documents' minhashes and flag them "
+    "spuriously across the split — 26 extra flags at sf0.01, all "
+    "short, none planted) and a cross-split near-dup template "
+    "family so true fuzzy hits are guaranteed. Per flagged doc: the "
+    "best-matching eval doc (most agreeing bands, ties to the lowest "
+    "eval doc_id), the band count, the Jaccard estimate, and the "
+    "constant stop_shingles audit. Every value is a pure function of "
+    "md5-derived hashes, so the DuckDB oracle replays the whole "
+    "pipeline bit-for-bit.",
+)
+def fuzzy_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: the shingle DF pass and the per-doc minhash
+    aggregate are the two corpus-scale exchanges, and both carry
+    60-bit longs, never shingle text (the shingle is hashed once,
+    right after construction; the seeded minhashes re-hash the LONG
+    rendered as a string, so the DF shuffle and the stop-set both
+    stay 8 bytes a row). The stop set is small by construction —
+    at most total_shingle_mass / (0.2 * n_docs) entries ~= 5x the
+    mean doc length — so it broadcasts into a map-side anti-join;
+    the eval side of a real decontamination run is MBs against TBs
+    of corpus, so its band rows broadcast too and the corpus never
+    shuffles for the probe (same stance as `decontamination` and
+    `dedup_minhash_incremental`). Flag output is bounded by true
+    near-matches: an eval doc caught inside a crawl mega-cluster
+    flags the whole cluster, which IS the desired verdict — and the
+    stop-gram filter has already removed the boilerplate clusters
+    that would fire spuriously. The minhash frame (8 longs/doc) is
+    locally checkpointed once and feeds both probe sides."""
+    from dungbeetle_spark.operators.dedup import _shingled
+
+    d = _t(spark, sf_dir, "documents")["documents"]
+    sh = (
+        _shingled(_fdc_seeded(d))
+        .select("doc_id", F.explode("shingles").alias("s"))
+        .select("doc_id", md5_hash60(F.col("s")).alias("hs"))
+        .localCheckpoint(eager=False)  # feeds the DF pass + the anti-join
+    )
+    ndocs = d.agg(F.count(F.lit(1)).alias("nd"))
+    stops = (
+        sh.groupBy("hs")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .crossJoin(F.broadcast(ndocs))
+        .filter(F.col("df") * 1_000_000 > F.lit(_FDC_STOP_PPM) * F.col("nd"))
+        .select("hs")
+        .localCheckpoint(eager=False)  # feeds the anti-join + the audit
+    )
+    filt = sh.join(F.broadcast(stops), "hs", "left_anti")
+    mh = (
+        filt.groupBy("doc_id")
+        .agg(
+            *[
+                F.min(
+                    md5_hash60(F.concat(F.lit(f"{j}|"), F.col("hs").cast("string")))
+                ).alias(f"h{j}")
+                for j in range(8)
+            ]
+        )
+        .localCheckpoint(eager=False)  # feeds both probe sides
+    )
+    bands = mh.select(
+        "doc_id",
+        F.posexplode(F.array(*[F.col(f"h{j}") for j in range(8)])).alias("j", "h"),
+    )
+    ev = bands.filter(F.col("doc_id") % _EVAL_MOD == 0).select(
+        F.col("doc_id").alias("eval_doc"), "j", "h"
+    )
+    cand = (
+        bands.filter(F.col("doc_id") % _EVAL_MOD != 0)
+        .join(F.broadcast(ev), ["j", "h"])
+        .groupBy("doc_id", "eval_doc")
+        .agg(F.count(F.lit(1)).alias("m"))
+        .filter(F.col("m") >= _FDC_MIN_BANDS)
+    )
+    rk = F.row_number().over(
+        W.partitionBy("doc_id").orderBy(F.col("m").desc(), "eval_doc")
+    )
+    audit = stops.agg(F.count(F.lit(1)).cast("long").alias("stop_shingles"))
+    return (
+        cand.withColumn("rk", rk)
+        .filter(F.col("rk") == 1)
+        .select(
+            "doc_id",
+            "eval_doc",
+            F.col("m").alias("matched_bands"),
+            (F.col("m").cast("double") / F.lit(8.0)).alias("est_jaccard"),
+        )
+        .crossJoin(F.broadcast(audit))
+    )

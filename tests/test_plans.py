@@ -1012,6 +1012,11 @@ def test_registry_wide_no_cartesian_and_no_fact_nlj(spark, sf):
         # batch-bounded ingest verdicts (operator docstring: "The
         # 1-row audit frame broadcasts")
         "dedup_minhash_incremental",
+        # r11: two 1-row scalar frames — the corpus doc count crossed
+        # into the shingle-DF stop filter, and the stop_shingles audit
+        # crossed onto the flag output (operator docstring: the stop
+        # set and audit frames broadcast)
+        "fuzzy_decontamination",
     }
     unexpected = [q for q in bnlj if q not in known_scalar_broadcast]
     assert not unexpected, (

@@ -348,6 +348,10 @@ INVARIANCE_QUERIES = [
     # the data
     "shard_export_manifest",
     "dedup_span_repair",
+    # r11: the fuzzy-decon verdict folds MIN() minhashes per doc and a
+    # DF threshold over shingle posting counts — both must be pure
+    # functions of the data, not of which partition folded first
+    "fuzzy_decontamination",
 ]
 
 

@@ -351,3 +351,79 @@ def test_export_diff_prev_from_manifest_table(spark, sf_oracle, tmp_path):
     warehouse = key(_diff_frames(prev_tbl, _export_frame(_evolved_docs(d))).collect())
     replay = key(SPECS["shard_export_diff"].build(spark, sf_oracle).collect())
     assert warehouse == replay and len(warehouse) > 0
+
+
+# -- fuzzy_decontamination ----------------------------------------------------
+
+
+def test_fuzzy_decon_flags_the_planted_cross_split_family(spark, sf_oracle):
+    """The near-dup template family (doc_id % 9 == 0) spans the eval
+    split, so its train-side members are exactly the contamination the
+    fuzzy scrub exists to catch — flag recall on the plant must be
+    near-total (each member shares the 26-word body verbatim with the
+    eval-side members; only the variant/tail words differ)."""
+    from dungbeetle_spark.operators.mixing import (
+        _EVAL_MOD,
+        _FDC_MIN_BANDS,
+        _FDC_TPL_MOD,
+    )
+    from dungbeetle_spark.queries import _t
+
+    rows = SPECS["fuzzy_decontamination"].build(spark, sf_oracle).collect()
+    assert rows
+    flagged = {r.doc_id for r in rows}
+    # hygiene: flags live on the train side, point at the eval side,
+    # and carry the banded estimate they were decided on
+    assert all(r.doc_id % _EVAL_MOD != 0 for r in rows)
+    assert all(r.eval_doc % _EVAL_MOD == 0 for r in rows)
+    assert all(_FDC_MIN_BANDS <= r.matched_bands <= 8 for r in rows)
+    assert all(r.est_jaccard == r.matched_bands / 8 for r in rows)
+    d = _t(spark, sf_oracle, "documents")["documents"]
+    family = {
+        r.doc_id
+        for r in d.filter(
+            (d.doc_id % _FDC_TPL_MOD == 0) & (d.doc_id % _EVAL_MOD != 0)
+        ).collect()
+    }
+    assert family, "fixture must plant train-side family members"
+    recall = len(family & flagged) / len(family)
+    assert recall >= 0.9, f"planted-family flag recall {recall:.2f}"
+
+
+def test_fuzzy_decon_stop_filter_is_load_bearing(sf_oracle):
+    """Counterfactual: with the stop-shingle filter disabled, the
+    universal footer enters every signature and dominates SHORT
+    documents' minhashes (few organic shingles to out-min it), so
+    unrelated short docs band-match across the split. Run the oracle
+    twice in DuckDB, once with `stops` emptied, and pin the filter's
+    exact value: it strictly removes boilerplate-driven false
+    positives (extras are non-planted and skew short) while losing
+    ZERO true flags."""
+    from dungbeetle_spark.operators.mixing import _FDC_FOOTER, _FDC_TPL_MOD
+
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"'{sf_oracle}/documents.parquet'"
+    )
+    q = SPECS["fuzzy_decontamination"].oracle
+    real = con.sql(q).df()
+    # the footer's interior shingles are in 100% of docs — all dropped
+    assert real.stop_shingles.iloc[0] >= len(_FDC_FOOTER.split()) - 2
+    off = q.replace(
+        "WHERE hs NOT IN (SELECT hs FROM stops)",
+        "WHERE hs NOT IN (SELECT hs FROM stops WHERE FALSE)",
+    )
+    assert off != q
+    unfiltered = con.sql(off).df()
+    # no true flag depends on the footer: everything the filtered run
+    # flags, the unfiltered run flags too
+    assert set(real.doc_id) <= set(unfiltered.doc_id)
+    extra = set(unfiltered.doc_id) - set(real.doc_id)
+    assert extra, "the footer plant must cause some false positives"
+    # the false positives are the boilerplate failure mode: none are
+    # planted family members, and they skew short
+    assert all(doc % _FDC_TPL_MOD != 0 for doc in extra)
+    lens = con.sql("SELECT doc_id, n_chars FROM documents").df()
+    lens = lens.set_index("doc_id").n_chars
+    assert lens.loc[sorted(extra)].median() < lens.median()

@@ -118,6 +118,11 @@ SWEEP_OPS = [
     ("shard_export_diff", None),  # two export replays + shard-keyed diff
     # r11 addition: fate plan + one regex codegen scan + source rollup
     ("pii_redaction_audit", None),
+    # r11 addition: shingle-DF stop filter + minhash agg (both long-
+    # keyed) + broadcast eval band probe; amplified copies being
+    # near-dups, the x32 corpus maximizes true cross-split matches —
+    # output-bound linear, like the capped lsh row above
+    ("fuzzy_decontamination", None),
 ]
 
 # Sub-factor ladder for capped operators: when the requested factor
