@@ -177,7 +177,7 @@ HEADLINE = [
     "fuzzy_decontamination",
 ]
 
-# Streaming drain bench (VERDICT r09 item 5): none of the 10 streaming
+# Streaming drain bench (VERDICT r09 item 5): none of the 11 streaming
 # operators appear in HEADLINE because their cost is a synchronous
 # availableNow DRAIN inside build() — the batch noop timing pattern
 # works, but the number measures trigger scheduling + state store +
@@ -195,6 +195,9 @@ STREAMING = [
     "streaming_hll_registers",
     "streaming_minhash_ingest_gate",
     "streaming_corpus_fate_gate",
+    # r11: the fuzzy-decontamination ingest gate (stop-filtered eval
+    # band probe; batch twin is fuzzy_decontamination)
+    "streaming_fuzzy_decon_gate",
 ]
 
 # Host-drift canary (ADVICE r04: one hardcoded-anchor query is noisy
@@ -752,7 +755,7 @@ def main() -> None:
             raise SystemExit(f"not in HEADLINE or STREAMING: {unknown}")
         headline = [q for q in chosen if q in HEADLINE]
         streaming_ops = [q for q in chosen if q in STREAMING]
-    # ADVICE r10: the 10 streaming drains (3x each, with sink +
+    # ADVICE r10: the 11 streaming drains (3x each, with sink +
     # checkpoint I/O) materially lengthen a batch-only iteration loop;
     # SPARK_GRAFT_BENCH_STREAMING=0 skips them while keeping the FULL
     # batch headline (the subset env above can't express that without

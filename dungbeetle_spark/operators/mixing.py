@@ -1903,9 +1903,9 @@ def _fdc_seeded(d: DataFrame) -> DataFrame:
     )
 
 
-@query(
-    "fuzzy_decontamination",
-    oracle=f"""
+# Shared by the batch op and streaming_fuzzy_decon_gate (identical
+# output contract — the gate's drained stream must equal this frame).
+_FDC_ORACLE = f"""
     WITH seeded AS (
       SELECT doc_id,
              (CASE WHEN doc_id % {_FDC_TPL_MOD} = 0
@@ -1955,7 +1955,12 @@ def _fdc_seeded(d: DataFrame) -> DataFrame:
            stop_shingles
     FROM best CROSS JOIN audit
     WHERE rk = 1
-    """,
+    """
+
+
+@query(
+    "fuzzy_decontamination",
+    oracle=_FDC_ORACLE,
     doc="Fuzzy (MinHash-banded) decontamination: a training document "
     "is flagged when >= 4 of its 8 banded minhashes agree with some "
     "eval-split document (estimated shingle Jaccard >= 0.5) — the "

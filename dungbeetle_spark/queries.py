@@ -97,6 +97,10 @@ NEW_OR_CHANGED: list[str] = [
     # high-DF stop-shingle filter (the fuzzy complement of the exact
     # 5-gram scrub; operators/mixing.py).
     "fuzzy_decontamination",
+    # r11 new: its streaming ingest-gate twin (stop-filtered eval band
+    # probe, stateless foreachBatch; streaming/stateful.py) — drained
+    # stream pinned equal to the batch frame, shared oracle.
+    "streaming_fuzzy_decon_gate",
     # DELIBERATELY OFF this list (r11): the HOF-lambda re-evaluation
     # fixes (word_ngrams zip_with fold, hof_let window binding, the
     # zip_with bigram/pair builders) across char_bigram_surprisal,
@@ -109,8 +113,8 @@ NEW_OR_CHANGED: list[str] = [
     # corpus, so re-listing them would burn stale-repayment slots for
     # guaranteed-identical results (the r10 minhash_calibration rule).
     #
-    # Window math: 5 entries + window_rank_family (r06, heads the
-    # stale tail) + 44 of the 49 r07-stale fill the 50 slots; the 5
+    # Window math: 6 entries + window_rank_family (r06, heads the
+    # stale tail) + 43 of the 49 r07-stale fill the 50 slots; the 6
     # displaced queries stay r07-green, so the last-green floor still
     # becomes r07 this round (the VERDICT r10 item 5 goal) and the
     # displaced tail self-heals in r12. minhash_calibration again

@@ -617,3 +617,173 @@ def streaming_corpus_fate_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "append",
         transform=make_fate_gate_batch(canon, ev),
     )
+
+
+from dungbeetle_spark.operators.mixing import _FDC_ORACLE
+
+
+@query(
+    "streaming_fuzzy_decon_gate",
+    oracle=_FDC_ORACLE,
+    doc="Streaming fuzzy-decontamination INGEST GATE — the stream "
+    "twin of fuzzy_decontamination, completing the pairing the "
+    "near-dup family already has (dedup_minhash_incremental / "
+    "streaming_minhash_ingest_gate): incoming training documents "
+    "shingle-hash per-row in ONE Arrow pass, drop the corpus's "
+    "high-DF stop shingles (broadcast anti-join against the "
+    "maintained stop set), minhash batch-locally, and probe the "
+    "STOP-FILTERED eval band index — flagged docs (>= 4/8 bands "
+    "agreeing with some eval doc) never enter the corpus. The gate "
+    "is stateless (every per-doc collapse is batch-local: a doc's "
+    "shingle rows all derive from its single input row) and the "
+    "drained stream equals the batch op's frame exactly — same "
+    "columns, same DuckDB oracle, pinned by "
+    "test_fuzzy_gate_batch_stream_equality.",
+)
+def streaming_fuzzy_decon_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: the reference state (stop-shingle set, eval band
+    index, 1-row stop_shingles audit) is corpus-derived but SMALL by
+    construction — the stop set is bounded by total shingle mass /
+    (0.2 * n_docs) and the eval split is MBs of benchmarks at any
+    corpus scale — so all three broadcast and the stream side never
+    shuffles against corpus-sized data. Per batch: one Arrow pass for
+    shingle hashes (longs, never shingle text), a broadcast anti-join,
+    a batch-local 8-minhash aggregate keyed by doc_id, and a broadcast
+    band probe; per-batch cost is linear in the BATCH, independent of
+    corpus size. Zero streaming state. The self-contained fixture
+    recomputes the reference frames on the stream's session (same
+    stance as streaming_minhash_ingest_gate); production maintains
+    them as tables refreshed with the corpus DF stats."""
+    import hashlib
+
+    from pyspark.sql.window import Window as W
+
+    from dungbeetle_spark.functions.texts import md5_hash60, norm_text
+    from dungbeetle_spark.operators.dedup import _SHINGLE_N, _shingled
+    from dungbeetle_spark.operators.mixing import (
+        _EVAL_MOD,
+        _FDC_MIN_BANDS,
+        _FDC_STOP_PPM,
+        _fdc_seeded,
+    )
+    from dungbeetle_spark.streaming.source import stream_table
+
+    n = _SHINGLE_N
+
+    @F.pandas_udf("array<long>")
+    def shingle_hashes(nt: pd.Series) -> pd.Series:
+        # identical hash contract to the batch op: md5_hash60 of each
+        # DISTINCT word n-gram of the normalized text
+        out = []
+        for t in nt:
+            w = t.split(" ")
+            if len(w) < n:
+                out.append([])
+            else:
+                out.append(
+                    [
+                        int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+                        for s in dict.fromkeys(
+                            " ".join(w[i : i + n]) for i in range(len(w) - n + 1)
+                        )
+                    ]
+                )
+        return pd.Series(out)
+
+    incoming = _fdc_seeded(
+        stream_table(spark, sf_dir, "documents").filter(
+            F.col("doc_id") % _EVAL_MOD != 0
+        )
+    ).select(
+        "doc_id",
+        F.explode(shingle_hashes(norm_text(F.col("text")))).alias("hs"),
+    )
+
+    # Static reference state, built batch-side ON THE STREAM'S SESSION
+    # (joining frames from two sessions is undefined behavior). The
+    # stop-DF statistics run over the FULL corpus (eval included),
+    # exactly as the batch op computes them.
+    sess = incoming.sparkSession
+    d = _t(sess, sf_dir, "documents")["documents"]
+    sh = (
+        _shingled(_fdc_seeded(d))
+        .select("doc_id", F.explode("shingles").alias("s"))
+        .select("doc_id", md5_hash60(F.col("s")).alias("hs"))
+        .localCheckpoint()  # feeds the stop stats + the eval index
+    )
+    ndocs = d.agg(F.count(F.lit(1)).alias("nd"))
+    stops = (
+        sh.groupBy("hs")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .crossJoin(F.broadcast(ndocs))
+        .filter(F.col("df") * 1_000_000 > F.lit(_FDC_STOP_PPM) * F.col("nd"))
+        .select("hs")
+        .localCheckpoint()  # feeds the anti-joins + the audit
+    )
+    ev_index = (
+        sh.filter(F.col("doc_id") % _EVAL_MOD == 0)
+        .join(F.broadcast(stops), "hs", "left_anti")
+        .groupBy("doc_id")
+        .agg(
+            *[
+                F.min(
+                    md5_hash60(F.concat(F.lit(f"{j}|"), F.col("hs").cast("string")))
+                ).alias(f"h{j}")
+                for j in range(8)
+            ]
+        )
+        .select(
+            F.col("doc_id").alias("eval_doc"),
+            F.posexplode(F.array(*[F.col(f"h{j}") for j in range(8)])).alias(
+                "band", "h"
+            ),
+        )
+        .localCheckpoint()
+    )
+    audit = (
+        stops.agg(F.count(F.lit(1)).cast("long").alias("stop_shingles"))
+        .localCheckpoint()
+    )
+
+    def gate_batch(bdf: DataFrame) -> DataFrame:
+        # batch-local throughout: every doc's hs rows derive from its
+        # single input row, and no doc repeats across micro-batches
+        filt = bdf.join(F.broadcast(stops), "hs", "left_anti")
+        mh = filt.groupBy("doc_id").agg(
+            *[
+                F.min(
+                    md5_hash60(F.concat(F.lit(f"{j}|"), F.col("hs").cast("string")))
+                ).alias(f"h{j}")
+                for j in range(8)
+            ]
+        )
+        bands = mh.select(
+            "doc_id",
+            F.posexplode(F.array(*[F.col(f"h{j}") for j in range(8)])).alias(
+                "band", "h"
+            ),
+        )
+        cand = (
+            bands.join(F.broadcast(ev_index), ["band", "h"])
+            .groupBy("doc_id", "eval_doc")
+            .agg(F.count(F.lit(1)).alias("m"))
+            .filter(F.col("m") >= _FDC_MIN_BANDS)
+        )
+        rk = F.row_number().over(
+            W.partitionBy("doc_id").orderBy(F.col("m").desc(), "eval_doc")
+        )
+        return (
+            cand.withColumn("rk", rk)
+            .filter(F.col("rk") == 1)
+            .select(
+                "doc_id",
+                "eval_doc",
+                F.col("m").alias("matched_bands"),
+                (F.col("m").cast("double") / F.lit(8.0)).alias("est_jaccard"),
+            )
+            .crossJoin(F.broadcast(audit))
+        )
+
+    return drain_to_df(
+        incoming, "stream_fuzzy_decon_gate", "append", transform=gate_batch
+    )

@@ -11,7 +11,11 @@ adds the PII audit stage (item 6):
 - ``lsh_band_planner_sampled`` plans on a deterministic hash sample
   with exact integer extrapolation;
 - ``pii_redaction_audit`` runs between the quality funnel and export
-  over exactly the fate-kept population.
+  over exactly the fate-kept population;
+- ``fuzzy_decontamination`` flags near-match benchmark copies by
+  banded MinHash agreement, dropping high-DF boilerplate stop-shingles
+  first, and ``streaming_fuzzy_decon_gate`` is its stateless streaming
+  ingest twin (drained stream pinned equal to the batch frame).
 
 Value correctness on the driver fixture is covered by
 test_queries_oracle.py (where the seeded incremental fixture already
@@ -427,3 +431,67 @@ def test_fuzzy_decon_stop_filter_is_load_bearing(sf_oracle):
     lens = con.sql("SELECT doc_id, n_chars FROM documents").df()
     lens = lens.set_index("doc_id").n_chars
     assert lens.loc[sorted(extra)].median() < lens.median()
+
+
+# -- streaming_fuzzy_decon_gate ------------------------------------------------
+
+
+def test_fuzzy_gate_batch_stream_equality(spark, sf_oracle):
+    """The gate's drained stream must equal fuzzy_decontamination's
+    batch frame EXACTLY (same flags, same best eval match, same
+    audit) — the batch≡stream pin the shared oracle rests on."""
+
+    def key(r):
+        return (
+            r.doc_id,
+            r.eval_doc,
+            r.matched_bands,
+            r.est_jaccard,
+            r.stop_shingles,
+        )
+
+    batch = sorted(
+        key(r)
+        for r in SPECS["fuzzy_decontamination"].build(spark, sf_oracle).collect()
+    )
+    drained = sorted(
+        key(r)
+        for r in SPECS["streaming_fuzzy_decon_gate"]
+        .build(spark, sf_oracle)
+        .collect()
+    )
+    assert batch and batch == drained
+
+
+def test_fuzzy_gate_multi_batch_drain_equals_single(spark, sf_oracle, tmp_path):
+    """The gate claims every collapse is batch-local (zero streaming
+    state): force a REAL multi-micro-batch drain (4 files, one per
+    trigger) and require identical rows to the single-batch drain."""
+    from dungbeetle_spark.queries import _t
+    from dungbeetle_spark.streaming import source as stream_source
+
+    split_dir = tmp_path / "docs_split"
+    sf_split = tmp_path
+    (
+        _t(spark, sf_oracle, "documents")["documents"]
+        .repartition(4)
+        .write.parquet(str(split_dir))
+    )
+    (tmp_path / "documents.parquet").symlink_to(split_dir)
+
+    single = SPECS["streaming_fuzzy_decon_gate"].build(spark, sf_oracle)
+
+    orig = stream_source.stream_table
+
+    def split_stream(sess, _sf, table, **kw):
+        return orig(sess, str(sf_split), table, max_files_per_trigger=1)
+
+    stream_source.stream_table = split_stream
+    try:
+        multi = SPECS["streaming_fuzzy_decon_gate"].build(spark, sf_oracle)
+    finally:
+        stream_source.stream_table = orig
+    key = lambda r: (r.doc_id, r.eval_doc, r.matched_bands)  # noqa: E731
+    s = sorted(key(r) for r in single.collect())
+    m = sorted(key(r) for r in multi.collect())
+    assert s == m and len(s) > 0
