@@ -29,6 +29,8 @@ import shutil
 
 import duckdb
 import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
 
 from dungbeetle_spark.operators.dedup import _LSH_BUCKET_CAP, _MH_TABLES
 from dungbeetle_spark.queries import registry
@@ -495,3 +497,104 @@ def test_fuzzy_gate_multi_batch_drain_equals_single(spark, sf_oracle, tmp_path):
     s = sorted(key(r) for r in single.collect())
     m = sorted(key(r) for r in multi.collect())
     assert s == m and len(s) > 0
+
+
+# -- fuzzy_decontamination: full functional property (hypothesis) -------------
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(0, 120),  # doc_id (0, 37, 74, 111 are eval)
+            st.lists(
+                st.sampled_from(
+                    "alpha beta gamma delta epsilon zeta eta theta".split()
+                ),
+                max_size=12,
+            ),
+        ),
+        min_size=1,
+        max_size=30,
+        unique_by=lambda t: t[0],
+    )
+)
+def test_fuzzy_decon_matches_brute_force_on_random_corpora(spark, tmp_path_factory, docs):
+    """The whole fuzzy-decon contract — seeding, shingling, the stop-DF
+    threshold, seeded minhash, band agreement, the >= 4/8 decision, the
+    best-match tie-break, and the stop_shingles audit — against a
+    plain-Python reference on arbitrary tiny corpora (shapes no fixture
+    plants: corpora where EVERY shingle is boilerplate, docs shorter
+    than a shingle, eval-only corpora, duplicate texts under different
+    ids)."""
+    import hashlib
+    from collections import Counter, defaultdict
+
+    from dungbeetle_spark.operators.mixing import (
+        _EVAL_MOD,
+        _FDC_FOOTER,
+        _FDC_MIN_BANDS,
+        _FDC_STOP_PPM,
+        _FDC_TEMPLATE,
+        _FDC_TPL_MOD,
+    )
+
+    def h60(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    # ---- plain-Python reference --------------------------------------
+    def seeded_text(doc_id: int, text: str) -> str:
+        if doc_id % _FDC_TPL_MOD == 0:
+            body = f"{_FDC_TEMPLATE} variant {doc_id % 4} tail {doc_id}"
+        else:
+            body = text
+        return " ".join((body + " " + _FDC_FOOTER).lower().split())
+
+    shingles = {}
+    for doc_id, words in docs:
+        t = seeded_text(doc_id, " ".join(words))
+        w = t.split(" ") if t else []
+        shingles[doc_id] = {
+            h60(" ".join(w[i : i + 3])) for i in range(len(w) - 2)
+        }
+    n_docs = len(docs)
+    df_count = Counter(h for hs in shingles.values() for h in hs)
+    stops = {h for h, c in df_count.items() if c * 1_000_000 > _FDC_STOP_PPM * n_docs}
+    mh = {}
+    for doc_id, hs in shingles.items():
+        kept = hs - stops
+        if kept:
+            mh[doc_id] = [
+                min(h60(f"{j}|{h}") for h in kept) for j in range(8)
+            ]
+    best = {}
+    for t_id, t_sig in mh.items():
+        if t_id % _EVAL_MOD == 0:
+            continue
+        cands = []
+        for e_id, e_sig in mh.items():
+            if e_id % _EVAL_MOD != 0:
+                continue
+            m = sum(1 for a, b in zip(t_sig, e_sig) if a == b)
+            if m >= _FDC_MIN_BANDS:
+                cands.append((-m, e_id))
+        if cands:
+            neg_m, e_id = min(cands)
+            best[t_id] = (e_id, -neg_m, -neg_m / 8)
+
+    # ---- the operator on the same corpus ------------------------------
+    out = tmp_path_factory.mktemp("fdc_prop")
+    spark.createDataFrame(
+        [
+            (doc_id, " ".join(words), "en", "crawl", len(" ".join(words)))
+            for doc_id, words in docs
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).coalesce(1).write.parquet(f"{out}/documents.parquet")
+    rows = SPECS["fuzzy_decontamination"].build(spark, str(out)).collect()
+
+    got = {r.doc_id: (r.eval_doc, r.matched_bands, r.est_jaccard) for r in rows}
+    assert got == best
+    if rows:
+        audits = {r.stop_shingles for r in rows}
+        assert audits == {len(stops)}
