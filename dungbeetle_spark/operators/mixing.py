@@ -1996,8 +1996,14 @@ def fuzzy_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     near-matches: an eval doc caught inside a crawl mega-cluster
     flags the whole cluster, which IS the desired verdict — and the
     stop-gram filter has already removed the boilerplate clusters
-    that would fire spuriously. The minhash frame (8 longs/doc) is
-    locally checkpointed once and feeds both probe sides."""
+    that would fire spuriously. Two frames checkpoint locally: the
+    (doc_id, hs) shingle frame (16 bytes/shingle — cheaper than
+    re-running the shingle UDF for the DF stats and the anti-join
+    separately) and the minhash frame (8 longs/doc, feeds both probe
+    sides); the warehouse deployment maintains the stop set and the
+    eval index as refreshed TABLES, which deletes the stats pass and
+    the larger checkpoint from the per-run plan entirely (the
+    streaming gate documents that shape)."""
     from dungbeetle_spark.operators.dedup import _shingled
 
     d = _t(spark, sf_dir, "documents")["documents"]
