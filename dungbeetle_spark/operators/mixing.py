@@ -1871,6 +1871,10 @@ def cross_source_ce_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (test_fuzzy_decon_stop_filter_is_load_bearing).
 _FDC_MIN_BANDS = 4
 _FDC_TPL_MOD = 9
+# one banded-minhash width for the whole fuzzy-decon pair, sourced from
+# the dedup family's single definition (bands of r=1, like the LSH ops)
+from dungbeetle_spark.operators.dedup import _MH_TABLES as _FDC_BANDS  # noqa: E402
+from dungbeetle_spark.operators.dedup import _SHINGLE_N as _FDC_N  # noqa: E402
 _FDC_STOP_PPM = 200_000  # shingles in > 20% of docs are boilerplate
 _FDC_TEMPLATE = (
     "held out benchmark body with a long run of stable words repeated "
@@ -1903,6 +1907,114 @@ def _fdc_seeded(d: DataFrame) -> DataFrame:
     )
 
 
+def _fdc_shingle_hashes(seeded: DataFrame) -> DataFrame:
+    """seeded (doc_id, text) → (doc_id, hs): 60-bit hashes of the
+    distinct word shingles, locally checkpointed (every caller has
+    >= 2 consumers: the stop-DF stats and an anti-join)."""
+    from dungbeetle_spark.operators.dedup import _shingled
+
+    return (
+        _shingled(seeded)
+        .select("doc_id", F.explode("shingles").alias("s"))
+        .select("doc_id", md5_hash60(F.col("s")).alias("hs"))
+        .localCheckpoint(eager=False)
+    )
+
+
+def _fdc_stop_set(sh: DataFrame, d: DataFrame) -> DataFrame:
+    """hs values whose document frequency exceeds _FDC_STOP_PPM of the
+    corpus — integer-exact, checkpointed (feeds anti-joins + audit)."""
+    ndocs = d.agg(F.count(F.lit(1)).alias("nd"))
+    return (
+        sh.groupBy("hs")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .crossJoin(F.broadcast(ndocs))
+        .filter(F.col("df") * 1_000_000 > F.lit(_FDC_STOP_PPM) * F.col("nd"))
+        .select("hs")
+        .localCheckpoint(eager=False)
+    )
+
+
+def _fdc_minhash(filt: DataFrame) -> DataFrame:
+    """(doc_id, hs) → (doc_id, h0..h{B-1}): the seeded banded minhash
+    signature — min(md5_hash60("j|" || hs)) per band j. ONE definition
+    for the batch op, the streaming gate's index, and its per-batch
+    probe, so the hash contract cannot drift between them."""
+    return filt.groupBy("doc_id").agg(
+        *[
+            F.min(
+                md5_hash60(F.concat(F.lit(f"{j}|"), F.col("hs").cast("string")))
+            ).alias(f"h{j}")
+            for j in range(_FDC_BANDS)
+        ]
+    )
+
+
+def _fdc_band_rows(mh: DataFrame) -> DataFrame:
+    """signature frame → long (doc_id, j, h) band rows."""
+    return mh.select(
+        "doc_id",
+        F.posexplode(F.array(*[F.col(f"h{j}") for j in range(_FDC_BANDS)])).alias(
+            "j", "h"
+        ),
+    )
+
+
+def _fdc_flags(train_bands: DataFrame, ev: DataFrame, audit: DataFrame) -> DataFrame:
+    """Band rows → the output contract both ops share: best eval match
+    per flagged doc (>= _FDC_MIN_BANDS agreeing bands; most bands wins,
+    ties to the lowest eval doc_id) + the broadcast 1-row audit."""
+    cand = (
+        train_bands.join(F.broadcast(ev), ["j", "h"])
+        .groupBy("doc_id", "eval_doc")
+        .agg(F.count(F.lit(1)).alias("m"))
+        .filter(F.col("m") >= _FDC_MIN_BANDS)
+    )
+    rk = F.row_number().over(
+        W.partitionBy("doc_id").orderBy(F.col("m").desc(), "eval_doc")
+    )
+    return (
+        cand.withColumn("rk", rk)
+        .filter(F.col("rk") == 1)
+        .select(
+            "doc_id",
+            "eval_doc",
+            F.col("m").alias("matched_bands"),
+            (F.col("m").cast("double") / F.lit(float(_FDC_BANDS))).alias(
+                "est_jaccard"
+            ),
+        )
+        .crossJoin(F.broadcast(audit))
+    )
+
+
+def _fdc_reference(sess: SparkSession, sf_dir: str):
+    """The static reference state the streaming gate probes —
+    ``(stops, ev_index, audit)``, all small by construction and
+    checkpointed. Built from the same helpers the batch op composes,
+    so the stop-threshold/seeding/hash contract has one definition.
+    Production maintains all three as refreshed tables."""
+    d = _t(sess, sf_dir, "documents")["documents"]
+    sh = _fdc_shingle_hashes(_fdc_seeded(d))
+    stops = _fdc_stop_set(sh, d)
+    ev_index = (
+        _fdc_band_rows(
+            _fdc_minhash(
+                sh.filter(F.col("doc_id") % _EVAL_MOD == 0).join(
+                    F.broadcast(stops), "hs", "left_anti"
+                )
+            )
+        )
+        .select(F.col("doc_id").alias("eval_doc"), "j", "h")
+        .localCheckpoint()
+    )
+    audit = (
+        stops.agg(F.count(F.lit(1)).cast("long").alias("stop_shingles"))
+        .localCheckpoint()
+    )
+    return stops, ev_index, audit
+
+
 # Shared by the batch op and streaming_fuzzy_decon_gate (identical
 # output contract — the gate's drained stream must equal this frame).
 _FDC_ORACLE = f"""
@@ -1921,7 +2033,7 @@ _FDC_ORACLE = f"""
     sh AS (
       SELECT DISTINCT doc_id,
              w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
-      FROM words, UNNEST(range(1, greatest(len(w) - 1, 1))) AS t(i)),
+      FROM words, UNNEST(range(1, greatest(len(w) - {_FDC_N} + 2, 1))) AS t(i)),
     shh AS (
       SELECT doc_id, {md5_hash60_sql("s")} AS hs FROM sh),
     stops AS (
@@ -1934,7 +2046,7 @@ _FDC_ORACLE = f"""
     mh AS (
       SELECT doc_id, j,
              MIN({md5_hash60_sql("concat(CAST(j AS VARCHAR), '|', CAST(hs AS VARCHAR))")}) AS h
-      FROM filt, UNNEST(range(0, 8)) AS seeds(j)
+      FROM filt, UNNEST(range(0, {_FDC_BANDS})) AS seeds(j)
       GROUP BY doc_id, j),
     cand AS (
       SELECT t.doc_id, e.doc_id AS eval_doc, CAST(COUNT(*) AS BIGINT) AS m
@@ -1951,7 +2063,7 @@ _FDC_ORACLE = f"""
       SELECT CAST(COUNT(*) AS BIGINT) AS stop_shingles FROM stops)
     SELECT doc_id, eval_doc,
            m AS matched_bands,
-           CAST(m AS DOUBLE) / 8 AS est_jaccard,
+           CAST(m AS DOUBLE) / {_FDC_BANDS} AS est_jaccard,
            stop_shingles
     FROM best CROSS JOIN audit
     WHERE rk = 1
@@ -2004,63 +2116,17 @@ def fuzzy_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     eval index as refreshed TABLES, which deletes the stats pass and
     the larger checkpoint from the per-run plan entirely (the
     streaming gate documents that shape)."""
-    from dungbeetle_spark.operators.dedup import _shingled
-
     d = _t(spark, sf_dir, "documents")["documents"]
-    sh = (
-        _shingled(_fdc_seeded(d))
-        .select("doc_id", F.explode("shingles").alias("s"))
-        .select("doc_id", md5_hash60(F.col("s")).alias("hs"))
-        .localCheckpoint(eager=False)  # feeds the DF pass + the anti-join
-    )
-    ndocs = d.agg(F.count(F.lit(1)).alias("nd"))
-    stops = (
-        sh.groupBy("hs")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .crossJoin(F.broadcast(ndocs))
-        .filter(F.col("df") * 1_000_000 > F.lit(_FDC_STOP_PPM) * F.col("nd"))
-        .select("hs")
-        .localCheckpoint(eager=False)  # feeds the anti-join + the audit
-    )
-    filt = sh.join(F.broadcast(stops), "hs", "left_anti")
-    mh = (
-        filt.groupBy("doc_id")
-        .agg(
-            *[
-                F.min(
-                    md5_hash60(F.concat(F.lit(f"{j}|"), F.col("hs").cast("string")))
-                ).alias(f"h{j}")
-                for j in range(8)
-            ]
-        )
-        .localCheckpoint(eager=False)  # feeds both probe sides
-    )
-    bands = mh.select(
-        "doc_id",
-        F.posexplode(F.array(*[F.col(f"h{j}") for j in range(8)])).alias("j", "h"),
-    )
+    sh = _fdc_shingle_hashes(_fdc_seeded(d))
+    stops = _fdc_stop_set(sh, d)
+    # one signature aggregate over ALL docs (train + eval), checkpointed
+    # because its band rows feed both probe sides
+    mh = _fdc_minhash(sh.join(F.broadcast(stops), "hs", "left_anti"))
+    bands = _fdc_band_rows(mh.localCheckpoint(eager=False))
     ev = bands.filter(F.col("doc_id") % _EVAL_MOD == 0).select(
         F.col("doc_id").alias("eval_doc"), "j", "h"
     )
-    cand = (
-        bands.filter(F.col("doc_id") % _EVAL_MOD != 0)
-        .join(F.broadcast(ev), ["j", "h"])
-        .groupBy("doc_id", "eval_doc")
-        .agg(F.count(F.lit(1)).alias("m"))
-        .filter(F.col("m") >= _FDC_MIN_BANDS)
-    )
-    rk = F.row_number().over(
-        W.partitionBy("doc_id").orderBy(F.col("m").desc(), "eval_doc")
-    )
     audit = stops.agg(F.count(F.lit(1)).cast("long").alias("stop_shingles"))
-    return (
-        cand.withColumn("rk", rk)
-        .filter(F.col("rk") == 1)
-        .select(
-            "doc_id",
-            "eval_doc",
-            F.col("m").alias("matched_bands"),
-            (F.col("m").cast("double") / F.lit(8.0)).alias("est_jaccard"),
-        )
-        .crossJoin(F.broadcast(audit))
+    return _fdc_flags(
+        bands.filter(F.col("doc_id") % _EVAL_MOD != 0), ev, audit
     )

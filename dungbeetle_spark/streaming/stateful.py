@@ -656,14 +656,14 @@ def streaming_fuzzy_decon_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     them as tables refreshed with the corpus DF stats."""
     import hashlib
 
-    from pyspark.sql.window import Window as W
-
-    from dungbeetle_spark.functions.texts import md5_hash60, norm_text
-    from dungbeetle_spark.operators.dedup import _SHINGLE_N, _shingled
+    from dungbeetle_spark.functions.texts import norm_text
+    from dungbeetle_spark.operators.dedup import _SHINGLE_N
     from dungbeetle_spark.operators.mixing import (
         _EVAL_MOD,
-        _FDC_MIN_BANDS,
-        _FDC_STOP_PPM,
+        _fdc_band_rows,
+        _fdc_flags,
+        _fdc_minhash,
+        _fdc_reference,
         _fdc_seeded,
     )
     from dungbeetle_spark.streaming.source import stream_table
@@ -700,89 +700,16 @@ def streaming_fuzzy_decon_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     # Static reference state, built batch-side ON THE STREAM'S SESSION
-    # (joining frames from two sessions is undefined behavior). The
-    # stop-DF statistics run over the FULL corpus (eval included),
-    # exactly as the batch op computes them.
-    sess = incoming.sparkSession
-    d = _t(sess, sf_dir, "documents")["documents"]
-    sh = (
-        _shingled(_fdc_seeded(d))
-        .select("doc_id", F.explode("shingles").alias("s"))
-        .select("doc_id", md5_hash60(F.col("s")).alias("hs"))
-        .localCheckpoint()  # feeds the stop stats + the eval index
-    )
-    ndocs = d.agg(F.count(F.lit(1)).alias("nd"))
-    stops = (
-        sh.groupBy("hs")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .crossJoin(F.broadcast(ndocs))
-        .filter(F.col("df") * 1_000_000 > F.lit(_FDC_STOP_PPM) * F.col("nd"))
-        .select("hs")
-        .localCheckpoint()  # feeds the anti-joins + the audit
-    )
-    ev_index = (
-        sh.filter(F.col("doc_id") % _EVAL_MOD == 0)
-        .join(F.broadcast(stops), "hs", "left_anti")
-        .groupBy("doc_id")
-        .agg(
-            *[
-                F.min(
-                    md5_hash60(F.concat(F.lit(f"{j}|"), F.col("hs").cast("string")))
-                ).alias(f"h{j}")
-                for j in range(8)
-            ]
-        )
-        .select(
-            F.col("doc_id").alias("eval_doc"),
-            F.posexplode(F.array(*[F.col(f"h{j}") for j in range(8)])).alias(
-                "band", "h"
-            ),
-        )
-        .localCheckpoint()
-    )
-    audit = (
-        stops.agg(F.count(F.lit(1)).cast("long").alias("stop_shingles"))
-        .localCheckpoint()
-    )
+    # (joining frames from two sessions is undefined behavior), from
+    # the same helpers the batch op composes — the stop-DF statistics
+    # run over the FULL corpus (eval included), exactly as there.
+    stops, ev_index, audit = _fdc_reference(incoming.sparkSession, sf_dir)
 
     def gate_batch(bdf: DataFrame) -> DataFrame:
         # batch-local throughout: every doc's hs rows derive from its
         # single input row, and no doc repeats across micro-batches
         filt = bdf.join(F.broadcast(stops), "hs", "left_anti")
-        mh = filt.groupBy("doc_id").agg(
-            *[
-                F.min(
-                    md5_hash60(F.concat(F.lit(f"{j}|"), F.col("hs").cast("string")))
-                ).alias(f"h{j}")
-                for j in range(8)
-            ]
-        )
-        bands = mh.select(
-            "doc_id",
-            F.posexplode(F.array(*[F.col(f"h{j}") for j in range(8)])).alias(
-                "band", "h"
-            ),
-        )
-        cand = (
-            bands.join(F.broadcast(ev_index), ["band", "h"])
-            .groupBy("doc_id", "eval_doc")
-            .agg(F.count(F.lit(1)).alias("m"))
-            .filter(F.col("m") >= _FDC_MIN_BANDS)
-        )
-        rk = F.row_number().over(
-            W.partitionBy("doc_id").orderBy(F.col("m").desc(), "eval_doc")
-        )
-        return (
-            cand.withColumn("rk", rk)
-            .filter(F.col("rk") == 1)
-            .select(
-                "doc_id",
-                "eval_doc",
-                F.col("m").alias("matched_bands"),
-                (F.col("m").cast("double") / F.lit(8.0)).alias("est_jaccard"),
-            )
-            .crossJoin(F.broadcast(audit))
-        )
+        return _fdc_flags(_fdc_band_rows(_fdc_minhash(filt)), ev_index, audit)
 
     return drain_to_df(
         incoming, "stream_fuzzy_decon_gate", "append", transform=gate_batch
