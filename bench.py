@@ -327,11 +327,34 @@ def timings_from_compare_tail(tail: str, repo: str) -> dict[str, float]:
     return out
 
 
-# Deliberate speed-for-scale trades: a flagged regression whose cause
-# is a reviewed plan change, annotated so the compare block explains
-# itself instead of looking like an accident. Keyed by query name;
-# entries only attach when that query actually crosses the threshold.
+# Flagged regressions with a reviewed, non-accidental cause — either a
+# deliberate speed-for-scale trade or a verified cross-round
+# measurement artifact — annotated so the compare block explains
+# itself. Keyed by query name; entries only attach when that query
+# actually crosses the threshold.
 _KNOWN_REGRESSIONS = {
+    # r11 investigation: several mid-weight text queries read 1.3-1.8x
+    # vs the r10 cells while being ~1.0-1.3x vs r09 — the r10 host's
+    # canary factor (0.659) overstated that host's slowness on this
+    # query class, recording artificially LOW normalized r10 values
+    # (the same artifact VERDICT r10 logged in the other direction as
+    # 0.72 "improvements" for these very queries). Verified not a code
+    # regression: a full A/B against the pre-HOF-rewrite tree
+    # (eb40453^) times HEAD equal-or-faster on every one of them
+    # (fate 3.30 vs 3.11 — noise; label-noise 1.32 vs 1.53; shadow
+    # 0.98 vs 1.17; bpe-compression 2.29 vs 2.54).
+    "corpus_fate_manifest": (
+        "r10-cell normalization artifact: ~1.0-1.3x vs r09 (r09 norm "
+        "2.46); r10's 1.76 is the outlier. HEAD A/B vs pre-HOF tree "
+        "is time-neutral (3.30 vs 3.11 s). No r11 plan change touches "
+        "this query."
+    ),
+    "lang_label_noise_audit": (
+        "r10-cell normalization artifact: ~1.2x vs r09 (r09 norm "
+        "1.50); r10's 1.13 is the outlier. HEAD A/B vs pre-HOF tree "
+        "is FASTER (1.32 vs 1.53 s). No r11 plan change touches this "
+        "query."
+    ),
     "curriculum_buckets": (
         "r07 rework (VERDICT r06 item 3): doc-scale global NTILE -> "
         "range-partitioned prefix-sum; ~0.4s fixed extra jobs at "
