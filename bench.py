@@ -585,6 +585,49 @@ def _streaming_compare(
     return block
 
 
+def cross_round_context(
+    compare: dict,
+    timings: dict[str, float],
+    host_factor: float | None,
+    against_path: str,
+) -> None:
+    """Informational second opinion on CONFIRMED regressions (r11
+    investigation: a one-off fast cell in the prior round's record —
+    e.g. a host whose canary factor misrepresents one query class —
+    reads as a regression a round later). For each confirmed flag,
+    recompute the normalized ratio against the round BEFORE the
+    compared one and ship it in ``regression_checks``, so a flag
+    whose older-round ratio sits under the threshold is visibly a
+    prior-cell anomaly rather than necessarily a new slowdown.
+    Informational only — it never clears a flag, because "flat vs two
+    rounds ago" can equally mean "reverted the prior round's real
+    optimization"; that judgment lives in ``_KNOWN_REGRESSIONS``."""
+    rnd = _round_of(against_path)
+    if rnd is None or not host_factor:
+        return
+    prev = f"{int(rnd) - 1:0{len(rnd)}d}"
+    repo = os.path.dirname(os.path.abspath(against_path))
+    path = os.path.join(repo, f"BENCH_FULL_r{prev}.json")
+    if not os.path.exists(path):
+        return
+    try:
+        with open(path) as f:
+            old_q = json.load(f).get("queries") or {}
+    except (OSError, json.JSONDecodeError):
+        return
+    old_factor = _median_host_factor(old_q)
+    if not old_factor:
+        return
+    checks = compare.get("regression_checks") or {}
+    for name in compare.get("regressions") or ():
+        if old_q.get(name) and timings.get(name) and name in checks:
+            checks[name][f"ratio_vs_r{prev}"] = round(
+                (timings[name] / host_factor)
+                / (old_q[name] / old_factor),
+                3,
+            )
+
+
 def _round_of(bench_path: str) -> str | None:
     """The round's digit string, padding preserved: the driver writes
     BENCH_r07.json, so the archive must be BENCH_FULL_r07.json."""
@@ -880,6 +923,7 @@ def main() -> None:
 
     if compare and compare.get("regressions"):
         confirm_regressions(compare, timings, _isolated_min)
+        cross_round_context(compare, timings, host_factor, against)
 
     # Streaming drain section (VERDICT r09 item 5): each op's build()
     # runs a synchronous availableNow drain to parquet; the noop save

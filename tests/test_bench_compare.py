@@ -505,3 +505,40 @@ def test_compare_block_survives_missing_host_factor(tmp_path):
     assert block["regressions"] is None
     assert "comparison unavailable" in block["note"]
     assert "error" not in block
+
+
+def test_cross_round_context_adds_prior_round_ratio(tmp_path):
+    """r11 investigation: a confirmed regression gets an informational
+    ratio vs the round BEFORE the compared one, so a one-off fast cell
+    in the prior record is visible as the outlier it is — without ever
+    clearing the flag."""
+    against = tmp_path / "BENCH_r98.json"
+    against.write_text("{}")  # only the name matters here
+    prevprev = {name: r01 for name, r01 in bench.CANARY_ANCHORS.items()}
+    prevprev["suspect_query"] = 2.0  # r97 normalized value: 2.0
+    (tmp_path / "BENCH_FULL_r97.json").write_text(
+        json.dumps({"queries": prevprev})
+    )
+    compare = {
+        "regressions": ["suspect_query"],
+        "regression_checks": {"suspect_query": {"confirmed": True}},
+    }
+    # current host uniformly 1x (anchors at reference): hf = 1.0;
+    # suspect measures 2.2 -> vs r97's 2.0 the ratio is a flat 1.1,
+    # exposing the compared round's fast cell as the anomaly
+    timings = {"suspect_query": 2.2}
+    bench.cross_round_context(compare, timings, 1.0, str(against))
+    assert (
+        compare["regression_checks"]["suspect_query"]["ratio_vs_r97"] == 1.1
+    )
+
+
+def test_cross_round_context_is_a_noop_without_the_archive(tmp_path):
+    against = tmp_path / "BENCH_r98.json"
+    against.write_text("{}")
+    compare = {
+        "regressions": ["q"],
+        "regression_checks": {"q": {"confirmed": True}},
+    }
+    bench.cross_round_context(compare, {"q": 1.0}, 1.0, str(against))
+    assert compare["regression_checks"]["q"] == {"confirmed": True}
