@@ -1854,7 +1854,7 @@ def cross_source_ce_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 # benchmark copies whose exact n-grams no longer match.
 #
 # The fixture plants BOTH failure modes a production run must survive:
-# (a) a near-dup template family (doc_id % 9 == 0, shared 26-word body
+# (a) a near-dup template family (doc_id % 9 == 0, shared 29-word body
 # + per-doc variant tail) spanning both sides of the eval split, so
 # true fuzzy hits are guaranteed and deterministic; and (b) a UNIVERSAL
 # boilerplate footer appended to every document — without stop-shingle

@@ -366,7 +366,7 @@ def test_fuzzy_decon_flags_the_planted_cross_split_family(spark, sf_oracle):
     """The near-dup template family (doc_id % 9 == 0) spans the eval
     split, so its train-side members are exactly the contamination the
     fuzzy scrub exists to catch — flag recall on the plant must be
-    near-total (each member shares the 26-word body verbatim with the
+    near-total (each member shares the 29-word body verbatim with the
     eval-side members; only the variant/tail words differ)."""
     from dungbeetle_spark.operators.mixing import (
         _EVAL_MOD,
