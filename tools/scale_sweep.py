@@ -123,6 +123,13 @@ SWEEP_OPS = [
     # near-dups, the x32 corpus maximizes true cross-split matches —
     # output-bound linear, like the capped lsh row above
     ("fuzzy_decontamination", None),
+    # r11 additions: the two stateless ingest gates, timed through
+    # their synchronous availableNow drains (build() executes the
+    # stream) — the per-document ingest hot path's scale evidence in
+    # its actual streaming shape, index build included. Amplified
+    # near-dup copies maximize bucket density on the corpus side.
+    ("streaming_minhash_ingest_gate", None),
+    ("streaming_fuzzy_decon_gate", None),
 ]
 
 # Sub-factor ladder for capped operators: when the requested factor
