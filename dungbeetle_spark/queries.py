@@ -65,13 +65,12 @@ def query(name: str, oracle: str | None = None, doc: str = ""):
 # or changing a query therefore touches exactly this one list; the
 # stale-repayment rotation happens by construction every round.
 NEW_OR_CHANGED: list[str] = [
-    # r10 budget note: the stale tail entering this round is exactly
-    # 49 (zorder_layout_stats r05 + the 48-query r06 cohort) against a
-    # 50-slot window. The two entries below therefore displace ONE
-    # r06-stale query to r11 — a deliberate trade (both entries are
-    # driver-visibly changed/new and MUST re-verify; VERDICT r09
-    # item 2 budgeted <= 2 for exactly this reason), and the displaced
-    # query self-heals next round when the tail is 1.
+    # r11 budget note: six entries this round — two genuinely changed
+    # (the leader-capped ingest pair, VERDICT r10 item 1) and four new
+    # queries. Every entry is driver-visibly new/changed and MUST
+    # re-verify; the cost is six r07-stale refreshes deferred to r12
+    # (see the window math at the bottom of this list) while the
+    # last-green floor still reaches r07, the VERDICT r10 item 5 goal.
     #
     # r11 changed (VERDICT r10 item 1): the ingest-path near-dup pair
     # gained leader probing — dedup_minhash_incremental's corpus side
