@@ -618,7 +618,10 @@ def cross_round_context(
     old_factor = _median_host_factor(old_q)
     if not old_factor:
         return
-    checks = compare.get("regression_checks") or {}
+    # setdefault, not `.get(...) or {}`: if regression_checks were ever
+    # absent (confirm_regressions not run first) the annotations below
+    # would land in a detached dict and silently vanish (ADVICE r11).
+    checks = compare.setdefault("regression_checks", {})
     for name in compare.get("regressions") or ():
         if old_q.get(name) and timings.get(name) and name in checks:
             checks[name][f"ratio_vs_r{prev}"] = round(

@@ -50,6 +50,18 @@ def md5_hash60_sql(expr: str) -> str:
     return f"CAST(concat('0x', substr(md5({expr}), 1, 15)) AS BIGINT)"
 
 
+def md5_hash60_py(s: str) -> int:
+    """Plain-Python twin of :func:`md5_hash60`, for Arrow-batched UDFs
+    on the streaming ingest path and for plain-Python test references.
+    One definition next to the Spark/DuckDB forms so a change to the
+    hash width or encoding cannot silently drift one of the three
+    copies (ADVICE r11: the 15-hex-char contract was re-implemented
+    inline in two streaming UDFs and a test)."""
+    import hashlib
+
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
 def word_count(col: Column | str) -> Column:
     """Whitespace-token count; 0 for blank strings."""
     t = F.trim(_c(col))

@@ -146,15 +146,13 @@ def _plane_matrix(dim: int) -> "object":
     gaussian, recall floor re-measured in
     test_probabilistic_recall_floors).
     """
-    import hashlib
+    from dungbeetle_spark.functions.texts import md5_hash60_py
 
     n = _N_BANDS * _N_PLANES
     vals = np.empty((n, dim), dtype=np.float64)
     for j in range(n):
         for d in range(dim):
-            h = int(
-                hashlib.md5(f"{j}|{d}".encode()).hexdigest()[:15], 16
-            )
+            h = md5_hash60_py(f"{j}|{d}")
             vals[j, d] = h / float(1 << 59) - 1.0
     return vals
 

@@ -338,8 +338,8 @@ def streaming_minhash_ingest_gate(spark: SparkSession, sf_dir: str) -> DataFrame
         _SHINGLE_N,
         _shingled,
     )
+    from dungbeetle_spark.functions.texts import md5_hash60_py
     from dungbeetle_spark.streaming.source import stream_table
-    import hashlib
 
     def _seed(df: DataFrame) -> DataFrame:
         return df.select(
@@ -373,13 +373,7 @@ def streaming_minhash_ingest_gate(spark: SparkSession, sf_dir: str) -> DataFrame
             grams = set(" ".join(w[i : i + n]) for i in range(len(w) - n + 1))
             out.append(
                 [
-                    min(
-                        int(
-                            hashlib.md5(f"{j}|{s}".encode()).hexdigest()[:15],
-                            16,
-                        )
-                        for s in grams
-                    )
+                    min(md5_hash60_py(f"{j}|{s}") for s in grams)
                     for j in range(k)
                 ]
             )
@@ -654,9 +648,7 @@ def streaming_fuzzy_decon_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     recomputes the reference frames on the stream's session (same
     stance as streaming_minhash_ingest_gate); production maintains
     them as tables refreshed with the corpus DF stats."""
-    import hashlib
-
-    from dungbeetle_spark.functions.texts import norm_text
+    from dungbeetle_spark.functions.texts import md5_hash60_py, norm_text
     from dungbeetle_spark.operators.dedup import _SHINGLE_N
     from dungbeetle_spark.operators.mixing import (
         _EVAL_MOD,
@@ -682,7 +674,7 @@ def streaming_fuzzy_decon_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
             else:
                 out.append(
                     [
-                        int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+                        md5_hash60_py(s)
                         for s in dict.fromkeys(
                             " ".join(w[i : i + n]) for i in range(len(w) - n + 1)
                         )

@@ -527,7 +527,6 @@ def test_fuzzy_decon_matches_brute_force_on_random_corpora(spark, tmp_path_facto
     plants: corpora where EVERY shingle is boilerplate, docs shorter
     than a shingle, eval-only corpora, duplicate texts under different
     ids)."""
-    import hashlib
     from collections import Counter, defaultdict
 
     from dungbeetle_spark.operators.mixing import (
@@ -539,8 +538,7 @@ def test_fuzzy_decon_matches_brute_force_on_random_corpora(spark, tmp_path_facto
         _FDC_TPL_MOD,
     )
 
-    def h60(s: str) -> int:
-        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+    from dungbeetle_spark.functions.texts import md5_hash60_py as h60
 
     # ---- plain-Python reference --------------------------------------
     def seeded_text(doc_id: int, text: str) -> str:
