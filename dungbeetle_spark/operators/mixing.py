@@ -2015,39 +2015,56 @@ def _fdc_reference(sess: SparkSession, sf_dir: str):
     return stops, ev_index, audit
 
 
-# Shared by the batch op and streaming_fuzzy_decon_gate (identical
-# output contract — the gate's drained stream must equal this frame).
-_FDC_ORACLE = f"""
-    WITH seeded AS (
+def _fdc_sig_ctes(src: str = "documents", p: str = "") -> str:
+    """The fuzzy-decon SIGNATURE pipeline as DuckDB CTE bodies — the
+    seeded text, the word shingles (concat expression generated from
+    ``_FDC_N`` so the SQL cannot desync from the Spark shingle width;
+    ADVICE r11), the 60-bit shingle hashes, the high-DF stop set, and
+    the banded minhash signatures ``{p}mh(doc_id, j, h)``.
+    Parameterized by source relation and CTE-name prefix so the
+    standalone oracle renders over ``documents`` with no prefix while
+    ``pipeline._fate_oracle`` splices the identical chain (prefix
+    ``f``, any corpus snapshot) next to its own CTEs — ONE SQL
+    definition of the fuzzy contract, like the Spark helpers above."""
+    shingle = " || ' ' || ".join(
+        "w[i]" if k == 0 else f"w[i+{k}]" for k in range(_FDC_N)
+    )
+    return f"""{p}seeded AS (
       SELECT doc_id,
              (CASE WHEN doc_id % {_FDC_TPL_MOD} = 0
                    THEN '{_FDC_TEMPLATE}'
                         || ' variant ' || CAST(doc_id % 4 AS VARCHAR)
                         || ' tail ' || CAST(doc_id AS VARCHAR)
                    ELSE text END) || ' {_FDC_FOOTER}' AS text
-      FROM documents),
-    words AS (
+      FROM {src}),
+    {p}words AS (
       SELECT doc_id,
              regexp_split_to_array(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS w
-      FROM seeded),
-    sh AS (
+      FROM {p}seeded),
+    {p}sh AS (
       SELECT DISTINCT doc_id,
-             w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
-      FROM words, UNNEST(range(1, greatest(len(w) - {_FDC_N} + 2, 1))) AS t(i)),
-    shh AS (
-      SELECT doc_id, {md5_hash60_sql("s")} AS hs FROM sh),
-    stops AS (
-      SELECT hs FROM shh GROUP BY hs
+             {shingle} AS s
+      FROM {p}words, UNNEST(range(1, greatest(len(w) - {_FDC_N} + 2, 1))) AS t(i)),
+    {p}shh AS (
+      SELECT doc_id, {md5_hash60_sql("s")} AS hs FROM {p}sh),
+    {p}stops AS (
+      SELECT hs FROM {p}shh GROUP BY hs
       HAVING COUNT(*) * 1000000
-             > {_FDC_STOP_PPM} * (SELECT COUNT(*) FROM documents)),
-    filt AS (
-      SELECT doc_id, hs FROM shh
-      WHERE hs NOT IN (SELECT hs FROM stops)),
-    mh AS (
+             > {_FDC_STOP_PPM} * (SELECT COUNT(*) FROM {src})),
+    {p}filt AS (
+      SELECT doc_id, hs FROM {p}shh
+      WHERE hs NOT IN (SELECT hs FROM {p}stops)),
+    {p}mh AS (
       SELECT doc_id, j,
              MIN({md5_hash60_sql("concat(CAST(j AS VARCHAR), '|', CAST(hs AS VARCHAR))")}) AS h
-      FROM filt, UNNEST(range(0, {_FDC_BANDS})) AS seeds(j)
-      GROUP BY doc_id, j),
+      FROM {p}filt, UNNEST(range(0, {_FDC_BANDS})) AS seeds(j)
+      GROUP BY doc_id, j)"""
+
+
+# Shared by the batch op and streaming_fuzzy_decon_gate (identical
+# output contract — the gate's drained stream must equal this frame).
+_FDC_ORACLE = f"""
+    WITH {_fdc_sig_ctes()},
     cand AS (
       SELECT t.doc_id, e.doc_id AS eval_doc, CAST(COUNT(*) AS BIGINT) AS m
       FROM mh t JOIN mh e ON t.j = e.j AND t.h = e.h

@@ -782,10 +782,21 @@ def rare_token_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _fate_oracle(src: str = "documents") -> str:
     """The composed fate pipeline as SQL over corpus relation ``src``
-    (default: the documents table — renders byte-identical to the
-    pre-r10 oracle; shard_export_diff replays it over the evolved
-    snapshot CTE as well)."""
-    from dungbeetle_spark.operators.mixing import _EVAL_MOD, _GRAM_N, _PLANT_MOD
+    (shard_export_diff replays it over the evolved snapshot CTE as
+    well). Since r12 the chain ends with the FUZZY decontamination
+    stage (VERDICT r11 item 1): the fuzzy signature CTEs are spliced
+    from mixing._fdc_sig_ctes with prefix ``f`` — the same single SQL
+    definition the standalone fuzzy_decontamination oracle renders —
+    and exact-decon survivors whose banded minhash agrees with some
+    eval doc on >= _FDC_MIN_BANDS bands are dropped_fuzzy_contaminated
+    before export."""
+    from dungbeetle_spark.operators.mixing import (
+        _EVAL_MOD,
+        _FDC_MIN_BANDS,
+        _GRAM_N,
+        _PLANT_MOD,
+        _fdc_sig_ctes,
+    )
     from dungbeetle_spark.operators.text import (
         _QF_MAX_CHARS,
         _QF_MIN_STOP,
@@ -850,20 +861,36 @@ def _fate_oracle(src: str = "documents") -> str:
              CAST(SUM(CASE WHEN gram IN (SELECT gram FROM ev)
                            THEN 1 ELSE 0 END) AS BIGINT) AS n_cont
       FROM grams g JOIN surv2 USING (doc_id)
-      GROUP BY 1)
+      GROUP BY 1),
+    surv3 AS (
+      SELECT s.doc_id FROM surv2 s LEFT JOIN cont c USING (doc_id)
+      WHERE COALESCE(c.n_cont, 0) = 0),
+    {_fdc_sig_ctes(src, "f")},
+    fcand AS (
+      SELECT t.doc_id, e.doc_id AS eval_doc, CAST(COUNT(*) AS BIGINT) AS m
+      FROM fmh t
+      JOIN fmh e ON t.j = e.j AND t.h = e.h
+      JOIN surv3 sv ON sv.doc_id = t.doc_id
+      WHERE e.doc_id % {_EVAL_MOD} = 0
+      GROUP BY 1, 2
+      HAVING COUNT(*) >= {_FDC_MIN_BANDS}),
+    fbest AS (SELECT doc_id, MAX(m) AS fm FROM fcand GROUP BY doc_id)
     SELECT d.doc_id,
            CASE WHEN d.doc_id % {_EVAL_MOD} = 0 THEN 'eval_holdout'
                 WHEN v.reason <> 'kept' THEN 'dropped_quality'
                 WHEN s1.doc_id <> s1.dup_of THEN 'dropped_duplicate'
                 WHEN COALESCE(c.n_cont, 0) > 0 THEN 'dropped_contaminated'
+                WHEN COALESCE(fb.fm, 0) > 0 THEN 'dropped_fuzzy_contaminated'
                 ELSE 'kept' END AS fate,
            v.reason AS quality_reason,
            CAST(COALESCE(s1.dup_of, -1) AS BIGINT) AS canonical_id,
-           CAST(COALESCE(c.n_cont, 0) AS BIGINT) AS n_contaminated
+           CAST(COALESCE(c.n_cont, 0) AS BIGINT) AS n_contaminated,
+           CAST(COALESCE(fb.fm, 0) AS BIGINT) AS fuzzy_matched_bands
     FROM {src} d
     JOIN verdict v USING (doc_id)
     LEFT JOIN s1 ON s1.doc_id = d.doc_id
     LEFT JOIN cont c ON c.doc_id = d.doc_id
+    LEFT JOIN fbest fb ON fb.doc_id = d.doc_id
     """
 
 
@@ -876,11 +903,17 @@ def _fate_oracle(src: str = "documents") -> str:
     "quality_filter_funnel), then exact dedup among survivors "
     "(keep-first on the content md5, canonical_id recorded), then "
     "benchmark decontamination among canonicals (same eval gram set "
-    "as decontamination) — one fate per doc with the stage that "
-    "sealed it and its evidence (quality reason / canonical id / "
-    "contaminated-gram count). The per-document provenance manifest "
-    "a 100 TB curation run ships alongside the corpus so every "
-    "exclusion is auditable and reproducible.",
+    "as decontamination), and since r12 (VERDICT r11 item 1) FUZZY "
+    "decontamination among the exact-decon survivors — the same "
+    "stop-filtered banded-minhash probe as fuzzy_decontamination, so "
+    "a lightly edited benchmark copy whose exact 5-grams no longer "
+    "match is dropped_fuzzy_contaminated instead of sailing into the "
+    "export shards — one fate per doc with the stage that sealed it "
+    "and its evidence (quality reason / canonical id / "
+    "contaminated-gram count / fuzzy matched-band count). The "
+    "per-document provenance manifest a 100 TB curation run ships "
+    "alongside the corpus so every exclusion is auditable and "
+    "reproducible.",
 )
 def corpus_fate_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scale shape: stage composition adds NO new shuffle classes —
@@ -889,9 +922,19 @@ def corpus_fate_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     eval-gram membership restricted to canonical survivors (the
     gram explode never runs for docs already dropped — the filter
     pushes ahead of the expensive stage, which is the point of
-    staging); the final assembly is doc_id-keyed joins. Every stage's
-    semantics is pinned equal to its standalone operator by the
-    composed oracle."""
+    staging); the fuzzy stage inherits fuzzy_decontamination's shape
+    (hash-only shuffles, broadcast stop set + eval band index) with
+    its signature aggregate further restricted to eval docs plus
+    exact-decon SURVIVORS — the only docs whose signatures the fate
+    decision can read (per-doc signatures are independent, so this
+    equals the oracle's all-docs form filtered); the final assembly
+    is doc_id-keyed joins. Every stage's semantics is pinned equal to
+    its standalone operator by the composed oracle. The fuzzy stage's
+    plant discipline mirrors the standalone op: the template family +
+    universal footer live in the fuzzy-seeded VIEW only (seeding the
+    raw text would make the footer's 5-grams cross-contaminate the
+    exact stage), exactly as the exact stage's benchmark passages
+    live in fate_seeded_toks' view."""
     return _fate_frame(_t(spark, sf_dir, "documents")["documents"])
 
 
@@ -903,7 +946,13 @@ def _fate_frame(d: DataFrame) -> DataFrame:
     from dungbeetle_spark.functions.texts import content_md5
     from dungbeetle_spark.operators.mixing import (
         _EVAL_MOD,
+        _FDC_MIN_BANDS,
         _GRAM_N,
+        _fdc_band_rows,
+        _fdc_minhash,
+        _fdc_seeded,
+        _fdc_shingle_hashes,
+        _fdc_stop_set,
         fate_seeded_toks,
         word_ngrams,
     )
@@ -942,6 +991,42 @@ def _fate_frame(d: DataFrame) -> DataFrame:
         .join(F.broadcast(ev), "gram", "left")
         .groupBy("doc_id")
         .agg(F.count(F.when(F.col("hit").isNotNull(), 1)).alias("n_cont"))
+        .localCheckpoint(eager=False)  # feeds surv3 + the final assembly
+    )
+    # fuzzy decontamination among the exact-decon survivors (r12): the
+    # standalone fuzzy_decontamination pipeline, with the probe side
+    # restricted to surv3 — the only docs whose fuzzy verdict the fate
+    # CASE can reach.
+    surv3 = (
+        surv2.join(cont, "doc_id", "left")
+        .filter(F.coalesce("n_cont", F.lit(0)) == 0)
+        .select("doc_id")
+        .localCheckpoint(eager=False)  # feeds the signature semi + probe
+    )
+    fsh = _fdc_shingle_hashes(_fdc_seeded(d))
+    fstops = _fdc_stop_set(fsh, d)
+    # signatures only where the decision can read them: eval docs (the
+    # index side) + surv3 (the probe side); per-doc signatures are
+    # independent, so this equals the oracle's all-docs fmh filtered
+    need = surv3.unionByName(
+        d.filter(F.col("doc_id") % _EVAL_MOD == 0).select("doc_id")
+    )
+    fmh = _fdc_minhash(
+        fsh.join(need, "doc_id", "left_semi")
+        .join(F.broadcast(fstops), "hs", "left_anti")
+    )
+    fbands = _fdc_band_rows(fmh.localCheckpoint(eager=False))
+    fev = fbands.filter(F.col("doc_id") % _EVAL_MOD == 0).select(
+        F.col("doc_id").alias("eval_doc"), "j", "h"
+    )
+    fhits = (
+        fbands.join(surv3, "doc_id", "left_semi")
+        .join(F.broadcast(fev), ["j", "h"])
+        .groupBy("doc_id", "eval_doc")
+        .agg(F.count(F.lit(1)).alias("m"))
+        .filter(F.col("m") >= _FDC_MIN_BANDS)
+        .groupBy("doc_id")
+        .agg(F.max("m").alias("fm"))
     )
     fate = (
         F.when(F.col("is_eval"), "eval_holdout")
@@ -949,18 +1034,21 @@ def _fate_frame(d: DataFrame) -> DataFrame:
         .when(F.col("dup_of").isNotNull() & (F.col("doc_id") != F.col("dup_of")),
               "dropped_duplicate")
         .when(F.coalesce("n_cont", F.lit(0)) > 0, "dropped_contaminated")
+        .when(F.coalesce("fm", F.lit(0)) > 0, "dropped_fuzzy_contaminated")
         .otherwise("kept")
     )
     return (
         flags.select("doc_id", "reason", "is_eval")
         .join(s1, "doc_id", "left")
         .join(cont, "doc_id", "left")
+        .join(fhits, "doc_id", "left")
         .select(
             "doc_id",
             fate.alias("fate"),
             F.col("reason").alias("quality_reason"),
             F.coalesce("dup_of", F.lit(-1)).cast("long").alias("canonical_id"),
             F.coalesce("n_cont", F.lit(0)).cast("long").alias("n_contaminated"),
+            F.coalesce("fm", F.lit(0)).cast("long").alias("fuzzy_matched_bands"),
         )
     )
 

@@ -444,11 +444,20 @@ from dungbeetle_spark.operators.pipeline import _fate_oracle
 def fate_gate_reference(sess: SparkSession, sf_dir: str):
     """The gate's static reference state, materialized once: the
     corpus canonical map (content-md5 -> keeper among quality-
-    surviving non-eval docs) and the distinct eval-gram set.
-    Production maintains these as tables; the self-contained fixture
-    recomputes them, same as the minhash gate."""
+    surviving non-eval docs), the distinct eval-gram set, and (r12,
+    mirroring the batch manifest's fuzzy stage) the fuzzy-decon
+    reference — the corpus stop-shingle set and the stop-filtered
+    eval band index, from mixing._fdc_reference, the same helpers the
+    batch stage composes. Production maintains all of these as
+    tables; the self-contained fixture recomputes them, same as the
+    minhash gate."""
     from dungbeetle_spark.functions.texts import content_md5
-    from dungbeetle_spark.operators.mixing import _EVAL_MOD, _GRAM_N, word_ngrams
+    from dungbeetle_spark.operators.mixing import (
+        _EVAL_MOD,
+        _GRAM_N,
+        _fdc_reference,
+        word_ngrams,
+    )
     from dungbeetle_spark.operators.text import funnel_verdicts
     from dungbeetle_spark.queries import _t
     from dungbeetle_spark.sources.catalog import fan_out
@@ -473,7 +482,8 @@ def fate_gate_reference(sess: SparkSession, sf_dir: str):
         .withColumn("hit", F.lit(1))
         .localCheckpoint()
     )
-    return canon, ev
+    fstops, fev, _ = _fdc_reference(sess, sf_dir)
+    return canon, ev, fstops, fev
 
 
 # The seeding/tokenizer contract is shared with the batch manifest —
@@ -483,13 +493,30 @@ def fate_gate_reference(sess: SparkSession, sf_dir: str):
 from dungbeetle_spark.operators.mixing import fate_seeded_toks as _fate_seeded_toks
 
 
-def make_fate_gate_batch(canon: DataFrame, ev: DataFrame):
+def make_fate_gate_batch(
+    canon: DataFrame, ev: DataFrame, fstops: DataFrame, fev: DataFrame
+):
     """The per-micro-batch fate decision, given materialized reference
     state — batch-local by construction, so the drained stream equals
     the batch manifest regardless of how the input splits into
-    micro-batches (pinned by the multi-batch drain test)."""
+    micro-batches (pinned by the multi-batch drain test). Since r12
+    the decision ends with the fuzzy-decon stage: the batch's
+    exact-decon survivors are fuzzy-seeded, shingle-hashed, stripped
+    of the corpus stop shingles (broadcast anti-join), minhashed
+    batch-locally, and probed against the stop-filtered eval band
+    index — every per-doc collapse derives from that doc's single
+    input row, so the stage needs no streaming state either."""
     from dungbeetle_spark.functions.texts import content_md5
-    from dungbeetle_spark.operators.mixing import _EVAL_MOD, _GRAM_N, word_ngrams
+    from dungbeetle_spark.operators.mixing import (
+        _EVAL_MOD,
+        _FDC_MIN_BANDS,
+        _GRAM_N,
+        _fdc_band_rows,
+        _fdc_minhash,
+        _fdc_seeded,
+        _fdc_shingle_hashes,
+        word_ngrams,
+    )
     from dungbeetle_spark.operators.text import funnel_verdicts
 
     def gate_batch(bdf: DataFrame) -> DataFrame:
@@ -537,6 +564,29 @@ def make_fate_gate_batch(canon: DataFrame, ev: DataFrame):
             .groupBy("doc_id")
             .agg(F.count(F.when(F.col("hit").isNotNull(), 1)).alias("n_cont"))
         )
+        # fuzzy stage (r12): the batch's exact-decon survivors, probed
+        # against the static stop-filtered eval band index — the same
+        # helpers (and therefore hash contract) as the batch manifest
+        fsurv = (
+            canonical.join(cont, "doc_id", "left")
+            .filter(F.coalesce("n_cont", F.lit(0)) == 0)
+            .select("doc_id", "text")
+        )
+        fhits = (
+            _fdc_band_rows(
+                _fdc_minhash(
+                    _fdc_shingle_hashes(_fdc_seeded(fsurv)).join(
+                        F.broadcast(fstops), "hs", "left_anti"
+                    )
+                )
+            )
+            .join(F.broadcast(fev), ["j", "h"])
+            .groupBy("doc_id", "eval_doc")
+            .agg(F.count(F.lit(1)).alias("m"))
+            .filter(F.col("m") >= _FDC_MIN_BANDS)
+            .groupBy("doc_id")
+            .agg(F.max("m").alias("fm"))
+        )
         fate = (
             F.when(F.col("is_eval"), "eval_holdout")
             .when(F.col("reason") != "kept", "dropped_quality")
@@ -546,6 +596,9 @@ def make_fate_gate_batch(canon: DataFrame, ev: DataFrame):
                 "dropped_duplicate",
             )
             .when(F.coalesce("n_cont", F.lit(0)) > 0, "dropped_contaminated")
+            .when(
+                F.coalesce("fm", F.lit(0)) > 0, "dropped_fuzzy_contaminated"
+            )
             .otherwise("kept")
         )
         # canonical_id: a quality-kept non-eval doc whose h misses the
@@ -559,12 +612,21 @@ def make_fate_gate_batch(canon: DataFrame, ev: DataFrame):
             ~F.col("is_eval") & (F.col("reason") == "kept"),
             F.coalesce("dup_of", "doc_id"),
         ).otherwise(F.lit(-1))
-        return probed.join(cont, "doc_id", "left").select(
-            "doc_id",
-            fate.alias("fate"),
-            F.col("reason").alias("quality_reason"),
-            canonical_id.cast("long").alias("canonical_id"),
-            F.coalesce("n_cont", F.lit(0)).cast("long").alias("n_contaminated"),
+        return (
+            probed.join(cont, "doc_id", "left")
+            .join(fhits, "doc_id", "left")
+            .select(
+                "doc_id",
+                fate.alias("fate"),
+                F.col("reason").alias("quality_reason"),
+                canonical_id.cast("long").alias("canonical_id"),
+                F.coalesce("n_cont", F.lit(0))
+                .cast("long")
+                .alias("n_contaminated"),
+                F.coalesce("fm", F.lit(0))
+                .cast("long")
+                .alias("fuzzy_matched_bands"),
+            )
         )
 
     return gate_batch
@@ -576,21 +638,26 @@ def make_fate_gate_batch(canon: DataFrame, ev: DataFrame):
     doc="The streaming twin of corpus_fate_manifest — the composed "
     "fate decision an ingest SERVICE actually runs per arriving "
     "document: stateless quality funnel, dedup probe against the "
-    "materialized corpus canonical map (content-md5 -> keeper), then "
-    "benchmark decontamination against the static eval-gram set, all "
-    "inside one foreachBatch stream-static pipeline. The drained "
-    "stream equals the batch manifest row-for-row on the same "
-    "documents, checked against the identical composed oracle "
+    "materialized corpus canonical map (content-md5 -> keeper), "
+    "benchmark decontamination against the static eval-gram set, and "
+    "since r12 FUZZY decontamination against the static stop-filtered "
+    "eval band index (the batch manifest's new final stage, VERDICT "
+    "r11 item 1), all inside one foreachBatch stream-static pipeline. "
+    "The drained stream equals the batch manifest row-for-row on the "
+    "same documents, checked against the identical composed oracle "
     "(VERDICT r08 item 5).",
 )
 def streaming_corpus_fate_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scale shape: the reference state is materialized ONCE on the
     static side — the canonical map (one 16-byte h + keeper id per
-    quality-surviving distinct content) and the eval-gram set — and
-    every micro-batch then does only batch-local work: a codegen
-    verdict scan, an h-keyed probe join, and the gram explode for the
-    batch's canonical survivors only (the quality/dedup filters run
-    AHEAD of the expensive gram stage, same as the batch manifest).
+    quality-surviving distinct content), the eval-gram set, and the
+    fuzzy pair (stop-shingle set + eval band index, both small by
+    construction — see streaming_fuzzy_decon_gate) — and every
+    micro-batch then does only batch-local work: a codegen verdict
+    scan, an h-keyed probe join, the gram explode for the batch's
+    canonical survivors only, and the fuzzy shingle/minhash pass for
+    the batch's EXACT-DECON survivors only (each filter runs AHEAD of
+    the next, more expensive stage, same as the batch manifest).
     Per-batch cost is linear in the BATCH, independent of corpus
     size; no streaming state store at all, so nothing grows with
     stream length. In production the canonical map lives bucketed by
@@ -604,12 +671,12 @@ def streaming_corpus_fate_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     stream = stream_table(spark, sf_dir, "documents")
     # Static reference state, built batch-side ON THE STREAM'S SESSION
-    canon, ev = fate_gate_reference(stream.sparkSession, sf_dir)
+    canon, ev, fstops, fev = fate_gate_reference(stream.sparkSession, sf_dir)
     return drain_to_df(
         stream.select("doc_id", "text", "lang"),
         "stream_fate_gate",
         "append",
-        transform=make_fate_gate_batch(canon, ev),
+        transform=make_fate_gate_batch(canon, ev, fstops, fev),
     )
 
 

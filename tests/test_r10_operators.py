@@ -236,8 +236,8 @@ def test_fate_gate_novel_doc_is_its_own_canonical(spark):
     batch = spark.createDataFrame(
         [(novel_id, novel_text, "en")], "doc_id long, text string, lang string"
     )
-    canon, ev = fate_gate_reference(spark, sf)
-    [row] = make_fate_gate_batch(canon, ev)(batch).collect()
+    canon, ev, fstops, fev = fate_gate_reference(spark, sf)
+    [row] = make_fate_gate_batch(canon, ev, fstops, fev)(batch).collect()
     assert row.quality_reason == "kept"
     assert row.canonical_id == novel_id, row
     assert row.fate == "kept" and row.n_contaminated == 0
@@ -252,7 +252,7 @@ def test_fate_gate_novel_doc_is_its_own_canonical(spark):
     batch2 = spark.createDataFrame(
         [(novel_id, poisoned, "en")], "doc_id long, text string, lang string"
     )
-    [row2] = make_fate_gate_batch(canon, ev)(batch2).collect()
+    [row2] = make_fate_gate_batch(canon, ev, fstops, fev)(batch2).collect()
     assert row2.quality_reason == "kept", row2
     assert row2.fate == "dropped_contaminated"
     assert row2.n_contaminated > 0

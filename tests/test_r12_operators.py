@@ -1,0 +1,140 @@
+"""Non-hollowness invariants for the round-12 operators.
+
+Round 12 composes the release pipeline end to end (VERDICT r11 items
+1-2, 7) and bounds the last registry quadratic (item 4):
+
+- ``corpus_fate_manifest`` / ``streaming_corpus_fate_gate`` gain the
+  FUZZY decontamination stage: exact-decon survivors whose banded
+  minhash agrees with some eval doc on >= _FDC_MIN_BANDS bands are
+  ``dropped_fuzzy_contaminated`` — the lightly edited benchmark copy
+  that sailed through the r11 manifest is now stopped before export;
+- ``shard_export_manifest`` digests the PII-REDACTED text the
+  pipeline actually ships (redaction folded into the export
+  projection; ``residual_pii`` pinned 0 by both engines);
+- ``streaming_pii_redaction_gate`` is the batch audit's stateless
+  ingest twin (per-doc rows; aggregating them reproduces the audit);
+- ``lsh_band_planner`` (exact mode) runs its pair join under the
+  leader-star bucket cap with a ``truncated_buckets`` audit column.
+
+Value correctness on the driver fixture is covered by
+test_queries_oracle.py; these tests pin the properties the
+composition must preserve.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from dungbeetle_spark.queries import registry
+
+SPECS = registry()
+
+
+def _fate(spark, sf):
+    return {
+        r["doc_id"]: r
+        for r in SPECS["corpus_fate_manifest"]
+        .build(spark, sf)
+        .collect()
+    }
+
+
+def test_fate_fuzzy_stage_is_exactly_the_standalone_verdict(spark, sf_smoke):
+    """The composed manifest's fuzzy stage must agree with the
+    standalone fuzzy_decontamination operator doc-for-doc: the
+    dropped_fuzzy_contaminated set IS the standalone flag set
+    restricted to exact-decon survivors (the only docs whose fuzzy
+    verdict the fate CASE can reach), with the same matched-band
+    count, and no standalone-flagged doc remains 'kept'."""
+    from dungbeetle_spark.operators.mixing import _FDC_MIN_BANDS
+
+    fate = _fate(spark, sf_smoke)
+    flagged = {
+        r["doc_id"]: r["matched_bands"]
+        for r in SPECS["fuzzy_decontamination"].build(spark, sf_smoke).collect()
+    }
+    dropped = {k for k, r in fate.items()
+               if r["fate"] == "dropped_fuzzy_contaminated"}
+    surv3 = dropped | {k for k, r in fate.items() if r["fate"] == "kept"}
+    assert dropped, "fixture must exercise the fuzzy stage"
+    assert dropped == set(flagged) & surv3
+    # no fuzzy-flagged doc may survive to export
+    assert not {k for k, r in fate.items() if r["fate"] == "kept"} & set(flagged)
+    for k in dropped:
+        r = fate[k]
+        assert r["fuzzy_matched_bands"] == flagged[k] >= _FDC_MIN_BANDS
+        # the first four stages all said keep — absent the fuzzy arm
+        # this doc WOULD have shipped (the r11 gap, VERDICT item 1)
+        assert r["quality_reason"] == "kept"
+        assert r["canonical_id"] == k
+        assert r["n_contaminated"] == 0
+    # the evidence column is 0 for every doc the stage never probed
+    for k, r in fate.items():
+        if k not in dropped:
+            assert r["fuzzy_matched_bands"] == 0
+
+
+def test_edited_benchmark_copy_is_dropped_by_the_composed_manifest(spark):
+    """The end-to-end story VERDICT r11 item 1 asks for: a lightly
+    edited benchmark copy — shared template body, per-doc edits, so
+    its exact 5-grams no longer match any eval gram — passes quality,
+    dedup, and EXACT decon, and is then dropped by the composed
+    fuzzy stage. Planted corpus: one eval-side template member
+    (doc_id 333 = 9*37), one train-side member (doc_id 9), and 20
+    distinct filler docs so the template shingles stay under the
+    20% stop-DF threshold while the universal footer is filtered."""
+    from dungbeetle_spark.operators.mixing import _FDC_MIN_BANDS
+    from dungbeetle_spark.operators.pipeline import _fate_frame
+
+    def mk_text(i: int) -> str:
+        # 30 words (>= _QF_MIN_WORDS), mean word length inside the
+        # funnel's chars-per-word band, 2 stopwords, and every
+        # non-stopword GLOBALLY unique (base-26 of i*28+j) so no two
+        # docs share any exact 5-gram or fuzzy 3-shingle organically —
+        # the only cross-doc text overlap is the planted template.
+        words = ["the", "of"] + [
+            "".join(
+                chr(97 + ((i * 28 + j) // 26**p) % 26) for p in range(4)
+            )
+            for j in range(28)
+        ]
+        return " ".join(words)
+
+    rows = [(333, mk_text(0), "en", "web"), (9, mk_text(1), "en", "web")]
+    fid, i = 1, 2
+    while len(rows) < 22:
+        if fid % 9 and fid % 37 and fid % 10:
+            rows.append((fid, mk_text(i), "en", "web"))
+            i += 1
+        fid += 1
+    d = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string"
+    )
+    fate = {r["doc_id"]: r for r in _fate_frame(d).collect()}
+    assert fate[333]["fate"] == "eval_holdout"
+    b = fate[9]
+    assert b["fate"] == "dropped_fuzzy_contaminated"
+    assert b["quality_reason"] == "kept"          # passed the funnel
+    assert b["canonical_id"] == 9                  # passed exact dedup
+    assert b["n_contaminated"] == 0                # passed EXACT decon
+    assert b["fuzzy_matched_bands"] >= _FDC_MIN_BANDS
+
+
+def test_fate_stage_order_fuzzy_never_preempts_earlier_stages(spark, sf_smoke):
+    """Stage ordering: eval holdout, quality, dedup, and exact decon
+    all seal a doc's fate BEFORE the fuzzy stage — a doc with any
+    earlier verdict never reads dropped_fuzzy_contaminated even when
+    the standalone op flags it (the probe is restricted to surv3)."""
+    fate = _fate(spark, sf_smoke)
+    flagged = {
+        r["doc_id"]
+        for r in SPECS["fuzzy_decontamination"].build(spark, sf_smoke).collect()
+    }
+    earlier = {
+        k for k, r in fate.items()
+        if r["fate"] in ("eval_holdout", "dropped_quality",
+                         "dropped_duplicate", "dropped_contaminated")
+    }
+    assert earlier & flagged, "fixture: some earlier-stage doc is fuzzy-flagged"
+    for k in earlier:
+        assert fate[k]["fate"] != "dropped_fuzzy_contaminated"

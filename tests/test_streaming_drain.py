@@ -126,8 +126,8 @@ def test_fate_gate_multi_batch_drain_equals_batch(spark, sf_oracle, tmp_path):
     d.repartition(4).write.parquet(str(src / "documents.parquet"))
 
     stream = stream_table(spark, str(src), "documents", max_files_per_trigger=1)
-    canon, ev = fate_gate_reference(stream.sparkSession, str(src))
-    gate = make_fate_gate_batch(canon, ev)
+    canon, ev, fstops, fev = fate_gate_reference(stream.sparkSession, str(src))
+    gate = make_fate_gate_batch(canon, ev, fstops, fev)
     n_batches = []
 
     def counting_gate(bdf):
@@ -200,8 +200,8 @@ def test_fate_gate_decontaminates_novel_documents(spark, sf_oracle):
         make_fate_gate_batch,
     )
 
-    canon, ev = fate_gate_reference(spark, sf_oracle)
-    gate = make_fate_gate_batch(canon, ev)
+    canon, ev, fstops, fev = fate_gate_reference(spark, sf_oracle)
+    gate = make_fate_gate_batch(canon, ev, fstops, fev)
 
     # a corpus doc that the batch manifest keeps, as the novel base
     manifest = registry()["corpus_fate_manifest"].build(spark, sf_oracle)
