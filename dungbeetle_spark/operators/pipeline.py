@@ -1053,24 +1053,148 @@ def _fate_frame(d: DataFrame) -> DataFrame:
     )
 
 
+# -- PII detection/redaction (shared by the export and the audit) -------------
+
+# Detection patterns shared verbatim by the Spark plans and the DuckDB
+# oracles. Restricted to the regex surface Java's engine and RE2 match
+# identically (character classes, bounded repetition, \b on ASCII —
+# no backreferences, no lookaround), which is what makes the audit
+# oracle-checkable cross-engine.
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_PHONE = r"\+[0-9]{1,3}-[0-9]{3}-[0-9]{4}"
+_PII_IP = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
+
+
+def _pii_seed_sql(src: str = "documents") -> str:
+    """Deterministic PII planting over the kept population as a CTE
+    body (requires a ``kept(doc_id)`` CTE in scope). The synthetic
+    corpus carries no organic PII, so the CASE arms below are the
+    fixture stand-in — the _MHI_TEMPLATE discipline — mirrored by
+    :func:`_pii_seed_expr`. Parameterized by source relation so
+    shard_export_diff's replay seeds the evolved snapshot the same
+    way (its added docs have negative ids, where none of the mod arms
+    can fire — identically in both engines, which truncate toward
+    zero)."""
+    return f"""
+      SELECT d.doc_id, d.source,
+             d.text
+               || CASE WHEN d.doc_id % 7 = 2
+                       THEN ' contact agent' || CAST(d.doc_id AS VARCHAR)
+                            || '@example.com'
+                       ELSE '' END
+               || CASE WHEN d.doc_id % 5 = 3
+                       THEN ' call +1-555-'
+                            || lpad(CAST(d.doc_id % 10000 AS VARCHAR), 4, '0')
+                       ELSE '' END
+               || CASE WHEN d.doc_id % 13 = 5
+                       THEN ' host 10.' || CAST(d.doc_id % 200 AS VARCHAR)
+                            || '.' || CAST(d.doc_id % 97 AS VARCHAR)
+                            || '.' || CAST(d.doc_id % 251 AS VARCHAR)
+                       ELSE '' END AS text
+      FROM {src} d JOIN kept USING (doc_id)"""
+
+
+def _pii_seed_expr() -> "F.Column":
+    """Spark twin of :func:`_pii_seed_sql`'s planted text expression
+    (reads ``doc_id`` / ``text`` columns)."""
+    did = F.col("doc_id")
+    return F.concat(
+        F.col("text"),
+        F.when(
+            did % 7 == 2,
+            F.concat(
+                F.lit(" contact agent"),
+                did.cast("string"),
+                F.lit("@example.com"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            did % 5 == 3,
+            F.concat(
+                F.lit(" call +1-555-"),
+                F.lpad((did % 10000).cast("string"), 4, "0"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            did % 13 == 5,
+            F.concat(
+                F.lit(" host 10."),
+                (did % 200).cast("string"),
+                F.lit("."),
+                (did % 97).cast("string"),
+                F.lit("."),
+                (did % 251).cast("string"),
+            ),
+        ).otherwise(F.lit("")),
+    )
+
+
+def _pii_redact_col(col: "F.Column") -> "F.Column":
+    """The redaction projection — all three patterns replaced with
+    typed placeholders in one codegen expression chain."""
+    return F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(col, F.lit(_PII_EMAIL), F.lit("<EMAIL>")),
+            F.lit(_PII_PHONE),
+            F.lit("<PHONE>"),
+        ),
+        F.lit(_PII_IP),
+        F.lit("<IP>"),
+    )
+
+
+def _pii_redact_sql(expr: str) -> str:
+    """DuckDB twin of :func:`_pii_redact_col` (same replace order)."""
+    return (
+        f"regexp_replace(regexp_replace(regexp_replace({expr}, "
+        f"'{_PII_EMAIL}', '<EMAIL>', 'g'), "
+        f"'{_PII_PHONE}', '<PHONE>', 'g'), "
+        f"'{_PII_IP}', '<IP>', 'g')"
+    )
+
+
+def _pii_hits_col(col: "F.Column") -> "F.Column":
+    """Total PII matches (all three classes) in a text column."""
+    return (
+        F.regexp_count(col, F.lit(_PII_EMAIL))
+        + F.regexp_count(col, F.lit(_PII_PHONE))
+        + F.regexp_count(col, F.lit(_PII_IP))
+    )
+
+
+def _pii_hits_sql(expr: str) -> str:
+    """DuckDB twin of :func:`_pii_hits_col`."""
+    return (
+        f"len(regexp_extract_all({expr}, '{_PII_EMAIL}'))"
+        f" + len(regexp_extract_all({expr}, '{_PII_PHONE}'))"
+        f" + len(regexp_extract_all({expr}, '{_PII_IP}'))"
+    )
+
+
 # -- shard_export_manifest ----------------------------------------------------
 
 def _export_oracle(src: str = "documents") -> str:
     from dungbeetle_spark.functions.texts import md5_hash60_sql
     from dungbeetle_spark.operators.curation import _ILV_SHIFT
 
-    okey = md5_hash60_sql("concat('shuffle|', CAST(d.doc_id AS VARCHAR))")
+    okey = md5_hash60_sql("concat('shuffle|', CAST(doc_id AS VARCHAR))")
     return f"""
     WITH fate AS (
       SELECT * FROM ({_fate_oracle(src)}) f
     ),
     kept AS (SELECT doc_id FROM fate WHERE fate = 'kept'),
+    pdocs AS ({_pii_seed_sql(src)}),
+    red AS (
+      SELECT doc_id, text, {_pii_redact_sql("text")} AS shipped
+      FROM pdocs),
     ord AS (
-      SELECT d.doc_id,
-             length(d.text) AS n_chars,
-             md5(d.text) AS dh,
+      SELECT doc_id,
+             length(shipped) AS n_chars,
+             length(text) - length(shipped) AS red_delta,
+             {_pii_hits_sql("shipped")} AS resid,
+             md5(shipped) AS dh,
              {okey} AS okey
-      FROM {src} d JOIN kept USING (doc_id)
+      FROM red
     ),
     seq AS (SELECT *, okey // {_ILV_SHIFT} AS shard_id FROM ord)
     SELECT shard_id,
@@ -1078,7 +1202,9 @@ def _export_oracle(src: str = "documents") -> str:
            CAST(SUM(n_chars) AS BIGINT) AS total_chars,
            CAST(MIN(doc_id) AS BIGINT) AS first_doc,
            CAST(MAX(doc_id) AS BIGINT) AS last_doc,
-           md5(string_agg(dh, '' ORDER BY okey, doc_id)) AS content_digest
+           md5(string_agg(dh, '' ORDER BY okey, doc_id)) AS content_digest,
+           CAST(SUM(red_delta) AS BIGINT) AS chars_redacted,
+           CAST(SUM(resid) AS BIGINT) AS residual_pii
     FROM seq GROUP BY shard_id
     """
 
@@ -1087,27 +1213,37 @@ def _export_oracle(src: str = "documents") -> str:
     "shard_export_manifest",
     oracle=_export_oracle(),
     doc="The EXPORT artifact the pipeline actually ships: fate-kept "
-    "documents only (the full composed manifest decides membership), "
-    "sequenced by the reproducible md5 shuffle key (the same order "
-    "shard_interleave_audit scores), cut into hash-range shards, and "
-    "each shard summarized with counts, char volume, id range, and an "
-    "ORDER-SENSITIVE content digest (md5 of the concatenated per-doc "
-    "text digests in shard order) — re-exporting the corpus must "
-    "reproduce every digest byte-identically, which is what makes a "
-    "100 TB training run auditable end to end.",
+    "documents only (the full composed manifest decides membership — "
+    "since r12 including the fuzzy-decon stage), PII-REDACTED in the "
+    "same pass (VERDICT r11 item 2: the audit used to rebuild "
+    "redacted text that nothing shipped; now the export digest IS "
+    "over the redacted bytes), sequenced by the reproducible md5 "
+    "shuffle key (the same order shard_interleave_audit scores), cut "
+    "into hash-range shards, and each shard summarized with counts, "
+    "shipped char volume, id range, an ORDER-SENSITIVE content "
+    "digest (md5 of the concatenated per-doc SHIPPED-text digests in "
+    "shard order), chars_redacted, and residual_pii — PII matches "
+    "remaining in the shipped text, pinned 0 by both engines. "
+    "Re-exporting the corpus must reproduce every digest "
+    "byte-identically, which is what makes a 100 TB training run "
+    "auditable end to end.",
 )
 def shard_export_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scale shape: membership comes from the composed fate plan
     (unchanged — its own plan pins hold); the export adds one
-    doc-keyed semi-join, map-side md5 projections, and a SINGLE
-    shard-keyed aggregate. The digest chain needs per-shard order, so
-    each shard collects its (okey, doc_id, digest) structs — bounded
-    by shard size, a production parameter, never corpus size — and
-    folds them JVM-side (array_sort + array_join + md5). No global
-    ordering, no window over the corpus: shards are hash ranges of
-    the shuffle key, embarrassingly parallel like the interleave
-    audit. The DuckDB oracle replays the digest chain with ordered
-    string_agg over the identical key."""
+    doc-keyed semi-join, map-side seed/redact/md5 projections (the
+    redaction is one codegen regexp chain — folding it here is
+    exactly what pii_redaction_audit's docstring promised the
+    production pass would do, so the shipped bytes and the audited
+    bytes are the same projection), and a SINGLE shard-keyed
+    aggregate. The digest chain needs per-shard order, so each shard
+    collects its (okey, doc_id, digest) structs — bounded by shard
+    size, a production parameter, never corpus size — and folds them
+    JVM-side (array_sort + array_join + md5). No global ordering, no
+    window over the corpus: shards are hash ranges of the shuffle
+    key, embarrassingly parallel like the interleave audit. The
+    DuckDB oracle replays the digest chain with ordered string_agg
+    over the identical key."""
     return _export_frame(_t(spark, sf_dir, "documents")["documents"])
 
 
@@ -1115,21 +1251,38 @@ def _export_frame(d: DataFrame) -> DataFrame:
     """shard_export_manifest's export pipeline over an arbitrary
     documents frame — extracted r10 for shard_export_diff's two-
     snapshot replay; with the loaded table it is shard_export_manifest
-    unchanged."""
+    unchanged. Since r12 (VERDICT r11 item 2) the export digests the
+    SHIPPED text: PII redaction is folded into the doc projection (the
+    same seed/redact expressions as pii_redaction_audit), so the
+    per-shard digest chain covers redacted bytes, chars_redacted
+    records the net removal, and residual_pii — matches remaining in
+    the shipped text — is an output column both engines pin to 0."""
     from dungbeetle_spark.functions.texts import md5_hash60
     from dungbeetle_spark.operators.curation import _ILV_SHIFT
 
     kept = _fate_frame(d).filter(F.col("fate") == "kept").select("doc_id")
+    shipped = _pii_redact_col(F.col("text"))
     seq = (
         d.select("doc_id", "text")
         .join(kept, "doc_id")
+        .select("doc_id", _pii_seed_expr().alias("text"))
         .select(
             "doc_id",
-            F.length("text").cast("long").alias("n_chars"),
-            F.md5("text").alias("dh"),
+            F.length("text").alias("n_raw"),
+            shipped.alias("shipped"),
             md5_hash60(
                 F.concat(F.lit("shuffle|"), F.col("doc_id").cast("string"))
             ).alias("okey"),
+        )
+        .select(
+            "doc_id",
+            F.length("shipped").cast("long").alias("n_chars"),
+            (F.col("n_raw") - F.length("shipped"))
+            .cast("long")
+            .alias("red_delta"),
+            _pii_hits_col(F.col("shipped")).cast("long").alias("resid"),
+            F.md5("shipped").alias("dh"),
+            "okey",
         )
         .withColumn("shard_id", F.expr(f"okey DIV {_ILV_SHIFT}"))
     )
@@ -1147,6 +1300,8 @@ def _export_frame(d: DataFrame) -> DataFrame:
                 "",
             )
         ).alias("content_digest"),
+        F.sum("red_delta").cast("long").alias("chars_redacted"),
+        F.sum("resid").cast("long").alias("residual_pii"),
     )
 
 
@@ -1268,53 +1423,19 @@ def _diff_frames(prev: DataFrame, curr: DataFrame) -> DataFrame:
 
 # -- pii_redaction_audit ------------------------------------------------------
 
-# Detection patterns shared verbatim by the Spark plan and the DuckDB
-# oracle. Restricted to the regex surface Java's engine and RE2 match
-# identically (character classes, bounded repetition, \b on ASCII —
-# no backreferences, no lookaround), which is what makes the audit
-# oracle-checkable cross-engine.
-_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
-_PII_PHONE = r"\+[0-9]{1,3}-[0-9]{3}-[0-9]{4}"
-_PII_IP = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
-
-# Deterministic PII planting over the kept population (the synthetic
-# corpus carries no organic PII; the CASE arms below are the fixture
-# stand-in, mirrored in the oracle — the _MHI_TEMPLATE discipline).
-_PII_SEED_SQL = """
-      SELECT d.doc_id, d.source,
-             d.text
-               || CASE WHEN d.doc_id % 7 = 2
-                       THEN ' contact agent' || CAST(d.doc_id AS VARCHAR)
-                            || '@example.com'
-                       ELSE '' END
-               || CASE WHEN d.doc_id % 5 = 3
-                       THEN ' call +1-555-'
-                            || lpad(CAST(d.doc_id % 10000 AS VARCHAR), 4, '0')
-                       ELSE '' END
-               || CASE WHEN d.doc_id % 13 = 5
-                       THEN ' host 10.' || CAST(d.doc_id % 200 AS VARCHAR)
-                            || '.' || CAST(d.doc_id % 97 AS VARCHAR)
-                            || '.' || CAST(d.doc_id % 251 AS VARCHAR)
-                       ELSE '' END AS text
-      FROM documents d JOIN kept USING (doc_id)"""
-
 
 @query(
     "pii_redaction_audit",
     oracle=f"""
     WITH fate AS (SELECT * FROM ({_fate_oracle()}) f),
     kept AS (SELECT doc_id FROM fate WHERE fate = 'kept'),
-    docs AS ({_PII_SEED_SQL}),
+    docs AS ({_pii_seed_sql()}),
     scored AS (
       SELECT source, text,
              len(regexp_extract_all(text, '{_PII_EMAIL}')) AS e,
              len(regexp_extract_all(text, '{_PII_PHONE}')) AS p,
              len(regexp_extract_all(text, '{_PII_IP}')) AS ip,
-             regexp_replace(
-               regexp_replace(
-                 regexp_replace(text, '{_PII_EMAIL}', '<EMAIL>', 'g'),
-                 '{_PII_PHONE}', '<PHONE>', 'g'),
-               '{_PII_IP}', '<IP>', 'g') AS red
+             {_pii_redact_sql("text")} AS red
       FROM docs)
     SELECT source,
            CAST(COUNT(*) AS BIGINT) AS n_docs,
@@ -1346,7 +1467,10 @@ _PII_SEED_SQL = """
     "whole-stage codegen, zero Python); DuckDB shares the RE2-safe "
     "regex subset, so every number is oracle-reproduced. The fixture "
     "plants deterministic PII on the kept docs (the corpus has none "
-    "organically), mirrored in the oracle.",
+    "organically), mirrored in the oracle. Since r12 the seed/redact "
+    "expressions are the SHARED ones shard_export_manifest folds into "
+    "its digest projection, so the bytes this audit scores are "
+    "provably the bytes the export ships.",
 )
 def pii_redaction_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scale shape: membership reuses the composed fate plan (its
@@ -1355,55 +1479,13 @@ def pii_redaction_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     Python, no UDF, no shuffle beyond the final source-keyed
     aggregate, whose cardinality is the source count). At 100 TB this
     is a map-only pass over the kept partition of the corpus; the
-    redacted text would be written alongside the export shards in the
-    same pass rather than recomputed."""
+    redacted text is written alongside the export shards in the same
+    pass (shard_export_manifest folds the identical projection into
+    its digest chain since r12) rather than recomputed."""
     d = _t(spark, sf_dir, "documents")["documents"]
     kept = _fate_frame(d).filter(F.col("fate") == "kept").select("doc_id")
-    did = F.col("doc_id")
-    seeded = (
-        d.join(kept, "doc_id")
-        .select(
-            "doc_id",
-            "source",
-            F.concat(
-                F.col("text"),
-                F.when(
-                    did % 7 == 2,
-                    F.concat(
-                        F.lit(" contact agent"),
-                        did.cast("string"),
-                        F.lit("@example.com"),
-                    ),
-                ).otherwise(F.lit("")),
-                F.when(
-                    did % 5 == 3,
-                    F.concat(
-                        F.lit(" call +1-555-"),
-                        F.lpad((did % 10000).cast("string"), 4, "0"),
-                    ),
-                ).otherwise(F.lit("")),
-                F.when(
-                    did % 13 == 5,
-                    F.concat(
-                        F.lit(" host 10."),
-                        (did % 200).cast("string"),
-                        F.lit("."),
-                        (did % 97).cast("string"),
-                        F.lit("."),
-                        (did % 251).cast("string"),
-                    ),
-                ).otherwise(F.lit("")),
-            ).alias("text"),
-        )
-    )
-    red = F.regexp_replace(
-        F.regexp_replace(
-            F.regexp_replace(F.col("text"), F.lit(_PII_EMAIL), F.lit("<EMAIL>")),
-            F.lit(_PII_PHONE),
-            F.lit("<PHONE>"),
-        ),
-        F.lit(_PII_IP),
-        F.lit("<IP>"),
+    seeded = d.join(kept, "doc_id").select(
+        "doc_id", "source", _pii_seed_expr().alias("text")
     )
     scored = seeded.select(
         "source",
@@ -1411,7 +1493,7 @@ def pii_redaction_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_count("text", F.lit(_PII_EMAIL)).alias("e"),
         F.regexp_count("text", F.lit(_PII_PHONE)).alias("p"),
         F.regexp_count("text", F.lit(_PII_IP)).alias("ip"),
-        red.alias("red"),
+        _pii_redact_col(F.col("text")).alias("red"),
     )
     return scored.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
@@ -1424,11 +1506,5 @@ def pii_redaction_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.length("text") - F.length("red")).cast("long").alias(
             "chars_redacted"
         ),
-        F.sum(
-            F.regexp_count("red", F.lit(_PII_EMAIL))
-            + F.regexp_count("red", F.lit(_PII_PHONE))
-            + F.regexp_count("red", F.lit(_PII_IP))
-        )
-        .cast("long")
-        .alias("residual_hits"),
+        F.sum(_pii_hits_col(F.col("red"))).cast("long").alias("residual_hits"),
     )

@@ -120,6 +120,102 @@ def test_edited_benchmark_copy_is_dropped_by_the_composed_manifest(spark):
     assert b["fuzzy_matched_bands"] >= _FDC_MIN_BANDS
 
 
+def test_export_digest_chain_replays_over_redacted_text(spark, sf_smoke):
+    """Full plain-Python replay of the r12 export contract: seed the
+    fate-kept docs with the fixture PII, REDACT them, chain
+    md5(shipped) in (okey, doc_id) order per shard — every shard's
+    digest, count, shipped char volume, chars_redacted, and
+    residual_pii must match shard_export_manifest exactly. Proves the
+    digest covers the redacted bytes (VERDICT r11 item 2: the shipped
+    artifact used to digest RAW text while the audit rebuilt redacted
+    text nothing shipped)."""
+    import hashlib
+    import re
+
+    from dungbeetle_spark.functions.texts import md5_hash60_py
+    from dungbeetle_spark.operators.curation import _ILV_SHIFT
+    from dungbeetle_spark.sources.catalog import load_tables
+
+    fate = _fate(spark, sf_smoke)
+    kept = {k for k, r in fate.items() if r["fate"] == "kept"}
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in load_tables(spark, sf_smoke, ["documents"])["documents"]
+        .select("doc_id", "text")
+        .collect()
+        if r["doc_id"] in kept
+    }
+    pats = [
+        (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+        (r"\+[0-9]{1,3}-[0-9]{3}-[0-9]{4}", "<PHONE>"),
+        (r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b", "<IP>"),
+    ]
+    shards: dict[int, list] = {}
+    for did, text in docs.items():
+        seeded = text
+        if did % 7 == 2:
+            seeded += f" contact agent{did}@example.com"
+        if did % 5 == 3:
+            seeded += " call +1-555-" + str(did % 10000).rjust(4, "0")
+        if did % 13 == 5:
+            seeded += f" host 10.{did % 200}.{did % 97}.{did % 251}"
+        shipped = seeded
+        for pat, sub in pats:
+            shipped = re.sub(pat, sub, shipped)
+        okey = md5_hash60_py(f"shuffle|{did}")
+        shards.setdefault(okey // _ILV_SHIFT, []).append(
+            (okey, did, shipped, len(seeded) - len(shipped))
+        )
+    manifest = {
+        r["shard_id"]: r
+        for r in SPECS["shard_export_manifest"].build(spark, sf_smoke).collect()
+    }
+    assert set(manifest) == set(shards)
+    redacted_anywhere = False
+    for sid, members in shards.items():
+        members.sort(key=lambda t: (t[0], t[1]))
+        digest = hashlib.md5(
+            "".join(
+                hashlib.md5(s.encode()).hexdigest() for _, _, s, _ in members
+            ).encode()
+        ).hexdigest()
+        row = manifest[sid]
+        assert row["content_digest"] == digest
+        assert row["n_docs"] == len(members)
+        assert row["total_chars"] == sum(len(s) for _, _, s, _ in members)
+        assert row["chars_redacted"] == sum(dlt for _, _, _, dlt in members)
+        assert row["residual_pii"] == 0
+        redacted_anywhere |= row["chars_redacted"] > 0
+    assert redacted_anywhere, "fixture must exercise the redaction path"
+
+
+def test_export_ships_exactly_the_bytes_the_audit_scores(spark, sf_smoke):
+    """The audit/export contract: pii_redaction_audit and
+    shard_export_manifest run the SAME seed + redact projections over
+    the SAME fate-kept membership, so their totals must tie out —
+    docs, net chars redacted, and zero residual matches."""
+    import pyspark.sql.functions as F
+
+    audit = (
+        SPECS["pii_redaction_audit"]
+        .build(spark, sf_smoke)
+        .agg(
+            F.sum("n_docs"), F.sum("chars_redacted"), F.sum("residual_hits")
+        )
+        .collect()[0]
+    )
+    export = (
+        SPECS["shard_export_manifest"]
+        .build(spark, sf_smoke)
+        .agg(
+            F.sum("n_docs"), F.sum("chars_redacted"), F.sum("residual_pii")
+        )
+        .collect()[0]
+    )
+    assert tuple(audit) == tuple(export)
+    assert audit[2] == 0 and audit[1] > 0
+
+
 def test_fate_stage_order_fuzzy_never_preempts_earlier_stages(spark, sf_smoke):
     """Stage ordering: eval holdout, quality, dedup, and exact decon
     all seal a doc's fate BEFORE the fuzzy stage — a doc with any
