@@ -198,6 +198,9 @@ STREAMING = [
     # r11: the fuzzy-decontamination ingest gate (stop-filtered eval
     # band probe; batch twin is fuzzy_decontamination)
     "streaming_fuzzy_decon_gate",
+    # r12: the composed release gate — fate decision (incl. fuzzy) +
+    # kept-doc PII projection; batch twin is pii_redaction_audit
+    "streaming_pii_redaction_gate",
 ]
 
 # Host-drift canary (ADVICE r04: one hardcoded-anchor query is noisy

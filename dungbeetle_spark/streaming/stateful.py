@@ -773,3 +773,119 @@ def streaming_fuzzy_decon_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return drain_to_df(
         incoming, "stream_fuzzy_decon_gate", "append", transform=gate_batch
     )
+
+
+def _pii_gate_oracle() -> str:
+    """Per-document form of the PII audit over the fate-kept
+    population — the same fate CTE, seed, and redact SQL fragments as
+    pii_redaction_audit, WITHOUT the source rollup (an ingest gate
+    emits one decision row per arriving document; the audit is its
+    per-source aggregate, pinned equal in test_r12_operators)."""
+    from dungbeetle_spark.operators.pipeline import (
+        _PII_EMAIL,
+        _PII_IP,
+        _PII_PHONE,
+        _fate_oracle,
+        _pii_hits_sql,
+        _pii_redact_sql,
+        _pii_seed_sql,
+    )
+
+    return f"""
+    WITH fate AS (SELECT * FROM ({_fate_oracle()}) f),
+    kept AS (SELECT doc_id FROM fate WHERE fate = 'kept'),
+    docs AS ({_pii_seed_sql()}),
+    scored AS (
+      SELECT doc_id, source, text,
+             {_pii_redact_sql("text")} AS red
+      FROM docs)
+    SELECT doc_id, source,
+           CAST(len(regexp_extract_all(text, '{_PII_EMAIL}'))
+                AS BIGINT) AS email_hits,
+           CAST(len(regexp_extract_all(text, '{_PII_PHONE}'))
+                AS BIGINT) AS phone_hits,
+           CAST(len(regexp_extract_all(text, '{_PII_IP}'))
+                AS BIGINT) AS ip_hits,
+           CAST(length(text) - length(red) AS BIGINT) AS chars_redacted,
+           CAST({_pii_hits_sql("red")} AS BIGINT) AS residual_hits
+    FROM scored
+    """
+
+
+@query(
+    "streaming_pii_redaction_gate",
+    oracle=_pii_gate_oracle(),
+    doc="Streaming PII-redaction INGEST GATE (VERDICT r11 item 7) — "
+    "the release-stage twin that completes the ingest-service story: "
+    "quality/dedup/decon/fuzzy all had batch+stream pairs, PII did "
+    "not. Each arriving document takes the full composed fate "
+    "decision batch-locally (the corpus_fate_gate pipeline, including "
+    "the r12 fuzzy stage), and the fate-KEPT docs are then scored and "
+    "redacted with the SAME shared seed/redact expressions as "
+    "pii_redaction_audit and shard_export_manifest — one decision row "
+    "per kept doc with per-class hit counts, net chars redacted, and "
+    "residual matches in the redacted text (0 by construction). "
+    "Aggregating the drained rows by source reproduces the batch "
+    "audit exactly (pinned in test_r12_operators).",
+)
+def streaming_pii_redaction_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: reference state is the fate gate's (canonical
+    map, eval grams, fuzzy stop set + band index — all materialized
+    once, all small or bucketed in production); the PII stage itself
+    adds ZERO reference state and zero streaming state — it is one
+    codegen regexp projection over the batch's kept docs, the same
+    map-only pass the batch audit pins. Per-batch cost stays linear
+    in the batch; the gate emits the redacted text's evidence columns
+    so a production sink could write the redacted doc itself in the
+    same pass (shard_export_manifest's digest covers those bytes)."""
+    from dungbeetle_spark.operators.pipeline import (
+        _PII_EMAIL,
+        _PII_IP,
+        _PII_PHONE,
+        _pii_hits_col,
+        _pii_redact_col,
+        _pii_seed_expr,
+    )
+    from dungbeetle_spark.streaming.source import stream_table
+
+    stream = stream_table(spark, sf_dir, "documents")
+    # Static reference state, built batch-side ON THE STREAM'S SESSION
+    canon, ev, fstops, fev = fate_gate_reference(stream.sparkSession, sf_dir)
+    fate_batch = make_fate_gate_batch(canon, ev, fstops, fev)
+
+    def gate_batch(bdf: DataFrame) -> DataFrame:
+        kept = (
+            fate_batch(bdf.select("doc_id", "text", "lang"))
+            .filter(F.col("fate") == "kept")
+            .select("doc_id")
+        )
+        seeded = (
+            bdf.select("doc_id", "source", "text")
+            .join(kept, "doc_id")
+            .select("doc_id", "source", _pii_seed_expr().alias("text"))
+        )
+        red = _pii_redact_col(F.col("text"))
+        return seeded.select(
+            "doc_id",
+            "source",
+            F.regexp_count("text", F.lit(_PII_EMAIL))
+            .cast("long")
+            .alias("email_hits"),
+            F.regexp_count("text", F.lit(_PII_PHONE))
+            .cast("long")
+            .alias("phone_hits"),
+            F.regexp_count("text", F.lit(_PII_IP))
+            .cast("long")
+            .alias("ip_hits"),
+            (F.length("text") - F.length(red))
+            .cast("long")
+            .alias("chars_redacted"),
+            _pii_hits_col(red).cast("long").alias("residual_hits"),
+        )
+
+    return drain_to_df(
+        stream.select("doc_id", "text", "lang", "source"),
+        "stream_pii_gate",
+        "append",
+        transform=gate_batch,
+    )

@@ -216,6 +216,40 @@ def test_export_ships_exactly_the_bytes_the_audit_scores(spark, sf_smoke):
     assert audit[2] == 0 and audit[1] > 0
 
 
+def test_pii_gate_drained_rows_aggregate_to_the_batch_audit(spark, sf_smoke):
+    """The streaming PII gate emits one decision row per fate-kept
+    document; grouping its drained output by source must reproduce
+    pii_redaction_audit EXACTLY (every column), because gate and
+    audit share the membership pipeline and the seed/redact
+    expressions. This is the drained ≡ batch pin the other ingest
+    gates carry, adapted to the audit's aggregated shape."""
+    import pyspark.sql.functions as F
+
+    gate = SPECS["streaming_pii_redaction_gate"].build(spark, sf_smoke)
+    rolled = gate.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(
+            (
+                F.col("email_hits") + F.col("phone_hits") + F.col("ip_hits")
+                > 0
+            ).cast("long")
+        ).alias("docs_with_pii"),
+        F.sum("email_hits").alias("email_hits"),
+        F.sum("phone_hits").alias("phone_hits"),
+        F.sum("ip_hits").alias("ip_hits"),
+        F.sum("chars_redacted").alias("chars_redacted"),
+        F.sum("residual_hits").alias("residual_hits"),
+    )
+    audit = SPECS["pii_redaction_audit"].build(spark, sf_smoke)
+    cols = sorted(audit.columns)
+    assert sorted(rolled.columns) == cols
+    a = sorted(map(tuple, audit.select(*cols).collect()))
+    g = sorted(map(tuple, rolled.select(*cols).collect()))
+    assert a == g
+    # the gate's own zero-residual guarantee, per doc
+    assert gate.filter(F.col("residual_hits") != 0).count() == 0
+
+
 def test_fate_stage_order_fuzzy_never_preempts_earlier_stages(spark, sf_smoke):
     """Stage ordering: eval holdout, quality, dedup, and exact decon
     all seal a doc's fate BEFORE the fuzzy stage — a doc with any

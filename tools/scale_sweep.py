@@ -130,6 +130,11 @@ SWEEP_OPS = [
     # near-dup copies maximize bucket density on the corpus side.
     ("streaming_minhash_ingest_gate", None),
     ("streaming_fuzzy_decon_gate", None),
+    # r12 addition: the composed release gate — full fate decision
+    # (incl. the fuzzy stage) batch-locally, then one regex codegen
+    # projection over the batch's kept docs; reference-state build
+    # dominates the drain cell exactly like the fate gate's
+    ("streaming_pii_redaction_gate", None),
 ]
 
 # Sub-factor ladder for capped operators: when the requested factor
