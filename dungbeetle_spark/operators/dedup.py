@@ -2235,9 +2235,41 @@ def _detect_ppm(s_num: int, s_den: int, b: int, r: int) -> int:
     return (den - miss) * 1_000_000 // den
 
 
-@query(
-    "lsh_band_planner",
-    oracle="""
+# The exact planner's bucket cap (VERDICT r11 "What's wrong" item 1):
+# the registry's last unbounded quadratic was this planner's all-pairs
+# count inside dense single-hash buckets. Same value and rationale as
+# the LSH dedup family's cap.
+_PLAN_CAP = _LSH_BUCKET_CAP
+
+
+def _exact_planner_oracle() -> str:
+    """DuckDB mirror of the CAPPED exact planner, generated from
+    _PLAN_CONFIGS — the bitmask form of the Spark plan (one
+    leader-filtered (j, h) self-join, bit_or of matching hash
+    indices, per-config bitwise membership), replacing the r10
+    hand-written per-config band-key joins which cannot express the
+    bucket cap."""
+    hkey = md5_hash60_sql("concat(CAST(seeds.j AS VARCHAR), '|', s)")
+    members = ",\n             ".join(
+        "COALESCE(SUM(CASE WHEN "
+        + " OR ".join(
+            f"(jmask & {((1 << r) - 1) << (band * r)})"
+            f" = {((1 << r) - 1) << (band * r)}"
+            for band in range(b)
+        )
+        + f" THEN 1 ELSE 0 END), 0) AS n_{b}x{r}"
+        for b, r in _PLAN_CONFIGS
+    )
+    selects = "\n    UNION ALL ".join(
+        f"""SELECT {b} AS bands, {r} AS rows_per_band,
+           CAST(n_{b}x{r} AS BIGINT) AS n_candidate_pairs,
+           CAST({_detect_ppm(1, 2, b, r)} AS BIGINT) AS p_detect_50_ppm,
+           CAST({_detect_ppm(4, 5, b, r)} AS BIGINT) AS p_detect_80_ppm,
+           truncated_buckets
+    FROM counts CROSS JOIN trunc"""
+        for b, r in _PLAN_CONFIGS
+    )
+    return f"""
     WITH words AS (
       SELECT doc_id,
              regexp_split_to_array(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS w
@@ -2247,108 +2279,33 @@ def _detect_ppm(s_num: int, s_den: int, b: int, r: int) -> int:
              w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
       FROM words, UNNEST(range(1, greatest(len(w) - 1, 1))) AS t(i)),
     hashed AS (
-      SELECT doc_id, seeds.j AS j,
-             CAST(concat('0x', substr(md5(CAST(seeds.j AS VARCHAR) || '|' || s), 1, 15)) AS BIGINT) AS h
-      FROM sh, UNNEST(range(0, 16)) AS seeds(j)),
-    mh AS (
-      SELECT doc_id,
-             MIN(CASE WHEN j = 0 THEN h END) AS h0,
-             MIN(CASE WHEN j = 1 THEN h END) AS h1,
-             MIN(CASE WHEN j = 2 THEN h END) AS h2,
-             MIN(CASE WHEN j = 3 THEN h END) AS h3,
-             MIN(CASE WHEN j = 4 THEN h END) AS h4,
-             MIN(CASE WHEN j = 5 THEN h END) AS h5,
-             MIN(CASE WHEN j = 6 THEN h END) AS h6,
-             MIN(CASE WHEN j = 7 THEN h END) AS h7,
-             MIN(CASE WHEN j = 8 THEN h END) AS h8,
-             MIN(CASE WHEN j = 9 THEN h END) AS h9,
-             MIN(CASE WHEN j = 10 THEN h END) AS h10,
-             MIN(CASE WHEN j = 11 THEN h END) AS h11,
-             MIN(CASE WHEN j = 12 THEN h END) AS h12,
-             MIN(CASE WHEN j = 13 THEN h END) AS h13,
-             MIN(CASE WHEN j = 14 THEN h END) AS h14,
-             MIN(CASE WHEN j = 15 THEN h END) AS h15
-      FROM (SELECT doc_id, j, MIN(h) AS h FROM hashed GROUP BY doc_id, j)
-      GROUP BY doc_id),
-    k16x1 AS (
-      SELECT doc_id, 0 AS band, CAST(h0 AS VARCHAR) AS key FROM mh
-      UNION ALL SELECT doc_id, 1 AS band, CAST(h1 AS VARCHAR) AS key FROM mh
-      UNION ALL SELECT doc_id, 2 AS band, CAST(h2 AS VARCHAR) AS key FROM mh
-      UNION ALL SELECT doc_id, 3 AS band, CAST(h3 AS VARCHAR) AS key FROM mh
-      UNION ALL SELECT doc_id, 4 AS band, CAST(h4 AS VARCHAR) AS key FROM mh
-      UNION ALL SELECT doc_id, 5 AS band, CAST(h5 AS VARCHAR) AS key FROM mh
-      UNION ALL SELECT doc_id, 6 AS band, CAST(h6 AS VARCHAR) AS key FROM mh
-      UNION ALL SELECT doc_id, 7 AS band, CAST(h7 AS VARCHAR) AS key FROM mh
-      UNION ALL SELECT doc_id, 8 AS band, CAST(h8 AS VARCHAR) AS key FROM mh
-      UNION ALL SELECT doc_id, 9 AS band, CAST(h9 AS VARCHAR) AS key FROM mh
-      UNION ALL SELECT doc_id, 10 AS band, CAST(h10 AS VARCHAR) AS key FROM mh
-      UNION ALL SELECT doc_id, 11 AS band, CAST(h11 AS VARCHAR) AS key FROM mh
-      UNION ALL SELECT doc_id, 12 AS band, CAST(h12 AS VARCHAR) AS key FROM mh
-      UNION ALL SELECT doc_id, 13 AS band, CAST(h13 AS VARCHAR) AS key FROM mh
-      UNION ALL SELECT doc_id, 14 AS band, CAST(h14 AS VARCHAR) AS key FROM mh
-      UNION ALL SELECT doc_id, 15 AS band, CAST(h15 AS VARCHAR) AS key FROM mh
-    ),
-    c16x1 AS (
-      SELECT CAST(COUNT(*) AS BIGINT) AS n FROM (
-        SELECT DISTINCT a.doc_id AS da, x.doc_id AS db
-        FROM k16x1 a JOIN k16x1 x
-          ON a.band = x.band AND a.key = x.key AND a.doc_id < x.doc_id)
-    ),
-    k8x2 AS (
-      SELECT doc_id, 0 AS band, CAST(h0 AS VARCHAR) || '|' || CAST(h1 AS VARCHAR) AS key FROM mh
-      UNION ALL SELECT doc_id, 1 AS band, CAST(h2 AS VARCHAR) || '|' || CAST(h3 AS VARCHAR) AS key FROM mh
-      UNION ALL SELECT doc_id, 2 AS band, CAST(h4 AS VARCHAR) || '|' || CAST(h5 AS VARCHAR) AS key FROM mh
-      UNION ALL SELECT doc_id, 3 AS band, CAST(h6 AS VARCHAR) || '|' || CAST(h7 AS VARCHAR) AS key FROM mh
-      UNION ALL SELECT doc_id, 4 AS band, CAST(h8 AS VARCHAR) || '|' || CAST(h9 AS VARCHAR) AS key FROM mh
-      UNION ALL SELECT doc_id, 5 AS band, CAST(h10 AS VARCHAR) || '|' || CAST(h11 AS VARCHAR) AS key FROM mh
-      UNION ALL SELECT doc_id, 6 AS band, CAST(h12 AS VARCHAR) || '|' || CAST(h13 AS VARCHAR) AS key FROM mh
-      UNION ALL SELECT doc_id, 7 AS band, CAST(h14 AS VARCHAR) || '|' || CAST(h15 AS VARCHAR) AS key FROM mh
-    ),
-    c8x2 AS (
-      SELECT CAST(COUNT(*) AS BIGINT) AS n FROM (
-        SELECT DISTINCT a.doc_id AS da, x.doc_id AS db
-        FROM k8x2 a JOIN k8x2 x
-          ON a.band = x.band AND a.key = x.key AND a.doc_id < x.doc_id)
-    ),
-    k4x4 AS (
-      SELECT doc_id, 0 AS band, CAST(h0 AS VARCHAR) || '|' || CAST(h1 AS VARCHAR) || '|' || CAST(h2 AS VARCHAR) || '|' || CAST(h3 AS VARCHAR) AS key FROM mh
-      UNION ALL SELECT doc_id, 1 AS band, CAST(h4 AS VARCHAR) || '|' || CAST(h5 AS VARCHAR) || '|' || CAST(h6 AS VARCHAR) || '|' || CAST(h7 AS VARCHAR) AS key FROM mh
-      UNION ALL SELECT doc_id, 2 AS band, CAST(h8 AS VARCHAR) || '|' || CAST(h9 AS VARCHAR) || '|' || CAST(h10 AS VARCHAR) || '|' || CAST(h11 AS VARCHAR) AS key FROM mh
-      UNION ALL SELECT doc_id, 3 AS band, CAST(h12 AS VARCHAR) || '|' || CAST(h13 AS VARCHAR) || '|' || CAST(h14 AS VARCHAR) || '|' || CAST(h15 AS VARCHAR) AS key FROM mh
-    ),
-    c4x4 AS (
-      SELECT CAST(COUNT(*) AS BIGINT) AS n FROM (
-        SELECT DISTINCT a.doc_id AS da, x.doc_id AS db
-        FROM k4x4 a JOIN k4x4 x
-          ON a.band = x.band AND a.key = x.key AND a.doc_id < x.doc_id)
-    ),
-    k2x8 AS (
-      SELECT doc_id, 0 AS band, CAST(h0 AS VARCHAR) || '|' || CAST(h1 AS VARCHAR) || '|' || CAST(h2 AS VARCHAR) || '|' || CAST(h3 AS VARCHAR) || '|' || CAST(h4 AS VARCHAR) || '|' || CAST(h5 AS VARCHAR) || '|' || CAST(h6 AS VARCHAR) || '|' || CAST(h7 AS VARCHAR) AS key FROM mh
-      UNION ALL SELECT doc_id, 1 AS band, CAST(h8 AS VARCHAR) || '|' || CAST(h9 AS VARCHAR) || '|' || CAST(h10 AS VARCHAR) || '|' || CAST(h11 AS VARCHAR) || '|' || CAST(h12 AS VARCHAR) || '|' || CAST(h13 AS VARCHAR) || '|' || CAST(h14 AS VARCHAR) || '|' || CAST(h15 AS VARCHAR) AS key FROM mh
-    ),
-    c2x8 AS (
-      SELECT CAST(COUNT(*) AS BIGINT) AS n FROM (
-        SELECT DISTINCT a.doc_id AS da, x.doc_id AS db
-        FROM k2x8 a JOIN k2x8 x
-          ON a.band = x.band AND a.key = x.key AND a.doc_id < x.doc_id)
-    )
-    SELECT 16 AS bands, 1 AS rows_per_band,
-           (SELECT n FROM c16x1) AS n_candidate_pairs,
-           CAST(999984 AS BIGINT) AS p_detect_50_ppm,
-           CAST(999999 AS BIGINT) AS p_detect_80_ppm
-    UNION ALL SELECT 8 AS bands, 2 AS rows_per_band,
-           (SELECT n FROM c8x2) AS n_candidate_pairs,
-           CAST(899887 AS BIGINT) AS p_detect_50_ppm,
-           CAST(999717 AS BIGINT) AS p_detect_80_ppm
-    UNION ALL SELECT 4 AS bands, 4 AS rows_per_band,
-           (SELECT n FROM c4x4) AS n_candidate_pairs,
-           CAST(227523 AS BIGINT) AS p_detect_50_ppm,
-           CAST(878497 AS BIGINT) AS p_detect_80_ppm
-    UNION ALL SELECT 2 AS bands, 8 AS rows_per_band,
-           (SELECT n FROM c2x8) AS n_candidate_pairs,
-           CAST(7797 AS BIGINT) AS p_detect_50_ppm,
-           CAST(307396 AS BIGINT) AS p_detect_80_ppm
-    """,
+      SELECT doc_id, seeds.j AS j, {hkey} AS h
+      FROM sh, UNNEST(range(0, {_PLAN_H})) AS seeds(j)),
+    sig AS (SELECT doc_id, j, MIN(h) AS h FROM hashed GROUP BY doc_id, j),
+    sized AS (
+      SELECT doc_id, j, h,
+             COUNT(*) OVER (PARTITION BY j, h) AS bn,
+             MIN(doc_id) OVER (PARTITION BY j, h) AS leader
+      FROM sig),
+    pairs AS (
+      SELECT a.doc_id AS da, b.doc_id AS db,
+             bit_or(CAST(1 AS BIGINT) << a.j) AS jmask
+      FROM sized a JOIN sig b ON a.j = b.j AND a.h = b.h AND a.doc_id < b.doc_id
+      WHERE a.bn <= {_PLAN_CAP} OR a.doc_id = a.leader
+      GROUP BY 1, 2),
+    trunc AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS truncated_buckets
+      FROM (SELECT DISTINCT j, h FROM sized WHERE bn > {_PLAN_CAP}) t),
+    counts AS (
+      SELECT {members}
+      FROM pairs)
+    {selects}
+    """
+
+
+@query(
+    "lsh_band_planner",
+    oracle=_exact_planner_oracle(),
     doc="LSH banding-parameter planner: ONE shared 16-minhash "
     "signature table feeds every (bands x rows/band) layout a 100 TB "
     "dedup could deploy — (16,1) high-recall through (2,8) "
@@ -2358,31 +2315,56 @@ def _detect_ppm(s_num: int, s_den: int, b: int, r: int) -> int:
     "rational-s closed form, no float pow). The decision artifact for "
     "choosing dedup_minhash_lsh parameters from data rather than "
     "folklore: candidates measure the FP bill, the S-curve the recall "
-    "floor.",
+    f"floor. Since r12 the pair join runs under the bucket cap "
+    f"({_PLAN_CAP}): single-hash buckets past the cap degrade to "
+    "leader-star emission, so the counts are CAPPED-EXACT lower "
+    "bounds — exact whenever truncated_buckets (a new audited output "
+    "column) is 0, which holds for every organic corpus measured and "
+    "is violated only by mega-cluster densities where the uncapped "
+    "count was the registry's last unbounded quadratic (54.5 s at "
+    "x32, VERDICT r11).",
 )
 def lsh_band_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Scale shape (r10 rewrite): every config's bands partition the
-    SAME 16 hashes into consecutive runs, so candidate sets are
-    NESTED — a pair agreeing on some (b, r) band agrees on each of
-    that band's single hashes, hence is a (16, 1) candidate. The plan
-    therefore runs ONE bucket self-join (the (16, 1) one, which
-    dominated anyway) and folds the matching hash indices into a
-    per-pair bitmask with a map-side-combinable bit_or; all four
+    """Scale shape (r10 rewrite, r12 cap): every config's bands
+    partition the SAME 16 hashes into consecutive runs, so candidate
+    sets are NESTED — a pair agreeing on some (b, r) band agrees on
+    each of that band's single hashes, hence is a (16, 1) candidate.
+    The plan therefore runs ONE bucket self-join (the (16, 1) one,
+    which dominated anyway) and folds the matching hash indices into
+    a per-pair bitmask with a map-side-combinable bit_or; all four
     configs' memberships are then pure bitwise predicates on that
     mask inside one aggregate — replacing four self-joins + four
     pair-distincts (the r09 form shuffled each near-dup pair up to
-    30x across the config ladder). Candidate volume itself is the
-    operator's output semantics (exact distinct pair counts), so the
-    quadratic-at-planted-density term remains by definition; see
-    SCALING.md notes. Sampled twin: lsh_band_planner_sampled."""
+    30x across the config ladder). Since r12 the join's left side is
+    leader-filtered past _PLAN_CAP (the _capped_band_pairs
+    discipline), so per-bucket pair volume is bounded at B-1 rows and
+    the planner survives any cluster density; the trade — counts
+    inside capped buckets undercount to the leader star — is
+    disclosed per run by truncated_buckets (0 on organic corpora:
+    the planner is byte-identical to the exact mode there, pinned by
+    test_r12_operators). Sampled twin for production planning:
+    lsh_band_planner_sampled (uncapped by design — its s^2
+    extrapolation requires all-pairs within the sample)."""
     d = _t(spark, sf_dir, "documents")["documents"]
-    return _planner_frame(_planner_pair_counts(d))
+    return _planner_frame(_planner_pair_counts(d, cap=_PLAN_CAP))
 
 
-def _planner_pair_counts(d: DataFrame) -> DataFrame:
+def _planner_pair_counts(d: DataFrame, cap: int | None = None) -> DataFrame:
     """One row of exact distinct candidate-pair counts (n_{b}x{r} per
-    config) over an arbitrary documents frame — the r10 single-join
-    bitmask plan, extracted r11 so the sampled planner shares it."""
+    config) plus a truncated_buckets audit, over an arbitrary
+    documents frame — the r10 single-join bitmask plan, extracted r11
+    so the sampled planner shares it.
+
+    With ``cap`` set (the exact planner since r12, VERDICT r11 item
+    1 of "What's wrong"), each (j, h) single-hash bucket larger than
+    the cap degrades to leader-star emission before the join — the
+    same pre-join filter as ``_capped_band_pairs`` — so the pair
+    volume is linear in corpus size at any planted density and the
+    counts become CAPPED-EXACT lower bounds, with the number of
+    capped buckets disclosed in ``truncated_buckets``. With ``cap``
+    None (the sampled planner, whose s^2 extrapolation requires
+    uncapped all-pairs within the sample), the join is the r11 form
+    and truncated_buckets is constant 0."""
     # shiftleft(1, j) silently wraps past bit 63 — the bitmask fold is
     # only correct while every hash index fits a signed long (ADVICE
     # r10: enforce the invariant where it matters).
@@ -2400,14 +2382,39 @@ def _planner_pair_counts(d: DataFrame) -> DataFrame:
             F.array(*[F.col(f"h{j}") for j in range(_PLAN_H)])
         ).alias("j", "h"),
     )
+    if cap is None:
+        left = long.select(F.col("doc_id").alias("da"), "j", "h")
+        audit = None
+    else:
+        # the bucket stats come from one window over (j, h), the same
+        # key the join shuffles on, so Catalyst reuses the exchange
+        long = long.localCheckpoint(eager=False)  # left + right + audit
+        wb = W.partitionBy("j", "h")
+        sized = long.withColumn("bn", F.count(F.lit(1)).over(wb)).withColumn(
+            "leader", F.min("doc_id").over(wb)
+        )
+        left = sized.filter(
+            (F.col("bn") <= cap) | (F.col("doc_id") == F.col("leader"))
+        ).select(F.col("doc_id").alias("da"), "j", "h")
+        audit = (
+            long.groupBy("j", "h")
+            .agg(F.count(F.lit(1)).alias("bn"))
+            .agg(
+                F.coalesce(F.sum((F.col("bn") > cap).cast("long")), F.lit(0))
+                .cast("long")
+                .alias("truncated_buckets")
+            )
+        )
     # the (j, h)-keyed self-join emits one row per pair per MATCHING
     # single hash, so folding j into a bitmask (map-side-combinable
     # bit_or) captures exactly which of the 16 minhashes agree — and
     # every config's membership is a pure bitwise predicate on that
-    # mask; no signature columns ever cross a shuffle.
+    # mask; no signature columns ever cross a shuffle. Under the cap a
+    # pair's mask carries only the buckets it SURVIVED in (leader-star
+    # past the cap), so config membership is evaluated on the bounded
+    # candidate set — capped-exact by construction.
     paired = (
-        long.select(F.col("doc_id").alias("da"), "j", "h")
-        .join(long.select(F.col("doc_id").alias("db"), "j", "h"), ["j", "h"])
+        left.join(long.select(F.col("doc_id").alias("db"), "j", "h"), ["j", "h"])
         .filter(F.col("da") < F.col("db"))
         .groupBy("da", "db")
         .agg(
@@ -2427,7 +2434,7 @@ def _planner_pair_counts(d: DataFrame) -> DataFrame:
             m = hit if m is None else (m | hit)
         return m
 
-    return paired.agg(
+    counts = paired.agg(
         *[
             F.coalesce(F.sum(member(b, r).cast("long")), F.lit(0))
             .cast("long")
@@ -2435,11 +2442,18 @@ def _planner_pair_counts(d: DataFrame) -> DataFrame:
             for b, r in _PLAN_CONFIGS
         ]
     )
+    if audit is None:
+        return counts.withColumn(
+            "truncated_buckets", F.lit(0).cast("long")
+        )
+    return counts.crossJoin(F.broadcast(audit))
 
 
 def _planner_frame(one: DataFrame) -> DataFrame:
     """Explode the 1-row count frame into the planner's per-config
-    rows (exact mode — counts pass through unscaled)."""
+    rows (exact mode — counts pass through unscaled; the constant
+    truncated_buckets audit rides on every row, like stop_shingles
+    in the fuzzy-decon output)."""
     return one.select(
         F.explode(
             F.array(
@@ -2454,6 +2468,7 @@ def _planner_frame(one: DataFrame) -> DataFrame:
                         F.lit(_detect_ppm(4, 5, b, r))
                         .cast("long")
                         .alias("p_detect_80_ppm"),
+                        F.col("truncated_buckets"),
                     )
                     for b, r in _PLAN_CONFIGS
                 ]

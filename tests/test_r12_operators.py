@@ -216,6 +216,53 @@ def test_export_ships_exactly_the_bytes_the_audit_scores(spark, sf_smoke):
     assert audit[2] == 0 and audit[1] > 0
 
 
+def test_planner_cap_bounds_dense_buckets_to_leader_star(spark):
+    """The r12 bound on the registry's last quadratic: a planted
+    mega-cluster (60 identical docs -> every single-hash bucket holds
+    all 60) emits leader-star pairs only under the cap — 59 candidate
+    pairs per config instead of C(60,2) = 1770 — and every one of the
+    16 buckets is disclosed in truncated_buckets. The leader survives
+    in every bucket, so each star pair carries the full 16-bit mask
+    and every banding config counts the same bounded set."""
+    from dungbeetle_spark.operators.dedup import (
+        _PLAN_CONFIGS,
+        _planner_pair_counts,
+    )
+
+    text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    d = spark.createDataFrame(
+        [(i, text) for i in range(60)], "doc_id long, text string"
+    )
+    capped = _planner_pair_counts(d, cap=8).collect()[0]
+    assert capped["truncated_buckets"] == 16
+    for b, r in _PLAN_CONFIGS:
+        assert capped[f"n_{b}x{r}"] == 59
+    uncapped = _planner_pair_counts(d).collect()[0]
+    assert uncapped["truncated_buckets"] == 0
+    assert uncapped["n_16x1"] == 60 * 59 // 2
+
+
+def test_planner_cap_is_inert_on_the_organic_corpus(spark, sf_smoke):
+    """Premise pin (the minhash_calibration discipline): organic
+    single-hash buckets stay under _PLAN_CAP at test scale, so the
+    capped exact planner is count-identical to the uncapped form and
+    truncated_buckets reads 0 — 'capped-exact' degrades to plain
+    exact everywhere the cap doesn't fire."""
+    from dungbeetle_spark.operators.dedup import (
+        _PLAN_CAP,
+        _PLAN_CONFIGS,
+        _planner_pair_counts,
+    )
+    from dungbeetle_spark.sources.catalog import load_tables
+
+    d = load_tables(spark, sf_smoke, ["documents"])["documents"]
+    capped = _planner_pair_counts(d, cap=_PLAN_CAP).collect()[0]
+    uncapped = _planner_pair_counts(d).collect()[0]
+    assert capped["truncated_buckets"] == 0
+    for b, r in _PLAN_CONFIGS:
+        assert capped[f"n_{b}x{r}"] == uncapped[f"n_{b}x{r}"]
+
+
 def test_pii_gate_drained_rows_aggregate_to_the_batch_audit(spark, sf_smoke):
     """The streaming PII gate emits one decision row per fate-kept
     document; grouping its drained output by source must reproduce
