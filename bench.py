@@ -242,6 +242,38 @@ CANARY_R07 = {
 }
 CANARY_ANCHORS = CANARY_R07
 
+# Mid-weight text-class anchors (VERDICT r11 item 6). Two rounds
+# running, the scan/agg host factor misrepresented the mid-weight TEXT
+# class (r10's hf 0.659 recorded fake 0.72 "improvements" for these
+# queries, read back as fake 1.3-1.6x "regressions" in r11). The two
+# FROZEN queries in dungbeetle_spark/bench_canary.py anchor that class
+# directly; queries in _TEXT_CLASS are normalized by the text factor
+# whenever BOTH sides of a comparison can compute it (old records
+# before r12 carry no text anchors — they fall back to the default
+# factor, so r12-vs-r11 ratios are unchanged and the protection fully
+# engages from r13 on).
+#
+# Basis derivation (r12): measured min-of-3 at sf0.1 on the r12 host
+# (0.747 / 0.461 s), divided by that run's standard host factor
+# (1.166) to land on the same r07-host basis as CANARY_R07.
+CANARY_TEXT_R12 = {
+    "canary_text_explode_agg": 0.641,
+    "canary_text_regex_scan": 0.395,
+}
+CANARY_TEXT_ANCHORS = CANARY_TEXT_R12
+
+# The queries the text factor normalizes: the documented whipsaw
+# victims of the r10/r11 canary artifact (VERDICT r11 "What's wrong"
+# item 3). Frozen by name; extend only with evidence.
+_TEXT_CLASS = frozenset(
+    {
+        "lang_label_noise_audit",
+        "quality_gate_shadow_audit",
+        "bpe_compression_by_source",
+        "corpus_fate_manifest",
+    }
+)
+
 
 _REGRESSION_RATIO = 1.5  # normalized per-query ratio that flags
 
@@ -266,14 +298,20 @@ _POOL_ABS_DELTA_SEC = 0.3
 _POOL_RATIO_CAP = 3.0
 
 
-def _median_host_factor(timings: dict[str, float]) -> float | None:
+def _median_host_factor(
+    timings: dict[str, float], anchors: dict[str, float] | None = None
+) -> float | None:
     """host_factor under the r05+ median method, from any run's
     recorded per-query times — applied to OLD runs too, so a
     comparison never mixes canary methodologies (the r04-vs-r05
-    confusion VERDICT r05 item 4 asks to prevent mechanically)."""
+    confusion VERDICT r05 item 4 asks to prevent mechanically).
+    ``anchors`` selects the anchor set (default: the scan/agg
+    CANARY_ANCHORS; pass CANARY_TEXT_ANCHORS for the text class)."""
+    if anchors is None:
+        anchors = CANARY_ANCHORS
     ratios = sorted(
         timings[name] / anchor
-        for name, anchor in CANARY_ANCHORS.items()
+        for name, anchor in anchors.items()
         if timings.get(name)
     )
     return round(ratios[len(ratios) // 2], 3) if ratios else None
@@ -347,10 +385,37 @@ _KNOWN_REGRESSIONS = {
     # (fate 3.30 vs 3.11 — noise; label-noise 1.32 vs 1.53; shadow
     # 0.98 vs 1.17; bpe-compression 2.29 vs 2.54).
     "corpus_fate_manifest": (
-        "r10-cell normalization artifact: ~1.0-1.3x vs r09 (r09 norm "
-        "2.46); r10's 1.76 is the outlier. HEAD A/B vs pre-HOF tree "
-        "is time-neutral (3.30 vs 3.11 s). No r11 plan change touches "
-        "this query."
+        "r12 composition (VERDICT r11 item 1): the manifest gained the "
+        "fuzzy-decontamination stage — shingle-DF stop stats, the "
+        "survivor signature aggregate, and the broadcast eval band "
+        "probe are real added work (~the standalone op's cost) that "
+        "buys the edited-benchmark-copy gap closure. Deliberate."
+    ),
+    "streaming_corpus_fate_gate": (
+        "r12 composition: the gate mirrors the manifest's new fuzzy "
+        "stage (reference state + per-batch survivor probe). "
+        "Deliberate; see corpus_fate_manifest."
+    ),
+    "shard_export_manifest": (
+        "r12 composition: inherits the manifest's fuzzy stage AND "
+        "folds PII seed+redact into the digest projection (VERDICT "
+        "r11 item 2) — the digest now covers the shipped redacted "
+        "bytes. Deliberate."
+    ),
+    "shard_export_diff": (
+        "r12 composition: both export replays inherit the fuzzy stage "
+        "and the redaction projection (2x shard_export_manifest's "
+        "delta by construction; production reads prev from the "
+        "manifest table and pays it once). Deliberate."
+    ),
+    "pii_redaction_audit": (
+        "r12 composition: membership inherits the manifest's fuzzy "
+        "stage (the audit scores exactly the export population). "
+        "Deliberate."
+    ),
+    "streaming_pii_redaction_gate": (
+        "new in r12 — no prior cell; any flag here is a first "
+        "measurement, not a regression."
     ),
     "lang_label_noise_audit": (
         "r10-cell normalization artifact: ~1.2x vs r09 (r09 norm "
@@ -378,13 +443,19 @@ def _ratio_guard(
     host_factor: float | None,
     old_timings: dict[str, float],
     old_factor: float | None,
+    text_factor: float | None = None,
+    old_text_factor: float | None = None,
 ) -> dict:
     """The normalized per-query regression guard, shared by the batch
     compare and the streaming-drain compare: ratios after dividing out
     each run's own median host factor, a 1.5x flag per query, the
     sub-second noise pool, and (ADVICE r09) individual flags for
     pooled members whose absolute delta or looser ratio cap betrays a
-    real regression hiding under the floor."""
+    real regression hiding under the floor. Queries in _TEXT_CLASS
+    normalize by the text-class factors instead — but only when BOTH
+    sides carry them (VERDICT r11 item 6; mixing a text factor on one
+    side with a scan/agg factor on the other would itself skew the
+    ratio, the exact artifact this fixes)."""
     if not host_factor or not old_factor:
         # without both host factors every query below would be skipped
         # and the block would read as a clean all-clear (r10 review
@@ -396,6 +467,7 @@ def _ratio_guard(
             "normalized_ratios": {},
             "regressions": None,
         }
+    text_pair_ok = bool(text_factor and old_text_factor)
     ratios: dict[str, float] = {}
     pool_members: dict[str, tuple[float, float]] = {}
     pool_new = pool_old = 0.0
@@ -403,7 +475,10 @@ def _ratio_guard(
         old_sec = old_timings.get(name)
         if not old_sec:  # both factors guaranteed by the guard above
             continue
-        new_norm, old_norm = new_sec / host_factor, old_sec / old_factor
+        nf, of = host_factor, old_factor
+        if text_pair_ok and name in _TEXT_CLASS:
+            nf, of = text_factor, old_text_factor
+        new_norm, old_norm = new_sec / nf, old_sec / of
         ratios[name] = round(new_norm / old_norm, 3)
         if max(new_norm, old_norm) < _NOISE_FLOOR_SEC:
             pool_members[name] = (new_norm, old_norm)
@@ -451,10 +526,12 @@ def _ratio_guard(
 
 
 def _compare_block(timings: dict[str, float], host_factor: float | None,
-                   against_path: str) -> dict:
+                   against_path: str,
+                   text_factor: float | None = None) -> dict:
     """Normalized per-query ratios vs a prior BENCH_r*.json, with a
     regressions list (> _REGRESSION_RATIO after dividing out each
-    run's own median host factor)."""
+    run's own median host factor; _TEXT_CLASS queries use the
+    text-class factor when both rounds carry text anchors)."""
     with open(against_path) as f:
         old = json.load(f)
     tail = old.get("tail") if isinstance(old, dict) else None
@@ -463,11 +540,11 @@ def _compare_block(timings: dict[str, float], host_factor: float | None,
     old_timings: dict[str, float] = old.get("queries", {})
     salvaged = False
     note = None
+    full = _full_record_for(against_path, old)
     if not old_timings:
         # r08+ compact stdout form (or a parsed-null truncated round
         # with a pinned archive): per-query timings live in the round's
         # archived full record, not on the line itself.
-        full = _full_record_for(against_path, old)
         if full:
             old_timings = full.get("queries", {})
             note = "old timings loaded from archived full record"
@@ -479,6 +556,14 @@ def _compare_block(timings: dict[str, float], host_factor: float | None,
         old_timings.update(timings_from_tail(tail))  # direct values win
         salvaged = bool(old_timings)
     old_factor = _median_host_factor(old_timings)
+    # the old round's text-canary timings live in its full record's
+    # canary block (slim driver lines strip them); recompute the old
+    # text factor against the CURRENT anchor constants, same
+    # same-basis discipline as _median_host_factor
+    old_text_factor = _median_host_factor(
+        (((full or old).get("canary") or {}).get("text_anchors") or {}),
+        CANARY_TEXT_ANCHORS,
+    )
     block = {
         "against": os.path.basename(against_path),
         "host_factor_old_median_method": old_factor,
@@ -486,7 +571,18 @@ def _compare_block(timings: dict[str, float], host_factor: float | None,
             "host_factor"
         ),
     }
-    block.update(_ratio_guard(timings, host_factor, old_timings, old_factor))
+    if text_factor or old_text_factor:
+        block["host_factor_text_old"] = old_text_factor
+    block.update(
+        _ratio_guard(
+            timings,
+            host_factor,
+            old_timings,
+            old_factor,
+            text_factor,
+            old_text_factor,
+        )
+    )
     # regressions is None when the guard declared comparison
     # unavailable (missing host factor) — not an empty all-clear
     known = {n: _KNOWN_REGRESSIONS[n] for n in block["regressions"] or ()
@@ -769,9 +865,26 @@ def emit_bench_line(out: dict, full_name: str = "BENCH_FULL.json") -> str:
         slim["compare"]["n_compared"] = len(vals)
         if vals:
             slim["compare"]["median_ratio"] = vals[len(vals) // 2]
+        # VERDICT r11 item 5: flagged_batch without its exoneration
+        # made BENCH_r11 show an unexplained flag (the isolated-rerun
+        # demotion lived only in BENCH_FULL). Carry the verdict inline
+        # whenever anything was flagged.
+        checks = cmp_full.get("regression_checks") or {}
+        flagged = cmp_full.get("flagged_batch") or ()
+        if flagged:
+            slim["compare"]["flag_resolution"] = {
+                n: {
+                    "isolated_ratio": (checks.get(n) or {}).get(
+                        "isolated_ratio"
+                    ),
+                    "confirmed": (checks.get(n) or {}).get("confirmed"),
+                }
+                for n in flagged
+            }
     canary = slim.get("canary") or {}
     slim["canary"] = {
         "host_factor": canary.get("host_factor"),
+        "host_factor_text": canary.get("host_factor_text"),
         "note": "median ratio over r01 anchors; detail in BENCH_FULL.json",
     }
     s_full = slim.pop("streaming", None)
@@ -891,6 +1004,22 @@ def main() -> None:
     total = round(sum(timings.values()), 3)
     host_factor = _median_host_factor(timings)
 
+    # Text-class canary (VERDICT r11 item 6): two FROZEN queries
+    # anchor the mid-weight text class the scan/agg factor has twice
+    # misrepresented. Timed with the same 3-pass min, recorded in the
+    # canary block (never in the headline totals), and used by the
+    # guard for _TEXT_CLASS queries when both rounds carry them.
+    from dungbeetle_spark.bench_canary import TEXT_CANARIES
+
+    c_runs: dict[str, list[float]] = {name: [] for name in TEXT_CANARIES}
+    for _ in range(3):
+        for name, fn in TEXT_CANARIES.items():
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+            c_runs[name].append(time.perf_counter() - t0)
+    text_anchors = {name: round(min(ts), 3) for name, ts in c_runs.items()}
+    text_factor = _median_host_factor(text_anchors, CANARY_TEXT_ANCHORS)
+
     # Cross-round regression detection (VERDICT r05 item 4): compare
     # against --compare PATH if given, else auto-detect the newest
     # BENCH_r*.json in the repo; --no-compare disables.
@@ -912,7 +1041,8 @@ def main() -> None:
     compare = None
     if against and os.path.exists(against):
         try:
-            compare = _compare_block(timings, host_factor, against)
+            compare = _compare_block(timings, host_factor, against,
+                                     text_factor)
         except Exception as ex:  # a bad prior file must never cost the run
             compare = {"against": os.path.basename(against),
                        "error": str(ex)[:200]}
@@ -984,6 +1114,12 @@ def main() -> None:
             "basis": "r07",
             "note": "median ratio over r01-untouched anchors, r07-"
                     "measured basis (re-anchored r08); advisory",
+            "text_anchors": text_anchors,
+            "host_factor_text": text_factor,
+            "text_note": "frozen mid-weight text-class canaries "
+                         "(bench_canary.py), r12-derived r07 basis; "
+                         "_TEXT_CLASS queries normalize by this factor "
+                         "when both compared rounds carry it",
         },
         "normalized_total": (
             round(total / host_factor, 3) if host_factor else None

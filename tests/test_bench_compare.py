@@ -347,6 +347,81 @@ def test_emit_bench_line_drops_bulk_fields():
     assert "regression_checks" not in parsed.get("compare", {})
     assert parsed["compare"]["regressions"] == ["q1"]
     assert parsed["compare"]["subsecond_pool"]["n"] == 3
+    # VERDICT r11 item 5: every flagged name carries its isolated-rerun
+    # verdict inline — a driver artifact can never show an unexplained
+    # flag again. q2 was flagged but has no check row (edge): the
+    # resolution still lists it, with null evidence, rather than
+    # silently dropping it.
+    res = parsed["compare"]["flag_resolution"]
+    assert res["q1"] == {"isolated_ratio": 2.0, "confirmed": True}
+    assert res["q2"] == {"isolated_ratio": None, "confirmed": None}
+
+
+def test_emit_bench_line_has_no_flag_resolution_when_nothing_flagged():
+    out = {
+        "metric": "headline_queries_total_wall",
+        "value": 1.0,
+        "unit": "sec",
+        "queries": {"q1": 0.1},
+        "sf": 0.1,
+        "canary": {"host_factor": 1.0, "host_factor_text": 1.1},
+        "compare": {
+            "against": "BENCH_r08.json",
+            "normalized_ratios": {"q1": 1.0},
+            "regressions": [],
+            "flagged_batch": [],
+            "regression_checks": {},
+        },
+    }
+    parsed = json.loads(bench.emit_bench_line(out))
+    assert "flag_resolution" not in parsed["compare"]
+    # the text-class host factor rides on the slim canary block
+    assert parsed["canary"]["host_factor_text"] == 1.1
+
+
+def test_text_class_normalizes_by_text_factor_when_both_rounds_carry_it(
+    tmp_path,
+):
+    """The r10/r11 canary-skew scenario (VERDICT r11 item 6): a host
+    2x slower on scan/agg but 3.2x slower on the text class. Under the
+    single factor the text query reads 1.6x (a fake regression); with
+    text anchors on BOTH sides it normalizes to 1.0. An old round
+    without text anchors falls back to the single factor — mixing
+    factor kinds across sides would itself skew the ratio."""
+    name = next(iter(bench._TEXT_CLASS))
+    old_timings = dict(bench.CANARY_ANCHORS)
+    old_timings[name] = 1.0
+    new_timings = {k: v * 2 for k, v in bench.CANARY_ANCHORS.items()}
+    new_timings[name] = 3.2
+    hf = bench._median_host_factor(new_timings)
+    assert hf == 2.0
+
+    with_anchors = tmp_path / "BENCH_r97.json"
+    with_anchors.write_text(json.dumps({
+        "queries": old_timings,
+        "canary": {"text_anchors": dict(bench.CANARY_TEXT_ANCHORS)},
+    }))
+    block = bench._compare_block(new_timings, hf, str(with_anchors),
+                                 text_factor=3.2)
+    assert block["host_factor_text_old"] == 1.0
+    assert block["normalized_ratios"][name] == 1.0
+    assert name not in block["regressions"]
+
+    without = tmp_path / "BENCH_r98.json"
+    without.write_text(json.dumps({"queries": old_timings}))
+    block = bench._compare_block(new_timings, hf, str(without),
+                                 text_factor=3.2)
+    assert block["normalized_ratios"][name] == 1.6
+    assert name in block["regressions"]
+
+
+def test_median_host_factor_takes_an_anchor_set():
+    timings = {n: a * 1.5 for n, a in bench.CANARY_TEXT_ANCHORS.items()}
+    assert bench._median_host_factor(
+        timings, bench.CANARY_TEXT_ANCHORS
+    ) == 1.5
+    # no text anchors in the timings -> None, never a silent 1.0
+    assert bench._median_host_factor({}, bench.CANARY_TEXT_ANCHORS) is None
 
 
 def test_confirm_regressions_clears_interference_keeps_real():
