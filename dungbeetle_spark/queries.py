@@ -65,62 +65,52 @@ def query(name: str, oracle: str | None = None, doc: str = ""):
 # or changing a query therefore touches exactly this one list; the
 # stale-repayment rotation happens by construction every round.
 NEW_OR_CHANGED: list[str] = [
-    # r11 budget note: six entries this round — two genuinely changed
-    # (the leader-capped ingest pair, VERDICT r10 item 1) and four new
-    # queries. Every entry is driver-visibly new/changed and MUST
-    # re-verify; the cost is six r07-stale refreshes deferred to r12
-    # (see the window math at the bottom of this list) while the
-    # last-green floor still reaches r07, the VERDICT r10 item 5 goal.
+    # r12 budget note: nine entries — the fate-pipeline fuzzy-decon
+    # composition cascade (VERDICT r11 items 1-2: five changed
+    # queries), one new streaming gate (item 7), the capped exact
+    # planner (item 4), and the two fuzzy queries whose oracle SQL is
+    # now rendered by the shared parameterized generator (ADVICE r11:
+    # the shingle concat is built from _FDC_N instead of hardcoded —
+    # value-identical, but the rendered SQL text changed, so they
+    # re-verify by the rotation rule). Window math: 9 entries + the 6
+    # r07-stale + 35 of the 44 r08-stale fill the 50 slots — the
+    # last-green floor moves to r08 this round (VERDICT r11 item 3)
+    # and the 9 displaced r08 queries head the r13 window.
     #
-    # r11 changed (VERDICT r10 item 1): the ingest-path near-dup pair
-    # gained leader probing — dedup_minhash_incremental's corpus side
-    # now degrades oversized band buckets to their leader before the
-    # probe join (new capped_buckets audit column; the seeded fixture
-    # trips the cap at sf0.01, so the driver verifies the capped path
-    # itself), and streaming_minhash_ingest_gate probes a
-    # leader-compressed index (one row per bucket) and now returns
-    # (doc_id, dup_of_candidate). Both oracles model the leader probe.
-    "dedup_minhash_incremental",
-    "streaming_minhash_ingest_gate",
-    # r11 new (VERDICT r10 item 2): the planner's documented SAMPLE
-    # mode — exact candidate counts on a deterministic hash sample,
-    # integer-extrapolated, sampling fraction in the output.
-    "lsh_band_planner_sampled",
-    # r11 new (VERDICT r10 item 6): PII detection/redaction audit over
-    # exactly the fate-kept population (between the quality funnel and
-    # export; stage pin in tests/test_r11_operators.py).
+    # r12 changed (VERDICT r11 item 1): the composed fate pipeline
+    # gained the FUZZY decontamination stage (exact-decon survivors
+    # probed against the stop-filtered eval band index; new
+    # fuzzy_matched_bands column, new dropped_fuzzy_contaminated
+    # fate) — manifest + streaming twin share the one composed oracle.
+    "corpus_fate_manifest",
+    "streaming_corpus_fate_gate",
+    # r12 changed (VERDICT r11 item 2): the export digests the SHIPPED
+    # text — PII seed + redaction folded into the digest projection;
+    # new chars_redacted + residual_pii (pinned 0) columns; the diff
+    # replays the same redacted chains over both snapshots.
+    "shard_export_manifest",
+    "shard_export_diff",
+    # r12 changed: the audit now runs the SHARED seed/redact
+    # expressions (and inherits the fuzzy-tightened membership).
     "pii_redaction_audit",
-    # (both r11-new entries are registered in operators/dedup.py and
-    # operators/curation.py respectively)
-    # r11 new: MinHash-banded NEAR-match decontamination with the
-    # high-DF stop-shingle filter (the fuzzy complement of the exact
-    # 5-gram scrub; operators/mixing.py).
+    # r12 new (VERDICT r11 item 7): the release stage's stateless
+    # ingest twin — per-doc PII decision rows over the fate-kept
+    # population; aggregating them reproduces the audit.
+    "streaming_pii_redaction_gate",
+    # r12 changed (VERDICT r11 "What's wrong" item 1): the exact
+    # planner's pair join runs under the leader-star bucket cap with a
+    # truncated_buckets audit column; oracle rewritten to the bitmask
+    # form that can express the cap.
+    "lsh_band_planner",
+    # r12 oracle-regenerated (ADVICE r11): _FDC_ORACLE's CTE chain now
+    # renders from _fdc_sig_ctes (shingle concat generated from
+    # _FDC_N); values identical, SQL text changed.
     "fuzzy_decontamination",
-    # r11 new: its streaming ingest-gate twin (stop-filtered eval band
-    # probe, stateless foreachBatch; streaming/stateful.py) — drained
-    # stream pinned equal to the batch frame, shared oracle.
     "streaming_fuzzy_decon_gate",
-    # DELIBERATELY OFF this list (r11): the HOF-lambda re-evaluation
-    # fixes (word_ngrams zip_with fold, hof_let window binding, the
-    # zip_with bigram/pair builders) across char_bigram_surprisal,
-    # dedup_exact_substring, dedup_span_repair, longest-path family,
-    # cross_source_overlap_matrix, paragraph_dedup, lang_segments,
-    # dsir_importance_weights, vocab_growth, skipgram_pairs,
-    # repetition_stats, embedding_quantize, and every word_ngrams
-    # consumer are plan-only: outputs proven byte-identical by the
-    # oracle suite and direct old-vs-new frame equality on the sf0.1
-    # corpus, so re-listing them would burn stale-repayment slots for
-    # guaranteed-identical results (the r10 minhash_calibration rule).
-    #
-    # Window math: 6 entries + window_rank_family (r06, heads the
-    # stale tail) + 43 of the 49 r07-stale fill the 50 slots; the 6
-    # displaced queries stay r07-green, so the last-green floor still
-    # becomes r07 this round (the VERDICT r10 item 5 goal) and the
-    # displaced tail self-heals in r12. minhash_calibration again
-    # stays OFF the list: its organic buckets remain below the cap at
-    # both driver scale factors — a premise now PINNED by
-    # tests/test_r11_operators.py::test_organic_band_buckets_stay_under_cap
-    # (ADVICE r10) instead of assumed.
+    # DELIBERATELY OFF this list (r12): the md5_hash60_py helper
+    # substitution in the two streaming-gate UDFs and the similarity
+    # plane generator is an identity refactor (same hash bytes, pinned
+    # by the untouched oracle suite), per the r11 HOF-rewrite rule.
 ]
 
 
