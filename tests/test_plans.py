@@ -1017,6 +1017,11 @@ def test_registry_wide_no_cartesian_and_no_fact_nlj(spark, sf):
         # crossed onto the flag output (operator docstring: the stop
         # set and audit frames broadcast)
         "fuzzy_decontamination",
+        # r12: the same 1-row audit class — the capped exact planner's
+        # truncated_buckets frame, broadcast-crossed onto the 1-row
+        # config-count frame (operator docstring: capped-exact counts
+        # with the truncation disclosed per run)
+        "lsh_band_planner",
     }
     unexpected = [q for q in bnlj if q not in known_scalar_broadcast]
     assert not unexpected, (
