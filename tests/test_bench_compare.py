@@ -357,6 +357,41 @@ def test_emit_bench_line_drops_bulk_fields():
     assert res["q2"] == {"isolated_ratio": None, "confirmed": None}
 
 
+def test_emit_bench_line_sheds_flag_detail_before_the_compare_block():
+    """Progressive size guard: a flood of flags drops flag_resolution
+    first (names survive in regressions / known_regressions) and the
+    whole compare block only as a last resort — and the known
+    annotations ship as NAMES, not paragraphs (the r12 composed-family
+    prose alone pushed the line past the budget once)."""
+    flags = [f"very_long_query_name_number_{i:03d}" for i in range(8)]
+    out = {
+        "metric": "headline_queries_total_wall",
+        "value": 1.0,
+        "unit": "sec",
+        "queries": {"q1": 0.1},
+        "sf": 0.1,
+        "canary": {"host_factor": 1.0},
+        "compare": {
+            "against": "BENCH_r11.json",
+            "normalized_ratios": {n: 2.0 for n in flags},
+            "regressions": flags,
+            "flagged_batch": flags,
+            "regression_checks": {
+                n: {"isolated_ratio": 2.0, "confirmed": True} for n in flags
+            },
+            "known_regressions": {n: "a long prose paragraph " * 10
+                                  for n in flags},
+        },
+    }
+    line = bench.emit_bench_line(out)
+    assert len(line) <= bench._STDOUT_LINE_BUDGET
+    parsed = json.loads(line)
+    assert "compare" in parsed  # shed detail, kept the block
+    assert "flag_resolution" not in parsed["compare"]
+    assert parsed["compare"]["known_regressions"] == sorted(flags)
+    assert parsed["compare"]["regressions"] == flags
+
+
 def test_emit_bench_line_has_no_flag_resolution_when_nothing_flagged():
     out = {
         "metric": "headline_queries_total_wall",
