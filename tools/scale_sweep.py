@@ -130,10 +130,12 @@ SWEEP_OPS = [
     # near-dup copies maximize bucket density on the corpus side.
     ("streaming_minhash_ingest_gate", None),
     ("streaming_fuzzy_decon_gate", None),
-    # r12 addition: the composed release gate — full fate decision
-    # (incl. the fuzzy stage) batch-locally, then one regex codegen
-    # projection over the batch's kept docs; reference-state build
-    # dominates the drain cell exactly like the fate gate's
+    # r12 additions: the composed fate gate (its r12 fuzzy stage made
+    # it the heaviest drain, so it now carries its own scale row) and
+    # the composed release gate — full fate decision batch-locally,
+    # then one regex codegen projection over the batch's kept docs;
+    # reference-state build dominates both drain cells
+    ("streaming_corpus_fate_gate", None),
     ("streaming_pii_redaction_gate", None),
 ]
 
