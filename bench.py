@@ -175,6 +175,9 @@ HEADLINE = [
     # r11: MinHash-banded near-match decontamination with the high-DF
     # stop-shingle filter
     "fuzzy_decontamination",
+    # r12: per-source release datacard (fate breakdown + shipped/
+    # redacted volume block over the export's redacted bytes)
+    "release_datacard",
 ]
 
 # Streaming drain bench (VERDICT r09 item 5): none of the 11 streaming

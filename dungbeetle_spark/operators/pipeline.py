@@ -1508,3 +1508,146 @@ def pii_redaction_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.sum(_pii_hits_col(F.col("red"))).cast("long").alias("residual_hits"),
     )
+
+
+# -- release_datacard ----------------------------------------------------------
+
+_FATES = [
+    "kept",
+    "eval_holdout",
+    "dropped_quality",
+    "dropped_duplicate",
+    "dropped_contaminated",
+    "dropped_fuzzy_contaminated",
+]
+
+
+def _datacard_oracle() -> str:
+    """Generated from _FATES so a future fate value cannot silently
+    miss the datacard (adding one breaks the generated column list,
+    not a hand-written CASE)."""
+    fate_cols = ",\n             ".join(
+        f"CAST(SUM(CASE WHEN fate = '{f}' THEN 1 ELSE 0 END) AS BIGINT)"
+        f" AS {f}"
+        for f in _FATES
+    )
+    return f"""
+    WITH fate AS (SELECT * FROM ({_fate_oracle()}) f),
+    kept AS (SELECT doc_id FROM fate WHERE fate = 'kept'),
+    docs AS ({_pii_seed_sql()}),
+    red AS (
+      SELECT source, text, {_pii_redact_sql("text")} AS shipped
+      FROM docs),
+    vol AS (
+      SELECT source,
+             CAST(SUM(length(shipped)) AS BIGINT) AS shipped_chars,
+             CAST(SUM(length(text) - length(shipped)) AS BIGINT)
+               AS chars_redacted,
+             CAST(SUM(CASE WHEN {_pii_hits_sql("text")} > 0
+                           THEN 1 ELSE 0 END) AS BIGINT) AS docs_with_pii,
+             CAST(SUM({_pii_hits_sql("shipped")}) AS BIGINT) AS residual_pii
+      FROM red GROUP BY source),
+    fates AS (
+      SELECT d.source,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             {fate_cols}
+      FROM fate f JOIN documents d USING (doc_id)
+      GROUP BY d.source)
+    SELECT f.source, f.n_docs,
+           {", ".join("f." + f for f in _FATES)},
+           CAST(f.kept * 1000000 // f.n_docs AS BIGINT) AS kept_ppm,
+           COALESCE(v.shipped_chars, 0) AS shipped_chars,
+           COALESCE(v.chars_redacted, 0) AS chars_redacted,
+           COALESCE(v.docs_with_pii, 0) AS docs_with_pii,
+           COALESCE(v.residual_pii, 0) AS residual_pii
+    FROM fates f LEFT JOIN vol v USING (source)
+    """
+
+
+@query(
+    "release_datacard",
+    oracle=_datacard_oracle(),
+    doc="The per-source RELEASE DATACARD — the summary table a real "
+    "corpus release ships alongside the shards (HF data cards, Dolma "
+    "reports): for every source, total docs ingested, the full fate "
+    "breakdown (kept / eval holdout / each drop stage, including the "
+    "r12 fuzzy-decon stage), the integer kept rate in ppm, and the "
+    "shipped-volume block computed over the SAME redacted bytes the "
+    "export digests — shipped chars, chars redacted, docs that "
+    "carried PII, and residual matches in shipped text (0 by "
+    "construction). Composes the fate pipeline, the shared PII "
+    "seed/redact expressions, and two source-keyed rollups into one "
+    "auditable artifact; every number is oracle-reproduced, so the "
+    "datacard can be regenerated and byte-compared per release.",
+)
+def release_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: ONE composed fate plan (its pins hold), the kept
+    semi-join + map-only seed/redact projection shard_export_manifest
+    also pays, and two source-keyed aggregates whose output
+    cardinality is the source count — the final join is
+    |sources| x |sources|, driver-scale at any corpus size. Nothing
+    here shuffles anything the export pass doesn't already shuffle;
+    in the warehouse deployment the datacard is a rollup OVER the
+    shipped manifest + audit tables and touches no document text at
+    all. The fate frame feeds BOTH the fate rollup and the kept
+    membership, so it checkpoints locally — the static plan audit
+    still reads the doubled lineage (like shard_export_diff's
+    two-replay fixture shape), but execution materializes the fate
+    assembly once."""
+    d = _t(spark, sf_dir, "documents")["documents"]
+    fate = _fate_frame(d).localCheckpoint(eager=False)
+    fates = (
+        fate.join(d.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            *[
+                F.sum((F.col("fate") == f).cast("long")).alias(f)
+                for f in _FATES
+            ],
+        )
+        .withColumn(
+            "kept_ppm",
+            F.expr("CAST(kept * 1000000 DIV n_docs AS BIGINT)"),
+        )
+    )
+    kept = fate.filter(F.col("fate") == "kept").select("doc_id")
+    red = (
+        d.join(kept, "doc_id")
+        .select("doc_id", "source", _pii_seed_expr().alias("text"))
+        .select(
+            "source",
+            "text",
+            _pii_redact_col(F.col("text")).alias("shipped"),
+        )
+    )
+    vol = red.groupBy("source").agg(
+        F.sum(F.length("shipped")).cast("long").alias("shipped_chars"),
+        F.sum(F.length("text") - F.length("shipped"))
+        .cast("long")
+        .alias("chars_redacted"),
+        F.sum((_pii_hits_col(F.col("text")) > 0).cast("long"))
+        .cast("long")
+        .alias("docs_with_pii"),
+        F.sum(_pii_hits_col(F.col("shipped")))
+        .cast("long")
+        .alias("residual_pii"),
+    )
+    return fates.join(vol, "source", "left").select(
+        "source",
+        "n_docs",
+        *_FATES,
+        "kept_ppm",
+        F.coalesce("shipped_chars", F.lit(0)).cast("long").alias(
+            "shipped_chars"
+        ),
+        F.coalesce("chars_redacted", F.lit(0)).cast("long").alias(
+            "chars_redacted"
+        ),
+        F.coalesce("docs_with_pii", F.lit(0)).cast("long").alias(
+            "docs_with_pii"
+        ),
+        F.coalesce("residual_pii", F.lit(0)).cast("long").alias(
+            "residual_pii"
+        ),
+    )

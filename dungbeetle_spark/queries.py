@@ -65,7 +65,7 @@ def query(name: str, oracle: str | None = None, doc: str = ""):
 # or changing a query therefore touches exactly this one list; the
 # stale-repayment rotation happens by construction every round.
 NEW_OR_CHANGED: list[str] = [
-    # r12 budget note: nine entries — the fate-pipeline fuzzy-decon
+    # r12 budget note: ten entries — the fate-pipeline fuzzy-decon
     # composition cascade (VERDICT r11 items 1-2: five changed
     # queries), one new streaming gate (item 7), the capped exact
     # planner (item 4), and the two fuzzy queries whose oracle SQL is
@@ -74,8 +74,9 @@ NEW_OR_CHANGED: list[str] = [
     # value-identical, but the rendered SQL text changed, so they
     # re-verify by the rotation rule). Window math: 9 entries + the 6
     # r07-stale + 35 of the 44 r08-stale fill the 50 slots — the
-    # last-green floor moves to r08 this round (VERDICT r11 item 3)
-    # and the 9 displaced r08 queries head the r13 window.
+    # last-green floor moves to r08 this round (VERDICT r11 item 3).
+    # With release_datacard the list is ten: 10 + 6 r07 + 34 r08 = 50,
+    # floor still r08; the 10 displaced r08 queries head the r13 window.
     #
     # r12 changed (VERDICT r11 item 1): the composed fate pipeline
     # gained the FUZZY decontamination stage (exact-decon survivors
@@ -102,6 +103,10 @@ NEW_OR_CHANGED: list[str] = [
     # truncated_buckets audit column; oracle rewritten to the bitmask
     # form that can express the cap.
     "lsh_band_planner",
+    # r12 new: the per-source release datacard — fate breakdown +
+    # shipped/redacted volumes over the same redacted bytes the export
+    # digests; the release pipeline's summary artifact.
+    "release_datacard",
     # r12 oracle-regenerated (ADVICE r11): _FDC_ORACLE's CTE chain now
     # renders from _fdc_sig_ctes (shingle concat generated from
     # _FDC_N); values identical, SQL text changed.

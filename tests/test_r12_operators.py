@@ -297,6 +297,63 @@ def test_pii_gate_drained_rows_aggregate_to_the_batch_audit(spark, sf_smoke):
     assert gate.filter(F.col("residual_hits") != 0).count() == 0
 
 
+def test_release_datacard_ties_to_manifest_and_audit(spark, sf_smoke):
+    """The datacard is a pure rollup of artifacts already pinned
+    elsewhere, so it must tie out exactly: per-source fate counts
+    equal corpus_fate_manifest grouped by source; the shipped-volume
+    block equals shard_export_manifest's totals (same redacted
+    bytes); docs_with_pii equals pii_redaction_audit's. Any
+    divergence means the datacard silently recomputed something the
+    release already shipped differently."""
+    import pyspark.sql.functions as F
+
+    from dungbeetle_spark.sources.catalog import load_tables
+
+    card = {
+        r["source"]: r
+        for r in SPECS["release_datacard"].build(spark, sf_smoke).collect()
+    }
+    d = load_tables(spark, sf_smoke, ["documents"])["documents"]
+    manifest = (
+        SPECS["corpus_fate_manifest"]
+        .build(spark, sf_smoke)
+        .join(d.select("doc_id", "source"), "doc_id")
+    )
+    fate_counts = {
+        (r["source"], r["fate"]): r["n"]
+        for r in manifest.groupBy("source", "fate")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    for source, row in card.items():
+        for fate in ("kept", "eval_holdout", "dropped_quality",
+                     "dropped_duplicate", "dropped_contaminated",
+                     "dropped_fuzzy_contaminated"):
+            assert row[fate] == fate_counts.get((source, fate), 0)
+        assert row["n_docs"] == sum(
+            n for (s, _), n in fate_counts.items() if s == source
+        )
+        assert row["kept_ppm"] == row["kept"] * 1_000_000 // row["n_docs"]
+        assert row["residual_pii"] == 0
+    export = (
+        SPECS["shard_export_manifest"]
+        .build(spark, sf_smoke)
+        .agg(F.sum("n_docs"), F.sum("total_chars"), F.sum("chars_redacted"))
+        .collect()[0]
+    )
+    assert sum(r["kept"] for r in card.values()) == export[0]
+    assert sum(r["shipped_chars"] for r in card.values()) == export[1]
+    assert sum(r["chars_redacted"] for r in card.values()) == export[2]
+    audit = {
+        r["source"]: r
+        for r in SPECS["pii_redaction_audit"].build(spark, sf_smoke).collect()
+    }
+    for source, row in card.items():
+        a = audit.get(source)
+        assert row["docs_with_pii"] == (a["docs_with_pii"] if a else 0)
+        assert row["chars_redacted"] == (a["chars_redacted"] if a else 0)
+
+
 def test_fate_stage_order_fuzzy_never_preempts_earlier_stages(spark, sf_smoke):
     """Stage ordering: eval holdout, quality, dedup, and exact decon
     all seal a doc's fate BEFORE the fuzzy stage — a doc with any

@@ -137,6 +137,8 @@ SWEEP_OPS = [
     # reference-state build dominates both drain cells
     ("streaming_corpus_fate_gate", None),
     ("streaming_pii_redaction_gate", None),
+    # r12: one fate plan + map-only seed/redact + two source rollups
+    ("release_datacard", None),
 ]
 
 # Sub-factor ladder for capped operators: when the requested factor
