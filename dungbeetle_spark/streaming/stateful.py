@@ -838,6 +838,27 @@ def streaming_pii_redaction_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     in the batch; the gate emits the redacted text's evidence columns
     so a production sink could write the redacted doc itself in the
     same pass (shard_export_manifest's digest covers those bytes)."""
+    from dungbeetle_spark.streaming.source import stream_table
+
+    stream = stream_table(spark, sf_dir, "documents")
+    # Static reference state, built batch-side ON THE STREAM'S SESSION
+    canon, ev, fstops, fev = fate_gate_reference(stream.sparkSession, sf_dir)
+    return drain_to_df(
+        stream.select("doc_id", "text", "lang", "source"),
+        "stream_pii_gate",
+        "append",
+        transform=make_pii_gate_batch(canon, ev, fstops, fev),
+    )
+
+
+def make_pii_gate_batch(
+    canon: DataFrame, ev: DataFrame, fstops: DataFrame, fev: DataFrame
+):
+    """The per-micro-batch PII release decision, given the fate gate's
+    materialized reference state — batch-local by construction (the
+    fate decision is make_fate_gate_batch's, the PII stage one codegen
+    projection), pinned under real micro-batch boundaries by
+    test_r12_operators."""
     from dungbeetle_spark.operators.pipeline import (
         _PII_EMAIL,
         _PII_IP,
@@ -846,11 +867,7 @@ def streaming_pii_redaction_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         _pii_redact_col,
         _pii_seed_expr,
     )
-    from dungbeetle_spark.streaming.source import stream_table
 
-    stream = stream_table(spark, sf_dir, "documents")
-    # Static reference state, built batch-side ON THE STREAM'S SESSION
-    canon, ev, fstops, fev = fate_gate_reference(stream.sparkSession, sf_dir)
     fate_batch = make_fate_gate_batch(canon, ev, fstops, fev)
 
     def gate_batch(bdf: DataFrame) -> DataFrame:
@@ -883,9 +900,4 @@ def streaming_pii_redaction_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
             _pii_hits_col(red).cast("long").alias("residual_hits"),
         )
 
-    return drain_to_df(
-        stream.select("doc_id", "text", "lang", "source"),
-        "stream_pii_gate",
-        "append",
-        transform=gate_batch,
-    )
+    return gate_batch

@@ -297,6 +297,70 @@ def test_pii_gate_drained_rows_aggregate_to_the_batch_audit(spark, sf_smoke):
     assert gate.filter(F.col("residual_hits") != 0).count() == 0
 
 
+def test_pii_gate_multi_batch_drain_equals_single_batch(
+    spark, sf_smoke, tmp_path
+):
+    """The PII gate's batch-local claim under REAL micro-batch
+    boundaries (the fate gate's discipline, applied to its composed
+    consumer): the corpus is rewritten as 4 parquet splits and
+    streamed with maxFilesPerTrigger=1, so the drain provably runs
+    >= 4 separate foreachBatch invocations against the same
+    materialized reference state — and the accumulated per-doc rows,
+    aggregated by source, still reproduce the batch audit exactly."""
+    import pyspark.sql.functions as F
+
+    from dungbeetle_spark.queries import registry
+    from dungbeetle_spark.sources.catalog import load_tables
+    from dungbeetle_spark.streaming.source import drain_to_df, stream_table
+    from dungbeetle_spark.streaming.stateful import (
+        fate_gate_reference,
+        make_pii_gate_batch,
+    )
+
+    src = tmp_path / "mbsf"
+    src.mkdir()
+    d = load_tables(spark, sf_smoke, ["documents"])["documents"]
+    d.repartition(4).write.parquet(str(src / "documents.parquet"))
+
+    stream = stream_table(
+        spark, str(src), "documents", max_files_per_trigger=1
+    )
+    refs = fate_gate_reference(stream.sparkSession, str(src))
+    gate = make_pii_gate_batch(*refs)
+    n_batches = []
+
+    def counting_gate(bdf):
+        n_batches.append(1)
+        return gate(bdf)
+
+    drained = drain_to_df(
+        stream.select("doc_id", "text", "lang", "source"),
+        "mb_pii_gate",
+        "append",
+        transform=counting_gate,
+    )
+    assert len(n_batches) >= 4, f"stream did not split: {len(n_batches)}"
+    rolled = drained.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(
+            (
+                F.col("email_hits") + F.col("phone_hits") + F.col("ip_hits")
+                > 0
+            ).cast("long")
+        ).alias("docs_with_pii"),
+        F.sum("email_hits").alias("email_hits"),
+        F.sum("phone_hits").alias("phone_hits"),
+        F.sum("ip_hits").alias("ip_hits"),
+        F.sum("chars_redacted").alias("chars_redacted"),
+        F.sum("residual_hits").alias("residual_hits"),
+    )
+    audit = registry()["pii_redaction_audit"].build(spark, str(src))
+    cols = sorted(audit.columns)
+    a = sorted(map(tuple, audit.select(*cols).collect()))
+    g = sorted(map(tuple, rolled.select(*cols).collect()))
+    assert a == g
+
+
 def test_release_datacard_ties_to_manifest_and_audit(spark, sf_smoke):
     """The datacard is a pure rollup of artifacts already pinned
     elsewhere, so it must tie out exactly: per-source fate counts
