@@ -24,6 +24,8 @@ composition must preserve.
 from __future__ import annotations
 
 import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
 
 from dungbeetle_spark.queries import registry
 
@@ -436,3 +438,216 @@ def test_fate_stage_order_fuzzy_never_preempts_earlier_stages(spark, sf_smoke):
     assert earlier & flagged, "fixture: some earlier-stage doc is fuzzy-flagged"
     for k in earlier:
         assert fate[k]["fate"] != "dropped_fuzzy_contaminated"
+
+
+# -- corpus_fate_manifest: full functional property (hypothesis) --------------
+
+
+def _ref_fate(docs):
+    """Plain-Python reference of the WHOLE composed fate pipeline —
+    quality funnel, eval carve-out, content-md5 dedup, seeded exact
+    5-gram decon, and the r12 fuzzy stage (template/footer seeding,
+    stop-DF filter, seeded 8-band minhash, >= 4-band decision) — a
+    third implementation, independent of both Spark and the DuckDB
+    oracle. ``docs``: [(doc_id, text, lang)]."""
+    import hashlib
+    import re
+
+    from dungbeetle_spark.functions.texts import md5_hash60_py as h60
+    from dungbeetle_spark.operators.mixing import (
+        _EVAL_MOD,
+        _FDC_BANDS,
+        _FDC_FOOTER,
+        _FDC_MIN_BANDS,
+        _FDC_N,
+        _FDC_STOP_PPM,
+        _FDC_TEMPLATE,
+        _FDC_TPL_MOD,
+        _GRAM_N,
+        _PLANT_MOD,
+    )
+    from dungbeetle_spark.operators.text import (
+        _QF_MAX_CHARS,
+        _QF_MIN_STOP,
+        _QF_MIN_WORDS,
+        _QF_STOPWORDS,
+        _QF_WL_HI,
+        _QF_WL_LO,
+    )
+
+    # quality funnel
+    reasons = {}
+    for did, text, lang in docs:
+        nc = len(text)
+        nw = (
+            0
+            if text.strip() == ""
+            else len(re.sub(r"\s+", " ", text).strip().split(" "))
+        )
+        toks = [t for t in re.split(r"[^a-z0-9]+", text.lower()) if t]
+        stp = sum(1 for t in toks if t in _QF_STOPWORDS)
+        if nw < _QF_MIN_WORDS:
+            r = "too_short"
+        elif nc > _QF_MAX_CHARS:
+            r = "too_long"
+        elif nc * 1000 // nw < _QF_WL_LO or nc * 1000 // nw > _QF_WL_HI:
+            r = "word_length"
+        elif lang == "en" and stp < _QF_MIN_STOP:
+            r = "low_stopword"
+        else:
+            r = "kept"
+        reasons[did] = r
+
+    # exact dedup among quality-kept non-eval docs (keep-first on md5)
+    h = {
+        did: hashlib.md5(" ".join(t.lower().split()).encode()).hexdigest()
+        for did, t, _ in docs
+    }
+    surv1 = [
+        did
+        for did, _, _ in docs
+        if did % _EVAL_MOD != 0 and reasons[did] == "kept"
+    ]
+    canon = {}
+    for did in surv1:
+        canon[h[did]] = min(canon.get(h[did], did), did)
+    dup_of = {did: canon[h[did]] for did in surv1}
+    surv2 = [did for did in surv1 if dup_of[did] == did]
+
+    # exact decon: seeded 5-grams vs the eval gram set
+    grams = {}
+    for did, text, _ in docs:
+        seeded = text
+        if did % _EVAL_MOD == 0 or did % _PLANT_MOD == 0:
+            seeded += (
+                f" benchmark passage k{did % 5}"
+                " alpha beta gamma delta epsilon zeta eta"
+            )
+        toks = [t for t in re.split(r"[^a-z0-9]+", seeded.lower()) if t]
+        grams[did] = {
+            " ".join(toks[i : i + _GRAM_N])
+            for i in range(len(toks) - _GRAM_N + 1)
+        }
+    ev = set().union(
+        *(grams[did] for did, _, _ in docs if did % _EVAL_MOD == 0)
+    ) if any(did % _EVAL_MOD == 0 for did, _, _ in docs) else set()
+    n_cont = {did: len(grams[did] & ev) for did in surv2}
+    surv3 = [did for did in surv2 if n_cont[did] == 0]
+
+    # fuzzy stage: template/footer seeding, stop-DF filter, minhash
+    shingles = {}
+    for did, text, _ in docs:
+        body = (
+            f"{_FDC_TEMPLATE} variant {did % 4} tail {did}"
+            if did % _FDC_TPL_MOD == 0
+            else text
+        )
+        w = " ".join((body + " " + _FDC_FOOTER).lower().split()).split(" ")
+        shingles[did] = {
+            h60(" ".join(w[i : i + _FDC_N]))
+            for i in range(len(w) - _FDC_N + 1)
+        }
+    df = {}
+    for hs in shingles.values():
+        for s in hs:
+            df[s] = df.get(s, 0) + 1
+    n_docs = len(docs)
+    stops = {s for s, c in df.items() if c * 1_000_000 > _FDC_STOP_PPM * n_docs}
+    sig = {}
+    for did, hs in shingles.items():
+        kept = hs - stops
+        if kept:
+            sig[did] = [
+                min(h60(f"{j}|{s}") for s in kept)
+                for j in range(_FDC_BANDS)
+            ]
+    fm = {}
+    for t in surv3:
+        if t not in sig:
+            continue
+        best = 0
+        for e, _, _ in docs:
+            if e % _EVAL_MOD == 0 and e in sig:
+                m = sum(1 for a, b in zip(sig[t], sig[e]) if a == b)
+                if m >= _FDC_MIN_BANDS:
+                    best = max(best, m)
+        if best:
+            fm[t] = best
+
+    rows = {}
+    for did, _, _ in docs:
+        if did % _EVAL_MOD == 0:
+            fate = "eval_holdout"
+        elif reasons[did] != "kept":
+            fate = "dropped_quality"
+        elif dup_of[did] != did:
+            fate = "dropped_duplicate"
+        elif n_cont.get(did, 0) > 0:
+            fate = "dropped_contaminated"
+        elif fm.get(did, 0) > 0:
+            fate = "dropped_fuzzy_contaminated"
+        else:
+            fate = "kept"
+        rows[did] = (
+            fate,
+            reasons[did],
+            dup_of.get(did, -1),
+            n_cont.get(did, 0),
+            fm.get(did, 0),
+        )
+    return rows
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(0, 120),  # 0/37/74/111 eval; %9 template; %10 plant
+            st.lists(
+                st.sampled_from(
+                    # 4-char words keep chars-per-word inside the
+                    # funnel band; "the"/"of" feed the stopword arm;
+                    # the long word trips the word_length arm
+                    "alfa brav chrl delt echo foxt golf hotl the of"
+                    " extraordinarily".split()
+                ),
+                max_size=45,
+            ),
+            st.sampled_from(["en", "de"]),
+        ),
+        min_size=1,
+        max_size=25,
+        unique_by=lambda t: t[0],
+    )
+)
+def test_fate_manifest_matches_brute_force_on_random_corpora(
+    spark, tmp_path_factory, docs
+):
+    """The whole composed fate contract — funnel thresholds, eval
+    carve-out, keep-first dedup, seeded exact decon, and the r12
+    fuzzy stage with its stop filter and band decision — against a
+    plain-Python reference on arbitrary tiny corpora (empty texts,
+    eval-only corpora, duplicate texts, all-boilerplate docs, quality
+    rejections of every kind). Three independent implementations now
+    agree: this reference, the Spark plan, and the DuckDB oracle
+    (driver-checked at sf0.01)."""
+    expected = _ref_fate([(d, " ".join(w), lang) for d, w, lang in docs])
+    out = tmp_path_factory.mktemp("fate_prop")
+    spark.createDataFrame(
+        [
+            (d, " ".join(w), lang, "crawl", len(" ".join(w)))
+            for d, w, lang in docs
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).coalesce(1).write.parquet(f"{out}/documents.parquet")
+    got = {
+        r["doc_id"]: (
+            r["fate"],
+            r["quality_reason"],
+            r["canonical_id"],
+            r["n_contaminated"],
+            r["fuzzy_matched_bands"],
+        )
+        for r in SPECS["corpus_fate_manifest"].build(spark, str(out)).collect()
+    }
+    assert got == expected
