@@ -14,6 +14,7 @@ from tests.oracle import compare, duck_connect
 SPECS = registry()
 ORACLE_NAMES = sorted(n for n, s in SPECS.items() if s.oracle)
 ROWS_ONLY_NAMES = sorted(n for n, s in SPECS.items() if not s.oracle)
+SF_ORACLE_DEFAULT = "/root/testdata/sf0.01"  # the driver's t2 gate scale
 
 
 @pytest.fixture(scope="module")
@@ -23,6 +24,17 @@ def duck(sf_oracle):
     con.close()
 
 
+# Threshold-filtered queries whose row count legitimately varies with
+# the corpus scale: q11's fixed value-share cut (the TPC-H q11 shape)
+# empties as per-part shares shrink at sf0.1. The zero-row
+# non-hollowness guard stays strict at the driver's sf0.01 gate and
+# relaxes for these names only under a SPARK_GRAFT_ORACLE_SF override
+# (found by the r12 sf0.1 full-suite sweep — both engines agreed on
+# the empty result, so correctness held; only the guard was
+# scale-tuned).
+_SCALE_THRESHOLDED = {"q11_important_parts"}
+
+
 @pytest.mark.parametrize("name", ORACLE_NAMES)
 def test_oracle_match(spark, sf_oracle, duck, name):
     spec = SPECS[name]
@@ -30,6 +42,8 @@ def test_oracle_match(spark, sf_oracle, duck, name):
     n = compare(df, duck, spec.oracle)
     # hollow-check guard: an oracle that matches on an empty result
     # set proves nothing — every fixture query must produce rows
+    if n == 0 and name in _SCALE_THRESHOLDED and sf_oracle != SF_ORACLE_DEFAULT:
+        pytest.skip(f"{name}: threshold-filtered, empty at {sf_oracle}")
     assert n > 0, f"{name}: oracle matched but on ZERO rows"
 
 
@@ -429,7 +443,13 @@ def test_corpus_fate_manifest_consistent_with_standalone_ops(spark, sf_oracle):
     for did, r in manifest.items():
         if r.fate == "dropped_duplicate":
             canon = manifest[r.canonical_id]
-            assert canon.fate in ("kept", "dropped_contaminated")
+            # the canonical survived quality + dedup; decon (exact OR,
+            # since r12, fuzzy) may still drop it downstream
+            assert canon.fate in (
+                "kept",
+                "dropped_contaminated",
+                "dropped_fuzzy_contaminated",
+            )
             assert r.canonical_id < did
     cont = {r.doc_id: r.is_contaminated for r in decontamination(spark, sf_oracle).collect()}
     for did, r in manifest.items():
