@@ -1247,7 +1247,7 @@ def shard_export_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _export_frame(_t(spark, sf_dir, "documents")["documents"])
 
 
-def _export_frame(d: DataFrame) -> DataFrame:
+def _export_frame(d: DataFrame, kept: DataFrame | None = None) -> DataFrame:
     """shard_export_manifest's export pipeline over an arbitrary
     documents frame — extracted r10 for shard_export_diff's two-
     snapshot replay; with the loaded table it is shard_export_manifest
@@ -1256,11 +1256,22 @@ def _export_frame(d: DataFrame) -> DataFrame:
     same seed/redact expressions as pii_redaction_audit), so the
     per-shard digest chain covers redacted bytes, chars_redacted
     records the net removal, and residual_pii — matches remaining in
-    the shipped text — is an output column both engines pin to 0."""
+    the shipped text — is an output column both engines pin to 0.
+
+    ``kept`` (r13) optionally supplies the fate-kept membership from a
+    MATERIALIZED manifest table (operators.warehouse) instead of
+    replaying the composed fate plan — the warehouse shape the
+    docstrings promise at 100 TB. Note chars_redacted is a NET char
+    delta (raw length minus shipped length, summed); a PII match
+    shorter than its typed placeholder contributes negatively, so on
+    a corpus with organic short matches the column is signed — the
+    per-class hit counts in pii_redaction_audit are the unsigned
+    companions (ADVICE r12)."""
     from dungbeetle_spark.functions.texts import md5_hash60
     from dungbeetle_spark.operators.curation import _ILV_SHIFT
 
-    kept = _fate_frame(d).filter(F.col("fate") == "kept").select("doc_id")
+    if kept is None:
+        kept = _fate_frame(d).filter(F.col("fate") == "kept").select("doc_id")
     shipped = _pii_redact_col(F.col("text"))
     seq = (
         d.select("doc_id", "text")
@@ -1354,9 +1365,13 @@ def _evolved_docs(d: DataFrame) -> DataFrame:
     return base.unionByName(added)
 
 
-@query(
-    "shard_export_diff",
-    oracle=f"""
+def _export_diff_oracle() -> str:
+    """shard_export_diff's oracle — extracted r13 so the materialized-
+    prev variant (operators.warehouse.shard_export_diff_from_manifest)
+    shares the one SQL definition: the diff decision is replay-
+    independent, so reading ``prev`` from the shipped manifest table
+    must reproduce exactly this."""
+    return f"""
     WITH {_EVOLVED_DOCS_SQL},
     prev AS (SELECT * FROM ({_export_oracle("documents")}) p),
     curr AS (SELECT * FROM ({_export_oracle("newdocs")}) c)
@@ -1370,7 +1385,12 @@ def _evolved_docs(d: DataFrame) -> DataFrame:
            p.content_digest AS prev_digest,
            c.content_digest AS curr_digest
     FROM prev p FULL OUTER JOIN curr c ON p.shard_id = c.shard_id
-    """,
+    """
+
+
+@query(
+    "shard_export_diff",
+    oracle=_export_diff_oracle(),
     doc="Incremental re-export planning (VERDICT r09 item 4) — the "
     "operator a 100 TB pipeline runs AFTER shard_export_manifest: "
     "replay the export digest chains for the previous corpus snapshot "
@@ -1424,9 +1444,11 @@ def _diff_frames(prev: DataFrame, curr: DataFrame) -> DataFrame:
 # -- pii_redaction_audit ------------------------------------------------------
 
 
-@query(
-    "pii_redaction_audit",
-    oracle=f"""
+def _pii_audit_oracle() -> str:
+    """pii_redaction_audit's oracle — extracted r13 so the
+    materialized-membership variant (operators.warehouse) shares the
+    one SQL definition (the fate CTE below IS the spliced manifest)."""
+    return f"""
     WITH fate AS (SELECT * FROM ({_fate_oracle()}) f),
     kept AS (SELECT doc_id FROM fate WHERE fate = 'kept'),
     docs AS ({_pii_seed_sql()}),
@@ -1451,7 +1473,12 @@ def _diff_frames(prev: DataFrame, curr: DataFrame) -> DataFrame:
              AS residual_hits
     FROM scored
     GROUP BY source
-    """,
+    """
+
+
+@query(
+    "pii_redaction_audit",
+    oracle=_pii_audit_oracle(),
     doc="PII detection/redaction audit (VERDICT r10 item 6) — the "
     "release stage a real corpus run executes between the quality "
     "funnel and export: over EXACTLY the fate-kept population (the "
@@ -1484,6 +1511,15 @@ def pii_redaction_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     its digest chain since r12) rather than recomputed."""
     d = _t(spark, sf_dir, "documents")["documents"]
     kept = _fate_frame(d).filter(F.col("fate") == "kept").select("doc_id")
+    return _pii_audit_frame(d, kept)
+
+
+def _pii_audit_frame(d: DataFrame, kept: DataFrame) -> DataFrame:
+    """The audit rollup given a kept-membership frame — extracted r13
+    so the materialized-manifest variant (operators.warehouse) feeds
+    the membership from the shipped manifest table instead of the
+    replayed fate plan. chars_redacted is a NET (signed) char delta;
+    see :func:`_export_frame` (ADVICE r12)."""
     seeded = d.join(kept, "doc_id").select(
         "doc_id", "source", _pii_seed_expr().alias("text")
     )
@@ -1596,6 +1632,16 @@ def release_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
     assembly once."""
     d = _t(spark, sf_dir, "documents")["documents"]
     fate = _fate_frame(d).localCheckpoint(eager=False)
+    return _datacard_frame(d, fate)
+
+
+def _datacard_frame(d: DataFrame, fate: DataFrame) -> DataFrame:
+    """The datacard rollups given a fate frame — extracted r13 so the
+    materialized-manifest variant (operators.warehouse) can pass the
+    shipped manifest TABLE (already materialized, so no checkpoint)
+    where the fixture query passes the locally-checkpointed replay.
+    chars_redacted is a NET (signed) char delta; see
+    :func:`_export_frame` (ADVICE r12)."""
     fates = (
         fate.join(d.select("doc_id", "source"), "doc_id")
         .groupBy("source")

@@ -65,57 +65,34 @@ def query(name: str, oracle: str | None = None, doc: str = ""):
 # or changing a query therefore touches exactly this one list; the
 # stale-repayment rotation happens by construction every round.
 NEW_OR_CHANGED: list[str] = [
-    # r12 budget note: ten entries — the fate-pipeline fuzzy-decon
-    # composition cascade (VERDICT r11 items 1-2: five changed
-    # queries), one new streaming gate (item 7), the capped exact
-    # planner (item 4), and the two fuzzy queries whose oracle SQL is
-    # now rendered by the shared parameterized generator (ADVICE r11:
-    # the shingle concat is built from _FDC_N instead of hardcoded —
-    # value-identical, but the rendered SQL text changed, so they
-    # re-verify by the rotation rule). Window math: 9 entries + the 6
-    # r07-stale + 35 of the 44 r08-stale fill the 50 slots — the
-    # last-green floor moves to r08 this round (VERDICT r11 item 3).
-    # With release_datacard the list is ten: 10 + 6 r07 + 34 r08 = 50,
-    # floor still r08; the 10 displaced r08 queries head the r13 window.
+    # r13 budget note: seven entries, all NEW queries (VERDICT r12
+    # items 1-2 + 5): the five materialized-manifest warehouse
+    # variants and the two table-backed streaming gate drains. Window
+    # math: 7 entries + the 8 r08-stale + 35 of the r09-stale fill the
+    # 50 slots — the last-green floor moves to r09 this round (VERDICT
+    # r12 item 3).
     #
-    # r12 changed (VERDICT r11 item 1): the composed fate pipeline
-    # gained the FUZZY decontamination stage (exact-decon survivors
-    # probed against the stop-filtered eval band index; new
-    # fuzzy_matched_bands column, new dropped_fuzzy_contaminated
-    # fate) — manifest + streaming twin share the one composed oracle.
-    "corpus_fate_manifest",
-    "streaming_corpus_fate_gate",
-    # r12 changed (VERDICT r11 item 2): the export digests the SHIPPED
-    # text — PII seed + redaction folded into the digest projection;
-    # new chars_redacted + residual_pii (pinned 0) columns; the diff
-    # replays the same redacted chains over both snapshots.
-    "shard_export_manifest",
-    "shard_export_diff",
-    # r12 changed: the audit now runs the SHARED seed/redact
-    # expressions (and inherits the fuzzy-tightened membership).
-    "pii_redaction_audit",
-    # r12 new (VERDICT r11 item 7): the release stage's stateless
-    # ingest twin — per-doc PII decision rows over the fate-kept
-    # population; aggregating them reproduces the audit.
-    "streaming_pii_redaction_gate",
-    # r12 changed (VERDICT r11 "What's wrong" item 1): the exact
-    # planner's pair join runs under the leader-star bucket cap with a
-    # truncated_buckets audit column; oracle rewritten to the bitmask
-    # form that can express the cap.
-    "lsh_band_planner",
-    # r12 new: the per-source release datacard — fate breakdown +
-    # shipped/redacted volumes over the same redacted bytes the export
-    # digests; the release pipeline's summary artifact.
-    "release_datacard",
-    # r12 oracle-regenerated (ADVICE r11): _FDC_ORACLE's CTE chain now
-    # renders from _fdc_sig_ctes (shingle concat generated from
-    # _FDC_N); values identical, SQL text changed.
-    "fuzzy_decontamination",
-    "streaming_fuzzy_decon_gate",
-    # DELIBERATELY OFF this list (r12): the md5_hash60_py helper
-    # substitution in the two streaming-gate UDFs and the similarity
-    # plane generator is an identity refactor (same hash bytes, pinned
-    # by the untouched oracle suite), per the r11 HOF-rewrite rule.
+    # r13 new (VERDICT r12 item 1): the warehouse variants — the fate
+    # manifest materialized as a job RESULT TABLE through the Part A
+    # layer; these read it instead of replaying the composed fate plan.
+    "shard_export_from_manifest",
+    "pii_audit_from_manifest",
+    "release_datacard_from_manifest",
+    "shard_export_diff_from_manifest",
+    # r13 new (VERDICT r12 item 5): per-doc fate transitions between
+    # the shipped manifest and the evolved corpus's recomputed fates.
+    "fate_churn_summary",
+    # r13 new (VERDICT r12 item 2): the gates' drains with the static
+    # reference state read from materialized result tables — the
+    # production claim the inline fixtures could only document.
+    "streaming_fate_gate_from_tables",
+    "streaming_pii_gate_from_tables",
+    # DELIBERATELY OFF this list (r13): the fixture queries the
+    # variants derive from (shard_export_manifest, shard_export_diff,
+    # pii_redaction_audit, release_datacard, both inline gates) — their
+    # Spark plans and oracle SQL are byte-identical after the
+    # kept=/fate=-parameter extraction (identity refactor, per the
+    # r11/r12 rule), pinned by the untouched oracle suite.
 ]
 
 
@@ -218,6 +195,7 @@ def _import_operator_modules() -> None:
     import dungbeetle_spark.operators.modern_sql  # noqa: F401
     import dungbeetle_spark.operators.multimodal  # noqa: F401
     import dungbeetle_spark.operators.temporal  # noqa: F401
+    import dungbeetle_spark.operators.warehouse  # noqa: F401
     import dungbeetle_spark.streaming.stateful  # noqa: F401
     import dungbeetle_spark.streaming.upsert  # noqa: F401
     import dungbeetle_spark.streaming.windows  # noqa: F401
