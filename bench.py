@@ -178,6 +178,18 @@ HEADLINE = [
     # r12: per-source release datacard (fate breakdown + shipped/
     # redacted volume block over the export's redacted bytes)
     "release_datacard",
+    # r13: the materialized-manifest warehouse variants (VERDICT r12
+    # item 1) — the release family reading the shipped manifest
+    # result tables instead of replaying the composed fate plan. The
+    # manifest materialization itself is a one-time setup cost,
+    # recorded separately as materialization_setup_sec (min-of-3
+    # timing reads the warm path, matching the warehouse claim).
+    "shard_export_from_manifest",
+    "pii_audit_from_manifest",
+    "release_datacard_from_manifest",
+    "shard_export_diff_from_manifest",
+    # r13: prev-manifest vs evolved-corpus fate transition matrix
+    "fate_churn_summary",
 ]
 
 # Streaming drain bench (VERDICT r09 item 5): none of the 11 streaming
@@ -204,7 +216,22 @@ STREAMING = [
     # r12: the composed release gate — fate decision (incl. fuzzy) +
     # kept-doc PII projection; batch twin is pii_redaction_audit
     "streaming_pii_redaction_gate",
+    # r13 (VERDICT r12 item 2): the same two gates with reference
+    # state read from materialized result tables — the drain number
+    # production cares about (per-batch probe, no reference rebuild).
+    # The inline entries above stay for the inline-vs-tables contrast;
+    # the reference-state build rides materialization_setup_sec.
+    "streaming_fate_gate_from_tables",
+    "streaming_pii_gate_from_tables",
 ]
+
+# Streaming ops under this wall-time get 2 extra interleaved reps
+# (min-of-5): VERDICT r12 item 7 — streaming_windowed_counts' ~3.5 s
+# drain showed stddev 0.51 and kept tripping the batch flag only to be
+# exonerated isolated; more samples shrink the min's noise floor where
+# a sample is cheap by definition.
+_STREAM_EXTRA_REP_UNDER_SEC = 5.0
+_STREAM_EXTRA_REPS = 2
 
 # Host-drift canary (ADVICE r04: one hardcoded-anchor query is noisy
 # and misattributes regressions in that query's own shared path to host
@@ -417,8 +444,11 @@ _KNOWN_REGRESSIONS = {
         "Deliberate."
     ),
     "streaming_pii_redaction_gate": (
-        "new in r12 — no prior cell; any flag here is a first "
-        "measurement, not a regression."
+        "inline fixture: the drain rebuilds the full fate reference "
+        "state per run (canonical map + eval grams + fuzzy index); "
+        "the production number is streaming_pii_gate_from_tables, "
+        "which reads the materialized tables (r13, VERDICT r12 "
+        "item 2)."
     ),
     "lang_label_noise_audit": (
         "r10-cell normalization artifact: ~1.2x vs r09 (r09 norm "
@@ -692,6 +722,7 @@ def cross_round_context(
     timings: dict[str, float],
     host_factor: float | None,
     against_path: str,
+    text_factor: float | None = None,
 ) -> None:
     """Informational second opinion on CONFIRMED regressions (r11
     investigation: a one-off fast cell in the prior round's record —
@@ -714,23 +745,39 @@ def cross_round_context(
         return
     try:
         with open(path) as f:
-            old_q = json.load(f).get("queries") or {}
+            old_full = json.load(f)
     except (OSError, json.JSONDecodeError):
         return
+    old_q = old_full.get("queries") or {}
     old_factor = _median_host_factor(old_q)
     if not old_factor:
         return
+    # ADVICE r12: normalize _TEXT_CLASS queries with the text-class
+    # factors here too — same both-sides-or-fallback rule as
+    # _ratio_guard, so the advisory second-opinion ratio can never mix
+    # normalization methodologies with the primary ratio it sits next
+    # to. The factor kind used is recorded alongside the number.
+    old_text_factor = _median_host_factor(
+        ((old_full.get("canary") or {}).get("text_anchors") or {}),
+        CANARY_TEXT_ANCHORS,
+    )
+    text_pair_ok = bool(text_factor and old_text_factor)
     # setdefault, not `.get(...) or {}`: if regression_checks were ever
     # absent (confirm_regressions not run first) the annotations below
     # would land in a detached dict and silently vanish (ADVICE r11).
     checks = compare.setdefault("regression_checks", {})
     for name in compare.get("regressions") or ():
         if old_q.get(name) and timings.get(name) and name in checks:
+            nf, of = host_factor, old_factor
+            kind = "default"
+            if text_pair_ok and name in _TEXT_CLASS:
+                nf, of = text_factor, old_text_factor
+                kind = "text"
             checks[name][f"ratio_vs_r{prev}"] = round(
-                (timings[name] / host_factor)
-                / (old_q[name] / old_factor),
+                (timings[name] / nf) / (old_q[name] / of),
                 3,
             )
+            checks[name][f"ratio_vs_r{prev}_factor"] = kind
 
 
 def _round_of(bench_path: str) -> str | None:
@@ -914,6 +961,27 @@ def emit_bench_line(out: dict, full_name: str = "BENCH_FULL.json") -> str:
                 s_slim["median_ratio"] = s_ratios[len(s_ratios) // 2]
             if s_cmp.get("note"):
                 s_slim["note"] = s_cmp["note"]
+            # VERDICT r12 item 4: mirror the batch block's
+            # self-exoneration — a streaming flag must ship with its
+            # isolated-rerun verdict and its known-regression names,
+            # or the driver artifact shows an unexplained regression
+            # (exactly what r12's streaming slim did).
+            if s_cmp.get("known_regressions"):
+                s_slim["known_regressions"] = sorted(
+                    s_cmp["known_regressions"]
+                )
+            s_checks = s_cmp.get("regression_checks") or {}
+            s_flagged = s_cmp.get("flagged_batch") or ()
+            if s_flagged:
+                s_slim["flag_resolution"] = {
+                    n: {
+                        "isolated_ratio": (s_checks.get(n) or {}).get(
+                            "isolated_ratio"
+                        ),
+                        "confirmed": (s_checks.get(n) or {}).get("confirmed"),
+                    }
+                    for n in s_flagged
+                }
         slim["streaming"] = s_slim
     line = json.dumps(slim)
     if len(line) <= _STDOUT_LINE_BUDGET:
@@ -924,6 +992,8 @@ def emit_bench_line(out: dict, full_name: str = "BENCH_FULL.json") -> str:
     # wins over a complete one, but an explained flag beats neither.
     if isinstance(slim.get("compare"), dict):
         slim["compare"].pop("flag_resolution", None)
+        if isinstance(slim.get("streaming"), dict):
+            slim["streaming"].pop("flag_resolution", None)
         line = json.dumps(slim)
         if len(line) <= _STDOUT_LINE_BUDGET:
             return line
@@ -988,6 +1058,33 @@ def main() -> None:
     tables = load_tables(spark, sf_dir, TABLES)
     for df in tables.values():
         df.write.mode("overwrite").format("noop").save()
+
+    # r13: materialize the warehouse result tables (fate manifest,
+    # export manifest, gate reference state) through the job layer
+    # BEFORE any timed pass, so the *_from_manifest / *_from_tables
+    # entries measure the table-READ path their docstrings claim. The
+    # one-time build cost is real and reported — as its own scalar,
+    # not smeared into whichever query happened to run first (the
+    # static-build-vs-per-batch split VERDICT r12 item 2 asks the
+    # bench to make visible).
+    mat_setup_sec = None
+    _mat_consumers = {
+        "shard_export_from_manifest",
+        "pii_audit_from_manifest",
+        "release_datacard_from_manifest",
+        "shard_export_diff_from_manifest",
+        "fate_churn_summary",
+        "streaming_fate_gate_from_tables",
+        "streaming_pii_gate_from_tables",
+    }
+    if _mat_consumers & set(headline + streaming_ops):
+        from dungbeetle_spark.operators import warehouse
+
+        t0 = time.perf_counter()
+        warehouse.manifest_table(spark, sf_dir)
+        warehouse.export_manifest_table(spark, sf_dir)
+        warehouse.fate_reference_tables(spark, sf_dir)
+        mat_setup_sec = round(time.perf_counter() - t0, 3)
 
     # spark.range gives every core a non-empty partition, so all 32
     # workers fork+import now — a tiny table (e.g. region, 5 rows)
@@ -1081,7 +1178,9 @@ def main() -> None:
 
     if compare and compare.get("regressions"):
         confirm_regressions(compare, timings, _isolated_min)
-        cross_round_context(compare, timings, host_factor, against)
+        cross_round_context(
+            compare, timings, host_factor, against, text_factor
+        )
 
     # Streaming drain section (VERDICT r09 item 5): each op's build()
     # runs a synchronous availableNow drain to parquet; the noop save
@@ -1091,6 +1190,22 @@ def main() -> None:
         s_runs: dict[str, list[float]] = {name: [] for name in streaming_ops}
         for _ in range(3):
             for name in streaming_ops:
+                t0 = time.perf_counter()
+                specs[name].build(spark, sf_dir).write.mode(
+                    "overwrite"
+                ).format("noop").save()
+                s_runs[name].append(time.perf_counter() - t0)
+        # VERDICT r12 item 7: sub-_STREAM_EXTRA_REP_UNDER_SEC drains
+        # get extra interleaved reps — their min was noise-dominated
+        # (windowed_counts stddev 0.51 on ~3.5 s tripped two rounds of
+        # flags that isolation then cleared) and extra samples are
+        # cheap exactly where they're needed.
+        short = [
+            n for n in streaming_ops
+            if min(s_runs[n]) < _STREAM_EXTRA_REP_UNDER_SEC
+        ]
+        for _ in range(_STREAM_EXTRA_REPS):
+            for name in short:
                 t0 = time.perf_counter()
                 specs[name].build(spark, sf_dir).write.mode(
                     "overwrite"
@@ -1148,6 +1263,12 @@ def main() -> None:
         ),
         "query_spread_stddev": spread,
     }
+    if mat_setup_sec is not None:
+        # the one-time warehouse build (fate manifest + export manifest
+        # + gate reference tables through the job layer) — the
+        # static-state term the *_from_manifest / *_from_tables
+        # timings deliberately exclude
+        out["materialization_setup_sec"] = mat_setup_sec
     if compare is not None:
         out["compare"] = compare
     if streaming is not None:

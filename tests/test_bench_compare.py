@@ -652,3 +652,96 @@ def test_cross_round_context_is_a_noop_without_the_archive(tmp_path):
     }
     bench.cross_round_context(compare, {"q": 1.0}, 1.0, str(against))
     assert compare["regression_checks"]["q"] == {"confirmed": True}
+
+
+def test_streaming_slim_is_self_exonerating_when_flagged():
+    """VERDICT r12 item 4: a streaming flag must ship with its
+    isolated-rerun verdict and known-regression names in the SLIM
+    line, like the batch block — r12's slim carried
+    regressions=["streaming_corpus_fate_gate"] with no rationale."""
+    out = {
+        "metric": "headline_queries_total_wall",
+        "value": 10.0,
+        "unit": "sec",
+        "queries": {"q1_pricing_summary": 10.0},
+        "sf": 0.1,
+        "canary": {"host_factor": 1.0},
+        "streaming": {
+            "queries": {"streaming_corpus_fate_gate": 9.0},
+            "total": 9.0,
+            "compare": {
+                "normalized_ratios": {"streaming_corpus_fate_gate": 2.9},
+                "regressions": ["streaming_corpus_fate_gate"],
+                "flagged_batch": ["streaming_corpus_fate_gate"],
+                "regression_checks": {
+                    "streaming_corpus_fate_gate": {
+                        "isolated_ratio": 2.8,
+                        "confirmed": True,
+                    }
+                },
+                "known_regressions": {
+                    "streaming_corpus_fate_gate": "deliberate composition"
+                },
+            },
+        },
+    }
+    line = bench.emit_bench_line(out)
+    assert len(line) <= bench._STDOUT_LINE_BUDGET
+    parsed = json.loads(line)
+    s = parsed["streaming"]
+    assert s["known_regressions"] == ["streaming_corpus_fate_gate"]
+    assert s["flag_resolution"]["streaming_corpus_fate_gate"] == {
+        "isolated_ratio": 2.8,
+        "confirmed": True,
+    }
+
+
+def test_cross_round_context_uses_text_factor_for_text_class(tmp_path):
+    """ADVICE r12: the advisory ratio_vs_r{prev} must not mix a
+    text-factor primary ratio with a default-factor second opinion.
+    When both this run and the r{prev} archive carry text anchors, a
+    _TEXT_CLASS flag's second-opinion ratio normalizes by the text
+    factors — and the factor kind rides next to the number either
+    way."""
+    against = tmp_path / "BENCH_r98.json"
+    against.write_text("{}")
+    name = next(iter(bench._TEXT_CLASS))
+    prevprev = {n: r for n, r in bench.CANARY_ANCHORS.items()}
+    prevprev[name] = 2.0
+    (tmp_path / "BENCH_FULL_r97.json").write_text(
+        json.dumps(
+            {
+                "queries": prevprev,
+                "canary": {
+                    # r97 text factor = 2.0 (anchors at 2x reference)
+                    "text_anchors": {
+                        n: v * 2.0
+                        for n, v in bench.CANARY_TEXT_ANCHORS.items()
+                    }
+                },
+            }
+        )
+    )
+    compare = {
+        "regressions": [name],
+        "regression_checks": {name: {"confirmed": True}},
+    }
+    # current: default hf 1.0, text factor 1.0; r97: default hf 1.0,
+    # text factor 2.0 — the text-normalized old value is 1.0, so the
+    # 2.2 measurement reads 2.2 under text factors (not 1.1 under the
+    # default factors).
+    bench.cross_round_context(
+        compare, {name: 2.2}, 1.0, str(against), text_factor=1.0
+    )
+    checks = compare["regression_checks"][name]
+    assert checks["ratio_vs_r97"] == 2.2
+    assert checks["ratio_vs_r97_factor"] == "text"
+    # without a current text factor, fall back to default + say so
+    compare2 = {
+        "regressions": [name],
+        "regression_checks": {name: {"confirmed": True}},
+    }
+    bench.cross_round_context(compare2, {name: 2.2}, 1.0, str(against))
+    checks2 = compare2["regression_checks"][name]
+    assert checks2["ratio_vs_r97"] == 1.1
+    assert checks2["ratio_vs_r97_factor"] == "default"

@@ -42,7 +42,15 @@ def test_oracle_match(spark, sf_oracle, duck, name):
     n = compare(df, duck, spec.oracle)
     # hollow-check guard: an oracle that matches on an empty result
     # set proves nothing — every fixture query must produce rows
-    if n == 0 and name in _SCALE_THRESHOLDED and sf_oracle != SF_ORACLE_DEFAULT:
+    # realpath-normalized compare (ADVICE r12): an equivalent spelling
+    # of the sf0.01 fixture path (trailing slash, symlink, relative)
+    # must not relax the strict zero-row guard at the gate scale.
+    import os
+
+    at_gate_scale = os.path.realpath(sf_oracle) == os.path.realpath(
+        SF_ORACLE_DEFAULT
+    )
+    if n == 0 and name in _SCALE_THRESHOLDED and not at_gate_scale:
         pytest.skip(f"{name}: threshold-filtered, empty at {sf_oracle}")
     assert n > 0, f"{name}: oracle matched but on ZERO rows"
 

@@ -61,6 +61,16 @@ EXECUTING = {
         "gate + kept-doc PII projection; the per-batch plan is "
         "batch-local by design"
     ),
+    "streaming_fate_gate_from_tables": (
+        "executes at build() — the fate gate's drain with reference "
+        "state read from materialized result tables; per-batch plan "
+        "identical to streaming_corpus_fate_gate's"
+    ),
+    "streaming_pii_gate_from_tables": (
+        "executes at build() — the PII gate's drain with reference "
+        "state read from materialized result tables; per-batch plan "
+        "identical to streaming_pii_redaction_gate's"
+    ),
     "bpe_merge_ranks": (
         "executes at build() — driver-side iterative argmax (K bounded "
         "1-row collects); the real plans are the K pair-count "
