@@ -233,6 +233,23 @@ STREAMING = [
 _STREAM_EXTRA_REP_UNDER_SEC = 5.0
 _STREAM_EXTRA_REPS = 2
 
+# Entries that read the job-materialized warehouse tables: bench
+# pre-materializes the tables (untimed, recorded as
+# materialization_setup_sec) before any timed pass so these measure
+# the table-READ path. Kept in sync with
+# tools/scale_sweep._WAREHOUSE_CONSUMERS by test_bench_compare.
+_MAT_CONSUMERS = frozenset(
+    {
+        "shard_export_from_manifest",
+        "pii_audit_from_manifest",
+        "release_datacard_from_manifest",
+        "shard_export_diff_from_manifest",
+        "fate_churn_summary",
+        "streaming_fate_gate_from_tables",
+        "streaming_pii_gate_from_tables",
+    }
+)
+
 # Host-drift canary (ADVICE r04: one hardcoded-anchor query is noisy
 # and misattributes regressions in that query's own shared path to host
 # drift). Anchors: scan/agg queries UNTOUCHED since r01, with their
@@ -1068,16 +1085,7 @@ def main() -> None:
     # static-build-vs-per-batch split VERDICT r12 item 2 asks the
     # bench to make visible).
     mat_setup_sec = None
-    _mat_consumers = {
-        "shard_export_from_manifest",
-        "pii_audit_from_manifest",
-        "release_datacard_from_manifest",
-        "shard_export_diff_from_manifest",
-        "fate_churn_summary",
-        "streaming_fate_gate_from_tables",
-        "streaming_pii_gate_from_tables",
-    }
-    if _mat_consumers & set(headline + streaming_ops):
+    if _MAT_CONSUMERS & set(headline + streaming_ops):
         from dungbeetle_spark.operators import warehouse
 
         t0 = time.perf_counter()

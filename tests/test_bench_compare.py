@@ -745,3 +745,20 @@ def test_cross_round_context_uses_text_factor_for_text_class(tmp_path):
     checks2 = compare2["regression_checks"][name]
     assert checks2["ratio_vs_r97"] == 1.1
     assert checks2["ratio_vs_r97_factor"] == "default"
+
+
+def test_warehouse_consumer_sets_stay_in_sync():
+    """A *_from_manifest / *_from_tables entry added to the bench or
+    sweep without joining the pre-materialization set would time the
+    one-off table BUILD as its steady-state cell — pin the two sets
+    to each other and to the benched entries that need them."""
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    import scale_sweep
+
+    assert bench._MAT_CONSUMERS == frozenset(scale_sweep._WAREHOUSE_CONSUMERS)
+    needs = {
+        n
+        for n in bench.HEADLINE + bench.STREAMING
+        if "from_manifest" in n or "from_tables" in n or n == "fate_churn_summary"
+    }
+    assert needs <= bench._MAT_CONSUMERS
