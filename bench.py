@@ -190,6 +190,9 @@ HEADLINE = [
     "shard_export_diff_from_manifest",
     # r13: prev-manifest vs evolved-corpus fate transition matrix
     "fate_churn_summary",
+    # r13: per-source datacard delta between the shipped release and
+    # the evolved corpus (prev from the manifest table, one replay)
+    "release_datacard_diff",
 ]
 
 # Streaming drain bench (VERDICT r09 item 5): none of the 11 streaming
@@ -245,6 +248,7 @@ _MAT_CONSUMERS = frozenset(
         "release_datacard_from_manifest",
         "shard_export_diff_from_manifest",
         "fate_churn_summary",
+        "release_datacard_diff",
         "streaming_fate_gate_from_tables",
         "streaming_pii_gate_from_tables",
     }

@@ -1558,19 +1558,21 @@ _FATES = [
 ]
 
 
-def _datacard_oracle() -> str:
+def _datacard_oracle(src: str = "documents") -> str:
     """Generated from _FATES so a future fate value cannot silently
     miss the datacard (adding one breaks the generated column list,
-    not a hand-written CASE)."""
+    not a hand-written CASE). Parameterized by source relation (r13)
+    so release_datacard_diff can render the evolved-snapshot side;
+    the default rendering is byte-identical to the r12 text."""
     fate_cols = ",\n             ".join(
         f"CAST(SUM(CASE WHEN fate = '{f}' THEN 1 ELSE 0 END) AS BIGINT)"
         f" AS {f}"
         for f in _FATES
     )
     return f"""
-    WITH fate AS (SELECT * FROM ({_fate_oracle()}) f),
+    WITH fate AS (SELECT * FROM ({_fate_oracle(src)}) f),
     kept AS (SELECT doc_id FROM fate WHERE fate = 'kept'),
-    docs AS ({_pii_seed_sql()}),
+    docs AS ({_pii_seed_sql(src)}),
     red AS (
       SELECT source, text, {_pii_redact_sql("text")} AS shipped
       FROM docs),
@@ -1587,7 +1589,7 @@ def _datacard_oracle() -> str:
       SELECT d.source,
              CAST(COUNT(*) AS BIGINT) AS n_docs,
              {fate_cols}
-      FROM fate f JOIN documents d USING (doc_id)
+      FROM fate f JOIN {src} d USING (doc_id)
       GROUP BY d.source)
     SELECT f.source, f.n_docs,
            {", ".join("f." + f for f in _FATES)},

@@ -447,3 +447,96 @@ def fate_churn_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("doc_id").cast("long").alias("example_doc"),
         )
     )
+
+
+def _datacard_diff_oracle() -> str:
+    from dungbeetle_spark.operators.pipeline import (
+        _EVOLVED_DOCS_SQL,
+        _datacard_oracle,
+    )
+
+    return f"""
+    WITH {_EVOLVED_DOCS_SQL},
+    prev AS (SELECT * FROM ({_datacard_oracle("documents")}) p),
+    curr AS (SELECT * FROM ({_datacard_oracle("newdocs")}) c)
+    SELECT COALESCE(p.source, c.source) AS source,
+           COALESCE(p.n_docs, 0) AS prev_n_docs,
+           COALESCE(c.n_docs, 0) AS curr_n_docs,
+           COALESCE(c.n_docs, 0) - COALESCE(p.n_docs, 0) AS docs_delta,
+           COALESCE(p.kept, 0) AS prev_kept,
+           COALESCE(c.kept, 0) AS curr_kept,
+           COALESCE(c.kept, 0) - COALESCE(p.kept, 0) AS kept_delta,
+           COALESCE(p.shipped_chars, 0) AS prev_shipped_chars,
+           COALESCE(c.shipped_chars, 0) AS curr_shipped_chars,
+           COALESCE(c.shipped_chars, 0) - COALESCE(p.shipped_chars, 0)
+             AS shipped_chars_delta
+    FROM prev p FULL OUTER JOIN curr c ON p.source = c.source
+    """
+
+
+@query(
+    "release_datacard_diff",
+    oracle=_datacard_diff_oracle(),
+    doc="Per-source release DELTA — the datacard-level companion to "
+    "fate_churn_summary a release review reads first: for each "
+    "source, ingested/kept/shipped-char totals of the SHIPPED release "
+    "(prev side read from the materialized corpus_fate_manifest "
+    "result table) against the evolved corpus's recomputed datacard, "
+    "with signed deltas. kept_delta is the per-source training-data "
+    "gain/loss the corpus refresh causes; shipped_chars_delta prices "
+    "it in volume. The oracle replays both datacards relationally "
+    "(the parameterized _datacard_oracle over documents and the "
+    "evolved snapshot) and joins per source, so every delta is pinned "
+    "table-read ≡ replay.",
+)
+def release_datacard_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: the prev side is release_datacard_from_manifest's
+    plan (manifest-table scan + map-only seed/redact + |sources|
+    rollups); the curr side pays the one evolved fate plan an
+    incremental deployment computes anyway (same replay
+    fate_churn_summary shares — at warehouse scale both consumers
+    read the NEW manifest table once it ships); the join is
+    |sources| x |sources|, driver-scale at any corpus size."""
+    from dungbeetle_spark.operators.pipeline import (
+        _datacard_frame,
+        _evolved_docs,
+        _fate_frame,
+    )
+
+    d = _docs(spark, sf_dir)
+    prev = _datacard_frame(d, manifest_table(spark, sf_dir)).alias("p")
+    ev = _evolved_docs(d)
+    # localCheckpoint like the fixture datacard: the fate frame feeds
+    # both the fate rollup and the kept membership, so the evolved
+    # fate assembly materializes once (release_datacard's own pin)
+    curr = _datacard_frame(
+        ev, _fate_frame(ev).localCheckpoint(eager=False)
+    ).alias("c")
+    z = F.lit(0)
+    return prev.join(
+        curr, F.col("p.source") == F.col("c.source"), "full_outer"
+    ).select(
+        F.coalesce("p.source", "c.source").alias("source"),
+        F.coalesce(F.col("p.n_docs"), z).cast("long").alias("prev_n_docs"),
+        F.coalesce(F.col("c.n_docs"), z).cast("long").alias("curr_n_docs"),
+        (F.coalesce(F.col("c.n_docs"), z) - F.coalesce(F.col("p.n_docs"), z))
+        .cast("long")
+        .alias("docs_delta"),
+        F.coalesce(F.col("p.kept"), z).cast("long").alias("prev_kept"),
+        F.coalesce(F.col("c.kept"), z).cast("long").alias("curr_kept"),
+        (F.coalesce(F.col("c.kept"), z) - F.coalesce(F.col("p.kept"), z))
+        .cast("long")
+        .alias("kept_delta"),
+        F.coalesce(F.col("p.shipped_chars"), z)
+        .cast("long")
+        .alias("prev_shipped_chars"),
+        F.coalesce(F.col("c.shipped_chars"), z)
+        .cast("long")
+        .alias("curr_shipped_chars"),
+        (
+            F.coalesce(F.col("c.shipped_chars"), z)
+            - F.coalesce(F.col("p.shipped_chars"), z)
+        )
+        .cast("long")
+        .alias("shipped_chars_delta"),
+    )

@@ -82,6 +82,9 @@ NEW_OR_CHANGED: list[str] = [
     # r13 new (VERDICT r12 item 5): per-doc fate transitions between
     # the shipped manifest and the evolved corpus's recomputed fates.
     "fate_churn_summary",
+    # r13 new (pulled forward from the r14 queue): per-source datacard
+    # DELTA between the shipped release and the evolved corpus.
+    "release_datacard_diff",
     # r13 new (VERDICT r12 item 2): the gates' drains with the static
     # reference state read from materialized result tables — the
     # production claim the inline fixtures could only document.

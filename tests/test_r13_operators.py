@@ -232,3 +232,105 @@ def test_tables_gate_multi_batch_drain_equals_single_batch(
     )
     single = streaming_fate_gate_from_tables(spark, sf_smoke)
     assert _rows(multi) == _rows(single)
+
+
+def test_manifest_task_drives_end_to_end_over_http(spark, sf_smoke, tmp_path):
+    """The warehouse story through the engine's actual front door: the
+    fate-manifest materialization registered as a callable task on a
+    Core, enqueued over the HTTP API, polled to SUCCESS, and the
+    results_<job_id> rows served back through GET /jobs/{id}/result —
+    the reference's whole architecture (enqueue → execute → per-job
+    result table → fetch, core.go:510–572, cmd/http.go) carrying the
+    r13 pipeline artifact."""
+    import time as _time
+
+    from dungbeetle_spark.client import Client
+    from dungbeetle_spark.core import Core
+    from dungbeetle_spark.http_api import Server
+    from dungbeetle_spark.operators.pipeline import _fate_frame
+    from dungbeetle_spark.queries import _t
+
+    core = Core(spark, worker_concurrency=2)
+    core.add_result_backend("warehouse", str(tmp_path / "results"))
+    core.register_callable_task(
+        "corpus_fate_manifest",
+        lambda sess, args: _fate_frame(
+            _t(sess, sf_smoke, "documents")["documents"]
+        ),
+    )
+    core.start()
+    srv = Server(core, "127.0.0.1", 0)
+    srv.start()
+    try:
+        client = Client(srv.address)
+        resp = client.post_job("corpus_fate_manifest", job_id="http_manifest1")
+        assert resp["job_id"] == "http_manifest1"
+        deadline = _time.time() + 120
+        while _time.time() < deadline:
+            st = client.get_job_status("http_manifest1")
+            if st["state"] in ("SUCCESS", "FAILURE"):
+                break
+            _time.sleep(0.2)
+        assert st["state"] == "SUCCESS", st
+        n_docs = _t(spark, sf_smoke, "documents")["documents"].count()
+        assert st["count"] == n_docs
+        page = client.get_job_result("http_manifest1", limit=5)
+        assert page["job_id"] == "http_manifest1"
+        cols = set(page["columns"]) if "columns" in page else set(
+            page["rows"][0]
+        ) if isinstance(page["rows"][0], dict) else None
+        if cols is not None:
+            assert {"doc_id", "fate"} <= cols
+        # the served table IS the fate frame by value
+        served = core.read_result("http_manifest1")
+        live = _fate_frame(_t(spark, sf_smoke, "documents")["documents"])
+        assert _rows(served) == _rows(live)
+    finally:
+        srv.stop()
+        core.stop()
+
+
+def test_datacard_diff_reconciles_with_churn_and_datacards(
+    spark, sf_smoke
+):
+    """The datacard delta must tie to the artifacts it summarizes:
+    prev columns equal release_datacard_from_manifest's, curr columns
+    equal the evolved corpus's datacard, and the summed kept deltas
+    equal the churn matrix's kept-column minus kept-row totals."""
+    from dungbeetle_spark.operators.pipeline import (
+        _datacard_frame,
+        _evolved_docs,
+        _fate_frame,
+    )
+    from dungbeetle_spark.operators.warehouse import (
+        fate_churn_summary,
+        release_datacard_diff,
+        release_datacard_from_manifest,
+    )
+    from dungbeetle_spark.queries import _t
+
+    diff = {r.source: r for r in release_datacard_diff(spark, sf_smoke).collect()}
+    prev = {
+        r.source: r
+        for r in release_datacard_from_manifest(spark, sf_smoke).collect()
+    }
+    d = _t(spark, sf_smoke, "documents")["documents"]
+    ev = _evolved_docs(d)
+    curr = {r.source: r for r in _datacard_frame(ev, _fate_frame(ev)).collect()}
+    assert set(diff) == set(prev) | set(curr)
+    for src, row in diff.items():
+        assert row.prev_n_docs == (prev[src].n_docs if src in prev else 0)
+        assert row.curr_n_docs == (curr[src].n_docs if src in curr else 0)
+        assert row.prev_kept == (prev[src].kept if src in prev else 0)
+        assert row.curr_kept == (curr[src].kept if src in curr else 0)
+        assert row.kept_delta == row.curr_kept - row.prev_kept
+        assert (
+            row.shipped_chars_delta
+            == row.curr_shipped_chars - row.prev_shipped_chars
+        )
+    churn = fate_churn_summary(spark, sf_smoke).collect()
+    churn_kept_in = sum(r.n_docs for r in churn if r.curr_fate == "kept")
+    churn_kept_out = sum(r.n_docs for r in churn if r.prev_fate == "kept")
+    assert sum(r.kept_delta for r in diff.values()) == (
+        churn_kept_in - churn_kept_out
+    )

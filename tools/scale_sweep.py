@@ -147,6 +147,7 @@ SWEEP_OPS = [
     ("release_datacard_from_manifest", None),  # two rollups over table
     ("shard_export_diff_from_manifest", None),  # ONE replay + table prev
     ("fate_churn_summary", None),  # table prev + one evolved fate plan
+    ("release_datacard_diff", None),  # table prev + one evolved fate plan
     # r13 table-backed gate drains: per-batch probe against parquet
     # reference tables — the static-build term is out of the cell
     ("streaming_fate_gate_from_tables", None),
@@ -160,6 +161,7 @@ _WAREHOUSE_CONSUMERS = {
     "release_datacard_from_manifest",
     "shard_export_diff_from_manifest",
     "fate_churn_summary",
+    "release_datacard_diff",
     "streaming_fate_gate_from_tables",
     "streaming_pii_gate_from_tables",
 }
