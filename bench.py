@@ -193,6 +193,9 @@ HEADLINE = [
     # r13: per-source datacard delta between the shipped release and
     # the evolved corpus (prev from the manifest table, one replay)
     "release_datacard_diff",
+    # r13: incremental re-curation planner (reads the duplicate-seeded
+    # manifest + canonical-map result tables)
+    "fate_recompute_plan",
 ]
 
 # Streaming drain bench (VERDICT r09 item 5): none of the 11 streaming
@@ -249,6 +252,7 @@ _MAT_CONSUMERS = frozenset(
         "shard_export_diff_from_manifest",
         "fate_churn_summary",
         "release_datacard_diff",
+        "fate_recompute_plan",
         "streaming_fate_gate_from_tables",
         "streaming_pii_gate_from_tables",
     }
@@ -1096,6 +1100,8 @@ def main() -> None:
         warehouse.manifest_table(spark, sf_dir)
         warehouse.export_manifest_table(spark, sf_dir)
         warehouse.fate_reference_tables(spark, sf_dir)
+        warehouse.seeded_manifest_table(spark, sf_dir)
+        warehouse.seeded_canon_table(spark, sf_dir)
         mat_setup_sec = round(time.perf_counter() - t0, 3)
 
     # spark.range gives every core a non-empty partition, so all 32

@@ -780,6 +780,44 @@ def rare_token_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
 # -- corpus_fate_manifest -----------------------------------------------------
 
 
+def _fate_verdict_ctes(src: str = "documents", p: str = "") -> str:
+    """The quality-funnel verdict as DuckDB CTE bodies —
+    ``{p}q``/``{p}verdict`` over relation ``src`` — extracted r13
+    (byte-identical default rendering) so fate_recompute_plan's oracle
+    can derive verdicts for the original corpus and the touched
+    evolved docs next to the spliced full fate oracle, the same
+    one-SQL-definition discipline as mixing._fdc_sig_ctes."""
+    from dungbeetle_spark.operators.text import (
+        _QF_MAX_CHARS,
+        _QF_MIN_STOP,
+        _QF_MIN_WORDS,
+        _QF_STOPWORDS,
+        _QF_WL_HI,
+        _QF_WL_LO,
+    )
+
+    return f"""{p}q AS (
+      SELECT doc_id, lang, length(text) AS nc,
+             CASE WHEN trim(text) = '' THEN 0
+                  ELSE len(regexp_split_to_array(
+                         trim(regexp_replace(text, '\\s+', ' ', 'g')), ' '))
+                  END AS nw,
+             len(list_filter(
+                   list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                               x -> x <> ''),
+                   x -> x IN {str(_QF_STOPWORDS)})) AS stp
+      FROM {src}),
+    {p}verdict AS (
+      SELECT doc_id,
+             CASE WHEN nw < {_QF_MIN_WORDS} THEN 'too_short'
+                  WHEN nc > {_QF_MAX_CHARS} THEN 'too_long'
+                  WHEN nc * 1000 // nw < {_QF_WL_LO}
+                       OR nc * 1000 // nw > {_QF_WL_HI} THEN 'word_length'
+                  WHEN lang = 'en' AND stp < {_QF_MIN_STOP} THEN 'low_stopword'
+                  ELSE 'kept' END AS reason
+      FROM {p}q)"""
+
+
 def _fate_oracle(src: str = "documents") -> str:
     """The composed fate pipeline as SQL over corpus relation ``src``
     (shard_export_diff replays it over the evolved snapshot CTE as
@@ -797,36 +835,9 @@ def _fate_oracle(src: str = "documents") -> str:
         _PLANT_MOD,
         _fdc_sig_ctes,
     )
-    from dungbeetle_spark.operators.text import (
-        _QF_MAX_CHARS,
-        _QF_MIN_STOP,
-        _QF_MIN_WORDS,
-        _QF_STOPWORDS,
-        _QF_WL_HI,
-        _QF_WL_LO,
-    )
 
     return f"""
-    WITH q AS (
-      SELECT doc_id, lang, length(text) AS nc,
-             CASE WHEN trim(text) = '' THEN 0
-                  ELSE len(regexp_split_to_array(
-                         trim(regexp_replace(text, '\\s+', ' ', 'g')), ' '))
-                  END AS nw,
-             len(list_filter(
-                   list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
-                               x -> x <> ''),
-                   x -> x IN {str(_QF_STOPWORDS)})) AS stp
-      FROM {src}),
-    verdict AS (
-      SELECT doc_id,
-             CASE WHEN nw < {_QF_MIN_WORDS} THEN 'too_short'
-                  WHEN nc > {_QF_MAX_CHARS} THEN 'too_long'
-                  WHEN nc * 1000 // nw < {_QF_WL_LO}
-                       OR nc * 1000 // nw > {_QF_WL_HI} THEN 'word_length'
-                  WHEN lang = 'en' AND stp < {_QF_MIN_STOP} THEN 'low_stopword'
-                  ELSE 'kept' END AS reason
-      FROM q),
+    WITH {_fate_verdict_ctes(src)},
     flags AS (
       SELECT d.doc_id, v.reason,
              d.doc_id % {_EVAL_MOD} = 0 AS is_eval,
@@ -1331,17 +1342,25 @@ def _export_frame(d: DataFrame, kept: DataFrame | None = None) -> DataFrame:
 # and "current" is this round's corpus — here both replay from one
 # documents table so the whole diff is a pure, oracle-checkable
 # function of it.
-_EVOLVED_DOCS_SQL = """
+def _evolved_docs_sql(src: str = "documents") -> str:
+    """The evolved-snapshot CTE over relation ``src`` — extracted r13
+    (default rendering byte-identical to the r10 constant) so
+    fate_recompute_plan can evolve its duplicate-seeded corpus view
+    with the same convention."""
+    return f"""
     newdocs AS (
       SELECT doc_id,
              CASE WHEN doc_id % 7 = 3 THEN text || ' rev2'
                   ELSE text END AS text,
              lang, source
-      FROM documents WHERE doc_id % 11 <> 0
+      FROM {src} WHERE doc_id % 11 <> 0
       UNION ALL
       SELECT -(doc_id + 2) AS doc_id, 'new ' || text AS text,
              lang, source
-      FROM documents WHERE doc_id % 13 = 0)"""
+      FROM {src} WHERE doc_id % 13 = 0)"""
+
+
+_EVOLVED_DOCS_SQL = _evolved_docs_sql()
 
 
 def _evolved_docs(d: DataFrame) -> DataFrame:

@@ -143,17 +143,16 @@ def export_manifest_table(spark: SparkSession, sf_dir: str) -> DataFrame:
 # -- streaming-gate reference state as result tables --------------------------
 
 
-def _canon_frame(sess: SparkSession, sf_dir: str) -> DataFrame:
-    """The corpus canonical map (content-md5 → keeper among quality-
-    surviving non-eval docs) — the dedup-probe side of the fate gate
-    (same construction as stateful.fate_gate_reference; equality is
-    pinned by the shared composed oracle)."""
+def _canon_from_docs(d: DataFrame) -> DataFrame:
+    """The canonical map (content-md5 → keeper among quality-surviving
+    non-eval docs) over any documents frame — the dedup-probe side of
+    the fate gate (same construction as stateful.fate_gate_reference;
+    equality is pinned by the shared composed oracle)."""
     from dungbeetle_spark.functions.texts import content_md5
     from dungbeetle_spark.operators.mixing import _EVAL_MOD
     from dungbeetle_spark.operators.text import funnel_verdicts
     from dungbeetle_spark.sources.catalog import fan_out
 
-    d = _t(sess, sf_dir, "documents")["documents"]
     verdicts = funnel_verdicts(fan_out(d)).select("doc_id", "reason")
     return (
         d.select("doc_id", "text")
@@ -163,6 +162,12 @@ def _canon_frame(sess: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("h")
         .agg(F.min("doc_id").alias("dup_of"))
     )
+
+
+def _canon_frame(sess: SparkSession, sf_dir: str) -> DataFrame:
+    """fate_reference_tables' canonical-map builder over the loaded
+    corpus."""
+    return _canon_from_docs(_t(sess, sf_dir, "documents")["documents"])
 
 
 def _eval_gram_frame(sess: SparkSession, sf_dir: str) -> DataFrame:
@@ -540,3 +545,246 @@ def release_datacard_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("shipped_chars_delta"),
     )
+
+
+# -- fate_recompute_plan -------------------------------------------------------
+
+# Planted duplicate groups for the planner fixture: the organic corpus
+# has no exact-duplicate group that SURVIVES the quality funnel (every
+# sf's fate manifest carries zero dropped_duplicate rows), so the
+# planner's group re-election arms would be fixture-dead. Docs with
+# doc_id % _DUP_MOD == _DUP_RES have their text REPLACED by one of
+# _DUP_GROUPS shared passages (group = doc_id % _DUP_GROUPS) that pass
+# the quality funnel by construction — planted in a VIEW, mirrored in
+# the oracle, the _MHI/_LEAK seeding discipline. With the evolution
+# convention this yields removed keepers, edited members, affected AND
+# untouched groups at the driver scales.
+_DUP_MOD = 19
+_DUP_RES = 5
+_DUP_GROUPS = 8
+_DUP_P1 = "the shared boilerplate notice of group "
+_DUP_P2 = (
+    " is repeated across many crawled pages and the canonical keeper "
+    "must win the election while every other copy is dropped as a "
+    "duplicate of that keeper under the exact content hash rule"
+)
+
+
+def _dup_seeded(d: DataFrame) -> DataFrame:
+    """The duplicate-seeded corpus view (Spark side)."""
+    passage = F.concat(
+        F.lit(_DUP_P1),
+        (F.col("doc_id") % _DUP_GROUPS).cast("string"),
+        F.lit(_DUP_P2),
+    )
+    return d.select(
+        "doc_id",
+        F.when(F.col("doc_id") % _DUP_MOD == _DUP_RES, passage)
+        .otherwise(F.col("text"))
+        .alias("text"),
+        "lang",
+        "source",
+    )
+
+
+def _dup_seeded_sql(src: str = "documents") -> str:
+    """DuckDB twin of :func:`_dup_seeded` as a CTE body."""
+    return f"""
+      SELECT doc_id,
+             CASE WHEN doc_id % {_DUP_MOD} = {_DUP_RES}
+                  THEN '{_DUP_P1}' || CAST(doc_id % {_DUP_GROUPS} AS VARCHAR)
+                       || '{_DUP_P2}'
+                  ELSE text END AS text,
+             lang, source
+      FROM {src}"""
+
+
+def seeded_manifest_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The shipped fate manifest of the duplicate-seeded corpus — the
+    planner's prev side, materialized through the job layer like
+    manifest_table."""
+    from dungbeetle_spark.operators.pipeline import _fate_frame
+
+    return _result_table(
+        spark,
+        sf_dir,
+        "fate_manifest_dupseeded",
+        lambda sess, sfd: _fate_frame(
+            _dup_seeded(_t(sess, sfd, "documents")["documents"])
+        ),
+    )
+
+
+def seeded_canon_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The duplicate-seeded corpus's canonical map result table."""
+    return _result_table(
+        spark,
+        sf_dir,
+        "fate_ref_canon_dupseeded",
+        lambda sess, sfd: _canon_from_docs(
+            _dup_seeded(_t(sess, sfd, "documents")["documents"])
+        ),
+    )
+
+
+def _recompute_plan_oracle() -> str:
+    from dungbeetle_spark.functions.texts import content_md5_sql
+    from dungbeetle_spark.operators.mixing import _EVAL_MOD
+    from dungbeetle_spark.operators.pipeline import (
+        _evolved_docs_sql,
+        _fate_oracle,
+        _fate_verdict_ctes,
+    )
+
+    return f"""
+    WITH sdocs AS ({_dup_seeded_sql()}),
+    {_evolved_docs_sql("sdocs")},
+    {_fate_verdict_ctes("sdocs")},
+    flags0 AS (
+      SELECT d.doc_id, v.reason,
+             d.doc_id % {_EVAL_MOD} = 0 AS is_eval,
+             {content_md5_sql("d.text")} AS h
+      FROM sdocs d JOIN verdict v USING (doc_id)),
+    canon0 AS (
+      SELECT h, MIN(doc_id) AS dup_of FROM flags0
+      WHERE NOT is_eval AND reason = 'kept' GROUP BY h),
+    prevm AS (SELECT * FROM ({_fate_oracle("sdocs")}) x),
+    touched AS (SELECT * FROM newdocs WHERE doc_id < 0 OR doc_id % 7 = 3),
+    {_fate_verdict_ctes("touched", "t")},
+    incoming AS (
+      SELECT t.doc_id, {content_md5_sql("t.text")} AS h
+      FROM touched t JOIN tverdict v USING (doc_id)
+      WHERE v.reason = 'kept' AND t.doc_id % {_EVAL_MOD} <> 0),
+    affected AS (
+      SELECT DISTINCT gid FROM (
+        SELECT canonical_id AS gid FROM prevm
+        WHERE canonical_id <> -1
+          AND (doc_id % 11 = 0 OR doc_id % 7 = 3)
+        UNION ALL
+        SELECT c.dup_of AS gid FROM incoming i JOIN canon0 c USING (h)))
+    SELECT n.doc_id,
+           CASE WHEN n.doc_id < 0 OR n.doc_id % 7 = 3 THEN 'recompute'
+                WHEN n.doc_id % {_EVAL_MOD} = 0 THEN 'keep_prev'
+                WHEN p.quality_reason <> 'kept' THEN 'keep_prev'
+                WHEN a.gid IS NOT NULL THEN 'reelect'
+                WHEN p.fate = 'dropped_duplicate' THEN 'keep_prev'
+                ELSE 'reprobe' END AS action,
+           CASE WHEN n.doc_id < 0 THEN 'new_document'
+                WHEN n.doc_id % 7 = 3 THEN 'content_changed'
+                WHEN n.doc_id % {_EVAL_MOD} = 0 THEN 'eval_holdout_stable'
+                WHEN p.quality_reason <> 'kept' THEN 'quality_seals_first'
+                WHEN a.gid IS NOT NULL THEN 'duplicate_group_affected'
+                WHEN p.fate = 'dropped_duplicate' THEN 'keeper_unchanged'
+                ELSE 'reference_drift' END AS reason
+    FROM newdocs n
+    LEFT JOIN prevm p ON p.doc_id = n.doc_id
+    LEFT JOIN affected a ON a.gid = p.canonical_id
+    """
+
+
+def _recompute_plan_frame(
+    ev: DataFrame, prev: DataFrame, canon: DataFrame
+) -> DataFrame:
+    """The classification itself, over ANY (evolved corpus, prev
+    manifest, canonical map) triple — extracted so unit tests can
+    drive the incoming-hit arm (an edited doc whose new content hash
+    lands in an existing group) with crafted frames; the registry
+    fixture's evolution convention cannot produce that collision."""
+    from dungbeetle_spark.functions.texts import content_md5
+    from dungbeetle_spark.operators.mixing import _EVAL_MOD
+    from dungbeetle_spark.operators.text import funnel_verdicts
+    from dungbeetle_spark.sources.catalog import fan_out
+
+    is_touched = (F.col("doc_id") < 0) | (F.col("doc_id") % 7 == 3)
+    touched = ev.filter(is_touched)
+    tv = funnel_verdicts(fan_out(touched)).select("doc_id", "reason")
+    incoming = (
+        touched.join(tv, "doc_id")
+        .filter(
+            (F.col("reason") == "kept") & (F.col("doc_id") % _EVAL_MOD != 0)
+        )
+        .select(content_md5("text").alias("h"))
+    )
+    hits = incoming.join(canon, "h").select(F.col("dup_of").alias("gid"))
+    left_groups = prev.filter(
+        (F.col("canonical_id") != -1)
+        & ((F.col("doc_id") % 11 == 0) | (F.col("doc_id") % 7 == 3))
+    ).select(F.col("canonical_id").alias("gid"))
+    affected = left_groups.unionByName(hits).distinct()
+    j = (
+        ev.select("doc_id")
+        .join(
+            prev.select("doc_id", "fate", "quality_reason", "canonical_id"),
+            "doc_id",
+            "left",
+        )
+        .join(
+            F.broadcast(affected),
+            F.col("canonical_id") == F.col("gid"),
+            "left",
+        )
+    )
+    action = (
+        F.when(is_touched, "recompute")
+        .when(F.col("doc_id") % _EVAL_MOD == 0, "keep_prev")
+        .when(F.col("quality_reason") != "kept", "keep_prev")
+        .when(F.col("gid").isNotNull(), "reelect")
+        .when(F.col("fate") == "dropped_duplicate", "keep_prev")
+        .otherwise("reprobe")
+    )
+    reason = (
+        F.when(F.col("doc_id") < 0, "new_document")
+        .when(F.col("doc_id") % 7 == 3, "content_changed")
+        .when(F.col("doc_id") % _EVAL_MOD == 0, "eval_holdout_stable")
+        .when(F.col("quality_reason") != "kept", "quality_seals_first")
+        .when(F.col("gid").isNotNull(), "duplicate_group_affected")
+        .when(F.col("fate") == "dropped_duplicate", "keeper_unchanged")
+        .otherwise("reference_drift")
+    )
+    return j.select("doc_id", action.alias("action"), reason.alias("reason"))
+
+
+@query(
+    "fate_recompute_plan",
+    oracle=_recompute_plan_oracle(),
+    doc="Incremental re-curation PLANNER (the r14 primary, started "
+    "r13): given the SHIPPED fate manifest result table, the "
+    "canonical-map result table, and the evolved corpus "
+    "(corpus_snapshot_diff's convention over the duplicate-seeded "
+    "view — the organic corpus has no quality-surviving duplicate "
+    "group, so the election arms would be fixture-dead), classify "
+    "every evolved-corpus document by the cheapest safe action an "
+    "incremental fate deployment can take: keep_prev (fate provably "
+    "sealed before any corpus-coupled reference — eval holdout, "
+    "quality drops, duplicates of unaffected groups), reelect "
+    "(members of duplicate groups that lost a member to removal/edit "
+    "or gained an incoming content-hash hit — keeper election must "
+    "re-run), reprobe (surviving canonicals: decon/fuzzy verdicts "
+    "read the eval gram set, stop-shingle DF state, and eval band "
+    "index, all of which drift with any corpus change — a map-side "
+    "probe against refreshed references, not a pipeline re-run), and "
+    "recompute (edited/added documents). Safety is pinned by test: "
+    "every keep_prev doc's FULL prev manifest row equals its "
+    "full-recompute row on the evolved corpus. The oracle derives "
+    "the same classification relationally.",
+)
+def fate_recompute_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: the prev side is two bounded table scans (manifest
+    + canonical map); the only per-doc text work is quality verdicts
+    and content hashes for the TOUCHED docs (the delta, small by
+    definition); affected-group detection is a broadcast semi of the
+    touched hashes against the canonical-map table plus an
+    id-arithmetic filter of the manifest; the classification itself
+    is one map-side CASE over the manifest join. Nothing scans
+    unchanged documents' text — the planner's whole point. The
+    actions price the delta execution: keep_prev is free, reelect is
+    a groupBy over the affected groups' members only, reprobe is the
+    map-side decon/fuzzy probe against refreshed reference tables,
+    recompute is the full per-doc pipeline."""
+    from dungbeetle_spark.operators.pipeline import _evolved_docs
+
+    d = _docs(spark, sf_dir)
+    prev = seeded_manifest_table(spark, sf_dir)
+    canon = seeded_canon_table(spark, sf_dir)
+    ev = _evolved_docs(_dup_seeded(d))
+    return _recompute_plan_frame(ev, prev, canon)

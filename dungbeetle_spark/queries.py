@@ -65,12 +65,13 @@ def query(name: str, oracle: str | None = None, doc: str = ""):
 # or changing a query therefore touches exactly this one list; the
 # stale-repayment rotation happens by construction every round.
 NEW_OR_CHANGED: list[str] = [
-    # r13 budget note: seven entries, all NEW queries (VERDICT r12
-    # items 1-2 + 5): the five materialized-manifest warehouse
-    # variants and the two table-backed streaming gate drains. Window
-    # math: 7 entries + the 8 r08-stale + 35 of the r09-stale fill the
-    # 50 slots — the last-green floor moves to r09 this round (VERDICT
-    # r12 item 3).
+    # r13 budget note: nine entries, all NEW queries (VERDICT r12
+    # items 1-2 + 5, plus two r14-queue items pulled forward): the
+    # five materialized-manifest warehouse variants, the two
+    # table-backed streaming gate drains, the datacard delta, and the
+    # incremental re-curation planner. Window math: 9 entries + the
+    # 8 r08-stale + 33 of the r09-stale fill the 50 slots — the
+    # last-green floor moves to r09 this round (VERDICT r12 item 3).
     #
     # r13 new (VERDICT r12 item 1): the warehouse variants — the fate
     # manifest materialized as a job RESULT TABLE through the Part A
@@ -85,6 +86,9 @@ NEW_OR_CHANGED: list[str] = [
     # r13 new (pulled forward from the r14 queue): per-source datacard
     # DELTA between the shipped release and the evolved corpus.
     "release_datacard_diff",
+    # r13 new (r14 primary, started early): the incremental
+    # re-curation planner over the duplicate-seeded corpus view.
+    "fate_recompute_plan",
     # r13 new (VERDICT r12 item 2): the gates' drains with the static
     # reference state read from materialized result tables — the
     # production claim the inline fixtures could only document.

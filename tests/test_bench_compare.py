@@ -759,6 +759,8 @@ def test_warehouse_consumer_sets_stay_in_sync():
     needs = {
         n
         for n in bench.HEADLINE + bench.STREAMING
-        if "from_manifest" in n or "from_tables" in n or n == "fate_churn_summary"
+        if "from_manifest" in n or "from_tables" in n
+        or n in ("fate_churn_summary", "release_datacard_diff",
+                 "fate_recompute_plan")
     }
     assert needs <= bench._MAT_CONSUMERS

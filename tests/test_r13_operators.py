@@ -334,3 +334,85 @@ def test_datacard_diff_reconciles_with_churn_and_datacards(
     assert sum(r.kept_delta for r in diff.values()) == (
         churn_kept_in - churn_kept_out
     )
+
+
+# -- fate_recompute_plan --------------------------------------------------------
+
+
+def test_plan_keep_prev_rows_are_provably_stable(spark, sf_smoke):
+    """The planner's safety contract: for every keep_prev doc, the
+    FULL prev manifest row (fate, quality_reason, canonical_id,
+    n_contaminated, fuzzy_matched_bands) equals the full-recompute row
+    on the evolved corpus — i.e. an incremental deployment that skips
+    those docs ships a manifest byte-equal to the full recompute. Also
+    pins that every one of the seven reasons actually fires on the
+    seeded fixture (the planner does real, non-vacuous triage)."""
+    from dungbeetle_spark.operators.pipeline import _evolved_docs, _fate_frame
+    from dungbeetle_spark.operators.warehouse import (
+        _dup_seeded,
+        fate_recompute_plan,
+    )
+    from dungbeetle_spark.queries import _t
+
+    plan = fate_recompute_plan(spark, sf_smoke)
+    reasons = {r.reason for r in plan.select("reason").distinct().collect()}
+    assert reasons == {
+        "new_document",
+        "content_changed",
+        "eval_holdout_stable",
+        "quality_seals_first",
+        "duplicate_group_affected",
+        "keeper_unchanged",
+        "reference_drift",
+    }
+    d = _dup_seeded(_t(spark, sf_smoke, "documents")["documents"])
+    prev = {r.doc_id: r for r in _fate_frame(d).collect()}
+    curr = {r.doc_id: r for r in _fate_frame(_evolved_docs(d)).collect()}
+    keep = [r.doc_id for r in plan.filter("action = 'keep_prev'").collect()]
+    assert keep, "keep_prev class empty — planner vacuous"
+    for doc_id in keep:
+        assert tuple(prev[doc_id]) == tuple(curr[doc_id]), doc_id
+    # the plan covers exactly the evolved corpus
+    assert {r.doc_id for r in plan.collect()} == set(curr)
+
+
+def test_plan_incoming_hit_marks_existing_group_for_reelection(spark):
+    """The arm the registry fixture cannot produce: an EDITED doc
+    whose new content hash lands in an existing group (here: doc 3's
+    text + ' rev2' equals doc 20's standing content). The group's
+    unchanged member must be classified reelect via the canonical-map
+    hit — and the election truly changes: incoming id 3 < keeper 20
+    steals keeper-ship, which is exactly why keep_prev would be
+    unsafe for doc 20."""
+    from dungbeetle_spark.operators.pipeline import (
+        _evolved_docs,
+        _fate_frame,
+    )
+    from dungbeetle_spark.operators.warehouse import (
+        _canon_from_docs,
+        _recompute_plan_frame,
+    )
+
+    base = (
+        "the shared notice of every mirror page is copied verbatim and "
+        "the keeper of this cluster is chosen under the exact content "
+        "hash rule while every other copy is dropped quickly"
+    )
+    rows = [
+        (3, base, "en", "s"),          # % 7 == 3 -> edited to base + ' rev2'
+        (20, base + " rev2", "en", "s"),  # standing doc with the target content
+        (1, base + " another organic body entirely today", "en", "s"),
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string, lang string, source string")
+    prev = _fate_frame(d)
+    canon = _canon_from_docs(d)
+    plan = {
+        r.doc_id: (r.action, r.reason)
+        for r in _recompute_plan_frame(_evolved_docs(d), prev, canon).collect()
+    }
+    assert plan[3] == ("recompute", "content_changed")
+    assert plan[20] == ("reelect", "duplicate_group_affected")
+    # and the election genuinely changes: 3 steals keeper-ship from 20
+    curr = {r.doc_id: r for r in _fate_frame(_evolved_docs(d)).collect()}
+    assert curr[20].fate == "dropped_duplicate"
+    assert curr[20].canonical_id == 3

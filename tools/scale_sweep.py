@@ -148,6 +148,7 @@ SWEEP_OPS = [
     ("shard_export_diff_from_manifest", None),  # ONE replay + table prev
     ("fate_churn_summary", None),  # table prev + one evolved fate plan
     ("release_datacard_diff", None),  # table prev + one evolved fate plan
+    ("fate_recompute_plan", None),  # table scans + touched-docs-only text work
     # r13 table-backed gate drains: per-batch probe against parquet
     # reference tables — the static-build term is out of the cell
     ("streaming_fate_gate_from_tables", None),
@@ -162,6 +163,7 @@ _WAREHOUSE_CONSUMERS = {
     "shard_export_diff_from_manifest",
     "fate_churn_summary",
     "release_datacard_diff",
+    "fate_recompute_plan",
     "streaming_fate_gate_from_tables",
     "streaming_pii_gate_from_tables",
 }
@@ -548,6 +550,8 @@ def run_sweep(
             warehouse.manifest_table(spark, d)
             warehouse.export_manifest_table(spark, d)
             warehouse.fate_reference_tables(spark, d)
+            warehouse.seeded_manifest_table(spark, d)
+            warehouse.seeded_canon_table(spark, d)
             print(
                 f"warehouse materialization x{f}: {time.time() - t0:.2f}s",
                 flush=True,
