@@ -239,24 +239,49 @@ STREAMING = [
 _STREAM_EXTRA_REP_UNDER_SEC = 5.0
 _STREAM_EXTRA_REPS = 2
 
-# Entries that read the job-materialized warehouse tables: bench
-# pre-materializes the tables (untimed, recorded as
-# materialization_setup_sec) before any timed pass so these measure
-# the table-READ path. Kept in sync with
+# Entries that read the job-materialized warehouse tables, mapped to
+# exactly the tables each one opens (ADVICE r13: a subset run used to
+# pre-build all five tables whenever ANY consumer was selected, so
+# materialization_setup_sec over-reported for subset runs). Bench
+# pre-materializes the union for the selected ops (untimed, recorded
+# as materialization_setup_sec) before any timed pass so these
+# measure the table-READ path. Keys kept in sync with
 # tools/scale_sweep._WAREHOUSE_CONSUMERS by test_bench_compare.
-_MAT_CONSUMERS = frozenset(
-    {
-        "shard_export_from_manifest",
-        "pii_audit_from_manifest",
-        "release_datacard_from_manifest",
-        "shard_export_diff_from_manifest",
-        "fate_churn_summary",
-        "release_datacard_diff",
-        "fate_recompute_plan",
-        "streaming_fate_gate_from_tables",
-        "streaming_pii_gate_from_tables",
+_MAT_TABLES = {
+    "shard_export_from_manifest": ("manifest",),
+    "pii_audit_from_manifest": ("manifest",),
+    "release_datacard_from_manifest": ("manifest",),
+    "shard_export_diff_from_manifest": ("export_manifest",),
+    "fate_churn_summary": ("manifest",),
+    "release_datacard_diff": ("manifest",),
+    "fate_recompute_plan": ("seeded_manifest", "seeded_canon"),
+    "streaming_fate_gate_from_tables": ("fate_reference",),
+    "streaming_pii_gate_from_tables": ("fate_reference",),
+}
+_MAT_CONSUMERS = frozenset(_MAT_TABLES)
+
+
+def _materialize_tables(spark, sf_dir: str, names: set[str]) -> None:
+    """Build the named warehouse result tables through the job layer
+    (process-cached — a preloaded cache makes this a no-op)."""
+    from dungbeetle_spark.operators import warehouse
+
+    builders = {
+        "manifest": warehouse.manifest_table,
+        "export_manifest": warehouse.export_manifest_table,
+        "fate_reference": warehouse.fate_reference_tables,
+        "seeded_manifest": warehouse.seeded_manifest_table,
+        "seeded_canon": warehouse.seeded_canon_table,
     }
-)
+    for t in sorted(names):
+        builders[t](spark, sf_dir)
+
+
+def _mat_tables_for(ops) -> set[str]:
+    need: set[str] = set()
+    for name in ops:
+        need.update(_MAT_TABLES.get(name, ()))
+    return need
 
 # Host-drift canary (ADVICE r04: one hardcoded-anchor query is noisy
 # and misattributes regressions in that query's own shared path to host
@@ -474,6 +499,29 @@ _KNOWN_REGRESSIONS = {
         "the production number is streaming_pii_gate_from_tables, "
         "which reads the materialized tables (r13, VERDICT r12 "
         "item 2)."
+    ),
+    "streaming_sessionize": (
+        "r14 attribution of the r13 confirmed flag (VERDICT r13 item "
+        "1): fresh-session worktree A/B at the r12 boundary (ee17a8c, "
+        "3 alternating sessions per tree, min-of-3 drains each) timed "
+        "r13 HEAD equal-or-FASTER (3.91/4.19/4.42 s vs r12's "
+        "5.02/6.07/7.57), and fresh-session HEAD lands on the "
+        "r12-recorded 4.09 s. The 2.86→7.60 s r10→r13 creep was "
+        "SESSION POSITION (drains ran after a batch section that "
+        "grows every round); drains now run in a fresh-session "
+        "subprocess. Any new flag is a real code regression."
+    ),
+    "streaming_distinct_daily": (
+        "r14 attribution, same A/B as streaming_sessionize: trees tie "
+        "(fresh-session HEAD ~2.6 s vs r12 tree ~3.0; r12-recorded "
+        "2.69). The r13 flag was session position, fixed by the "
+        "fresh-session drain worker."
+    ),
+    "streaming_stream_stream_join": (
+        "r14 attribution, same A/B: fresh-session HEAD ~9.1 s vs r12 "
+        "tree 9.8-14.1 (r12-recorded 10.9). The r10→r13 5.9→15.4 s "
+        "creep was session position, fixed by the fresh-session "
+        "drain worker."
     ),
     "lang_label_noise_audit": (
         "r10-cell normalization artifact: ~1.2x vs r09 (r09 norm "
@@ -707,12 +755,25 @@ def _streaming_compare(
     timings: dict[str, float],
     host_factor: float | None,
     against_path: str,
+    session_mode: str = "fresh",
 ) -> dict | None:
     """Cross-round guard for the streaming-drain section. The prior
     per-op drain times live in the full record (BENCH_FULL_r{N}.json /
     fingerprint-matched BENCH_FULL.json); the old host factor comes
     from the prior BATCH canary — host drift is a host property, and
-    the streaming ops have no r01 anchors of their own."""
+    the streaming ops have no r01 anchors of their own.
+
+    Normalization class (VERDICT r13 item 2c, decided r14): drains
+    keep the scan/agg factor. The r13 flags that motivated the
+    class question (sessionize 1.99 scan-normalized vs 1.58
+    text-normalized) were attributed by fresh-session worktree A/B to
+    session position, not class skew — with position removed there is
+    no evidence either canary class misrepresents the drains, and the
+    Python-stateful drains' cost profile (Arrow state store, fork
+    pool) matches neither class anyway. The compare records both
+    session modes; a fresh-vs-inline ratio reads LOW by construction
+    (the old cell was position-inflated), which is the expected
+    one-time step in the r14 record."""
     try:
         with open(against_path) as f:
             old = json.load(f)
@@ -738,7 +799,20 @@ def _streaming_compare(
         return block
     old_factor = _median_host_factor(full.get("queries") or {})
     block["host_factor_old_median_method"] = old_factor
+    block["session_mode"] = {
+        "new": session_mode,
+        "old": ((full or {}).get("streaming") or {}).get(
+            "session_mode", "inline"
+        ),
+    }
     block.update(_ratio_guard(timings, host_factor, old_stream, old_factor))
+    known = {
+        n: _KNOWN_REGRESSIONS[n]
+        for n in block.get("regressions") or ()
+        if n in _KNOWN_REGRESSIONS
+    }
+    if known:
+        block["known_regressions"] = known
     return block
 
 
@@ -978,6 +1052,15 @@ def emit_bench_line(out: dict, full_name: str = "BENCH_FULL.json") -> str:
             "total": s_full.get("total"),
             "n": len(s_full.get("queries") or {}),
         }
+        if s_full.get("session_mode"):
+            s_slim["session_mode"] = s_full["session_mode"]
+        # the cumulative anchor's worst entry rides the slim line so a
+        # monotone multi-round creep is visible in the driver record
+        # itself, not only in BENCH_FULL (VERDICT r13 item 2b)
+        vs_oldest = s_full.get("vs_oldest") or {}
+        if vs_oldest:
+            worst = max(vs_oldest, key=lambda n: vs_oldest[n]["ratio"])
+            s_slim["vs_oldest_max"] = {"name": worst, **vs_oldest[worst]}
         s_cmp = s_full.get("compare")
         if isinstance(s_cmp, dict):
             s_slim["regressions"] = s_cmp.get("regressions")
@@ -1015,13 +1098,17 @@ def emit_bench_line(out: dict, full_name: str = "BENCH_FULL.json") -> str:
     # (names survive in regressions/known_regressions), the whole
     # compare block only as the last resort — a parseable line always
     # wins over a complete one, but an explained flag beats neither.
+    # Streaming detail sheds INDEPENDENTLY of the batch compare
+    # (ADVICE r13: nesting it under the batch-compare guard meant a
+    # run with streaming flags but no batch compare never shed it).
+    if isinstance(slim.get("streaming"), dict):
+        slim["streaming"].pop("flag_resolution", None)
+        slim["streaming"].pop("vs_oldest_max", None)
     if isinstance(slim.get("compare"), dict):
         slim["compare"].pop("flag_resolution", None)
-        if isinstance(slim.get("streaming"), dict):
-            slim["streaming"].pop("flag_resolution", None)
-        line = json.dumps(slim)
-        if len(line) <= _STDOUT_LINE_BUDGET:
-            return line
+    line = json.dumps(slim)
+    if len(line) <= _STDOUT_LINE_BUDGET:
+        return line
     slim.pop("compare", None)
     slim["compare_file"] = full_name
     return json.dumps(slim)
@@ -1038,6 +1125,191 @@ def _latest_bench_file(repo_dir: str) -> str | None:
             if best is None or n > best[0]:
                 best = (n, os.path.join(repo_dir, fn))
     return best[1] if best else None
+
+
+# -- fresh-session streaming drains (VERDICT r13 items 1-2) -------------------
+#
+# r14 attribution of the r13 "confirmed" streaming regressions
+# (sessionize 1.99x, distinct_daily 1.72x on UNTOUCHED code): a
+# fresh-session worktree A/B at the r12 boundary (git worktree
+# /tmp/r12 @ ee17a8c, min-of-3 drains x3 alternating sessions per
+# tree) timed r13 HEAD equal-or-FASTER on every drain (sessionize
+# 3.91/4.19/4.42 s vs r12's 5.02/6.07/7.57; distinct_daily ~2.6 vs
+# ~3.0; stream_stream_join ~9.1 vs ~9.8-14.1) — and fresh-session
+# HEAD sessionize (~4.1 s) lands exactly on the r12-recorded in-bench
+# 4.09 s. The creep was SESSION POSITION: drains ran last, after a
+# batch workload that grows every round, and the in-session
+# "isolated" rerun could not see that bloat. Fix: the streaming
+# section now runs in a fresh-session SUBPROCESS (this worker), so a
+# growing batch section can never masquerade as drain slowdown again.
+
+_DRAIN_WORKER_TIMEOUT_SEC = 3600
+
+
+def drain_worker_main(ops_csv: str, out_path: str) -> None:
+    """``python bench.py --drain-worker <ops_csv> <out_json>``: time
+    the named streaming drains on a FRESH SparkSession and write the
+    per-op min-of-3(+extra short reps) timings as JSON. Reads
+    SPARK_GRAFT_WAREHOUSE_CACHE (an operators.warehouse.export_cache
+    snapshot) so table-backed gates reuse the parent's materialized
+    result tables instead of re-paying the job-layer builds."""
+    import statistics
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    ops = [o for o in ops_csv.split(",") if o]
+
+    from pyspark.sql import functions as F
+
+    from dungbeetle_spark.queries import registry
+    from dungbeetle_spark.session import get_spark
+    from dungbeetle_spark.sources.catalog import TABLES, load_tables
+
+    spark = get_spark("dungbeetle-bench-drain")
+    specs = registry()
+    cache = os.environ.get("SPARK_GRAFT_WAREHOUSE_CACHE")
+    if cache and os.path.exists(cache):
+        from dungbeetle_spark.operators import warehouse
+
+        warehouse.preload_cache(cache)
+    # same warmups as the batch section: table page cache / parquet
+    # footers + the Python worker pool, so the first timed drain
+    # doesn't pay cold forks (the worker IS the fresh session; the
+    # warmups keep "fresh" meaning "no prior workload", not "cold VM")
+    tables = load_tables(spark, sf_dir, TABLES)
+    for df in tables.values():
+        df.write.mode("overwrite").format("noop").save()
+    _warm = F.pandas_udf(lambda s: s, "long")
+    cores = spark.sparkContext.defaultParallelism
+    spark.range(0, cores * 100, 1, cores).select(_warm("id")).write.mode(
+        "overwrite"
+    ).format("noop").save()
+    # table-backed gates: ensure their reference tables exist BEFORE
+    # the timed loop (a preloaded cache makes this free; without one —
+    # e.g. a standalone worker invocation — the build is untimed here)
+    need = _mat_tables_for(ops)
+    if need:
+        _materialize_tables(spark, sf_dir, need)
+
+    s_runs: dict[str, list[float]] = {name: [] for name in ops}
+    for _ in range(3):
+        for name in ops:
+            t0 = time.perf_counter()
+            specs[name].build(spark, sf_dir).write.mode("overwrite").format(
+                "noop"
+            ).save()
+            s_runs[name].append(time.perf_counter() - t0)
+    short = [
+        n for n in ops if min(s_runs[n]) < _STREAM_EXTRA_REP_UNDER_SEC
+    ]
+    for _ in range(_STREAM_EXTRA_REPS):
+        for name in short:
+            t0 = time.perf_counter()
+            specs[name].build(spark, sf_dir).write.mode("overwrite").format(
+                "noop"
+            ).save()
+            s_runs[name].append(time.perf_counter() - t0)
+    payload = {
+        "queries": {name: round(min(ts), 3) for name, ts in s_runs.items()},
+        "spread_stddev": {
+            name: round(statistics.pstdev(ts), 3)
+            for name, ts in s_runs.items()
+        },
+    }
+    with open(out_path, "w") as f:
+        json.dump(payload, f)
+
+
+def _fresh_session_drains(ops: list[str]) -> dict:
+    """Spawn the drain worker for ``ops``; returns its payload. The
+    parent's warehouse cache is handed over as a snapshot file so the
+    worker's table-backed gates read the already-built tables."""
+    import subprocess
+    import tempfile
+
+    out_fd, out_path = tempfile.mkstemp(prefix="drain_", suffix=".json")
+    os.close(out_fd)
+    cache_fd, cache_path = tempfile.mkstemp(
+        prefix="warehouse_cache_", suffix=".json"
+    )
+    os.close(cache_fd)
+    env = dict(os.environ)
+    try:
+        from dungbeetle_spark.operators import warehouse
+
+        warehouse.export_cache(cache_path)
+        env["SPARK_GRAFT_WAREHOUSE_CACHE"] = cache_path
+        res = subprocess.run(
+            [
+                sys.executable,
+                os.path.abspath(__file__),
+                "--drain-worker",
+                ",".join(ops),
+                out_path,
+            ],
+            env=env,
+            stdout=subprocess.DEVNULL,
+            stderr=subprocess.PIPE,
+            timeout=_DRAIN_WORKER_TIMEOUT_SEC,
+        )
+        if res.returncode != 0:
+            tail = (res.stderr or b"")[-2000:].decode("utf-8", "replace")
+            raise RuntimeError(f"drain worker exited {res.returncode}: {tail}")
+        with open(out_path) as f:
+            return json.load(f)
+    finally:
+        for p in (out_path, cache_path):
+            try:
+                os.unlink(p)
+            except OSError:
+                pass
+
+
+def _streaming_vs_oldest(
+    timings: dict[str, float], host_factor: float | None, repo_dir: str
+) -> dict[str, dict] | None:
+    """Cumulative cross-round anchor (VERDICT r13 item 2b): for each
+    drain, the normalized ratio against the OLDEST archived full
+    record that carries it — so sub-threshold adjacent-round creep
+    (sessionize 2.86→7.60 s across r10→r13, every step under the 1.5x
+    flag) can never hide again. Each entry records the anchor round
+    and that record's session mode ('inline' = drains timed after the
+    whole batch section — position-inflated; 'fresh' = subprocess
+    session), because a fresh-vs-inline ratio mixes measurement
+    positions and reads LOW by construction."""
+    import re
+
+    if not host_factor:
+        return None
+    rounds: list[tuple[int, str]] = []
+    for fn in os.listdir(repo_dir):
+        m = re.fullmatch(r"BENCH_FULL_r(\d+)\.json", fn)
+        if m:
+            rounds.append((int(m.group(1)), os.path.join(repo_dir, fn)))
+    out: dict[str, dict] = {}
+    for rnd, path in sorted(rounds):
+        try:
+            with open(path) as f:
+                rec = json.load(f)
+        except (OSError, json.JSONDecodeError):
+            continue
+        old_stream = (rec.get("streaming") or {}).get("queries") or {}
+        if not old_stream:
+            continue
+        old_factor = _median_host_factor(rec.get("queries") or {})
+        if not old_factor:
+            continue
+        old_mode = (rec.get("streaming") or {}).get("session_mode", "inline")
+        for name, new_sec in timings.items():
+            old_sec = old_stream.get(name)
+            if old_sec and name not in out:
+                out[name] = {
+                    "ratio": round(
+                        (new_sec / host_factor) / (old_sec / old_factor), 3
+                    ),
+                    "round": rnd,
+                    "old_mode": old_mode,
+                }
+    return out or None
 
 
 def main() -> None:
@@ -1093,15 +1365,10 @@ def main() -> None:
     # static-build-vs-per-batch split VERDICT r12 item 2 asks the
     # bench to make visible).
     mat_setup_sec = None
-    if _MAT_CONSUMERS & set(headline + streaming_ops):
-        from dungbeetle_spark.operators import warehouse
-
+    mat_need = _mat_tables_for(headline + streaming_ops)
+    if mat_need:
         t0 = time.perf_counter()
-        warehouse.manifest_table(spark, sf_dir)
-        warehouse.export_manifest_table(spark, sf_dir)
-        warehouse.fate_reference_tables(spark, sf_dir)
-        warehouse.seeded_manifest_table(spark, sf_dir)
-        warehouse.seeded_canon_table(spark, sf_dir)
+        _materialize_tables(spark, sf_dir, mat_need)
         mat_setup_sec = round(time.perf_counter() - t0, 3)
 
     # spark.range gives every core a non-empty partition, so all 32
@@ -1203,51 +1470,78 @@ def main() -> None:
     # Streaming drain section (VERDICT r09 item 5): each op's build()
     # runs a synchronous availableNow drain to parquet; the noop save
     # of the returned batch frame adds only the drained-result read.
+    # Since r14 the drains run in a FRESH-SESSION SUBPROCESS (VERDICT
+    # r13 items 1-2: the r13 "confirmed" regressions were session
+    # position — see the attribution note above drain_worker_main), so
+    # the growing batch section can never masquerade as drain
+    # slowdown. In-session fallback only if the worker fails, marked
+    # as such so the compare knows the measurement position.
     streaming: dict | None = None
     if streaming_ops:
-        s_runs: dict[str, list[float]] = {name: [] for name in streaming_ops}
-        for _ in range(3):
-            for name in streaming_ops:
-                t0 = time.perf_counter()
-                specs[name].build(spark, sf_dir).write.mode(
-                    "overwrite"
-                ).format("noop").save()
-                s_runs[name].append(time.perf_counter() - t0)
-        # VERDICT r12 item 7: sub-_STREAM_EXTRA_REP_UNDER_SEC drains
-        # get extra interleaved reps — their min was noise-dominated
-        # (windowed_counts stddev 0.51 on ~3.5 s tripped two rounds of
-        # flags that isolation then cleared) and extra samples are
-        # cheap exactly where they're needed.
-        short = [
-            n for n in streaming_ops
-            if min(s_runs[n]) < _STREAM_EXTRA_REP_UNDER_SEC
-        ]
-        for _ in range(_STREAM_EXTRA_REPS):
-            for name in short:
-                t0 = time.perf_counter()
-                specs[name].build(spark, sf_dir).write.mode(
-                    "overwrite"
-                ).format("noop").save()
-                s_runs[name].append(time.perf_counter() - t0)
-        s_timings = {name: round(min(ts), 3) for name, ts in s_runs.items()}
+        session_mode = "fresh"
+        try:
+            s_payload = _fresh_session_drains(streaming_ops)
+        except Exception as ex:
+            print(f"drain worker failed, falling back in-session: {ex}",
+                  file=sys.stderr)
+            session_mode = "inline_fallback"
+            s_runs: dict[str, list[float]] = {n: [] for n in streaming_ops}
+            reps = 3 + _STREAM_EXTRA_REPS
+            for i in range(reps):
+                for name in streaming_ops:
+                    if i >= 3 and min(s_runs[name]) >= \
+                            _STREAM_EXTRA_REP_UNDER_SEC:
+                        continue
+                    t0 = time.perf_counter()
+                    specs[name].build(spark, sf_dir).write.mode(
+                        "overwrite"
+                    ).format("noop").save()
+                    s_runs[name].append(time.perf_counter() - t0)
+            s_payload = {
+                "queries": {n: round(min(ts), 3) for n, ts in s_runs.items()},
+                "spread_stddev": {
+                    n: round(statistics.pstdev(ts), 3)
+                    for n, ts in s_runs.items()
+                },
+            }
+        s_timings = s_payload["queries"]
         streaming = {
             "metric": "streaming_drain_wall",
             "queries": s_timings,
             "total": round(sum(s_timings.values()), 3),
-            "spread_stddev": {
-                name: round(statistics.pstdev(ts), 3)
-                for name, ts in s_runs.items()
-            },
+            "spread_stddev": s_payload.get("spread_stddev"),
+            "session_mode": session_mode,
         }
+        vs_oldest = _streaming_vs_oldest(s_timings, host_factor, repo_dir)
+        if vs_oldest:
+            streaming["vs_oldest"] = vs_oldest
         if against and os.path.exists(against):
             try:
-                s_cmp = _streaming_compare(s_timings, host_factor, against)
+                s_cmp = _streaming_compare(
+                    s_timings, host_factor, against, session_mode
+                )
             except Exception as ex:
                 s_cmp = {"against": os.path.basename(against),
                          "error": str(ex)[:200]}
             if s_cmp is not None:
                 if s_cmp.get("regressions"):
-                    confirm_regressions(s_cmp, s_timings, _isolated_min)
+                    # a streaming flag is re-confirmed the way it was
+                    # measured: a fresh subprocess session per flagged
+                    # op (in-session _isolated_min would reintroduce
+                    # the position bias this section just removed)
+                    def _isolated_min_streaming(name: str) -> float:
+                        if session_mode != "fresh":
+                            return _isolated_min(name)
+                        try:
+                            return _fresh_session_drains([name])["queries"][
+                                name
+                            ]
+                        except Exception:
+                            return _isolated_min(name)
+
+                    confirm_regressions(
+                        s_cmp, s_timings, _isolated_min_streaming
+                    )
                 streaming["compare"] = s_cmp
 
     out = {
@@ -1316,4 +1610,7 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) >= 4 and sys.argv[1] == "--drain-worker":
+        drain_worker_main(sys.argv[2], sys.argv[3])
+    else:
+        main()

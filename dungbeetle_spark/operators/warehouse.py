@@ -35,6 +35,8 @@ the other variants in the same bench/driver run — reads parquet.
 
 from __future__ import annotations
 
+import atexit
+import json
 import os
 import tempfile
 import threading
@@ -48,14 +50,63 @@ from dungbeetle_spark.queries import _t, query
 # -- job-layer materialization ------------------------------------------------
 
 # (realpath(sf_dir), table name) -> parquet path of results_<job_id>.
-# RLock: fate_reference_tables materializes four tables in one call.
+# _REG_LOCK guards the dicts only; each key gets its own build lock so
+# a reader of an already-cached table — or of a table for a different
+# sf_dir — never blocks behind an unrelated in-flight materialization
+# (ADVICE r13: the old global lock was held for the whole Spark job,
+# up to _JOB_TIMEOUT_SEC).
 _MATERIALIZED: dict[tuple[str, str], str] = {}
-_MAT_LOCK = threading.RLock()
+_REG_LOCK = threading.Lock()
+_KEY_LOCKS: dict[tuple[str, str], threading.Lock] = {}
+# backend dirs THIS process created (preloaded paths are never ours to
+# delete); reaped at interpreter exit so bench/sweep loops don't strand
+# manifest-scale parquet under /tmp (ADVICE r13).
+_OWNED_DIRS: list[str] = []
 _JOB_TIMEOUT_SEC = 900.0
 
 
+@atexit.register
+def _reap_owned_dirs() -> None:
+    import shutil
+
+    with _REG_LOCK:
+        dirs, _OWNED_DIRS[:] = list(_OWNED_DIRS), []
+    for d in dirs:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def export_cache(path: str) -> None:
+    """Snapshot the materialization cache to a JSON file so a sibling
+    process (the fresh-session streaming bench drain, r14) can read
+    the already-built result tables instead of re-paying the job-layer
+    builds. The snapshot holds paths only — the exporting process
+    keeps owning (and eventually reaping) the directories, so it must
+    outlive every consumer of the snapshot."""
+    with _REG_LOCK:
+        snap = {f"{sfd}\t{name}": p for (sfd, name), p in _MATERIALIZED.items()}
+    with open(path, "w") as f:
+        json.dump(snap, f)
+
+
+def preload_cache(path: str) -> int:
+    """Seed the cache from an :func:`export_cache` snapshot; returns
+    how many entries were adopted. Paths that no longer exist are
+    skipped (the exporter may have exited and reaped them). Adopted
+    paths are NOT owned — never reaped — by this process."""
+    with open(path) as f:
+        snap = json.load(f)
+    n = 0
+    with _REG_LOCK:
+        for k, p in snap.items():
+            sfd, name = k.split("\t", 1)
+            if os.path.isdir(p):
+                _MATERIALIZED.setdefault((sfd, name), p)
+                n += 1
+    return n
+
+
 def _result_table(
-    spark: SparkSession, sf_dir: str, name: str, build
+    spark: SparkSession, sf_dir: str, name: str, build, refresh: bool = False
 ) -> DataFrame:
     """Materialize ``build(sess, sf_dir)`` as a job RESULT TABLE, once
     per process per (sf_dir, name), and return the table read.
@@ -67,13 +118,26 @@ def _result_table(
     canonical type collapse (sqldb.go:254–281; the manifest's
     long/string columns round-trip exactly) — so the table the
     variants read is the same artifact an HTTP client of the engine
-    would poll for and fetch (core.go:510–572)."""
+    would poll for and fetch (core.go:510–572).
+
+    Staleness contract (VERDICT r13 item 6): the cache key is
+    (realpath(sf_dir), name) for the LIFE OF THE PROCESS — correct for
+    bench/driver runs over immutable fixture dirs, stale the moment
+    the corpus under sf_dir changes (a rollover). ``refresh=True`` is
+    the invalidation hatch: it rebuilds through the job layer and
+    repoints the cache; DataFrames handed out against the old path
+    stay readable until process exit (the old dir is reaped then, not
+    at repoint)."""
     key = (os.path.realpath(sf_dir), name)
-    with _MAT_LOCK:
-        path = _MATERIALIZED.get(key)
+    with _REG_LOCK:
+        lock = _KEY_LOCKS.setdefault(key, threading.Lock())
+    with lock:
+        with _REG_LOCK:
+            path = None if refresh else _MATERIALIZED.get(key)
         if path is None:
             path = _materialize(spark, sf_dir, name, build)
-            _MATERIALIZED[key] = path
+            with _REG_LOCK:
+                _MATERIALIZED[key] = path
     return spark.read.parquet(path)
 
 
@@ -84,6 +148,8 @@ def _materialize(
 
     core = Core(spark, worker_concurrency=1)
     backend_dir = tempfile.mkdtemp(prefix="dungbeetle_warehouse_")
+    with _REG_LOCK:
+        _OWNED_DIRS.append(backend_dir)
     core.add_result_backend("warehouse", backend_dir)
     # ttl=0 → keep the result forever (no reaper is running anyway;
     # the table must outlive the Core for the cached read path).
@@ -111,10 +177,14 @@ def _materialize(
         core.stop()
 
 
-def manifest_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+def manifest_table(
+    spark: SparkSession, sf_dir: str, refresh: bool = False
+) -> DataFrame:
     """The shipped ``corpus_fate_manifest`` result table (doc_id, fate,
     quality_reason, canonical_id, n_contaminated, fuzzy_matched_bands),
-    materialized once through the job layer."""
+    materialized once through the job layer. ``refresh=True`` rebuilds
+    after a corpus rollover (see ``_result_table``'s staleness
+    contract)."""
     from dungbeetle_spark.operators.pipeline import _fate_frame
 
     return _result_table(
@@ -122,10 +192,13 @@ def manifest_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         sf_dir,
         "corpus_fate_manifest",
         lambda sess, sfd: _fate_frame(_t(sess, sfd, "documents")["documents"]),
+        refresh=refresh,
     )
 
 
-def export_manifest_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+def export_manifest_table(
+    spark: SparkSession, sf_dir: str, refresh: bool = False
+) -> DataFrame:
     """The shipped ``shard_export_manifest`` result table — the
     previous-snapshot side the incremental diff reads in production."""
     from dungbeetle_spark.operators.pipeline import _export_frame
@@ -137,6 +210,7 @@ def export_manifest_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda sess, sfd: _export_frame(
             _t(sess, sfd, "documents")["documents"]
         ),
+        refresh=refresh,
     )
 
 
@@ -229,7 +303,7 @@ def _fev_build(sess: SparkSession, sf_dir: str, fstops: DataFrame) -> DataFrame:
 
 
 def fate_reference_tables(
-    sess: SparkSession, sf_dir: str
+    sess: SparkSession, sf_dir: str, refresh: bool = False
 ) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame]:
     """The fate/PII gates' static reference state as four job result
     tables — ``(canon, ev, fstops, fev)``, the exact frames
@@ -238,14 +312,21 @@ def fate_reference_tables(
     claim); this materializes them through the job layer once per
     process so the ``*_from_tables`` drain modes measure the per-batch
     probe, not the reference-state build (VERDICT r12 item 2)."""
-    canon = _result_table(sess, sf_dir, "fate_ref_canon", _canon_frame)
-    ev = _result_table(sess, sf_dir, "fate_ref_eval_grams", _eval_gram_frame)
-    fstops = _result_table(sess, sf_dir, "fdc_ref_stop_shingles", _fstops_frame)
+    canon = _result_table(
+        sess, sf_dir, "fate_ref_canon", _canon_frame, refresh=refresh
+    )
+    ev = _result_table(
+        sess, sf_dir, "fate_ref_eval_grams", _eval_gram_frame, refresh=refresh
+    )
+    fstops = _result_table(
+        sess, sf_dir, "fdc_ref_stop_shingles", _fstops_frame, refresh=refresh
+    )
     fev = _result_table(
         sess,
         sf_dir,
         "fdc_ref_eval_bands",
         lambda s, sfd: _fev_build(s, sfd, fstops),
+        refresh=refresh,
     )
     return canon, ev, fstops, fev
 
@@ -599,7 +680,9 @@ def _dup_seeded_sql(src: str = "documents") -> str:
       FROM {src}"""
 
 
-def seeded_manifest_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+def seeded_manifest_table(
+    spark: SparkSession, sf_dir: str, refresh: bool = False
+) -> DataFrame:
     """The shipped fate manifest of the duplicate-seeded corpus — the
     planner's prev side, materialized through the job layer like
     manifest_table."""
@@ -612,10 +695,13 @@ def seeded_manifest_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda sess, sfd: _fate_frame(
             _dup_seeded(_t(sess, sfd, "documents")["documents"])
         ),
+        refresh=refresh,
     )
 
 
-def seeded_canon_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+def seeded_canon_table(
+    spark: SparkSession, sf_dir: str, refresh: bool = False
+) -> DataFrame:
     """The duplicate-seeded corpus's canonical map result table."""
     return _result_table(
         spark,
@@ -624,6 +710,7 @@ def seeded_canon_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda sess, sfd: _canon_from_docs(
             _dup_seeded(_t(sess, sfd, "documents")["documents"])
         ),
+        refresh=refresh,
     )
 
 

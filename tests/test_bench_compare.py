@@ -756,6 +756,10 @@ def test_warehouse_consumer_sets_stay_in_sync():
     import scale_sweep
 
     assert bench._MAT_CONSUMERS == frozenset(scale_sweep._WAREHOUSE_CONSUMERS)
+    # r14 (ADVICE r13): the per-consumer table mapping, not just the
+    # name sets, must agree — a consumer whose bench mapping misses a
+    # table it reads would time the one-off build as its cell
+    assert bench._MAT_TABLES == scale_sweep._WAREHOUSE_TABLES
     needs = {
         n
         for n in bench.HEADLINE + bench.STREAMING
@@ -764,3 +768,145 @@ def test_warehouse_consumer_sets_stay_in_sync():
                  "fate_recompute_plan")
     }
     assert needs <= bench._MAT_CONSUMERS
+
+
+def test_streaming_compare_records_session_modes(tmp_path):
+    """r14 (VERDICT r13 item 2): the compare must say WHERE each
+    side's drains were measured — an old inline record (drains timed
+    after the whole batch section) compared against a fresh-session
+    run reads as a fake improvement, and the mode pair is what makes
+    that self-explaining in the artifact."""
+    rec = {
+        "value": 12.3,
+        "sf": 0.1,
+        "queries": dict(bench.CANARY_ANCHORS),
+        "streaming": {"queries": {"streaming_sessionize": 7.6}},
+    }
+    old = tmp_path / "BENCH_r98.json"
+    old.write_text(json.dumps(rec))
+    block = bench._streaming_compare(
+        {"streaming_sessionize": 4.1}, 1.0, str(old), "fresh"
+    )
+    assert block["session_mode"] == {"new": "fresh", "old": "inline"}
+
+    rec["streaming"]["session_mode"] = "fresh"
+    old.write_text(json.dumps(rec))
+    block = bench._streaming_compare(
+        {"streaming_sessionize": 4.1}, 1.0, str(old), "fresh"
+    )
+    assert block["session_mode"] == {"new": "fresh", "old": "fresh"}
+
+
+def test_streaming_vs_oldest_anchors_to_first_record(tmp_path):
+    """The cumulative anchor (VERDICT r13 item 2b) must pick the
+    OLDEST archived record carrying the op — the r10→r13 sessionize
+    creep (2.86→7.60 s) stayed under every adjacent-round flag; only
+    a vs-oldest ratio exposes it."""
+    for rnd, sec in ((10, 2.86), (12, 4.09)):
+        rec = {
+            "value": 1.0,
+            "sf": 0.1,
+            "queries": dict(bench.CANARY_ANCHORS),  # host factor 1.0
+            "streaming": {"queries": {"streaming_sessionize": sec}},
+        }
+        (tmp_path / f"BENCH_FULL_r{rnd:02d}.json").write_text(
+            json.dumps(rec)
+        )
+    out = bench._streaming_vs_oldest(
+        {"streaming_sessionize": 7.6}, 1.0, str(tmp_path)
+    )
+    ent = out["streaming_sessionize"]
+    assert ent["round"] == 10
+    assert ent["old_mode"] == "inline"
+    assert ent["ratio"] == round(7.6 / 2.86, 3)
+
+
+def test_emit_bench_line_sheds_streaming_detail_without_batch_compare():
+    """ADVICE r13: an over-budget line with streaming flags but NO
+    batch compare block must still shed the streaming flag_resolution
+    (it used to be nested under the batch-compare guard, so the final
+    fallback dropped the batch block and left the oversize streaming
+    detail in place)."""
+    out = {
+        "metric": "headline_queries_total_wall",
+        "value": 10.0,
+        "unit": "sec",
+        "queries": {"q1_pricing_summary": 10.0},
+        "sf": 0.1,
+        "canary": {"host_factor": 1.0},
+        "streaming": {
+            "queries": {f"streaming_op_{i}": 1.0 for i in range(40)},
+            "total": 40.0,
+            "session_mode": "fresh",
+            "compare": {
+                "normalized_ratios": {
+                    f"streaming_op_{i}": 2.9 for i in range(40)
+                },
+                "regressions": [f"streaming_op_{i}" for i in range(40)],
+                "flagged_batch": [f"streaming_op_{i}" for i in range(40)],
+                "regression_checks": {
+                    f"streaming_op_{i}": {
+                        "isolated_ratio": 2.8,
+                        "confirmed": True,
+                    }
+                    for i in range(40)
+                },
+            },
+        },
+    }
+    line = bench.emit_bench_line(out)
+    assert len(line) <= bench._STDOUT_LINE_BUDGET
+    parsed = json.loads(line)
+    assert "flag_resolution" not in parsed.get("streaming", {})
+    # the names themselves survive the shed
+    assert parsed["streaming"]["regressions"]
+
+
+def test_emit_bench_line_carries_session_mode_and_vs_oldest_max():
+    out = {
+        "metric": "headline_queries_total_wall",
+        "value": 10.0,
+        "unit": "sec",
+        "queries": {"q1_pricing_summary": 10.0},
+        "sf": 0.1,
+        "canary": {"host_factor": 1.0},
+        "streaming": {
+            "queries": {"streaming_sessionize": 4.1},
+            "total": 4.1,
+            "session_mode": "fresh",
+            "vs_oldest": {
+                "streaming_sessionize": {
+                    "ratio": 1.43,
+                    "round": 10,
+                    "old_mode": "inline",
+                },
+                "streaming_hll_registers": {
+                    "ratio": 0.9,
+                    "round": 10,
+                    "old_mode": "inline",
+                },
+            },
+        },
+    }
+    parsed = json.loads(bench.emit_bench_line(out))
+    assert parsed["streaming"]["session_mode"] == "fresh"
+    assert parsed["streaming"]["vs_oldest_max"] == {
+        "name": "streaming_sessionize",
+        "ratio": 1.43,
+        "round": 10,
+        "old_mode": "inline",
+    }
+
+
+def test_mat_tables_for_unions_only_selected_consumers():
+    """ADVICE r13: a subset run must materialize only the tables its
+    selected ops read — the old code built all five whenever any
+    consumer was chosen, over-reporting materialization_setup_sec."""
+    assert bench._mat_tables_for(["streaming_fate_gate_from_tables"]) == {
+        "fate_reference"
+    }
+    assert bench._mat_tables_for(["fate_recompute_plan"]) == {
+        "seeded_manifest",
+        "seeded_canon",
+    }
+    assert bench._mat_tables_for(["q1_pricing_summary"]) == set()

@@ -155,18 +155,22 @@ SWEEP_OPS = [
     ("streaming_pii_gate_from_tables", None),
 ]
 
-# Ops whose sweep rows read the pre-materialized warehouse tables.
-_WAREHOUSE_CONSUMERS = {
-    "shard_export_from_manifest",
-    "pii_audit_from_manifest",
-    "release_datacard_from_manifest",
-    "shard_export_diff_from_manifest",
-    "fate_churn_summary",
-    "release_datacard_diff",
-    "fate_recompute_plan",
-    "streaming_fate_gate_from_tables",
-    "streaming_pii_gate_from_tables",
+# Ops whose sweep rows read the pre-materialized warehouse tables,
+# mapped to exactly the tables each opens (ADVICE r13: materialize
+# only the union the chosen ops need). Mirror of bench._MAT_TABLES,
+# pinned equal by test_bench_compare.
+_WAREHOUSE_TABLES = {
+    "shard_export_from_manifest": ("manifest",),
+    "pii_audit_from_manifest": ("manifest",),
+    "release_datacard_from_manifest": ("manifest",),
+    "shard_export_diff_from_manifest": ("export_manifest",),
+    "fate_churn_summary": ("manifest",),
+    "release_datacard_diff": ("manifest",),
+    "fate_recompute_plan": ("seeded_manifest", "seeded_canon"),
+    "streaming_fate_gate_from_tables": ("fate_reference",),
+    "streaming_pii_gate_from_tables": ("fate_reference",),
 }
+_WAREHOUSE_CONSUMERS = set(_WAREHOUSE_TABLES)
 
 # Sub-factor ladder for capped operators: when the requested factor
 # set skips past an op's cap (e.g. [1, 10, 32] vs cap 4), sweep it at
@@ -542,16 +546,23 @@ def run_sweep(
     # those rows measure the table-READ path (the warehouse claim);
     # the one-time build cost is printed per factor, mirroring bench's
     # materialization_setup_sec split.
-    if any(n in _WAREHOUSE_CONSUMERS for n, _c in chosen):
+    mat_need = set()
+    for n, _c in chosen:
+        mat_need.update(_WAREHOUSE_TABLES.get(n, ()))
+    if mat_need:
         from dungbeetle_spark.operators import warehouse
 
+        builders = {
+            "manifest": warehouse.manifest_table,
+            "export_manifest": warehouse.export_manifest_table,
+            "fate_reference": warehouse.fate_reference_tables,
+            "seeded_manifest": warehouse.seeded_manifest_table,
+            "seeded_canon": warehouse.seeded_canon_table,
+        }
         for f, d in dirs.items():
             t0 = time.time()
-            warehouse.manifest_table(spark, d)
-            warehouse.export_manifest_table(spark, d)
-            warehouse.fate_reference_tables(spark, d)
-            warehouse.seeded_manifest_table(spark, d)
-            warehouse.seeded_canon_table(spark, d)
+            for t in sorted(mat_need):
+                builders[t](spark, d)
             print(
                 f"warehouse materialization x{f}: {time.time() - t0:.2f}s",
                 flush=True,
