@@ -911,16 +911,32 @@ def _embedding_pairs_exact(e: DataFrame) -> DataFrame:
     )
 
 
-def _embedding_pairs_lsh(e: DataFrame) -> DataFrame:
+def _embedding_pairs_lsh(
+    e: DataFrame, cap: int = _LSH_BUCKET_CAP
+) -> tuple[DataFrame, DataFrame]:
     """Near-dup candidates via random-hyperplane LSH, exact re-rank.
 
     The 100 TB path: nothing ever collects. Signatures are one narrow
     Arrow pass (similarity._signatures); candidates are a self equi-
     join keyed on (band, bucket) — the shuffle moves (vec_id, band,
-    bucket, embedding) rows, cost scales with Σ|bucket|², never
-    corpus²; the exact JVM-side cosine filter then removes false
-    candidates. Recall < 1 by construction (pairs agreeing on no band
-    are missed) — the documented trade for unbounded corpora.
+    bucket, embedding) rows; the exact JVM-side cosine filter then
+    removes false candidates. Recall < 1 by construction (pairs
+    agreeing on no band are missed) — the documented trade for
+    unbounded corpora.
+
+    Density cap (VERDICT r13 item 5, mirroring ``_capped_band_pairs``):
+    a bucket over ``cap`` members degrades to leader-STAR emission —
+    the pre-join filter keeps only the bucket minimum on the left
+    side, so an oversized bucket joins 1×B instead of B×B and the join
+    never materializes a quadratic bucket. A 100 TB corpus with
+    near-constant embeddings (failed encoder, zero vectors) is exactly
+    the text-minhash mega-bucket in vector form: every such row lands
+    in ONE (band, bucket) per band, and the uncapped self-join was
+    Σ|bucket|² on it. Every member stays connected to the cluster
+    through the leader, so downstream canonical-collapse semantics
+    survive; within-cluster pair recall is the documented trade.
+    Returns ``(pairs, audit)`` — audit is one row
+    (``truncated_buckets``) counting capped buckets.
     """
     from dungbeetle_spark.functions.vectors import pair_cosine_udf
     from dungbeetle_spark.operators.similarity import _signatures
@@ -928,8 +944,14 @@ def _embedding_pairs_lsh(e: DataFrame) -> DataFrame:
     signed = _signatures(e.select("vec_id", "embedding"), _DIM)
     buckets = signed.select(
         "vec_id", "embedding", F.posexplode("sigs").alias("band", "bucket")
+    ).localCheckpoint(eager=False)  # feeds left/right sides + audit
+    wb = W.partitionBy("band", "bucket")
+    sized = buckets.withColumn("bn", F.count(F.lit(1)).over(wb)).withColumn(
+        "leader", F.min("vec_id").over(wb)
     )
-    a = buckets.select(
+    a = sized.filter(
+        (F.col("bn") <= cap) | (F.col("vec_id") == F.col("leader"))
+    ).select(
         F.col("vec_id").alias("vec_a"), F.col("embedding").alias("a_emb"),
         "band", "bucket",
     )
@@ -940,13 +962,23 @@ def _embedding_pairs_lsh(e: DataFrame) -> DataFrame:
     # vectorized exact filter (bit-exact fold; unrolled expression
     # trees this size leave codegen — see functions.vectors)
     cos = pair_cosine_udf(_DIM)(F.col("a_emb"), F.col("b_emb"))
-    return (
+    pairs = (
         a.join(b, ["band", "bucket"])
         .filter(F.col("vec_a") < F.col("vec_b"))
         .dropDuplicates(["vec_a", "vec_b"])
         .select("vec_a", "vec_b", cos.alias("cos_raw"))
         .filter(F.col("cos_raw") >= _COS_T)
     )
+    audit = (
+        buckets.groupBy("band", "bucket")
+        .agg(F.count(F.lit(1)).alias("bn"))
+        .agg(
+            F.coalesce(F.sum((F.col("bn") > cap).cast("long")), F.lit(0))
+            .cast("long")
+            .alias("truncated_buckets")
+        )
+    )
+    return pairs, audit
 
 
 @query(
@@ -978,7 +1010,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     if _corpus_rows(spark, sf_dir) <= EXACT_SWEEP_MAX_ROWS:
         out = _embedding_pairs_exact(e)
     else:  # pragma: no cover - exercised via the forced-path unit test
-        out = _embedding_pairs_lsh(e)
+        out, _audit = _embedding_pairs_lsh(e)
     return out.select("vec_a", "vec_b", F.round("cos_raw", 6).alias("cos_sim"))
 
 

@@ -65,41 +65,23 @@ def query(name: str, oracle: str | None = None, doc: str = ""):
 # or changing a query therefore touches exactly this one list; the
 # stale-repayment rotation happens by construction every round.
 NEW_OR_CHANGED: list[str] = [
-    # r13 budget note: nine entries, all NEW queries (VERDICT r12
-    # items 1-2 + 5, plus two r14-queue items pulled forward): the
-    # five materialized-manifest warehouse variants, the two
-    # table-backed streaming gate drains, the datacard delta, and the
-    # incremental re-curation planner. Window math: 9 entries + the
-    # 8 r08-stale + 33 of the r09-stale fill the 50 slots — the
-    # last-green floor moves to r09 this round (VERDICT r12 item 3).
+    # r14 budget note: keep this list small — the 14 r09-stale entries
+    # must fit the 50-slot window so the last-green floor moves to r10
+    # (VERDICT r13 item 4).
     #
-    # r13 new (VERDICT r12 item 1): the warehouse variants — the fate
-    # manifest materialized as a job RESULT TABLE through the Part A
-    # layer; these read it instead of replaying the composed fate plan.
-    "shard_export_from_manifest",
-    "pii_audit_from_manifest",
-    "release_datacard_from_manifest",
-    "shard_export_diff_from_manifest",
-    # r13 new (VERDICT r12 item 5): per-doc fate transitions between
-    # the shipped manifest and the evolved corpus's recomputed fates.
-    "fate_churn_summary",
-    # r13 new (pulled forward from the r14 queue): per-source datacard
-    # DELTA between the shipped release and the evolved corpus.
-    "release_datacard_diff",
-    # r13 new (r14 primary, started early): the incremental
-    # re-curation planner over the duplicate-seeded corpus view.
-    "fate_recompute_plan",
-    # r13 new (VERDICT r12 item 2): the gates' drains with the static
-    # reference state read from materialized result tables — the
-    # production claim the inline fixtures could only document.
-    "streaming_fate_gate_from_tables",
-    "streaming_pii_gate_from_tables",
-    # DELIBERATELY OFF this list (r13): the fixture queries the
-    # variants derive from (shard_export_manifest, shard_export_diff,
-    # pii_redaction_audit, release_datacard, both inline gates) — their
-    # Spark plans and oracle SQL are byte-identical after the
-    # kept=/fate=-parameter extraction (identity refactor, per the
-    # r11/r12 rule), pinned by the untouched oracle suite.
+    # r14 changed (VERDICT r13 item 5): the >1M-row LSH failover path
+    # gained the leader-star bucket-density cap + truncated_buckets
+    # audit (mirroring _capped_band_pairs). The driver-exercised exact
+    # path is untouched; the registry body changed one line (tuple
+    # unpack), so it rides the window per the any-code-change rule.
+    "dedup_embedding_cosine",
+    # DELIBERATELY OFF this list (r14): r13's nine new entries (the
+    # warehouse variants, table-backed gates, churn/datacard deltas,
+    # recompute planner) all carry green r13 driver rows and are
+    # untouched this round — they rotate into the stale queue like
+    # everything else. The streaming bench rework (fresh-session
+    # drains) and the warehouse cache hatch touched no query's plan or
+    # oracle.
 ]
 
 

@@ -158,6 +158,36 @@ def test_embedding_dedup_big_corpus_never_collects(spark, sf_oracle, monkeypatch
     assert all(exact[k] == v for k, v in lsh.items())
 
 
+def test_embedding_lsh_mega_bucket_is_capped_to_leader_star(spark):
+    """VERDICT r13 item 5: a corpus with near-constant embeddings (a
+    failed encoder emitting one vector) recreates the text-minhash
+    mega-bucket in vector form — every row lands in the same
+    (band, bucket) in every band, and the uncapped candidate
+    self-join was Σ|bucket|². The capped path must emit exactly the
+    leader STAR for the planted cluster (N-1 pairs, every member
+    connected through the leader — verdict preservation for the
+    downstream canonical collapse) and audit the truncation."""
+    from dungbeetle_spark.operators import dedup
+
+    n = 3 * dedup._LSH_BUCKET_CAP  # 3x over the cap
+    const = [0.5] * dedup._DIM
+    e = spark.createDataFrame(
+        [(i, const) for i in range(n)],
+        "vec_id long, embedding array<float>",
+    )
+    pairs, audit = dedup._embedding_pairs_lsh(e)
+    got = sorted((r.vec_a, r.vec_b) for r in pairs.collect())
+    # identical vectors: cosine 1.0 passes the threshold; the star is
+    # (leader=0, member) only — all-pairs would be n(n-1)/2 = 4560
+    assert got == [(0, b) for b in range(1, n)]
+    # every band's single bucket was over the cap
+    trunc = audit.collect()[0].truncated_buckets
+    assert trunc > 0
+    # the cap is a pre-join filter: un-capped emission for SMALL
+    # buckets is untouched (subset-of-exact pin above covers organic
+    # corpora; this pins the degenerate cluster's bound)
+
+
 def test_connected_components_transitivity(spark):
     """Label propagation must collapse CHAINS (A~B, B~C → one
     component) and leave disconnected nodes as singletons — pairwise
