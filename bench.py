@@ -196,6 +196,13 @@ HEADLINE = [
     # r13: incremental re-curation planner (reads the duplicate-seeded
     # manifest + canonical-map result tables)
     "fate_recompute_plan",
+    # r14 (VERDICT r13 item 3): the fate delta executor family — the
+    # incremental reference refresh (reads the prev DF-count state
+    # tables; the timed cell is the delta merge the full rebuild
+    # avoids) and the plan executor (keep_prev table reads + bounded
+    # election + probes against materialized refreshed references)
+    "fate_reference_maintenance",
+    "fate_apply_plan",
 ]
 
 # Streaming drain bench (VERDICT r09 item 5): none of the 11 streaming
@@ -257,6 +264,12 @@ _MAT_TABLES = {
     "fate_recompute_plan": ("seeded_manifest", "seeded_canon"),
     "streaming_fate_gate_from_tables": ("fate_reference",),
     "streaming_pii_gate_from_tables": ("fate_reference",),
+    # r14: the delta family. The maintenance op READS the prev-state
+    # tables (its cell times the incremental refresh itself); the
+    # executor also reads the materialized REFRESHED references (its
+    # cell times assembly + probes, the production read path).
+    "fate_reference_maintenance": ("delta_state",),
+    "fate_apply_plan": ("seeded_manifest", "seeded_canon", "refreshed_refs"),
 }
 _MAT_CONSUMERS = frozenset(_MAT_TABLES)
 
@@ -266,12 +279,16 @@ def _materialize_tables(spark, sf_dir: str, names: set[str]) -> None:
     (process-cached — a preloaded cache makes this a no-op)."""
     from dungbeetle_spark.operators import warehouse
 
+    from dungbeetle_spark.operators import fate_delta
+
     builders = {
         "manifest": warehouse.manifest_table,
         "export_manifest": warehouse.export_manifest_table,
         "fate_reference": warehouse.fate_reference_tables,
         "seeded_manifest": warehouse.seeded_manifest_table,
         "seeded_canon": warehouse.seeded_canon_table,
+        "delta_state": fate_delta.delta_state_tables,
+        "refreshed_refs": fate_delta.refreshed_reference_tables,
     }
     for t in sorted(names):
         builders[t](spark, sf_dir)

@@ -1,0 +1,728 @@
+"""The incremental fate deployment (r14, VERDICT r13 item 3).
+
+``fate_recompute_plan`` (r13) only PLANS the re-curation of an evolved
+corpus — keep_prev / reelect / reprobe / recompute per document. This
+module is the rest of the deployment, the part that makes the plan
+worth computing:
+
+- **fate_reference_maintenance** — incremental maintenance of the
+  three corpus-coupled reference structures every fate probe reads
+  (the eval-holdout gram set, the fuzzy stop-shingle set, the eval
+  band index), by DF-COUNT DELTAS over the touched documents alone.
+  The prev state lives in job result tables (gram DF counts, shingle
+  DF counts, eval shingle sets, eval band rows — materialized through
+  the Part A layer like every warehouse table, core.go:510–572); the
+  refresh is a monoid merge: union the prev counts with ±delta counts
+  from the leaving/arriving texts, re-aggregate, threshold. Nothing
+  re-reads an unchanged document. The operator's output is a digest
+  frame (rows + fold-order-free bit_xor of the row hashes) per
+  refreshed reference; the DuckDB oracle REBUILDS all three from the
+  evolved corpus from scratch, so the driver's hash gate IS the
+  incremental ≡ rebuild pin.
+
+- **fate_apply_plan** — the plan EXECUTOR: assemble the evolved
+  corpus's full fate manifest by doing only what each plan action
+  prices. keep_prev rows are copied from the shipped manifest table;
+  reelect re-runs keeper election over the affected groups' members
+  (plus incoming content-hash hits) only; reprobe re-derives the
+  decon/fuzzy verdicts for surviving canonicals as a map-side probe
+  against the REFRESHED reference tables (maintained above — reprobe
+  is only sound against refreshed references, which is why the
+  maintenance operator exists); recompute runs the full per-doc
+  pipeline for touched docs alone. The oracle is the full composed
+  fate oracle over the evolved corpus, so the driver pins
+  assembled ≡ full recompute value-for-value on all six manifest
+  columns (VERDICT r13 item 3's "done" criterion).
+
+Scale story: the full recompute's cost is corpus-scale in every stage
+(verdicts, hashes, gram explode, shingle/minhash); the delta
+deployment's per-stage cost is bounded by |touched| (verdicts, hashes,
+delta counts), |affected groups| (election), and |canonicals| (the
+probes — a map-side broadcast probe over pruned text reads, the one
+corpus-proportional term, with no dedup shuffle and no reference
+rebuild behind it). All reference state rides in result tables, so a
+1000-executor deployment reads parquet, not recomputed lineage.
+
+Fixture note: everything runs over the duplicate-SEEDED corpus view
+(warehouse._dup_seeded) evolved by the corpus_snapshot_diff convention
+(pipeline._evolved_docs) — the organic corpus has no quality-surviving
+duplicate group, so the election arms would be fixture-dead (same
+reasoning as fate_recompute_plan, warehouse.py r13).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dungbeetle_spark.queries import _t, query
+
+_MAN_COLS = [
+    "doc_id",
+    "fate",
+    "quality_reason",
+    "canonical_id",
+    "n_contaminated",
+    "fuzzy_matched_bands",
+]
+
+def _is_touched() -> F.Column:
+    """The corpus_snapshot_diff evolution convention's touched set
+    (pipeline._evolved_docs): %11 removed, %7==3 edited (' rev2'),
+    %13 spawns -(id+2) additions. A function, not a module constant —
+    Column construction needs the JVM gateway, which tools importing
+    the registry for metadata don't have."""
+    return (F.col("doc_id") < 0) | (F.col("doc_id") % 7 == 3)
+
+
+def _seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dungbeetle_spark.operators.warehouse import _dup_seeded
+
+    return _dup_seeded(_t(spark, sf_dir, "documents")["documents"])
+
+
+def _out_docs(sd: DataFrame) -> DataFrame:
+    """Prev-snapshot texts LEAVING the corpus: removed docs plus the
+    prev versions of edited docs — the subtraction side of every
+    DF-count delta. Delta-scale: the id filter precedes all text
+    work."""
+    return sd.filter((F.col("doc_id") % 11 == 0) | (F.col("doc_id") % 7 == 3))
+
+
+def _in_docs(ev: DataFrame) -> DataFrame:
+    """Evolved texts ARRIVING: added docs plus the new versions of
+    edited docs — the addition side."""
+    return ev.filter(_is_touched())
+
+
+def _is_eval() -> F.Column:
+    from dungbeetle_spark.operators.mixing import _EVAL_MOD
+
+    return F.col("doc_id") % _EVAL_MOD == 0
+
+
+# -- per-doc distinct feature extractors (shared prev-build + delta) ----------
+
+
+def _gram_df(docs: DataFrame) -> DataFrame:
+    """(gram, c): document-frequency counts of the fate-seeded distinct
+    word n-grams — the count-bearing form of the eval gram set
+    (word_ngrams is array_distinct, so each doc contributes each gram
+    once; a distinct SET can't absorb removals, counts can)."""
+    from dungbeetle_spark.operators.mixing import (
+        _GRAM_N,
+        fate_seeded_toks,
+        word_ngrams,
+    )
+    from dungbeetle_spark.sources.catalog import fan_out
+
+    g = (
+        fate_seeded_toks(fan_out(docs.select("doc_id", "text")))
+        .select(
+            "doc_id", F.explode_outer(word_ngrams("t", _GRAM_N)).alias("gram")
+        )
+        .where(F.col("gram").isNotNull())
+    )
+    return g.groupBy("gram").agg(F.count(F.lit(1)).alias("c"))
+
+
+def _shingles(docs: DataFrame) -> DataFrame:
+    """(doc_id, hs): the fuzzy pipeline's distinct seeded shingle
+    hashes (mixing._fdc_shingle_hashes — ONE definition with the fate
+    oracle's fshh CTE)."""
+    from dungbeetle_spark.operators.mixing import (
+        _fdc_seeded,
+        _fdc_shingle_hashes,
+    )
+
+    return _fdc_shingle_hashes(_fdc_seeded(docs.select("doc_id", "text")))
+
+
+def _sh_df(docs: DataFrame) -> DataFrame:
+    """(hs, df): shingle document-frequency counts."""
+    return _shingles(docs).groupBy("hs").agg(F.count(F.lit(1)).alias("df"))
+
+
+def _stops_from_df(sh_df: DataFrame, nd: DataFrame) -> DataFrame:
+    """The stop set as a threshold over a DF-count table — the same
+    integer-exact rule as mixing._fdc_stop_set, expressed over counts
+    so it applies to prev and refreshed tables alike."""
+    from dungbeetle_spark.operators.mixing import _FDC_STOP_PPM
+
+    return (
+        sh_df.crossJoin(F.broadcast(nd))
+        .filter(F.col("df") * 1_000_000 > F.lit(_FDC_STOP_PPM) * F.col("nd"))
+        .select("hs")
+    )
+
+
+def _band_rows_for(docs: DataFrame, stops: DataFrame) -> DataFrame:
+    """(doc_id, j, h): stop-filtered banded minhash rows for ``docs``
+    — the per-doc-independent signature unit both the full build and
+    the delta recompute share."""
+    from dungbeetle_spark.operators.mixing import _fdc_band_rows, _fdc_minhash
+
+    return _fdc_band_rows(
+        _fdc_minhash(
+            _shingles(docs).join(F.broadcast(stops), "hs", "left_anti")
+        )
+    )
+
+
+# -- prev reference state as job result tables ---------------------------------
+
+
+def _evgram_df_frame(sess: SparkSession, sf_dir: str) -> DataFrame:
+    return _gram_df(_seeded(sess, sf_dir).filter(_is_eval()))
+
+
+def _shdf_frame(sess: SparkSession, sf_dir: str) -> DataFrame:
+    return _sh_df(_seeded(sess, sf_dir))
+
+
+def _evsh_frame(sess: SparkSession, sf_dir: str) -> DataFrame:
+    return _shingles(_seeded(sess, sf_dir).filter(_is_eval()))
+
+
+def _evbands_frame(sess: SparkSession, sf_dir: str) -> DataFrame:
+    from dungbeetle_spark.operators.mixing import _fdc_seeded, _fdc_stop_set
+
+    sd = _seeded(sess, sf_dir)
+    stops = _fdc_stop_set(
+        _shingles(sd), _fdc_seeded(sd.select("doc_id", "text"))
+    )
+    return _band_rows_for(sd.filter(_is_eval()), stops)
+
+
+def delta_state_tables(
+    spark: SparkSession, sf_dir: str, refresh: bool = False
+) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame]:
+    """The maintenance operator's prev state as four job result tables
+    over the duplicate-seeded snapshot: eval-gram DF counts, shingle
+    DF counts, eval shingle sets, eval band rows. Materialized through
+    the Part A layer once per process (warehouse._result_table's cache
+    + staleness contract)."""
+    from dungbeetle_spark.operators.warehouse import _result_table
+
+    g = _result_table(
+        spark, sf_dir, "fate_evgram_df_dupseeded", _evgram_df_frame,
+        refresh=refresh,
+    )
+    s = _result_table(
+        spark, sf_dir, "fdc_shingle_df_dupseeded", _shdf_frame,
+        refresh=refresh,
+    )
+    es = _result_table(
+        spark, sf_dir, "fdc_eval_shingles_dupseeded", _evsh_frame,
+        refresh=refresh,
+    )
+    eb = _result_table(
+        spark, sf_dir, "fdc_eval_bands_dupseeded", _evbands_frame,
+        refresh=refresh,
+    )
+    return g, s, es, eb
+
+
+# -- the incremental refresh itself --------------------------------------------
+
+
+def _nd_frames(sd: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """1-row (nd) corpus-size frames for prev and evolved snapshots —
+    the evolved count is prev ± the delta's own counts (removals %11,
+    additions %13), never a rescan; both broadcast into the stop
+    threshold."""
+    nd_prev = sd.agg(F.count(F.lit(1)).alias("nd"))
+    delta = sd.agg(
+        (
+            F.count(F.when(F.col("doc_id") % 13 == 0, 1))
+            - F.count(F.when(F.col("doc_id") % 11 == 0, 1))
+        ).alias("dn")
+    )
+    nd_new = nd_prev.crossJoin(delta).select(
+        (F.col("nd") + F.col("dn")).alias("nd")
+    )
+    return nd_prev, nd_new
+
+
+def _merge_counts(
+    prev: DataFrame, key: str, cnt: str, sub: DataFrame, add: DataFrame
+) -> DataFrame:
+    """The DF-count monoid merge: prev counts ∪ (−leaving) ∪ (+arriving)
+    → one re-aggregate → survivors. ONE key-partitioned shuffle with
+    map-side partial aggregation (the incremental_agg_maintenance
+    shape: union of partial aggregates, no join)."""
+    merged = (
+        prev.select(key, F.col(cnt).alias("v"))
+        .unionByName(sub.select(key, (-F.col(cnt)).alias("v")))
+        .unionByName(add.select(key, F.col(cnt).alias("v")))
+    )
+    return (
+        merged.groupBy(key)
+        .agg(F.sum("v").alias(cnt))
+        .filter(F.col(cnt) > 0)
+    )
+
+
+def refreshed_eval_grams(prev_g: DataFrame, sd: DataFrame, ev: DataFrame) -> DataFrame:
+    """(gram): the refreshed eval-holdout gram set, by DF-count delta.
+    Only the touched eval docs' text is read."""
+    sub = _gram_df(_out_docs(sd).filter(_is_eval()))
+    add = _gram_df(_in_docs(ev).filter(_is_eval()))
+    return _merge_counts(prev_g, "gram", "c", sub, add).select("gram")
+
+
+def refreshed_shingle_df(prev_s: DataFrame, sd: DataFrame, ev: DataFrame) -> DataFrame:
+    """(hs, df): the refreshed shingle DF-count table, same monoid."""
+    sub = _sh_df(_out_docs(sd))
+    add = _sh_df(_in_docs(ev))
+    return _merge_counts(prev_s, "hs", "df", sub, add)
+
+
+def refreshed_stop_set(prev_s: DataFrame, sd: DataFrame, ev: DataFrame) -> DataFrame:
+    """(hs): the refreshed stop-shingle set — refreshed DF counts
+    re-thresholded against the evolved corpus size."""
+    _nd_prev, nd_new = _nd_frames(sd)
+    return _stops_from_df(refreshed_shingle_df(prev_s, sd, ev), nd_new)
+
+
+def refreshed_eval_bands(
+    prev_s: DataFrame,
+    prev_es: DataFrame,
+    prev_eb: DataFrame,
+    sd: DataFrame,
+    ev: DataFrame,
+) -> DataFrame:
+    """(doc_id, j, h): the refreshed eval band index.
+
+    The index depends on the stop set, so a refresh must re-sign not
+    just the touched eval docs but every eval doc CONTAINING a shingle
+    whose stop status FLIPPED (the prev eval-shingle table makes that
+    lookup an hs-keyed semi-join, no text read). Untouched, unaffected
+    docs' rows carry over verbatim: their filtered shingle sets — and
+    hence minhashes — are provably identical under the new stop set."""
+    is_eval = _is_eval()
+    nd_prev, nd_new = _nd_frames(sd)
+    sh_df_new = refreshed_shingle_df(prev_s, sd, ev)
+    stops_prev = _stops_from_df(prev_s, nd_prev)
+    stops_new = _stops_from_df(sh_df_new, nd_new).localCheckpoint(
+        eager=False
+    )  # feeds the flip diff + the recompute filter
+    flips = stops_new.subtract(stops_prev).unionByName(
+        stops_prev.subtract(stops_new)
+    )
+    out_eval = _out_docs(sd).filter(is_eval).select("doc_id")
+    in_eval = _in_docs(ev).filter(is_eval).select("doc_id")
+    flip_affected = (
+        prev_es.join(F.broadcast(flips), "hs", "left_semi")
+        .select("doc_id")
+        .distinct()
+    )
+    rec_ids = (
+        flip_affected.join(out_eval, "doc_id", "left_anti")
+        .unionByName(in_eval)
+        .distinct()
+        .localCheckpoint(eager=False)  # feeds the anti-join + the semi
+    )
+    stale_ids = out_eval.unionByName(flip_affected).unionByName(rec_ids)
+    rec_rows = _band_rows_for(
+        ev.join(rec_ids, "doc_id", "left_semi"), stops_new
+    )
+    return prev_eb.join(
+        stale_ids.distinct(), "doc_id", "left_anti"
+    ).unionByName(rec_rows)
+
+
+def refreshed_reference_tables(
+    spark: SparkSession, sf_dir: str, refresh: bool = False
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """The refreshed references as job result tables, CHAINED from the
+    prev-state result tables (each builder's input is a previous job's
+    output — the reference's cross-DB pipeline composition). Returns
+    (eval_grams, stop_shingles, eval_band_index)."""
+    from dungbeetle_spark.operators.warehouse import _result_table
+
+    prev_g, prev_s, prev_es, prev_eb = delta_state_tables(
+        spark, sf_dir, refresh=refresh
+    )
+
+    def _g_build(sess: SparkSession, sfd: str) -> DataFrame:
+        sd = _seeded(sess, sfd)
+        return refreshed_eval_grams(prev_g, sd, _evolved(sd))
+
+    def _s_build(sess: SparkSession, sfd: str) -> DataFrame:
+        sd = _seeded(sess, sfd)
+        return refreshed_stop_set(prev_s, sd, _evolved(sd))
+
+    def _b_build(sess: SparkSession, sfd: str) -> DataFrame:
+        sd = _seeded(sess, sfd)
+        return refreshed_eval_bands(prev_s, prev_es, prev_eb, sd, _evolved(sd))
+
+    g = _result_table(
+        spark, sf_dir, "fate_refreshed_eval_grams", _g_build, refresh=refresh
+    )
+    s = _result_table(
+        spark, sf_dir, "fdc_refreshed_stops", _s_build, refresh=refresh
+    )
+    b = _result_table(
+        spark, sf_dir, "fdc_refreshed_eval_bands", _b_build, refresh=refresh
+    )
+    return g, s, b
+
+
+def _evolved(sd: DataFrame) -> DataFrame:
+    from dungbeetle_spark.operators.pipeline import _evolved_docs
+
+    return _evolved_docs(sd)
+
+
+# -- fate_reference_maintenance (registry) -------------------------------------
+
+
+def _maintenance_oracle() -> str:
+    from dungbeetle_spark.functions.texts import md5_hash60_sql
+    from dungbeetle_spark.operators.mixing import _EVAL_MOD, _fdc_sig_ctes
+    from dungbeetle_spark.operators.pipeline import (
+        _evolved_docs_sql,
+        _fate_gram_ctes,
+    )
+    from dungbeetle_spark.operators.warehouse import _dup_seeded_sql
+
+    band_key = (
+        "concat(CAST(doc_id AS VARCHAR), '|', CAST(j AS VARCHAR), "
+        "'|', CAST(h AS VARCHAR))"
+    )
+    return f"""
+    WITH sdocs AS ({_dup_seeded_sql()}),
+    {_evolved_docs_sql("sdocs")},
+    {_fate_gram_ctes("newdocs")},
+    ev AS (SELECT DISTINCT gram FROM grams
+           WHERE doc_id % {_EVAL_MOD} = 0),
+    {_fdc_sig_ctes("newdocs", "n")}
+    SELECT * FROM (
+      SELECT 'eval_band_index' AS ref,
+             CAST(COUNT(*) AS BIGINT) AS n_rows,
+             COALESCE(bit_xor({md5_hash60_sql(band_key)}), 0) AS xor_digest
+      FROM nmh WHERE doc_id % {_EVAL_MOD} = 0
+      UNION ALL
+      SELECT 'eval_grams',
+             CAST(COUNT(*) AS BIGINT),
+             COALESCE(bit_xor({md5_hash60_sql("gram")}), 0)
+      FROM ev
+      UNION ALL
+      SELECT 'stop_shingles',
+             CAST(COUNT(*) AS BIGINT),
+             COALESCE(bit_xor(hs), 0)
+      FROM nstops
+    ) ORDER BY ref
+    """
+
+
+def _digest_row(df: DataFrame, ref: str, xh: F.Column) -> DataFrame:
+    return (
+        df.select(xh.alias("xh"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.coalesce(F.expr("bit_xor(xh)"), F.lit(0)).alias("xor_digest"),
+        )
+        .select(F.lit(ref).alias("ref"), "n_rows", "xor_digest")
+    )
+
+
+@query(
+    "fate_reference_maintenance",
+    oracle=_maintenance_oracle(),
+    doc="Incremental maintenance of the fate pipeline's three "
+    "corpus-coupled reference structures (eval gram set, fuzzy "
+    "stop-shingle set, eval band index) by DF-count deltas over the "
+    "touched documents alone — the operator that makes "
+    "fate_recompute_plan's reprobe action SOUND (probes against "
+    "stale references replay yesterday's corpus). Prev state reads "
+    "from four job result tables (gram/shingle DF counts, eval "
+    "shingle sets, eval band rows); the refresh is a monoid merge "
+    "(prev counts ∪ −leaving ∪ +arriving → re-aggregate → "
+    "threshold), plus band-row recompute for exactly the eval docs "
+    "that are touched or contain a stop-status-FLIPPED shingle. "
+    "Output: per refreshed reference, its row count and the "
+    "fold-order-free bit_xor of its row hashes. The oracle rebuilds "
+    "all three references from the evolved corpus FROM SCRATCH, so "
+    "the driver's value gate is literally the incremental ≡ rebuild "
+    "pin.",
+)
+def fate_reference_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: the subtraction/addition sides read ONLY the
+    delta's text (id-filtered before any tokenize/shingle work); each
+    merge is one key-partitioned shuffle with map-side partial
+    aggregation over (prev table ∪ delta counts); the flip diff is a
+    symmetric difference of two small stop sets; band recompute
+    touches |touched eval ∪ flip-affected| docs. Nothing rescans an
+    unchanged document — the full rebuild the oracle performs is
+    exactly the cost this operator avoids."""
+    from dungbeetle_spark.functions.texts import md5_hash60
+
+    prev_g, prev_s, prev_es, prev_eb = delta_state_tables(spark, sf_dir)
+    sd = _seeded(spark, sf_dir)
+    ev = _evolved(sd)
+    grams = refreshed_eval_grams(prev_g, sd, ev)
+    stops = refreshed_stop_set(prev_s, sd, ev)
+    bands = refreshed_eval_bands(prev_s, prev_es, prev_eb, sd, ev)
+    band_key = F.concat_ws(
+        "|",
+        F.col("doc_id").cast("string"),
+        F.col("j").cast("string"),
+        F.col("h").cast("string"),
+    )
+    return (
+        _digest_row(bands, "eval_band_index", md5_hash60(band_key))
+        .unionByName(_digest_row(grams, "eval_grams", md5_hash60(F.col("gram"))))
+        .unionByName(_digest_row(stops, "stop_shingles", F.col("hs")))
+        .orderBy("ref")
+    )
+
+
+# -- fate_apply_plan (registry) -------------------------------------------------
+
+
+def _apply_oracle() -> str:
+    from dungbeetle_spark.operators.pipeline import (
+        _evolved_docs_sql,
+        _fate_oracle,
+    )
+    from dungbeetle_spark.operators.warehouse import _dup_seeded_sql
+
+    return f"""
+    WITH sdocs AS ({_dup_seeded_sql()}),
+    {_evolved_docs_sql("sdocs")}
+    SELECT doc_id, fate, quality_reason, canonical_id, n_contaminated,
+           fuzzy_matched_bands
+    FROM ({_fate_oracle("newdocs")}) x
+    """
+
+
+def _probe_frame(
+    ev: DataFrame,
+    probe_ids: DataFrame,
+    evg: DataFrame,
+    stops: DataFrame,
+    fev: DataFrame,
+) -> DataFrame:
+    """(doc_id, n_cont, fm) for the probe set: the fate pipeline's
+    decon + fuzzy stages restricted to ``probe_ids``, read against the
+    refreshed reference frames. Per-doc independence of both stages
+    (each doc's grams/signature never reads another doc) is what makes
+    the restriction equal the full pipeline's values."""
+    from dungbeetle_spark.operators.mixing import (
+        _FDC_MIN_BANDS,
+        _GRAM_N,
+        fate_seeded_toks,
+        word_ngrams,
+    )
+    from dungbeetle_spark.sources.catalog import fan_out
+
+    pdocs = (
+        ev.join(probe_ids, "doc_id", "left_semi")
+        .select("doc_id", "text")
+        .localCheckpoint(eager=False)  # feeds the gram pass + the fuzzy pass
+    )
+    grams = fate_seeded_toks(fan_out(pdocs)).select(
+        "doc_id", F.explode_outer(word_ngrams("t", _GRAM_N)).alias("gram")
+    )
+    cont = (
+        grams.join(F.broadcast(evg.withColumn("hit", F.lit(1))), "gram", "left")
+        .groupBy("doc_id")
+        .agg(F.count(F.when(F.col("hit").isNotNull(), 1)).alias("n_cont"))
+        .localCheckpoint(eager=False)  # feeds the survivor semi + the result
+    )
+    surv = cont.filter(F.col("n_cont") == 0).select("doc_id")
+    fb = _band_rows_for(pdocs.join(surv, "doc_id", "left_semi"), stops)
+    fhits = (
+        fb.join(
+            F.broadcast(fev.select(F.col("doc_id").alias("eval_doc"), "j", "h")),
+            ["j", "h"],
+        )
+        .groupBy("doc_id", "eval_doc")
+        .agg(F.count(F.lit(1)).alias("m"))
+        .filter(F.col("m") >= _FDC_MIN_BANDS)
+        .groupBy("doc_id")
+        .agg(F.max("m").alias("fm"))
+    )
+    return cont.join(fhits, "doc_id", "left").select(
+        "doc_id", "n_cont", F.coalesce("fm", F.lit(0)).alias("fm")
+    )
+
+
+def _apply_frames(
+    ev: DataFrame,
+    prev: DataFrame,
+    canon: DataFrame,
+    evg: DataFrame,
+    stops: DataFrame,
+    fev: DataFrame,
+) -> DataFrame:
+    """Assemble the evolved manifest from (plan, prev manifest,
+    canonical map, refreshed references) — extracted so tests can pin
+    assembled ≡ _fate_frame(evolved) on the Spark side too."""
+    from dungbeetle_spark.functions.texts import content_md5
+    from dungbeetle_spark.operators.mixing import _EVAL_MOD
+    from dungbeetle_spark.operators.text import funnel_verdicts
+    from dungbeetle_spark.operators.warehouse import _recompute_plan_frame
+    from dungbeetle_spark.sources.catalog import fan_out
+
+    plan = _recompute_plan_frame(ev, prev, canon).localCheckpoint(
+        eager=False
+    )  # feeds the three action filters
+    lng = lambda c: F.lit(c).cast("long")  # noqa: E731
+
+    # keep_prev: the shipped manifest rows, verbatim (safety pinned by
+    # test_plan_keep_prev_rows_are_provably_stable since r13)
+    keep = (
+        plan.filter(F.col("action") == "keep_prev")
+        .select("doc_id")
+        .join(prev, "doc_id")
+        .select(*_MAN_COLS)
+    )
+
+    # recompute: fresh verdicts + content hashes for the touched docs
+    touched = ev.filter(_is_touched())
+    tflags = (
+        touched.select("doc_id", "text")
+        .join(
+            funnel_verdicts(fan_out(touched)).select("doc_id", "reason"),
+            "doc_id",
+        )
+        .select(
+            "doc_id",
+            "reason",
+            (F.col("doc_id") % _EVAL_MOD == 0).alias("is_eval"),
+            content_md5("text").alias("h"),
+        )
+        .localCheckpoint(eager=False)  # feeds 3 disjoint filters
+    )
+    t_eval = tflags.filter(F.col("is_eval")).select(
+        "doc_id",
+        F.lit("eval_holdout").alias("fate"),
+        F.col("reason").alias("quality_reason"),
+        lng(-1).alias("canonical_id"),
+        lng(0).alias("n_contaminated"),
+        lng(0).alias("fuzzy_matched_bands"),
+    )
+    t_qdrop = tflags.filter(
+        ~F.col("is_eval") & (F.col("reason") != "kept")
+    ).select(
+        "doc_id",
+        F.lit("dropped_quality").alias("fate"),
+        F.col("reason").alias("quality_reason"),
+        lng(-1).alias("canonical_id"),
+        lng(0).alias("n_contaminated"),
+        lng(0).alias("fuzzy_matched_bands"),
+    )
+
+    # election: affected groups' surviving members (key = group id)
+    # plus touched kept non-eval docs (key = existing group via the
+    # canonical map's content hash, else a new hash-keyed group)
+    re_members = (
+        plan.filter(F.col("action") == "reelect")
+        .select("doc_id")
+        .join(prev.select("doc_id", "canonical_id"), "doc_id")
+        .select(
+            "doc_id",
+            F.concat(F.lit("g:"), F.col("canonical_id").cast("string")).alias(
+                "key"
+            ),
+        )
+    )
+    t_elect = (
+        tflags.filter(~F.col("is_eval") & (F.col("reason") == "kept"))
+        .join(F.broadcast(canon), "h", "left")
+        .select(
+            "doc_id",
+            F.coalesce(
+                F.concat(F.lit("g:"), F.col("dup_of").cast("string")),
+                F.concat(F.lit("h:"), F.col("h")),
+            ).alias("key"),
+        )
+    )
+    election = re_members.unionByName(t_elect).localCheckpoint(
+        eager=False
+    )  # feeds winners + the member join
+    winners = election.groupBy("key").agg(F.min("doc_id").alias("keeper"))
+    members = election.join(winners, "key")
+    losers = members.filter(F.col("doc_id") != F.col("keeper")).select(
+        "doc_id",
+        F.lit("dropped_duplicate").alias("fate"),
+        F.lit("kept").alias("quality_reason"),
+        F.col("keeper").cast("long").alias("canonical_id"),
+        lng(0).alias("n_contaminated"),
+        lng(0).alias("fuzzy_matched_bands"),
+    )
+    winner_ids = members.filter(F.col("doc_id") == F.col("keeper")).select(
+        "doc_id"
+    )
+
+    # probe: surviving canonicals (reprobe) + fresh election winners,
+    # against the REFRESHED references
+    probe_ids = (
+        plan.filter(F.col("action") == "reprobe")
+        .select("doc_id")
+        .unionByName(winner_ids)
+    )
+    probe = _probe_frame(ev, probe_ids, evg, stops, fev)
+    probe_rows = probe.select(
+        "doc_id",
+        F.when(F.col("n_cont") > 0, "dropped_contaminated")
+        .when(F.col("fm") > 0, "dropped_fuzzy_contaminated")
+        .otherwise("kept")
+        .alias("fate"),
+        F.lit("kept").alias("quality_reason"),
+        F.col("doc_id").cast("long").alias("canonical_id"),
+        F.col("n_cont").cast("long").alias("n_contaminated"),
+        F.col("fm").cast("long").alias("fuzzy_matched_bands"),
+    )
+
+    return (
+        keep.unionByName(t_eval)
+        .unionByName(t_qdrop)
+        .unionByName(losers)
+        .unionByName(probe_rows)
+    )
+
+
+@query(
+    "fate_apply_plan",
+    oracle=_apply_oracle(),
+    doc="The fate delta EXECUTOR (VERDICT r13 item 3): apply "
+    "fate_recompute_plan to assemble the evolved corpus's complete "
+    "fate manifest — keep_prev rows copied from the shipped manifest "
+    "result table, reelect as a keeper election over exactly the "
+    "affected groups' members (plus incoming content-hash hits via "
+    "the canonical-map table), reprobe as a map-side decon/fuzzy "
+    "probe of surviving canonicals against the REFRESHED reference "
+    "tables (fate_reference_maintenance's output — reprobe is only "
+    "sound against refreshed references), and recompute as the full "
+    "per-doc pipeline over the touched docs alone. The oracle is the "
+    "full composed fate oracle over the evolved corpus, so the "
+    "driver pins assembled ≡ full recompute value-for-value on all "
+    "six manifest columns.",
+)
+def fate_apply_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: keep_prev is a manifest-table scan + id join (no
+    text); recompute's verdict/hash work is |touched|; the election
+    shuffles |affected members + incoming| rows by group key; the
+    probes are the one canonical-proportional term — map-side gram/
+    shingle probes against three BROADCAST refreshed reference tables,
+    with no dedup shuffle and no reference rebuild behind them (the
+    maintenance job already shipped those tables; at warehouse scale
+    this query reads them as parquet). Compare the oracle's cost: the
+    full recompute re-runs every stage corpus-wide. The assembled
+    manifest is the NEW shipped table — the deployment loop closes by
+    writing it through the same job layer the prev one came from."""
+    sd = _seeded(spark, sf_dir)
+    ev = _evolved(sd)
+    from dungbeetle_spark.operators.warehouse import (
+        seeded_canon_table,
+        seeded_manifest_table,
+    )
+
+    prev = seeded_manifest_table(spark, sf_dir)
+    canon = seeded_canon_table(spark, sf_dir)
+    evg, stops, fev = refreshed_reference_tables(spark, sf_dir)
+    return _apply_frames(ev, prev, canon, evg, stops, fev)

@@ -818,6 +818,41 @@ def _fate_verdict_ctes(src: str = "documents", p: str = "") -> str:
       FROM {p}q)"""
 
 
+def _fate_gram_ctes(src: str = "documents", p: str = "") -> str:
+    """The exact-decontamination GRAM pipeline as DuckDB CTE bodies —
+    ``{p}seeded``/``{p}toks``/``{p}grams`` over relation ``src`` —
+    extracted r14 (byte-identical default rendering, the
+    _fate_verdict_ctes discipline) so the fate-delta maintenance
+    oracle (operators.fate_delta) can rebuild the refreshed eval-gram
+    reference over the evolved corpus with the ONE SQL definition the
+    fate oracle uses."""
+    from dungbeetle_spark.operators.mixing import (
+        _EVAL_MOD,
+        _GRAM_N,
+        _PLANT_MOD,
+    )
+
+    return f"""{p}seeded AS (
+      SELECT doc_id,
+             text || CASE WHEN doc_id % {_EVAL_MOD} = 0
+                            OR doc_id % {_PLANT_MOD} = 0
+                          THEN ' benchmark passage k'
+                               || CAST(doc_id % 5 AS VARCHAR)
+                               || ' alpha beta gamma delta epsilon zeta eta'
+                          ELSE '' END AS text
+      FROM {src}),
+    {p}toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                         x -> x <> '') AS t
+      FROM {p}seeded),
+    {p}grams AS (
+      SELECT DISTINCT doc_id,
+             array_to_string(t[i : i + {_GRAM_N - 1}], ' ') AS gram
+      FROM {p}toks,
+           unnest(range(1, greatest(len(t) - {_GRAM_N - 1}, 0) + 1)) AS u(i))"""
+
+
 def _fate_oracle(src: str = "documents") -> str:
     """The composed fate pipeline as SQL over corpus relation ``src``
     (shard_export_diff replays it over the evolved snapshot CTE as
@@ -847,25 +882,7 @@ def _fate_oracle(src: str = "documents") -> str:
     canon AS (SELECT h, MIN(doc_id) AS dup_of FROM surv1 GROUP BY h),
     s1 AS (SELECT f.doc_id, c.dup_of FROM surv1 f JOIN canon c USING (h)),
     surv2 AS (SELECT doc_id FROM s1 WHERE doc_id = dup_of),
-    seeded AS (
-      SELECT doc_id,
-             text || CASE WHEN doc_id % {_EVAL_MOD} = 0
-                            OR doc_id % {_PLANT_MOD} = 0
-                          THEN ' benchmark passage k'
-                               || CAST(doc_id % 5 AS VARCHAR)
-                               || ' alpha beta gamma delta epsilon zeta eta'
-                          ELSE '' END AS text
-      FROM {src}),
-    toks AS (
-      SELECT doc_id,
-             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
-                         x -> x <> '') AS t
-      FROM seeded),
-    grams AS (
-      SELECT DISTINCT doc_id,
-             array_to_string(t[i : i + {_GRAM_N - 1}], ' ') AS gram
-      FROM toks,
-           unnest(range(1, greatest(len(t) - {_GRAM_N - 1}, 0) + 1)) AS u(i)),
+    {_fate_gram_ctes(src)},
     ev AS (SELECT DISTINCT gram FROM grams WHERE doc_id % {_EVAL_MOD} = 0),
     cont AS (
       SELECT g.doc_id,

@@ -75,6 +75,13 @@ NEW_OR_CHANGED: list[str] = [
     # path is untouched; the registry body changed one line (tuple
     # unpack), so it rides the window per the any-code-change rule.
     "dedup_embedding_cosine",
+    # r14 new (VERDICT r13 item 3): the fate delta executor family —
+    # incremental reference maintenance (DF-count deltas; oracle
+    # rebuilds from scratch, so the value gate IS the incremental ≡
+    # rebuild pin) and the plan executor (oracle is the full fate
+    # oracle over the evolved corpus: assembled ≡ recompute).
+    "fate_reference_maintenance",
+    "fate_apply_plan",
     # DELIBERATELY OFF this list (r14): r13's nine new entries (the
     # warehouse variants, table-backed gates, churn/datacard deltas,
     # recompute planner) all carry green r13 driver rows and are
@@ -175,6 +182,7 @@ def _import_operator_modules() -> None:
     import dungbeetle_spark.operators.analytic  # noqa: F401
     import dungbeetle_spark.operators.curation  # noqa: F401
     import dungbeetle_spark.operators.dedup  # noqa: F401
+    import dungbeetle_spark.operators.fate_delta  # noqa: F401
     import dungbeetle_spark.operators.layout  # noqa: F401
     import dungbeetle_spark.operators.pipeline  # noqa: F401
     import dungbeetle_spark.operators.relational_ext  # noqa: F401

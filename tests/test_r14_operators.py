@@ -131,3 +131,183 @@ def test_cached_read_does_not_block_behind_unrelated_build(spark, sf_smoke):
     t.join(timeout=60)
     assert not holder_err, holder_err
     assert elapsed < 5.0, f"cached read blocked {elapsed:.1f}s behind build"
+
+
+# -- fate delta executor family (VERDICT r13 item 3) ---------------------------
+
+
+def test_refreshed_references_equal_full_rebuild(spark, sf_smoke):
+    """The maintenance op's incremental frames must equal a FULL
+    rebuild over the evolved corpus, frame-for-frame (the oracle pins
+    the same via digests; this pins the actual rows on the Spark
+    side)."""
+    from dungbeetle_spark.operators import fate_delta as FD
+    from dungbeetle_spark.operators.mixing import (
+        _fdc_seeded,
+        _fdc_stop_set,
+    )
+
+    sd = FD._seeded(spark, sf_smoke)
+    ev = FD._evolved(sd)
+    prev_g, prev_s, prev_es, prev_eb = FD.delta_state_tables(spark, sf_smoke)
+
+    inc_grams = FD.refreshed_eval_grams(prev_g, sd, ev)
+    full_grams = FD._gram_df(ev.filter(FD._is_eval())).select("gram")
+    assert _rows(inc_grams) == _rows(full_grams)
+
+    inc_stops = FD.refreshed_stop_set(prev_s, sd, ev)
+    full_stops = _fdc_stop_set(
+        FD._shingles(ev), _fdc_seeded(ev.select("doc_id", "text"))
+    )
+    assert _rows(inc_stops) == _rows(full_stops)
+
+    inc_bands = FD.refreshed_eval_bands(prev_s, prev_es, prev_eb, sd, ev)
+    full_bands = FD._band_rows_for(ev.filter(FD._is_eval()), full_stops)
+    assert _rows(inc_bands) == _rows(full_bands)
+
+
+def test_apply_plan_equals_full_recompute(spark, sf_smoke):
+    """VERDICT r13 item 3's 'done' criterion, Spark side: the
+    assembled manifest (keep_prev copies + group re-election + probes
+    against refreshed references + touched-doc recompute) equals
+    _fate_frame over the evolved corpus, value-for-value on all six
+    columns."""
+    from dungbeetle_spark.operators import fate_delta as FD
+    from dungbeetle_spark.operators.pipeline import _fate_frame
+    from dungbeetle_spark.queries import registry
+
+    assembled = registry()["fate_apply_plan"].build(spark, sf_smoke)
+    sd = FD._seeded(spark, sf_smoke)
+    full = _fate_frame(FD._evolved(sd))
+    assert _rows(assembled) == _rows(full)
+
+
+def test_apply_plan_election_handles_incoming_winner(spark):
+    """An added doc (negative id — always the group minimum) whose
+    content hash lands in an existing duplicate group must WIN the
+    re-election: the prev keeper becomes dropped_duplicate of the
+    incoming doc, exactly as a full recompute would elect. The fixture
+    evolution cannot produce this collision (same reason the r13
+    planner unit-pins its incoming-hit arm with crafted frames), so
+    drive _apply_frames directly with a crafted corpus."""
+    from dungbeetle_spark.functions.texts import content_md5
+    from dungbeetle_spark.operators import fate_delta as FD
+    from dungbeetle_spark.operators.mixing import _fdc_seeded, _fdc_stop_set
+    from dungbeetle_spark.operators.pipeline import _fate_frame
+    from dungbeetle_spark.operators.warehouse import _canon_from_docs
+
+    # texts tuned to PASS the funnel: >= 25 words, avg word length
+    # inside the [4.8, 5.9] chars/word band, >= 2 stopwords for 'en'
+    def filler(i):
+        return f"the of doc{i} " + " ".join(["wxyz"] * 40)
+
+    # dup_body starts with 'new ' so the evolution's added doc for id
+    # 26 ('new ' || text, id -(26+2) = -28) lands EXACTLY on it
+    dup_body = "new the of " + " ".join(["wxyz"] * 40) + " shared dupe block"
+    rows = [(i, filler(i), "en", "crawl") for i in
+            (1, 2, 4, 5, 6, 8, 12, 15, 16, 19)]
+    # a surviving duplicate group: ids 23 and 25 share dup_body
+    rows += [(23, dup_body, "en", "crawl"), (25, dup_body, "en", "crawl")]
+    rows += [(26, dup_body[4:], "en", "crawl")]
+    sd = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string"
+    )
+    ev = FD._evolved(sd)
+    # the crafted texts must actually survive the funnel, and the
+    # incoming doc must hash onto the group — else the test is hollow
+    from dungbeetle_spark.operators.text import funnel_verdicts
+    from dungbeetle_spark.sources.catalog import fan_out
+
+    verdicts = {
+        r.doc_id: r.reason
+        for r in funnel_verdicts(fan_out(ev)).select("doc_id", "reason").collect()
+    }
+    assert verdicts[23] == verdicts[25] == verdicts[-28] == "kept", verdicts
+    hashes = {
+        r.doc_id: r.h
+        for r in ev.select("doc_id", content_md5("text").alias("h")).collect()
+    }
+    assert hashes[-28] == hashes[23] == hashes[25]
+    prev = _fate_frame(sd)
+    canon = _canon_from_docs(sd)
+    # refreshed references: full rebuild over the evolved corpus (the
+    # maintenance op's equality is pinned separately; this test is
+    # about the election)
+    evg = FD._gram_df(ev.filter(FD._is_eval())).select("gram")
+    stops = _fdc_stop_set(FD._shingles(ev), _fdc_seeded(ev.select("doc_id", "text")))
+    fev = FD._band_rows_for(ev.filter(FD._is_eval()), stops)
+    assembled = FD._apply_frames(ev, prev, canon, evg, stops, fev)
+    got = {r.doc_id: (r.fate, r.canonical_id) for r in assembled.collect()}
+    # the incoming -28 ('new ' + dup_body[4:] == dup_body) joins the
+    # 23/25 group and, being the minimum, wins the election
+    assert got[-28][0] in ("kept", "dropped_contaminated",
+                           "dropped_fuzzy_contaminated")
+    assert got[-28][1] == -28
+    assert got[23] == ("dropped_duplicate", -28)
+    assert got[25] == ("dropped_duplicate", -28)
+    # and the whole assembly still equals the full recompute
+    assert _rows(assembled) == _rows(_fate_frame(ev))
+
+
+def test_band_maintenance_recomputes_stop_flip_affected_docs(spark):
+    """The fixture evolution produces ZERO stop-status flips at any sf
+    (measured r14), so the flip arm — an UNTOUCHED eval doc whose
+    banded minhash must be re-signed because a shingle it contains
+    crossed the 20% DF threshold — is pinned with a crafted corpus:
+    21 docs, 6 removed by the %11 convention, and a 3-word marker
+    phrase in 4 surviving docs whose DF sits just under the prev
+    threshold (4/21) and just over the refreshed one (4/15)."""
+    from pyspark.sql import functions as F
+
+    from dungbeetle_spark.functions.texts import md5_hash60
+    from dungbeetle_spark.operators import fate_delta as FD
+
+    filler = lambda i: (  # noqa: E731
+        f"document number {i} carries its own distinct words w{i}a w{i}b "
+        f"w{i}c and nothing shared beyond the marker and the footer "
+    )
+    marker = "zz qq ww"
+    # eval docs (%37): 37 carries the marker (flip-affected, untouched),
+    # 74 does not (its band rows must carry over verbatim)
+    p_ids = (1, 2, 4, 37)
+    ids = [1, 2, 4, 5, 6, 8, 12, 15, 16, 19, 23, 25, 29, 37, 74,
+           11, 22, 33, 44, 55, 77]
+    assert all(i % 7 != 3 and i % 13 != 0 and i % 9 != 0 for i in ids)
+    rows = [
+        (i, filler(i) + (marker if i in p_ids else "no marker here"),
+         "en", "crawl")
+        for i in ids
+    ]
+    sd = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string"
+    )
+    ev = FD._evolved(sd)
+    # prev state frames (what the result tables would hold)
+    prev_g = FD._gram_df(sd.filter(FD._is_eval()))
+    prev_s = FD._sh_df(sd)
+    prev_es = FD._shingles(sd.filter(FD._is_eval()))
+    nd_prev, nd_new = FD._nd_frames(sd)
+    prev_eb = FD._band_rows_for(
+        sd.filter(FD._is_eval()), FD._stops_from_df(prev_s, nd_prev)
+    )
+    # the marker shingle flips: df=4 over n=21 (not stop) -> df=4 over
+    # n'=15 (stop)
+    sh_new = FD.refreshed_shingle_df(prev_s, sd, ev)
+    stops_prev = FD._stops_from_df(prev_s, nd_prev)
+    stops_new = FD._stops_from_df(sh_new, nd_new)
+    marker_hs = spark.createDataFrame([(marker,)], "s string").select(
+        md5_hash60(F.col("s")).alias("hs")
+    )
+    assert stops_prev.join(marker_hs, "hs", "left_semi").count() == 0
+    assert stops_new.join(marker_hs, "hs", "left_semi").count() == 1
+    # incremental index == full rebuild, including doc 37's re-signed
+    # rows (its minhash changes: the marker shingle no longer hashes)
+    inc = FD.refreshed_eval_bands(prev_s, prev_es, prev_eb, sd, ev)
+    full = FD._band_rows_for(ev.filter(FD._is_eval()), stops_new)
+    assert _rows(inc) == _rows(full)
+    prev_37 = {(r.j, r.h) for r in prev_eb.filter(F.col("doc_id") == 37).collect()}
+    new_37 = {(r.j, r.h) for r in inc.filter(F.col("doc_id") == 37).collect()}
+    assert prev_37 != new_37, "flip did not re-sign the affected eval doc"
+    prev_74 = sorted((r.j, r.h) for r in prev_eb.filter(F.col("doc_id") == 74).collect())
+    new_74 = sorted((r.j, r.h) for r in inc.filter(F.col("doc_id") == 74).collect())
+    assert prev_74 == new_74, "unaffected eval doc's rows must carry verbatim"

@@ -153,6 +153,12 @@ SWEEP_OPS = [
     # reference tables — the static-build term is out of the cell
     ("streaming_fate_gate_from_tables", None),
     ("streaming_pii_gate_from_tables", None),
+    # r14 delta family: maintenance scales with the delta (the touched
+    # docs are a fixed FRACTION of the amplified corpus here, so the
+    # exponent prices the delta-proportional merge, not a rescan);
+    # the executor's probe term scales with canonicals
+    ("fate_reference_maintenance", None),
+    ("fate_apply_plan", None),
 ]
 
 # Ops whose sweep rows read the pre-materialized warehouse tables,
@@ -169,6 +175,8 @@ _WAREHOUSE_TABLES = {
     "fate_recompute_plan": ("seeded_manifest", "seeded_canon"),
     "streaming_fate_gate_from_tables": ("fate_reference",),
     "streaming_pii_gate_from_tables": ("fate_reference",),
+    "fate_reference_maintenance": ("delta_state",),
+    "fate_apply_plan": ("seeded_manifest", "seeded_canon", "refreshed_refs"),
 }
 _WAREHOUSE_CONSUMERS = set(_WAREHOUSE_TABLES)
 
@@ -552,12 +560,16 @@ def run_sweep(
     if mat_need:
         from dungbeetle_spark.operators import warehouse
 
+        from dungbeetle_spark.operators import fate_delta
+
         builders = {
             "manifest": warehouse.manifest_table,
             "export_manifest": warehouse.export_manifest_table,
             "fate_reference": warehouse.fate_reference_tables,
             "seeded_manifest": warehouse.seeded_manifest_table,
             "seeded_canon": warehouse.seeded_canon_table,
+            "delta_state": fate_delta.delta_state_tables,
+            "refreshed_refs": fate_delta.refreshed_reference_tables,
         }
         for f, d in dirs.items():
             t0 = time.time()
