@@ -291,6 +291,7 @@ def refreshed_eval_bands(
     prev_eb: DataFrame,
     sd: DataFrame,
     ev: DataFrame,
+    stops_new: DataFrame | None = None,
 ) -> DataFrame:
     """(doc_id, j, h): the refreshed eval band index.
 
@@ -299,14 +300,20 @@ def refreshed_eval_bands(
     whose stop status FLIPPED (the prev eval-shingle table makes that
     lookup an hs-keyed semi-join, no text read). Untouched, unaffected
     docs' rows carry over verbatim: their filtered shingle sets — and
-    hence minhashes — are provably identical under the new stop set."""
+    hence minhashes — are provably identical under the new stop set.
+
+    ``stops_new`` lets a caller that already computed the refreshed
+    stop set (the maintenance query derives all three references in
+    one plan) share it instead of re-deriving the shingle-DF merge."""
     is_eval = _is_eval()
     nd_prev, nd_new = _nd_frames(sd)
-    sh_df_new = refreshed_shingle_df(prev_s, sd, ev)
     stops_prev = _stops_from_df(prev_s, nd_prev)
-    stops_new = _stops_from_df(sh_df_new, nd_new).localCheckpoint(
-        eager=False
-    )  # feeds the flip diff + the recompute filter
+    if stops_new is None:
+        stops_new = _stops_from_df(
+            refreshed_shingle_df(prev_s, sd, ev), nd_new
+        ).localCheckpoint(
+            eager=False
+        )  # feeds the flip diff + the recompute filter
     flips = stops_new.subtract(stops_prev).unionByName(
         stops_prev.subtract(stops_new)
     )
@@ -463,8 +470,16 @@ def fate_reference_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     sd = _seeded(spark, sf_dir)
     ev = _evolved(sd)
     grams = refreshed_eval_grams(prev_g, sd, ev)
-    stops = refreshed_stop_set(prev_s, sd, ev)
-    bands = refreshed_eval_bands(prev_s, prev_es, prev_eb, sd, ev)
+    # one shingle-DF merge + one stop threshold feed BOTH the stop
+    # digest and the band refresh (checkpointed — without it the
+    # band path re-derives the whole merge)
+    _nd_prev, nd_new = _nd_frames(sd)
+    stops = _stops_from_df(
+        refreshed_shingle_df(prev_s, sd, ev), nd_new
+    ).localCheckpoint(eager=False)
+    bands = refreshed_eval_bands(
+        prev_s, prev_es, prev_eb, sd, ev, stops_new=stops
+    )
     band_key = F.concat_ws(
         "|",
         F.col("doc_id").cast("string"),

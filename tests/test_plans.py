@@ -1022,6 +1022,12 @@ def test_registry_wide_no_cartesian_and_no_fact_nlj(spark, sf):
         # config-count frame (operator docstring: capped-exact counts
         # with the truncation disclosed per run)
         "lsh_band_planner",
+        # r14: the 1-row corpus-size frames (nd_prev and its
+        # delta-adjusted nd_new) broadcast-crossed into the stop-
+        # threshold filters over the prev/refreshed DF-count tables —
+        # the same scalar class as fuzzy_decontamination's doc-count
+        # cross (fate_delta._nd_frames / _stops_from_df docstrings)
+        "fate_reference_maintenance",
     }
     unexpected = [q for q in bnlj if q not in known_scalar_broadcast]
     assert not unexpected, (
