@@ -1319,13 +1319,20 @@ def _streaming_vs_oldest(
         for name, new_sec in timings.items():
             old_sec = old_stream.get(name)
             if old_sec and name not in out:
-                out[name] = {
+                ent = {
                     "ratio": round(
                         (new_sec / host_factor) / (old_sec / old_factor), 3
                     ),
                     "round": rnd,
                     "old_mode": old_mode,
                 }
+                # a cumulative ratio over the flag threshold that has a
+                # reviewed cause (e.g. the r12 composed fuzzy stage in
+                # the fate gate) ships self-annotated, like the
+                # adjacent-round known_regressions discipline
+                if ent["ratio"] > _REGRESSION_RATIO and name in _KNOWN_REGRESSIONS:
+                    ent["known"] = True
+                out[name] = ent
     return out or None
 
 

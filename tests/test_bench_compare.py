@@ -819,6 +819,15 @@ def test_streaming_vs_oldest_anchors_to_first_record(tmp_path):
     assert ent["round"] == 10
     assert ent["old_mode"] == "inline"
     assert ent["ratio"] == round(7.6 / 2.86, 3)
+    # an over-threshold cumulative ratio with a reviewed cause ships
+    # self-annotated (sessionize has a _KNOWN_REGRESSIONS entry — the
+    # r14 session-position attribution)
+    assert ent.get("known") is True
+    # an under-threshold entry carries no annotation
+    low = bench._streaming_vs_oldest(
+        {"streaming_sessionize": 2.9}, 1.0, str(tmp_path)
+    )["streaming_sessionize"]
+    assert "known" not in low
 
 
 def test_emit_bench_line_sheds_streaming_detail_without_batch_compare():
