@@ -203,6 +203,9 @@ HEADLINE = [
     # election + probes against materialized refreshed references)
     "fate_reference_maintenance",
     "fate_apply_plan",
+    # r14 (r15 candidate pulled forward): ship-and-consume — the
+    # datacard read from the deployed next-manifest result table
+    "fate_deploy_cycle",
 ]
 
 # Streaming drain bench (VERDICT r09 item 5): none of the 11 streaming
@@ -270,6 +273,7 @@ _MAT_TABLES = {
     # cell times assembly + probes, the production read path).
     "fate_reference_maintenance": ("delta_state",),
     "fate_apply_plan": ("seeded_manifest", "seeded_canon", "refreshed_refs"),
+    "fate_deploy_cycle": ("next_manifest",),
 }
 _MAT_CONSUMERS = frozenset(_MAT_TABLES)
 
@@ -289,6 +293,7 @@ def _materialize_tables(spark, sf_dir: str, names: set[str]) -> None:
         "seeded_canon": warehouse.seeded_canon_table,
         "delta_state": fate_delta.delta_state_tables,
         "refreshed_refs": fate_delta.refreshed_reference_tables,
+        "next_manifest": fate_delta.next_manifest_table,
     }
     for t in sorted(names):
         builders[t](spark, sf_dir)

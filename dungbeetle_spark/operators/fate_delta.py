@@ -741,3 +741,85 @@ def fate_apply_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     canon = seeded_canon_table(spark, sf_dir)
     evg, stops, fev = refreshed_reference_tables(spark, sf_dir)
     return _apply_frames(ev, prev, canon, evg, stops, fev)
+
+
+# -- fate_deploy_cycle: SHIP the assembled manifest, consume it ----------------
+
+
+def next_manifest_table(
+    spark: SparkSession, sf_dir: str, refresh: bool = False
+) -> DataFrame:
+    """SHIP step: the delta-assembled evolved manifest written as the
+    NEXT ``results_<job_id>`` manifest table through the Part A job
+    layer — the same artifact class the prev manifest is, so the next
+    deployment's planner reads this table as ITS prev side. The
+    dependency tables (prev manifest, canonical map, refreshed
+    references) materialize first and ride into the builder by
+    closure (the worker-thread discipline warehouse._fev_build
+    established)."""
+    from dungbeetle_spark.operators.warehouse import (
+        _result_table,
+        seeded_canon_table,
+        seeded_manifest_table,
+    )
+
+    prev = seeded_manifest_table(spark, sf_dir)
+    canon = seeded_canon_table(spark, sf_dir)
+    evg, stops, fev = refreshed_reference_tables(spark, sf_dir)
+
+    def _build(sess: SparkSession, sfd: str) -> DataFrame:
+        sd = _seeded(sess, sfd)
+        return _apply_frames(_evolved(sd), prev, canon, evg, stops, fev)
+
+    return _result_table(
+        spark, sf_dir, "fate_manifest_dupseeded_next", _build, refresh=refresh
+    )
+
+
+def _deploy_oracle() -> str:
+    from dungbeetle_spark.operators.pipeline import (
+        _datacard_oracle,
+        _evolved_docs_sql,
+    )
+    from dungbeetle_spark.operators.warehouse import _dup_seeded_sql
+
+    return f"""
+    WITH sdocs AS ({_dup_seeded_sql()}),
+    {_evolved_docs_sql("sdocs")}
+    SELECT * FROM ({_datacard_oracle("newdocs")}) x
+    """
+
+
+@query(
+    "fate_deploy_cycle",
+    oracle=_deploy_oracle(),
+    doc="The full incremental deployment LOOP, closed (r15 candidate "
+    "pulled forward): plan (fate_recompute_plan) → maintain "
+    "references (fate_reference_maintenance) → apply "
+    "(fate_apply_plan) → SHIP the assembled manifest as the next "
+    "results_<job_id> table through the job layer → CONSUME it — "
+    "this query is the evolved release's datacard computed FROM the "
+    "shipped next-manifest table, never from a fate replay. The "
+    "oracle is the full datacard oracle over the evolved corpus "
+    "(whose fate CTE is a from-scratch recompute), so the driver "
+    "pins ship-and-consume ≡ full recompute end to end: every "
+    "per-source fate count, kept_ppm, and redacted-volume number "
+    "must survive the plan-delta assembly, the canonical type "
+    "collapse of the result backend, and the table round-trip.",
+)
+def fate_deploy_cycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: the ship step writes |corpus| manifest rows once
+    through the job layer (the deployment's one unavoidable
+    corpus-cardinality write — six narrow columns, no text); the
+    datacard consumer is then release_datacard_from_manifest's shape
+    over the NEW table: one pruned manifest scan feeding the fate
+    rollup and the kept membership, the map-only seed/redact
+    projection, and |sources|-bounded aggregates. The expensive terms
+    (fate recompute, reference rebuild) are exactly what the delta
+    assembly avoided upstream."""
+    from dungbeetle_spark.operators.pipeline import _datacard_frame
+
+    sd = _seeded(spark, sf_dir)
+    ev = _evolved(sd)
+    nxt = next_manifest_table(spark, sf_dir)
+    return _datacard_frame(ev, nxt)

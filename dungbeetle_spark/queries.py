@@ -82,6 +82,11 @@ NEW_OR_CHANGED: list[str] = [
     # oracle over the evolved corpus: assembled ≡ recompute).
     "fate_reference_maintenance",
     "fate_apply_plan",
+    # r14 new (r15 candidate 1 pulled forward): the SHIP step — the
+    # assembled manifest written as the next results_<job_id> table,
+    # consumed by the datacard; oracle = datacard over a full evolved
+    # recompute, so ship-and-consume ≡ recompute end to end.
+    "fate_deploy_cycle",
     # DELIBERATELY OFF this list (r14): r13's nine new entries (the
     # warehouse variants, table-backed gates, churn/datacard deltas,
     # recompute planner) all carry green r13 driver rows and are

@@ -159,6 +159,8 @@ SWEEP_OPS = [
     # the executor's probe term scales with canonicals
     ("fate_reference_maintenance", None),
     ("fate_apply_plan", None),
+    # ship-and-consume: a manifest-table scan + |sources| rollups
+    ("fate_deploy_cycle", None),
 ]
 
 # Ops whose sweep rows read the pre-materialized warehouse tables,
@@ -177,6 +179,7 @@ _WAREHOUSE_TABLES = {
     "streaming_pii_gate_from_tables": ("fate_reference",),
     "fate_reference_maintenance": ("delta_state",),
     "fate_apply_plan": ("seeded_manifest", "seeded_canon", "refreshed_refs"),
+    "fate_deploy_cycle": ("next_manifest",),
 }
 _WAREHOUSE_CONSUMERS = set(_WAREHOUSE_TABLES)
 
@@ -570,6 +573,7 @@ def run_sweep(
             "seeded_canon": warehouse.seeded_canon_table,
             "delta_state": fate_delta.delta_state_tables,
             "refreshed_refs": fate_delta.refreshed_reference_tables,
+            "next_manifest": fate_delta.next_manifest_table,
         }
         for f, d in dirs.items():
             t0 = time.time()
