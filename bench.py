@@ -206,6 +206,9 @@ HEADLINE = [
     # r14 (r15 candidate pulled forward): ship-and-consume — the
     # datacard read from the deployed next-manifest result table
     "fate_deploy_cycle",
+    # r14: the re-export plan with zero fate replays (prev = shipped
+    # export manifest, curr membership = delta-shipped next manifest)
+    "shard_export_diff_delta",
 ]
 
 # Streaming drain bench (VERDICT r09 item 5): none of the 11 streaming
@@ -274,6 +277,7 @@ _MAT_TABLES = {
     "fate_reference_maintenance": ("delta_state",),
     "fate_apply_plan": ("seeded_manifest", "seeded_canon", "refreshed_refs"),
     "fate_deploy_cycle": ("next_manifest",),
+    "shard_export_diff_delta": ("seeded_export_manifest", "next_manifest"),
 }
 _MAT_CONSUMERS = frozenset(_MAT_TABLES)
 
@@ -294,6 +298,7 @@ def _materialize_tables(spark, sf_dir: str, names: set[str]) -> None:
         "delta_state": fate_delta.delta_state_tables,
         "refreshed_refs": fate_delta.refreshed_reference_tables,
         "next_manifest": fate_delta.next_manifest_table,
+        "seeded_export_manifest": fate_delta.seeded_export_manifest_table,
     }
     for t in sorted(names):
         builders[t](spark, sf_dir)

@@ -87,6 +87,11 @@ NEW_OR_CHANGED: list[str] = [
     # consumed by the datacard; oracle = datacard over a full evolved
     # recompute, so ship-and-consume ≡ recompute end to end.
     "fate_deploy_cycle",
+    # r14 new (r15 candidate 2 pulled forward): the re-export plan
+    # with ZERO fate replays — prev from the shipped export manifest,
+    # curr membership from the delta-shipped next fate manifest;
+    # oracle replays both exports relationally.
+    "shard_export_diff_delta",
     # DELIBERATELY OFF this list (r14): r13's nine new entries (the
     # warehouse variants, table-backed gates, churn/datacard deltas,
     # recompute planner) all carry green r13 driver rows and are

@@ -336,3 +336,21 @@ def test_next_manifest_table_ships_the_assembled_manifest(spark, sf_smoke):
     again = FD.next_manifest_table(spark, sf_smoke, refresh=True)
     assert W._MATERIALIZED[key] != path1
     assert _rows(again) == _rows(nxt)
+
+
+def test_export_diff_delta_equals_two_replay_diff(spark, sf_smoke):
+    """The zero-replay re-export diff (prev from the shipped export
+    manifest, curr membership from the delta-shipped next fate
+    manifest) must reproduce the fixture-style two-replay diff over
+    the seeded snapshots decision-for-decision, digest-for-digest."""
+    from dungbeetle_spark.operators import fate_delta as FD
+    from dungbeetle_spark.operators.pipeline import (
+        _diff_frames,
+        _export_frame,
+    )
+    from dungbeetle_spark.queries import registry
+
+    got = registry()["shard_export_diff_delta"].build(spark, sf_smoke)
+    sd = FD._seeded(spark, sf_smoke)
+    want = _diff_frames(_export_frame(sd), _export_frame(FD._evolved(sd)))
+    assert _rows(got) == _rows(want)

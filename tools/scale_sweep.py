@@ -161,6 +161,8 @@ SWEEP_OPS = [
     ("fate_apply_plan", None),
     # ship-and-consume: a manifest-table scan + |sources| rollups
     ("fate_deploy_cycle", None),
+    # zero-replay re-export diff: curr projection over kept bytes only
+    ("shard_export_diff_delta", None),
 ]
 
 # Ops whose sweep rows read the pre-materialized warehouse tables,
@@ -180,6 +182,7 @@ _WAREHOUSE_TABLES = {
     "fate_reference_maintenance": ("delta_state",),
     "fate_apply_plan": ("seeded_manifest", "seeded_canon", "refreshed_refs"),
     "fate_deploy_cycle": ("next_manifest",),
+    "shard_export_diff_delta": ("seeded_export_manifest", "next_manifest"),
 }
 _WAREHOUSE_CONSUMERS = set(_WAREHOUSE_TABLES)
 
@@ -574,6 +577,7 @@ def run_sweep(
             "delta_state": fate_delta.delta_state_tables,
             "refreshed_refs": fate_delta.refreshed_reference_tables,
             "next_manifest": fate_delta.next_manifest_table,
+            "seeded_export_manifest": fate_delta.seeded_export_manifest_table,
         }
         for f, d in dirs.items():
             t0 = time.time()
