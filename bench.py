@@ -209,6 +209,8 @@ HEADLINE = [
     # r14: the re-export plan with zero fate replays (prev = shipped
     # export manifest, curr membership = delta-shipped next manifest)
     "shard_export_diff_delta",
+    # r14: the re-export EXECUTOR — copy clean shards, re-export dirty
+    "shard_export_apply_delta",
 ]
 
 # Streaming drain bench (VERDICT r09 item 5): none of the 11 streaming
@@ -278,6 +280,11 @@ _MAT_TABLES = {
     "fate_apply_plan": ("seeded_manifest", "seeded_canon", "refreshed_refs"),
     "fate_deploy_cycle": ("next_manifest",),
     "shard_export_diff_delta": ("seeded_export_manifest", "next_manifest"),
+    "shard_export_apply_delta": (
+        "seeded_export_manifest",
+        "seeded_manifest",
+        "next_manifest",
+    ),
 }
 _MAT_CONSUMERS = frozenset(_MAT_TABLES)
 

@@ -92,6 +92,13 @@ NEW_OR_CHANGED: list[str] = [
     # curr membership from the delta-shipped next fate manifest;
     # oracle replays both exports relationally.
     "shard_export_diff_delta",
+    # r14 new: the incremental re-export EXECUTOR — clean shards
+    # copied from the shipped export manifest, dirty shards (fate
+    # flips between shipped manifests + changelog edits, a no-text
+    # id computation) re-exported; oracle = full export replay LEFT
+    # JOIN a relational dirty-shard derivation, pinning digests AND
+    # copy/reexport decisions.
+    "shard_export_apply_delta",
     # DELIBERATELY OFF this list (r14): r13's nine new entries (the
     # warehouse variants, table-backed gates, churn/datacard deltas,
     # recompute planner) all carry green r13 driver rows and are

@@ -354,3 +354,119 @@ def test_export_diff_delta_equals_two_replay_diff(spark, sf_smoke):
     sd = FD._seeded(spark, sf_smoke)
     want = _diff_frames(_export_frame(sd), _export_frame(FD._evolved(sd)))
     assert _rows(got) == _rows(want)
+
+
+def test_export_apply_delta_equals_full_reexport(spark, sf_smoke):
+    """The assembled next export manifest (copied clean shards +
+    re-exported dirty shards) must equal the full evolved-corpus
+    re-export row-for-row. At smoke scale (~9 docs per hash-range
+    shard, ~1/7 edited) both arms are live: roughly a quarter of
+    shards have no touched doc and ride the copy path — denser
+    fixtures saturate toward all-dirty, which is why the crafted
+    sparse-evolution tests below pin the copy arm deterministically."""
+    from dungbeetle_spark.operators import fate_delta as FD
+    from dungbeetle_spark.operators.pipeline import _export_frame
+    from dungbeetle_spark.queries import registry
+
+    got = registry()["shard_export_apply_delta"].build(spark, sf_smoke)
+    sd = FD._seeded(spark, sf_smoke)
+    want = _export_frame(FD._evolved(sd))
+    assert _rows(got.drop("action")) == _rows(want)
+    assert set(r[0] for r in _rows(got, "action")) == {"copied", "reexported"}
+
+
+def _crafted_docs(spark, ids):
+    return spark.createDataFrame(
+        [(i, f"doc {i} body words " * 12) for i in ids], "doc_id long, text string"
+    )
+
+
+def test_export_apply_delta_copies_clean_shards(spark):
+    """Sparse evolution: ONE edited doc, stable membership — exactly
+    that doc's hash-range shard is re-exported, every other shard's
+    row is copied from the prev export manifest byte-identically,
+    and the assembly still equals the full re-export."""
+    from dungbeetle_spark.operators import fate_delta as FD
+    from dungbeetle_spark.operators.pipeline import _export_frame
+
+    ids = list(range(200))
+    prev_docs = _crafted_docs(spark, ids)
+    edited = 17
+    ev_docs = prev_docs.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") == edited, F.concat("text", F.lit(" rev2"))
+        ).otherwise(F.col("text")),
+    )
+    kept = prev_docs.select("doc_id")
+    prev_exp = _export_frame(prev_docs, kept=kept)
+    got = FD._assemble_export(
+        prev_exp,
+        kept,
+        kept,
+        kept.filter(F.col("doc_id") == edited),
+        ev_docs,
+    )
+    want = _export_frame(ev_docs, kept=kept)
+    assert _rows(got.drop("action")) == _rows(want)
+
+    dirty = {
+        r[0]
+        for r in FD._with_shard(
+            spark.createDataFrame([(edited,)], "doc_id long")
+        ).collect()
+        for r in [(r["shard_id"],)]
+    }
+    by_action = {
+        r[0]: r[1]
+        for r in got.groupBy("action")
+        .agg(F.collect_set("shard_id"))
+        .collect()
+    }
+    assert set(by_action["reexported"]) == dirty
+    copied_rows = _rows(got.filter(F.col("action") == "copied").drop("action"))
+    prev_rows = [
+        r
+        for r in _rows(prev_exp)
+        if r[0] not in dirty
+    ]
+    assert copied_rows == sorted(prev_rows)
+    assert len(copied_rows) > 0  # the arm the fixture can't reach
+
+
+def test_export_apply_delta_membership_flip_dirties_shard(spark):
+    """Sparse evolution, second arm: no text edits, one doc DROPPED
+    from the next manifest's kept set (a fate flip — e.g. its group
+    re-elected) — its shard is re-exported without that doc, all
+    other shards are copied."""
+    from dungbeetle_spark.operators import fate_delta as FD
+    from dungbeetle_spark.operators.pipeline import _export_frame
+
+    ids = list(range(200))
+    docs = _crafted_docs(spark, ids)
+    dropped = 23
+    kept_prev = docs.select("doc_id")
+    kept_next = kept_prev.filter(F.col("doc_id") != dropped)
+    prev_exp = _export_frame(docs, kept=kept_prev)
+    got = FD._assemble_export(
+        prev_exp,
+        kept_prev,
+        kept_next,
+        kept_next.filter(F.lit(False)),
+        docs,
+    )
+    want = _export_frame(docs, kept=kept_next)
+    assert _rows(got.drop("action")) == _rows(want)
+    dirty = {
+        r["shard_id"]
+        for r in FD._with_shard(
+            spark.createDataFrame([(dropped,)], "doc_id long")
+        ).collect()
+    }
+    re_sh = {
+        r[0] for r in _rows(got.filter(F.col("action") == "reexported"), "shard_id")
+    }
+    assert re_sh == dirty
+    assert _rows(got.filter(F.col("action") == "copied").drop("action")) == [
+        r for r in _rows(prev_exp) if r[0] not in dirty
+    ]

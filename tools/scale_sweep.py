@@ -163,6 +163,8 @@ SWEEP_OPS = [
     ("fate_deploy_cycle", None),
     # zero-replay re-export diff: curr projection over kept bytes only
     ("shard_export_diff_delta", None),
+    # re-export executor: copy clean shards, re-export dirty ones
+    ("shard_export_apply_delta", None),
 ]
 
 # Ops whose sweep rows read the pre-materialized warehouse tables,
@@ -183,6 +185,11 @@ _WAREHOUSE_TABLES = {
     "fate_apply_plan": ("seeded_manifest", "seeded_canon", "refreshed_refs"),
     "fate_deploy_cycle": ("next_manifest",),
     "shard_export_diff_delta": ("seeded_export_manifest", "next_manifest"),
+    "shard_export_apply_delta": (
+        "seeded_export_manifest",
+        "seeded_manifest",
+        "next_manifest",
+    ),
 }
 _WAREHOUSE_CONSUMERS = set(_WAREHOUSE_TABLES)
 
