@@ -211,6 +211,8 @@ HEADLINE = [
     "shard_export_diff_delta",
     # r14: the re-export EXECUTOR — copy clean shards, re-export dirty
     "shard_export_apply_delta",
+    # r14: the nightly diff between two SHIPPED export manifests
+    "shard_export_diff_shipped",
 ]
 
 # Streaming drain bench (VERDICT r09 item 5): none of the 11 streaming
@@ -285,6 +287,10 @@ _MAT_TABLES = {
         "seeded_manifest",
         "next_manifest",
     ),
+    "shard_export_diff_shipped": (
+        "seeded_export_manifest",
+        "next_export_manifest",
+    ),
 }
 _MAT_CONSUMERS = frozenset(_MAT_TABLES)
 
@@ -306,6 +312,7 @@ def _materialize_tables(spark, sf_dir: str, names: set[str]) -> None:
         "refreshed_refs": fate_delta.refreshed_reference_tables,
         "next_manifest": fate_delta.next_manifest_table,
         "seeded_export_manifest": fate_delta.seeded_export_manifest_table,
+        "next_export_manifest": fate_delta.next_export_manifest_table,
     }
     for t in sorted(names):
         builders[t](spark, sf_dir)

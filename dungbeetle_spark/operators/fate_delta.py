@@ -1051,3 +1051,73 @@ def shard_export_apply_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _assemble_export(
         prev_exp, kept_prev, kept_next, edited_kept, _evolved(sd)
     )
+
+
+# -- shard_export_diff_shipped: the nightly diff, tables-only ------------------
+
+
+def next_export_manifest_table(
+    spark: SparkSession, sf_dir: str, refresh: bool = False
+) -> DataFrame:
+    """SHIP step for the export side: the delta-ASSEMBLED next export
+    manifest (shard_export_apply_delta minus its action audit column)
+    written as the next ``results_<job_id>`` table through the Part A
+    job layer — the same artifact class the prev export manifest is,
+    so the next rollover's diff and assembly read this table as THEIR
+    prev side. Dependency tables materialize first in caller context
+    and ride into the builder by closure (the worker-thread
+    discipline)."""
+    from dungbeetle_spark.operators.warehouse import (
+        _result_table,
+        seeded_manifest_table,
+    )
+
+    prev_man = seeded_manifest_table(spark, sf_dir)
+    nxt_man = next_manifest_table(spark, sf_dir)
+    prev_exp = seeded_export_manifest_table(spark, sf_dir)
+
+    def _build(sess: SparkSession, sfd: str) -> DataFrame:
+        kept_prev = prev_man.filter(F.col("fate") == "kept").select("doc_id")
+        kept_next = nxt_man.filter(F.col("fate") == "kept").select("doc_id")
+        edited = kept_next.filter(
+            (F.col("doc_id") >= 0) & (F.col("doc_id") % 7 == 3)
+        )
+        ev = _evolved(_seeded(sess, sfd))
+        return _assemble_export(
+            prev_exp, kept_prev, kept_next, edited, ev
+        ).drop("action")
+
+    return _result_table(
+        spark, sf_dir, "export_manifest_dupseeded_next", _build, refresh=refresh
+    )
+
+
+@query(
+    "shard_export_diff_shipped",
+    oracle=_export_diff_delta_oracle(),
+    doc="The nightly re-export diff run ENTIRELY between two shipped "
+    "export-manifest result tables — prev from the previous "
+    "deployment, curr from the delta-assembled manifest the rollover "
+    "just shipped (next_export_manifest_table). Zero fate replays, "
+    "zero export projections, zero corpus reads at query time: two "
+    "|shards|-row table scans and one full-outer join. The oracle is "
+    "the full relational two-replay diff (both exports recomputed "
+    "from scratch over the seeded/evolved snapshots), so the driver "
+    "transitively pins the whole ship round-trip: the assembled "
+    "manifest that went through the job layer's canonical type "
+    "collapse must still reproduce every digest-chain decision of a "
+    "from-scratch re-export.",
+)
+def shard_export_diff_shipped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: both sides are driver-scale parquet reads
+    (cardinality = shard count, a production parameter); the decision
+    join is |shards|². This is the dashboard query a 100 TB nightly
+    actually serves — all corpus-proportional work was paid once, by
+    the deployment that shipped the tables (compare the fixture diff:
+    two composed fate replays; the r13 warehouse twin: one; the
+    delta diff: one export projection; this: none)."""
+    from dungbeetle_spark.operators.pipeline import _diff_frames
+
+    prev = seeded_export_manifest_table(spark, sf_dir)
+    nxt = next_export_manifest_table(spark, sf_dir)
+    return _diff_frames(prev, nxt)

@@ -99,6 +99,11 @@ NEW_OR_CHANGED: list[str] = [
     # JOIN a relational dirty-shard derivation, pinning digests AND
     # copy/reexport decisions.
     "shard_export_apply_delta",
+    # r14 new: the nightly diff between two SHIPPED export manifests
+    # (prev deployment's table vs the delta-assembled table the
+    # rollover just shipped) — zero corpus reads at query time;
+    # oracle = the full relational two-replay diff.
+    "shard_export_diff_shipped",
     # DELIBERATELY OFF this list (r14): r13's nine new entries (the
     # warehouse variants, table-backed gates, churn/datacard deltas,
     # recompute planner) all carry green r13 driver rows and are

@@ -470,3 +470,40 @@ def test_export_apply_delta_membership_flip_dirties_shard(spark):
     assert _rows(got.filter(F.col("action") == "copied").drop("action")) == [
         r for r in _rows(prev_exp) if r[0] not in dirty
     ]
+
+
+def test_export_diff_shipped_equals_delta_and_fixture_diff(spark, sf_smoke):
+    """The tables-only nightly diff (two shipped export manifests,
+    zero corpus reads at query time) must reproduce both the
+    delta diff (curr = live projection) and the two-replay fixture
+    diff row-for-row — transitively pinning that the assembled
+    export manifest survived the job layer's type collapse intact."""
+    from dungbeetle_spark.operators import fate_delta as FD
+    from dungbeetle_spark.operators.pipeline import (
+        _diff_frames,
+        _export_frame,
+    )
+    from dungbeetle_spark.queries import registry
+
+    reg = registry()
+    got = reg["shard_export_diff_shipped"].build(spark, sf_smoke)
+    delta = reg["shard_export_diff_delta"].build(spark, sf_smoke)
+    sd = FD._seeded(spark, sf_smoke)
+    fixture = _diff_frames(_export_frame(sd), _export_frame(FD._evolved(sd)))
+    assert _rows(got) == _rows(delta) == _rows(fixture)
+
+
+def test_next_export_manifest_table_rollover(spark, sf_smoke):
+    """The shipped next export manifest honors the refresh= rollover
+    hatch: a refresh rebuilds at a new results_<job_id> path with
+    identical content (same staleness contract as every warehouse
+    table)."""
+    from dungbeetle_spark.operators import fate_delta as FD
+    from dungbeetle_spark.operators import warehouse as W
+
+    key = (os.path.realpath(sf_smoke), "export_manifest_dupseeded_next")
+    nxt = FD.next_export_manifest_table(spark, sf_smoke)
+    path1 = W._MATERIALIZED[key]
+    again = FD.next_export_manifest_table(spark, sf_smoke, refresh=True)
+    assert W._MATERIALIZED[key] != path1
+    assert _rows(again) == _rows(nxt)

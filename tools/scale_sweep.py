@@ -165,6 +165,8 @@ SWEEP_OPS = [
     ("shard_export_diff_delta", None),
     # re-export executor: copy clean shards, re-export dirty ones
     ("shard_export_apply_delta", None),
+    # tables-only nightly diff: two shipped export manifests
+    ("shard_export_diff_shipped", None),
 ]
 
 # Ops whose sweep rows read the pre-materialized warehouse tables,
@@ -189,6 +191,10 @@ _WAREHOUSE_TABLES = {
         "seeded_export_manifest",
         "seeded_manifest",
         "next_manifest",
+    ),
+    "shard_export_diff_shipped": (
+        "seeded_export_manifest",
+        "next_export_manifest",
     ),
 }
 _WAREHOUSE_CONSUMERS = set(_WAREHOUSE_TABLES)
@@ -585,6 +591,7 @@ def run_sweep(
             "refreshed_refs": fate_delta.refreshed_reference_tables,
             "next_manifest": fate_delta.next_manifest_table,
             "seeded_export_manifest": fate_delta.seeded_export_manifest_table,
+            "next_export_manifest": fate_delta.next_export_manifest_table,
         }
         for f, d in dirs.items():
             t0 = time.time()
