@@ -507,3 +507,74 @@ def test_next_export_manifest_table_rollover(spark, sf_smoke):
     again = FD.next_export_manifest_table(spark, sf_smoke, refresh=True)
     assert W._MATERIALIZED[key] != path1
     assert _rows(again) == _rows(nxt)
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@given(st.data())
+@settings(max_examples=6, deadline=None)
+def test_export_assembly_property_random_evolutions(spark, data):
+    """Property pin for the export assembly: under ARBITRARY corpus
+    evolutions (random removals, edits, negative-id additions) and
+    ARBITRARY kept-set churn on both sides (any subset kept before,
+    any subset kept after — far harsher than the fixture's fate
+    pipeline would ever produce), the assembled manifest must equal
+    the full re-export of the evolved corpus with next membership,
+    row-for-row. The changelog contract holds by construction: the
+    edited set handed to the assembly is exactly the content-changed
+    kept docs."""
+    from dungbeetle_spark.operators import fate_delta as FD
+    from dungbeetle_spark.operators.pipeline import _export_frame
+
+    ids = sorted(
+        data.draw(
+            st.sets(st.integers(0, 119), min_size=10, max_size=60),
+            label="ids",
+        )
+    )
+    removed = data.draw(st.sets(st.sampled_from(ids), max_size=8), label="rm")
+    surviving = [i for i in ids if i not in removed]
+    edited = data.draw(
+        st.sets(st.sampled_from(surviving), max_size=8), label="ed"
+    )
+    added = data.draw(
+        st.sets(st.integers(-40, -1), max_size=6), label="add"
+    )
+    prev_rows = [(i, f"doc {i} body words " * 6) for i in ids]
+    ev_rows = [
+        (i, t + " rev2" if i in edited else t)
+        for i, t in prev_rows
+        if i not in removed
+    ] + [(a, f"incoming {a} fresh words " * 6) for a in sorted(added)]
+    schema = "doc_id long, text string"
+    prev_docs = spark.createDataFrame(prev_rows, schema)
+    ev_docs = spark.createDataFrame(ev_rows, schema)
+
+    kept_prev_ids = data.draw(
+        st.sets(st.sampled_from(ids), min_size=1), label="kp"
+    )
+    ev_ids = [r[0] for r in ev_rows]
+    kept_next_ids = data.draw(
+        st.sets(st.sampled_from(ev_ids), min_size=1), label="kn"
+    )
+    kept_prev = spark.createDataFrame(
+        [(i,) for i in sorted(kept_prev_ids)], "doc_id long"
+    )
+    kept_next = spark.createDataFrame(
+        [(i,) for i in sorted(kept_next_ids)], "doc_id long"
+    )
+    edited_kept_ids = sorted(edited & kept_next_ids)
+    edited_kept = (
+        spark.createDataFrame([(i,) for i in edited_kept_ids], "doc_id long")
+        if edited_kept_ids
+        else kept_next.filter(F.lit(False))
+    )
+
+    prev_exp = _export_frame(prev_docs, kept=kept_prev)
+    got = FD._assemble_export(
+        prev_exp, kept_prev, kept_next, edited_kept, ev_docs
+    )
+    want = _export_frame(ev_docs, kept=kept_next)
+    assert _rows(got.drop("action")) == _rows(want)
