@@ -213,6 +213,8 @@ HEADLINE = [
     "shard_export_apply_delta",
     # r14: the nightly diff between two SHIPPED export manifests
     "shard_export_diff_shipped",
+    # r14: delta refresh of the fourth gate reference (the canon map)
+    "canon_map_maintenance",
 ]
 
 # Streaming drain bench (VERDICT r09 item 5): none of the 11 streaming
@@ -246,6 +248,10 @@ STREAMING = [
     # the reference-state build rides materialization_setup_sec.
     "streaming_fate_gate_from_tables",
     "streaming_pii_gate_from_tables",
+    # r14: the post-rollover gate — per-batch probe of the four
+    # DELTA-refreshed reference tables over the shipped evolved
+    # snapshot (no corpus-scale rebuild anywhere in its lineage)
+    "streaming_fate_gate_rollover",
 ]
 
 # Streaming ops under this wall-time get 2 extra interleaved reps
@@ -291,6 +297,12 @@ _MAT_TABLES = {
         "seeded_export_manifest",
         "next_export_manifest",
     ),
+    "canon_map_maintenance": ("canon_members", "seeded_canon"),
+    "streaming_fate_gate_rollover": (
+        "evolved_docs",
+        "refreshed_canon",
+        "refreshed_refs",
+    ),
 }
 _MAT_CONSUMERS = frozenset(_MAT_TABLES)
 
@@ -313,6 +325,9 @@ def _materialize_tables(spark, sf_dir: str, names: set[str]) -> None:
         "next_manifest": fate_delta.next_manifest_table,
         "seeded_export_manifest": fate_delta.seeded_export_manifest_table,
         "next_export_manifest": fate_delta.next_export_manifest_table,
+        "canon_members": fate_delta.canon_member_table,
+        "refreshed_canon": fate_delta.refreshed_canon_table,
+        "evolved_docs": fate_delta.evolved_docs_table,
     }
     for t in sorted(names):
         builders[t](spark, sf_dir)

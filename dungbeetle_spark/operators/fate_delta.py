@@ -1121,3 +1121,176 @@ def shard_export_diff_shipped(spark: SparkSession, sf_dir: str) -> DataFrame:
     prev = seeded_export_manifest_table(spark, sf_dir)
     nxt = next_export_manifest_table(spark, sf_dir)
     return _diff_frames(prev, nxt)
+
+
+# -- canon_map_maintenance: the fourth gate reference, delta-refreshed ---------
+
+
+def canon_member_table(
+    spark: SparkSession, sf_dir: str, refresh: bool = False
+) -> DataFrame:
+    """The canonical map's MEMBERSHIP state table — ``(doc_id, h)``
+    for every quality-surviving non-eval doc of the seeded snapshot,
+    shipped through the job layer. The map alone (one keeper row per
+    h) cannot absorb a keeper's departure; the membership table can:
+    min-keeper re-election is a groupBy over exactly the touched
+    hashes' remaining members."""
+    from dungbeetle_spark.operators.warehouse import (
+        _canon_members,
+        _dup_seeded,
+        _result_table,
+    )
+
+    return _result_table(
+        spark,
+        sf_dir,
+        "canon_members_dupseeded",
+        lambda sess, sfd: _canon_members(
+            _dup_seeded(_t(sess, sfd, "documents")["documents"])
+        ),
+        refresh=refresh,
+    )
+
+
+def _refreshed_canon_frame(
+    prev_members: DataFrame,
+    prev_canon: DataFrame,
+    out_ids: DataFrame,
+    in_rows: DataFrame,
+) -> DataFrame:
+    """The canon-map delta refresh over arbitrary frames: touched
+    hashes = departing members' h (an id-keyed semi-join against the
+    membership table — NO text work for departures) ∪ arriving
+    members' h; re-elect min-keeper over exactly the touched hashes'
+    surviving+arriving members; every untouched map row passes
+    through verbatim. A touched hash whose members all departed drops
+    out of the map (the groupBy produces no row), matching a full
+    rebuild."""
+    touched_h = (
+        prev_members.join(out_ids, "doc_id", "semi")
+        .select("h")
+        .unionByName(in_rows.select("h"))
+        .distinct()
+    )
+    kept = prev_members.join(F.broadcast(touched_h), "h", "semi").join(
+        out_ids, "doc_id", "left_anti"
+    )
+    re_elected = (
+        kept.unionByName(in_rows)
+        .groupBy("h")
+        .agg(F.min("doc_id").alias("dup_of"))
+    )
+    untouched = prev_canon.join(F.broadcast(touched_h), "h", "left_anti")
+    return untouched.unionByName(re_elected)
+
+
+def _canon_maintenance_oracle() -> str:
+    from dungbeetle_spark.functions.texts import content_md5_sql
+    from dungbeetle_spark.operators.mixing import _EVAL_MOD
+    from dungbeetle_spark.operators.pipeline import (
+        _evolved_docs_sql,
+        _fate_verdict_ctes,
+    )
+    from dungbeetle_spark.operators.warehouse import _dup_seeded_sql
+
+    return f"""
+    WITH sdocs AS ({_dup_seeded_sql()}),
+    {_evolved_docs_sql("sdocs")},
+    {_fate_verdict_ctes("newdocs")}
+    SELECT {content_md5_sql("d.text")} AS h,
+           CAST(MIN(d.doc_id) AS BIGINT) AS dup_of
+    FROM newdocs d JOIN verdict v USING (doc_id)
+    WHERE v.reason = 'kept' AND d.doc_id % {_EVAL_MOD} <> 0
+    GROUP BY 1
+    """
+
+
+@query(
+    "canon_map_maintenance",
+    oracle=_canon_maintenance_oracle(),
+    doc="Incremental maintenance of the FOURTH gate reference — the "
+    "canonical map (content-md5 → min-keeper among quality-surviving "
+    "non-eval docs) that every ingest gate's dedup probe reads. "
+    "fate_reference_maintenance refreshed the other three (eval "
+    "grams, stop shingles, eval band index); the canon map needs its "
+    "own state shape because min-keeper is not a monoid under "
+    "removals: the shipped (doc_id, h) MEMBERSHIP table supplies the "
+    "surviving members, re-election runs over exactly the touched "
+    "hashes, and untouched map rows pass through verbatim. The "
+    "oracle REBUILDS the map from the evolved corpus from scratch, "
+    "so the driver gate is literally incremental ≡ rebuild.",
+)
+def canon_map_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: departures are an id-keyed semi-join against the
+    membership state table (no text); arrivals run the quality funnel
+    + one md5 over the touched docs alone; the re-election groupBy
+    shuffles only touched hashes' member rows (broadcast touched-h
+    semi-join prunes the membership scan); untouched rows stream
+    through a broadcast anti-join. Nothing re-reads an unchanged
+    document — the full rebuild the oracle prices re-hashes the
+    entire corpus."""
+    from dungbeetle_spark.operators.warehouse import (
+        _canon_members,
+        seeded_canon_table,
+    )
+
+    sd = _seeded(spark, sf_dir)
+    ev = _evolved(sd)
+    prev_members = canon_member_table(spark, sf_dir)
+    prev_canon = seeded_canon_table(spark, sf_dir)
+    out_ids = _out_docs(sd).select("doc_id")
+    in_rows = _canon_members(_in_docs(ev))
+    return _refreshed_canon_frame(prev_members, prev_canon, out_ids, in_rows)
+
+
+def refreshed_canon_table(
+    spark: SparkSession, sf_dir: str, refresh: bool = False
+) -> DataFrame:
+    """The delta-refreshed canonical map SHIPPED as a result table —
+    the fourth refreshed gate reference, joining the three
+    fdc_refreshed_* tables so a post-rollover ingest gate reads a
+    complete, corpus-current reference set. Dependencies (prev
+    membership + prev map tables) materialize first in caller context
+    and ride in by closure."""
+    from dungbeetle_spark.operators.warehouse import (
+        _canon_members,
+        _result_table,
+        seeded_canon_table,
+    )
+
+    prev_members = canon_member_table(spark, sf_dir)
+    prev_canon = seeded_canon_table(spark, sf_dir)
+
+    def _build(sess: SparkSession, sfd: str) -> DataFrame:
+        sd = _seeded(sess, sfd)
+        ev = _evolved(sd)
+        return _refreshed_canon_frame(
+            prev_members,
+            prev_canon,
+            _out_docs(sd).select("doc_id"),
+            _canon_members(_in_docs(ev)),
+        )
+
+    return _result_table(
+        spark, sf_dir, "fdc_refreshed_canon", _build, refresh=refresh
+    )
+
+
+def evolved_docs_table(
+    spark: SparkSession, sf_dir: str, refresh: bool = False
+) -> DataFrame:
+    """The rollover's corpus snapshot (the evolved duplicate-seeded
+    docs) as a result table — the parquet directory a post-rollover
+    ingest stream replays from (streaming sources read paths, not
+    frames)."""
+    from dungbeetle_spark.operators.warehouse import _result_table
+
+    return _result_table(
+        spark,
+        sf_dir,
+        "evolved_docs_dupseeded",
+        lambda sess, sfd: _evolved(_seeded(sess, sfd)).select(
+            "doc_id", "text", "lang", "source"
+        ),
+        refresh=refresh,
+    )

@@ -141,6 +141,19 @@ def _result_table(
     return spark.read.parquet(path)
 
 
+def result_table_path(sf_dir: str, name: str) -> str:
+    """Filesystem path of an already-materialized result table — for
+    consumers that need the parquet DIRECTORY rather than a DataFrame
+    (the streaming file source reads paths, not frames). Raises if the
+    table was never materialized in this process."""
+    key = (os.path.realpath(sf_dir), name)
+    with _REG_LOCK:
+        path = _MATERIALIZED.get(key)
+    if path is None:
+        raise KeyError(f"result table {name!r} not materialized for {sf_dir}")
+    return path
+
+
 def _materialize(
     spark: SparkSession, sf_dir: str, name: str, build
 ) -> str:
@@ -217,11 +230,12 @@ def export_manifest_table(
 # -- streaming-gate reference state as result tables --------------------------
 
 
-def _canon_from_docs(d: DataFrame) -> DataFrame:
-    """The canonical map (content-md5 → keeper among quality-surviving
-    non-eval docs) over any documents frame — the dedup-probe side of
-    the fate gate (same construction as stateful.fate_gate_reference;
-    equality is pinned by the shared composed oracle)."""
+def _canon_members(d: DataFrame) -> DataFrame:
+    """The canonical map's MEMBERSHIP — ``(doc_id, h)`` for every
+    quality-surviving non-eval doc — extracted r14 so the canon-map
+    delta maintenance (operators.fate_delta) can ship it as the
+    count-bearing state table the min-keeper election needs (the map
+    alone can't absorb a keeper's departure; the membership can)."""
     from dungbeetle_spark.functions.texts import content_md5
     from dungbeetle_spark.operators.mixing import _EVAL_MOD
     from dungbeetle_spark.operators.text import funnel_verdicts
@@ -233,9 +247,15 @@ def _canon_from_docs(d: DataFrame) -> DataFrame:
         .join(verdicts, "doc_id")
         .filter((F.col("doc_id") % _EVAL_MOD != 0) & (F.col("reason") == "kept"))
         .select("doc_id", content_md5("text").alias("h"))
-        .groupBy("h")
-        .agg(F.min("doc_id").alias("dup_of"))
     )
+
+
+def _canon_from_docs(d: DataFrame) -> DataFrame:
+    """The canonical map (content-md5 → keeper among quality-surviving
+    non-eval docs) over any documents frame — the dedup-probe side of
+    the fate gate (same construction as stateful.fate_gate_reference;
+    equality is pinned by the shared composed oracle)."""
+    return _canon_members(d).groupBy("h").agg(F.min("doc_id").alias("dup_of"))
 
 
 def _canon_frame(sess: SparkSession, sf_dir: str) -> DataFrame:

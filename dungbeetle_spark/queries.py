@@ -104,6 +104,15 @@ NEW_OR_CHANGED: list[str] = [
     # rollover just shipped) — zero corpus reads at query time;
     # oracle = the full relational two-replay diff.
     "shard_export_diff_shipped",
+    # r14 new: delta refresh of the FOURTH gate reference — the canon
+    # map, re-elected over touched hashes from the shipped membership
+    # table; oracle rebuilds the map from the evolved corpus.
+    "canon_map_maintenance",
+    # r14 new: the post-rollover ingest gate — make_fate_gate_batch
+    # over the four DELTA-refreshed reference tables, draining the
+    # shipped evolved snapshot; oracle = the full composed fate
+    # oracle over the evolved corpus.
+    "streaming_fate_gate_rollover",
     # DELIBERATELY OFF this list (r14): r13's nine new entries (the
     # warehouse variants, table-backed gates, churn/datacard deltas,
     # recompute planner) all carry green r13 driver rows and are

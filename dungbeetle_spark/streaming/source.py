@@ -211,3 +211,15 @@ def stream_table(
             "maxFilesPerTrigger", max_files_per_trigger
         ).option("recursiveFileLookup", "true")
     return reader.parquet(src_dir)
+
+
+def stream_parquet_dir(spark: "SparkSession", path: str) -> DataFrame:
+    """An arbitrary parquet DIRECTORY (e.g. a job result table) as an
+    unbounded file-source DataFrame — the rollover gates stream the
+    shipped evolved-corpus snapshot table, which lives at a result
+    backend path rather than under a fixture dir. Schema is inferred
+    from a batch read of the same path; bound to the tuned streaming
+    clone like every other stream here."""
+    sess = streaming_session(spark)
+    schema = sess.read.parquet(path).schema
+    return sess.readStream.schema(schema).parquet(path)

@@ -976,3 +976,68 @@ def streaming_pii_gate_from_tables(
         "append",
         transform=make_pii_gate_batch(canon, ev, fstops, fev),
     )
+
+
+# -- rollover drain mode (r14): serve against the delta-refreshed refs --------
+
+
+def _rollover_gate_oracle() -> str:
+    from dungbeetle_spark.operators.pipeline import (
+        _evolved_docs_sql,
+        _fate_oracle,
+    )
+    from dungbeetle_spark.operators.warehouse import _dup_seeded_sql
+
+    return f"""
+    WITH sdocs AS ({_dup_seeded_sql()}),
+    {_evolved_docs_sql("sdocs")}
+    SELECT * FROM ({_fate_oracle("newdocs")}) x
+    """
+
+
+@query(
+    "streaming_fate_gate_rollover",
+    oracle=_rollover_gate_oracle(),
+    doc="The ingest gate AFTER a corpus rollover: the per-batch fate "
+    "decision (make_fate_gate_batch verbatim) probing the four "
+    "DELTA-REFRESHED reference tables — the canon map from "
+    "canon_map_maintenance and the eval-gram/stop-shingle/band-index "
+    "trio from fate_reference_maintenance, each shipped as a "
+    "results_<job_id> table by the deployment — over a replay of the "
+    "shipped evolved-corpus snapshot table. The oracle is the full "
+    "composed fate oracle over the evolved corpus recomputed from "
+    "scratch, so the driver pins the serving continuity the whole "
+    "delta arc exists for: a gate that never saw a corpus-scale "
+    "rebuild decides every post-rollover document exactly as a "
+    "from-scratch batch manifest would.",
+)
+def streaming_fate_gate_rollover(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: identical per-batch profile to the other fate
+    gates (codegen verdicts, h-keyed canon probe, staged gram/fuzzy
+    work for survivors only); the reference state is four bounded
+    parquet scans of tables the rollover maintained by DELTA — no
+    stage anywhere in this query's lineage ever recomputed a
+    corpus-scale reference (compare streaming_fate_gate_from_tables,
+    whose tables were built by full-corpus jobs)."""
+    from dungbeetle_spark.operators.fate_delta import (
+        evolved_docs_table,
+        refreshed_canon_table,
+        refreshed_reference_tables,
+    )
+    from dungbeetle_spark.operators.warehouse import result_table_path
+    from dungbeetle_spark.streaming.source import stream_parquet_dir
+
+    evolved_docs_table(spark, sf_dir)  # ship the snapshot
+    canon = refreshed_canon_table(spark, sf_dir)
+    evg, fstops, fev = refreshed_reference_tables(spark, sf_dir)
+    ev = evg.withColumn("hit", F.lit(1))
+    bands = fev.select(F.col("doc_id").alias("eval_doc"), "j", "h")
+    stream = stream_parquet_dir(
+        spark, result_table_path(sf_dir, "evolved_docs_dupseeded")
+    )
+    return drain_to_df(
+        stream.select("doc_id", "text", "lang"),
+        "stream_fate_gate_rollover",
+        "append",
+        transform=make_fate_gate_batch(canon, ev, fstops, bands),
+    )

@@ -578,3 +578,57 @@ def test_export_assembly_property_random_evolutions(spark, data):
     )
     want = _export_frame(ev_docs, kept=kept_next)
     assert _rows(got.drop("action")) == _rows(want)
+
+
+def test_canon_maintenance_equals_full_rebuild(spark, sf_smoke):
+    """The delta-refreshed canonical map must equal a from-scratch
+    rebuild over the evolved corpus, row-for-row (the oracle pins the
+    same against DuckDB; this pins the Spark frames)."""
+    from dungbeetle_spark.operators import fate_delta as FD
+    from dungbeetle_spark.operators.warehouse import _canon_from_docs
+    from dungbeetle_spark.queries import registry
+
+    got = registry()["canon_map_maintenance"].build(spark, sf_smoke)
+    sd = FD._seeded(spark, sf_smoke)
+    want = _canon_from_docs(FD._evolved(sd))
+    assert _rows(got) == _rows(want)
+
+
+def test_canon_refresh_reelects_and_drops(spark):
+    """Crafted arms the fixture evolution may not isolate: a KEEPER's
+    departure re-elects the surviving min member; an arriving smaller
+    id takes over its hash; a hash whose only member departs drops
+    out of the map; untouched hashes pass through verbatim."""
+    from dungbeetle_spark.operators import fate_delta as FD
+
+    prev_members = spark.createDataFrame(
+        [(1, "A"), (5, "A"), (7, "B"), (9, "C"), (20, "E")],
+        "doc_id long, h string",
+    )
+    prev_canon = spark.createDataFrame(
+        [("A", 1), ("B", 7), ("C", 9), ("E", 20)], "h string, dup_of long"
+    )
+    out_ids = spark.createDataFrame([(1,), (9,)], "doc_id long")
+    in_rows = spark.createDataFrame(
+        [(3, "B"), (11, "D")], "doc_id long, h string"
+    )
+    got = _rows(
+        FD._refreshed_canon_frame(prev_members, prev_canon, out_ids, in_rows)
+    )
+    assert got == [("A", 5), ("B", 3), ("D", 11), ("E", 20)]
+
+
+def test_rollover_gate_drain_equals_evolved_manifest(spark, sf_smoke):
+    """Serving continuity across a rollover: the gate draining the
+    shipped evolved snapshot against the four DELTA-refreshed
+    reference tables must decide every document exactly as the batch
+    fate manifest over the evolved corpus — no corpus-scale rebuild
+    anywhere in the gate's lineage."""
+    from dungbeetle_spark.operators import fate_delta as FD
+    from dungbeetle_spark.operators.pipeline import _fate_frame
+    from dungbeetle_spark.queries import registry
+
+    got = registry()["streaming_fate_gate_rollover"].build(spark, sf_smoke)
+    sd = FD._seeded(spark, sf_smoke)
+    want = _fate_frame(FD._evolved(sd))
+    assert _rows(got) == _rows(want)

@@ -71,6 +71,12 @@ EXECUTING = {
         "state read from materialized result tables; per-batch plan "
         "identical to streaming_pii_redaction_gate's"
     ),
+    "streaming_fate_gate_rollover": (
+        "executes at build() — the post-rollover fate gate's drain "
+        "over the shipped evolved snapshot with the four "
+        "DELTA-refreshed reference tables; per-batch plan identical "
+        "to streaming_corpus_fate_gate's"
+    ),
     "bpe_merge_ranks": (
         "executes at build() — driver-side iterative argmax (K bounded "
         "1-row collects); the real plans are the K pair-count "

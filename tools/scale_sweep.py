@@ -167,6 +167,10 @@ SWEEP_OPS = [
     ("shard_export_apply_delta", None),
     # tables-only nightly diff: two shipped export manifests
     ("shard_export_diff_shipped", None),
+    # delta refresh of the canon map (the fourth gate reference)
+    ("canon_map_maintenance", None),
+    # post-rollover ingest gate over the delta-refreshed references
+    ("streaming_fate_gate_rollover", None),
 ]
 
 # Ops whose sweep rows read the pre-materialized warehouse tables,
@@ -195,6 +199,12 @@ _WAREHOUSE_TABLES = {
     "shard_export_diff_shipped": (
         "seeded_export_manifest",
         "next_export_manifest",
+    ),
+    "canon_map_maintenance": ("canon_members", "seeded_canon"),
+    "streaming_fate_gate_rollover": (
+        "evolved_docs",
+        "refreshed_canon",
+        "refreshed_refs",
     ),
 }
 _WAREHOUSE_CONSUMERS = set(_WAREHOUSE_TABLES)
@@ -592,6 +602,9 @@ def run_sweep(
             "next_manifest": fate_delta.next_manifest_table,
             "seeded_export_manifest": fate_delta.seeded_export_manifest_table,
             "next_export_manifest": fate_delta.next_export_manifest_table,
+            "canon_members": fate_delta.canon_member_table,
+            "refreshed_canon": fate_delta.refreshed_canon_table,
+            "evolved_docs": fate_delta.evolved_docs_table,
         }
         for f, d in dirs.items():
             t0 = time.time()
