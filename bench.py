@@ -310,25 +310,9 @@ _MAT_CONSUMERS = frozenset(_MAT_TABLES)
 def _materialize_tables(spark, sf_dir: str, names: set[str]) -> None:
     """Build the named warehouse result tables through the job layer
     (process-cached — a preloaded cache makes this a no-op)."""
-    from dungbeetle_spark.operators import warehouse
+    from dungbeetle_spark.operators.fate_delta import warehouse_builders
 
-    from dungbeetle_spark.operators import fate_delta
-
-    builders = {
-        "manifest": warehouse.manifest_table,
-        "export_manifest": warehouse.export_manifest_table,
-        "fate_reference": warehouse.fate_reference_tables,
-        "seeded_manifest": warehouse.seeded_manifest_table,
-        "seeded_canon": warehouse.seeded_canon_table,
-        "delta_state": fate_delta.delta_state_tables,
-        "refreshed_refs": fate_delta.refreshed_reference_tables,
-        "next_manifest": fate_delta.next_manifest_table,
-        "seeded_export_manifest": fate_delta.seeded_export_manifest_table,
-        "next_export_manifest": fate_delta.next_export_manifest_table,
-        "canon_members": fate_delta.canon_member_table,
-        "refreshed_canon": fate_delta.refreshed_canon_table,
-        "evolved_docs": fate_delta.evolved_docs_table,
-    }
+    builders = warehouse_builders()
     for t in sorted(names):
         builders[t](spark, sf_dir)
 

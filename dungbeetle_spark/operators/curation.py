@@ -1466,6 +1466,18 @@ _ILV_SHARDS = 64  # hash-range shards; production scales this with corpus size
 _ILV_SHIFT = 2**60 // _ILV_SHARDS  # order keys are 60-bit md5 prefixes
 
 
+def ilv_okey() -> "Column":
+    """The reproducible shuffle key (md5 of ``'shuffle|' || doc_id``)
+    — the ONE Spark-side definition shared by the interleave audit,
+    the export digest chain (pipeline._export_frame), and the delta
+    family's no-text shard derivation (fate_delta._with_shard); its
+    SQL twin is the md5_hash60_sql rendering every oracle splices.
+    Shard assignment is ``okey DIV _ILV_SHIFT`` everywhere."""
+    return md5_hash60(
+        F.concat(F.lit("shuffle|"), F.col("doc_id").cast("string"))
+    )
+
+
 @query(
     "shard_interleave_audit",
     oracle=f"""
@@ -1539,7 +1551,7 @@ def shard_interleave_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     parameter that production scales with corpus size, keeping
     per-shard frames bounded). Output is |shards| rows."""
     d = _t(spark, sf_dir, "documents")["documents"].select("doc_id", "source")
-    okey = md5_hash60(F.concat(F.lit("shuffle|"), F.col("doc_id").cast("string")))
+    okey = ilv_okey()
     seq = d.select(
         "doc_id",
         "source",

@@ -360,16 +360,22 @@ def refreshed_reference_tables(
         sd = _seeded(sess, sfd)
         return refreshed_stop_set(prev_s, sd, _evolved(sd))
 
-    def _b_build(sess: SparkSession, sfd: str) -> DataFrame:
-        sd = _seeded(sess, sfd)
-        return refreshed_eval_bands(prev_s, prev_es, prev_eb, sd, _evolved(sd))
-
     g = _result_table(
         spark, sf_dir, "fate_refreshed_eval_grams", _g_build, refresh=refresh
     )
     s = _result_table(
         spark, sf_dir, "fdc_refreshed_stops", _s_build, refresh=refresh
     )
+
+    def _b_build(sess: SparkSession, sfd: str) -> DataFrame:
+        # Chain from the just-shipped stop-set table (the _fev_build
+        # discipline) instead of re-deriving the shingle-DF merge a
+        # second time — the band job's input IS the stop job's output.
+        sd = _seeded(sess, sfd)
+        return refreshed_eval_bands(
+            prev_s, prev_es, prev_eb, sd, _evolved(sd), stops_new=s
+        )
+
     b = _result_table(
         spark, sf_dir, "fdc_refreshed_eval_bands", _b_build, refresh=refresh
     )
@@ -645,9 +651,18 @@ def _apply_frames(
             ),
         )
     )
+    # The canon map is corpus-cardinality — never broadcast it whole.
+    # Prune it to the touched docs' hashes first (the touched-h set IS
+    # delta-small, so IT broadcasts into the semi-join), then the
+    # |touched|-bounded remainder is safe on the build side of the
+    # left join.
+    t_kept = tflags.filter(~F.col("is_eval") & (F.col("reason") == "kept"))
+    canon_t = canon.join(
+        F.broadcast(t_kept.select("h").distinct()), "h", "semi"
+    )
     t_elect = (
-        tflags.filter(~F.col("is_eval") & (F.col("reason") == "kept"))
-        .join(F.broadcast(canon), "h", "left")
+        t_kept
+        .join(F.broadcast(canon_t), "h", "left")
         .select(
             "doc_id",
             F.coalesce(
@@ -913,19 +928,15 @@ def shard_export_diff_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _with_shard(ids: DataFrame) -> DataFrame:
     """(doc_id) -> (doc_id, shard_id): the export's hash-range shard
-    assignment (okey DIV curation._ILV_SHIFT over the md5 shuffle
-    key, byte-identical to _export_frame's). Shard membership is a
-    pure function of doc_id, which is what makes dirty-shard
-    detection a no-text id computation."""
-    from dungbeetle_spark.functions.texts import md5_hash60
-    from dungbeetle_spark.operators.curation import _ILV_SHIFT
+    assignment — curation.ilv_okey (the ONE shuffle-key definition
+    _export_frame also uses) DIV curation._ILV_SHIFT. Shard
+    membership is a pure function of doc_id, which is what makes
+    dirty-shard detection a no-text id computation."""
+    from dungbeetle_spark.operators.curation import _ILV_SHIFT, ilv_okey
 
-    return ids.select(
-        "doc_id",
-        md5_hash60(
-            F.concat(F.lit("shuffle|"), F.col("doc_id").cast("string"))
-        ).alias("okey"),
-    ).select("doc_id", F.expr(f"okey DIV {_ILV_SHIFT}").alias("shard_id"))
+    return ids.select("doc_id", ilv_okey().alias("okey")).select(
+        "doc_id", F.expr(f"okey DIV {_ILV_SHIFT}").alias("shard_id")
+    )
 
 
 def _assemble_export(
@@ -1294,3 +1305,30 @@ def evolved_docs_table(
         ),
         refresh=refresh,
     )
+
+
+def warehouse_builders() -> dict:
+    """table-name → builder for every pre-materializable warehouse
+    table the bench and the scale sweep consume — ONE map (review
+    r14: the two tools carried identical inline copies that the
+    _MAT_TABLES/_WAREHOUSE_TABLES sync test could not see, so a table
+    added to one copy only would KeyError at materialization time).
+    The sync test now also pins that every table name either tool
+    references has a builder here."""
+    from dungbeetle_spark.operators import warehouse
+
+    return {
+        "manifest": warehouse.manifest_table,
+        "export_manifest": warehouse.export_manifest_table,
+        "fate_reference": warehouse.fate_reference_tables,
+        "seeded_manifest": warehouse.seeded_manifest_table,
+        "seeded_canon": warehouse.seeded_canon_table,
+        "delta_state": delta_state_tables,
+        "refreshed_refs": refreshed_reference_tables,
+        "next_manifest": next_manifest_table,
+        "seeded_export_manifest": seeded_export_manifest_table,
+        "next_export_manifest": next_export_manifest_table,
+        "canon_members": canon_member_table,
+        "refreshed_canon": refreshed_canon_table,
+        "evolved_docs": evolved_docs_table,
+    }

@@ -1295,8 +1295,7 @@ def _export_frame(d: DataFrame, kept: DataFrame | None = None) -> DataFrame:
     a corpus with organic short matches the column is signed — the
     per-class hit counts in pii_redaction_audit are the unsigned
     companions (ADVICE r12)."""
-    from dungbeetle_spark.functions.texts import md5_hash60
-    from dungbeetle_spark.operators.curation import _ILV_SHIFT
+    from dungbeetle_spark.operators.curation import _ILV_SHIFT, ilv_okey
 
     if kept is None:
         kept = _fate_frame(d).filter(F.col("fate") == "kept").select("doc_id")
@@ -1309,9 +1308,7 @@ def _export_frame(d: DataFrame, kept: DataFrame | None = None) -> DataFrame:
             "doc_id",
             F.length("text").alias("n_raw"),
             shipped.alias("shipped"),
-            md5_hash60(
-                F.concat(F.lit("shuffle|"), F.col("doc_id").cast("string"))
-            ).alias("okey"),
+            ilv_okey().alias("okey"),
         )
         .select(
             "doc_id",

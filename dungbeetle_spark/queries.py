@@ -119,7 +119,15 @@ NEW_OR_CHANGED: list[str] = [
     # untouched this round — they rotate into the stale queue like
     # everything else. The streaming bench rework (fresh-session
     # drains) and the warehouse cache hatch touched no query's plan or
-    # oracle.
+    # oracle. ALSO off (r14 review): the export/interleave family
+    # whose only change was the shuffle key moving to the shared
+    # curation.ilv_okey helper — pure code motion, expression
+    # byte-identical (pinned by
+    # test_r14_operators.test_ilv_okey_is_the_export_key, and the
+    # family re-checked value-level against DuckDB at sf0.01 after
+    # the refactor); listing ~10 unchanged-behavior queries would
+    # displace a round of stale repayments for zero verification
+    # value.
 ]
 
 

@@ -768,6 +768,14 @@ def test_warehouse_consumer_sets_stay_in_sync():
                  "fate_recompute_plan")
     }
     assert needs <= bench._MAT_CONSUMERS
+    # r14 review: the builder map is shared (fate_delta.
+    # warehouse_builders) so bench and sweep can't drift — and every
+    # table name either tool's consumer mapping references must have
+    # a builder, or materialization KeyErrors at run time
+    from dungbeetle_spark.operators.fate_delta import warehouse_builders
+
+    referenced = {t for ts in bench._MAT_TABLES.values() for t in ts}
+    assert referenced <= set(warehouse_builders())
 
 
 def test_streaming_compare_records_session_modes(tmp_path):

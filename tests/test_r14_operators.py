@@ -70,13 +70,18 @@ def test_export_preload_cache_roundtrip(spark, sf_smoke, tmp_path):
 
     # simulate the consumer process: wipe the in-memory cache, preload
     saved = dict(W._MATERIALIZED)
+    owned_before = list(W._OWNED_DIRS)
     try:
         W._MATERIALIZED.clear()
         n = W.preload_cache(str(snap))
         assert n >= 1
         assert W._MATERIALIZED[key] == saved[key]
-        # a preloaded path is not owned: never queued for the reaper
-        assert saved[key] not in W._OWNED_DIRS or saved[key] in saved.values()
+        # preload ADOPTS paths but never takes OWNERSHIP: the reaper
+        # queue must be exactly what it was before the preload (in
+        # this single-process test the path is owned by the CREATOR
+        # side; a consumer process that only preloads must never
+        # enqueue it for reaping)
+        assert list(W._OWNED_DIRS) == owned_before
     finally:
         W._MATERIALIZED.clear()
         W._MATERIALIZED.update(saved)
@@ -632,3 +637,29 @@ def test_rollover_gate_drain_equals_evolved_manifest(spark, sf_smoke):
     sd = FD._seeded(spark, sf_smoke)
     want = _fate_frame(FD._evolved(sd))
     assert _rows(got) == _rows(want)
+
+
+def test_ilv_okey_is_the_export_key(spark):
+    """The r14 review extracted the reproducible shuffle key into ONE
+    definition (curation.ilv_okey) used by the interleave audit, the
+    export digest chain, and the delta shard derivation. Those
+    queries deliberately did NOT rejoin the driver window for pure
+    code motion — this pin is the guarantee that motion stayed
+    byte-identical: the helper's analyzed expression must equal the
+    inline form every oracle's SQL twin renders."""
+    from dungbeetle_spark.functions.texts import md5_hash60
+    from dungbeetle_spark.operators.curation import ilv_okey
+
+    inline = md5_hash60(
+        F.concat(F.lit("shuffle|"), F.col("doc_id").cast("string"))
+    )
+    df = spark.range(3).select(F.col("id").alias("doc_id"))
+    assert (
+        df.select(ilv_okey().alias("k")).schema
+        == df.select(inline.alias("k")).schema
+    )
+    assert _rows(df.select(ilv_okey().alias("k"))) == _rows(
+        df.select(inline.alias("k"))
+    )
+    # and the expression trees themselves agree, not just 3 sample rows
+    assert repr(ilv_okey()) == repr(inline)
