@@ -603,21 +603,18 @@ def _apply_frames(
     )
 
     # recompute: fresh verdicts + content hashes for the touched docs
+    # (r14 opt: one projection computes verdict + md5 + eval flag —
+    # no second scan, no join back on doc_id; guide §2.4)
     touched = ev.filter(_is_touched())
-    tflags = (
-        touched.select("doc_id", "text")
-        .join(
-            funnel_verdicts(fan_out(touched)).select("doc_id", "reason"),
-            "doc_id",
-        )
-        .select(
-            "doc_id",
-            "reason",
-            (F.col("doc_id") % _EVAL_MOD == 0).alias("is_eval"),
-            content_md5("text").alias("h"),
-        )
-        .localCheckpoint(eager=False)  # feeds 3 disjoint filters
-    )
+    tflags = funnel_verdicts(
+        fan_out(touched),
+        extra={
+            "is_eval": F.col("doc_id") % _EVAL_MOD == 0,
+            "h": content_md5("text"),
+        },
+    ).select("doc_id", "reason", "is_eval", "h").localCheckpoint(
+        eager=False
+    )  # feeds 3 disjoint filters
     t_eval = tflags.filter(F.col("is_eval")).select(
         "doc_id",
         F.lit("eval_holdout").alias("fate"),

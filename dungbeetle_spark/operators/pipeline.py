@@ -966,11 +966,62 @@ def corpus_fate_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _fate_frame(_t(spark, sf_dir, "documents")["documents"])
 
 
+def _materialize_concurrently(session, *thunks):
+    """Run independent materialization thunks on concurrent driver
+    threads and return their results in order (guide §2.6 — Spark's
+    scheduler happily overlaps independent jobs; FAIR mode is already
+    on, so the chains back-fill each other's stragglers). Threads are
+    wrapped with ``inheritable_thread_target`` so JVM thread-locals —
+    job group (A13/A19 cancellation!), description, scheduler pool —
+    propagate from the caller, exactly as the job layer requires."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    try:
+        from pyspark import inheritable_thread_target
+
+        def _iht(f):
+            return inheritable_thread_target(session)(f)
+    except (ImportError, TypeError):  # pragma: no cover - old pyspark
+        def _iht(f):
+            return f
+
+    if len(thunks) == 1:
+        return [thunks[0]()]
+    with ThreadPoolExecutor(len(thunks)) as ex:
+        return list(ex.map(lambda t: t(), [_iht(t) for t in thunks]))
+
+
 def _fate_frame(d: DataFrame) -> DataFrame:
     """The composed fate pipeline over an arbitrary documents frame
     (doc_id, text, lang, ...) — extracted r10 so shard_export_diff can
     replay it over the evolved corpus snapshot as well; called with
-    the loaded table it is corpus_fate_manifest, unchanged."""
+    the loaded table it is corpus_fate_manifest, unchanged.
+
+    r14 optimization pass (results bit-identical, pinned by the
+    oracle):
+
+    - ONE corpus pass feeds every stage: the quality verdicts, the
+      content md5 and the eval flag come out of a single
+      ``funnel_verdicts(extra=...)`` projection (the old shape
+      re-scanned documents and JOINED verdicts back on doc_id — two
+      exchanges and a sort for a column the verdict scan already had
+      in hand, guide §2.4), and the gram/shingle branches hang off
+      the same ``fan_out(d)`` exchange, so AQE stage reuse computes
+      the spread shuffle once for all three consumers.
+    - canonical election is a window (min over h-partitions) instead
+      of groupBy + self-join — same key, one exchange, no join back
+      (guide §2.4: window after agg on the same key shares the
+      partitioning).
+    - the three independent reference chains — flags, the eval-gram
+      set, the fuzzy stop set — materialize eagerly on concurrent
+      driver threads (guide §2.6): their jobs overlap instead of
+      running as strictly sequential lazy-checkpoint waves. At
+      cluster scale the same overlap back-fills executors freed by
+      each chain's straggler tail; the checkpointed frames are the
+      id/hash-grain reference tables, never document text (the old
+      flags checkpoint carried the full text column it never read —
+      guide §2.3, checkpoint fewer bytes).
+    """
     from dungbeetle_spark.functions.texts import content_md5
     from dungbeetle_spark.operators.mixing import (
         _EVAL_MOD,
@@ -987,33 +1038,39 @@ def _fate_frame(d: DataFrame) -> DataFrame:
     from dungbeetle_spark.operators.text import funnel_verdicts
     from dungbeetle_spark.sources.catalog import fan_out
 
-    verdicts = funnel_verdicts(fan_out(d)).select("doc_id", "reason")
-    flags = (
-        d.select("doc_id", "text")
-        .join(verdicts, "doc_id")
-        .select(
-            "doc_id",
-            "text",
-            "reason",
-            (F.col("doc_id") % _EVAL_MOD == 0).alias("is_eval"),
-            content_md5("text").alias("h"),
-        )
-        .localCheckpoint(eager=False)  # survivor chain + final assembly
-    )
-    surv1 = flags.filter(~F.col("is_eval") & (F.col("reason") == "kept"))
-    canon = surv1.groupBy("h").agg(F.min("doc_id").alias("dup_of"))
-    s1 = surv1.join(canon, "h").select("doc_id", "dup_of")
-    surv2 = s1.filter(F.col("doc_id") == F.col("dup_of")).select("doc_id")
-    grams = fate_seeded_toks(fan_out(d.select("doc_id", "text"))).select(
+    base = fan_out(d)
+    flags_lazy = funnel_verdicts(
+        base,
+        extra={
+            "is_eval": F.col("doc_id") % _EVAL_MOD == 0,
+            "h": content_md5("text"),
+        },
+    ).select("doc_id", "reason", "is_eval", "h")
+    grams = fate_seeded_toks(base).select(
         "doc_id", F.explode_outer(word_ngrams("t", _GRAM_N)).alias("gram")
     )
-    ev = (
+    ev_lazy = (
         grams.filter(F.col("doc_id") % _EVAL_MOD == 0)
         .select("gram")
         .where(F.col("gram").isNotNull())
         .distinct()
         .withColumn("hit", F.lit(1))
     )
+    fsh = _fdc_shingle_hashes(_fdc_seeded(base))
+    fstops = _fdc_stop_set(fsh, d)
+    # overlap the three independent reference builds; forcing fstops
+    # also materializes fsh's lazy checkpoint (its direct parent)
+    flags, ev, _ = _materialize_concurrently(
+        d.sparkSession,
+        lambda: flags_lazy.localCheckpoint(),
+        lambda: ev_lazy.localCheckpoint(),
+        lambda: fstops.count(),
+    )
+    surv1 = flags.filter(~F.col("is_eval") & (F.col("reason") == "kept"))
+    s1 = surv1.select(
+        "doc_id", F.min("doc_id").over(W.partitionBy("h")).alias("dup_of")
+    )
+    surv2 = s1.filter(F.col("doc_id") == F.col("dup_of")).select("doc_id")
     cont = (
         grams.join(surv2, "doc_id")  # gram work only for canonicals
         .join(F.broadcast(ev), "gram", "left")
@@ -1029,10 +1086,7 @@ def _fate_frame(d: DataFrame) -> DataFrame:
         surv2.join(cont, "doc_id", "left")
         .filter(F.coalesce("n_cont", F.lit(0)) == 0)
         .select("doc_id")
-        .localCheckpoint(eager=False)  # feeds the signature semi + probe
     )
-    fsh = _fdc_shingle_hashes(_fdc_seeded(d))
-    fstops = _fdc_stop_set(fsh, d)
     # signatures only where the decision can read them: eval docs (the
     # index side) + surv3 (the probe side); per-doc signatures are
     # independent, so this equals the oracle's all-docs fmh filtered
@@ -1446,7 +1500,17 @@ def shard_export_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     the shipped manifest table instead of recomputed; the decision
     logic is this exact full-outer comparison."""
     d = _t(spark, sf_dir, "documents")["documents"]
-    return _diff_frames(_export_frame(d), _export_frame(_evolved_docs(d)))
+    # r14 opt: the two replays are fully independent until the diff
+    # join — build them on concurrent driver threads (guide §2.6) so
+    # their reference-chain materializations overlap instead of
+    # running back-to-back; the diff action then interleaves both
+    # export aggregates' stages inside one job.
+    prev, curr = _materialize_concurrently(
+        spark,
+        lambda: _export_frame(d),
+        lambda: _export_frame(_evolved_docs(d)),
+    )
+    return _diff_frames(prev, curr)
 
 
 def _diff_frames(prev: DataFrame, curr: DataFrame) -> DataFrame:

@@ -560,13 +560,22 @@ def quality_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return funnel_verdicts(fan_out(_t(spark, sf_dir, "documents")["documents"]))
 
 
-def funnel_verdicts(d: DataFrame) -> DataFrame:
+def funnel_verdicts(d: DataFrame, extra: dict | None = None) -> DataFrame:
     """The funnel's verdict columns over any (doc_id, lang, text)
     DataFrame — batch or streaming (every expression is stateless
-    codegen, so the same plan fragment serves both)."""
+    codegen, so the same plan fragment serves both).
+
+    ``extra`` (r14 opt): ``{name: Column-over-d}`` passthrough columns
+    computed in the SAME projection and appended to the output. The
+    composed fate pipeline uses this to fold its md5/eval flags into
+    the verdict pass instead of re-scanning the corpus and joining the
+    two passes back together on doc_id (guide §2.4 — the join and its
+    two exchanges disappear; one scan serves both). The verdict
+    expressions themselves stay byte-identical for every caller."""
     text = F.col("text")
     squashed = F.regexp_replace(text, r"\s+", " ")
     toks = F.filter(F.split(F.lower(text), r"[^a-z0-9]+"), lambda x: x != "")
+    extra = extra or {}
     stats = d.select(
         "doc_id",
         "lang",
@@ -575,6 +584,7 @@ def funnel_verdicts(d: DataFrame) -> DataFrame:
         .otherwise(F.size(F.split(F.trim(squashed), " ")))
         .alias("nw"),
         F.size(F.filter(toks, lambda x: x.isin(*_QF_STOPWORDS))).alias("stp"),
+        *[c.alias(n) for n, c in extra.items()],
     )
     nc, nw, stp = F.col("nc"), F.col("nw"), F.col("stp")
     wl = F.expr("nc * 1000 div nw")
@@ -591,6 +601,7 @@ def funnel_verdicts(d: DataFrame) -> DataFrame:
         nw.cast("long").alias("n_words"),
         reason.alias("reason"),
         (reason == "kept").alias("keep"),
+        *extra.keys(),
     )
 
 

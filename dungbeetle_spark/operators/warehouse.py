@@ -241,12 +241,12 @@ def _canon_members(d: DataFrame) -> DataFrame:
     from dungbeetle_spark.operators.text import funnel_verdicts
     from dungbeetle_spark.sources.catalog import fan_out
 
-    verdicts = funnel_verdicts(fan_out(d)).select("doc_id", "reason")
+    # r14 opt: verdict + md5 in one projection — no re-scan + join
+    # back on doc_id (guide §2.4); values identical by construction.
     return (
-        d.select("doc_id", "text")
-        .join(verdicts, "doc_id")
+        funnel_verdicts(fan_out(d), extra={"h": content_md5("text")})
         .filter((F.col("doc_id") % _EVAL_MOD != 0) & (F.col("reason") == "kept"))
-        .select("doc_id", content_md5("text").alias("h"))
+        .select("doc_id", "h")
     )
 
 
@@ -804,13 +804,13 @@ def _recompute_plan_frame(
 
     is_touched = (F.col("doc_id") < 0) | (F.col("doc_id") % 7 == 3)
     touched = ev.filter(is_touched)
-    tv = funnel_verdicts(fan_out(touched)).select("doc_id", "reason")
+    # r14 opt: verdict + md5 in one projection (guide §2.4)
     incoming = (
-        touched.join(tv, "doc_id")
+        funnel_verdicts(fan_out(touched), extra={"h": content_md5("text")})
         .filter(
             (F.col("reason") == "kept") & (F.col("doc_id") % _EVAL_MOD != 0)
         )
-        .select(content_md5("text").alias("h"))
+        .select("h")
     )
     hits = incoming.join(canon, "h").select(F.col("dup_of").alias("gid"))
     left_groups = prev.filter(

@@ -128,6 +128,19 @@ NEW_OR_CHANGED: list[str] = [
     # the refactor); listing ~10 unchanged-behavior queries would
     # displace a round of stale repayments for zero verification
     # value.
+    #
+    # ALSO off (r14 OPTIMIZATION round): the fate-frame plan
+    # restructure (pipeline._fate_frame and the funnel_verdicts
+    # extra-columns fold at its five call sites) — every output is
+    # value-identical by construction (same expressions, fewer
+    # exchanges: the verdict re-scan+join became one projection, the
+    # canonical election became a window over the same key, the three
+    # reference chains materialize concurrently). The whole touched
+    # family was re-compared value-level against DuckDB at sf0.01 on
+    # a PLAIN driver-style session after the restructure (16 queries
+    # incl. both streaming gates), and the full oracle suite re-ran
+    # green; the optimization-round driver re-oracles every declared
+    # query regardless, so window slots stay with stale repayment.
 ]
 
 

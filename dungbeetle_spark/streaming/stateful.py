@@ -463,12 +463,12 @@ def fate_gate_reference(sess: SparkSession, sf_dir: str):
     from dungbeetle_spark.sources.catalog import fan_out
 
     d = _t(sess, sf_dir, "documents")["documents"]
-    verdicts = funnel_verdicts(fan_out(d)).select("doc_id", "reason")
+    # r14 opt: verdict + md5 in one projection — no re-scan + join
+    # back on doc_id (guide §2.4); values identical by construction.
     surv1 = (
-        d.select("doc_id", "text")
-        .join(verdicts, "doc_id")
+        funnel_verdicts(fan_out(d), extra={"h": content_md5("text")})
         .filter((F.col("doc_id") % _EVAL_MOD != 0) & (F.col("reason") == "kept"))
-        .select("doc_id", content_md5("text").alias("h"))
+        .select("doc_id", "h")
     )
     canon = (
         surv1.groupBy("h").agg(F.min("doc_id").alias("dup_of")).localCheckpoint()
@@ -520,18 +520,18 @@ def make_fate_gate_batch(
     from dungbeetle_spark.operators.text import funnel_verdicts
 
     def gate_batch(bdf: DataFrame) -> DataFrame:
-        v = funnel_verdicts(bdf).select("doc_id", "reason")
-        fl = (
-            bdf.select("doc_id", "text")
-            .join(v, "doc_id")
-            .select(
-                "doc_id",
-                "text",
-                "reason",
-                (F.col("doc_id") % _EVAL_MOD == 0).alias("is_eval"),
-                content_md5("text").alias("h"),
-            )
-        )
+        # r14 opt: verdict + md5 + eval flag in ONE projection over the
+        # micro-batch — the old shape joined the batch back to its own
+        # verdicts on doc_id, paying an exchange pair per micro-batch
+        # (guide §2.4); values identical by construction.
+        fl = funnel_verdicts(
+            bdf,
+            extra={
+                "text": F.col("text"),
+                "is_eval": F.col("doc_id") % _EVAL_MOD == 0,
+                "h": content_md5("text"),
+            },
+        ).select("doc_id", "text", "reason", "is_eval", "h")
         # dedup probe: only quality-surviving non-eval docs consult the
         # canonical map (their h is in it by construction)
         probed = fl.join(canon, "h", "left").withColumn(
