@@ -309,12 +309,33 @@ _MAT_CONSUMERS = frozenset(_MAT_TABLES)
 
 def _materialize_tables(spark, sf_dir: str, names: set[str]) -> None:
     """Build the named warehouse result tables through the job layer
-    (process-cached — a preloaded cache makes this a no-op)."""
+    (process-cached — a preloaded cache makes this a no-op).
+
+    r14 opt (guide §2.6): independent tables build on a small pool of
+    concurrent driver threads — the job layer is a job server, multiple
+    in-flight jobs are its normal operating mode, and the warehouse's
+    per-key build locks make dependency chains (a builder that first
+    materializes its prev-state tables) serialize exactly where they
+    must while unrelated builds back-fill the idle cores. Pool width 4:
+    enough overlap to hide each build's straggler tail, not so many
+    corpus-scale jobs that they fight for executors."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from pyspark import inheritable_thread_target
+
     from dungbeetle_spark.operators.fate_delta import warehouse_builders
 
     builders = warehouse_builders()
-    for t in sorted(names):
-        builders[t](spark, sf_dir)
+    ordered = sorted(names)
+    if len(ordered) <= 1:
+        for t in ordered:
+            builders[t](spark, sf_dir)
+        return
+    run = inheritable_thread_target(spark)(
+        lambda t: builders[t](spark, sf_dir)
+    )
+    with ThreadPoolExecutor(min(4, len(ordered))) as ex:
+        list(ex.map(run, ordered))
 
 
 def _mat_tables_for(ops) -> set[str]:

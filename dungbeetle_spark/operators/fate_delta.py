@@ -202,23 +202,31 @@ def delta_state_tables(
     DF counts, eval shingle sets, eval band rows. Materialized through
     the Part A layer once per process (warehouse._result_table's cache
     + staleness contract)."""
+    from dungbeetle_spark.operators.pipeline import _materialize_concurrently
     from dungbeetle_spark.operators.warehouse import _result_table
 
-    g = _result_table(
-        spark, sf_dir, "fate_evgram_df_dupseeded", _evgram_df_frame,
-        refresh=refresh,
-    )
-    s = _result_table(
-        spark, sf_dir, "fdc_shingle_df_dupseeded", _shdf_frame,
-        refresh=refresh,
-    )
-    es = _result_table(
-        spark, sf_dir, "fdc_eval_shingles_dupseeded", _evsh_frame,
-        refresh=refresh,
-    )
-    eb = _result_table(
-        spark, sf_dir, "fdc_eval_bands_dupseeded", _evbands_frame,
-        refresh=refresh,
+    # r14 opt (guide §2.6): the four state tables are mutually
+    # independent (each derives from the seeded snapshot alone), so
+    # their job-layer builds overlap on concurrent driver threads —
+    # the warehouse per-key locks keep every table built exactly once.
+    g, s, es, eb = _materialize_concurrently(
+        spark,
+        lambda: _result_table(
+            spark, sf_dir, "fate_evgram_df_dupseeded", _evgram_df_frame,
+            refresh=refresh,
+        ),
+        lambda: _result_table(
+            spark, sf_dir, "fdc_shingle_df_dupseeded", _shdf_frame,
+            refresh=refresh,
+        ),
+        lambda: _result_table(
+            spark, sf_dir, "fdc_eval_shingles_dupseeded", _evsh_frame,
+            refresh=refresh,
+        ),
+        lambda: _result_table(
+            spark, sf_dir, "fdc_eval_bands_dupseeded", _evbands_frame,
+            refresh=refresh,
+        ),
     )
     return g, s, es, eb
 
@@ -360,11 +368,20 @@ def refreshed_reference_tables(
         sd = _seeded(sess, sfd)
         return refreshed_stop_set(prev_s, sd, _evolved(sd))
 
-    g = _result_table(
-        spark, sf_dir, "fate_refreshed_eval_grams", _g_build, refresh=refresh
-    )
-    s = _result_table(
-        spark, sf_dir, "fdc_refreshed_stops", _s_build, refresh=refresh
+    # r14 opt (guide §2.6): the gram and stop refreshes are independent
+    # of each other — overlap their job-layer builds; the band build
+    # stays behind them because it chains from the shipped stop table.
+    from dungbeetle_spark.operators.pipeline import _materialize_concurrently
+
+    g, s = _materialize_concurrently(
+        spark,
+        lambda: _result_table(
+            spark, sf_dir, "fate_refreshed_eval_grams", _g_build,
+            refresh=refresh,
+        ),
+        lambda: _result_table(
+            spark, sf_dir, "fdc_refreshed_stops", _s_build, refresh=refresh
+        ),
     )
 
     def _b_build(sess: SparkSession, sfd: str) -> DataFrame:
@@ -588,10 +605,30 @@ def _apply_frames(
     from dungbeetle_spark.operators.warehouse import _recompute_plan_frame
     from dungbeetle_spark.sources.catalog import fan_out
 
-    plan = _recompute_plan_frame(ev, prev, canon).localCheckpoint(
-        eager=False
-    )  # feeds the three action filters
+    plan_lazy = _recompute_plan_frame(ev, prev, canon)
     lng = lambda c: F.lit(c).cast("long")  # noqa: E731
+
+    # recompute: fresh verdicts + content hashes for the touched docs
+    # (r14 opt: one projection computes verdict + md5 + eval flag —
+    # no second scan, no join back on doc_id; guide §2.4)
+    touched = ev.filter(_is_touched())
+    tflags_lazy = funnel_verdicts(
+        fan_out(touched),
+        extra={
+            "is_eval": F.col("doc_id") % _EVAL_MOD == 0,
+            "h": content_md5("text"),
+        },
+    ).select("doc_id", "reason", "is_eval", "h")
+    # r14 opt (guide §2.6): the plan triage and the touched-doc flags
+    # are independent — materialize both reference frames concurrently
+    # (plan feeds the three action filters; tflags three disjoint ones)
+    from dungbeetle_spark.operators.pipeline import _materialize_concurrently
+
+    plan, tflags = _materialize_concurrently(
+        ev.sparkSession,
+        lambda: plan_lazy.localCheckpoint(),
+        lambda: tflags_lazy.localCheckpoint(),
+    )
 
     # keep_prev: the shipped manifest rows, verbatim (safety pinned by
     # test_plan_keep_prev_rows_are_provably_stable since r13)
@@ -602,19 +639,6 @@ def _apply_frames(
         .select(*_MAN_COLS)
     )
 
-    # recompute: fresh verdicts + content hashes for the touched docs
-    # (r14 opt: one projection computes verdict + md5 + eval flag —
-    # no second scan, no join back on doc_id; guide §2.4)
-    touched = ev.filter(_is_touched())
-    tflags = funnel_verdicts(
-        fan_out(touched),
-        extra={
-            "is_eval": F.col("doc_id") % _EVAL_MOD == 0,
-            "h": content_md5("text"),
-        },
-    ).select("doc_id", "reason", "is_eval", "h").localCheckpoint(
-        eager=False
-    )  # feeds 3 disjoint filters
     t_eval = tflags.filter(F.col("is_eval")).select(
         "doc_id",
         F.lit("eval_holdout").alias("fate"),
