@@ -1296,16 +1296,26 @@ def ann_recall_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     acceptable for a calibration pass, not a pipeline stage."""
     # The exact arm feeds three consumers (the per-query denominator
     # and both hit joins); without a barrier Spark re-runs the full
-    # brute-force sweep for each.  localCheckpoint(eager=False) cuts
-    # that to one materialization — |queries| x k rows, trivially
-    # small — the same lazy-barrier discipline as minhash_calibration.
-    exact = (
-        ann_cosine_topk(spark, sf_dir)
+    # brute-force sweep for each.  localCheckpoint cuts that to one
+    # materialization — |queries| x k rows, trivially small — the same
+    # barrier discipline as minhash_calibration. r14 opt (guide §2.6):
+    # the three arms are independent diagnostics, and each arm's BUILD
+    # runs driver-blocking Spark jobs (the query/centroid toPandas
+    # pulls, the exact sweep's materialization) — so the arms build on
+    # concurrent driver threads and their jobs overlap instead of
+    # running as three sequential phases.
+    from dungbeetle_spark.operators.pipeline import _materialize_concurrently
+
+    exact, lsh, ivf = _materialize_concurrently(
+        spark,
+        lambda: ann_cosine_topk(spark, sf_dir)
         .select("query_id", "neighbor_id")
-        .localCheckpoint(eager=False)
+        .localCheckpoint(),
+        lambda: ann_lsh_bucketed(spark, sf_dir).select(
+            "query_id", "neighbor_id"
+        ),
+        lambda: ann_ivf(spark, sf_dir).select("query_id", "neighbor_id"),
     )
-    lsh = ann_lsh_bucketed(spark, sf_dir).select("query_id", "neighbor_id")
-    ivf = ann_ivf(spark, sf_dir).select("query_id", "neighbor_id")
     base = exact.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_exact"))
     lh = (
         exact.join(lsh, ["query_id", "neighbor_id"])

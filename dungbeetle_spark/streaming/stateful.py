@@ -470,19 +470,27 @@ def fate_gate_reference(sess: SparkSession, sf_dir: str):
         .filter((F.col("doc_id") % _EVAL_MOD != 0) & (F.col("reason") == "kept"))
         .select("doc_id", "h")
     )
-    canon = (
-        surv1.groupBy("h").agg(F.min("doc_id").alias("dup_of")).localCheckpoint()
-    )
-    ev = (
+    canon_lazy = surv1.groupBy("h").agg(F.min("doc_id").alias("dup_of"))
+    ev_lazy = (
         _fate_seeded_toks(fan_out(d.select("doc_id", "text")))
         .filter(F.col("doc_id") % _EVAL_MOD == 0)
         .select(F.explode_outer(word_ngrams("t", _GRAM_N)).alias("gram"))
         .where(F.col("gram").isNotNull())
         .distinct()
         .withColumn("hit", F.lit(1))
-        .localCheckpoint()
     )
-    fstops, fev, _ = _fdc_reference(sess, sf_dir)
+    # r14 opt (guide §2.6): the three reference chains are independent
+    # — build them on concurrent driver threads instead of three
+    # strictly sequential eager-checkpoint waves.
+    from dungbeetle_spark.operators.pipeline import _materialize_concurrently
+
+    canon, ev, fdc = _materialize_concurrently(
+        sess,
+        lambda: canon_lazy.localCheckpoint(),
+        lambda: ev_lazy.localCheckpoint(),
+        lambda: _fdc_reference(sess, sf_dir),
+    )
+    fstops, fev, _ = fdc
     return canon, ev, fstops, fev
 
 
