@@ -1671,13 +1671,18 @@ def test_export_manifest_no_cartesian_no_global_order(spark, sf):
     membership (its own pins hold elsewhere); the export layer itself
     adds only a doc-keyed semi-join, map-side md5 projections and ONE
     shard-keyed aggregate — shards are hash ranges of the shuffle
-    key, so there is no window at all, no global sort, no cartesian,
-    no single-partition exchange."""
+    key, so there is no global sort, no cartesian, no single-partition
+    exchange. The only Window nodes are the fate composition's two
+    canonical-election branches (r14: min-over-h window replaced the
+    groupBy + self-join on h; stage reuse computes the shared exchange
+    once at runtime), each hash-partitioned on h — the export layer
+    itself still adds none."""
     df = _df(spark, sf, "shard_export_manifest")
     plan = formatted_plan(df)
     assert "CartesianProduct" not in plan
     assert "SinglePartition" not in plan
-    assert len(re.findall(r"^\(\d+\) Window", plan, re.M)) == 0
+    windows = re.findall(r"^\(\d+\) Window", plan, re.M)
+    assert len(windows) == 2, windows
     # composition bound: the fate plan's shuffles plus the export agg;
     # growth here means a stage stopped reusing the fate partitioning
     assert shuffle_exchanges(df) <= 13
