@@ -331,9 +331,12 @@ def _materialize_tables(spark, sf_dir: str, names: set[str]) -> None:
         for t in ordered:
             builders[t](spark, sf_dir)
         return
-    run = inheritable_thread_target(spark)(
-        lambda t: builders[t](spark, sf_dir)
-    )
+    deco = inheritable_thread_target(spark)
+    build_one = lambda t: builders[t](spark, sf_dir)  # noqa: E731
+    # Non-pinned mode returns the session, not a decorator — degrade
+    # to plain threads then (r14 review, same guard as
+    # pipeline._materialize_concurrently).
+    run = deco(build_one) if callable(deco) and deco is not spark else build_one
     with ThreadPoolExecutor(min(4, len(ordered))) as ex:
         list(ex.map(run, ordered))
 

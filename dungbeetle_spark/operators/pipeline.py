@@ -979,8 +979,18 @@ def _materialize_concurrently(session, *thunks):
     try:
         from pyspark import inheritable_thread_target
 
-        def _iht(f):
-            return inheritable_thread_target(session)(f)
+        deco = inheritable_thread_target(session)
+        # Non-pinned mode (PYSPARK_PIN_THREAD=false) makes
+        # inheritable_thread_target return its argument unchanged —
+        # the SESSION, not a decorator. Degrade to plain threads then
+        # (r14 review: the old TypeError guard sat outside the call
+        # site and could never catch this).
+        if not callable(deco) or deco is session:
+            def _iht(f):
+                return f
+        else:
+            def _iht(f):
+                return deco(f)
     except (ImportError, TypeError):  # pragma: no cover - old pyspark
         def _iht(f):
             return f
@@ -1021,6 +1031,14 @@ def _fate_frame(d: DataFrame) -> DataFrame:
       id/hash-grain reference tables, never document text (the old
       flags checkpoint carried the full text column it never read —
       guide §2.3, checkpoint fewer bytes).
+
+    Known trade (r14 review): the eager chain builds run at
+    CONSTRUCTION time, so plan-only consumers (explain/plan audits,
+    schema checks) pay the reference materialization the lazy pre-r14
+    shape deferred to the first action. Every production consumer
+    executes the frame anyway; the plan audit and test suite absorb
+    seconds, and moving the overlap to first-action would need an
+    action-interposition layer that no other operator carries.
     """
     from dungbeetle_spark.functions.texts import content_md5
     from dungbeetle_spark.operators.mixing import (
@@ -1082,6 +1100,15 @@ def _fate_frame(d: DataFrame) -> DataFrame:
     # standalone fuzzy_decontamination pipeline, with the probe side
     # restricted to surv3 — the only docs whose fuzzy verdict the fate
     # CASE can reach.
+    # surv3 feeds two consumers (the signature semi-join's `need`
+    # union and the fhits probe) UNBARRIERED — deliberate. The
+    # pre-r14 shape checkpointed it; re-measured r14 (review finding):
+    # the duplicated chain is one id-grain exchange + window over the
+    # survivor ids reading already-checkpointed inputs (flags, cont),
+    # while the barrier serializes an extra blocking job on the
+    # critical path — min-of-5 7.0 s WITH the checkpoint vs 5.6 s
+    # without at sf0.1, value-identical. At scale the duplicate is an
+    # 8-byte/row shuffle; the barrier is a full materialization stall.
     surv3 = (
         surv2.join(cont, "doc_id", "left")
         .filter(F.coalesce("n_cont", F.lit(0)) == 0)

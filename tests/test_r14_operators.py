@@ -663,3 +663,21 @@ def test_ilv_okey_is_the_export_key(spark):
     )
     # and the expression trees themselves agree, not just 3 sample rows
     assert repr(ilv_okey()) == repr(inline)
+
+
+def test_materialize_concurrently_non_pinned_fallback(spark, monkeypatch):
+    """r14 review: in non-pinned mode (PYSPARK_PIN_THREAD=false)
+    pyspark's inheritable_thread_target returns its argument — the
+    SESSION, not a decorator — and the old guard could never catch it
+    (the TypeError fired at call time, outside the try). The helper
+    must degrade to plain threads and still return thunk results in
+    order; same guard in bench._materialize_tables."""
+    import pyspark
+
+    from dungbeetle_spark.operators import pipeline as P
+
+    monkeypatch.setattr(
+        pyspark, "inheritable_thread_target", lambda session: session
+    )
+    out = P._materialize_concurrently(spark, lambda: 1, lambda: 2, lambda: 3)
+    assert out == [1, 2, 3]
