@@ -350,22 +350,40 @@ def _mp_drainer(path: str, out_path: str, owner: str, lease: float,
                 gate_path: str | None = None) -> None:
     """Claim until the queue stays empty, completing each job; write
     the claimed ids to out_path (one file per process). With
-    ``gate_path`` set, announce readiness (out_path + '.ready') and
-    hold until the gate file appears — the start barrier that makes
-    the parallelism assertion deterministic (without it, host-timing
-    jitter occasionally lets the first-forked process drain all 60
-    jobs before a sibling finishes importing)."""
+    ``gate_path`` set, claim ONE job first, then announce readiness
+    (out_path + '.ready') and hold until the gate file appears — the
+    start barrier that makes the parallelism assertion deterministic
+    by construction: every drainer has registered a claim before the
+    race begins (the r13 barrier only proved the process was ALIVE
+    pre-gate; the r14 driver run still saw one process drain all 60
+    jobs)."""
     import json
     import os
 
     store = _mp_store(path)
+    claims: list[str] = []
     if gate_path is not None:
+        # Deflake (VERDICT r14 item 6): claim-and-complete ONE job
+        # BEFORE announcing readiness, so "more than one process got
+        # work" holds by construction instead of by scheduler timing —
+        # the r14 driver run saw one process drain all 60 jobs despite
+        # the start barrier. The racing-cancel window is unchanged:
+        # cancels land after the gate opens, and a pre-gate claim of a
+        # later-cancelled job is exactly the claim-then-cancel race the
+        # assertions already tolerate.
+        first_deadline = time.time() + 30.0
+        while not claims and time.time() < first_deadline:
+            rec = store.claim(["q"], owner, lease=lease)
+            if rec is None:
+                time.sleep(0.002)
+                continue
+            claims.append(rec.job_id)
+            store.set_state(rec.job_id, SUCCESS, owner="")
         with open(out_path + ".ready", "w") as f:
             f.write(owner)
         gate_deadline = time.time() + 30.0
         while not os.path.exists(gate_path) and time.time() < gate_deadline:
             time.sleep(0.002)
-    claims: list[str] = []
     idle = 0
     deadline = time.time() + 30.0
     while time.time() < deadline and idle < 25:
