@@ -92,9 +92,11 @@ def test_corrupt_prior_bench_file_never_crashes(tmp_path):
 def test_emit_bench_line_is_always_compact():
     """VERDICT r07 item 2: the driver captured only a 2000-char TAIL in
     both r06 (4.3 KB line) and r07 (2.6 KB line) — "parsed": null two
-    rounds running. The stdout line now NEVER carries the per-query
-    dict; it points at BENCH_FULL.json and keeps only the scalars
-    (total, normalized total, host factor, compare summary)."""
+    rounds running. The stdout line keeps the compact scalars (total,
+    normalized total, host factor, compare summary) under the base
+    budget and — r15, VERDICT r14 item 2 — fills the remaining space
+    under the hard cap with a cost-ordered PREFIX of the per-query
+    seconds, never the full dict."""
     queries = {f"query_name_number_{i:03d}": 0.123 for i in range(60)}
     out = {
         "metric": "headline_queries_total_wall",
@@ -119,18 +121,24 @@ def test_emit_bench_line_is_always_compact():
         },
     }
     line = bench.emit_bench_line(out)
-    assert len(line) <= bench._STDOUT_LINE_BUDGET
+    assert len(line) <= bench._STDOUT_LINE_HARD_CAP < 2000
     parsed = json.loads(line)
-    assert "queries" not in parsed
     assert parsed["n_queries"] == 60
     assert parsed["queries_file"] == "BENCH_FULL.json"
     assert "normalized_ratios" not in parsed.get("compare", {})
     assert parsed["compare"]["median_ratio"] == 1.01
     assert parsed["compare"]["n_compared"] == 60
     assert parsed["compare"]["regressions"] == ["query_name_number_001"]
+    # the budgeted per-query prefix (r15): whatever fits in the space
+    # the compact form leaves, 2-dp rounded, omission count visible
+    carried = parsed.get("queries") or {}
+    assert carried
+    assert all(v == 0.12 for v in carried.values())
+    if len(carried) < 60:
+        assert parsed["queries_omitted"] == 60 - len(carried)
     # the original dict is not mutated (it's also written to BENCH_FULL)
     assert "normalized_ratios" in out["compare"]
-    assert "queries" in out
+    assert out["queries"] == queries
 
 
 def test_emit_bench_line_fits_observed_driver_capture():
@@ -159,10 +167,53 @@ def test_emit_bench_line_fits_observed_driver_capture():
         },
     }
     line = bench.emit_bench_line(out)
-    assert len(line) <= bench._STDOUT_LINE_BUDGET < 2000
+    assert len(line) <= bench._STDOUT_LINE_HARD_CAP < 2000
     parsed = json.loads(line)
     assert parsed["value"] == 9999.999
     assert parsed["compare"]["n_compared"] == len(bench.HEADLINE)
+    # the per-query prefix fills to the cap without ever crossing it
+    assert parsed.get("queries")
+    assert parsed["queries_omitted"] == len(bench.HEADLINE) - len(
+        parsed["queries"]
+    )
+
+
+def test_insert_queries_budgeted_prefix_and_streaming_routing():
+    """r15 (VERDICT r14 item 2): the budgeted fill is cost-ordered
+    across batch+streaming with the PREFIX property (if a query is
+    carried, so is everything at least as expensive), batch entries
+    land in the contract's top-level ``queries`` slot right before
+    ``sf``, streaming drains in ``streaming.queries``, and the first
+    entry that would cross the cap stops the fill."""
+    slim = {
+        "metric": "m",
+        "value": 1.0,
+        "unit": "sec",
+        "sf": 0.1,
+        "streaming": {"total": 9.0, "n": 2},
+    }
+    batch = {f"batch_q{i:02d}": float(100 - i) for i in range(30)}
+    stream = {"drain_a": 500.5, "drain_b": 0.111}
+    cap = len(json.dumps(slim)) + 220
+    got = bench._insert_queries_budgeted(slim, batch, stream, cap=cap)
+    assert len(json.dumps(got)) <= cap
+    carried = got["queries"]
+    # prefix property: the carried batch names are exactly the N most
+    # expensive ones
+    expect = sorted(batch, key=lambda n: -batch[n])[: len(carried)]
+    assert sorted(carried) == sorted(expect)
+    assert got["queries_omitted"] == len(batch) - len(carried)
+    # drain_a (500.5s) outranks every batch entry and lands in the
+    # streaming block
+    assert got["streaming"]["queries"]["drain_a"] == 500.5
+    # key order: queries sits right before sf (the documented contract
+    # position)
+    keys = list(got)
+    assert keys.index("queries") < keys.index("sf")
+    # without a streaming block, stream entries are not invented
+    slim2 = {"metric": "m", "value": 1.0, "unit": "sec", "sf": 0.1}
+    got2 = bench._insert_queries_budgeted(slim2, {"q": 1.0}, stream, cap=500)
+    assert "streaming" not in got2 and got2["queries"] == {"q": 1.0}
 
 
 def test_archive_and_reload_full_record_roundtrip(tmp_path):
@@ -341,7 +392,7 @@ def test_emit_bench_line_drops_bulk_fields():
         },
     }
     line = bench.emit_bench_line(out)
-    assert len(line) <= bench._STDOUT_LINE_BUDGET
+    assert len(line) <= bench._STDOUT_LINE_HARD_CAP
     parsed = json.loads(line)
     assert "query_spread_stddev" not in parsed
     assert "regression_checks" not in parsed.get("compare", {})
@@ -384,7 +435,7 @@ def test_emit_bench_line_sheds_flag_detail_before_the_compare_block():
         },
     }
     line = bench.emit_bench_line(out)
-    assert len(line) <= bench._STDOUT_LINE_BUDGET
+    assert len(line) <= bench._STDOUT_LINE_HARD_CAP
     parsed = json.loads(line)
     assert "compare" in parsed  # shed detail, kept the block
     assert "flag_resolution" not in parsed["compare"]
@@ -553,12 +604,15 @@ def test_emit_bench_line_carries_slim_streaming_section():
         },
     }
     line = bench.emit_bench_line(out)
-    assert len(line) <= bench._STDOUT_LINE_BUDGET
+    assert len(line) <= bench._STDOUT_LINE_HARD_CAP
     parsed = json.loads(line)
-    assert parsed["streaming"] == {
-        "total": 2.0, "n": 1, "regressions": [], "median_ratio": 1.1,
-    }
-    assert "queries" not in parsed["streaming"]
+    # r15: the budgeted fill adds per-drain seconds back into the slim
+    # streaming block (space permitting); the scalar summary is intact
+    assert parsed["streaming"]["total"] == 2.0
+    assert parsed["streaming"]["n"] == 1
+    assert parsed["streaming"]["regressions"] == []
+    assert parsed["streaming"]["median_ratio"] == 1.1
+    assert parsed["streaming"]["queries"] == {"streaming_sessionize": 2.0}
 
 
 def test_streaming_compare_slim_prior_falls_through_to_archive(tmp_path):
@@ -872,7 +926,7 @@ def test_emit_bench_line_sheds_streaming_detail_without_batch_compare():
         },
     }
     line = bench.emit_bench_line(out)
-    assert len(line) <= bench._STDOUT_LINE_BUDGET
+    assert len(line) <= bench._STDOUT_LINE_HARD_CAP
     parsed = json.loads(line)
     assert "flag_resolution" not in parsed.get("streaming", {})
     # the names themselves survive the shed
