@@ -181,10 +181,19 @@ class _Handler(BaseHTTPRequestHandler):
             # Engine extension (no reference analog — it cannot see its
             # source DBs' plans): the task's Catalyst physical plan,
             # with placeholder args bound from ?args=a,b,c.
+            from dungbeetle_spark.operators.pipeline import plan_only
             from dungbeetle_spark.plans.inspect import formatted_plan
 
             args = [a for a in q.get("args", "").split(",") if a != ""]
-            _sess, df = core.build_dataframe(parts[1], args, db=q.get("db", ""))
+            # ADVICE r14: plan inspection must not run cluster work —
+            # under plan_only() the fate-family builders construct
+            # fully lazy frames (no eager reference materialization),
+            # so this endpoint prints a plan without launching
+            # corpus-scale jobs.
+            with plan_only():
+                _sess, df = core.build_dataframe(
+                    parts[1], args, db=q.get("db", "")
+                )
             return {"task": parts[1], "plan": formatted_plan(df)}
         if method == "GET" and len(parts) == 3 and parts[:2] == ["jobs", "queue"]:
             return core.pending_jobs(parts[2])

@@ -621,14 +621,23 @@ def _apply_frames(
     ).select("doc_id", "reason", "is_eval", "h")
     # r14 opt (guide §2.6): the plan triage and the touched-doc flags
     # are independent — materialize both reference frames concurrently
-    # (plan feeds the three action filters; tflags three disjoint ones)
-    from dungbeetle_spark.operators.pipeline import _materialize_concurrently
-
-    plan, tflags = _materialize_concurrently(
-        ev.sparkSession,
-        lambda: plan_lazy.localCheckpoint(),
-        lambda: tflags_lazy.localCheckpoint(),
+    # (plan feeds the three action filters; tflags three disjoint ones).
+    # r15 (ADVICE r14): under plan_only() the frames stay lazy so plan
+    # inspection launches no Spark jobs.
+    from dungbeetle_spark.operators.pipeline import (
+        _is_plan_only,
+        _materialize_concurrently,
     )
+
+    if _is_plan_only():
+        plan = plan_lazy.localCheckpoint(eager=False)
+        tflags = tflags_lazy.localCheckpoint(eager=False)
+    else:
+        plan, tflags = _materialize_concurrently(
+            ev.sparkSession,
+            lambda: plan_lazy.localCheckpoint(),
+            lambda: tflags_lazy.localCheckpoint(),
+        )
 
     # keep_prev: the shipped manifest rows, verbatim (safety pinned by
     # test_plan_keep_prev_rows_are_provably_stable since r13)

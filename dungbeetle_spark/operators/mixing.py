@@ -1913,25 +1913,29 @@ def _fdc_shingle_hashes(seeded: DataFrame) -> DataFrame:
     >= 2 consumers: the stop-DF stats and an anti-join)."""
     from dungbeetle_spark.operators.dedup import _shingled
 
-    return (
+    from dungbeetle_spark.planmode import maybe_local_checkpoint
+
+    return maybe_local_checkpoint(
         _shingled(seeded)
         .select("doc_id", F.explode("shingles").alias("s"))
-        .select("doc_id", md5_hash60(F.col("s")).alias("hs"))
-        .localCheckpoint(eager=False)
+        .select("doc_id", md5_hash60(F.col("s")).alias("hs")),
+        eager=False,
     )
 
 
 def _fdc_stop_set(sh: DataFrame, d: DataFrame) -> DataFrame:
     """hs values whose document frequency exceeds _FDC_STOP_PPM of the
     corpus — integer-exact, checkpointed (feeds anti-joins + audit)."""
+    from dungbeetle_spark.planmode import maybe_local_checkpoint
+
     ndocs = d.agg(F.count(F.lit(1)).alias("nd"))
-    return (
+    return maybe_local_checkpoint(
         sh.groupBy("hs")
         .agg(F.count(F.lit(1)).alias("df"))
         .crossJoin(F.broadcast(ndocs))
         .filter(F.col("df") * 1_000_000 > F.lit(_FDC_STOP_PPM) * F.col("nd"))
-        .select("hs")
-        .localCheckpoint(eager=False)
+        .select("hs"),
+        eager=False,
     )
 
 

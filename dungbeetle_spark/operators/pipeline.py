@@ -966,6 +966,16 @@ def corpus_fate_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _fate_frame(_t(spark, sf_dir, "documents")["documents"])
 
 
+# ADVICE r14 (medium): plan-only construction mode — see
+# dungbeetle_spark.planmode (re-exported here because the fate family
+# lives in this module and callers/tests reach it via pipeline).
+from dungbeetle_spark.planmode import (  # noqa: F401
+    is_plan_only as _is_plan_only,
+    maybe_local_checkpoint as _maybe_ckpt,
+    plan_only,
+)
+
+
 def _materialize_concurrently(session, *thunks):
     """Run independent materialization thunks on concurrent driver
     threads and return their results in order (guide §2.6 — Spark's
@@ -976,29 +986,23 @@ def _materialize_concurrently(session, *thunks):
     propagate from the caller, exactly as the job layer requires."""
     from concurrent.futures import ThreadPoolExecutor
 
-    try:
-        from pyspark import inheritable_thread_target
+    from pyspark import inheritable_thread_target
 
-        deco = inheritable_thread_target(session)
-        # Non-pinned mode (PYSPARK_PIN_THREAD=false) makes
-        # inheritable_thread_target return its argument unchanged —
-        # the SESSION, not a decorator. Degrade to plain threads then
-        # (r14 review: the old TypeError guard sat outside the call
-        # site and could never catch this).
-        if not callable(deco) or deco is session:
-            def _iht(f):
-                return f
-        else:
-            def _iht(f):
-                return deco(f)
-    except (ImportError, TypeError):  # pragma: no cover - old pyspark
-        def _iht(f):
-            return f
+    deco = inheritable_thread_target(session)
+    # Non-pinned mode (PYSPARK_PIN_THREAD=false) makes
+    # inheritable_thread_target return its argument unchanged — the
+    # SESSION, not a decorator. Without pinning, JVM thread-locals (job
+    # group, scheduler pool) are NOT isolated per Python thread, so
+    # concurrent builds could bleed job groups into each other and a
+    # cancellation could hit the wrong in-flight build (ADVICE r14) —
+    # degrade to SEQUENTIAL execution on the caller thread instead.
+    if not callable(deco) or deco is session:
+        return [t() for t in thunks]
 
     if len(thunks) == 1:
         return [thunks[0]()]
     with ThreadPoolExecutor(len(thunks)) as ex:
-        return list(ex.map(lambda t: t(), [_iht(t) for t in thunks]))
+        return list(ex.map(lambda t: t(), [deco(t) for t in thunks]))
 
 
 def _fate_frame(d: DataFrame) -> DataFrame:
@@ -1032,13 +1036,28 @@ def _fate_frame(d: DataFrame) -> DataFrame:
       flags checkpoint carried the full text column it never read —
       guide §2.3, checkpoint fewer bytes).
 
-    Known trade (r14 review): the eager chain builds run at
-    CONSTRUCTION time, so plan-only consumers (explain/plan audits,
-    schema checks) pay the reference materialization the lazy pre-r14
-    shape deferred to the first action. Every production consumer
-    executes the frame anyway; the plan audit and test suite absorb
-    seconds, and moving the overlap to first-action would need an
-    action-interposition layer that no other operator carries.
+    r15 optimization pass (results bit-identical, pinned by the
+    oracle):
+
+    - the election window is FOLDED into the flags frame as a
+      conditional min — ``min(doc_id over surv1 members)`` per
+      h-partition, masked to surv1 rows — so the s1 join-back on
+      doc_id disappears: one h-keyed exchange replaces the r14
+      surv1-window + two doc-grain exchanges + SMJ (guide §2.4). For
+      surv1 rows the windowed min ranges over exactly the same
+      member set as before (the conditional skips non-surviving
+      partition mates); non-surviving rows read NULL, the same value
+      the old LEFT join produced.
+    - the containment grams explode AFTER the surv2 semi-join, not
+      before: only canonical survivors pay the tokenize + explode,
+      and the join moves doc-grain rows instead of gram-grain rows
+      (guide §3.3 — explode multiplies the join; at 100 TB surv2
+      outgrows any broadcast and the pre-explode join avoids a
+      gram-grain shuffle entirely).
+    - plan-only consumers (``plan_only()`` — the explain endpoint,
+      plan audits) get a fully LAZY construction: no eager
+      checkpoints, no counts, no Spark jobs before the first action
+      (ADVICE r14).
     """
     from dungbeetle_spark.functions.texts import content_md5
     from dungbeetle_spark.operators.mixing import (
@@ -1064,11 +1083,10 @@ def _fate_frame(d: DataFrame) -> DataFrame:
             "h": content_md5("text"),
         },
     ).select("doc_id", "reason", "is_eval", "h")
-    grams = fate_seeded_toks(base).select(
-        "doc_id", F.explode_outer(word_ngrams("t", _GRAM_N)).alias("gram")
-    )
+    toks = fate_seeded_toks(base)
     ev_lazy = (
-        grams.filter(F.col("doc_id") % _EVAL_MOD == 0)
+        toks.filter(F.col("doc_id") % _EVAL_MOD == 0)
+        .select("doc_id", F.explode_outer(word_ngrams("t", _GRAM_N)).alias("gram"))
         .select("gram")
         .where(F.col("gram").isNotNull())
         .distinct()
@@ -1076,26 +1094,40 @@ def _fate_frame(d: DataFrame) -> DataFrame:
     )
     fsh = _fdc_shingle_hashes(_fdc_seeded(base))
     fstops = _fdc_stop_set(fsh, d)
-    # overlap the three independent reference builds; forcing fstops
-    # also materializes fsh's lazy checkpoint (its direct parent)
-    flags, ev, _ = _materialize_concurrently(
-        d.sparkSession,
-        lambda: flags_lazy.localCheckpoint(),
-        lambda: ev_lazy.localCheckpoint(),
-        lambda: fstops.count(),
+    if _is_plan_only():
+        flags, ev = flags_lazy, ev_lazy
+    else:
+        # overlap the three independent reference builds; forcing
+        # fstops also materializes fsh's lazy checkpoint (its parent)
+        flags, ev, _ = _materialize_concurrently(
+            d.sparkSession,
+            lambda: flags_lazy.localCheckpoint(),
+            lambda: ev_lazy.localCheckpoint(),
+            lambda: fstops.count(),
+        )
+    # r15: election folded into a conditional-min window — one h-keyed
+    # exchange, no join back on doc_id (see docstring).
+    surv = ~F.col("is_eval") & (F.col("reason") == "kept")
+    fw = flags.withColumn(
+        "dup_of",
+        F.when(
+            surv,
+            F.min(F.when(surv, F.col("doc_id"))).over(W.partitionBy("h")),
+        ),
     )
-    surv1 = flags.filter(~F.col("is_eval") & (F.col("reason") == "kept"))
-    s1 = surv1.select(
-        "doc_id", F.min("doc_id").over(W.partitionBy("h")).alias("dup_of")
-    )
-    surv2 = s1.filter(F.col("doc_id") == F.col("dup_of")).select("doc_id")
+    fw = _maybe_ckpt(fw, eager=False)  # many consumers below; lazy barrier
+    surv2 = fw.filter(F.col("doc_id") == F.col("dup_of")).select("doc_id")
     cont = (
-        grams.join(surv2, "doc_id")  # gram work only for canonicals
+        toks.join(surv2, "doc_id")  # join BEFORE the explode (r15):
+        # only canonicals pay tokenize+explode, doc-grain join rows
+        .select(
+            "doc_id", F.explode_outer(word_ngrams("t", _GRAM_N)).alias("gram")
+        )
         .join(F.broadcast(ev), "gram", "left")
         .groupBy("doc_id")
         .agg(F.count(F.when(F.col("hit").isNotNull(), 1)).alias("n_cont"))
-        .localCheckpoint(eager=False)  # feeds surv3 + the final assembly
     )
+    cont = _maybe_ckpt(cont, eager=False)  # feeds surv3 + final assembly
     # fuzzy decontamination among the exact-decon survivors (r12): the
     # standalone fuzzy_decontamination pipeline, with the probe side
     # restricted to surv3 — the only docs whose fuzzy verdict the fate
@@ -1124,7 +1156,7 @@ def _fate_frame(d: DataFrame) -> DataFrame:
         fsh.join(need, "doc_id", "left_semi")
         .join(F.broadcast(fstops), "hs", "left_anti")
     )
-    fbands = _fdc_band_rows(fmh.localCheckpoint(eager=False))
+    fbands = _fdc_band_rows(_maybe_ckpt(fmh, eager=False))
     fev = fbands.filter(F.col("doc_id") % _EVAL_MOD == 0).select(
         F.col("doc_id").alias("eval_doc"), "j", "h"
     )
@@ -1147,8 +1179,7 @@ def _fate_frame(d: DataFrame) -> DataFrame:
         .otherwise("kept")
     )
     return (
-        flags.select("doc_id", "reason", "is_eval")
-        .join(s1, "doc_id", "left")
+        fw.select("doc_id", "reason", "is_eval", "dup_of")
         .join(cont, "doc_id", "left")
         .join(fhits, "doc_id", "left")
         .select(
@@ -1757,7 +1788,7 @@ def release_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
     two-replay fixture shape), but execution materializes the fate
     assembly once."""
     d = _t(spark, sf_dir, "documents")["documents"]
-    fate = _fate_frame(d).localCheckpoint(eager=False)
+    fate = _maybe_ckpt(_fate_frame(d), eager=False)
     return _datacard_frame(d, fate)
 
 

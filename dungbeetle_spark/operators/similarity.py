@@ -1304,18 +1304,33 @@ def ann_recall_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     # pulls, the exact sweep's materialization) — so the arms build on
     # concurrent driver threads and their jobs overlap instead of
     # running as three sequential phases.
-    from dungbeetle_spark.operators.pipeline import _materialize_concurrently
-
-    exact, lsh, ivf = _materialize_concurrently(
-        spark,
-        lambda: ann_cosine_topk(spark, sf_dir)
-        .select("query_id", "neighbor_id")
-        .localCheckpoint(),
-        lambda: ann_lsh_bucketed(spark, sf_dir).select(
-            "query_id", "neighbor_id"
-        ),
-        lambda: ann_ivf(spark, sf_dir).select("query_id", "neighbor_id"),
+    from dungbeetle_spark.operators.pipeline import (
+        _is_plan_only,
+        _materialize_concurrently,
     )
+
+    if _is_plan_only():
+        # ADVICE r14: plan inspection skips the exact arm's eager
+        # materialization (the bounded query/centroid driver pulls
+        # inside the arm builders still run — they define the frames).
+        exact = (
+            ann_cosine_topk(spark, sf_dir)
+            .select("query_id", "neighbor_id")
+            .localCheckpoint(eager=False)
+        )
+        lsh = ann_lsh_bucketed(spark, sf_dir).select("query_id", "neighbor_id")
+        ivf = ann_ivf(spark, sf_dir).select("query_id", "neighbor_id")
+    else:
+        exact, lsh, ivf = _materialize_concurrently(
+            spark,
+            lambda: ann_cosine_topk(spark, sf_dir)
+            .select("query_id", "neighbor_id")
+            .localCheckpoint(),
+            lambda: ann_lsh_bucketed(spark, sf_dir).select(
+                "query_id", "neighbor_id"
+            ),
+            lambda: ann_ivf(spark, sf_dir).select("query_id", "neighbor_id"),
+        )
     base = exact.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_exact"))
     lh = (
         exact.join(lsh, ["query_id", "neighbor_id"])

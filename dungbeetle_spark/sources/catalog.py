@@ -60,10 +60,24 @@ def _fix_nanos(df: DataFrame) -> DataFrame:
     return df
 
 
+_TABLE_CACHE = None  # WeakKeyDictionary: session -> {(sf_dir, name): DataFrame}
+_TABLE_CACHE_CAP = 256
+
+
 def load_tables(
     spark: SparkSession, sf_dir: str, names: Iterable[str] = TABLES
 ) -> dict[str, DataFrame]:
-    """Lazily open ``{sf_dir}/{name}.parquet`` for each table."""
+    """Lazily open ``{sf_dir}/{name}.parquet`` for each table.
+
+    r15: the opened (and nanos-fixed) DataFrame is memoized per
+    (session, realpath(sf_dir), name) — ``spark.read.parquet`` runs a
+    small schema-inference job on EVERY call, so an un-memoized open
+    charged one fixed driver job per table per query build (~50 ms ×
+    3 bench passes × 122 queries). A job server keeps table handles
+    open; so does this. Same staleness contract as the warehouse's
+    ``_result_table``: fixture dirs are immutable for the life of the
+    process (the session map is held weakly and size-capped, like
+    ``_SCAN_PARTS_CACHE``)."""
     # Runtime-set (not only session-default) because the driver's
     # verify harness builds its own SparkSession.
     try:
@@ -80,7 +94,27 @@ def load_tables(
             )
     except Exception:  # noqa: BLE001 — conf locked: rely on session defaults
         pass
-    return {n: _fix_nanos(spark.read.parquet(f"{sf_dir}/{n}.parquet")) for n in names}
+    global _TABLE_CACHE
+    import os as _os
+    import weakref
+
+    if _TABLE_CACHE is None:
+        _TABLE_CACHE = weakref.WeakKeyDictionary()
+    try:
+        per_session = _TABLE_CACHE.setdefault(spark, {})
+    except TypeError:  # session not weak-referenceable (mocks)
+        per_session = {}
+    sfd = _os.path.realpath(sf_dir)
+    out: dict[str, DataFrame] = {}
+    for n in names:
+        key = (sfd, n)
+        df = per_session.get(key)
+        if df is None:
+            df = _fix_nanos(spark.read.parquet(f"{sf_dir}/{n}.parquet"))
+            if len(per_session) < _TABLE_CACHE_CAP:
+                per_session[key] = df
+        out[n] = df
+    return out
 
 
 def fan_out(df: DataFrame) -> DataFrame:
@@ -112,6 +146,17 @@ def fan_out(df: DataFrame) -> DataFrame:
     Catalyst never asked for; the spread shuffle exists solely to
     rescue unsplittable single-row-group files in local runs.
     """
+    from dungbeetle_spark.planmode import is_plan_only
+
+    if is_plan_only():
+        # Plan inspection (ADVICE r14): the split probe below calls
+        # df.rdd.getNumPartitions(), and when df already contains a
+        # fan-out repartition (nested fan_out, e.g. _shingled over a
+        # seeded view of a fanned base) AQE materializes the scan
+        # stage to plan the exchange — a Spark job just to print a
+        # plan. Plan-only mode skips both probe and spread; the
+        # spread is a local-fixture rescue with no semantic effect.
+        return df
     n = df.sparkSession.sparkContext.defaultParallelism
     if _scan_partitions(df) >= n:
         return df

@@ -1672,17 +1672,18 @@ def test_export_manifest_no_cartesian_no_global_order(spark, sf):
     adds only a doc-keyed semi-join, map-side md5 projections and ONE
     shard-keyed aggregate — shards are hash ranges of the shuffle
     key, so there is no global sort, no cartesian, no single-partition
-    exchange. The only Window nodes are the fate composition's two
-    canonical-election branches (r14: min-over-h window replaced the
-    groupBy + self-join on h; stage reuse computes the shared exchange
-    once at runtime), each hash-partitioned on h — the export layer
-    itself still adds none."""
+    exchange. r15: the canonical election is folded into the flags
+    frame as a conditional-min window behind the fw lazy checkpoint
+    (pipeline._fate_frame), so the election's single h-keyed window no
+    longer appears in the visible plan at all (the checkpoint
+    truncates to a Scan ExistingRDD) and the export layer adds none —
+    zero visible Window nodes, down from the r14 pin of two."""
     df = _df(spark, sf, "shard_export_manifest")
     plan = formatted_plan(df)
     assert "CartesianProduct" not in plan
     assert "SinglePartition" not in plan
     windows = re.findall(r"^\(\d+\) Window", plan, re.M)
-    assert len(windows) == 2, windows
+    assert len(windows) == 0, windows
     # composition bound: the fate plan's shuffles plus the export agg;
     # growth here means a stage stopped reusing the fate partitioning
     assert shuffle_exchanges(df) <= 13
@@ -1719,3 +1720,34 @@ def test_top_cost_diagnostics_no_cartesian_no_global_window(spark, sf):
             assert "InPandas" not in plan and "EvalPython" not in plan, name
         assert shuffle_exchanges(df) <= max_shuffles, (
             name, shuffle_exchanges(df))
+
+
+def test_plan_only_constructs_fate_frame_without_spark_jobs(spark, sf):
+    """ADVICE r14 (medium): the explain endpoint must not launch
+    corpus-scale jobs to print a plan. Under plan_only() the fate
+    family constructs fully lazy frames — building the composed
+    manifest and rendering its formatted plan submits ZERO Spark jobs
+    (the eager reference materializations and driver counts are the
+    execution path's concern)."""
+    from dungbeetle_spark.operators.pipeline import plan_only
+    from dungbeetle_spark.queries import _t
+
+    _t(spark, sf, "documents")  # session-scoped table load, one job
+    tracker = spark.sparkContext.statusTracker()
+    before = set(tracker.getJobIdsForGroup(None))
+    with plan_only():
+        df = _df(spark, sf, "corpus_fate_manifest")
+        plan = formatted_plan(df)
+    after = set(tracker.getJobIdsForGroup(None))
+    assert after == before, "plan_only construction submitted Spark jobs"
+    # the lazy construction still yields the real manifest schema and
+    # a plan with the full visible lineage (no checkpoint truncation)
+    assert [f.name for f in df.schema.fields] == [
+        "doc_id",
+        "fate",
+        "quality_reason",
+        "canonical_id",
+        "n_contaminated",
+        "fuzzy_matched_bands",
+    ]
+    assert "Scan parquet" in plan or "Scan ExistingRDD" in plan

@@ -670,8 +670,10 @@ def test_materialize_concurrently_non_pinned_fallback(spark, monkeypatch):
     pyspark's inheritable_thread_target returns its argument — the
     SESSION, not a decorator — and the old guard could never catch it
     (the TypeError fired at call time, outside the try). The helper
-    must degrade to plain threads and still return thunk results in
-    order; same guard in bench._materialize_tables."""
+    must degrade and still return thunk results in order — since r15
+    it degrades to SEQUENTIAL caller-thread execution (ADVICE r14:
+    unpinned threads share JVM thread-locals, so concurrent builds
+    could bleed job groups); same guard in bench._materialize_tables."""
     import pyspark
 
     from dungbeetle_spark.operators import pipeline as P
