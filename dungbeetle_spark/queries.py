@@ -141,6 +141,18 @@ NEW_OR_CHANGED: list[str] = [
     # incl. both streaming gates), and the full oracle suite re-ran
     # green; the optimization-round driver re-oracles every declared
     # query regardless, so window slots stay with stale repayment.
+    #
+    # ALSO off (r15 OPTIMIZATION round, same precedent): the r15
+    # fate-frame restructure (election folded into a conditional-min
+    # window, containment grams exploded after the surv2 join), the
+    # inline streaming gates' reference state moving to the job-layer
+    # result tables (VERDICT r14 item 1 — the per-batch decision
+    # functions are byte-identical; only WHO builds the reference
+    # frames changed, and the table builders are the same frames),
+    # and the ann_recall_calibration shared-pull refactor — all
+    # value-identical by construction and re-compared value-level
+    # against DuckDB at sf0.01 on a PLAIN driver-style session after
+    # each change (20 touched queries incl. all five gates).
 ]
 
 

@@ -187,6 +187,12 @@ _WAREHOUSE_TABLES = {
     "fate_recompute_plan": ("seeded_manifest", "seeded_canon"),
     "streaming_fate_gate_from_tables": ("fate_reference",),
     "streaming_pii_gate_from_tables": ("fate_reference",),
+    # r15 (VERDICT r14 item 1): the formerly inline gates read the
+    # same reference tables — their drain cells are probe-only, the
+    # one-time build rides this untimed path.
+    "streaming_corpus_fate_gate": ("fate_reference",),
+    "streaming_pii_redaction_gate": ("fate_reference",),
+    "streaming_fuzzy_decon_gate": ("fate_reference",),
     "fate_reference_maintenance": ("delta_state",),
     "fate_apply_plan": ("seeded_manifest", "seeded_canon", "refreshed_refs"),
     "fate_deploy_cycle": ("next_manifest",),
