@@ -332,7 +332,27 @@ def _materialize_tables(spark, sf_dir: str, names: set[str]) -> None:
     from dungbeetle_spark.operators.fate_delta import warehouse_builders
 
     builders = warehouse_builders()
-    ordered = sorted(names)
+    # r15 (VERDICT r14 item 7): submit deepest dependency chains FIRST.
+    # Alphabetical submission started next_manifest /
+    # next_export_manifest — whose builders chain through seeded
+    # manifest → delta state → refreshed refs via the per-key locks —
+    # 11-13 s into the 4-wide pool, so the stage's wall clock was
+    # "alphabetical head start + full chain". Deep-first lets the
+    # longest chain begin at t=0 while shallow tables back-fill; the
+    # per-key locks still build every table exactly once.
+    depth = {
+        "next_export_manifest": 0,
+        "next_manifest": 1,
+        "refreshed_refs": 2,
+        "refreshed_canon": 3,
+        "delta_state": 4,
+        "seeded_export_manifest": 5,
+        "seeded_manifest": 6,
+        "seeded_canon": 7,
+        "canon_members": 8,
+        "evolved_docs": 9,
+    }
+    ordered = sorted(names, key=lambda t: (depth.get(t, len(depth)), t))
     if len(ordered) <= 1:
         for t in ordered:
             builders[t](spark, sf_dir)

@@ -1852,27 +1852,77 @@ def bpe_merge_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Size guard for the collected-vocabulary merge loop: corpora whose
+# documents row count (parquet footers, no Spark job) is at or under
+# this take the driver-side loop; bigger corpora keep the distributed
+# per-round shuffles. The vocabulary of the fixture corpora is tens of
+# thousands of rows — trivially driver-sized — while a 100 TB crawl's
+# vocabulary is not, which is exactly what the distributed path is for.
+_BPE_DRIVER_DOCS_MAX = 1_000_000
+
+
+def _bpe_learn_collected(wf_rows) -> list[tuple]:
+    """The identical merge loop over a COLLECTED (word, freq) table —
+    pure Python, zero per-round Spark jobs. Semantics byte-matched to
+    the distributed loop (and the DuckDB oracle): per-word pair counts
+    carry multiplicity, the argmax breaks ties on (-cnt, pair), and
+    each merge is the space-anchored left-to-right non-overlapping
+    replace. Pinned equal to the distributed loop by
+    test_bpe_driver_loop_matches_distributed."""
+    wf = {r["word"]: r["freq"] for r in wf_rows}
+    syms = {w: " " + "".join(c + " " for c in w) for w in wf}
+    merges: list[tuple] = []
+    from collections import Counter
+
+    for rank in range(1, _BPE_MERGES + 1):
+        pairs: Counter = Counter()
+        for w, freq in wf.items():
+            parts = syms[w].split()
+            for a, b in zip(parts, parts[1:]):
+                pairs[f"{a} {b}"] += freq
+        if not pairs:
+            break  # degenerate corpus — same stop as the distributed loop
+        pair, cnt = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((rank, pair, pair.replace(" ", ""), int(cnt)))
+        if rank < _BPE_MERGES:
+            pat, rep = f" {pair} ", f" {pair.replace(' ', '')} "
+            syms = {w: s.replace(pat, rep) for w, s in syms.items()}
+    return merges
+
+
 def _bpe_learn(spark: SparkSession, sf_dir: str) -> list[tuple]:
     """Run the merge-learning loop over the corpus word-frequency
     table; returns [(rank, pair, merged, cnt), ...] — shared by
     bpe_merge_ranks (the merge table) and bpe_compression_by_source
     (which re-applies the merges). Length-1 words carry no pairs and
-    are excluded from the learning frame."""
+    are excluded from the learning frame.
+
+    r15 (VERDICT r14 item 5): the loop is K strictly sequential
+    rounds of (vocabulary-grain pair-count shuffle + 1-row argmax
+    collect) — driver-bound scheduling latency dominates at fixture
+    scale. When the corpus row count (parquet footers, no Spark job —
+    the dedup-family size-routing discipline) says the vocabulary is
+    driver-sized, the corpus pays ONE distributed word-count pass and
+    the merge loop runs collected; past the guard the distributed
+    per-round loop remains the scale path."""
     d = _t(spark, sf_dir, "documents")["documents"]
     toks = F.explode(
         F.filter(F.split(F.lower(F.col("text")), r"[^a-z0-9]+"), lambda x: x != "")
     ).alias("word")
-    wf = (
+    wf_base = (
         fan_out(d.select("text"))
         .select(toks)
         .filter(F.length("word") >= 2)
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("freq"))
-        .withColumn(
-            "sym", F.concat(F.lit(" "), F.regexp_replace("word", "(.)", "$1 "))
-        )
-        .localCheckpoint(eager=False)  # K pair-count consumers below
     )
+    from dungbeetle_spark.sources.catalog import parquet_row_count
+
+    if parquet_row_count(spark, sf_dir, "documents") <= _BPE_DRIVER_DOCS_MAX:
+        return _bpe_learn_collected(wf_base.collect())
+    wf = wf_base.withColumn(
+        "sym", F.concat(F.lit(" "), F.regexp_replace("word", "(.)", "$1 "))
+    ).localCheckpoint(eager=False)  # K pair-count consumers below
     pair_expr = (
         "CASE WHEN size(syms) > 1 THEN"
         " transform(sequence(1, size(syms) - 1),"

@@ -527,3 +527,15 @@ def test_lang_label_noise_audit_consistent_with_lang_id(spark, sf_oracle):
         assert (r.n_docs, r.n_agree) == (n[cell], agree[cell])
         if r.n_agree == r.n_docs:
             assert r.top_mislabel == "none"
+
+
+def test_bpe_driver_loop_matches_distributed(spark, sf_oracle, monkeypatch):
+    """r15 (VERDICT r14 item 5): the size-routed collected-vocabulary
+    merge loop must equal the distributed per-round loop tuple for
+    tuple — force the guard both ways on the same fixture."""
+    from dungbeetle_spark.operators import text as T
+
+    fast = T._bpe_learn(spark, sf_oracle)  # guard routes to collected
+    monkeypatch.setattr(T, "_BPE_DRIVER_DOCS_MAX", -1)  # force distributed
+    slow = T._bpe_learn(spark, sf_oracle)
+    assert fast == slow and len(fast) == T._BPE_MERGES
