@@ -603,11 +603,11 @@ _KNOWN_REGRESSIONS = {
         "Deliberate."
     ),
     "streaming_pii_redaction_gate": (
-        "inline fixture: the drain rebuilds the full fate reference "
-        "state per run (canonical map + eval grams + fuzzy index); "
-        "the production number is streaming_pii_gate_from_tables, "
-        "which reads the materialized tables (r13, VERDICT r12 "
-        "item 2)."
+        "historical (pre-r15) inline fixture: the drain rebuilt the "
+        "full fate reference state per run. Since r15 the gate reads "
+        "the materialized reference tables like its _from_tables twin "
+        "(VERDICT r14 item 1), so any NEW flag is a real probe-path "
+        "regression."
     ),
     "streaming_sessionize": (
         "r14 attribution of the r13 confirmed flag (VERDICT r13 item "
