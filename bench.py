@@ -1772,7 +1772,16 @@ def main() -> None:
             "host_factor": host_factor,
             "basis": "r07",
             "note": "median ratio over r01-untouched anchors, r07-"
-                    "measured basis (re-anchored r08); advisory",
+                    "measured basis (re-anchored r08); advisory. "
+                    "ONE-TIME STEP r15: load_tables memoization "
+                    "removed a fixed ~30-80 ms table-open job from "
+                    "every build INCLUDING the anchors, so r15-vs-"
+                    "older host factors read low and normalized "
+                    "ratios correspondingly high — the anchors' drop "
+                    "is partly real code speedup, not host speed "
+                    "(disclosed in OPTIMIZATION_r15.md; raw totals "
+                    "and same-window per-change A/Bs are the "
+                    "unbiased evidence this round).",
             "text_anchors": text_anchors,
             "host_factor_text": text_factor,
             "text_note": "frozen mid-weight text-class canaries "
