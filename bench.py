@@ -368,7 +368,15 @@ def _materialize_tables(spark, sf_dir: str, names: set[str]) -> None:
             build_one(t)
         return
     run = deco(build_one)
-    with ThreadPoolExecutor(min(4, len(ordered))) as ex:
+    # Pool width 6 (was 4, r15): a thread whose chain BLOCKS on a
+    # per-key lock held by a sibling (next_export_manifest waiting on
+    # seeded_manifest, say) parks without submitting jobs, so with 4
+    # slots the independent heavy tables (manifest, export_manifest)
+    # didn't start until 14-30 s in. Six slots let them start at
+    # t=0 while the deep chains hold their locks; effective JOB
+    # concurrency stays moderate because the chain threads spend most
+    # of their life parked (instrumented spans in OPTIMIZATION_r15.md).
+    with ThreadPoolExecutor(min(6, len(ordered))) as ex:
         list(ex.map(run, ordered))
 
 
