@@ -345,8 +345,11 @@ def refreshed_eval_bands(
     if stops_new is None:
         stops_new = _stops_from_df(
             refreshed_shingle_df(prev_s, sd, ev), nd_new
-        ).localCheckpoint(
-            eager=False
+        )
+        from dungbeetle_spark.planmode import maybe_local_checkpoint
+
+        stops_new = maybe_local_checkpoint(
+            stops_new, eager=False
         )  # feeds the flip diff + the recompute filter
     flips = stops_new.subtract(stops_prev).unionByName(
         stops_prev.subtract(stops_new)
@@ -358,12 +361,14 @@ def refreshed_eval_bands(
         .select("doc_id")
         .distinct()
     )
-    rec_ids = (
+    from dungbeetle_spark.planmode import maybe_local_checkpoint as _ckpt
+
+    rec_ids = _ckpt(
         flip_affected.join(out_eval, "doc_id", "left_anti")
         .unionByName(in_eval)
-        .distinct()
-        .localCheckpoint(eager=False)  # feeds the anti-join + the semi
-    )
+        .distinct(),
+        eager=False,
+    )  # feeds the anti-join + the semi
     stale_ids = out_eval.unionByName(flip_affected).unionByName(rec_ids)
     rec_rows = _band_rows_for(
         ev.join(rec_ids, "doc_id", "left_semi"), stops_new
@@ -523,9 +528,12 @@ def fate_reference_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     # digest and the band refresh (checkpointed — without it the
     # band path re-derives the whole merge)
     _nd_prev, nd_new = _nd_frames(sd)
-    stops = _stops_from_df(
-        refreshed_shingle_df(prev_s, sd, ev), nd_new
-    ).localCheckpoint(eager=False)
+    from dungbeetle_spark.planmode import maybe_local_checkpoint
+
+    stops = maybe_local_checkpoint(
+        _stops_from_df(refreshed_shingle_df(prev_s, sd, ev), nd_new),
+        eager=False,
+    )
     bands = refreshed_eval_bands(
         prev_s, prev_es, prev_eb, sd, ev, stops_new=stops
     )
@@ -582,20 +590,21 @@ def _probe_frame(
     )
     from dungbeetle_spark.sources.catalog import fan_out
 
-    pdocs = (
-        ev.join(probe_ids, "doc_id", "left_semi")
-        .select("doc_id", "text")
-        .localCheckpoint(eager=False)  # feeds the gram pass + the fuzzy pass
-    )
+    from dungbeetle_spark.planmode import maybe_local_checkpoint
+
+    pdocs = maybe_local_checkpoint(
+        ev.join(probe_ids, "doc_id", "left_semi").select("doc_id", "text"),
+        eager=False,
+    )  # feeds the gram pass + the fuzzy pass
     grams = fate_seeded_toks(fan_out(pdocs)).select(
         "doc_id", F.explode_outer(word_ngrams("t", _GRAM_N)).alias("gram")
     )
-    cont = (
+    cont = maybe_local_checkpoint(
         grams.join(F.broadcast(evg.withColumn("hit", F.lit(1))), "gram", "left")
         .groupBy("doc_id")
-        .agg(F.count(F.when(F.col("hit").isNotNull(), 1)).alias("n_cont"))
-        .localCheckpoint(eager=False)  # feeds the survivor semi + the result
-    )
+        .agg(F.count(F.when(F.col("hit").isNotNull(), 1)).alias("n_cont")),
+        eager=False,
+    )  # feeds the survivor semi + the result
     surv = cont.filter(F.col("n_cont") == 0).select("doc_id")
     fb = _band_rows_for(pdocs.join(surv, "doc_id", "left_semi"), stops)
     fhits = (
@@ -656,8 +665,9 @@ def _apply_frames(
     )
 
     if _is_plan_only():
-        plan = plan_lazy.localCheckpoint(eager=False)
-        tflags = tflags_lazy.localCheckpoint(eager=False)
+        # NO checkpoints in plan-only mode: even eager=False forces
+        # AQE stage materialization at RDD-creation time (planmode).
+        plan, tflags = plan_lazy, tflags_lazy
     else:
         plan, tflags = _materialize_concurrently(
             ev.sparkSession,
@@ -727,8 +737,10 @@ def _apply_frames(
             ).alias("key"),
         )
     )
-    election = re_members.unionByName(t_elect).localCheckpoint(
-        eager=False
+    from dungbeetle_spark.planmode import maybe_local_checkpoint as _ckpt
+
+    election = _ckpt(
+        re_members.unionByName(t_elect), eager=False
     )  # feeds winners + the member join
     winners = election.groupBy("key").agg(F.min("doc_id").alias("keeper"))
     members = election.join(winners, "key")

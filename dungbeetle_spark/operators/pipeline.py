@@ -988,6 +988,15 @@ def _materialize_concurrently(session, *thunks):
 
     from pyspark import inheritable_thread_target
 
+    # Plan-only construction (ADVICE r14): contextvars do NOT
+    # propagate to pool threads, so a threaded thunk would read
+    # plan_only() as False and eagerly materialize — run thunks
+    # sequentially on the caller thread instead (construction is
+    # job-free in this mode by design, so there is nothing to
+    # overlap).
+    if _is_plan_only():
+        return [t() for t in thunks]
+
     deco = inheritable_thread_target(session)
     # Non-pinned mode (PYSPARK_PIN_THREAD=false) makes
     # inheritable_thread_target return its argument unchanged — the

@@ -628,6 +628,7 @@ def release_datacard_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         _datacard_frame,
         _evolved_docs,
         _fate_frame,
+        _maybe_ckpt,
     )
 
     d = _docs(spark, sf_dir)
@@ -637,7 +638,7 @@ def release_datacard_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     # both the fate rollup and the kept membership, so the evolved
     # fate assembly materializes once (release_datacard's own pin)
     curr = _datacard_frame(
-        ev, _fate_frame(ev).localCheckpoint(eager=False)
+        ev, _maybe_ckpt(_fate_frame(ev), eager=False)
     ).alias("c")
     z = F.lit(0)
     return prev.join(

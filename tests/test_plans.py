@@ -1738,6 +1738,11 @@ def test_plan_only_constructs_fate_frame_without_spark_jobs(spark, sf):
     with plan_only():
         df = _df(spark, sf, "corpus_fate_manifest")
         plan = formatted_plan(df)
+        # the two-replay diff exercises the THREADED
+        # _materialize_concurrently path — contextvars do not
+        # propagate to pool threads, so the helper must run thunks
+        # sequentially under plan_only (r15 review finding)
+        formatted_plan(_df(spark, sf, "shard_export_diff"))
     after = set(tracker.getJobIdsForGroup(None))
     assert after == before, "plan_only construction submitted Spark jobs"
     # the lazy construction still yields the real manifest schema and
